@@ -1,0 +1,77 @@
+"""Deterministic HTML → text extraction.
+
+The per-row invariant from BASELINE.json input_hint: extracted text must be
+byte-identical per url across runs and across engines. Reference analog: the
+interpreters normalize verbatim values into interpreted values
+(evaluator/record/OccurrenceInterpretationEvaluator.java:118-138); here the
+"interpretation" is extracting visible text from the stored html bytes.
+
+``extract_text`` is a pure, version-pinned, locale-independent Python
+function (no external parser libraries — determinism over completeness).
+It is applied distributedly through an Arrow-batched pandas UDF
+(``extract_text_udf``), never per-row Python in a Spark ``udf``.
+
+Rules (fixed contract — goldens are committed under tests/goldens/):
+  1. bytes are decoded UTF-8 with errors="replace"
+  2. <script>/<style>/<!-- --> content dropped entirely
+  3. every other tag is replaced by a single space
+  4. the five standard entities + &#NNN; / &#xHH; are decoded
+  5. whitespace runs collapse to one space; result is stripped
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+_DROP_RE = re.compile(
+    r"<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>|<!--.*?-->",
+    re.DOTALL | re.IGNORECASE,
+)
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+_ENTITY_RE = re.compile(r"&(amp|lt|gt|quot|apos|#x[0-9a-fA-F]+|#[0-9]+);")
+
+_NAMED = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}
+
+
+def _decode_entity(m: re.Match) -> str:
+    body = m.group(1)
+    if body in _NAMED:
+        return _NAMED[body]
+    try:
+        if body.startswith("#x") or body.startswith("#X"):
+            cp = int(body[2:], 16)
+        else:
+            cp = int(body[1:])
+        if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+            return chr(cp)
+    except ValueError:
+        pass
+    return m.group(0)
+
+
+def extract_text(html: bytes | None) -> str | None:
+    """Pure deterministic extraction; see module docstring for the contract."""
+    if html is None:
+        return None
+    s = html.decode("utf-8", errors="replace")
+    s = _DROP_RE.sub(" ", s)
+    s = _TAG_RE.sub(" ", s)
+    s = _ENTITY_RE.sub(_decode_entity, s)
+    s = _WS_RE.sub(" ", s)
+    return s.strip()
+
+
+def _extract_series(html: pd.Series) -> pd.Series:
+    # Series.map over an Arrow batch: one Python call per row *within* a
+    # vectorized batch transfer — the sanctioned pattern for logic that
+    # built-ins can't express (SURVEY.md §2.6 "Text extraction").
+    return html.map(extract_text, na_action="ignore")
+
+
+#: Arrow-batched pandas UDF: html:binary -> extracted text:string.
+extract_text_udf = F.pandas_udf(_extract_series, returnType=StringType())

@@ -1,0 +1,63 @@
+"""URL well-formedness — the URI-validity check family.
+
+Reference analog: MULTIMEDIA_URI_INVALID / REFERENCES_URI_INVALID
+(api/model/EvaluationType.java:79-80), where the interpreter attempts
+``URI.create`` per record. Here: an Arrow-batched pandas UDF wrapping
+``urllib.parse`` (vectorized batch transfer, per input_hint), plus a cheap
+JVM-side regex pre-filter so the Python path only sees rows the regex can't
+already prove valid — at 100 TB the regex alone classifies ~all rows inside
+whole-stage codegen and the Arrow batch only carries the residue.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+#: Conservative fast-path: scheme://host where host is a sane DNS name or
+#: IPv4, optional port/path/query/fragment, no whitespace anywhere.
+_FAST_VALID_RE = (
+    r"^https?://"
+    r"([A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?\.)+[A-Za-z]{2,63}"
+    r"(:[0-9]{1,5})?"
+    r"(/[^\s]*)?$"
+)
+
+
+def _is_well_formed(url: str | None) -> bool:
+    if url is None:
+        return False
+    if any(c.isspace() for c in url) or url == "":
+        return False
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return False
+    return parts.scheme in ("http", "https") and bool(parts.netloc) and "." in parts.netloc
+
+
+def _valid_series(urls: pd.Series) -> pd.Series:
+    return urls.map(_is_well_formed, na_action="ignore").fillna(False).astype(bool)
+
+
+#: Full-fidelity check (urllib.parse), Arrow-batched.
+url_well_formed_udf = F.pandas_udf(_valid_series, returnType=BooleanType())
+
+
+def url_well_formed(col: Column) -> Column:
+    """Hybrid validity column: JVM regex fast-path short-circuits the Python
+    UDF — `rlike` rows are accepted inside codegen; only non-matching rows
+    go through Arrow to urllib for the authoritative verdict."""
+    return F.when(col.rlike(_FAST_VALID_RE), F.lit(True)).otherwise(
+        url_well_formed_udf(col)
+    )
+
+
+def url_host(col: Column) -> Column:
+    """Registrable host of the url (JVM-side, for skew diagnostics and
+    host-level grouping). Spark's parse_url is strict; fall back to regex."""
+    return F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#\s]+)", 1)

@@ -1,0 +1,159 @@
+"""Result model: check ids, violations schema, verdict rules.
+
+Mirrors the reference's result model, re-expressed for Spark:
+
+- ``CheckId``        ← EvaluationType catalog
+                       (api/model/EvaluationType.java:8-121)
+- violations DF      ← RecordEvaluationResult + Details exploded one row
+                       per detail (api/model/RecordEvaluationResult.java:17-44,
+                       api/model/RecordEvaluationResultDetails.java:16-45)
+- BLOCKING_CHECKS    ← IndexableRules blocking set
+                       (evaluator/IndexableRules.java:22-33)
+- input-values key   ← RecordEvaluationResultDetails.computeInputValuesKey
+                       (:78-89) — identity for distinct-first sampling
+- ValidationReport   ← ValidationResult / ValidationResultElement
+                       (api/result/ValidationResult.java:16-74)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# Check catalog (EvaluationType analog). Web-text domain per BASELINE.json
+# input_hint; mapping to reference EvaluationTypes noted inline.
+# --------------------------------------------------------------------------
+
+
+class CheckId:
+    """Check identifiers. Plain-string class attrs (not Enum) so they can be
+    used directly in Spark column expressions and survive serialization."""
+
+    # --- resource structure (pass 0; driver-side) ----------------------
+    RESOURCE_INTEGRITY = "RESOURCE_INTEGRITY"              # DWCA_UNREADABLE
+    REQUIRED_TERM_MISSING = "REQUIRED_TERM_MISSING"        # same name in ref
+    UNKNOWN_TERM = "UNKNOWN_TERM"                          # UNKNOWN_TERM
+    COLUMN_TYPE_MISMATCH = "COLUMN_TYPE_MISMATCH"          # meta.xml schema check
+    RECORD_IDENTIFIER_NOT_FOUND = "RECORD_IDENTIFIER_NOT_FOUND"  # same in ref
+
+    # --- record structure / interpretation (pass 1; narrow) ------------
+    KEY_EMPTY = "KEY_EMPTY"                    # empty-id scan, ReferentialIntegrityEvaluator.java:74-86
+    URL_MALFORMED = "URL_MALFORMED"            # MULTIMEDIA_URI_INVALID / REFERENCES_URI_INVALID
+    WARC_TS_INVALID = "WARC_TS_INVALID"        # RECORDED_DATE_INVALID
+    WARC_TS_UNLIKELY = "WARC_TS_UNLIKELY"      # RECORDED_DATE_UNLIKELY
+    TEXT_EMPTY = "TEXT_EMPTY"                  # COLUMN_MISMATCH-shaped null/shape check
+    TEXT_LEN_MISMATCH = "TEXT_LEN_MISMATCH"    # interpreted-vs-verbatim consistency
+    TEXT_EXTRACTION_MISMATCH = "TEXT_EXTRACTION_MISMATCH"  # byte-identity invariant (input_hint)
+    TEXT_NOT_UTF8 = "TEXT_NOT_UTF8"            # FileNormalizer analog (util/FileNormalizer.java:44-72)
+
+    # --- collection checks (pass 2; wide) -------------------------------
+    RECORD_NOT_UNIQUELY_IDENTIFIED = "RECORD_NOT_UNIQUELY_IDENTIFIED"  # UniquenessEvaluator.java:46-74
+    LANG_UNKNOWN = "LANG_UNKNOWN"              # RECORD_REFERENTIAL_INTEGRITY_VIOLATION (anti-join)
+    DRIFT_WINDOW = "DRIFT_WINDOW"              # new: KS drift over warc_ts windows (north star)
+
+    # --- metadata content (non-blocking unless noted) -------------------
+    LICENSE_MISSING_OR_UNKNOWN = "LICENSE_MISSING_OR_UNKNOWN"  # BasicMetadataEvaluator
+    TITLE_TOO_SHORT = "TITLE_TOO_SHORT"
+    DESCRIPTION_TOO_SHORT = "DESCRIPTION_TOO_SHORT"
+
+
+#: Checks that make a run non-indexable — analog of IndexableRules' 11
+#: blocking EvaluationTypes (evaluator/IndexableRules.java:22-33).
+BLOCKING_CHECKS = frozenset(
+    {
+        CheckId.RESOURCE_INTEGRITY,
+        CheckId.REQUIRED_TERM_MISSING,
+        CheckId.COLUMN_TYPE_MISMATCH,
+        CheckId.RECORD_IDENTIFIER_NOT_FOUND,
+        CheckId.KEY_EMPTY,
+        CheckId.RECORD_NOT_UNIQUELY_IDENTIFIED,
+        CheckId.LANG_UNKNOWN,
+        CheckId.LICENSE_MISSING_OR_UNKNOWN,
+    }
+)
+
+#: Violation samples retained per check — DEFAULT_MAX_NUMBER_OF_SAMPLE
+#: (collector/RecordEvaluationResultCollector.java:34).
+MAX_SAMPLES_PER_CHECK = 10
+
+# --------------------------------------------------------------------------
+# Schemas
+# --------------------------------------------------------------------------
+
+#: Expected input schema (BASELINE.json input_hint). The reference's analog
+#: is the meta.xml-declared Term list (source/DataFileFactory.java:226-248).
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+#: Violations output contract (FIXTURES.md F5) — exploded
+#: RecordEvaluationResultDetails.
+VIOLATIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("check_id", T.StringType()),
+        T.StructField("expected", T.StringType()),
+        T.StructField("found", T.StringType()),
+        T.StructField("related_data", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("partition_id", T.StringType()),
+    ]
+)
+
+#: Checkpoint / lineage row (FIXTURES.md F4).
+CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("partition_id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_violations", T.LongType()),
+        T.StructField("violations_by_check", T.MapType(T.StringType(), T.LongType())),
+        T.StructField("started_at", T.TimestampType()),
+        T.StructField("finished_at", T.TimestampType()),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# Report model (ValidationResult analog)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class ValidationReport:
+    """Run-level verdict — analog of ValidationResult
+    (api/result/ValidationResult.java:16-74) with its per-element issue
+    counts + samples folded in.
+    """
+
+    run_id: str
+    indexable: bool
+    n_rows: int
+    n_violations: int
+    issue_counts: dict[str, int] = field(default_factory=dict)
+    samples: dict[str, list[dict[str, Any]]] = field(default_factory=dict)
+    metrics: dict[str, Any] = field(default_factory=dict)
+    partition_verdicts: dict[str, str] = field(default_factory=dict)
+    error_code: str | None = None
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "run_id": self.run_id,
+            "indexable": self.indexable,
+            "n_rows": self.n_rows,
+            "n_violations": self.n_violations,
+            "issue_counts": self.issue_counts,
+            "samples": self.samples,
+            "metrics": self.metrics,
+            "partition_verdicts": self.partition_verdicts,
+            "error_code": self.error_code,
+        }

@@ -1,0 +1,123 @@
+"""Pass 2c — KS-style distribution-drift detection over warc_ts windows.
+
+No reference analog (the reference has no streaming/windowed operators —
+SURVEY.md §2.5); this is the north-star extension: "KS-style distribution-
+drift tests over windowed warc_ts partitions".
+
+Spark design (scale-first):
+  1. ONE groupBy(window) aggregation computes an equi-probability quantile
+     sketch (``percentile_approx``, mergeable, constant state) + count of
+     the metric per window — the only pass over the data.
+  2. The pooled (all-windows) sketch comes from the same scan via a
+     grouping-sets-style union of one global agg.
+  3. The KS statistic D = sup_x |F_w(x) - F_ref(x)| is approximated from the
+     two quantile vectors on the tiny per-window DF (#windows rows) with an
+     Arrow-batched pandas UDF: for each quantile value of the window, the
+     reference CDF is interpolated and the max prob-gap taken.
+
+At 100 TB: step 1 shuffles only sketch state (KBs per window); steps 2-3
+touch #windows rows. Nothing is collected to the driver until the final
+(tiny) verdict DF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..model import CheckId
+
+N_PROBS = 41
+PROBS = [i / (N_PROBS - 1) for i in range(N_PROBS)]
+ACCURACY = 10000
+DEFAULT_THRESHOLD = 0.15
+
+
+def _ks_from_quantiles(qw: pd.Series, qr: pd.Series) -> pd.Series:
+    """Approximate two-sample KS statistic from equi-probability quantile
+    vectors (ECDF max-gap — scipy-free, per SURVEY.md §4.2)."""
+    probs = np.asarray(PROBS)
+
+    def cdf_at(q: np.ndarray, vs: np.ndarray) -> np.ndarray:
+        # right-continuous step ECDF from an equi-probability quantile
+        # vector: F(v) = max prob whose quantile value <= v. Robust to ties
+        # and degenerate (constant) distributions, unlike interpolation.
+        idx = np.searchsorted(q, vs, side="right") - 1
+        out = np.where(idx >= 0, probs[np.clip(idx, 0, len(probs) - 1)], 0.0)
+        return out
+
+    def one(pair):
+        w, r = pair
+        if w is None or r is None:
+            return float("nan")
+        w = np.asarray(w, dtype=float)
+        r = np.asarray(r, dtype=float)
+        support = np.union1d(w, r)
+        return float(np.max(np.abs(cdf_at(w, support) - cdf_at(r, support))))
+
+    return pd.Series([one(p) for p in zip(qw, qr)])
+
+
+_ks_udf = F.pandas_udf(_ks_from_quantiles, returnType=DoubleType())
+
+
+def window_quantiles(
+    df: DataFrame, metric: F.Column, ts_col: str = "warc_ts", window_fmt: str = "yyyy-MM"
+) -> DataFrame:
+    """(window, n, q[N_PROBS]) per warc_ts window — one agg scan."""
+    return (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.date_format(F.col(ts_col), window_fmt).alias("window"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile_approx(metric, PROBS, ACCURACY).alias("q"),
+        )
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    metric: F.Column | None = None,
+    ts_col: str = "warc_ts",
+    window_fmt: str = "yyyy-MM",
+    threshold: float = DEFAULT_THRESHOLD,
+    min_rows: int = 30,
+) -> DataFrame:
+    """→ (window, n, ks_stat, drifted) per warc_ts window, KS vs the pooled
+    distribution across all windows. Windows with fewer than ``min_rows``
+    rows are excluded — a handful of stray timestamps (e.g. the
+    WARC_TS_UNLIKELY fixture rows) gives a meaninglessly noisy ECDF."""
+    metric = metric if metric is not None else F.length(F.col("text"))
+    per_window = window_quantiles(df, metric, ts_col, window_fmt).where(
+        F.col("n") >= min_rows
+    )
+    pooled = (
+        df.where(F.col(ts_col).isNotNull())
+        .agg(F.percentile_approx(metric, PROBS, ACCURACY).alias("q_ref"))
+    )
+    joined = per_window.crossJoin(F.broadcast(pooled))
+    return joined.select(
+        "window",
+        "n",
+        _ks_udf(F.col("q"), F.col("q_ref")).alias("ks_stat"),
+        (_ks_udf(F.col("q"), F.col("q_ref")) > threshold).alias("drifted"),
+    )
+
+
+def drift_violations(drift_df: DataFrame) -> DataFrame:
+    """Window-level DRIFT_WINDOW verdict rows in the violations contract
+    (url = the window, since the finding is not row-scoped)."""
+    return drift_df.where(F.col("drifted")).select(
+        F.concat(F.lit("window:"), F.col("window")).alias("url"),
+        F.lit(CheckId.DRIFT_WINDOW).alias("check_id"),
+        F.lit("ks_stat <= threshold").alias("expected"),
+        F.format_number(F.col("ks_stat"), 4).alias("found"),
+        F.create_map(
+            F.lit("n"), F.col("n").cast("string"),
+            F.lit("window"), F.col("window"),
+        ).alias("related_data"),
+        F.col("window").alias("partition_id"),
+    )

@@ -1,0 +1,84 @@
+"""Pass 3 — per-column metrics in ONE aggregation scan.
+
+Reference analogs:
+- term frequency (non-blank count per column): TermsFrequencyCollector
+  (collector/TermsFrequencyCollector.java:18-45)
+- interpreted-term counts: InterpretedTermsCountCollector
+  (collector/InterpretedTermsCountCollector.java:44-51)
+- partial→final merge of collectors: CollectorGroup.mergeAndGetResult
+  (collector/CollectorGroup.java:80-141) — free in Spark (HashAggregateExec
+  partial/final).
+
+North-star extensions: distinct counts via HyperLogLog
+(``approx_count_distinct``) and length histograms via equi-depth quantiles
+(``percentile_approx``) — both are built-in sketch aggregates that merge
+associatively, so the whole profile is one shuffle of constant-size state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.predicates import non_blank
+
+
+def _non_blank(c: str) -> F.Column:
+    return F.count(F.when(non_blank(F.col(c)), 1))
+
+
+def column_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    length_cols: list[str] | None = None,
+    hll_rsd: float = 0.02,
+    n_quantiles: int = 11,
+) -> DataFrame:
+    """One-row profile DF: per column → non_blank count, null count,
+    approx distinct (HLL), and for ``length_cols`` the length quantiles.
+    Single scan, single (tiny) shuffle of sketch state."""
+    columns = columns or [c for c in df.columns if c != "html"]
+    length_cols = length_cols if length_cols is not None else [c for c in columns if c in ("text",)]
+    qs = [i / (n_quantiles - 1) for i in range(n_quantiles)]
+
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs.append(_non_blank(c).alias(f"{c}_non_blank"))
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_nulls"))
+        aggs.append(F.approx_count_distinct(c, rsd=hll_rsd).alias(f"{c}_approx_distinct"))
+    for c in length_cols:
+        aggs.append(
+            F.percentile_approx(F.length(F.col(c)), qs, 10000).alias(f"{c}_len_quantiles")
+        )
+        aggs.append(F.avg(F.length(F.col(c))).alias(f"{c}_len_avg"))
+    return df.agg(*aggs)
+
+
+def term_frequency(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Exact TermsFrequencyCollector semantics: count of non-blank cells per
+    column, zero-initialized from the header (CollectorUtils analog — a
+    column with no non-blank cells still reports 0)."""
+    columns = columns or df.columns
+    return df.agg(*[_non_blank(c).alias(c) for c in columns])
+
+
+def interpreted_counts(df: DataFrame, typed_cols: dict[str, F.Column]) -> DataFrame:
+    """Count records whose *interpreted* (typed/derived) value is non-null —
+    InterpretedTermsCountCollector analog. ``typed_cols`` maps output name →
+    derivation expression (e.g. to_timestamp of a string column)."""
+    return df.agg(*[F.count(expr).alias(name) for name, expr in typed_cols.items()])
+
+
+def issue_counts(violations: DataFrame) -> DataFrame:
+    """count by check_id — RecordEvaluationResultCollector counter map
+    (collector/RecordEvaluationResultCollector.java:50-71). Partial+final
+    agg; output cardinality = number of check types (tiny)."""
+    return violations.groupBy("check_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def issue_counts_by_partition(violations: DataFrame) -> DataFrame:
+    """count by (partition_id, check_id) — feeds per-partition verdicts and
+    the checkpoint table's violations_by_check map."""
+    return violations.groupBy("partition_id", "check_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -1,0 +1,134 @@
+"""Pass 1 — per-record structure + interpretation checks (narrow, one scan).
+
+Reference analog: ``RecordEvaluator`` chain (api/RecordEvaluator.java:11-23,
+api/model/RecordEvaluatorChain.java:14-37): a pure function from one record
+to a (possibly empty) list of issue details, with all checks fused into one
+pass over the file (processor/DataFileRecordsActor.java:62-70).
+
+Spark design: every check is a Column predicate; all of them are evaluated
+in ONE select over the scan (whole-stage codegen fuses them), each producing
+a nullable detail struct; the structs are array-packed, null-filtered and
+exploded into the violations DF. No shuffle; Catalyst prunes ``html`` out of
+the scan entirely unless the extraction check is enabled (html:binary
+dominates bytes at 100 TB — SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.extraction import extract_text_udf
+from ..functions.predicates import is_blank
+from ..functions.url import url_well_formed
+from ..model import CheckId
+
+#: plausibility window for warc_ts (Common Crawl started 2008)
+TS_MIN = "2008-01-01 00:00:00"
+TS_MAX = "2035-01-01 00:00:00"
+
+
+def _detail(check_id: str, violated: Column, expected: Column | str, found: Column) -> Column:
+    """Nullable detail struct — RecordEvaluationResultDetails analog
+    (api/model/RecordEvaluationResultDetails.java:16-45)."""
+    exp = F.lit(expected) if isinstance(expected, str) else expected
+    return F.when(
+        violated,
+        F.struct(
+            F.lit(check_id).alias("check_id"),
+            exp.alias("expected"),
+            found.alias("found"),
+        ),
+    )
+
+
+def partition_id_col(ts: Column, n_buckets: int = 1, key: Column | None = None) -> Column:
+    """Logical partition id: warc_ts month window (+ optional url-hash bucket).
+    This is the unit of the checkpoint/resume protocol and of per-partition
+    verdicts (north star). NULL ts rows go to the 'UNKNOWN' partition."""
+    month = F.coalesce(F.date_format(ts, "yyyy-MM"), F.lit("UNKNOWN"))
+    if n_buckets <= 1:
+        return month
+    bucket = F.pmod(F.xxhash64(key if key is not None else F.lit(0)), F.lit(n_buckets))
+    return F.concat(month, F.lit("-b"), bucket.cast("string"))
+
+
+def record_check_details(
+    key: Column, ts: Column, text: Column, html: Column, check_extraction: bool
+) -> list[Column]:
+    """The per-record check battery as nullable detail structs."""
+    key_empty = is_blank(key)
+    ts_str = F.date_format(ts, "yyyy-MM-dd HH:mm:ss")
+    details = [
+        _detail(CheckId.KEY_EMPTY, key_empty, "non-empty url", F.coalesce(key, F.lit("NULL"))),
+        _detail(
+            CheckId.URL_MALFORMED,
+            ~key_empty & ~url_well_formed(key),
+            "well-formed http(s) URL",
+            key,
+        ),
+        _detail(CheckId.WARC_TS_INVALID, ts.isNull(), "parseable timestamp", F.lit("NULL")),
+        _detail(
+            CheckId.WARC_TS_UNLIKELY,
+            ts.isNotNull() & ((ts < F.lit(TS_MIN).cast("timestamp")) | (ts > F.lit(TS_MAX).cast("timestamp"))),
+            f"timestamp in [{TS_MIN}, {TS_MAX}]",
+            ts_str,
+        ),
+        # TEXT_EMPTY only consults html when the extraction check already
+        # forces an html scan; otherwise it must not break the column
+        # pruning that keeps the dominant binary column out of the read
+        # path (SURVEY.md §7.4 "html:binary width").
+        _detail(
+            CheckId.TEXT_EMPTY,
+            (text.isNull() | (text == ""))
+            & ((html.isNotNull() & (F.length(html) > 0)) if check_extraction else F.lit(True)),
+            "non-empty extracted text",
+            F.coalesce(text, F.lit("NULL")),
+        ),
+    ]
+    if check_extraction:
+        extracted = extract_text_udf(html)
+        details.append(
+            _detail(
+                CheckId.TEXT_EXTRACTION_MISMATCH,
+                html.isNotNull() & text.isNotNull() & (text != "") & (text != extracted),
+                "text byte-identical to extract_text(html)",
+                F.substring(text, 1, 256),
+            )
+        )
+    return details
+
+
+def run_record_checks(
+    pages: DataFrame,
+    check_extraction: bool = True,
+    n_buckets: int = 1,
+    key_col: str = "url",
+) -> DataFrame:
+    """pages → violations(url, check_id, expected, found, related_data,
+    partition_id). One narrow scan, zero shuffles."""
+    key, ts = F.col(key_col), F.col("warc_ts")
+    text, html = F.col("text"), F.col("html")
+    details = record_check_details(key, ts, text, html, check_extraction)
+
+    related = F.create_map(
+        F.lit("lang"), F.coalesce(F.col("lang"), F.lit("NULL")),
+        F.lit("warc_ts"), F.coalesce(F.date_format(ts, "yyyy-MM-dd HH:mm:ss"), F.lit("NULL")),
+    )
+    packed = F.filter(F.array(*details), lambda d: d.isNotNull())
+    return (
+        pages.select(
+            key.alias("url"),
+            partition_id_col(ts, n_buckets, key).alias("partition_id"),
+            related.alias("related_data"),
+            F.explode(packed).alias("d"),
+        )
+        .select(
+            "url",
+            F.col("d.check_id").alias("check_id"),
+            F.col("d.expected").alias("expected"),
+            F.col("d.found").alias("found"),
+            "related_data",
+            "partition_id",
+        )
+    )

@@ -1,0 +1,66 @@
+"""Distinct-first top-N violation sampling.
+
+Reference analog: RecordEvaluationResultCollector keeps, per issue type, the
+first N details with *distinct* input-values key, topping up to N from a
+non-distinct overflow list (collector/RecordEvaluationResultCollector.java:
+50-71, top-up :236-250); the input-values key is
+``found + sorted(relatedData values)`` (api/model/
+RecordEvaluationResultDetails.java:78-89). After a merge, samples are
+re-sorted by line number and re-limited (collector/CollectorGroup.java:
+179-186).
+
+Spark design: two window functions over the violations DF.
+  rank1 = row_number over (check_id, input_key) ordered by url  → "first
+          occurrence of each distinct input"
+  rank2 = row_number over (check_id) ordered by (is_distinct desc, url)
+          → distinct-first, then overflow top-up, deterministic by url
+The reference orders by line number; with unordered distributed input we
+order by the stable record key (url) instead — same semantics, reproducible
+goldens (SURVEY.md §7.4 "Sampling determinism").
+
+Scale note: the windows shuffle only the violations DF (bounded: violation
+rate × rows, further bounded per partition by upstream limits), never the
+source table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..model import MAX_SAMPLES_PER_CHECK
+
+
+def input_values_key() -> F.Column:
+    """computeInputValuesKey analog: found + sorted related_data values."""
+    return F.concat_ws(
+        "-",
+        F.coalesce(F.col("found"), F.lit("NULL")),
+        F.concat_ws("-", F.array_sort(F.map_values(F.col("related_data")))),
+    )
+
+
+def distinct_first_samples(
+    violations: DataFrame, max_samples: int = MAX_SAMPLES_PER_CHECK
+) -> DataFrame:
+    """≤ max_samples rows per check_id, distinct input-values keys first."""
+    v = violations.withColumn("input_key", input_values_key())
+    w_distinct = Window.partitionBy("check_id", "input_key").orderBy("url")
+    v = v.withColumn("is_first_of_key", F.row_number().over(w_distinct) == 1)
+    w_check = Window.partitionBy("check_id").orderBy(
+        F.col("is_first_of_key").desc(), F.col("url")
+    )
+    return (
+        v.withColumn("sample_rank", F.row_number().over(w_check))
+        .where(F.col("sample_rank") <= max_samples)
+        .drop("is_first_of_key")
+    )
+
+
+def top_n_by_key(df: DataFrame, partition_col: str, order_col: str, n: int) -> DataFrame:
+    """Generic top-N per group (reference W3: samples sorted by lineNumber,
+    limit 10 — collector/CollectorGroup.java:179-186)."""
+    w = Window.partitionBy(partition_col).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= n).drop("_rn")
+    )

@@ -1,0 +1,70 @@
+"""Pass 2a — key uniqueness via salted two-phase aggregation.
+
+Reference analog: ``UniquenessEvaluator`` — external merge-sort of the file
+on the id column, then an awk adjacent-compare emitting duplicated ids
+(evaluator/UniquenessEvaluator.java:46-74; FIND_DUPLICATE_CMD
+util/FileBashUtilities.java:29-32). Emits RECORD_NOT_UNIQUELY_IDENTIFIED per
+duplicated id; ``DataUniquenessEvaluator.java:44-93`` is the same operator
+on a data column.
+
+Spark design: hash aggregation replaces sort+adjacent-compare. Skew contract
+(BASELINE.json north_rule: "skew handled with explicit key salting"): hot
+keys (hot-domain urls, or the degenerate empty key) are salted — phase 1
+aggregates on (key, salt) so a hot key's rows split across SALT reducers;
+phase 2 re-aggregates the (at most SALT) partial counts per key. The phase-2
+shuffle carries one row per (key, salt) — already tiny. AQE skew handling
+remains on as a backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.predicates import non_blank
+from ..model import CheckId
+
+DEFAULT_SALT = 16
+
+
+def duplicate_keys(df: DataFrame, key_col: str, n_salt: int = DEFAULT_SALT) -> DataFrame:
+    """→ (key, dup_count) for keys appearing more than once.
+
+    Two-phase salted aggregation. The salt must distribute rows of the SAME
+    key across partitions, so it cannot be a function of the key — we derive
+    it from a per-row value (monotonically_increasing_id) which is cheap,
+    deterministic per task, and never shuffled itself.
+    """
+    key = F.col(key_col)
+    salted = df.select(
+        key.alias("k"),
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)).alias("salt"),
+    )
+    partial = salted.groupBy("k", "salt").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        partial.groupBy("k")
+        .agg(F.sum("c").alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+        .select(F.col("k").alias(key_col), "dup_count")
+    )
+
+
+def uniqueness_violations(
+    pages: DataFrame, key_col: str = "url", n_salt: int = DEFAULT_SALT
+) -> DataFrame:
+    """Violations-DF-shaped output: one row per duplicated key, joined back
+    to the offending rows so each duplicate occurrence is reported (the
+    reference emits one result per duplicated id occurrence)."""
+    key = F.col(key_col)
+    nonempty = pages.where(non_blank(key))
+    dups = duplicate_keys(nonempty, key_col, n_salt)
+    return dups.select(
+        key.alias("url"),
+        F.lit(CheckId.RECORD_NOT_UNIQUELY_IDENTIFIED).alias("check_id"),
+        F.lit("unique url").alias("expected"),
+        F.concat(F.lit("count="), F.col("dup_count").cast("string")).alias("found"),
+        F.create_map(F.lit("dup_count"), F.col("dup_count").cast("string")).alias(
+            "related_data"
+        ),
+        F.lit("GLOBAL").alias("partition_id"),
+    )

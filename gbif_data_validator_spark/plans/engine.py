@@ -1,0 +1,244 @@
+"""The staged validation engine — the reference's evaluator chain as
+DataFrame passes.
+
+Reference analog: EvaluationChain + DataFileProcessorMaster orchestration
+(evaluator/EvaluationChain.java:69-71; processor/DataFileProcessorMaster.java:
+128-176): Phase 0 constitution (can stop the chain), Phase 1 fan-out of
+metadata / record-collection / per-split record evaluators, Phase 2 collector
+merge + IndexableRules verdict. Here the actor fan-out is the Spark
+scheduler; the collector merge is Catalyst partial/final aggregation; the
+verdict is a filter on the blocking-check set
+(evaluator/IndexableRules.java:22-33, reduce :54-61).
+
+Passes (SURVEY.md §7.1):
+  0 preflight (driver, no jobs)     — short-circuit on blocking findings
+  1 record checks (narrow, 1 scan)  — violations DF
+  2 uniqueness (salted) + referential (broadcast anti) + KS drift
+  3 metrics (1 agg scan)
+  4 report: counts, distinct-first samples, per-partition verdicts,
+    checkpoint/lineage rows; resume prunes completed partitions.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import BLOCKING_CHECKS, CheckId, ValidationReport
+from ..operators.drift import drift_violations, ks_drift
+from ..operators.metrics import column_profile, issue_counts_by_partition
+from ..operators.record_checks import partition_id_col, run_record_checks
+from ..operators.referential import referential_violations
+from ..operators.sampling import distinct_first_samples
+from ..operators.uniqueness import uniqueness_violations
+from ..sources.lang_dim import lang_dim
+from . import checkpoint as cp
+from .preflight import preflight
+
+GLOBAL_PARTITION = "GLOBAL"
+
+
+@dataclass
+class EngineConfig:
+    key_col: str = "url"
+    check_extraction: bool = True
+    n_buckets: int = 1
+    n_salt: int = 16
+    drift_threshold: float = 0.15
+    max_samples: int = 10
+    work_dir: str | None = None  # enables persisted violations + checkpoint/resume
+    run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+
+    @property
+    def violations_path(self) -> str | None:
+        return os.path.join(self.work_dir, "violations") if self.work_dir else None
+
+    @property
+    def checkpoint_path(self) -> str | None:
+        return os.path.join(self.work_dir, "checkpoint") if self.work_dir else None
+
+
+class ValidationEngine:
+    def __init__(self, spark: SparkSession, config: EngineConfig | None = None):
+        self.spark = spark
+        self.config = config or EngineConfig()
+
+    # ------------------------------------------------------------------
+    def build_violations(self, pages: DataFrame, dim: DataFrame) -> DataFrame:
+        """Passes 1+2 as one lazy plan: record checks ∪ referential ∪
+        salted uniqueness ∪ drift verdicts (unionByName on the violations
+        contract — reference U1 mergeOnFilename,
+        api/result/ValidationResultElement.java:103-117)."""
+        c = self.config
+        v1 = run_record_checks(
+            pages, check_extraction=c.check_extraction, n_buckets=c.n_buckets, key_col=c.key_col
+        )
+        v2 = referential_violations(pages, dim, id_col=c.key_col)
+        v3 = uniqueness_violations(pages, key_col=c.key_col, n_salt=c.n_salt)
+        v4 = drift_violations(ks_drift(pages, threshold=c.drift_threshold))
+        return v1.unionByName(v2).unionByName(v3).unionByName(v4)
+
+    # ------------------------------------------------------------------
+    def run(self, pages: DataFrame, dim: DataFrame | None = None) -> ValidationReport:
+        c = self.config
+        started = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        dim = dim if dim is not None else lang_dim(self.spark)
+
+        # Pass 0 — constitution; blocking finding stops everything
+        # (ResourceConstitutionEvaluationChain.java:114-121 analog).
+        findings = preflight(pages, key_col=c.key_col)
+        blocking = [f for f in findings if f.blocking]
+        if blocking:
+            return ValidationReport(
+                run_id=c.run_id,
+                indexable=False,
+                n_rows=0,
+                n_violations=len(blocking),
+                issue_counts={f.check_id: 1 for f in blocking},
+                samples={
+                    f.check_id: [{"expected": f.expected, "found": f.found}]
+                    for f in blocking
+                },
+                error_code=CheckId.RESOURCE_INTEGRITY,
+            )
+
+        pages = pages.withColumn(
+            "_partition_id",
+            partition_id_col(F.col("warc_ts"), c.n_buckets, F.col(c.key_col)),
+        )
+
+        # Resume: prune completed partitions BEFORE any scan.
+        done: list[str] = []
+        if c.checkpoint_path:
+            done = cp.completed_partitions(self.spark, c.checkpoint_path, c.run_id)
+        work = pages
+        skip_global = GLOBAL_PARTITION in done
+        if done:
+            work = pages.where(~F.col("_partition_id").isin([d for d in done]))
+
+        # Passes 1+2 (lazy plan). Global checks (uniqueness over the full
+        # key space, drift across all windows) must see ALL rows, so they
+        # run over `pages`, not the pruned work-list — unless their GLOBAL
+        # checkpoint already exists.
+        per_partition_v = run_record_checks(
+            work, check_extraction=c.check_extraction, n_buckets=c.n_buckets, key_col=c.key_col
+        ).unionByName(referential_violations(work, dim, id_col=c.key_col))
+        violations = per_partition_v
+        if not skip_global:
+            global_v = uniqueness_violations(pages, key_col=c.key_col, n_salt=c.n_salt)
+            global_v = global_v.unionByName(
+                drift_violations(ks_drift(pages, threshold=c.drift_threshold))
+            )
+            violations = violations.unionByName(global_v)
+
+        # Persist violations FIRST (resume-correctness ordering), then
+        # derive everything else from the durable copy.
+        if c.violations_path:
+            violations.write.mode("append").partitionBy("partition_id").parquet(
+                c.violations_path
+            )
+            # replay idempotence: an interrupted run may have appended a
+            # partition's violations without checkpointing it; the re-run
+            # appends them again, so reads dedup exact tuples (map column is
+            # not set-op comparable → dedup on its JSON form).
+            raw = self.spark.read.parquet(c.violations_path)
+            all_violations = (
+                raw.withColumn("_rd", F.to_json("related_data"))
+                .dropDuplicates(["url", "check_id", "expected", "found", "partition_id", "_rd"])
+                .drop("_rd")
+            )
+        else:
+            violations = violations.persist()
+            all_violations = violations
+
+        # Pass 4a — per-partition accounting → checkpoint rows.
+        row_counts = work.groupBy(F.col("_partition_id").alias("partition_id")).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        finished = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        vc = issue_counts_by_partition(all_violations)
+        cp_rows = (
+            row_counts.join(
+                vc.groupBy("partition_id").agg(
+                    F.sum("n").alias("n_violations"),
+                    F.map_from_entries(
+                        F.collect_list(F.struct(F.col("check_id"), F.col("n")))
+                    ).alias("violations_by_check"),
+                    F.max(
+                        F.when(F.col("check_id").isin(list(BLOCKING_CHECKS)), 1).otherwise(0)
+                    ).alias("_blocking"),
+                ),
+                on="partition_id",
+                how="left",
+            )
+            .select(
+                F.lit(c.run_id).alias("run_id"),
+                "partition_id",
+                F.when(F.coalesce(F.col("_blocking"), F.lit(0)) > 0, "FAIL")
+                .otherwise("PASS")
+                .alias("status"),
+                "n_rows",
+                F.coalesce(F.col("n_violations"), F.lit(0)).alias("n_violations"),
+                F.coalesce(
+                    F.col("violations_by_check"),
+                    F.create_map().cast("map<string,bigint>"),
+                ).alias("violations_by_check"),
+                F.lit(started).alias("started_at"),
+                F.lit(finished).alias("finished_at"),
+            )
+        )
+        if not skip_global:
+            global_row = self.spark.createDataFrame(
+                [(c.run_id, GLOBAL_PARTITION, "PASS", 0, 0, {}, started, finished)],
+                schema=cp_rows.schema,
+            )
+            cp_rows = cp_rows.unionByName(global_row)
+        if c.checkpoint_path:
+            cp.append_checkpoints(cp_rows, c.checkpoint_path)
+
+        # Pass 3 — metrics (over the full table: profile is a run-level
+        # artifact; one agg scan, sketch-sized shuffle).
+        profile_row = column_profile(pages.drop("_partition_id")).collect()[0]
+        metrics = {k: (list(v) if isinstance(v, list) else v) for k, v in profile_row.asDict().items()}
+
+        # Pass 4b — report assembly (all inputs are tiny aggregates).
+        counts_rows = (
+            all_violations.groupBy("check_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        issue_counts = {r.check_id: r.n for r in counts_rows}
+        samples_rows = distinct_first_samples(all_violations, c.max_samples).collect()
+        samples: dict[str, list[dict]] = {}
+        for r in sorted(samples_rows, key=lambda r: (r.check_id, r.sample_rank)):
+            samples.setdefault(r.check_id, []).append(
+                {"url": r.url, "expected": r.expected, "found": r.found}
+            )
+        if c.checkpoint_path:
+            cps = cp.read_checkpoints(self.spark, c.checkpoint_path)
+            cps = cps.where(F.col("run_id") == c.run_id)
+            verdicts = {r.partition_id: r.status for r in cps.collect()}
+            n_rows = sum(
+                r.n_rows for r in cps.select("partition_id", "n_rows").collect()
+            )
+        else:
+            verdicts = {r.partition_id: r.status for r in cp_rows.collect()}
+            n_rows = pages.count()
+
+        n_violations = sum(issue_counts.values())
+        indexable = not any(k in BLOCKING_CHECKS for k in issue_counts)
+        if not c.violations_path:
+            violations.unpersist()
+        return ValidationReport(
+            run_id=c.run_id,
+            indexable=indexable,
+            n_rows=n_rows,
+            n_violations=n_violations,
+            issue_counts=issue_counts,
+            samples=samples,
+            metrics=metrics,
+            partition_verdicts=verdicts,
+        )

@@ -1,0 +1,77 @@
+"""Checkpoint / resume protocol (FIXTURES.md F4): an interrupted run
+revalidates only unvalidated partitions and the final report matches an
+uninterrupted run."""
+
+from pyspark.sql import functions as F
+
+from gbif_data_validator_spark.plans import checkpoint as cp
+from gbif_data_validator_spark.plans.engine import (
+    GLOBAL_PARTITION,
+    EngineConfig,
+    ValidationEngine,
+)
+
+
+def test_checkpoint_rows_written(spark, pages, tmp_path):
+    cfg = EngineConfig(check_extraction=False, work_dir=str(tmp_path / "w1"), run_id="r1")
+    rep = ValidationEngine(spark, cfg).run(pages.drop("expected_issue"))
+    cps = cp.read_checkpoints(spark, cfg.checkpoint_path)
+    rows = cps.collect()
+    assert {r.run_id for r in rows} == {"r1"}
+    parts = {r.partition_id for r in rows}
+    assert GLOBAL_PARTITION in parts
+    # every month partition got a verdict and row counts sum to the table
+    assert sum(r.n_rows for r in rows) == pages.count()
+    by_status = {r.partition_id: r.status for r in rows}
+    assert by_status == rep.partition_verdicts
+
+
+def test_resume_skips_completed_partitions(spark, pages, tmp_path):
+    """Simulate interruption: pre-checkpoint two partitions as done, then run
+    — the engine must not re-emit violations for them, and the combined
+    report must equal the uninterrupted one."""
+    pages = pages.drop("expected_issue")
+    # uninterrupted baseline
+    base_cfg = EngineConfig(check_extraction=False, work_dir=str(tmp_path / "base"), run_id="rb")
+    base = ValidationEngine(spark, base_cfg).run(pages)
+
+    # interrupted run: first validate ONLY two months by pre-seeding
+    # checkpoints for everything else... instead run fully, then delete two
+    # partitions' checkpoints and violations to simulate the kill, and re-run.
+    work = str(tmp_path / "resume")
+    cfg = EngineConfig(check_extraction=False, work_dir=work, run_id="rr")
+    eng = ValidationEngine(spark, cfg)
+    eng.run(pages)
+
+    cps = cp.read_checkpoints(spark, cfg.checkpoint_path)
+    all_parts = [r.partition_id for r in cps.collect()]
+    victims = sorted(p for p in all_parts if p not in (GLOBAL_PARTITION, "UNKNOWN"))[:2]
+
+    import shutil, os
+    # drop the victims' checkpoint rows (rewrite table without them) and
+    # their violations directories — as if the run died before writing them
+    kept = spark.read.parquet(cfg.checkpoint_path).where(~F.col("partition_id").isin(victims))
+    kept_rows = kept.collect()
+    shutil.rmtree(cfg.checkpoint_path)
+    spark.createDataFrame(kept_rows, schema=kept.schema).write.parquet(cfg.checkpoint_path)
+    for v in victims:
+        d = os.path.join(cfg.violations_path, f"partition_id={v}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+    rep2 = ValidationEngine(spark, cfg).run(pages)
+
+    # resumed report equals the uninterrupted one (counts + verdicts + rows)
+    assert rep2.issue_counts == base.issue_counts
+    assert rep2.partition_verdicts == base.partition_verdicts
+    assert rep2.n_rows == base.n_rows
+
+    # and the re-run only validated the two victim partitions: checkpoint
+    # table now has exactly one row per partition except victims (two rows
+    # deduped to latest) — verify via raw (non-deduped) storage
+    raw = spark.read.parquet(cfg.checkpoint_path)
+    per_part = {r.partition_id: r.n for r in raw.groupBy("partition_id").agg(F.count("*").alias("n")).collect()}
+    for v in victims:
+        assert per_part[v] == 1  # rewritten once by the resume
+    n_multi = [p for p, n in per_part.items() if n > 1]
+    assert set(n_multi) <= {GLOBAL_PARTITION}

@@ -1,0 +1,70 @@
+"""End-to-end engine run on the labeled fixture: full recall, verdicts,
+preflight short-circuit (the reference's chain tests —
+EvaluationChainTest.java:35-61, IndexableRulesTest.java:19-22)."""
+
+from pyspark.sql import functions as F
+
+from gbif_data_validator_spark.model import CheckId
+from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+from gbif_data_validator_spark.sources.synthetic import DRIFT_MONTH
+
+
+def test_full_run_report(spark, pages):
+    eng = ValidationEngine(spark, EngineConfig(check_extraction=True))
+    rep = eng.run(pages.drop("expected_issue"))
+
+    label_counts = {
+        r.expected_issue: r.n
+        for r in pages.groupBy("expected_issue").agg(F.count("*").alias("n")).collect()
+        if r.expected_issue
+    }
+    # per-row checks: reported count == injected count
+    for check in [
+        CheckId.KEY_EMPTY, CheckId.URL_MALFORMED, CheckId.WARC_TS_INVALID,
+        CheckId.WARC_TS_UNLIKELY, CheckId.TEXT_EMPTY, CheckId.TEXT_EXTRACTION_MISMATCH,
+        CheckId.LANG_UNKNOWN,
+    ]:
+        assert rep.issue_counts.get(check) == label_counts[check], check
+    # uniqueness: one violation per duplicated url
+    n_dup_urls = label_counts["URL_DUPLICATE"]
+    assert rep.issue_counts[CheckId.RECORD_NOT_UNIQUELY_IDENTIFIED] == n_dup_urls
+    # drift: exactly the injected window
+    assert rep.issue_counts[CheckId.DRIFT_WINDOW] == 1
+    assert rep.partition_verdicts.get(DRIFT_MONTH) is not None
+
+    assert not rep.indexable  # blocking checks present
+    assert rep.n_rows == pages.count()
+    # samples: ≤10 per check, present for every reported check
+    for check, n in rep.issue_counts.items():
+        assert 1 <= len(rep.samples[check]) <= min(10, n)
+    # metrics present
+    assert rep.metrics["n_rows"] == rep.n_rows
+    assert "text_len_quantiles" in rep.metrics
+
+
+def test_clean_table_is_indexable(spark):
+    from gbif_data_validator_spark.sources.synthetic import synth_pages
+
+    clean = synth_pages(spark, 1500, with_violations=False).drop("expected_issue")
+    rep = ValidationEngine(spark, EngineConfig(check_extraction=True)).run(clean)
+    assert rep.indexable
+    assert rep.issue_counts.get(CheckId.RECORD_NOT_UNIQUELY_IDENTIFIED) is None
+    assert all(v == "PASS" for v in rep.partition_verdicts.values())
+
+
+def test_preflight_short_circuit(spark):
+    """A table missing the key column stops the chain before any Spark job —
+    ResourceConstitutionEvaluationChain break semantics (:114-121)."""
+    bad = spark.createDataFrame([(1,)], schema="something int")
+    rep = ValidationEngine(spark, EngineConfig()).run(bad)
+    assert not rep.indexable
+    assert rep.error_code == CheckId.RESOURCE_INTEGRITY
+    assert CheckId.REQUIRED_TERM_MISSING in rep.issue_counts
+
+
+def test_unknown_extra_column_is_nonblocking(spark, pages):
+    from gbif_data_validator_spark.plans.preflight import preflight
+
+    findings = preflight(pages)  # fixture carries extra expected_issue column
+    assert any(f.check_id == CheckId.UNKNOWN_TERM for f in findings)
+    assert not any(f.blocking for f in findings)

@@ -1,0 +1,58 @@
+"""Metrics pass: TermsFrequencyCollector semantics port
+(collector/TermsFrequencyCollectorTest.java:18-39 — blank / whitespace /
+null handling) + the one-scan column profile."""
+
+from pyspark.sql import functions as F
+
+from gbif_data_validator_spark.operators.metrics import (
+    column_profile,
+    interpreted_counts,
+    issue_counts,
+    term_frequency,
+)
+
+
+def test_term_frequency_blank_semantics(spark):
+    # port of TermsFrequencyCollectorTest: blank and whitespace-only cells
+    # do NOT count; zero-initialized columns report 0
+    df = spark.createDataFrame(
+        [("a", " ", None), ("b", "", "x"), (None, "\t", "y")],
+        schema="c1 string, c2 string, c3 string",
+    )
+    row = term_frequency(df).collect()[0]
+    assert (row.c1, row.c2, row.c3) == (2, 0, 2)
+
+
+def test_column_profile_single_scan_counts(spark, pages):
+    row = column_profile(pages, columns=["url", "lang"], length_cols=["text"]).collect()[0]
+    n = pages.count()
+    assert row.n_rows == n
+    # nulls + non_blank partition the column (urls are never whitespace-only)
+    null_urls = pages.where(F.col("url").isNull()).count()
+    blank_urls = pages.where(F.col("url") == "").count()
+    assert row.url_nulls == null_urls
+    assert row.url_non_blank == n - null_urls - blank_urls
+    # HLL distinct within rsd of exact
+    exact = pages.select("lang").distinct().count()
+    assert abs(row.lang_approx_distinct - exact) <= max(2, 0.1 * exact)
+    # length quantiles are monotone
+    qs = row.text_len_quantiles
+    assert qs == sorted(qs)
+
+
+def test_interpreted_counts(spark):
+    df = spark.createDataFrame(
+        [("2020-01-01",), ("not a date",), (None,)], schema="raw string"
+    )
+    # ANSI mode (Spark 4 default): try_to_timestamp yields NULL on parse
+    # failure — the "parse failure is itself a finding" semantics
+    row = interpreted_counts(df, {"ts_parsed": F.try_to_timestamp("raw")}).collect()[0]
+    assert row.ts_parsed == 1
+
+
+def test_issue_counts(spark):
+    v = spark.createDataFrame(
+        [("u1", "A"), ("u2", "A"), ("u3", "B")], schema="url string, check_id string"
+    )
+    got = {r.check_id: r.n for r in issue_counts(v).collect()}
+    assert got == {"A": 2, "B": 1}

@@ -1,0 +1,65 @@
+"""Distinct-first top-N sampler — port of
+RecordEvaluationResultCollectorTest (collector/RecordEvaluationResult
+CollectorTest.java:21-106): distinct input-keys first, top-up with
+non-distinct overflow, hard cap at N, deterministic order."""
+
+from pyspark.sql import functions as F
+
+from gbif_data_validator_spark.operators.sampling import (
+    distinct_first_samples,
+    top_n_by_key,
+)
+
+
+def _violations(spark, rows):
+    return spark.createDataFrame(
+        [(u, c, "exp", f, {"k": rd}) for (u, c, f, rd) in rows],
+        schema="url string, check_id string, expected string, found string, related_data map<string,string>",
+    ).withColumn("partition_id", F.lit("p"))
+
+
+def test_distinct_first_then_topup(spark):
+    # 3 distinct found-values but 6 rows; with max=4 → the 3 distinct firsts
+    # + 1 overflow, ordered by url
+    rows = [
+        ("u1", "A", "x", "r"), ("u2", "A", "x", "r"), ("u3", "A", "y", "r"),
+        ("u4", "A", "y", "r"), ("u5", "A", "z", "r"), ("u6", "A", "z", "r"),
+    ]
+    got = distinct_first_samples(_violations(spark, rows), max_samples=4).collect()
+    assert len(got) == 4
+    by_rank = sorted(got, key=lambda r: r.sample_rank)
+    firsts = [(r.url, r.found) for r in by_rank[:3]]
+    assert firsts == [("u1", "x"), ("u3", "y"), ("u5", "z")]  # distinct firsts by url
+    assert by_rank[3].url == "u2"  # overflow top-up, smallest url
+
+
+def test_cap_per_check(spark):
+    rows = [(f"u{i:02d}", "A", f"f{i}", "r") for i in range(25)]
+    rows += [(f"v{i:02d}", "B", "same", "r") for i in range(25)]
+    got = distinct_first_samples(_violations(spark, rows), max_samples=10).collect()
+    a = [r for r in got if r.check_id == "A"]
+    b = [r for r in got if r.check_id == "B"]
+    assert len(a) == 10 and len(b) == 10
+    # A has 25 distinct keys → all 10 samples are distinct firsts
+    assert len({r.found for r in a}) == 10
+    # B has 1 distinct key → 1 first + 9 top-ups, all found='same'
+    assert {r.found for r in b} == {"same"}
+
+
+def test_related_data_in_input_key(spark):
+    # same found, different related_data → distinct input keys
+    # (computeInputValuesKey includes sorted relatedData values —
+    # RecordEvaluationResultDetails.java:78-89)
+    rows = [("u1", "A", "x", "r1"), ("u2", "A", "x", "r2"), ("u3", "A", "x", "r1")]
+    got = distinct_first_samples(_violations(spark, rows), max_samples=2).collect()
+    by_rank = sorted(got, key=lambda r: r.sample_rank)
+    assert [(r.url) for r in by_rank] == ["u1", "u2"]
+
+
+def test_top_n_by_key(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(5)] + [("b", i) for i in range(2)],
+        schema="k string, v int",
+    )
+    got = top_n_by_key(df, "k", "v", 3).groupBy("k").count().collect()
+    assert {r.k: r["count"] for r in got} == {"a": 3, "b": 2}

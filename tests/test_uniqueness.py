@@ -1,0 +1,46 @@
+"""Salted uniqueness: golden duplicated-key assertions (reference pattern:
+the duplicate id is exactly "i19" — UniquenessEvaluatorTest.java:37-58)."""
+
+from pyspark.sql import functions as F
+
+from gbif_data_validator_spark.model import CheckId
+from gbif_data_validator_spark.operators.uniqueness import (
+    duplicate_keys,
+    uniqueness_violations,
+)
+from gbif_data_validator_spark.sources.synthetic import expected_duplicate_urls
+from tests.conftest import N_FIXTURE_ROWS
+
+
+def test_golden_duplicate_urls(spark, pages):
+    expected = {r.url for r in expected_duplicate_urls(spark, N_FIXTURE_ROWS).collect()}
+    assert len(expected) > 0
+    got = {r.url for r in uniqueness_violations(pages).collect()}
+    assert got == expected
+
+
+def test_duplicate_counts_are_exact(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("a",), ("a",), ("c",), ("b",)], schema="url string"
+    )
+    rows = {r.url: r.dup_count for r in duplicate_keys(df, "url").collect()}
+    assert rows == {"a": 3, "b": 2}
+
+
+def test_salting_is_count_preserving(spark):
+    """Two-phase salted agg must give identical results to a plain groupBy
+    for every salt width."""
+    df = spark.range(0, 3000).select((F.col("id") % 7).cast("string").alias("url"))
+    plain = {r.url: r.c for r in df.groupBy("url").agg(F.count("*").alias("c")).collect()}
+    for n_salt in (1, 4, 64):
+        salted = {r.url: r.dup_count for r in duplicate_keys(df, "url", n_salt).collect()}
+        assert salted == plain
+
+
+def test_empty_keys_excluded(spark, pages):
+    """Empty/null urls are KEY_EMPTY findings (pass 1), never uniqueness
+    duplicates — mirrors the reference's separate empty-id scan
+    (ReferentialIntegrityEvaluator.java:74-86)."""
+    v = uniqueness_violations(pages)
+    assert v.where((F.col("url") == "") | F.col("url").isNull()).count() == 0
+    assert v.where(F.col("check_id") != CheckId.RECORD_NOT_UNIQUELY_IDENTIFIED).count() == 0
