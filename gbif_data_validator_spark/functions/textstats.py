@@ -1,0 +1,175 @@
+"""Text analysis for large-scale training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+No direct reference analog (the reference validates biodiversity records);
+these extend the same per-record interpretation pass (SURVEY.md §2.6) to the
+web-text payload. Everything here is JVM-side Column algebra (codegen,
+oracle-checkable in SQL) except the winnowing fingerprint, which is an
+Arrow-batched pandas UDF.
+
+Scale: all of these are narrow per-row transforms — zero shuffles; they
+compose into the single pass-1 scan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# --------------------------------------------------------------------------
+# Token counting
+# --------------------------------------------------------------------------
+
+#: BPE-ish pre-tokenizer: alnum runs or single non-space symbols (the classic
+#: GPT-2-style split, ASCII-simplified so Spark and DuckDB regex agree).
+BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count; blank → 0."""
+    return F.when(
+        text.isNull() | ~text.rlike(r"\S"), F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(text), r"\s+")))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Regex pre-tokenizer count (approximates BPE token count pre-merges)."""
+    return F.coalesce(F.regexp_count(text, F.lit(BPE_TOKEN_RE)), F.lit(0))
+
+
+# --------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword ratios)
+# --------------------------------------------------------------------------
+
+#: tiny English stopword core — enough signal for ratio features
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+             "that", "for", "on", "with", "as", "was", "at", "by", "be"]
+
+_PUNCT_CLASS = r"[^!-/:-@\[-`{-~]"  # complement of ASCII punctuation
+
+
+def punct_ratio(text: Column) -> Column:
+    """ASCII-punctuation chars / total chars (0 for blank)."""
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, _PUNCT_CLASS, ""))
+    return F.when(n > 0, punct.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Stopword tokens / whitespace tokens (0 for blank)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    total = ws_token_count(text)
+    return F.when(total > 0, hits.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column) -> Column:
+    total = ws_token_count(text)
+    chars = F.length(F.regexp_replace(text, r"\s", ""))
+    return F.when(total > 0, chars.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic (Gopher/C4-style cheap filters):
+    rewards plausible length, word shape, stopword presence; penalizes
+    punctuation soup. Deterministic closed form → SQL-oracle-checkable."""
+    n_tok = ws_token_count(text).cast("double")
+    len_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    mwl = mean_word_len(text)
+    shape_term = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw_term = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4.0)
+    return F.round(
+        0.3 * len_term + 0.2 * shape_term + 0.25 * sw_term + 0.25 * punct_term, 6
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic (stopword-profile n-gram scoring)
+# --------------------------------------------------------------------------
+
+#: marker words per language — tiny profiles, good enough for a heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "pour"],
+    "es": ["el", "los", "las", "es", "una", "para", "con", "del"],
+    "it": ["il", "che", "di", "non", "per", "una", "sono", "con"],
+}
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over per-language marker-word hit counts; 'und' (undetermined)
+    when nothing matches. Pure Column algebra — one pass, no UDF."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    scored = []
+    for code, markers in LANG_MARKERS.items():
+        m = F.array(*[F.lit(w) for w in markers])
+        score = F.size(F.filter(words, lambda w: F.array_contains(m, w)))
+        scored.append(F.struct(score.alias("score"), F.lit(code).alias("code")))
+    # array_max on structs orders by (score, code) lexicographically —
+    # deterministic tie-break on the code
+    best = F.array_max(F.array(*scored))
+    return F.when(best["score"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting
+# --------------------------------------------------------------------------
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Normalization fingerprint: md5 of lowercased, whitespace-collapsed
+    text — the exact-dedup key (oracle-checkable: DuckDB md5 matches)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+_K = 5          # k-gram length (words)
+_WINNOW_W = 4   # winnowing window
+_MOD = (1 << 61) - 1
+_BASE = 1_000_003
+
+
+def _stable_kgram_hashes(words: list[str]) -> "list[int]":
+    # Python's built-in str hash is salted per process — useless across
+    # executors. Stable polynomial rolling hash instead.
+    hs = []
+    for i in range(len(words) - _K + 1):
+        h = 0
+        for w in words[i : i + _K]:
+            wh = 0
+            for ch in w:
+                wh = (wh * 131 + ord(ch)) % _MOD
+            h = (h * _BASE + wh) % _MOD
+        hs.append(h)
+    return hs
+
+
+def _winnow_series_stable(texts: pd.Series) -> pd.Series:
+    """Winnowing fingerprint (Schleimer et al., SIGMOD 2003): rolling
+    polynomial hash over word k-grams, per-window minima, deduplicated.
+    Arrow-batched."""
+    import numpy as np
+
+    def one(t):
+        if t is None:
+            return None
+        words = t.lower().split()
+        if len(words) < _K:
+            return []
+        hs = np.array(_stable_kgram_hashes(words), dtype=np.int64)
+        if len(hs) <= _WINNOW_W:
+            return [int(hs.min())]
+        mins = np.lib.stride_tricks.sliding_window_view(hs, _WINNOW_W).min(axis=1)
+        return sorted(set(int(x) for x in mins))
+
+    return texts.map(one)
+
+
+#: Arrow-batched winnowing fingerprint: text -> array<long> of selected
+#: k-gram hashes (stable across processes/executors — no salted hashing).
+winnow_fingerprint_udf = F.pandas_udf(_winnow_series_stable, returnType=ArrayType(LongType()))

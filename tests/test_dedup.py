@@ -1,0 +1,87 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine — each validated on crafted corpora with known duplicate
+structure (golden-pair assertions, reference test style)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_data_validator_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire"
+    rows = [
+        (1, base),
+        (2, base),                                     # exact dup of 1
+        (3, "The  Quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire"),  # normalized dup of 1
+        (4, base + " and then some extra words happen at the end of it"),  # near dup
+        (5, "spark shuffles data between executors during wide transformations like joins and aggregations"),
+        (6, "completely different content about gardens flowers bees and honey production in summer"),
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def test_exact_duplicate_groups(spark, corpus):
+    groups = dedup.exact_duplicate_groups(corpus, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0].doc_ids == [1, 2, 3]  # case/whitespace-normalized
+
+
+def test_dedup_exact_keeps_min_id(spark, corpus):
+    kept = sorted(r.doc_id for r in dedup.dedup_exact(corpus, "doc_id", "text").collect())
+    assert kept == [1, 4, 5, 6]
+
+
+def test_ngram_jaccard_pairs(spark, corpus):
+    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", k=3, threshold=0.5)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    # exact/normalized dups have jaccard 1.0; the near dup clears 0.5
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert (1, 4) in got
+    assert not any(5 in p or 6 in p for p in got)
+
+
+def test_ngram_jaccard_exact_value(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], schema="doc_id long, text string"
+    )
+    rows = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=2, threshold=0.1).collect()
+    # shingles: {ab,bc,cd} vs {ab,bc,ce} → inter 2, union 4 → 0.5
+    assert len(rows) == 1 and rows[0].jaccard == 0.5
+
+
+def test_minhash_lsh_finds_near_dups(spark, corpus):
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, "doc_id", "text", k=3, n_hashes=64, n_bands=16, threshold=0.5
+    )
+    got = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0 and got[(1, 3)] == 1.0
+    assert (1, 4) in got  # near dup caught by banding
+    assert not any(5 in p or 6 in p for p in got)
+
+
+def test_minhash_signature_deterministic(spark, corpus):
+    s1 = dedup.minhash_signatures(corpus, "doc_id", "text").collect()
+    s2 = dedup.minhash_signatures(corpus, "doc_id", "text").collect()
+    assert {r.doc_id: r.sig for r in s1} == {r.doc_id: r.sig for r in s2}
+
+
+def test_simhash_pairs(spark, corpus):
+    pairs = dedup.simhash_pairs(corpus, "doc_id", "text", max_hamming=10)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 2)] == 0  # identical text → identical simhash
+    assert (1, 3) in got and got[(1, 3)] == 0  # case-normalized
+    assert all(h <= 10 for h in got.values())
+    assert not any((5 in p or 6 in p) for p in got)
+
+
+def test_embedding_cosine_pairs(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.99)
+    for r in pairs.collect():
+        assert r.doc_a < r.doc_b and r.cosine >= 0.99
+    # threshold monotonicity: lowering it can only add pairs
+    lo = dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.9).count()
+    hi = pairs.count()
+    assert lo >= hi

@@ -1,0 +1,51 @@
+"""Multimodal plumbing: schema, Arrow batch iteration, decode stub gating,
+frame-sampling plan — the Spark-side contract is real; codecs are stubbed."""
+
+import pytest
+
+from gbif_data_validator_spark.operators import multimodal as mm
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x00" * 10)
+
+
+def test_decode_fake_is_deterministic():
+    a = mm.decode_image(b"payload-bytes", fake=True)
+    b = mm.decode_image(b"payload-bytes", fake=True)
+    assert (a == b).all() and a.shape == (4, 4, 3)
+
+
+def test_feature_extraction_pipeline(spark):
+    def names_types(schema):
+        return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+    media = mm.synth_media(spark, 200)
+    assert names_types(media.schema) == names_types(mm.MEDIA_SCHEMA)
+    feats = mm.extract_media_features(media)
+    assert names_types(feats.schema) == names_types(mm.FEATURES_SCHEMA)
+    rows = feats.collect()
+    assert len(rows) == 200
+    for r in rows[:10]:
+        assert len(r.features) == mm.N_FEATURES
+        assert abs(sum(r.features) - 1.0) < 1e-3  # histogram normalized
+        assert r.n_bytes > 0 and r.media_type in ("image/jpeg", "audio/wav", "video/mp4")
+    # deterministic
+    again = {r.doc_id: r.features for r in mm.extract_media_features(media).collect()}
+    assert {r.doc_id: r.features for r in rows} == again
+
+
+def test_frame_sample_plan(spark):
+    media = mm.synth_media(spark, 30)
+    plan = mm.frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    # one row per planned frame, starts at 0, strictly spaced
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_ts_ms)
+    assert set(by_doc) == set(range(30))
+    for ts_list in by_doc.values():
+        ts_list.sort()
+        assert ts_list[0] == 0
+        assert all(b - a == 1000 for a, b in zip(ts_list, ts_list[1:]))

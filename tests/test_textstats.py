@@ -1,0 +1,85 @@
+"""Text-analysis functions: token counts, quality, lang-id, fingerprints."""
+
+from pyspark.sql import functions as F
+
+from gbif_data_validator_spark.functions import textstats as ts
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], schema="text string")
+    return df.select(col.alias("v")).collect()[0].v
+
+
+def test_ws_token_count(spark):
+    assert _one(spark, "a b  c", ts.ws_token_count(F.col("text"))) == 3
+    assert _one(spark, "   ", ts.ws_token_count(F.col("text"))) == 0
+    assert _one(spark, "", ts.ws_token_count(F.col("text"))) == 0
+    assert _one(spark, None, ts.ws_token_count(F.col("text"))) == 0
+
+
+def test_bpe_token_count(spark):
+    # "don't stop!" -> don | ' | t | stop | !
+    assert _one(spark, "don't stop!", ts.bpe_token_count(F.col("text"))) == 5
+    assert _one(spark, "", ts.bpe_token_count(F.col("text"))) == 0
+
+
+def test_ratios(spark):
+    assert _one(spark, "a, b.", ts.punct_ratio(F.col("text"))) == 2 / 5
+    assert _one(spark, "the cat and dog", ts.stopword_ratio(F.col("text"))) == 0.5
+    assert _one(spark, "", ts.stopword_ratio(F.col("text"))) == 0.0
+
+
+def test_quality_score_orders_sensibly(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs to the hills " * 8
+    bad = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    q_good = _one(spark, good, ts.quality_score(F.col("text")))
+    q_bad = _one(spark, bad, ts.quality_score(F.col("text")))
+    assert 0.0 <= q_bad < q_good <= 1.0
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat is in the house and it is big", ts.lang_id(F.col("text"))) == "en"
+    assert _one(spark, "der hund ist nicht in das haus und die katze", ts.lang_id(F.col("text"))) == "de"
+    assert _one(spark, "le chat est dans la maison pour les amis", ts.lang_id(F.col("text"))) == "fr"
+    assert _one(spark, "zzz qqq www", ts.lang_id(F.col("text"))) == "und"
+
+
+def test_content_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("different",)], schema="text string"
+    )
+    fps = [r.fp for r in df.select(ts.content_fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_winnow_fingerprint_stable_and_overlap(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base + " extra trailing words appended here"
+    far = "completely unrelated content about spark shuffle partitions and joins"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], schema="id long, text string")
+    rows = {
+        r.id: set(r.fp)
+        for r in df.select("id", ts.winnow_fingerprint_udf(F.col("text")).alias("fp")).collect()
+    }
+    # deterministic across invocations
+    rows2 = {
+        r.id: set(r.fp)
+        for r in df.select("id", ts.winnow_fingerprint_udf(F.col("text")).alias("fp")).collect()
+    }
+    assert rows == rows2
+    # near-dup shares fingerprints; unrelated shares none
+    assert rows[1] & rows[2]
+    assert not rows[1] & rows[3]
+
+
+def test_on_real_documents_table(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = docs.select(
+        "doc_id",
+        ts.ws_token_count(F.col("text")).alias("n_tok"),
+        ts.quality_score(F.col("text")).alias("q"),
+        ts.lang_id(F.col("text")).alias("lang_pred"),
+    )
+    rows = out.collect()
+    assert all(r.n_tok > 0 for r in rows)
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
