@@ -1,38 +1,606 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship validation query at sf0.001.
+``queries()``   — one callable per implemented operator (SURVEY.md §2 +
+                  training-data pipeline ops), each (spark, sf_dir) → DF.
+``oracle_sql()``— DuckDB-equivalent SQL per query (omitted for genuinely
+                  non-SQL ops → driver does rows-only checks).
+
+Column names are aliased identically on both sides; doubles are rounded
+in-query on both sides; money sums go through DECIMAL(18,2) then DOUBLE so
+both engines produce bit-identical values.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared literals (mirrored verbatim into the SQL oracles)
+# ---------------------------------------------------------------------------
+
+KNOWN_LANGS = ["de", "en", "es", "fr"]          # 'zh' deliberately excluded → orphans
+KNOWN_SOURCES = [f"src{i}" for i in range(15)]  # src15..19 → orphans
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+             "that", "for", "on", "with", "as", "was", "at", "by", "be"]
+BPE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+TS_LO, TS_HI = "2024-01-05 00:00:00", "2024-01-25 00:00:00"
+
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "pour"],
+    "es": ["el", "los", "las", "es", "una", "para", "con", "del"],
+    "it": ["il", "che", "di", "non", "per", "una", "sono", "con"],
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the documents-table validation battery (issue counts per
+    check) at sf0.001 — the engine's pass-1+2 result model on real data."""
+    return _q_doc_check_counts(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# validation-engine queries (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+
+def _q_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 TermsFrequencyCollector: non-blank count per column (one scan)."""
+    from gbif_data_validator_spark.operators.metrics import term_frequency
+
+    return term_frequency(_docs(spark, sf_dir))
+
+
+def _q_profile_nulls_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4 extension: nulls + exact distinct per column, single agg scan."""
+    d = _docs(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in ["doc_id", "text", "lang", "source", "n_chars"]:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_nulls"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}_distinct"))
+    return d.agg(*aggs)
+
+
+def _q_uniqueness_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 uniqueness via salted two-phase agg: duplicated l_orderkey."""
+    from gbif_data_validator_spark.operators.uniqueness import duplicate_keys
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, "l_orderkey").orderBy("l_orderkey")
+
+
+def _q_ref_orphans_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 broadcast anti-join referential: documents.source ∉ source dim."""
+    from gbif_data_validator_spark.operators.referential import orphan_rows
+
+    d = _docs(spark, sf_dir)
+    dim = spark.createDataFrame([(s,) for s in KNOWN_SOURCES], schema="source string")
+    return (
+        orphan_rows(d, dim, "source", "source")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+def _doc_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents-shaped pass-1 battery → violations (doc_id, check_id, found)."""
+    d = _docs(spark, sf_dir)
+    lang_arr = F.array(*[F.lit(x) for x in KNOWN_LANGS])
+    src_arr = F.array(*[F.lit(x) for x in KNOWN_SOURCES])
+    checks = [
+        F.when(
+            F.col("text").isNull() | ~F.col("text").rlike(r"\S"),
+            F.struct(F.lit("TEXT_EMPTY").alias("check_id"), F.coalesce(F.col("text"), F.lit("NULL")).alias("found")),
+        ),
+        F.when(
+            F.col("n_chars") != F.length("text"),
+            F.struct(F.lit("N_CHARS_MISMATCH").alias("check_id"), F.col("n_chars").cast("string").alias("found")),
+        ),
+        F.when(
+            ~F.array_contains(lang_arr, F.col("lang")),
+            F.struct(F.lit("LANG_UNKNOWN").alias("check_id"), F.col("lang").alias("found")),
+        ),
+        F.when(
+            ~F.array_contains(src_arr, F.col("source")),
+            F.struct(F.lit("SOURCE_UNKNOWN").alias("check_id"), F.col("source").alias("found")),
+        ),
+    ]
+    packed = F.filter(F.array(*checks), lambda x: x.isNotNull())
+    return d.select("doc_id", F.explode(packed).alias("v")).select(
+        "doc_id", F.col("v.check_id").alias("check_id"), F.col("v.found").alias("found")
+    )
+
+
+_DOC_VIOLATIONS_SQL = """
+    SELECT doc_id, check_id, found FROM (
+        SELECT doc_id, 'TEXT_EMPTY' AS check_id, coalesce(text,'NULL') AS found,
+               (text IS NULL OR NOT regexp_matches(text, '\\S')) AS hit FROM documents
+        UNION ALL
+        SELECT doc_id, 'N_CHARS_MISMATCH', CAST(n_chars AS VARCHAR),
+               (n_chars <> length(text)) FROM documents
+        UNION ALL
+        SELECT doc_id, 'LANG_UNKNOWN', lang,
+               (NOT list_contains(['de','en','es','fr'], lang)) FROM documents
+        UNION ALL
+        SELECT doc_id, 'SOURCE_UNKNOWN', source,
+               (NOT list_contains({sources}, source)) FROM documents
+    ) WHERE hit
+"""
+
+
+def _q_doc_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-family record checks exploded to the violations contract."""
+    return _doc_violations(spark, sf_dir).orderBy("doc_id", "check_id")
+
+
+def _q_doc_check_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 issue counting: count by check_id."""
+    return (
+        _doc_violations(spark, sf_dir)
+        .groupBy("check_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("check_id")
+    )
+
+
+def _q_doc_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 distinct-first top-10 sampler over the documents violations."""
+    from gbif_data_validator_spark.operators.sampling import distinct_first_samples
+
+    v = _doc_violations(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        "check_id",
+        F.lit("").alias("expected"),
+        "found",
+        F.create_map().cast("map<string,string>").alias("related_data"),
+    )
+    # order by numeric doc_id re-expressed as zero-padded string so Spark's
+    # string-ordered window and the SQL oracle agree
+    v = v.withColumn("url", F.lpad(F.col("url"), 10, "0"))
+    return distinct_first_samples(v, 10).select("check_id", "url", "found", "sample_rank")
+
+
+def _q_interpreted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 interpreted-term counts: typed derivations that parse (events)."""
+    e = _tbl(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.col("ts")).alias("ts_ok"),
+        F.count(F.when(F.col("value").cast("double").isNotNull(), 1)).alias("value_ok"),
+        F.count(F.try_to_timestamp(F.col("event_type"))).alias("event_type_as_ts"),
+    )
+
+
+def _q_events_ts_unlikely(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC_TS_UNLIKELY analog on events: ts outside the plausibility window."""
+    e = _tbl(spark, sf_dir, "events")
+    return (
+        e.where((F.col("ts") < F.lit(TS_LO).cast("timestamp")) | (F.col("ts") >= F.lit(TS_HI).cast("timestamp")))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed warc_ts-style aggregation: tumbling 1-day windows x type."""
+    e = _tbl(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return (
+        e.groupBy(day.alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General agg engine check (TPC-H Q1 shape) with decimal-exact sums."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 top-N per key: 3 highest-value orders per customer (custkey<50)."""
+    o = _tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.where(F.col("o_custkey") < 50)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total_price"), "rank")
+        .orderBy("o_custkey", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries
+# ---------------------------------------------------------------------------
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gbif_data_validator_spark.functions.textstats import content_fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", content_fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gbif_data_validator_spark.operators.dedup import exact_duplicate_groups
+
+    return exact_duplicate_groups(_docs(spark, sf_dir), "doc_id", "text").select(
+        "fingerprint", "n_docs"
+    )
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gbif_data_validator_spark.functions import textstats as ts
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        ts.ws_token_count(F.col("text")).alias("ws_tokens"),
+        ts.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gbif_data_validator_spark.functions import textstats as ts
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.round(ts.quality_score(F.col("text")), 4).alias("quality")
+    ).orderBy("doc_id")
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gbif_data_validator_spark.functions.textstats import lang_id
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gbif_data_validator_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gbif_data_validator_spark.operators.similarity import brute_force_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    return (
+        brute_force_topk(emb, q, k=3)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gbif_data_validator_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return (
+        embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.3)
+        .select("doc_a", "doc_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- non-SQL-expressible (rows-only checks) --------------------------------
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gbif_data_validator_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text", threshold=0.5)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gbif_data_validator_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
+
+
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gbif_data_validator_spark.functions.textstats import winnow_fingerprint_udf
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", winnow_fingerprint_udf(F.col("text")).alias("winnow")
+    )
+
+
+def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gbif_data_validator_spark.operators.similarity import lsh_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    return lsh_topk(emb, q, dim=64, k=3, n_planes=6, multiprobe=6)
+
+
+def _q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gbif_data_validator_spark.operators.drift import ks_drift
+
+    e = _tbl(spark, sf_dir, "events")
+    return ks_drift(
+        e, metric=F.col("value"), ts_col="ts", window_fmt="yyyy-MM-dd", min_rows=10
+    )
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gbif_data_validator_spark.operators.multimodal import (
+        extract_media_features,
+        synth_media,
+    )
+
+    return extract_media_features(synth_media(spark, 500))
+
+
+def _q_pages_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine pass battery on a synthesized pages table (the primary
+    north-star workload; synthetic because testdata has no html column)."""
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+    from gbif_data_validator_spark.sources.synthetic import synth_pages
+
+    from gbif_data_validator_spark.sources.lang_dim import lang_dim
+
+    pages = synth_pages(spark, 3000, with_violations=True).drop("expected_issue")
+    eng = ValidationEngine(spark, EngineConfig(check_extraction=True))
+    return eng.build_violations(pages, lang_dim(spark)).groupBy("check_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # validation engine (SURVEY.md §2)
+        "term_frequency": _q_term_frequency,
+        "profile_nulls_distinct": _q_profile_nulls_distinct,
+        "uniqueness_lineitem": _q_uniqueness_lineitem,
+        "ref_orphans_source": _q_ref_orphans_source,
+        "doc_violations": _q_doc_violations,
+        "doc_check_counts": _q_doc_check_counts,
+        "doc_samples": _q_doc_samples,
+        "interpreted_counts": _q_interpreted_counts,
+        "events_ts_unlikely": _q_events_ts_unlikely,
+        "events_windows": _q_events_windows,
+        "pricing_summary": _q_pricing_summary,
+        "top_orders_per_cust": _q_top_orders_per_cust,
+        # training-data pipeline
+        "fingerprints": _q_fingerprints,
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality_scores,
+        "lang_id": _q_lang_id,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "cosine_topk": _q_cosine_topk,
+        "cosine_dup_pairs": _q_cosine_dup_pairs,
+        # rows-only (no SQL oracle)
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "lsh_ann": _q_lsh_ann,
+        "drift_events": _q_drift_events,
+        "media_features": _q_media_features,
+        "pages_validation": _q_pages_validation,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sources_sql = "[" + ",".join(f"'{s}'" for s in KNOWN_SOURCES) + "]"
+    stop_sql = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
+    doc_viol = _DOC_VIOLATIONS_SQL.format(sources=sources_sql)
+
+    marker_sql = {
+        code: "[" + ",".join(f"'{w}'" for w in ws) + "]"
+        for code, ws in LANG_MARKERS.items()
+    }
+    lang_structs = ", ".join(
+        "{score: len(list_filter(words, w -> list_contains(" + marker_sql[c] + ", w))), code: '" + c + "'}"
+        for c in LANG_MARKERS
+    )
+
+    # shared text-feature fragments (DuckDB)
+    ws_tokens = ("CASE WHEN text IS NULL OR NOT regexp_matches(text, '\\S') THEN 0 "
+                 "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+    punct_ratio = ("CASE WHEN length(text) > 0 THEN "
+                   "CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) "
+                   "ELSE 0.0 END")
+    sw_ratio = (f"CASE WHEN {ws_tokens} > 0 THEN "
+                f"CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+                f"w -> list_contains({stop_sql}, w))) AS DOUBLE) / ({ws_tokens}) ELSE 0.0 END")
+    mwl = (f"CASE WHEN {ws_tokens} > 0 THEN "
+           f"CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ({ws_tokens}) ELSE 0.0 END")
+    quality = (
+        f"round(0.3 * least(({ws_tokens}) / 100.0, 1.0) "
+        f"+ 0.2 * (CASE WHEN ({mwl}) >= 3.0 AND ({mwl}) <= 10.0 THEN 1.0 ELSE 0.5 END) "
+        f"+ 0.25 * least(({sw_ratio}) * 4.0, 1.0) "
+        f"+ 0.25 * greatest(0.0, 1.0 - ({punct_ratio}) * 4.0), 4)"
+    )
+
+    return {
+        "term_frequency": """
+            SELECT
+              count(CASE WHEN doc_id IS NOT NULL AND regexp_matches(CAST(doc_id AS VARCHAR),'\\S') THEN 1 END) AS doc_id,
+              count(CASE WHEN text   IS NOT NULL AND regexp_matches(text,'\\S') THEN 1 END) AS text,
+              count(CASE WHEN lang   IS NOT NULL AND regexp_matches(lang,'\\S') THEN 1 END) AS lang,
+              count(CASE WHEN source IS NOT NULL AND regexp_matches(source,'\\S') THEN 1 END) AS source,
+              count(CASE WHEN n_chars IS NOT NULL AND regexp_matches(CAST(n_chars AS VARCHAR),'\\S') THEN 1 END) AS n_chars
+            FROM documents
+        """,
+        "profile_nulls_distinct": """
+            SELECT count(*) AS n_rows,
+              count(CASE WHEN doc_id IS NULL THEN 1 END) AS doc_id_nulls, count(DISTINCT doc_id) AS doc_id_distinct,
+              count(CASE WHEN text   IS NULL THEN 1 END) AS text_nulls,   count(DISTINCT text)   AS text_distinct,
+              count(CASE WHEN lang   IS NULL THEN 1 END) AS lang_nulls,   count(DISTINCT lang)   AS lang_distinct,
+              count(CASE WHEN source IS NULL THEN 1 END) AS source_nulls, count(DISTINCT source) AS source_distinct,
+              count(CASE WHEN n_chars IS NULL THEN 1 END) AS n_chars_nulls, count(DISTINCT n_chars) AS n_chars_distinct
+            FROM documents
+        """,
+        "uniqueness_lineitem": """
+            SELECT l_orderkey, count(*) AS dup_count FROM lineitem
+            GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey
+        """,
+        "ref_orphans_source": f"""
+            SELECT source, count(*) AS n_docs FROM documents
+            WHERE source IS NOT NULL AND regexp_matches(source, '\\S')
+              AND NOT list_contains({sources_sql}, source)
+            GROUP BY source ORDER BY source
+        """,
+        "doc_violations": doc_viol + " ORDER BY doc_id, check_id",
+        "doc_check_counts": f"""
+            SELECT check_id, count(*) AS n FROM ({doc_viol}) GROUP BY check_id ORDER BY check_id
+        """,
+        "doc_samples": f"""
+            WITH v AS (
+              SELECT lpad(CAST(doc_id AS VARCHAR), 10, '0') AS url, check_id, found,
+                     concat_ws('-', coalesce(found, 'NULL'), '') AS input_key
+              FROM ({doc_viol})
+            ), firsts AS (
+              SELECT *, (row_number() OVER (PARTITION BY check_id, input_key ORDER BY url) = 1) AS is_first
+              FROM v
+            )
+            SELECT check_id, url, found,
+                   row_number() OVER (PARTITION BY check_id ORDER BY is_first DESC, url) AS sample_rank
+            FROM firsts
+            QUALIFY sample_rank <= 10
+        """,
+        "interpreted_counts": """
+            SELECT count(ts) AS ts_ok,
+                   count(CASE WHEN TRY_CAST(value AS DOUBLE) IS NOT NULL THEN 1 END) AS value_ok,
+                   count(TRY_CAST(event_type AS TIMESTAMP)) AS event_type_as_ts
+            FROM events
+        """,
+        "events_ts_unlikely": f"""
+            SELECT event_type, count(*) AS n FROM events
+            WHERE ts < TIMESTAMP '{TS_LO}' OR ts >= TIMESTAMP '{TS_HI}'
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "events_windows": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY day, event_type
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_orders_per_cust": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders WHERE o_custkey < 50
+            QUALIFY rank <= 3 ORDER BY o_custkey, rank
+        """,
+        "fingerprints": """
+            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_exact_groups": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   {ws_tokens} AS ws_tokens,
+                   CASE WHEN text IS NULL THEN 0 ELSE len(regexp_extract_all(text, '{BPE_RE}')) END AS bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_scores": f"""
+            SELECT doc_id, {quality} AS quality FROM documents ORDER BY doc_id
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN best.score > 0 THEN best.code ELSE 'und' END AS lang_pred
+            FROM (
+              SELECT doc_id, list_sort([{lang_structs}])[-1] AS best
+              FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM documents)
+            ) ORDER BY doc_id
+        """,
+        "ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]) AS s
+              FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM documents)
+              WHERE len(words) >= 3
+            ), ex AS (
+              SELECT doc_id, unnest(s) AS g FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = doc_a
+            JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = doc_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos6
+              FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, round(cos6, 4) AS cosine,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rank
+            FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank
+        """,
+        "cosine_dup_pairs": """
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   round(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+            ORDER BY doc_a, doc_b
+        """,
+    }

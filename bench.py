@@ -1,0 +1,116 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total secs>, "unit": "sec",
+   "queries": {name: secs, ...}, "sf": <sf>, "docs_per_sec": ...}
+
+The headline workload is the north-star one: full validation-engine run
+(all passes incl. byte-identity extraction) over a synthetic Common-Crawl
+pages table sized to the sf, plus the heavier operator queries from
+__spark_entry__ at the sf dir. Pages generation is cached to parquet under
+.bench_cache/ so measured time is pure validation, not fixture synthesis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+#: pages-table rows per sf unit (sf0.1 → 120k rows)
+PAGES_PER_SF = 1_200_000
+
+
+def sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def cached_pages(spark, n_rows: int, cache_root: str) -> str:
+    """Generate-once pages fixture (violations on), keyed by row count."""
+    path = os.path.join(cache_root, f"pages_n{n_rows}")
+    if not (os.path.isdir(path) and os.path.exists(os.path.join(path, "_SUCCESS"))):
+        from gbif_data_validator_spark.sources.synthetic import synth_pages
+
+        synth_pages(spark, n_rows, with_violations=True).drop(
+            "expected_issue"
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+    from gbif_data_validator_spark.session import build_session
+
+    sf = sf_from_dir(SF_DIR)
+    n_pages = max(int(PAGES_PER_SF * sf), 20_000)
+
+    spark = build_session(
+        app_name="gdv-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    cache_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    pages_path = cached_pages(spark, n_pages, cache_root)
+    pages = spark.read.parquet(pages_path)
+
+    timings: dict[str, float] = {}
+
+    # --- headline: full validation engine run (all passes) ---------------
+    t0 = time.time()
+    eng = ValidationEngine(spark, EngineConfig(check_extraction=True))
+    report = eng.run(pages)
+    timings["validation_engine"] = round(time.time() - t0, 3)
+    docs_per_sec = round(n_pages / timings["validation_engine"], 1)
+    assert report.n_rows == n_pages
+
+    # --- operator headliners over the sf testdata -------------------------
+    qs = entry.queries()
+    bench_queries = [
+        "uniqueness_lineitem",     # salted agg over the largest table
+        "pricing_summary",         # wide agg scan
+        "events_windows",          # windowed agg
+        "token_stats",             # narrow text functions
+        "quality_scores",          # composite text scoring
+        "ngram_jaccard",           # shingle self-join
+        "minhash_pairs",           # Arrow-batched signatures + banding
+        "cosine_topk",             # broadcast brute-force ANN baseline
+        "drift_events",            # quantile-sketch KS
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "validation_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs_per_sec": docs_per_sec,
+                "pages_rows": n_pages,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
