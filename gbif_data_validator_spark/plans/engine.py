@@ -156,61 +156,57 @@ class ValidationEngine:
             violations = violations.persist()
             all_violations = violations
 
-        # Pass 4a — per-partition accounting → checkpoint rows.
-        row_counts = work.groupBy(F.col("_partition_id").alias("partition_id")).agg(
-            F.count(F.lit(1)).alias("n_rows")
+        # Pass 4a — per-partition accounting. ONE aggregation job over the
+        # (already materialized) violations yields the per-(partition, check)
+        # counts; everything downstream — global issue counts, per-partition
+        # verdicts, checkpoint rows — is derived driver-side from that tiny
+        # result (#partitions × #checks rows). This mirrors the reference's
+        # collector merge at the master (CollectorGroup.java:80-141) without
+        # re-triggering distributed work per artifact.
+        vc_rows = issue_counts_by_partition(all_violations).collect()
+        rc_rows = (
+            work.groupBy(F.col("_partition_id").alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .collect()
         )
         finished = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
-        vc = issue_counts_by_partition(all_violations)
-        cp_rows = (
-            row_counts.join(
-                vc.groupBy("partition_id").agg(
-                    F.sum("n").alias("n_violations"),
-                    F.map_from_entries(
-                        F.collect_list(F.struct(F.col("check_id"), F.col("n")))
-                    ).alias("violations_by_check"),
-                    F.max(
-                        F.when(F.col("check_id").isin(list(BLOCKING_CHECKS)), 1).otherwise(0)
-                    ).alias("_blocking"),
-                ),
-                on="partition_id",
-                how="left",
+
+        part_rows = {r.partition_id: r.n_rows for r in rc_rows}
+        by_part: dict[str, dict[str, int]] = {}
+        issue_counts: dict[str, int] = {}
+        for r in vc_rows:
+            by_part.setdefault(r.partition_id, {})[r.check_id] = r.n
+            issue_counts[r.check_id] = issue_counts.get(r.check_id, 0) + r.n
+
+        cp_tuples = []
+        for pid, n_rows_p in sorted(part_rows.items()):
+            checks = by_part.get(pid, {})
+            blocking = any(k in BLOCKING_CHECKS for k in checks)
+            cp_tuples.append(
+                (c.run_id, pid, "FAIL" if blocking else "PASS", n_rows_p,
+                 sum(checks.values()), checks, started, finished)
             )
-            .select(
-                F.lit(c.run_id).alias("run_id"),
-                "partition_id",
-                F.when(F.coalesce(F.col("_blocking"), F.lit(0)) > 0, "FAIL")
-                .otherwise("PASS")
-                .alias("status"),
-                "n_rows",
-                F.coalesce(F.col("n_violations"), F.lit(0)).alias("n_violations"),
-                F.coalesce(
-                    F.col("violations_by_check"),
-                    F.create_map().cast("map<string,bigint>"),
-                ).alias("violations_by_check"),
-                F.lit(started).alias("started_at"),
-                F.lit(finished).alias("finished_at"),
-            )
-        )
         if not skip_global:
-            global_row = self.spark.createDataFrame(
-                [(c.run_id, GLOBAL_PARTITION, "PASS", 0, 0, {}, started, finished)],
-                schema=cp_rows.schema,
+            g_checks = by_part.get(GLOBAL_PARTITION, {})
+            cp_tuples.append(
+                (c.run_id, GLOBAL_PARTITION,
+                 "FAIL" if any(k in BLOCKING_CHECKS for k in g_checks) else "PASS",
+                 0, sum(g_checks.values()), g_checks, started, finished)
             )
-            cp_rows = cp_rows.unionByName(global_row)
         if c.checkpoint_path:
-            cp.append_checkpoints(cp_rows, c.checkpoint_path)
+            from ..model import CHECKPOINT_SCHEMA
+
+            cp.append_checkpoints(
+                self.spark.createDataFrame(cp_tuples, schema=CHECKPOINT_SCHEMA),
+                c.checkpoint_path,
+            )
 
         # Pass 3 — metrics (over the full table: profile is a run-level
         # artifact; one agg scan, sketch-sized shuffle).
         profile_row = column_profile(pages.drop("_partition_id")).collect()[0]
         metrics = {k: (list(v) if isinstance(v, list) else v) for k, v in profile_row.asDict().items()}
 
-        # Pass 4b — report assembly (all inputs are tiny aggregates).
-        counts_rows = (
-            all_violations.groupBy("check_id").agg(F.count(F.lit(1)).alias("n")).collect()
-        )
-        issue_counts = {r.check_id: r.n for r in counts_rows}
+        # Pass 4b — distinct-first samples (window over the small violations DF).
         samples_rows = distinct_first_samples(all_violations, c.max_samples).collect()
         samples: dict[str, list[dict]] = {}
         for r in sorted(samples_rows, key=lambda r: (r.check_id, r.sample_rank)):
@@ -219,14 +215,16 @@ class ValidationEngine:
             )
         if c.checkpoint_path:
             cps = cp.read_checkpoints(self.spark, c.checkpoint_path)
-            cps = cps.where(F.col("run_id") == c.run_id)
-            verdicts = {r.partition_id: r.status for r in cps.collect()}
-            n_rows = sum(
-                r.n_rows for r in cps.select("partition_id", "n_rows").collect()
-            )
+            rows = cps.where(F.col("run_id") == c.run_id).collect()
+            verdicts = {r.partition_id: r.status for r in rows}
+            n_rows = sum(r.n_rows for r in rows)
+            # resumed runs: fold previously-checkpointed partitions' counts
+            # back into the report (all_violations already includes their
+            # persisted violations, so issue_counts is complete; verdicts
+            # and n_rows come from the checkpoint table)
         else:
-            verdicts = {r.partition_id: r.status for r in cp_rows.collect()}
-            n_rows = pages.count()
+            verdicts = {t[1]: t[2] for t in cp_tuples}
+            n_rows = sum(part_rows.values())
 
         n_violations = sum(issue_counts.values())
         indexable = not any(k in BLOCKING_CHECKS for k in issue_counts)

@@ -1,0 +1,69 @@
+"""Structured Streaming validation: streamed pass-1 equals the batch pass,
+watermarked duplicate detection, bounded-state windowed rates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_data_validator_spark.operators.record_checks import run_record_checks
+from gbif_data_validator_spark.streaming import validate_stream as vs
+
+
+@pytest.fixture(scope="module")
+def pages_stream_dir(spark, tmp_path_factory):
+    from gbif_data_validator_spark.sources.synthetic import synth_pages
+
+    d = str(tmp_path_factory.mktemp("stream") / "pages")
+    # several files → several micro-batches with maxFilesPerTrigger
+    synth_pages(spark, 3000, with_violations=True).drop("expected_issue").repartition(
+        6
+    ).write.parquet(d)
+    return d
+
+
+def test_stream_violations_match_batch(spark, pages_stream_dir):
+    stream = vs.read_pages_stream(spark, pages_stream_dir, max_files_per_trigger=2)
+    q = vs.run_stream_once(
+        vs.stream_violations(stream, check_extraction=False), "v_stream"
+    )
+    got = {
+        (r.check_id, r.n)
+        for r in spark.sql(
+            "SELECT check_id, count(*) AS n FROM v_stream GROUP BY check_id"
+        ).collect()
+    }
+    batch = spark.read.parquet(pages_stream_dir)
+    expect = {
+        (r.check_id, r.n)
+        for r in run_record_checks(batch, check_extraction=False)
+        .groupBy("check_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+    q.stop()
+
+
+def test_stream_duplicates_within_horizon(spark, pages_stream_dir):
+    stream = vs.read_pages_stream(spark, pages_stream_dir)
+    dups = vs.stream_duplicates_within_horizon(
+        stream, window="36500 days", watermark="0 seconds"
+    )
+    q = vs.run_stream_once(dups, "dups_stream", output_mode="complete")
+    got = {r.url for r in spark.sql("SELECT url FROM dups_stream").collect()}
+    from gbif_data_validator_spark.sources.synthetic import expected_duplicate_urls
+
+    expect = {r.url for r in expected_duplicate_urls(spark, 3000).collect()}
+    # the horizon spans the whole fixture → equals global duplicates
+    assert got == expect and len(got) > 0
+    q.stop()
+
+
+def test_stream_issue_rates_bounded(spark, pages_stream_dir):
+    stream = vs.read_pages_stream(spark, pages_stream_dir)
+    q = vs.run_stream_once(
+        vs.stream_issue_rates(stream), "rates_stream", output_mode="complete"
+    )
+    rows = spark.sql("SELECT * FROM rates_stream").collect()
+    assert len(rows) > 0
+    assert all(r.n > 0 and r.check_id for r in rows)
+    q.stop()
