@@ -179,6 +179,26 @@ def _q_doc_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_first_samples(v, 10).select("check_id", "url", "found", "sample_rank")
 
 
+def _q_verbatim_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/S10 issue→verbatim reassembly: sampled violations joined back to
+    their full source rows (broadcast sample side)."""
+    from gbif_data_validator_spark.operators.verbatim import verbatim_samples
+
+    v = _doc_violations(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        "check_id",
+        F.lit("").alias("expected"),
+        "found",
+        F.create_map().cast("map<string,string>").alias("related_data"),
+    )
+    src = _docs(spark, sf_dir).withColumn(
+        "url", F.lpad(F.col("doc_id").cast("string"), 10, "0")
+    )
+    return verbatim_samples(v, src, key_col="url").select(
+        "check_id", "url", "lang", "source", "n_chars"
+    ).orderBy("check_id", "url")
+
+
 def _q_interpreted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 interpreted-term counts: typed derivations that parse (events)."""
     e = _tbl(spark, sf_dir, "events")
@@ -402,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_violations": _q_doc_violations,
         "doc_check_counts": _q_doc_check_counts,
         "doc_samples": _q_doc_samples,
+        "verbatim_samples": _q_verbatim_samples,
         "interpreted_counts": _q_interpreted_counts,
         "events_ts_unlikely": _q_events_ts_unlikely,
         "events_windows": _q_events_windows,
@@ -505,6 +526,26 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY check_id ORDER BY is_first DESC, url) AS sample_rank
             FROM firsts
             QUALIFY sample_rank <= 10
+        """,
+        "verbatim_samples": f"""
+            WITH v AS (
+              SELECT lpad(CAST(doc_id AS VARCHAR), 10, '0') AS url, check_id, found,
+                     concat_ws('-', coalesce(found, 'NULL'), '') AS input_key
+              FROM ({doc_viol})
+            ), firsts AS (
+              SELECT *, (row_number() OVER (PARTITION BY check_id, input_key ORDER BY url) = 1) AS is_first
+              FROM v
+            ), samp AS (
+              SELECT check_id, url,
+                     row_number() OVER (PARTITION BY check_id ORDER BY is_first DESC, url) AS sample_rank
+              FROM firsts QUALIFY sample_rank <= 10
+            ), j AS (
+              SELECT s.check_id, s.url, d.lang, d.source, d.n_chars
+              FROM documents d JOIN samp s ON lpad(CAST(d.doc_id AS VARCHAR), 10, '0') = s.url
+            )
+            SELECT check_id, url, lang, source, n_chars
+            FROM (SELECT *, row_number() OVER (PARTITION BY check_id ORDER BY url) AS rn FROM j)
+            WHERE rn <= 10 ORDER BY check_id, url
         """,
         "interpreted_counts": """
             SELECT count(ts) AS ts_ok,

@@ -99,11 +99,16 @@ def ks_drift(
         .agg(F.percentile_approx(metric, PROBS, ACCURACY).alias("q_ref"))
     )
     joined = per_window.crossJoin(F.broadcast(pooled))
+    # flag bar = max(configured floor, one-sample KS critical value
+    # c(α≈0.001)/sqrt(n)): small windows must clear a proportionally larger
+    # gap (sampling noise), huge windows fall back to the practical floor.
+    bar = F.greatest(F.lit(threshold), F.lit(1.95) / F.sqrt(F.col("n")))
+    ks = _ks_udf(F.col("q"), F.col("q_ref"))
     return joined.select(
         "window",
         "n",
-        _ks_udf(F.col("q"), F.col("q_ref")).alias("ks_stat"),
-        (_ks_udf(F.col("q"), F.col("q_ref")) > threshold).alias("drifted"),
+        ks.alias("ks_stat"),
+        (ks > bar).alias("drifted"),
     )
 
 

@@ -54,6 +54,38 @@ def column_profile(
     return df.agg(*aggs)
 
 
+def partitioned_profile(
+    df: DataFrame,
+    partition_col: str,
+    columns: list[str] | None = None,
+    length_cols: list[str] | None = None,
+    hll_rsd: float = 0.05,
+    n_quantiles: int = 11,
+) -> DataFrame:
+    """ROLLUP(partition) column profile: one aggregation pass emits BOTH the
+    per-partition rows (n_rows + stats per warc_ts window — feeds checkpoint
+    lineage) AND the grand-total row (partition IS NULL — the run-level
+    profile). Fusing these halves the engine's scans and collapses two Spark
+    jobs into one; sketch state merges associatively so rollup costs only
+    #partitions extra states."""
+    columns = columns or [c for c in df.columns if c not in ("html", partition_col)]
+    length_cols = (
+        length_cols if length_cols is not None else [c for c in columns if c == "text"]
+    )
+    qs = [i / (n_quantiles - 1) for i in range(n_quantiles)]
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs.append(_non_blank(c).alias(f"{c}_non_blank"))
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_nulls"))
+        aggs.append(F.approx_count_distinct(c, rsd=hll_rsd).alias(f"{c}_approx_distinct"))
+    for c in length_cols:
+        aggs.append(
+            F.percentile_approx(F.length(F.col(c)), qs, 1000).alias(f"{c}_len_quantiles")
+        )
+        aggs.append(F.avg(F.length(F.col(c))).alias(f"{c}_len_avg"))
+    return df.rollup(partition_col).agg(*aggs)
+
+
 def term_frequency(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Exact TermsFrequencyCollector semantics: count of non-blank cells per
     column, zero-initialized from the header (CollectorUtils analog — a

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..model import BLOCKING_CHECKS, CheckId, ValidationReport
 from ..operators.drift import drift_violations, ks_drift
-from ..operators.metrics import column_profile, issue_counts_by_partition
+from ..operators.metrics import issue_counts_by_partition, partitioned_profile
 from ..operators.record_checks import partition_id_col, run_record_checks
 from ..operators.referential import referential_violations
 from ..operators.sampling import distinct_first_samples
@@ -164,14 +164,21 @@ class ValidationEngine:
         # collector merge at the master (CollectorGroup.java:80-141) without
         # re-triggering distributed work per artifact.
         vc_rows = issue_counts_by_partition(all_violations).collect()
-        rc_rows = (
-            work.groupBy(F.col("_partition_id").alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("n_rows"))
-            .collect()
-        )
+
+        # Pass 3 fused with row counting: ROLLUP(partition) profile — one
+        # scan, one job emits per-partition n_rows/stats AND the grand-total
+        # run-level profile (the NULL-partition row).
+        prof_rows = partitioned_profile(work, "_partition_id").collect()
+        rc_rows = [r for r in prof_rows if r["_partition_id"] is not None]
+        grand = next(r for r in prof_rows if r["_partition_id"] is None)
+        metrics = {
+            k: (list(v) if isinstance(v, list) else v)
+            for k, v in grand.asDict().items()
+            if k != "_partition_id"
+        }
         finished = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
 
-        part_rows = {r.partition_id: r.n_rows for r in rc_rows}
+        part_rows = {r["_partition_id"]: r.n_rows for r in rc_rows}
         by_part: dict[str, dict[str, int]] = {}
         issue_counts: dict[str, int] = {}
         for r in vc_rows:
@@ -200,11 +207,6 @@ class ValidationEngine:
                 self.spark.createDataFrame(cp_tuples, schema=CHECKPOINT_SCHEMA),
                 c.checkpoint_path,
             )
-
-        # Pass 3 — metrics (over the full table: profile is a run-level
-        # artifact; one agg scan, sketch-sized shuffle).
-        profile_row = column_profile(pages.drop("_partition_id")).collect()[0]
-        metrics = {k: (list(v) if isinstance(v, list) else v) for k, v in profile_row.asDict().items()}
 
         # Pass 4b — distinct-first samples (window over the small violations DF).
         samples_rows = distinct_first_samples(all_violations, c.max_samples).collect()

