@@ -157,3 +157,13 @@ class ValidationReport:
             "partition_verdicts": self.partition_verdicts,
             "error_code": self.error_code,
         }
+
+    def write_json(self, path: str) -> None:
+        """S9 JSON result sink analog (jobserver/impl/FileJobStorage.java:
+        53-133): persist the run report as {run_id}.json under ``path``."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, f"{self.run_id}.json"), "w") as f:
+            json.dump(self.to_dict(), f, indent=2, default=str)

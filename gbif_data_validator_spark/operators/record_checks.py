@@ -96,6 +96,17 @@ def record_check_details(
                 F.substring(text, 1, 256),
             )
         )
+    # S5 FileNormalizer analog (util/FileNormalizer.java:44-72): the typed
+    # table is already UTF-8, so the residual check is for replacement
+    # characters — evidence of mojibake upstream of the table write.
+    details.append(
+        _detail(
+            CheckId.TEXT_NOT_UTF8,
+            text.isNotNull() & F.contains(text, F.lit("�")),
+            "text free of U+FFFD replacement characters",
+            F.substring(text, 1, 256),
+        )
+    )
     return details
 
 

@@ -62,12 +62,19 @@ def ensure_pages(n_rows: int) -> str:
 def run_at(cpus: int, path: str, repeats: int = 3) -> dict:
     """Min-of-k wall time per level: the sandbox host (Firecracker guest)
     shows intermittent invisible CPU throttling (no steal accounting), so
-    best-of-k is the least-interference estimate of true job cost."""
+    best-of-k is the least-interference estimate of true job cost.
+
+    The process tree is pinned to exactly `cpus` CPUs with taskset —
+    local[n] alone does NOT bound CPU to n cores (pandas-UDF python workers,
+    GC and shuffle threads run outside the JVM task slots), so pinning is
+    what makes the two levels emulate machines of size N and 4N."""
     best = None
     code = RUN_TEMPLATE.format(repo=REPO, cpus=cpus, path=path)
+    cpu_list = ",".join(str(i) for i in range(cpus))
     for _ in range(repeats):
         out = subprocess.run(
-            [sys.executable, "-c", code], check=True, capture_output=True, text=True
+            ["taskset", "-c", cpu_list, sys.executable, "-c", code],
+            check=True, capture_output=True, text=True
         )
         for line in out.stdout.splitlines():
             if line.startswith("RESULT="):
