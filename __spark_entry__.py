@@ -42,6 +42,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, round-robin repartitioned to full parallelism. The sf
+    testdata is one small parquet file → one input split; CPU-heavy text
+    operators (shingling, signature UDFs) would otherwise run single-task.
+    At production scale the input is already thousands of splits and this
+    repartition is a no-op choice — compute >> shuffle for these operators
+    either way."""
+    return _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+
+
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -273,7 +283,7 @@ def _q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gbif_data_validator_spark.functions.textstats import content_fingerprint
 
-    return _docs(spark, sf_dir).select(
+    return _docs_spread(spark, sf_dir).select(
         "doc_id", content_fingerprint(F.col("text")).alias("fingerprint")
     ).orderBy("doc_id")
 
@@ -289,7 +299,7 @@ def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gbif_data_validator_spark.functions import textstats as ts
 
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     return d.select(
         "doc_id",
         ts.ws_token_count(F.col("text")).alias("ws_tokens"),
@@ -300,7 +310,7 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gbif_data_validator_spark.functions import textstats as ts
 
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     return d.select(
         "doc_id", F.round(ts.quality_score(F.col("text")), 4).alias("quality")
     ).orderBy("doc_id")
@@ -309,7 +319,7 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gbif_data_validator_spark.functions.textstats import lang_id
 
-    return _docs(spark, sf_dir).select(
+    return _docs_spread(spark, sf_dir).select(
         "doc_id", lang_id(F.col("text")).alias("lang_pred")
     ).orderBy("doc_id")
 
@@ -318,7 +328,7 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gbif_data_validator_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.5
+        _docs_spread(spark, sf_dir), "doc_id", "text", k=3, threshold=0.5
     ).orderBy("doc_a", "doc_b")
 
 
@@ -351,19 +361,19 @@ def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gbif_data_validator_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text", threshold=0.5)
+    return minhash_lsh_pairs(_docs_spread(spark, sf_dir), "doc_id", "text", threshold=0.5)
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gbif_data_validator_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
+    return simhash_pairs(_docs_spread(spark, sf_dir), "doc_id", "text", max_hamming=3)
 
 
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gbif_data_validator_spark.functions.textstats import winnow_fingerprint_udf
 
-    return _docs(spark, sf_dir).select(
+    return _docs_spread(spark, sf_dir).select(
         "doc_id", winnow_fingerprint_udf(F.col("text")).alias("winnow")
     )
 

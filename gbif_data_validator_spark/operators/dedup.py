@@ -9,16 +9,21 @@ the reference *would* need at web scale.
 Scale design notes (per operator, for 100 TB / 10^12 docs):
 - exact: one salted hash-agg on a 16-byte digest — same shape as the
   uniqueness check; shuffle carries (digest, count) only.
-- ngram-jaccard: explode shingles → self-join on shingle → exact Jaccard on
-  candidates. The shingle join is the scalable skeleton, but frequency-capped
-  (drop shingles appearing in > max_df docs) so hot shingles don't quadratic-
-  blow the join — the standard candidate-pruning trick.
+- ngram-jaccard: explode shingles → posting-list groupBy(shingle) → generate
+  in-list pairs → count per pair. Two shuffles total, no self-join, no
+  persist. Frequency-capped (shingles in > max_df docs dropped) so hot
+  shingles don't quadratic-blow the pair fan-out — the standard
+  candidate-pruning trick, and the explicit skew control here: a hot
+  shingle's entire posting list lands on one reducer, so the cap IS the
+  bound on per-reducer work.
 - minhash-lsh: constant-size signature per doc (Arrow-batched numpy), banded
-  into B buckets → candidates only collide within a band bucket; the
-  band-bucket groupBy is the only shuffle and its fan-in per bucket is tiny
-  with healthy banding.
+  into B buckets → candidates collide within a band bucket; the band-bucket
+  groupBy (posting-list style, carrying signatures) is the only
+  corpus-sized shuffle; estimated Jaccard is computed in-bucket with zero
+  joins back to the signature table.
 - simhash: 64-bit signature, near-dup = Hamming ≤ r; candidates via the
-  pigeonhole split into (r+1) chunks — equality join per chunk.
+  pigeonhole split into (r+1) chunks — posting-list groupBy per chunk
+  value, exact Hamming verified in-bucket with bit_count.
 - embedding-cosine: brute pairwise restricted to LSH buckets (see
   similarity.py); the exact variant here is for bounded candidate sets.
 """
@@ -67,14 +72,53 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles (lowercased)."""
-    words = F.split(F.lower(F.trim(text)), r"\s+")
-    n = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i, k), " "),
+    """Distinct word k-gram shingles (lowercased).
+
+    The word array is let-bound through a single-element ``transform`` so the
+    regex split evaluates ONCE per row — a naive closure over ``F.split(...)``
+    re-evaluates the split inside every gram lambda invocation (higher-order
+    functions are interpreted, with no cross-lambda subexpression reuse),
+    which is O(words × grams) per document."""
+
+    def gen(words: Column) -> Column:
+        n = F.size(words)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        )
+        # n < k must yield [] — sequence(1, 0) would generate a DESCENDING
+        # [1, 0] (and slice(_, 0, _) then errors), so guard explicitly.
+        return F.when(n >= k, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(
+        F.transform(F.array(F.split(F.lower(F.trim(text)), r"\s+")), gen), 1
     )
-    return F.array_distinct(grams)
+
+
+def _in_list_pairs(ds: Column, fields: list[str]) -> Column:
+    """All unordered pairs from an array<struct> posting list, each pair
+    ordered by the struct's first field (`id`). Generated JVM-side with
+    nested transforms — no self-join, no second shuffle."""
+    n = F.size(ds)
+
+    def pair(i: Column, j: Column) -> Column:
+        a, b = F.element_at(ds, i + 1), F.element_at(ds, j + 1)
+        swap = a["id"] > b["id"]
+        lo, hi = F.when(swap, b).otherwise(a), F.when(swap, a).otherwise(b)
+        cols = []
+        for f in fields:
+            cols.append(lo[f].alias(f"{f}_a"))
+            cols.append(hi[f].alias(f"{f}_b"))
+        return F.struct(*cols)
+
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(F.sequence(i + 1, n - 1), lambda j: pair(i, j)),
+        )
+    )
 
 
 def ngram_jaccard_pairs(
@@ -86,31 +130,37 @@ def ngram_jaccard_pairs(
     max_df: int = 1000,
 ) -> DataFrame:
     """→ (doc_a, doc_b, jaccard) for pairs with Jaccard(shingle sets) ≥
-    threshold, doc_a < doc_b. Exact Jaccard computed from shingle-join
-    intersection counts; shingles occurring in > max_df docs are dropped
-    from candidate generation (stop-shingle pruning) to bound the join."""
+    threshold, doc_a < doc_b.
+
+    Posting-list plan: explode shingles (carrying each doc's shingle count),
+    groupBy(shingle) → in-list pair generation → count per pair = exact
+    intersection size. Two shuffles total, no self-join, no persist.
+    Shingles occurring in > max_df docs are dropped (stop-shingle pruning):
+    that caps both candidate fan-out AND per-reducer skew — a hot shingle's
+    whole posting list lands on one reducer, so max_df is the explicit
+    bound on its work."""
     sh = df.select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    sh = sh.where(F.col("n_sh") > 0).persist()
-
-    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
-    hot = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df_")).where(
-        F.col("df_") > max_df
+    ).where(F.size("sh") > 0)
+    ex = sh.select(
+        F.explode("sh").alias("s"),
+        F.struct(F.col("doc_id").alias("id"), F.size("sh").alias("n")).alias("d"),
     )
-    pruned = exploded.join(F.broadcast(hot.select("s")), "s", "left_anti")
-
-    a = pruned.alias("a")
-    b = pruned.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    posts = (
+        ex.groupBy("s")
+        .agg(F.collect_list("d").alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+    )
+    return (
+        posts.select(F.explode(_in_list_pairs(F.col("ds"), ["id", "n"])).alias("p"))
+        .select(
+            F.col("p.id_a").alias("doc_a"),
+            F.col("p.id_b").alias("doc_b"),
+            F.col("p.n_a").alias("n_a"),
+            F.col("p.n_b").alias("n_b"),
+        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sizes = sh.select("doc_id", "n_sh")
-    out = (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_inter")
@@ -119,7 +169,6 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out
 
 
 # --------------------------------------------------------------------------
@@ -129,34 +178,45 @@ def ngram_jaccard_pairs(
 _MERSENNE = (1 << 61) - 1
 
 
-def _minhash_series(shingle_arrays: pd.Series, n_hashes: int, seed: int) -> pd.Series:
+def _hash64_array(strs) -> "object":
+    """Stable 64-bit hashes of a sequence of strings as a uint64 numpy
+    array. One C-speed md5 per string (deterministic across processes and
+    runs — unlike Python's seeded ``hash``), 8-byte prefix of the digest."""
+    import hashlib
+
+    import numpy as np
+
+    buf = b"".join(hashlib.md5(s.encode("utf-8")).digest()[:8] for s in strs)
+    return np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+
+
+def _minhash_series(texts: pd.Series, k: int, n_hashes: int, seed: int) -> pd.Series:
     """numpy minhash signatures over Arrow batches: h_i(x) = (a_i*x + b_i)
-    mod p, min over the doc's shingle hashes."""
+    mod p, min over the doc's shingle hashes. Shingling happens here in
+    Python (same k-gram definition as ``shingles``): min over permutation
+    hashes is order- and duplicate-invariant, and keeping it in the UDF
+    avoids shipping shingle arrays through Arrow."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
     b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
 
-    def one(arr):
-        if arr is None or len(arr) == 0:
+    def one(t):
+        if t is None:
             return None
+        words = t.lower().split()
+        m = len(words) - k + 1
+        if m <= 0:
+            return None
+        grams = {" ".join(words[i : i + k]) for i in range(m)}
         # stable 64-bit hash of each shingle string
-        xs = np.array(
-            [_poly_hash(s) for s in arr], dtype=np.uint64
-        )  # (n_shingles,)
+        xs = _hash64_array(list(grams)) % np.uint64(_MERSENNE)  # (n_shingles,)
         # (n_hashes, n_shingles) permutation hashes, min over shingles
         vals = (a[:, None] * xs[None, :] + b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1).astype(np.int64).tolist()
 
-    return shingle_arrays.map(one)
-
-
-def _poly_hash(s: str) -> int:
-    h = 0
-    for ch in s:
-        h = (h * 131 + ord(ch)) % _MERSENNE
-    return h
+    return texts.map(one)
 
 
 def minhash_signatures(
@@ -167,13 +227,15 @@ def minhash_signatures(
     n_hashes: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """→ (doc_id, sig array<long>[n_hashes])."""
+    """→ (doc_id, sig array<long>[n_hashes]); docs with no k-shingle → null
+    sig (dropped by callers)."""
     udf = F.pandas_udf(
-        lambda s: _minhash_series(s, n_hashes, seed), returnType=ArrayType(LongType())
+        lambda s: _minhash_series(s, k, n_hashes, seed),
+        returnType=ArrayType(LongType()),
     )
     return df.select(
-        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
-    ).select("doc_id", udf(F.col("sh")).alias("sig"))
+        F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("sig")
+    ).where(F.col("sig").isNotNull())
 
 
 def minhash_lsh_pairs(
@@ -190,14 +252,18 @@ def minhash_lsh_pairs(
     candidates = pairs colliding in ≥1 band, verified by estimated Jaccard
     (signature agreement rate) ≥ threshold.
 
-    Scale: the only shuffle over the corpus is groupBy(band, band_hash);
-    signatures are constant-size. Estimated Jaccard avoids a second pass
-    over the texts (re-verification with exact Jaccard can chain after)."""
+    Scale: the only corpus-sized shuffle is the posting-list
+    groupBy(band, bucket); signatures are constant-size and travel WITH the
+    doc ids into the buckets, so estimated Jaccard (signature agreement
+    rate) is computed in-bucket — zero joins back to the signature table.
+    A true-duplicate cluster of size c costs c²/2 in its bucket, which is
+    inherent to emitting all its pairs; re-verification with exact Jaccard
+    can chain after."""
     rows_per_band = n_hashes // n_bands
-    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes, seed).persist()
+    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes, seed)
 
     bands = sigs.select(
-        "doc_id",
+        F.struct(F.col("doc_id").alias("id"), F.col("sig").alias("sig")).alias("d"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -213,31 +279,28 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    posts = (
+        bands.groupBy("band", "bucket")
+        .agg(F.collect_list("d").alias("ds"))
+        .where(F.size("ds") >= 2)
     )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            F.zip_with(
+                F.col("p.sig_a"), F.col("p.sig_b"), lambda x, y: (x == y).cast("int")
+            ),
             lambda v: v == 1,
         )
     ) / F.lit(float(n_hashes))
     return (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("est_jaccard", F.round(est, 6))
+        posts.select(F.explode(_in_list_pairs(F.col("ds"), ["id", "sig"])).alias("p"))
+        .select(
+            F.col("p.id_a").alias("doc_a"),
+            F.col("p.id_b").alias("doc_b"),
+            F.round(est, 6).alias("est_jaccard"),
+        )
         .where(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "est_jaccard")
+        .distinct()
     )
 
 
@@ -248,10 +311,13 @@ def minhash_lsh_pairs(
 
 def _simhash_series(texts: pd.Series) -> pd.Series:
     """64-bit SimHash (Charikar 2002): sign of the per-bit sum of token
-    hashes. Arrow-batched numpy."""
+    hashes, weighted by term frequency. Arrow-batched numpy; per-doc work is
+    one vectorized md5 pass over the distinct tokens + a (tokens × 64)
+    matrix reduction."""
     import numpy as np
 
     bits = np.arange(64, dtype=np.uint64)
+    bit_vals = np.uint64(1) << bits
 
     def one(t):
         if t is None:
@@ -259,14 +325,12 @@ def _simhash_series(texts: pd.Series) -> pd.Series:
         words = t.lower().split()
         if not words:
             return 0
-        hs = np.array([_poly_hash(w) for w in words], dtype=np.uint64)
-        bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int32)
-        acc = (2 * bitmat - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for i in range(64):
-            if acc[i] > 0:
-                sig |= np.uint64(1) << np.uint64(i)
-        return int(sig.astype(np.int64))  # two's complement into BIGINT
+        uniq, counts = np.unique(np.array(words, dtype=object), return_counts=True)
+        hs = _hash64_array(uniq)
+        bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = ((2 * bitmat - 1) * counts[:, None]).sum(axis=0)
+        sig = bit_vals[acc > 0].sum(dtype=np.uint64)
+        return int(np.uint64(sig).astype(np.int64))  # two's complement into BIGINT
 
     return texts.map(one)
 
@@ -279,13 +343,15 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via the pigeonhole
     principle: split 64 bits into (max_hamming+1) chunks; any qualifying pair
-    collides exactly on ≥1 chunk → equality self-join per chunk, then exact
-    Hamming verification with bit_count (JVM-side)."""
+    collides exactly on ≥1 chunk → posting-list groupBy(chunk_idx, chunk_val),
+    exact Hamming verified in-bucket with bit_count (JVM-side). One shuffle
+    over the (doc, chunk) postings; no self-join, no persist — the
+    pandas-UDF signature pass runs exactly once."""
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
     sigs = df.select(
         F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sig")
-    ).persist()
+    )
     # shift amounts must be Python ints (static per chunk), so the chunk
     # array is built with a driver-side loop of literal shifts
     chunk_cols = [
@@ -295,31 +361,24 @@ def simhash_pairs(
         for i in range(n_chunks)
     ]
     chunks = sigs.select(
-        "doc_id",
-        "sig",
+        F.struct(F.col("doc_id").alias("id"), F.col("sig").alias("sig")).alias("d"),
         F.posexplode(F.array(*chunk_cols)).alias("chunk_idx", "chunk_val"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .distinct()
+    posts = (
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(F.collect_list("d").alias("ds"))
+        .where(F.size("ds") >= 2)
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    hamming = F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b")))
     return (
-        cands.withColumn("hamming", hamming)
+        posts.select(F.explode(_in_list_pairs(F.col("ds"), ["id", "sig"])).alias("p"))
+        .select(
+            F.col("p.id_a").alias("doc_a"),
+            F.col("p.id_b").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

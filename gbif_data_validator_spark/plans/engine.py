@@ -170,12 +170,19 @@ class ValidationEngine:
         # run-level profile (the NULL-partition row).
         prof_rows = partitioned_profile(work, "_partition_id").collect()
         rc_rows = [r for r in prof_rows if r["_partition_id"] is not None]
-        grand = next(r for r in prof_rows if r["_partition_id"] is None)
-        metrics = {
-            k: (list(v) if isinstance(v, list) else v)
-            for k, v in grand.asDict().items()
-            if k != "_partition_id"
-        }
+        # rollup over EMPTY input yields zero rows (no grand-total row, unlike
+        # a plain global agg) — happens on an empty table or a fully-resumed
+        # run whose work-list pruned every partition.
+        grand = next((r for r in prof_rows if r["_partition_id"] is None), None)
+        metrics = (
+            {
+                k: (list(v) if isinstance(v, list) else v)
+                for k, v in grand.asDict().items()
+                if k != "_partition_id"
+            }
+            if grand is not None
+            else {"n_rows": 0}
+        )
         finished = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
 
         part_rows = {r["_partition_id"]: r.n_rows for r in rc_rows}

@@ -75,3 +75,27 @@ def test_resume_skips_completed_partitions(spark, pages, tmp_path):
         assert per_part[v] == 1  # rewritten once by the resume
     n_multi = [p for p, n in per_part.items() if n > 1]
     assert set(n_multi) <= {GLOBAL_PARTITION}
+
+
+def test_rerun_completed_run_is_noop(spark, pages, tmp_path):
+    """Re-running a FINISHED run_id prunes every partition (empty work-list)
+    and must still produce the identical report — the rollup-profile path
+    must tolerate zero rows (Spark's rollup on empty input emits no
+    grand-total row)."""
+    cfg = EngineConfig(check_extraction=False, work_dir=str(tmp_path / "w"), run_id="rn")
+    src = pages.drop("expected_issue")
+    rep1 = ValidationEngine(spark, cfg).run(src)
+    rep2 = ValidationEngine(spark, cfg).run(src)
+    assert rep2.issue_counts == rep1.issue_counts
+    assert rep2.n_rows == rep1.n_rows
+    assert rep2.partition_verdicts == rep1.partition_verdicts
+
+
+def test_empty_input_runs_clean(spark):
+    from gbif_data_validator_spark.model import PAGES_SCHEMA
+
+    empty = spark.createDataFrame([], schema=PAGES_SCHEMA)
+    rep = ValidationEngine(spark, EngineConfig(check_extraction=False)).run(empty)
+    assert rep.n_rows == 0
+    assert rep.indexable
+    assert rep.issue_counts == {}
