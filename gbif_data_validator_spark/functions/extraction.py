@@ -61,9 +61,13 @@ def extract_text(html: bytes | None) -> str | None:
     s = html.decode("utf-8", errors="replace")
     s = _DROP_RE.sub(" ", s)
     s = _TAG_RE.sub(" ", s)
-    s = _ENTITY_RE.sub(_decode_entity, s)
-    s = _WS_RE.sub(" ", s)
-    return s.strip()
+    if "&" in s:  # entity pass only when an entity can exist
+        s = _ENTITY_RE.sub(_decode_entity, s)
+    # whitespace-collapse + strip. str.split() and regex \s use the same
+    # whitespace predicate (Py_UNICODE_ISSPACE), so this is byte-identical
+    # to `_WS_RE.sub(" ", s).strip()` at ~10x the speed — the \s+ sub was
+    # 90% of per-doc extraction cost (one match object per word gap).
+    return " ".join(s.split())
 
 
 def _extract_series(html: pd.Series) -> pd.Series:
@@ -75,3 +79,23 @@ def _extract_series(html: pd.Series) -> pd.Series:
 
 #: Arrow-batched pandas UDF: html:binary -> extracted text:string.
 extract_text_udf = F.pandas_udf(_extract_series, returnType=StringType())
+
+
+def _extract_md5(html: bytes) -> str:
+    import hashlib
+
+    return hashlib.md5(extract_text(html).encode("utf-8")).hexdigest()
+
+
+def _extract_md5_series(html: pd.Series) -> pd.Series:
+    return html.map(_extract_md5, na_action="ignore")
+
+
+#: html:binary -> lowercase hex md5 of the extracted text's UTF-8 bytes.
+#: The byte-identity check compares this against `md5(encode(text,'utf-8'))`
+#: computed JVM-side: the UDF then returns 32 chars per row instead of the
+#: multi-KB extracted string — ~100x less Arrow return traffic and a
+#: constant-width JVM comparison, with identical verdicts (equal digests ⇔
+#: equal bytes, modulo md5 collision odds that are negligible for a
+#: validation flag). `extract_text_udf` remains the full-text surface.
+extract_text_md5_udf = F.pandas_udf(_extract_md5_series, returnType=StringType())

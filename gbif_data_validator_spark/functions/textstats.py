@@ -130,38 +130,28 @@ def content_fingerprint(text: Column) -> Column:
 
 _K = 5          # k-gram length (words)
 _WINNOW_W = 4   # winnowing window
-_MOD = (1 << 61) - 1
-_BASE = 1_000_003
-
-
-def _stable_kgram_hashes(words: list[str]) -> "list[int]":
-    # Python's built-in str hash is salted per process — useless across
-    # executors. Stable polynomial rolling hash instead.
-    hs = []
-    for i in range(len(words) - _K + 1):
-        h = 0
-        for w in words[i : i + _K]:
-            wh = 0
-            for ch in w:
-                wh = (wh * 131 + ord(ch)) % _MOD
-            h = (h * _BASE + wh) % _MOD
-        hs.append(h)
-    return hs
 
 
 def _winnow_series_stable(texts: pd.Series) -> pd.Series:
-    """Winnowing fingerprint (Schleimer et al., SIGMOD 2003): rolling
-    polynomial hash over word k-grams, per-window minima, deduplicated.
-    Arrow-batched."""
+    """Winnowing fingerprint (Schleimer et al., SIGMOD 2003): stable hash
+    over word k-grams, per-window minima, deduplicated. Arrow-batched.
+    Python's built-in str hash is salted per process — useless across
+    executors — so k-gram strings are hashed with C-speed md5 (same
+    ``_hash64_array`` as the minhash/simhash family)."""
     import numpy as np
+
+    from ..operators.dedup import _hash64_array
 
     def one(t):
         if t is None:
             return None
         words = t.lower().split()
-        if len(words) < _K:
+        m = len(words) - _K + 1
+        if m <= 0:
             return []
-        hs = np.array(_stable_kgram_hashes(words), dtype=np.int64)
+        grams = [" ".join(words[i : i + _K]) for i in range(m)]
+        hs = _hash64_array(grams).astype(np.int64)
+        hs &= np.int64((1 << 62) - 1)  # non-negative for BIGINT stability
         if len(hs) <= _WINNOW_W:
             return [int(hs.min())]
         mins = np.lib.stride_tricks.sliding_window_view(hs, _WINNOW_W).min(axis=1)

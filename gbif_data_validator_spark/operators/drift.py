@@ -36,9 +36,13 @@ ACCURACY = 10000
 DEFAULT_THRESHOLD = 0.15
 
 
-def _ks_from_quantiles(qw: pd.Series, qr: pd.Series) -> pd.Series:
+def ks_statistic(qw, qr) -> float:
     """Approximate two-sample KS statistic from equi-probability quantile
-    vectors (ECDF max-gap — scipy-free, per SURVEY.md §4.2)."""
+    vectors (ECDF max-gap — scipy-free, per SURVEY.md §4.2). Pure function:
+    used by the distributed pandas UDF AND by the engine's driver-side
+    drift evaluation over collected rollup sketches."""
+    if qw is None or qr is None:
+        return float("nan")
     probs = np.asarray(PROBS)
 
     def cdf_at(q: np.ndarray, vs: np.ndarray) -> np.ndarray:
@@ -46,19 +50,16 @@ def _ks_from_quantiles(qw: pd.Series, qr: pd.Series) -> pd.Series:
         # vector: F(v) = max prob whose quantile value <= v. Robust to ties
         # and degenerate (constant) distributions, unlike interpolation.
         idx = np.searchsorted(q, vs, side="right") - 1
-        out = np.where(idx >= 0, probs[np.clip(idx, 0, len(probs) - 1)], 0.0)
-        return out
+        return np.where(idx >= 0, probs[np.clip(idx, 0, len(probs) - 1)], 0.0)
 
-    def one(pair):
-        w, r = pair
-        if w is None or r is None:
-            return float("nan")
-        w = np.asarray(w, dtype=float)
-        r = np.asarray(r, dtype=float)
-        support = np.union1d(w, r)
-        return float(np.max(np.abs(cdf_at(w, support) - cdf_at(r, support))))
+    w = np.asarray(qw, dtype=float)
+    r = np.asarray(qr, dtype=float)
+    support = np.union1d(w, r)
+    return float(np.max(np.abs(cdf_at(w, support) - cdf_at(r, support))))
 
-    return pd.Series([one(p) for p in zip(qw, qr)])
+
+def _ks_from_quantiles(qw: pd.Series, qr: pd.Series) -> pd.Series:
+    return pd.Series([ks_statistic(w, r) for w, r in zip(qw, qr)])
 
 
 _ks_udf = F.pandas_udf(_ks_from_quantiles, returnType=DoubleType())

@@ -61,13 +61,22 @@ def partitioned_profile(
     length_cols: list[str] | None = None,
     hll_rsd: float = 0.05,
     n_quantiles: int = 11,
+    drift_metric: F.Column | None = None,
+    drift_probs: list[float] | None = None,
+    drift_accuracy: int = 10000,
 ) -> DataFrame:
     """ROLLUP(partition) column profile: one aggregation pass emits BOTH the
     per-partition rows (n_rows + stats per warc_ts window — feeds checkpoint
     lineage) AND the grand-total row (partition IS NULL — the run-level
     profile). Fusing these halves the engine's scans and collapses two Spark
     jobs into one; sketch state merges associatively so rollup costs only
-    #partitions extra states."""
+    #partitions extra states.
+
+    ``drift_metric`` (pass a null-masked Column, e.g. length(text) where
+    warc_ts is non-null) additionally emits ``drift_n`` + ``drift_q`` — the
+    per-partition and pooled (grand row) equi-probability quantile sketches
+    the KS drift check needs, so drift costs NO extra scan: the engine
+    computes the KS max-gap driver-side from these collected vectors."""
     columns = columns or [c for c in df.columns if c not in ("html", partition_col)]
     length_cols = (
         length_cols if length_cols is not None else [c for c in columns if c == "text"]
@@ -83,6 +92,14 @@ def partitioned_profile(
             F.percentile_approx(F.length(F.col(c)), qs, 1000).alias(f"{c}_len_quantiles")
         )
         aggs.append(F.avg(F.length(F.col(c))).alias(f"{c}_len_avg"))
+    if drift_metric is not None:
+        from .drift import PROBS as _DRIFT_PROBS
+
+        probs = drift_probs if drift_probs is not None else list(_DRIFT_PROBS)
+        aggs.append(F.count(drift_metric).alias("drift_n"))
+        aggs.append(
+            F.percentile_approx(drift_metric, probs, drift_accuracy).alias("drift_q")
+        )
     return df.rollup(partition_col).agg(*aggs)
 
 

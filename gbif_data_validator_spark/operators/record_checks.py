@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.extraction import extract_text_udf
+from ..functions.extraction import extract_text_md5_udf
 from ..functions.predicates import is_blank
 from ..functions.url import url_well_formed
 from ..model import CheckId
@@ -87,11 +87,18 @@ def record_check_details(
         ),
     ]
     if check_extraction:
-        extracted = extract_text_udf(html)
+        # byte-identity via md5 equality: the UDF ships back a 32-char digest
+        # per row instead of the multi-KB extracted string (see
+        # extract_text_md5_udf), and the JVM compares constant-width digests.
+        extracted_md5 = extract_text_md5_udf(html)
+        text_md5 = F.md5(F.encode(text, "UTF-8"))
         details.append(
             _detail(
                 CheckId.TEXT_EXTRACTION_MISMATCH,
-                html.isNotNull() & text.isNotNull() & (text != "") & (text != extracted),
+                html.isNotNull()
+                & text.isNotNull()
+                & (text != "")
+                & (text_md5 != extracted_md5),
                 "text byte-identical to extract_text(html)",
                 F.substring(text, 1, 256),
             )
@@ -115,12 +122,39 @@ def run_record_checks(
     check_extraction: bool = True,
     n_buckets: int = 1,
     key_col: str = "url",
+    lang_dim: DataFrame | None = None,
+    lang_col: str = "lang",
 ) -> DataFrame:
     """pages → violations(url, check_id, expected, found, related_data,
-    partition_id). One narrow scan, zero shuffles."""
+    partition_id). One narrow scan, zero shuffles.
+
+    When ``lang_dim`` is given, the referential-integrity check (J1 —
+    broadcast hash anti-join, ReferentialIntegrityEvaluator.java:54-87) is
+    FUSED into this scan as a broadcast LEFT join + null-flag detail: same
+    join mechanics and semantics as operators.referential, but sharing the
+    single pass over the source instead of a second scan (the source scan,
+    not the tiny dim, is what costs at 100 TB)."""
     key, ts = F.col(key_col), F.col("warc_ts")
     text, html = F.col("text"), F.col("html")
     details = record_check_details(key, ts, text, html, check_extraction)
+    if lang_dim is not None:
+        flag = F.broadcast(
+            lang_dim.select(
+                F.col(lang_col), F.lit(True).alias("_lang_known")
+            ).distinct()
+        )
+        pages = pages.join(flag, on=lang_col, how="left")
+        lang = F.col(lang_col)
+        details.append(
+            _detail(
+                CheckId.LANG_UNKNOWN,
+                lang.isNotNull()
+                & lang.rlike(r"\S")
+                & F.col("_lang_known").isNull(),
+                f"{lang_col} present in dimension",
+                lang,
+            )
+        )
 
     related = F.create_map(
         F.lit("lang"), F.coalesce(F.col("lang"), F.lit("NULL")),

@@ -10,11 +10,14 @@ scheduler; the collector merge is Catalyst partial/final aggregation; the
 verdict is a filter on the blocking-check set
 (evaluator/IndexableRules.java:22-33, reduce :54-61).
 
-Passes (SURVEY.md §7.1):
+Passes (SURVEY.md §7.1), arranged as THREE scans of the source total:
   0 preflight (driver, no jobs)     — short-circuit on blocking findings
-  1 record checks (narrow, 1 scan)  — violations DF
-  2 uniqueness (salted) + referential (broadcast anti) + KS drift
-  3 metrics (1 agg scan)
+  3 profile rollup (1 agg scan)     — per-partition + run-level stats AND
+    the KS-drift quantile sketches; drift verdicts computed driver-side
+    from the collected (tiny) sketch vectors — no drift scan, no drift job
+  1 record checks + referential (1 scan: narrow checks + broadcast left
+    join against the lang dim, fused)
+  2 uniqueness (salted two-phase agg; scans the key column only)
   4 report: counts, distinct-first samples, per-partition verdicts,
     checkpoint/lineage rows; resume prunes completed partitions.
 """
@@ -33,7 +36,6 @@ from ..model import BLOCKING_CHECKS, CheckId, ValidationReport
 from ..operators.drift import drift_violations, ks_drift
 from ..operators.metrics import issue_counts_by_partition, partitioned_profile
 from ..operators.record_checks import partition_id_col, run_record_checks
-from ..operators.referential import referential_violations
 from ..operators.sampling import distinct_first_samples
 from ..operators.uniqueness import uniqueness_violations
 from ..sources.lang_dim import lang_dim
@@ -41,6 +43,49 @@ from . import checkpoint as cp
 from .preflight import preflight
 
 GLOBAL_PARTITION = "GLOBAL"
+
+#: windows with fewer metric rows than this are excluded from drift — a
+#: handful of stray timestamps gives a meaninglessly noisy ECDF (same guard
+#: as operators.drift.ks_drift's min_rows default).
+DRIFT_MIN_ROWS = 30
+
+
+def _drift_rows_from_profile(
+    rc_rows, grand, threshold: float, min_rows: int = DRIFT_MIN_ROWS
+) -> list[tuple]:
+    """KS drift verdicts computed driver-side from the rollup profile's
+    collected quantile sketches (per-window ``drift_q`` vs the grand row's
+    pooled sketch) — violations-schema tuples for the drifted windows.
+    Flag bar = max(configured floor, one-sample KS critical value
+    c(α≈0.001)/sqrt(n)), matching operators.drift.ks_drift."""
+    import math
+
+    from ..operators.drift import ks_statistic
+
+    out: list[tuple] = []
+    q_ref = grand["drift_q"] if grand is not None else None
+    if q_ref is None:
+        return out
+    for r in rc_rows:
+        n = r["drift_n"] or 0
+        q = r["drift_q"]
+        if n < min_rows or q is None:
+            continue
+        ks = ks_statistic(list(q), list(q_ref))
+        bar = max(threshold, 1.95 / math.sqrt(n))
+        if ks == ks and ks > bar:  # NaN-safe
+            pid = r["_partition_id"]
+            out.append(
+                (
+                    f"window:{pid}",
+                    CheckId.DRIFT_WINDOW,
+                    "ks_stat <= threshold",
+                    f"{ks:.4f}",
+                    {"n": str(n), "window": pid},
+                    pid,
+                )
+            )
+    return out
 
 
 @dataclass
@@ -70,18 +115,22 @@ class ValidationEngine:
 
     # ------------------------------------------------------------------
     def build_violations(self, pages: DataFrame, dim: DataFrame) -> DataFrame:
-        """Passes 1+2 as one lazy plan: record checks ∪ referential ∪
-        salted uniqueness ∪ drift verdicts (unionByName on the violations
-        contract — reference U1 mergeOnFilename,
+        """Passes 1+2 as one lazy plan: record checks (with the referential
+        check fused into the same scan as a broadcast left join) ∪ salted
+        uniqueness ∪ drift verdicts (unionByName on the violations contract —
+        reference U1 mergeOnFilename,
         api/result/ValidationResultElement.java:103-117)."""
         c = self.config
         v1 = run_record_checks(
-            pages, check_extraction=c.check_extraction, n_buckets=c.n_buckets, key_col=c.key_col
+            pages,
+            check_extraction=c.check_extraction,
+            n_buckets=c.n_buckets,
+            key_col=c.key_col,
+            lang_dim=dim,
         )
-        v2 = referential_violations(pages, dim, id_col=c.key_col)
         v3 = uniqueness_violations(pages, key_col=c.key_col, n_salt=c.n_salt)
         v4 = drift_violations(ks_drift(pages, threshold=c.drift_threshold))
-        return v1.unionByName(v2).unionByName(v3).unionByName(v4)
+        return v1.unionByName(v3).unionByName(v4)
 
     # ------------------------------------------------------------------
     def run(self, pages: DataFrame, dim: DataFrame | None = None) -> ValidationReport:
@@ -121,20 +170,70 @@ class ValidationEngine:
         if done:
             work = pages.where(~F.col("_partition_id").isin([d for d in done]))
 
-        # Passes 1+2 (lazy plan). Global checks (uniqueness over the full
-        # key space, drift across all windows) must see ALL rows, so they
-        # run over `pages`, not the pruned work-list — unless their GLOBAL
-        # checkpoint already exists.
-        per_partition_v = run_record_checks(
-            work, check_extraction=c.check_extraction, n_buckets=c.n_buckets, key_col=c.key_col
-        ).unionByName(referential_violations(work, dim, id_col=c.key_col))
-        violations = per_partition_v
+        # Pass 3 FIRST — it has no dependency on the violations and its
+        # rollup carries the drift quantile sketches, so KS drift costs no
+        # extra scan: ONE aggregation job emits per-partition n_rows/stats,
+        # the grand-total run profile, AND the per-window + pooled drift
+        # sketches; the KS max-gap is then computed driver-side over the
+        # collected (tiny: #partitions × N_PROBS floats) vectors.
+        drift_metric = F.when(
+            F.col("warc_ts").isNotNull(), F.length(F.col("text"))
+        )
+        prof_rows = partitioned_profile(
+            work, "_partition_id", drift_metric=drift_metric
+        ).collect()
+        rc_rows = [r for r in prof_rows if r["_partition_id"] is not None]
+        # rollup over EMPTY input yields zero rows (no grand-total row, unlike
+        # a plain global agg) — happens on an empty table or a fully-resumed
+        # run whose work-list pruned every partition.
+        grand = next((r for r in prof_rows if r["_partition_id"] is None), None)
+        metrics = (
+            {
+                k: (list(v) if isinstance(v, list) else v)
+                for k, v in grand.asDict().items()
+                if k not in ("_partition_id", "drift_q", "drift_n")
+            }
+            if grand is not None
+            else {"n_rows": 0}
+        )
+
+        # Passes 1+2 (lazy plan). The referential check is FUSED into the
+        # record-check scan (broadcast left join + null-flag detail — same
+        # broadcast-hash-join mechanics, one source scan instead of two).
+        # Global checks (uniqueness over the full key space, drift across
+        # all windows) must see ALL rows, so they run over `pages`, not the
+        # pruned work-list — unless their GLOBAL checkpoint already exists.
+        violations = run_record_checks(
+            work,
+            check_extraction=c.check_extraction,
+            n_buckets=c.n_buckets,
+            key_col=c.key_col,
+            lang_dim=dim,
+        )
         if not skip_global:
-            global_v = uniqueness_violations(pages, key_col=c.key_col, n_salt=c.n_salt)
-            global_v = global_v.unionByName(
-                drift_violations(ks_drift(pages, threshold=c.drift_threshold))
+            violations = violations.unionByName(
+                uniqueness_violations(pages, key_col=c.key_col, n_salt=c.n_salt)
             )
-            violations = violations.unionByName(global_v)
+            if not done:
+                # fast path: work == pages, so the rollup sketches cover all
+                # windows — drift evaluated driver-side, zero extra jobs.
+                from ..model import VIOLATIONS_SCHEMA
+
+                drift_tuples = _drift_rows_from_profile(
+                    rc_rows, grand, c.drift_threshold
+                )
+                if drift_tuples:
+                    violations = violations.unionByName(
+                        self.spark.createDataFrame(
+                            drift_tuples, schema=VIOLATIONS_SCHEMA
+                        )
+                    )
+            else:
+                # resumed run: the pruned work-list lacks completed windows,
+                # so drift needs its own full-table pass (rare path).
+                violations = violations.unionByName(
+                    drift_violations(ks_drift(pages, threshold=c.drift_threshold))
+                )
 
         # Persist violations FIRST (resume-correctness ordering), then
         # derive everything else from the durable copy.
@@ -164,25 +263,6 @@ class ValidationEngine:
         # collector merge at the master (CollectorGroup.java:80-141) without
         # re-triggering distributed work per artifact.
         vc_rows = issue_counts_by_partition(all_violations).collect()
-
-        # Pass 3 fused with row counting: ROLLUP(partition) profile — one
-        # scan, one job emits per-partition n_rows/stats AND the grand-total
-        # run-level profile (the NULL-partition row).
-        prof_rows = partitioned_profile(work, "_partition_id").collect()
-        rc_rows = [r for r in prof_rows if r["_partition_id"] is not None]
-        # rollup over EMPTY input yields zero rows (no grand-total row, unlike
-        # a plain global agg) — happens on an empty table or a fully-resumed
-        # run whose work-list pruned every partition.
-        grand = next((r for r in prof_rows if r["_partition_id"] is None), None)
-        metrics = (
-            {
-                k: (list(v) if isinstance(v, list) else v)
-                for k, v in grand.asDict().items()
-                if k != "_partition_id"
-            }
-            if grand is not None
-            else {"n_rows": 0}
-        )
         finished = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
 
         part_rows = {r["_partition_id"]: r.n_rows for r in rc_rows}

@@ -26,18 +26,26 @@ from gbif_data_validator_spark.session import build_session
 from gbif_data_validator_spark.plans.engine import ValidationEngine, EngineConfig
 
 cpus = {cpus}
+repeats = {repeats}
 spark = build_session(master=f"local[{{cpus}}]", shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
 pages = spark.read.parquet({path!r})
-# JIT/codegen warm-up on a disjoint tiny slice so the measured run reflects
-# steady-state execution, as on a long-lived cluster
-warm = pages.limit(4000).repartition(cpus)  # full-width: spawn every python worker
-ValidationEngine(spark, EngineConfig(check_extraction=True)).run(warm)
-t0 = time.time()
-rep = ValidationEngine(spark, EngineConfig(check_extraction=True)).run(pages)
-secs = time.time() - t0
-print("RESULT=" + json.dumps({{"cpus": cpus, "secs": round(secs, 2),
-      "rows": rep.n_rows, "docs_per_sec": round(rep.n_rows / secs, 1),
+# Warm-up IN-PROCESS with the full workload once, untimed: the first
+# materialization of the real plan pays one-time costs (whole-stage codegen
+# compilation, JVM heap growth + JIT, python-worker spawn, page-cache fill)
+# that a long-lived cluster amortizes to zero. Timed repeats then measure
+# steady state; min-of-k guards against the sandbox host's intermittent
+# invisible CPU throttling.
+ValidationEngine(spark, EngineConfig(check_extraction=True)).run(pages)
+best = None
+for _ in range(repeats):
+    t0 = time.time()
+    rep = ValidationEngine(spark, EngineConfig(check_extraction=True)).run(pages)
+    secs = time.time() - t0
+    if best is None or secs < best:
+        best = secs
+print("RESULT=" + json.dumps({{"cpus": cpus, "secs": round(best, 2),
+      "rows": rep.n_rows, "docs_per_sec": round(rep.n_rows / best, 1),
       "n_violations": rep.n_violations}}))
 """
 
@@ -60,31 +68,23 @@ def ensure_pages(n_rows: int) -> str:
 
 
 def run_at(cpus: int, path: str, repeats: int = 3) -> dict:
-    """Min-of-k wall time per level: the sandbox host (Firecracker guest)
-    shows intermittent invisible CPU throttling (no steal accounting), so
-    best-of-k is the least-interference estimate of true job cost.
+    """One pinned subprocess per level: full-workload warm-up, then
+    ``repeats`` timed runs, min-of-k (see RUN_TEMPLATE rationale).
 
     The process tree is pinned to exactly `cpus` CPUs with taskset —
     local[n] alone does NOT bound CPU to n cores (pandas-UDF python workers,
     GC and shuffle threads run outside the JVM task slots), so pinning is
     what makes the two levels emulate machines of size N and 4N."""
-    best = None
-    code = RUN_TEMPLATE.format(repo=REPO, cpus=cpus, path=path)
+    code = RUN_TEMPLATE.format(repo=REPO, cpus=cpus, path=path, repeats=repeats)
     cpu_list = ",".join(str(i) for i in range(cpus))
-    for _ in range(repeats):
-        out = subprocess.run(
-            ["taskset", "-c", cpu_list, sys.executable, "-c", code],
-            check=True, capture_output=True, text=True
-        )
-        for line in out.stdout.splitlines():
-            if line.startswith("RESULT="):
-                r = json.loads(line[len("RESULT="):])
-                if best is None or r["secs"] < best["secs"]:
-                    best = r
-                break
-        else:
-            raise RuntimeError(out.stdout + out.stderr)
-    return best
+    out = subprocess.run(
+        ["taskset", "-c", cpu_list, sys.executable, "-c", code],
+        check=True, capture_output=True, text=True
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT="):
+            return json.loads(line[len("RESULT="):])
+    raise RuntimeError(out.stdout + out.stderr)
 
 
 def main() -> None:
@@ -96,9 +96,20 @@ def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     path = ensure_pages(n_rows)
-    lo = run_at(n_lo, path, repeats)
-    hi = run_at(4 * n_lo, path, repeats)
+    # Alternate levels across rounds (lo,hi,lo,hi,...) and keep the per-level
+    # minimum: the sandbox host's throttling drifts over minutes, so running
+    # all of one level then all of the other correlates the noise with the
+    # level — alternation decorrelates it.
+    lo = hi = None
+    for _ in range(rounds):
+        r_lo = run_at(n_lo, path, repeats)
+        if lo is None or r_lo["secs"] < lo["secs"]:
+            lo = r_lo
+        r_hi = run_at(4 * n_lo, path, repeats)
+        if hi is None or r_hi["secs"] < hi["secs"]:
+            hi = r_hi
     eff = round(hi["docs_per_sec"] / (4 * lo["docs_per_sec"]), 3)
     print(json.dumps({
         "n_rows": n_rows,
