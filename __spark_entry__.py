@@ -97,6 +97,56 @@ def _q_uniqueness_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_keys(li, "l_orderkey").orderBy("l_orderkey")
 
 
+def _q_uniqueness_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2 reference-parity variant: sort + lag adjacent-compare (the
+    reference's literal external-sort+awk algorithm); same result as the
+    salted hash-agg path."""
+    from gbif_data_validator_spark.operators.uniqueness import duplicate_keys_sorted
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    return duplicate_keys_sorted(li, "l_orderkey").orderBy("l_orderkey")
+
+
+#: Exact two-sample KS per day-window vs the pooled distribution, evaluated
+#: at every pooled distinct value (the sup of the ECDF gap is attained at a
+#: jump point, so this is exact). ONE SQL text executed verbatim by BOTH
+#: Spark and DuckDB — the strongest oracle form. The engine's production
+#: drift path uses mergeable quantile sketches; this query pins the KS
+#: semantics those sketches approximate.
+_KS_EXACT_SQL = """
+    WITH pts AS (
+      SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING) AS w,
+             CAST(value AS DOUBLE) AS x
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    tot AS (SELECT count(*) AS n FROM pts),
+    wn AS (SELECT w, count(*) AS n_w FROM pts GROUP BY w),
+    vals AS (SELECT DISTINCT x FROM pts),
+    pc AS (SELECT x, count(*) AS c FROM pts GROUP BY x),
+    fp AS (SELECT x, SUM(c) OVER (ORDER BY x) AS cum_pool FROM pc),
+    wc AS (SELECT w, x, count(*) AS c FROM pts GROUP BY w, x),
+    grid AS (SELECT wn.w, vals.x FROM wn CROSS JOIN vals),
+    merged AS (
+      SELECT g.w, g.x, COALESCE(wc.c, 0) AS c
+      FROM grid g LEFT JOIN wc ON wc.w = g.w AND wc.x = g.x
+    ),
+    fw AS (SELECT w, x, SUM(c) OVER (PARTITION BY w ORDER BY x) AS cum_w FROM merged),
+    d AS (
+      SELECT fw.w AS w,
+             MAX(ABS(CAST(fw.cum_w AS DOUBLE) / wn.n_w
+                     - CAST(fp.cum_pool AS DOUBLE) / tot.n)) AS ks
+      FROM fw JOIN wn ON wn.w = fw.w JOIN fp ON fp.x = fw.x CROSS JOIN tot
+      GROUP BY fw.w
+    )
+    SELECT w AS win, round(ks, 6) AS ks_stat FROM d ORDER BY win
+"""
+
+
+def _q_drift_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_KS_EXACT_SQL)
+
+
 def _q_ref_orphans_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 broadcast anti-join referential: documents.source ∉ source dim."""
     from gbif_data_validator_spark.operators.referential import orphan_rows
@@ -428,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_frequency": _q_term_frequency,
         "profile_nulls_distinct": _q_profile_nulls_distinct,
         "uniqueness_lineitem": _q_uniqueness_lineitem,
+        "uniqueness_sorted": _q_uniqueness_sorted,
+        "drift_exact": _q_drift_exact,
         "ref_orphans_source": _q_ref_orphans_source,
         "doc_violations": _q_doc_violations,
         "doc_check_counts": _q_doc_check_counts,
@@ -513,6 +565,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, count(*) AS dup_count FROM lineitem
             GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey
         """,
+        "uniqueness_sorted": """
+            SELECT l_orderkey, count(*) AS dup_count FROM lineitem
+            GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey
+        """,
+        "drift_exact": _KS_EXACT_SQL,
         "ref_orphans_source": f"""
             SELECT source, count(*) AS n_docs FROM documents
             WHERE source IS NOT NULL AND regexp_matches(source, '\\S')

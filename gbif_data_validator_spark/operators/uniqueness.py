@@ -18,7 +18,7 @@ remains on as a backstop.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.predicates import non_blank
@@ -45,6 +45,24 @@ def duplicate_keys(df: DataFrame, key_col: str, n_salt: int = DEFAULT_SALT) -> D
         partial.groupBy("k")
         .agg(F.sum("c").alias("dup_count"))
         .where(F.col("dup_count") > 1)
+        .select(F.col("k").alias(key_col), "dup_count")
+    )
+
+
+def duplicate_keys_sorted(df: DataFrame, key_col: str) -> DataFrame:
+    """W1+W2 parity variant: the reference's literal algorithm — external
+    sort on the key, then adjacent-row compare (``prev == cur``, awk
+    FIND_DUPLICATE_CMD util/FileBashUtilities.java:29-32) expressed as a
+    ``lag`` window. Kept for semantic parity with the reference; the global
+    orderBy window funnels through one partition, so ``duplicate_keys``
+    (salted hash agg) is the scale path. Output matches duplicate_keys."""
+    w = Window.orderBy("k")
+    return (
+        df.select(F.col(key_col).alias("k"))
+        .withColumn("_prev", F.lag("k").over(w))
+        .where(F.col("k") == F.col("_prev"))
+        .groupBy("k")
+        .agg((F.count(F.lit(1)) + 1).alias("dup_count"))
         .select(F.col("k").alias(key_col), "dup_count")
     )
 
