@@ -88,15 +88,21 @@ def run_at(cpus: int, path: str, repeats: int = 3) -> dict:
 
 
 def main() -> None:
-    """N=4 / 4N=16: both levels fit within the machine's physical cores
-    (raw-CPU probe: 32 hyperthreads deliver only ~3.3x the work of 8
-    workers and 16 only ~3.4x of 4 — SMT — capping demonstrations that
-    cross the physical-core budget; 2->8 stays on physical cores, ceiling
-    ~0.95, mirroring how a real cluster adds whole executors)."""
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    """N=2 / 4N=8 by default: a raw-CPU probe scales 3.82x (eff 0.955)
+    over this pinning, while a memcpy probe caps at the guest's ~8 GB/s
+    shared memory bus (2.9 -> 7.5 GB/s for 2 -> 8 procs) — so staying at
+    low core counts keeps both levels under the bus cap and measures the
+    JOB's scaling, mirroring how a real cluster adds whole executors
+    (each with its own memory bus). See BASELINE.md for the full
+    environment characterization."""
+    # Defaults reproduce the BASELINE.md evidence run (efficiency 0.89):
+    # 1.2M docs, min-of-2 per level per round, 2 alternating rounds.
+    # Takes ~30-40 min wall; smaller n_rows under-amortizes the ~7 s serial
+    # fraction and reads low (see BASELINE.md environment notes).
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     path = ensure_pages(n_rows)
     # Alternate levels across rounds (lo,hi,lo,hi,...) and keep the per-level
     # minimum: the sandbox host's throttling drifts over minutes, so running
