@@ -49,11 +49,18 @@ url_well_formed_udf = F.pandas_udf(_valid_series, returnType=BooleanType())
 
 
 def url_well_formed(col: Column) -> Column:
-    """Hybrid validity column: JVM regex fast-path short-circuits the Python
-    UDF — `rlike` rows are accepted inside codegen; only non-matching rows
-    go through Arrow to urllib for the authoritative verdict."""
-    return F.when(col.rlike(_FAST_VALID_RE), F.lit(True)).otherwise(
-        url_well_formed_udf(col)
+    """Hybrid validity column: JVM regex fast-path + urllib residue.
+
+    Catalyst EXTRACTS Python UDFs out of when/otherwise branches and
+    evaluates them for every row regardless of the condition, so a naive
+    ``when(rlike, True).otherwise(udf(col))`` pays the Python cost on the
+    whole table. Instead the UDF input is NULL-MASKED: fast-path rows ship
+    as Arrow nulls (a validity bit, not the string) and ``na_action=
+    "ignore"`` skips them in Python — only the residue does urllib work."""
+    fast = col.rlike(_FAST_VALID_RE)
+    residue = F.when(~fast, col)  # NULL for rows the regex already accepts
+    return F.when(fast, F.lit(True)).otherwise(
+        F.coalesce(url_well_formed_udf(residue), F.lit(False))
     )
 
 
