@@ -50,3 +50,19 @@ def test_byte_identity_on_clean_fixture_rows(spark, pages):
     assert bad.count() > 0
     still_equal = bad.where(extract_text_udf(F.col("html")) == F.col("text")).count()
     assert still_equal == 0
+
+
+def test_extraction_goldens():
+    """Committed golden fixtures pin the extraction contract byte-for-byte
+    (SURVEY.md §5 'byte-identical HTML→text extraction against committed
+    fixture outputs') — any change to the rules fails here, not silently."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "goldens", "extraction_goldens.json")
+    with open(path) as f:
+        cases = json.load(f)
+    assert len(cases) >= 15
+    for case in cases:
+        html = bytes.fromhex(case["html_hex"])
+        assert extract_text(html) == case["text"], html[:80]
