@@ -41,7 +41,13 @@ def _is_well_formed(url: str | None) -> bool:
 
 
 def _valid_series(urls: pd.Series) -> pd.Series:
-    return urls.map(_is_well_formed, na_action="ignore").fillna(False).astype(bool)
+    # explicit comprehension: null-masked (fast-path) rows arrive as None/NaN
+    # and must come back False without pandas' object→bool downcast warning
+    return pd.Series(
+        [_is_well_formed(u) if isinstance(u, str) else False for u in urls],
+        index=urls.index,
+        dtype=bool,
+    )
 
 
 #: Full-fidelity check (urllib.parse), Arrow-batched.

@@ -68,3 +68,27 @@ def test_unknown_extra_column_is_nonblocking(spark, pages):
     findings = preflight(pages)  # fixture carries extra expected_issue column
     assert any(f.check_id == CheckId.UNKNOWN_TERM for f in findings)
     assert not any(f.blocking for f in findings)
+
+
+def test_report_matches_committed_golden(spark, pages):
+    """Golden per-partition verdicts + issue counts (SURVEY.md §5): the
+    fixture is a pure function of row id, so the full-run report's exact
+    fields are reproducible; order-insensitive compare against the
+    committed JSON."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "goldens", "report_golden.json")
+    with open(path) as f:
+        golden = json.load(f)
+    from tests.conftest import N_FIXTURE_ROWS
+
+    assert golden["n_fixture_rows"] == N_FIXTURE_ROWS
+    rep = ValidationEngine(spark, EngineConfig(check_extraction=True)).run(
+        pages.drop("expected_issue")
+    )
+    assert rep.n_rows == golden["n_rows"]
+    assert rep.n_violations == golden["n_violations"]
+    assert rep.indexable == golden["indexable"]
+    assert dict(sorted(rep.issue_counts.items())) == golden["issue_counts"]
+    assert dict(sorted(rep.partition_verdicts.items())) == golden["partition_verdicts"]
