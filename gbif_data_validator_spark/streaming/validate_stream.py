@@ -83,6 +83,84 @@ def stream_duplicates_within_horizon(
     )
 
 
+def stream_running_counts(
+    pages_stream: DataFrame,
+    key_col: str = "lang",
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-key document counts across micro-batches (per-language / per-domain
+    ingest profile — the drift check's streaming counterpart). Emits one
+    row per (key, batch) with the running ``times_seen`` total and
+    ``is_first`` on the key's first-ever batch.
+
+    Granularity contract: ``applyInPandasWithState`` makes ONE Python call
+    per key per batch (state ser/de across the JVM↔Python boundary), so the
+    key must be COARSE — languages, domains, windows — never per-url: at
+    per-url granularity the per-key roundtrip dominates (measured ~50 ms/key
+    locally) and at 10^12 urls the state store itself is the bottleneck.
+    Per-url streaming dedup belongs to the watermarked windowed groupBy
+    (``stream_duplicates_within_horizon``), which is pure JVM state.
+
+    State is one small row per live key. ``state_timeout_ms`` (eviction of
+    idle keys) is OPT-IN and only for continuously-triggered deployments:
+    with ProcessingTimeTimeout an ``availableNow`` drain never terminates —
+    Spark keeps scheduling batches to fire pending timeouts — so bounded
+    drains must run with NoTimeout (the default)."""
+    import pandas as pd  # local import: workers re-import the module
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("times_seen", LongType()),
+            StructField("n_in_batch", IntegerType()),
+            StructField("is_first", IntegerType()),
+        ]
+    )
+    state_schema = StructType([StructField("seen", LongType())])
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def track(key, pdfs, state: GroupState):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        (seen,) = state.get if state.exists else (0,)
+        first = 1 if seen == 0 else 0
+        seen += n
+        state.update((seen,))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(
+            {"key": [key[0]], "times_seen": [seen], "n_in_batch": [n], "is_first": [first]}
+        )
+
+    return (
+        pages_stream.where(F.col(key_col).isNotNull() & (F.col(key_col) != ""))
+        .select(F.col(key_col).alias("key"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            track,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=timeout_conf,
+        )
+    )
+
+
 def run_stream_once(stream_df: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain all available input into a memory sink (availableNow) and stop —
     the test/validation harness for the streaming plans."""

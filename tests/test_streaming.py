@@ -67,3 +67,38 @@ def test_stream_issue_rates_bounded(spark, pages_stream_dir):
     assert len(rows) > 0
     assert all(r.n > 0 and r.check_id for r in rows)
     q.stop()
+
+
+def test_stream_running_counts_stateful(spark, pages_stream_dir, tmp_path):
+    """applyInPandasWithState running per-language counts: state accumulates
+    across micro-batches, exactly one is_first per key, and the running
+    totals sum to the batch-side per-language counts."""
+    from pyspark.sql import functions as F
+
+    stream = vs.read_pages_stream(spark, pages_stream_dir, max_files_per_trigger=2)
+    rc = vs.stream_running_counts(stream, key_col="lang")
+    q = (
+        rc.writeStream.format("memory")
+        .queryName("running_counts_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT key, max(times_seen) AS total, sum(is_first) AS firsts, "
+        "sum(n_in_batch) AS batch_sum FROM running_counts_stream GROUP BY key"
+    ).collect()
+    assert rows
+    expect = {
+        r.lang: r.n
+        for r in spark.read.parquet(pages_stream_dir)
+        .where(F.col("lang").isNotNull() & (F.col("lang") != ""))
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    got = {r.key: r.total for r in rows}
+    assert got == expect
+    assert all(r.firsts == 1 for r in rows)
+    assert all(r.batch_sum == r.total for r in rows)
+    q.stop()

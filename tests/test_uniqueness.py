@@ -44,3 +44,19 @@ def test_empty_keys_excluded(spark, pages):
     v = uniqueness_violations(pages)
     assert v.where((F.col("url") == "") | F.col("url").isNull()).count() == 0
     assert v.where(F.col("check_id") != CheckId.RECORD_NOT_UNIQUELY_IDENTIFIED).count() == 0
+
+
+def test_salted_plan_is_two_phase(spark):
+    """The salting contract (BASELINE.json: 'skew handled with explicit key
+    salting') must be visible in the physical plan: TWO shuffle exchanges —
+    partial agg keyed (key, salt), final re-agg keyed (key) — so a hot key's
+    rows split across reducers before the tiny re-aggregation."""
+    import re
+
+    df = spark.range(0, 1000).select((F.col("id") % 5).cast("string").alias("url"))
+    plan = duplicate_keys(df, "url", n_salt=16)._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 2, plan
+    phase1 = [e for e in exchanges if "salt" in e]
+    assert phase1, exchanges          # partial phase keyed by (k, salt)
+    assert any("salt" not in e for e in exchanges), exchanges  # final by k
