@@ -1,0 +1,78 @@
+"""Production entry point: validate a table via ``spark-submit``.
+
+The reference's user surface is "submit a resource, poll, fetch the JSON
+report" (POST /jobserver/submit — ValidationResource.java:87-97). The Spark
+surface is one submitted job over a table reference:
+
+    zip -r gdv.zip gbif_data_validator_spark
+    spark-submit --py-files gdv.zip scripts/run_validation.py \
+        --table s3://bucket/pages/ --work-dir s3://bucket/runs/run1 \
+        --report-json ./reports
+
+Exit code 0 = indexable, 2 = validation found blocking issues, 1 = the run
+itself failed (the reference's FINISHED-vs-FAILED split).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="gdv-validate", description=__doc__)
+    p.add_argument("--table", required=True,
+                   help="parquet path or catalog reference (db.table)")
+    p.add_argument("--work-dir", default=None,
+                   help="durable run dir: violations + checkpoint tables; "
+                        "enables resume (same --run-id revalidates only "
+                        "unfinished partitions)")
+    p.add_argument("--run-id", default=None, help="resume/identify the run")
+    p.add_argument("--key-col", default="url")
+    p.add_argument("--n-buckets", type=int, default=1,
+                   help="url-hash buckets per warc_ts month partition")
+    p.add_argument("--n-salt", type=int, default=16,
+                   help="salt width for the uniqueness aggregation")
+    p.add_argument("--drift-threshold", type=float, default=0.15)
+    p.add_argument("--no-extraction", action="store_true",
+                   help="skip the html->text byte-identity check "
+                        "(html column is then never scanned)")
+    p.add_argument("--report-json", default=None,
+                   help="directory to write {run_id}.json into (S9 sink)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    from .plans.engine import EngineConfig, ValidationEngine
+    from .sources.tables import read_table
+
+    args = build_arg_parser().parse_args(argv)
+    spark = SparkSession.builder.appName("gdv-validate").getOrCreate()
+
+    kwargs = dict(
+        key_col=args.key_col,
+        check_extraction=not args.no_extraction,
+        n_buckets=args.n_buckets,
+        n_salt=args.n_salt,
+        drift_threshold=args.drift_threshold,
+        work_dir=args.work_dir,
+    )
+    if args.run_id:
+        kwargs["run_id"] = args.run_id
+    config = EngineConfig(**kwargs)
+
+    pages = read_table(spark, args.table)
+    report = ValidationEngine(spark, config).run(pages)
+    if args.report_json:
+        report.write_json(args.report_json)
+    print(json.dumps(report.to_dict(), default=str))
+    if report.error_code is not None:
+        return 1
+    return 0 if report.indexable else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

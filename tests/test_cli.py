@@ -1,0 +1,38 @@
+"""CLI arg wiring + in-process main() (the spark-submit surface is driven
+end-to-end by scripts/run_validation.py; here the config plumbing and exit
+codes)."""
+
+import json
+
+from gbif_data_validator_spark.cli import build_arg_parser, main
+
+
+def test_arg_parser_defaults():
+    args = build_arg_parser().parse_args(["--table", "/t"])
+    assert args.table == "/t" and args.key_col == "url"
+    assert args.n_buckets == 1 and args.n_salt == 16
+    assert not args.no_extraction
+
+
+def test_main_exit_codes(spark, pages, tmp_path, capsys):
+    src = str(tmp_path / "pages")
+    pages.drop("expected_issue").write.parquet(src)
+    code = main(["--table", src, "--no-extraction",
+                 "--report-json", str(tmp_path / "reports"), "--run-id", "t1"])
+    assert code == 2  # blocking violations present
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rep = json.loads(out)
+    assert rep["n_rows"] == pages.count() and not rep["indexable"]
+    assert (tmp_path / "reports" / "t1.json").exists()
+
+    # clean table → exit 0
+    from gbif_data_validator_spark.sources.synthetic import synth_pages
+
+    clean = str(tmp_path / "clean")
+    synth_pages(spark, 800, with_violations=False).drop("expected_issue").write.parquet(clean)
+    assert main(["--table", clean, "--no-extraction"]) == 0
+
+    # preflight failure → exit 1
+    bad = str(tmp_path / "bad")
+    spark.range(3).write.parquet(bad)
+    assert main(["--table", bad]) == 1
