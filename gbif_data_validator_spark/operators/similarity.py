@@ -77,6 +77,79 @@ def lsh_bucket_udf(dim: int, n_planes: int = 8, seed: int = 42):
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_train: int = 50_000,
+) -> DataFrame:
+    """IVF-style ANN: a k-means coarse quantizer (pyspark.ml KMeans, trained
+    on a bounded sample) partitions the corpus into ``n_lists`` inverted
+    lists; each query probes its ``n_probe`` nearest centroids and scores
+    exact cosine only inside those lists — the join touches ~n_probe/n_lists
+    of the corpus per query instead of all of it.
+
+    Scale notes: training is over ≤``max_train`` sampled vectors (driver-
+    side model, broadcast back as a literal centroid matrix inside a pandas
+    UDF); list assignment is one narrow Arrow-batched pass; the probe join
+    is an equi-join on list id, so Catalyst shuffles only bucket-matched
+    candidates. Same output schema as brute_force_topk; recall < 1.0 by
+    design (measured against the exact baseline in tests)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    n = train.count()
+    if n > max_train:
+        train = train.sample(fraction=max_train / n, seed=seed)
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])  # (L, d)
+
+    def assign_udf(n_nearest: int):
+        """list ids of the n_nearest centroids per vector (euclidean, same
+        metric KMeans optimizes) — vectorized over the Arrow batch."""
+
+        def assign(vecs: pd.Series) -> pd.Series:
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+            if len(mat) == 0:
+                return pd.Series([], dtype=object)
+            # squared euclidean to every centroid: (B, L)
+            d2 = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            idx = np.argsort(d2, axis=1)[:, :n_nearest]
+            return pd.Series([row.astype("int32").tolist() for row in idx])
+
+        return F.pandas_udf(assign, returnType="array<int>")
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("list_id", F.element_at(assign_udf(1)(F.col("cv")), 1))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("list_id", F.explode(assign_udf(n_probe)(F.col("qv"))))
+
+    scored = (
+        F.broadcast(q)
+        .join(c, on="list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "cosine")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -96,3 +96,46 @@ def test_lsh_recall_on_planted_clusters(spark):
     # exact top-k of a cluster query are exactly its cluster mates
     for q, s in exact_sets.items():
         assert s == {q + j for j in range(1, per)}
+
+
+def test_ivf_shape_on_real_embeddings(spark, emb, queries):
+    from gbif_data_validator_spark.operators.similarity import ivf_topk
+
+    ann = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=3).collect()
+    assert len(ann) > 0
+    assert all(-1.0 <= r.cosine <= 1.0 and r.neighbor_id != r.query_id for r in ann)
+    by_q = {}
+    for r in ann:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(ranks) == list(range(1, len(ranks) + 1)) for ranks in by_q.values())
+
+
+def test_ivf_recall_on_planted_clusters(spark):
+    """Same planted-cluster protocol as LSH: a query's cluster mates live in
+    its own k-means list, so probing the nearest lists must recover them."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(11)
+    dim, n_clusters, per = 64, 20, 8
+    rows = []
+    for c in range(n_clusters):
+        center = rng.standard_normal(dim)
+        center /= np.linalg.norm(center)
+        for j in range(per):
+            v = center + 0.01 * rng.standard_normal(dim)
+            rows.append((c * per + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    qs = df.where(F.col("vec_id") % per == 0)
+    k = per - 1
+    exact = brute_force_topk(df, qs, k=k).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ann = ivf_topk(df, qs, k=k, n_lists=10, n_probe=3).collect()
+    ann_sets = {}
+    for r in ann:
+        ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(exact_sets[q] & ann_sets.get(q, set())) / k for q in exact_sets]
+    assert sum(recalls) / len(recalls) >= 0.9
