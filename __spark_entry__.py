@@ -310,6 +310,80 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_data_field_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 DataUniquenessEvaluator: the same salted uniqueness operator on a
+    *data* column (o_custkey) rather than the record id."""
+    from gbif_data_validator_spark.operators.uniqueness import duplicate_keys
+
+    o = _tbl(spark, sf_dir, "orders")
+    return duplicate_keys(o, "o_custkey").orderBy("o_custkey")
+
+
+def _q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics extension: exact fixed-width histogram of documents.n_chars."""
+    from gbif_data_validator_spark.operators.metrics import length_histogram
+
+    return length_histogram(_docs(spark, sf_dir), "n_chars", width=50).orderBy("bucket")
+
+
+def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup 'keep one representative' pass: surviving rows (min doc_id
+    per normalized-content group)."""
+    from gbif_data_validator_spark.operators.dedup import dedup_exact
+
+    return (
+        dedup_exact(_docs(spark, sf_dir), "doc_id", "text")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table join engine check (TPC-H Q3 shape): customer ⋈ orders ⋈
+    lineitem with the small filtered dimension broadcast; decimal-exact
+    revenue so Spark and DuckDB agree bit-for-bit."""
+    c = _tbl(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _tbl(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _tbl(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via analytic windows: a new session starts after a
+    ≥30-min gap per user; per-session event counts. The batch analog of the
+    streaming session-window operator."""
+    e = _tbl(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # NTZ-safe microsecond-exact gap: timestamp difference as an interval
+    new_sess = F.when(
+        prev.isNull() | ((F.col("ts") - prev) >= F.expr("INTERVAL 1800 SECONDS")), 1
+    ).otherwise(0)
+    sess = e.withColumn("sess_id", F.sum(new_sess).over(w))
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+        )
+        .orderBy("user_id", "sess_id")
+    )
+
+
 def _q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 top-N per key: 3 highest-value orders per customer (custkey<50)."""
     o = _tbl(spark, sf_dir, "orders")
@@ -428,6 +502,25 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: k-means coarse quantizer + n_probe inverted lists
+    (approximate → rows-only check; recall vs brute force asserted in tests)."""
+    from gbif_data_validator_spark.operators.similarity import ivf_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    return ivf_topk(emb, q, k=3, n_lists=8, n_probe=3)
+
+
+def _q_profile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/rollup profile: per-partition + grand-total column stats (HLL
+    distinct, null/non-blank counts, length sketches) in ONE aggregation
+    scan — approx sketches → rows-only check."""
+    from gbif_data_validator_spark.operators.metrics import partitioned_profile
+
+    return partitioned_profile(_docs(spark, sf_dir), "lang")
+
+
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gbif_data_validator_spark.operators.similarity import lsh_topk
 
@@ -490,6 +583,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windows": _q_events_windows,
         "pricing_summary": _q_pricing_summary,
         "top_orders_per_cust": _q_top_orders_per_cust,
+        "data_field_uniqueness": _q_data_field_uniqueness,
+        "length_histogram": _q_length_histogram,
+        "top_revenue_orders": _q_top_revenue_orders,
+        "events_sessionize": _q_events_sessionize,
         # training-data pipeline
         "fingerprints": _q_fingerprints,
         "dedup_exact_groups": _q_dedup_exact_groups,
@@ -499,7 +596,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
+        "dedup_survivors": _q_dedup_survivors,
         # rows-only (no SQL oracle)
+        "ivf_ann": _q_ivf_ann,
+        "profile_rollup": _q_profile_rollup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -645,6 +745,53 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
             FROM orders WHERE o_custkey < 50
             QUALIFY rank <= 3 ORDER BY o_custkey, rank
+        """,
+        "data_field_uniqueness": """
+            SELECT o_custkey, count(*) AS dup_count FROM orders
+            GROUP BY o_custkey HAVING count(*) > 1 ORDER BY o_custkey
+        """,
+        "length_histogram": """
+            SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket, count(*) AS n,
+                   min(n_chars) AS lo, max(n_chars) AS hi
+            FROM documents WHERE n_chars IS NOT NULL
+            GROUP BY 1 ORDER BY bucket
+        """,
+        "dedup_survivors": """
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     min(doc_id) OVER (
+                       PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     ) AS keep
+              FROM documents
+            ) WHERE doc_id = keep ORDER BY doc_id
+        """,
+        "top_revenue_orders": """
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events WHERE ts IS NOT NULL
+            ), s AS (
+              SELECT user_id, ts, event_id,
+                     sum(CASE WHEN gap IS NULL OR gap >= 1800 * 1000000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+              FROM g
+            )
+            SELECT user_id, sess_id, count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start
+            FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id
         """,
         "fingerprints": """
             SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint

@@ -118,6 +118,25 @@ def interpreted_counts(df: DataFrame, typed_cols: dict[str, F.Column]) -> DataFr
     return df.agg(*[F.count(expr).alias(name) for name, expr in typed_cols.items()])
 
 
+def length_histogram(df: DataFrame, col: str, width: int) -> DataFrame:
+    """Exact fixed-width histogram of a numeric column: → (bucket, n, lo, hi)
+    where bucket = floor(col / width). One hash agg whose output cardinality
+    is the number of occupied buckets (bounded by value range / width, never
+    by row count) — the exact-histogram companion to the equi-depth
+    ``percentile_approx`` sketches in ``column_profile``. NULLs are excluded
+    (they are already counted by the profile's null counters)."""
+    c = F.col(col)
+    return (
+        df.where(c.isNotNull())
+        .groupBy(F.floor(c / F.lit(width)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(c).alias("lo"),
+            F.max(c).alias("hi"),
+        )
+    )
+
+
 def issue_counts(violations: DataFrame) -> DataFrame:
     """count by check_id — RecordEvaluationResultCollector counter map
     (collector/RecordEvaluationResultCollector.java:50-71). Partial+final

@@ -1,7 +1,8 @@
 """Local replica of the driver's correctness harness: run every
 ``queries()`` entry and its ``oracle_sql()`` twin at a given sf dir,
 compare row count, column names, and the order-insensitive multiset of
-row values. Usage: python scripts/check_oracles.py [sf_dir]"""
+row values. Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+(trailing args restrict the run to the named queries)"""
 
 from __future__ import annotations
 
@@ -23,7 +24,7 @@ def norm(v):
     return v
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     spark = build_session(master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -31,6 +32,8 @@ def main(sf_dir: str) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         try:
@@ -76,4 +79,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+            sys.argv[2:] or None,
+        )
+    )

@@ -56,3 +56,14 @@ def test_issue_counts(spark):
     )
     got = {r.check_id: r.n for r in issue_counts(v).collect()}
     assert got == {"A": 2, "B": 1}
+
+
+def test_length_histogram(spark):
+    from gbif_data_validator_spark.operators.metrics import length_histogram
+
+    df = spark.createDataFrame(
+        [(3,), (49,), (50,), (120,), (121,), (None,)], schema="n int"
+    )
+    got = {r.bucket: (r.n, r.lo, r.hi) for r in length_histogram(df, "n", 50).collect()}
+    # NULLs excluded; buckets are floor(n/50) with exact per-bucket min/max
+    assert got == {0: (2, 3, 49), 1: (1, 50, 50), 2: (2, 120, 121)}
