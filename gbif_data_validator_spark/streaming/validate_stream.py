@@ -83,6 +83,33 @@ def stream_duplicates_within_horizon(
     )
 
 
+def stream_crawl_sessions(
+    pages_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "lang",
+) -> DataFrame:
+    """Event-time session windows per key: a session closes after ``gap``
+    of event-time silence (``F.session_window`` — dynamic-width windows,
+    unlike the tumbling windows above). The streaming twin of the batch
+    analytic-window sessionization (__spark_entry__ events_sessionize):
+    same gap semantics, but state-bounded by the watermark so a crawl
+    firehose can run it indefinitely. Emits one row per closed session
+    (append mode requires the watermark)."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .where(F.col(key_col).isNotNull())
+        .groupBy(F.session_window("warc_ts", gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            F.col(key_col),
+            "n_pages",
+        )
+    )
+
+
 def stream_running_counts(
     pages_stream: DataFrame,
     key_col: str = "lang",

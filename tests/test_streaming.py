@@ -102,3 +102,29 @@ def test_stream_running_counts_stateful(spark, pages_stream_dir, tmp_path):
     assert all(r.firsts == 1 for r in rows)
     assert all(r.batch_sum == r.total for r in rows)
     q.stop()
+
+
+def test_stream_crawl_sessions(spark, pages_stream_dir):
+    """Session windows close after the gap; totals per key match the batch
+    row counts (every page lands in exactly one session)."""
+    stream = vs.read_pages_stream(spark, pages_stream_dir, max_files_per_trigger=3)
+    sess = vs.stream_crawl_sessions(stream, gap="30 minutes", key_col="lang")
+    q = vs.run_stream_once(sess, "sessions_stream", output_mode="complete")
+    got = spark.table("sessions_stream")
+    assert got.columns == ["sess_start", "sess_end", "lang", "n_pages"]
+    rows = got.collect()
+    assert rows, "expected at least one session"
+    # dynamic windows: end > start, and per-lang page totals are conserved
+    assert all(r.sess_end > r.sess_start for r in rows)
+    batch = {
+        r.lang: r.n
+        for r in spark.read.parquet(pages_stream_dir)
+        .where(F.col("lang").isNotNull() & F.col("warc_ts").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    streamed = {}
+    for r in rows:
+        streamed[r.lang] = streamed.get(r.lang, 0) + r.n_pages
+    assert streamed == batch
