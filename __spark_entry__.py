@@ -147,6 +147,19 @@ def _q_drift_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_KS_EXACT_SQL)
 
 
+def _q_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI + chi-square categorical drift of events.event_type per day vs
+    the pooled distribution (exact counts → exact oracle)."""
+    from gbif_data_validator_spark.operators.drift import categorical_drift
+
+    e = _tbl(spark, sf_dir, "events")
+    return (
+        categorical_drift(e, "event_type", ts_col="ts", window_fmt="yyyy-MM-dd")
+        .select("window", "n", "psi", "chi2")
+        .orderBy("window")
+    )
+
+
 def _q_ref_orphans_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 broadcast anti-join referential: documents.source ∉ source dim."""
     from gbif_data_validator_spark.operators.referential import orphan_rows
@@ -573,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness_lineitem": _q_uniqueness_lineitem,
         "uniqueness_sorted": _q_uniqueness_sorted,
         "drift_exact": _q_drift_exact,
+        "categorical_drift": _q_categorical_drift,
         "ref_orphans_source": _q_ref_orphans_source,
         "doc_violations": _q_doc_violations,
         "doc_check_counts": _q_doc_check_counts,
@@ -670,6 +684,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey
         """,
         "drift_exact": _KS_EXACT_SQL,
+        "categorical_drift": """
+            WITH obs AS (
+              SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS win,
+                     event_type AS cat, count(*) AS c
+              FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            wn AS (SELECT win, sum(c) AS n_w FROM obs GROUP BY win),
+            pooled AS (SELECT cat, sum(c) AS c_pool FROM obs GROUP BY cat),
+            tot AS (SELECT sum(c_pool) AS total, count(*) AS n_cats FROM pooled),
+            grid AS (SELECT wn.win, wn.n_w, pooled.cat, pooled.c_pool
+                     FROM wn CROSS JOIN pooled),
+            m AS (
+              SELECT g.win, g.n_w, g.cat, g.c_pool,
+                     CAST(COALESCE(obs.c, 0) AS DOUBLE) AS cd
+              FROM grid g LEFT JOIN obs ON obs.win = g.win AND obs.cat = g.cat
+            ),
+            t AS (
+              SELECT m.win, m.n_w,
+                     (cd + 0.5) / (n_w + 0.5 * n_cats) AS p_w,
+                     (CAST(c_pool AS DOUBLE) + 0.5) / (total + 0.5 * n_cats) AS p_p,
+                     CAST(n_w AS DOUBLE) * c_pool / total AS exp_c, cd
+              FROM m CROSS JOIN tot
+            )
+            SELECT win AS "window", n_w AS n,
+                   round(sum((p_w - p_p) * ln(p_w / p_p)), 6) AS psi,
+                   round(sum((cd - exp_c) * (cd - exp_c) / exp_c), 6) AS chi2
+            FROM t GROUP BY win, n_w ORDER BY "window"
+        """,
         "ref_orphans_source": f"""
             SELECT source, count(*) AS n_docs FROM documents
             WHERE source IS NOT NULL AND regexp_matches(source, '\\S')

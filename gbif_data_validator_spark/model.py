@@ -53,6 +53,7 @@ class CheckId:
     RECORD_NOT_UNIQUELY_IDENTIFIED = "RECORD_NOT_UNIQUELY_IDENTIFIED"  # UniquenessEvaluator.java:46-74
     LANG_UNKNOWN = "LANG_UNKNOWN"              # RECORD_REFERENTIAL_INTEGRITY_VIOLATION (anti-join)
     DRIFT_WINDOW = "DRIFT_WINDOW"              # new: KS drift over warc_ts windows (north star)
+    CATEGORICAL_DRIFT_WINDOW = "CATEGORICAL_DRIFT_WINDOW"  # new: PSI/chi2 categorical drift per window
 
     # --- metadata content (non-blocking unless noted) -------------------
     LICENSE_MISSING_OR_UNKNOWN = "LICENSE_MISSING_OR_UNKNOWN"  # BasicMetadataEvaluator

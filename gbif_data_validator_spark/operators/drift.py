@@ -113,6 +113,104 @@ def ks_drift(
     )
 
 
+def categorical_drift(
+    df: DataFrame,
+    cat_col: str,
+    ts_col: str = "warc_ts",
+    window_fmt: str = "yyyy-MM",
+    smooth: float = 0.5,
+    threshold: float = 0.2,
+    min_rows: int = 30,
+) -> DataFrame:
+    """Categorical distribution drift per time window vs the pooled
+    distribution: PSI (population stability index, with additive smoothing
+    for zero cells) and the chi-square goodness-of-fit statistic.
+    → (window, n, psi, chi2, drifted).
+
+    Complements ``ks_drift`` (numeric metrics) for categorical columns
+    (lang, source, status) — together the "distribution-drift checks" of
+    the north rule.
+
+    Scale shape: ONE corpus-sized shuffle — groupBy(window, category)
+    counts. Everything downstream (window totals, pooled totals, the full
+    window×category grid with zero cells, the PSI/chi2 sums) operates on
+    #windows × #categories rows, which for real columns is tiny. Exact
+    integer counts + deterministic float arithmetic → DuckDB-oracle-able
+    (unlike the sketch-based KS path)."""
+    win = F.date_format(F.col(ts_col), window_fmt).alias("window")
+    obs = (
+        df.where(F.col(ts_col).isNotNull() & F.col(cat_col).isNotNull())
+        .groupBy(win, F.col(cat_col).alias("cat"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wn = obs.groupBy("window").agg(F.sum("c").alias("n_w"))
+    pooled = obs.groupBy("cat").agg(F.sum("c").alias("c_pool"))
+    tot = pooled.agg(
+        F.sum("c_pool").alias("total"), F.count(F.lit(1)).alias("n_cats")
+    )
+    grid = wn.crossJoin(F.broadcast(pooled)).crossJoin(F.broadcast(tot))
+    m = grid.join(obs, on=["window", "cat"], how="left").withColumn(
+        "cd", F.coalesce(F.col("c"), F.lit(0)).cast("double")
+    )
+    p_w = (F.col("cd") + F.lit(smooth)) / (
+        F.col("n_w") + F.lit(smooth) * F.col("n_cats")
+    )
+    p_p = (F.col("c_pool").cast("double") + F.lit(smooth)) / (
+        F.col("total") + F.lit(smooth) * F.col("n_cats")
+    )
+    exp_c = F.col("n_w").cast("double") * F.col("c_pool") / F.col("total")
+    agg = (
+        m.select(
+            "window",
+            "n_w",
+            "n_cats",
+            ((p_w - p_p) * F.log(p_w / p_p)).alias("psi_term"),
+            ((F.col("cd") - exp_c) * (F.col("cd") - exp_c) / exp_c).alias("chi2_term"),
+        )
+        .groupBy("window", "n_w", "n_cats")
+        .agg(
+            F.round(F.sum("psi_term"), 6).alias("psi"),
+            F.round(F.sum("chi2_term"), 6).alias("chi2"),
+        )
+    )
+    # Verdict bar: PSI alone has sampling noise E[PSI] ≈ (C-1)/n, so a small
+    # window over a wide category set trips any fixed threshold on pure
+    # multinomial noise. Require BOTH the practical PSI floor AND the
+    # chi-square statistic to clear its critical value ≈ (C-1) + 4·sqrt(2(C-1))
+    # (normal approximation, α ≈ 3e-5) — the same small-window discipline as
+    # the KS path's c(α)/sqrt(n) bar.
+    dof = (F.col("n_cats") - 1).cast("double")
+    chi2_bar = dof + F.lit(4.0) * F.sqrt(F.lit(2.0) * dof)
+    return agg.select(
+        "window",
+        F.col("n_w").alias("n"),
+        "psi",
+        "chi2",
+        (
+            (F.col("psi") > threshold)
+            & (F.col("chi2") > chi2_bar)
+            & (F.col("n_w") >= min_rows)
+        ).alias("drifted"),
+    )
+
+
+def categorical_drift_violations(cat_drift_df: DataFrame, cat_col: str) -> DataFrame:
+    """Window-level CATEGORICAL_DRIFT_WINDOW verdict rows in the violations
+    contract (url = the window, like drift_violations)."""
+    return cat_drift_df.where(F.col("drifted")).select(
+        F.concat(F.lit("window:"), F.col("window")).alias("url"),
+        F.lit(CheckId.CATEGORICAL_DRIFT_WINDOW).alias("check_id"),
+        F.lit("psi <= threshold").alias("expected"),
+        F.format_number(F.col("psi"), 4).alias("found"),
+        F.create_map(
+            F.lit("n"), F.col("n").cast("string"),
+            F.lit("column"), F.lit(cat_col),
+            F.lit("chi2"), F.col("chi2").cast("string"),
+        ).alias("related_data"),
+        F.col("window").alias("partition_id"),
+    )
+
+
 def drift_violations(drift_df: DataFrame) -> DataFrame:
     """Window-level DRIFT_WINDOW verdict rows in the violations contract
     (url = the window, since the finding is not row-scoped)."""

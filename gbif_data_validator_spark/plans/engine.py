@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..model import BLOCKING_CHECKS, CheckId, ValidationReport
-from ..operators.drift import drift_violations, ks_drift
+from ..operators.drift import (
+    categorical_drift,
+    categorical_drift_violations,
+    drift_violations,
+    ks_drift,
+)
 from ..operators.metrics import issue_counts_by_partition, partitioned_profile
 from ..operators.record_checks import partition_id_col, run_record_checks
 from ..operators.sampling import distinct_first_samples
@@ -95,6 +100,11 @@ class EngineConfig:
     n_buckets: int = 1
     n_salt: int = 16
     drift_threshold: float = 0.15
+    #: categorical column for PSI/chi2 drift per warc_ts window (e.g.
+    #: "lang"); None disables the check (default — keeps the engine at its
+    #: 3-scan budget; enabling adds one narrow 2-column scan)
+    cat_drift_col: str | None = None
+    cat_drift_threshold: float = 0.2
     max_samples: int = 10
     work_dir: str | None = None  # enables persisted violations + checkpoint/resume
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
@@ -130,7 +140,17 @@ class ValidationEngine:
         )
         v3 = uniqueness_violations(pages, key_col=c.key_col, n_salt=c.n_salt)
         v4 = drift_violations(ks_drift(pages, threshold=c.drift_threshold))
-        return v1.unionByName(v3).unionByName(v4)
+        out = v1.unionByName(v3).unionByName(v4)
+        if c.cat_drift_col:
+            out = out.unionByName(
+                categorical_drift_violations(
+                    categorical_drift(
+                        pages, c.cat_drift_col, threshold=c.cat_drift_threshold
+                    ),
+                    c.cat_drift_col,
+                )
+            )
+        return out
 
     # ------------------------------------------------------------------
     def run(self, pages: DataFrame, dim: DataFrame | None = None) -> ValidationReport:
@@ -214,6 +234,17 @@ class ValidationEngine:
             violations = violations.unionByName(
                 uniqueness_violations(pages, key_col=c.key_col, n_salt=c.n_salt)
             )
+            if c.cat_drift_col:
+                # global categorical drift (PSI/chi2 per window vs pooled) —
+                # must see all windows, so it runs over `pages`
+                violations = violations.unionByName(
+                    categorical_drift_violations(
+                        categorical_drift(
+                            pages, c.cat_drift_col, threshold=c.cat_drift_threshold
+                        ),
+                        c.cat_drift_col,
+                    )
+                )
             if not done:
                 # fast path: work == pages, so the rollup sketches cover all
                 # windows — drift evaluated driver-side, zero extra jobs.

@@ -29,3 +29,54 @@ def test_no_drift_on_clean_uniform_table(spark):
     clean = synth_pages(spark, 3000, with_violations=False)
     d = ks_drift(clean, metric=F.length("lang"))
     assert d.where(F.col("drifted")).count() == 0
+
+
+def test_categorical_drift_flags_shifted_window(spark):
+    from gbif_data_validator_spark.operators.drift import (
+        categorical_drift,
+        categorical_drift_violations,
+    )
+
+    # 3 stable windows with a 50/30/20 category mix; one window flipped
+    # to 5/30/65 — decisive PSI shift
+    rows = []
+    import datetime as dt
+
+    def month(m, mix):
+        out = []
+        for cat, n in mix:
+            out += [(dt.datetime(2024, m, 15), cat)] * n
+        return out
+
+    for m in (1, 2, 3):
+        rows += month(m, [("en", 100), ("de", 60), ("fr", 40)])
+    rows += month(4, [("en", 10), ("de", 60), ("fr", 130)])
+    df = spark.createDataFrame(rows, schema="warc_ts timestamp, lang string")
+
+    d = categorical_drift(df, "lang", threshold=0.2).persist()
+    flagged = {r.window for r in d.where("drifted").collect()}
+    assert flagged == {"2024-04"}
+    stats = {r.window: (r.psi, r.chi2) for r in d.collect()}
+    assert stats["2024-04"][0] > 0.4 and stats["2024-04"][1] > 50
+    assert all(v[0] < 0.1 for k, v in stats.items() if k != "2024-04")
+    # violations contract
+    v = categorical_drift_violations(d, "lang").collect()
+    assert [r.url for r in v] == ["window:2024-04"]
+    assert v[0].related_data["column"] == "lang"
+    d.unpersist()
+
+
+def test_categorical_drift_zero_cells_smoothed(spark):
+    """A window entirely missing a category must not produce inf/NaN."""
+    import datetime as dt
+
+    from gbif_data_validator_spark.operators.drift import categorical_drift
+
+    rows = [(dt.datetime(2024, 1, 1), "en")] * 50 + [
+        (dt.datetime(2024, 2, 1), "de")
+    ] * 50
+    df = spark.createDataFrame(rows, schema="warc_ts timestamp, lang string")
+    got = categorical_drift(df, "lang", min_rows=10).collect()
+    assert len(got) == 2
+    assert all(r.psi == r.psi and abs(r.psi) < 1e9 for r in got)  # finite
+    assert all(r.drifted for r in got)  # two disjoint windows → both drifted

@@ -92,3 +92,23 @@ def test_report_matches_committed_golden(spark, pages):
     assert rep.indexable == golden["indexable"]
     assert dict(sorted(rep.issue_counts.items())) == golden["issue_counts"]
     assert dict(sorted(rep.partition_verdicts.items())) == golden["partition_verdicts"]
+
+
+def test_engine_categorical_drift_opt_in(spark, pages_path):
+    """cat_drift_col wires PSI drift into the run; default config is
+    unaffected (golden reports unchanged)."""
+    from gbif_data_validator_spark.model import CheckId
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    pages = spark.read.parquet(pages_path).drop("expected_issue")
+    on = ValidationEngine(
+        spark, EngineConfig(check_extraction=False, cat_drift_col="lang")
+    ).run(pages)
+    off = ValidationEngine(spark, EngineConfig(check_extraction=False)).run(pages)
+    assert CheckId.CATEGORICAL_DRIFT_WINDOW not in off.issue_counts
+    # the synthetic fixture's lang mix is uniform across months: the check
+    # runs (opt-in accepted) but flags nothing on clean data
+    assert on.issue_counts.get(CheckId.CATEGORICAL_DRIFT_WINDOW, 0) == 0
+    off_no_cat = {k: v for k, v in on.issue_counts.items()
+                  if k != CheckId.CATEGORICAL_DRIFT_WINDOW}
+    assert off_no_cat == off.issue_counts
