@@ -37,6 +37,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-salt", type=int, default=16,
                    help="salt width for the uniqueness aggregation")
     p.add_argument("--drift-threshold", type=float, default=0.15)
+    p.add_argument("--cat-drift-col", default=None,
+                   help="categorical column for PSI/chi2 drift per warc_ts "
+                        "window (e.g. lang); omitted = check disabled")
+    p.add_argument("--cat-drift-threshold", type=float, default=0.2)
     p.add_argument("--no-extraction", action="store_true",
                    help="skip the html->text byte-identity check "
                         "(html column is then never scanned)")
@@ -58,6 +62,8 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.n_buckets,
         n_salt=args.n_salt,
         drift_threshold=args.drift_threshold,
+        cat_drift_col=args.cat_drift_col,
+        cat_drift_threshold=args.cat_drift_threshold,
         work_dir=args.work_dir,
     )
     if args.run_id:

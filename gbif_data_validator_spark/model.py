@@ -41,6 +41,7 @@ class CheckId:
 
     # --- record structure / interpretation (pass 1; narrow) ------------
     KEY_EMPTY = "KEY_EMPTY"                    # empty-id scan, ReferentialIntegrityEvaluator.java:74-86
+    RECORD_MALFORMED = "RECORD_MALFORMED"      # unparseable source line (CSV/JSONL corrupt-record capture)
     URL_MALFORMED = "URL_MALFORMED"            # MULTIMEDIA_URI_INVALID / REFERENCES_URI_INVALID
     WARC_TS_INVALID = "WARC_TS_INVALID"        # RECORDED_DATE_INVALID
     WARC_TS_UNLIKELY = "WARC_TS_UNLIKELY"      # RECORDED_DATE_UNLIKELY

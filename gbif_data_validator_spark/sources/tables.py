@@ -63,6 +63,57 @@ def read_pages_csv(
     return df
 
 
+def read_pages_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """JSON-lines scan with a declared schema and corrupt-record capture:
+    rows that fail to parse land with all declared columns NULL and the raw
+    line in ``_corrupt_record`` (PERMISSIVE mode) — a malformed line is a
+    *finding*, not a crash, mirroring the CSV path. ``html`` rides as
+    base64 (JSON has no binary type), like the CSV source."""
+    schema = schema or T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html_b64", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    schema = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    if "html_b64" in df.columns:
+        df = df.withColumn("html", F.unbase64(F.col("html_b64"))).drop("html_b64")
+        df = df.select("url", "warc_ts", "html", "text", "lang", "_corrupt_record")
+    return df
+
+
+def corrupt_record_violations(df: DataFrame, key_col: str = "url") -> DataFrame:
+    """Violations-contract rows for unparseable source lines (requires a
+    ``_corrupt_record`` column from read_pages_jsonl). The S5/S2 analog:
+    input-format damage surfaces as RECORD_STRUCTURE findings keyed by the
+    (possibly NULL) record id."""
+    from ..model import CheckId
+
+    return df.where(F.col("_corrupt_record").isNotNull()).select(
+        F.coalesce(F.col(key_col), F.lit("NULL")).alias("url"),
+        F.lit(CheckId.RECORD_MALFORMED).alias("check_id"),
+        F.lit("parseable source record").alias("expected"),
+        F.substring(F.col("_corrupt_record"), 1, 256).alias("found"),
+        F.create_map().cast("map<string,string>").alias("related_data"),
+        F.lit("UNKNOWN").alias("partition_id"),
+    )
+
+
 def read_table(spark: SparkSession, ref: str) -> DataFrame:
     """Catalog reference (Iceberg `db.table`) or a path. The catalog path is
     the production entry (S1 analog: the 'upload' is a table identifier)."""

@@ -69,3 +69,39 @@ def test_report_json_sink(spark, tmp_path):
     rep.write_json(str(tmp_path))
     data = json.load(open(os.path.join(str(tmp_path), "r9.json")))
     assert data["run_id"] == "r9" and data["indexable"] is True
+
+
+def test_jsonl_source_corrupt_record_capture(spark, tmp_path):
+    """Malformed JSONL lines become RECORD_MALFORMED findings, parseable
+    lines land typed — a bad line is a finding, never a crash."""
+    import base64
+
+    from gbif_data_validator_spark.model import CheckId
+    from gbif_data_validator_spark.sources.tables import (
+        corrupt_record_violations,
+        read_pages_jsonl,
+    )
+
+    b64 = base64.b64encode(b"<html>x</html>").decode()
+    lines = [
+        '{"url": "https://a.example/1", "warc_ts": "2024-01-01T00:00:00.000Z", '
+        f'"html_b64": "{b64}", "text": "x", "lang": "en"}}',
+        "this is not json",
+        '{"url": "https://a.example/2", "warc_ts": "2024-01-02T00:00:00.000Z", '
+        '"html_b64": null, "text": "y", "lang": "de"}',
+        '{"url": "https://a.example/3", "warc_ts": "broken-ts"',
+    ]
+    p = tmp_path / "pages.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    df = read_pages_jsonl(spark, str(p)).cache()
+    # (cache: Spark disallows queries whose pruned schema is ONLY the
+    # internal corrupt-record column — QUERY_ONLY_CORRUPT_RECORD_COLUMN;
+    # production consumers always select data columns alongside)
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang", "_corrupt_record"]
+    ok = df.where(F.col("_corrupt_record").isNull())
+    assert ok.count() == 2
+    assert ok.where(F.col("html").isNotNull()).count() == 1  # base64 decoded
+    v = corrupt_record_violations(df).collect()
+    assert len(v) == 2
+    assert {r.check_id for r in v} == {CheckId.RECORD_MALFORMED}
+    assert any("not json" in r.found for r in v)
