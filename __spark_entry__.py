@@ -515,6 +515,17 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cosine_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding cosine dedup (scale path; approximate →
+    rows-only; recall vs exact asserted in tests)."""
+    from gbif_data_validator_spark.operators.dedup import embedding_cosine_pairs_lsh
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs_lsh(
+        emb, "vec_id", "embedding", dim=64, threshold=0.3, n_planes=6, n_tables=4
+    )
+
+
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN scale path: k-means coarse quantizer + n_probe inverted lists
     (approximate → rows-only check; recall vs brute force asserted in tests)."""
@@ -612,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "dedup_survivors": _q_dedup_survivors,
         # rows-only (no SQL oracle)
+        "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
         "profile_rollup": _q_profile_rollup,
         "minhash_pairs": _q_minhash_pairs,

@@ -405,7 +405,8 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Exact pairwise cosine near-dups (doc_a < doc_b, sim ≥ threshold).
     Quadratic — intended for bounded inputs (an LSH bucket, a partition,
-    a candidate set from similarity.py), not a whole 10^12-row corpus."""
+    a candidate set from similarity.py), not a whole 10^12-row corpus.
+    Scale path: ``embedding_cosine_pairs_lsh``."""
     a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
     return (
@@ -413,4 +414,62 @@ def embedding_cosine_pairs(
         .withColumn("cosine", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
         .where(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
+    )
+
+
+def embedding_cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs at corpus scale: hyperplane-LSH bucketing
+    (``n_tables`` independent hash tables of ``n_planes`` sign bits each —
+    the banding trick of minhash-LSH applied to random hyperplanes), exact
+    cosine verified in-bucket with the same posting-list pair generation as
+    the text dedup family. High-cosine pairs agree on most hyperplane signs
+    (P[collision in one table] = (1 - θ/π)^n_planes), so more tables →
+    higher recall; candidates colliding in several tables dedup via
+    ``distinct``.
+
+    Scale shape: the signature pass is one narrow Arrow-batched matmul; the
+    only corpus-sized shuffle is groupBy(table, bucket); vectors travel with
+    their ids into the buckets, so verification joins nothing back. Expected
+    bucket size at 10^12 rows is N/2^n_planes per table — size n_planes for
+    per-reducer bounds the way max_df bounds the shingle plan. Approximate:
+    recall < 1.0 by design (measured vs the exact operator in tests)."""
+    from ..operators import similarity as sim
+
+    tables = df.select(
+        F.struct(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).alias("d"),
+        F.posexplode(
+            F.array(
+                *[
+                    sim.lsh_bucket_udf(dim, n_planes, seed + t)(F.col(vec_col))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("table", "bucket"),
+    )
+    posts = (
+        tables.groupBy("table", "bucket")
+        .agg(F.collect_list("d").alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    cos = F.round(cosine_sim(F.col("p.vec_a"), F.col("p.vec_b")), 6)
+    return (
+        posts.select(F.explode(_in_list_pairs(F.col("ds"), ["id", "vec"])).alias("p"))
+        .select(
+            F.col("p.id_a").alias("doc_a"),
+            F.col("p.id_b").alias("doc_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
     )

@@ -85,3 +85,41 @@ def test_embedding_cosine_pairs(spark):
     lo = dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.9).count()
     hi = pairs.count()
     assert lo >= hi
+
+
+def test_embedding_cosine_pairs_lsh_recall(spark):
+    """LSH-bucketed cosine dedup vs the exact quadratic operator on planted
+    near-dup clusters: precision 1.0 by construction (cosine verified
+    in-bucket), recall high with 4 tables."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_lsh,
+    )
+
+    rng = np.random.RandomState(11)
+    dim, n_clusters, per = 64, 20, 4
+    rows = []
+    for c in range(n_clusters):
+        center = rng.standard_normal(dim)
+        center /= np.linalg.norm(center)
+        for j in range(per):
+            v = center + 0.01 * rng.standard_normal(dim)
+            rows.append((c * per + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in embedding_cosine_pairs(df, "vec_id", "embedding", 0.95).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in embedding_cosine_pairs_lsh(
+            df, "vec_id", "embedding", dim=dim, threshold=0.95, n_tables=4
+        ).collect()
+    }
+    # every cluster contributes its within-cluster pairs to the exact set
+    assert len(exact) == n_clusters * per * (per - 1) // 2
+    assert approx <= exact                       # verified pairs: no false positives
+    assert len(approx & exact) / len(exact) >= 0.9  # high recall
