@@ -69,6 +69,19 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     return np.tile(h[: side * side * 3], 1).reshape(side, side, 3)[:side, :side, :3]
 
 
+def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an audio payload to a 1-D float32 waveform in [-1, 1]. STUB:
+    real codecs are not available in this container; ``fake=True`` produces
+    a deterministic pseudo-waveform derived from the payload bytes."""
+    if not fake:
+        raise NotImplementedError(
+            "audio codecs not available in this environment; pass fake=True "
+            "for the deterministic test double"
+        )
+    arr = np.frombuffer(payload[:1024], dtype=np.uint8).astype(np.float32)
+    return (arr - 127.5) / 127.5
+
+
 def _features_from_bytes(payload: bytes) -> list[float]:
     """Deterministic fake feature vector: byte-histogram moments — a stand-in
     with the exact shape/dtype a real extractor would produce."""
@@ -98,6 +111,39 @@ def extract_media_features(media_df: DataFrame, batch_size_hint: int = 256) -> D
             )
 
     return media_df.mapInPandas(process, schema=FEATURES_SCHEMA)
+
+
+def resize_images(
+    media_df: DataFrame, width: int, height: int, batch_size_hint: int = 256
+) -> DataFrame:
+    """Image resize pass: decode → nearest-neighbor resample → re-encode,
+    streamed through mapInPandas so no task materializes a partition of
+    decoded pixels. Output rows keep the media schema with updated meta
+    (width/height) and the resized payload; non-image rows pass through
+    untouched. The decode/encode pair is the stubbed step (deterministic
+    fake decode, raw-RGB re-encode); the resample arithmetic and all
+    Spark-side plumbing are production-shaped."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_media, out_meta = [], []
+            for media, meta in zip(pdf["media"], pdf["meta"]):
+                m = dict(meta or {})
+                if media is not None and (m.get("media_type") or "").startswith("image/"):
+                    img = decode_image(media, fake=True)  # STUB decode
+                    ys = (np.arange(height) * img.shape[0] // height).clip(0, img.shape[0] - 1)
+                    xs = (np.arange(width) * img.shape[1] // width).clip(0, img.shape[1] - 1)
+                    resized = img[ys][:, xs]
+                    media = resized.astype(np.uint8).tobytes()  # raw-RGB "encode"
+                    m["width"], m["height"] = width, height
+                    m["media_type"] = "image/raw-rgb"
+                out_media.append(media)
+                out_meta.append(m)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": out_media, "meta": out_meta}
+            )
+
+    return media_df.mapInPandas(process, schema=MEDIA_SCHEMA)
 
 
 def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -49,3 +49,42 @@ def test_frame_sample_plan(spark):
         ts_list.sort()
         assert ts_list[0] == 0
         assert all(b - a == 1000 for a, b in zip(ts_list, ts_list[1:]))
+
+
+def test_decode_audio_stub_contract(spark):
+    import numpy as np
+    import pytest
+
+    from gbif_data_validator_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"riff....")
+    w = decode_audio(b"\x00\x7f\xff" * 10, fake=True)
+    assert w.dtype == np.float32 and w.ndim == 1
+    assert float(w.min()) >= -1.0 and float(w.max()) <= 1.0
+    assert np.array_equal(w, decode_audio(b"\x00\x7f\xff" * 10, fake=True))
+
+
+def test_resize_images_plumbing(spark):
+    """Resize pass: image rows come back with the target dims + raw payload
+    of exactly w*h*3 bytes; non-image rows pass through byte-identical."""
+    from gbif_data_validator_spark.operators.multimodal import (
+        resize_images,
+        synth_media,
+    )
+
+    media = synth_media(spark, 60)
+    out = resize_images(media, width=2, height=3)
+    # same column names/types (nullability differs: literals vs mapInPandas)
+    assert out.schema.simpleString() == media.schema.simpleString()
+    rows = {r.doc_id: r for r in out.collect()}
+    src = {r.doc_id: r for r in media.collect()}
+    assert len(rows) == 60
+    for i, r in rows.items():
+        if src[i].meta.media_type == "image/jpeg":
+            assert (r.meta.width, r.meta.height) == (2, 3)
+            assert r.meta.media_type == "image/raw-rgb"
+            assert len(r.media) == 2 * 3 * 3
+        else:
+            assert bytes(r.media) == bytes(src[i].media)
+            assert r.meta == src[i].meta
