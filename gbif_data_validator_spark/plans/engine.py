@@ -95,8 +95,20 @@ def _drift_rows_from_profile(
 
 @dataclass
 class EngineConfig:
+    """Chain-builder analog (EvaluationChain.Builder,
+    evaluator/EvaluationChain.java:69-71): each ``check_*`` toggle is one
+    ``evaluate*()`` call of the reference's builder — callers compose the
+    chain; disabled passes cost nothing (their scans/shuffles never enter
+    the plan)."""
+
     key_col: str = "url"
     check_extraction: bool = True
+    #: A1 salted uniqueness on key_col (evaluateCoreUniqueness analog)
+    check_uniqueness: bool = True
+    #: J1/J2 broadcast referential vs the lang dim (evaluateReferentialIntegrity)
+    check_referential: bool = True
+    #: KS drift over warc_ts windows (north-star extension)
+    check_drift: bool = True
     n_buckets: int = 1
     n_salt: int = 16
     drift_threshold: float = 0.15
@@ -131,16 +143,21 @@ class ValidationEngine:
         reference U1 mergeOnFilename,
         api/result/ValidationResultElement.java:103-117)."""
         c = self.config
-        v1 = run_record_checks(
+        out = run_record_checks(
             pages,
             check_extraction=c.check_extraction,
             n_buckets=c.n_buckets,
             key_col=c.key_col,
-            lang_dim=dim,
+            lang_dim=dim if c.check_referential else None,
         )
-        v3 = uniqueness_violations(pages, key_col=c.key_col, n_salt=c.n_salt)
-        v4 = drift_violations(ks_drift(pages, threshold=c.drift_threshold))
-        out = v1.unionByName(v3).unionByName(v4)
+        if c.check_uniqueness:
+            out = out.unionByName(
+                uniqueness_violations(pages, key_col=c.key_col, n_salt=c.n_salt)
+            )
+        if c.check_drift:
+            out = out.unionByName(
+                drift_violations(ks_drift(pages, threshold=c.drift_threshold))
+            )
         if c.cat_drift_col:
             out = out.unionByName(
                 categorical_drift_violations(
@@ -228,12 +245,13 @@ class ValidationEngine:
             check_extraction=c.check_extraction,
             n_buckets=c.n_buckets,
             key_col=c.key_col,
-            lang_dim=dim,
+            lang_dim=dim if c.check_referential else None,
         )
         if not skip_global:
-            violations = violations.unionByName(
-                uniqueness_violations(pages, key_col=c.key_col, n_salt=c.n_salt)
-            )
+            if c.check_uniqueness:
+                violations = violations.unionByName(
+                    uniqueness_violations(pages, key_col=c.key_col, n_salt=c.n_salt)
+                )
             if c.cat_drift_col:
                 # global categorical drift (PSI/chi2 per window vs pooled) —
                 # must see all windows, so it runs over `pages`
@@ -245,7 +263,7 @@ class ValidationEngine:
                         c.cat_drift_col,
                     )
                 )
-            if not done:
+            if c.check_drift and not done:
                 # fast path: work == pages, so the rollup sketches cover all
                 # windows — drift evaluated driver-side, zero extra jobs.
                 from ..model import VIOLATIONS_SCHEMA
@@ -259,7 +277,7 @@ class ValidationEngine:
                             drift_tuples, schema=VIOLATIONS_SCHEMA
                         )
                     )
-            else:
+            elif c.check_drift:
                 # resumed run: the pruned work-list lacks completed windows,
                 # so drift needs its own full-table pass (rare path).
                 violations = violations.unionByName(

@@ -112,3 +112,33 @@ def test_engine_categorical_drift_opt_in(spark, pages_path):
     off_no_cat = {k: v for k, v in on.issue_counts.items()
                   if k != CheckId.CATEGORICAL_DRIFT_WINDOW}
     assert off_no_cat == off.issue_counts
+
+
+def test_chain_builder_toggles(spark, pages_path):
+    """EvaluationChain.Builder analog: disabled passes vanish from the result
+    AND from the plan (no uniqueness shuffle, no lang broadcast, no drift)."""
+    from gbif_data_validator_spark.model import CheckId
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    pages = spark.read.parquet(pages_path).drop("expected_issue")
+    cfg = EngineConfig(
+        check_extraction=False,
+        check_uniqueness=False,
+        check_referential=False,
+        check_drift=False,
+    )
+    report = ValidationEngine(spark, cfg).run(pages)
+    for gone in (
+        CheckId.RECORD_NOT_UNIQUELY_IDENTIFIED,
+        CheckId.LANG_UNKNOWN,
+        CheckId.DRIFT_WINDOW,
+    ):
+        assert gone not in report.issue_counts
+    # record-structure findings still present
+    assert CheckId.KEY_EMPTY in report.issue_counts
+    # plan shape: no shuffle for uniqueness, no broadcast for the dim
+    from gbif_data_validator_spark.sources.lang_dim import lang_dim
+
+    v = ValidationEngine(spark, cfg).build_violations(pages, lang_dim(spark))
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
