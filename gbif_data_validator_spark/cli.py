@@ -41,6 +41,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="categorical column for PSI/chi2 drift per warc_ts "
                         "window (e.g. lang); omitted = check disabled")
     p.add_argument("--cat-drift-threshold", type=float, default=0.2)
+    p.add_argument("--no-uniqueness", action="store_true",
+                   help="skip the salted key-uniqueness pass")
+    p.add_argument("--no-referential", action="store_true",
+                   help="skip the broadcast referential check vs the lang dim")
+    p.add_argument("--no-drift", action="store_true",
+                   help="skip the KS drift check over warc_ts windows")
+    p.add_argument("--data-unique-col", action="append", default=[],
+                   help="data column for an A2 uniqueness pass "
+                        "(repeatable; DataUniquenessEvaluator analog)")
     p.add_argument("--no-extraction", action="store_true",
                    help="skip the html->text byte-identity check "
                         "(html column is then never scanned)")
@@ -62,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.n_buckets,
         n_salt=args.n_salt,
         drift_threshold=args.drift_threshold,
+        check_uniqueness=not args.no_uniqueness,
+        check_referential=not args.no_referential,
+        check_drift=not args.no_drift,
+        data_unique_cols=tuple(args.data_unique_col),
         cat_drift_col=args.cat_drift_col,
         cat_drift_threshold=args.cat_drift_threshold,
         work_dir=args.work_dir,

@@ -52,6 +52,7 @@ class CheckId:
 
     # --- collection checks (pass 2; wide) -------------------------------
     RECORD_NOT_UNIQUELY_IDENTIFIED = "RECORD_NOT_UNIQUELY_IDENTIFIED"  # UniquenessEvaluator.java:46-74
+    DATA_FIELD_NOT_UNIQUE = "DATA_FIELD_NOT_UNIQUE"  # OCCURRENCE_NOT_UNIQUELY_IDENTIFIED, DataUniquenessEvaluator.java:44-93
     LANG_UNKNOWN = "LANG_UNKNOWN"              # RECORD_REFERENTIAL_INTEGRITY_VIOLATION (anti-join)
     DRIFT_WINDOW = "DRIFT_WINDOW"              # new: KS drift over warc_ts windows (north star)
     CATEGORICAL_DRIFT_WINDOW = "CATEGORICAL_DRIFT_WINDOW"  # new: PSI/chi2 categorical drift per window

@@ -67,6 +67,30 @@ def duplicate_keys_sorted(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def data_uniqueness_violations(
+    pages: DataFrame, data_col: str, n_salt: int = DEFAULT_SALT
+) -> DataFrame:
+    """A2 DataUniquenessEvaluator (evaluator/DataUniquenessEvaluator.java:
+    44-93): the salted uniqueness operator applied to a *data* column rather
+    than the record id, emitting the OCCURRENCE_NOT_UNIQUELY_IDENTIFIED
+    analog. Same two-phase salted agg; blank values excluded (they are
+    blankness findings, not duplicates)."""
+    col = F.col(data_col)
+    nonempty = pages.where(non_blank(col))
+    dups = duplicate_keys(nonempty, data_col, n_salt)
+    return dups.select(
+        F.concat(F.lit(f"{data_col}:"), col.cast("string")).alias("url"),
+        F.lit(CheckId.DATA_FIELD_NOT_UNIQUE).alias("check_id"),
+        F.lit(f"unique {data_col}").alias("expected"),
+        F.concat(F.lit("count="), F.col("dup_count").cast("string")).alias("found"),
+        F.create_map(
+            F.lit("column"), F.lit(data_col),
+            F.lit("dup_count"), F.col("dup_count").cast("string"),
+        ).alias("related_data"),
+        F.lit("GLOBAL").alias("partition_id"),
+    )
+
+
 def uniqueness_violations(
     pages: DataFrame, key_col: str = "url", n_salt: int = DEFAULT_SALT
 ) -> DataFrame:

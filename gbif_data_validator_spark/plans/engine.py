@@ -42,7 +42,7 @@ from ..operators.drift import (
 from ..operators.metrics import issue_counts_by_partition, partitioned_profile
 from ..operators.record_checks import partition_id_col, run_record_checks
 from ..operators.sampling import distinct_first_samples
-from ..operators.uniqueness import uniqueness_violations
+from ..operators.uniqueness import data_uniqueness_violations, uniqueness_violations
 from ..sources.lang_dim import lang_dim
 from . import checkpoint as cp
 from .preflight import preflight
@@ -109,6 +109,10 @@ class EngineConfig:
     check_referential: bool = True
     #: KS drift over warc_ts windows (north-star extension)
     check_drift: bool = True
+    #: A2 data-field uniqueness columns (evaluateDataUniqueness analog):
+    #: each listed column gets its own salted uniqueness pass emitting
+    #: DATA_FIELD_NOT_UNIQUE (OCCURRENCE_NOT_UNIQUELY_IDENTIFIED analog)
+    data_unique_cols: tuple = ()
     n_buckets: int = 1
     n_salt: int = 16
     drift_threshold: float = 0.15
@@ -153,6 +157,10 @@ class ValidationEngine:
         if c.check_uniqueness:
             out = out.unionByName(
                 uniqueness_violations(pages, key_col=c.key_col, n_salt=c.n_salt)
+            )
+        for dc in c.data_unique_cols:
+            out = out.unionByName(
+                data_uniqueness_violations(pages, dc, n_salt=c.n_salt)
             )
         if c.check_drift:
             out = out.unionByName(
@@ -251,6 +259,10 @@ class ValidationEngine:
             if c.check_uniqueness:
                 violations = violations.unionByName(
                     uniqueness_violations(pages, key_col=c.key_col, n_salt=c.n_salt)
+                )
+            for dc in c.data_unique_cols:
+                violations = violations.unionByName(
+                    data_uniqueness_violations(pages, dc, n_salt=c.n_salt)
                 )
             if c.cat_drift_col:
                 # global categorical drift (PSI/chi2 per window vs pooled) —

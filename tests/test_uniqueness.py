@@ -60,3 +60,32 @@ def test_salted_plan_is_two_phase(spark):
     phase1 = [e for e in exchanges if "salt" in e]
     assert phase1, exchanges          # partial phase keyed by (k, salt)
     assert any("salt" not in e for e in exchanges), exchanges  # final by k
+
+
+def test_data_field_uniqueness_violations(spark):
+    """A2 DataUniquenessEvaluator analog: duplicates on a data column emit
+    DATA_FIELD_NOT_UNIQUE with the column recorded; blanks excluded."""
+    from gbif_data_validator_spark.operators.uniqueness import (
+        data_uniqueness_violations,
+    )
+
+    df = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "d1"), ("u3", "d2"), ("u4", ""), ("u5", ""), ("u6", None)],
+        schema="url string, digest string",
+    )
+    v = data_uniqueness_violations(df, "digest").collect()
+    assert len(v) == 1
+    r = v[0]
+    assert r.url == "digest:d1"
+    assert r.check_id == CheckId.DATA_FIELD_NOT_UNIQUE
+    assert r.found == "count=2"
+    assert r.related_data["column"] == "digest"
+
+
+def test_engine_data_unique_cols(spark, pages):
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    cfg = EngineConfig(check_extraction=False, data_unique_cols=("lang",))
+    report = ValidationEngine(spark, cfg).run(pages.drop("expected_issue"))
+    # every lang value repeats → one DATA_FIELD_NOT_UNIQUE row per value
+    assert report.issue_counts.get(CheckId.DATA_FIELD_NOT_UNIQUE, 0) >= 1
