@@ -89,3 +89,44 @@ def test_extract_roundtrip_plain_text(text):
     bare = extract_text(text.encode("utf-8"))
     wrapped = extract_text(f"<html><body>{text}</body></html>".encode("utf-8"))
     assert bare == wrapped
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(1, 2)),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_categorical_psi_nonnegative_and_zero_on_identical(spark_free_counts):
+    """PSI computed the operator's way is ~0 when a window IS the pool, and
+    the smoothed terms are always finite. Pure-python replication of the
+    column arithmetic (same formulas as operators.drift.categorical_drift)."""
+    import math
+
+    counts = {}
+    for cat, n in spark_free_counts:
+        counts[cat] = counts.get(cat, 0) + n
+    cats = sorted(counts)
+    total = sum(counts.values())
+    n_cats = len(cats)
+    # window == pool
+    psi = 0.0
+    for c in cats:
+        p_w = (counts[c] + 0.5) / (total + 0.5 * n_cats)
+        p_p = (counts[c] + 0.5) / (total + 0.5 * n_cats)
+        psi += (p_w - p_p) * math.log(p_w / p_p)
+    assert abs(psi) < 1e-12
+    # any window vs pool: every term finite, sum >= 0 (each term is
+    # (x-y)*log(x/y) with x,y>0 — nonnegative pointwise)
+    for w_counts in ({cats[0]: total}, {c: 1 for c in cats}):
+        psi = 0.0
+        wn = sum(w_counts.values())
+        for c in cats:
+            p_w = (w_counts.get(c, 0) + 0.5) / (wn + 0.5 * n_cats)
+            p_p = (counts[c] + 0.5) / (total + 0.5 * n_cats)
+            term = (p_w - p_p) * math.log(p_w / p_p)
+            assert math.isfinite(term) and term >= -1e-15
+            psi += term
+        assert psi >= -1e-12
