@@ -75,3 +75,46 @@ def test_html_pruned_when_extraction_disabled(spark, pages):
     m = re.search(r"ReadSchema: struct<([^>]*)", plan)
     assert m is not None, plan
     assert "html" not in m.group(1), m.group(1)
+
+
+def test_record_checks_adversarial_inputs(spark):
+    """Hostile rows — control chars, RTL text, lone surrogates-adjacent
+    escapes, 1MB strings, null islands — must classify, never crash, and
+    never mis-fire checks that don't apply."""
+    import datetime as dt
+
+    big = "x" * 1_000_000
+    rows = [
+        # url with spaces and control chars → URL_MALFORMED
+        ("http://bad url/\x00\x1f", dt.datetime(2024, 1, 1), b"<p>a</p>", "a", "en"),
+        # RTL + combining marks: valid text, valid url
+        ("https://ok.example/1", dt.datetime(2024, 1, 1), None, "مرحبا ́e", "ar"),
+        # 1MB text, no html
+        ("https://ok.example/2", dt.datetime(2024, 1, 1), None, big, "en"),
+        # everything null except url
+        ("https://ok.example/3", None, None, None, None),
+        # replacement char in text → TEXT_NOT_UTF8
+        ("https://ok.example/4", dt.datetime(2024, 1, 1), None, "a�b", "en"),
+        # ASCII-whitespace-only url → KEY_EMPTY
+        (" \t ", dt.datetime(2024, 1, 1), None, "t", "en"),
+        # NBSP is NOT Java-regex \s: a U+00A0 "blank" url is treated as
+        # content and classified URL_MALFORMED instead — a finding either way
+        (" ", dt.datetime(2024, 1, 1), None, "t", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    from gbif_data_validator_spark.sources.lang_dim import lang_dim
+
+    got = {}
+    for r in run_record_checks(df, check_extraction=True, lang_dim=lang_dim(spark)).collect():
+        got.setdefault(r.url, set()).add(r.check_id)
+    assert CheckId.URL_MALFORMED in got["http://bad url/\x00\x1f"]
+    assert "https://ok.example/1" not in got  # clean RTL row: no findings
+    assert "https://ok.example/2" not in got  # big text alone is not a finding
+    # TEXT_EMPTY is gated on non-empty html when extraction is on (no html →
+    # no text expected), so the all-null row yields only the ts finding
+    assert got["https://ok.example/3"] == {CheckId.WARC_TS_INVALID}
+    assert got["https://ok.example/4"] == {CheckId.TEXT_NOT_UTF8}
+    assert got[" \t "] == {CheckId.KEY_EMPTY}
+    assert got[" "] == {CheckId.URL_MALFORMED}
