@@ -397,6 +397,40 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle anti-join shape (J1 at big-big scale): customers with no
+    orders on/after 2001-01-01 — the non-broadcast referential variant."""
+    c = _tbl(spark, sf_dir, "customer")
+    recent = _tbl(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (the engine's internal partitioned-profile shape,
+    pinned against SQL GROUPING SETS semantics): per-(day, type), per-day,
+    and grand-total counts in one pass; NULL grouping keys coalesced for a
+    stable compare."""
+    e = _tbl(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return (
+        e.where(F.col("ts").isNotNull())
+        .rollup(day.alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "n",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 def _q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 top-N per key: 3 highest-value orders per customer (custkey<50)."""
     o = _tbl(spark, sf_dir, "orders")
@@ -612,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": _q_length_histogram,
         "top_revenue_orders": _q_top_revenue_orders,
         "events_sessionize": _q_events_sessionize,
+        "lapsed_customers": _q_lapsed_customers,
+        "events_rollup": _q_events_rollup,
         # training-data pipeline
         "fingerprints": _q_fingerprints,
         "dedup_exact_groups": _q_dedup_exact_groups,
@@ -847,6 +883,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sess_id, count(*) AS n_events,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start
             FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id
+        """,
+        "lapsed_customers": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+            ) ORDER BY c_custkey
+        """,
+        "events_rollup": """
+            SELECT coalesce(day, 'ALL') AS day,
+                   coalesce(event_type, 'ALL') AS event_type,
+                   n
+            FROM (
+              SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                     event_type, count(*) AS n
+              FROM events WHERE ts IS NOT NULL
+              GROUP BY ROLLUP (day, event_type)
+            ) ORDER BY day, event_type
         """,
         "fingerprints": """
             SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
