@@ -397,6 +397,28 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_star_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema referential pass (DwcDataFile analog): lineitem as an
+    extension of an orders core restricted to 1995 — post-1995 lineitems
+    orphan out as RECORD_REFERENTIAL_INTEGRITY_VIOLATION; per-check counts
+    + distinct offending keys."""
+    from gbif_data_validator_spark.plans.star import validate_star
+
+    core = _tbl(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    li = _tbl(spark, sf_dir, "lineitem")
+    v = validate_star(core, {"lineitem": (li, "l_orderkey")}, core_key="o_orderkey")
+    return (
+        v.groupBy("partition_id", "check_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("url").alias("n_keys"),
+        )
+        .orderBy("partition_id", "check_id")
+    )
+
+
 def _q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle anti-join shape (J1 at big-big scale): customers with no
     orders on/after 2001-01-01 — the non-broadcast referential variant."""
@@ -648,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "lapsed_customers": _q_lapsed_customers,
         "events_rollup": _q_events_rollup,
+        "star_referential": _q_star_referential,
         # training-data pipeline
         "fingerprints": _q_fingerprints,
         "dedup_exact_groups": _q_dedup_exact_groups,
@@ -883,6 +906,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sess_id, count(*) AS n_events,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start
             FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id
+        """,
+        "star_referential": """
+            SELECT 'ext:lineitem' AS partition_id,
+                   'RECORD_REFERENTIAL_INTEGRITY_VIOLATION' AS check_id,
+                   count(*) AS n, count(DISTINCT l_orderkey) AS n_keys
+            FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_orderkey = l.l_orderkey
+                  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+              )
+            ORDER BY partition_id, check_id
         """,
         "lapsed_customers": """
             SELECT c_custkey, c_mktsegment FROM customer c

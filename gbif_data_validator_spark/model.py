@@ -53,7 +53,8 @@ class CheckId:
     # --- collection checks (pass 2; wide) -------------------------------
     RECORD_NOT_UNIQUELY_IDENTIFIED = "RECORD_NOT_UNIQUELY_IDENTIFIED"  # UniquenessEvaluator.java:46-74
     DATA_FIELD_NOT_UNIQUE = "DATA_FIELD_NOT_UNIQUE"  # OCCURRENCE_NOT_UNIQUELY_IDENTIFIED, DataUniquenessEvaluator.java:44-93
-    LANG_UNKNOWN = "LANG_UNKNOWN"              # RECORD_REFERENTIAL_INTEGRITY_VIOLATION (anti-join)
+    LANG_UNKNOWN = "LANG_UNKNOWN"              # RECORD_REFERENTIAL_INTEGRITY_VIOLATION (anti-join, dim direction)
+    RECORD_REFERENTIAL_INTEGRITY_VIOLATION = "RECORD_REFERENTIAL_INTEGRITY_VIOLATION"  # same name in ref: extension id ∉ core (star schema)
     DRIFT_WINDOW = "DRIFT_WINDOW"              # new: KS drift over warc_ts windows (north star)
     CATEGORICAL_DRIFT_WINDOW = "CATEGORICAL_DRIFT_WINDOW"  # new: PSI/chi2 categorical drift per window
 
@@ -73,6 +74,7 @@ BLOCKING_CHECKS = frozenset(
         CheckId.RECORD_IDENTIFIER_NOT_FOUND,
         CheckId.KEY_EMPTY,
         CheckId.RECORD_NOT_UNIQUELY_IDENTIFIED,
+        CheckId.RECORD_REFERENTIAL_INTEGRITY_VIOLATION,
         CheckId.LANG_UNKNOWN,
         CheckId.LICENSE_MISSING_OR_UNKNOWN,
     }

@@ -1,0 +1,62 @@
+"""Star-schema validation: golden assertions mirroring the reference's
+ReferentialIntegrityEvaluatorTest (unlinked extension id is exactly "ZZ"
+:51; empty ids found on both sides :76-81)."""
+
+from pyspark.sql import functions as F
+
+from gbif_data_validator_spark.model import BLOCKING_CHECKS, CheckId
+from gbif_data_validator_spark.plans.star import validate_star
+
+
+def _tbl(spark, rows, schema):
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def test_golden_unlinked_extension_id(spark):
+    core = _tbl(spark, [("i1", "x"), ("i2", "y"), ("i3", "z")], "id string, v string")
+    ext = _tbl(
+        spark,
+        [("i1", "a"), ("i2", "b"), ("ZZ", "c"), ("i1", "d")],
+        "core_id string, w string",
+    )
+    v = validate_star(core, {"identification": (ext, "core_id")}, core_key="id")
+    rows = v.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.url == "ZZ" and r.found == "ZZ"
+    assert r.check_id == CheckId.RECORD_REFERENTIAL_INTEGRITY_VIOLATION
+    assert r.partition_id == "ext:identification"
+    assert r.check_id in BLOCKING_CHECKS  # IndexableRules.java:29
+
+
+def test_empty_ids_found_on_both_sides(spark):
+    core = _tbl(spark, [("i1", "x"), ("", "y"), (None, "z")], "id string, v string")
+    ext = _tbl(spark, [("i1", "a"), (" ", "b")], "core_id string, w string")
+    v = validate_star(core, {"ident": (ext, "core_id")}, core_key="id")
+    got = {(r.partition_id, r.check_id) for r in v.collect()}
+    # two empty core ids + one blank ext id; NO referential violation for
+    # them (blank keys are excluded from the anti-join, like awk's hash skip)
+    by_part = {}
+    for r in v.collect():
+        by_part.setdefault(r.partition_id, []).append(r.check_id)
+    assert by_part["core"] == [CheckId.KEY_EMPTY] * 2
+    assert by_part["ext:ident"] == [CheckId.KEY_EMPTY]
+    assert ("ext:ident", CheckId.RECORD_REFERENTIAL_INTEGRITY_VIOLATION) not in got
+
+
+def test_multi_extension_star_and_broadcast_toggle(spark):
+    core = _tbl(spark, [("c1",), ("c2",)], "id string")
+    e1 = _tbl(spark, [("c1",), ("zz",)], "fk string")
+    e2 = _tbl(spark, [("c2",), ("c2",), ("qq",)], "fk string")
+    for bc in (False, True):
+        v = validate_star(
+            core, {"a": (e1, "fk"), "b": (e2, "fk")}, core_key="id", broadcast_core=bc
+        )
+        got = {(r.partition_id, r.url) for r in v.collect()}
+        assert got == {("ext:a", "zz"), ("ext:b", "qq")}
+    # forced broadcast shows up in the plan
+    plan = (
+        validate_star(core, {"a": (e1, "fk")}, core_key="id", broadcast_core=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
