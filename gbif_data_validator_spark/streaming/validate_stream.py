@@ -188,6 +188,88 @@ def stream_running_counts(
     )
 
 
+def stream_validate_to_work_dir(
+    pages_stream: DataFrame,
+    work_dir: str,
+    run_id: str,
+    check_extraction: bool = False,
+    available_now: bool = True,
+):
+    """Streaming ingestion into the SAME durable layout as the batch engine:
+    each micro-batch's pass-1 violations are appended to
+    ``{work_dir}/violations`` (partitioned by partition_id) and one lineage
+    row per batch goes to ``{work_dir}/checkpoint`` — so a crawl firehose
+    and a batch backfill share one violations store, one resume protocol,
+    and one report path.
+
+    Exactly-once: Structured Streaming's own checkpoint
+    (``{work_dir}/_stream_checkpoint``) tracks source offsets; on restart,
+    completed batches are not re-read, and a replayed half-written batch
+    dedups at read time exactly like the batch engine's replay
+    (engine.run's dropDuplicates over the violations contract). The
+    foreachBatch body mirrors the batch ordering contract: violations
+    first, then the lineage row (plans/checkpoint.py protocol step 1-2).
+
+    Returns the terminated (availableNow) or running query."""
+    import datetime as _dt
+    import os
+
+    from ..model import CHECKPOINT_SCHEMA
+    from ..operators.metrics import issue_counts_by_partition
+    from .. import model as _m
+
+    violations_path = os.path.join(work_dir, "violations")
+    cp_path = os.path.join(work_dir, "checkpoint")
+    stream_cp = os.path.join(work_dir, "_stream_checkpoint")
+
+    v = run_record_checks(pages_stream, check_extraction=check_extraction)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            batch_df.write.mode("append").partitionBy("partition_id").parquet(
+                violations_path
+            )
+            counts = issue_counts_by_partition(batch_df).collect()
+            now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+            by_part: dict[str, dict[str, int]] = {}
+            for r in counts:
+                by_part.setdefault(r.partition_id, {})[r.check_id] = r.n
+            rows = [
+                (
+                    run_id,
+                    f"stream:{batch_id}:{pid}",
+                    "FAIL" if any(k in _m.BLOCKING_CHECKS for k in checks) else "PASS",
+                    0,
+                    sum(checks.values()),
+                    checks,
+                    now,
+                    now,
+                )
+                for pid, checks in sorted(by_part.items())
+            ]
+            if rows:
+                from ..plans import checkpoint as cp
+
+                cp.append_checkpoints(
+                    spark.createDataFrame(rows, schema=CHECKPOINT_SCHEMA), cp_path
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        v.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", stream_cp)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def run_stream_once(stream_df: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain all available input into a memory sink (availableNow) and stop —
     the test/validation harness for the streaming plans."""

@@ -128,3 +128,31 @@ def test_stream_crawl_sessions(spark, pages_stream_dir):
     for r in rows:
         streamed[r.lang] = streamed.get(r.lang, 0) + r.n_pages
     assert streamed == batch
+
+
+def test_stream_validate_to_work_dir(spark, pages_stream_dir, tmp_path):
+    """Streaming ingestion shares the batch engine's durable layout: same
+    violations (as batch pass 1), per-batch lineage rows, and exactly-once
+    on restart (a second availableNow drain adds nothing)."""
+    wd = str(tmp_path / "swork")
+    stream = vs.read_pages_stream(spark, pages_stream_dir, max_files_per_trigger=2)
+    vs.stream_validate_to_work_dir(stream, wd, run_id="s1", check_extraction=False)
+
+    got = spark.read.parquet(wd + "/violations")
+    batch = run_record_checks(
+        spark.read.parquet(pages_stream_dir), check_extraction=False
+    )
+    key = ["url", "check_id", "expected", "found", "partition_id"]
+    assert sorted(map(tuple, got.select(key).collect())) == sorted(
+        map(tuple, batch.select(key).collect())
+    )
+    from gbif_data_validator_spark.plans.checkpoint import read_checkpoints
+
+    cps = read_checkpoints(spark, wd + "/checkpoint").collect()
+    assert all(r.run_id == "s1" and r.partition_id.startswith("stream:") for r in cps)
+    assert sum(r.n_violations for r in cps) == got.count()
+
+    # restart: offsets already committed → no new rows
+    stream2 = vs.read_pages_stream(spark, pages_stream_dir, max_files_per_trigger=2)
+    vs.stream_validate_to_work_dir(stream2, wd, run_id="s1", check_extraction=False)
+    assert spark.read.parquet(wd + "/violations").count() == got.count()
