@@ -60,3 +60,35 @@ def test_multi_extension_star_and_broadcast_toggle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_star_composes_with_engine_accounting(spark):
+    """The star plan's violations feed the engine's accounting artifacts
+    unchanged: per-table (RowTypeKey-style) counts, distinct-first samples,
+    and the blocking-set verdict — the ValidationResultElement-per-rowType
+    report shape of the reference."""
+    from gbif_data_validator_spark.operators.metrics import issue_counts_by_partition
+    from gbif_data_validator_spark.operators.sampling import distinct_first_samples
+
+    core = _tbl(spark, [("i1",), ("i2",), ("",)], "id string")
+    e1 = _tbl(spark, [("i1",), ("ZZ",), ("YY",)], "fk string")
+    v = validate_star(core, {"ident": (e1, "fk")}, core_key="id").cache()
+
+    counts = {
+        (r.partition_id, r.check_id): r.n for r in issue_counts_by_partition(v).collect()
+    }
+    assert counts == {
+        ("core", CheckId.KEY_EMPTY): 1,
+        ("ext:ident", CheckId.RECORD_REFERENTIAL_INTEGRITY_VIOLATION): 2,
+    }
+    samples = distinct_first_samples(v, 10).collect()
+    assert {r.url for r in samples if r.check_id
+            == CheckId.RECORD_REFERENTIAL_INTEGRITY_VIOLATION} == {"ZZ", "YY"}
+    # blocking-set verdict per table (IndexableRules reduce)
+    verdicts = {
+        pid: ("FAIL" if any(c in BLOCKING_CHECKS for (p, c) in counts if p == pid)
+              else "PASS")
+        for pid in {p for (p, _) in counts}
+    }
+    assert verdicts == {"core": "FAIL", "ext:ident": "FAIL"}
+    v.unpersist()
