@@ -408,7 +408,12 @@ def _q_star_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")
     )
     li = _tbl(spark, sf_dir, "lineitem")
+    from gbif_data_validator_spark.model import CheckId
+
     v = validate_star(core, {"lineitem": (li, "l_orderkey")}, core_key="o_orderkey")
+    # restrict to the referential rows the oracle models (blank-key findings
+    # would otherwise add groups the SQL side lacks if the fixture gained any)
+    v = v.where(F.col("check_id") == CheckId.RECORD_REFERENTIAL_INTEGRITY_VIOLATION)
     return (
         v.groupBy("partition_id", "check_id")
         .agg(
@@ -918,6 +923,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o.o_orderkey = l.l_orderkey
                   AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
               )
+            HAVING count(*) > 0
             ORDER BY partition_id, check_id
         """,
         "lapsed_customers": """

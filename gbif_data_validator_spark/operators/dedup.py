@@ -59,8 +59,12 @@ def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFra
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep one representative (min id) per exact-content group — the
-    training-data 'drop exact dups' pass. Returns the surviving rows."""
-    fp = content_fingerprint(F.col(text_col)).alias("_fp")
+    training-data 'drop exact dups' pass. Returns the surviving rows.
+    NULL text fingerprints as a sentinel so null-text rows form one group
+    (and keep a representative) instead of being silently dropped by a
+    null-key join — matching SQL window semantics (PARTITION BY groups
+    NULLs together); the sentinel cannot collide with a real 32-hex md5."""
+    fp = F.coalesce(content_fingerprint(F.col(text_col)), F.lit("NULL")).alias("_fp")
     w = df.select("*", fp)
     keep = w.groupBy("_fp").agg(F.min(F.col(id_col)).alias(id_col))
     return w.join(keep, on=["_fp", id_col], how="inner").drop("_fp")
@@ -449,12 +453,7 @@ def embedding_cosine_pairs_lsh(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         ).alias("d"),
         F.posexplode(
-            F.array(
-                *[
-                    sim.lsh_bucket_udf(dim, n_planes, seed + t)(F.col(vec_col))
-                    for t in range(n_tables)
-                ]
-            )
+            sim.lsh_multi_bucket_udf(dim, n_planes, n_tables, seed)(F.col(vec_col))
         ).alias("table", "bucket"),
     )
     posts = (
@@ -462,14 +461,19 @@ def embedding_cosine_pairs_lsh(
         .agg(F.collect_list("d").alias("ds"))
         .where(F.size("ds") >= 2)
     )
-    cos = F.round(cosine_sim(F.col("p.vec_a"), F.col("p.vec_b")), 6)
+    # threshold the UNROUNDED cosine (the exact operator does), then round
+    # for display — thresholding the rounded value would admit pairs up to
+    # 5e-7 below threshold that embedding_cosine_pairs rejects, breaking
+    # the approx-subset-of-exact invariant.
+    cos_raw = cosine_sim(F.col("p.vec_a"), F.col("p.vec_b"))
     return (
         posts.select(F.explode(_in_list_pairs(F.col("ds"), ["id", "vec"])).alias("p"))
         .select(
             F.col("p.id_a").alias("doc_a"),
             F.col("p.id_b").alias("doc_b"),
-            cos.alias("cosine"),
+            cos_raw.alias("_cos"),
         )
-        .where(F.col("cosine") >= threshold)
+        .where(F.col("_cos") >= threshold)
+        .select("doc_a", "doc_b", F.round(F.col("_cos"), 6).alias("cosine"))
         .distinct()
     )

@@ -128,17 +128,24 @@ def resize_images(
         for pdf in batches:
             out_media, out_meta = [], []
             for media, meta in zip(pdf["media"], pdf["meta"]):
-                m = dict(meta or {})
-                if media is not None and (m.get("media_type") or "").startswith("image/"):
+                if (
+                    media is not None
+                    and meta is not None
+                    and ((meta.get("media_type") if isinstance(meta, dict) else meta["media_type"]) or "").startswith("image/")
+                ):
                     img = decode_image(media, fake=True)  # STUB decode
                     ys = (np.arange(height) * img.shape[0] // height).clip(0, img.shape[0] - 1)
                     xs = (np.arange(width) * img.shape[1] // width).clip(0, img.shape[1] - 1)
                     resized = img[ys][:, xs]
                     media = resized.astype(np.uint8).tobytes()  # raw-RGB "encode"
+                    m = dict(meta)
                     m["width"], m["height"] = width, height
                     m["media_type"] = "image/raw-rgb"
+                    meta = m
+                # non-image / null-meta rows pass through UNTOUCHED — a NULL
+                # meta must stay NULL, not become a struct of null fields
                 out_media.append(media)
-                out_meta.append(m)
+                out_meta.append(meta)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "media": out_media, "meta": out_meta}
             )

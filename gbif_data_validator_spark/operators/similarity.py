@@ -77,6 +77,32 @@ def lsh_bucket_udf(dim: int, n_planes: int = 8, seed: int = 42):
     )
 
 
+def lsh_multi_bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int = 42):
+    """Bucket ids for ``n_tables`` independent hash tables in ONE pandas UDF
+    call per Arrow batch: one matmul against a stacked
+    (n_tables·n_planes, dim) plane matrix instead of n_tables separate
+    UDF round-trips (each rebuilding its plane matrix and re-materializing
+    the batch). Table t uses the same planes as ``lsh_bucket_udf(dim,
+    n_planes, seed + t)`` so single- and multi-table paths agree."""
+    import numpy as np
+
+    planes = np.vstack(
+        [_plane_matrix(dim, n_planes, seed + t) for t in range(n_tables)]
+    )  # (n_tables*n_planes, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.uint64)).astype(np.uint64)
+
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(mat) == 0:
+            return pd.Series([], dtype=object)
+        signs = (mat @ planes.T) > 0  # (batch, n_tables*n_planes)
+        per_table = signs.reshape(len(mat), n_tables, n_planes)
+        ids = (per_table.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
+        return pd.Series([row.astype(np.int64).tolist() for row in ids])
+
+    return F.pandas_udf(buckets, returnType="array<long>")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

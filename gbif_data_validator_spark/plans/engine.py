@@ -154,20 +154,30 @@ class ValidationEngine:
             key_col=c.key_col,
             lang_dim=dim if c.check_referential else None,
         )
-        if c.check_uniqueness:
-            out = out.unionByName(
-                uniqueness_violations(pages, key_col=c.key_col, n_salt=c.n_salt)
-            )
-        for dc in c.data_unique_cols:
-            out = out.unionByName(
-                data_uniqueness_violations(pages, dc, n_salt=c.n_salt)
-            )
+        out = self._append_global_passes(out, pages)
         if c.check_drift:
             out = out.unionByName(
                 drift_violations(ks_drift(pages, threshold=c.drift_threshold))
             )
+        return out
+
+    def _append_global_passes(self, violations: DataFrame, pages: DataFrame) -> DataFrame:
+        """Union the toggled whole-table passes (key uniqueness, A2 data-field
+        uniqueness, categorical drift) onto a violations plan. Shared by
+        build_violations and run() so toggle semantics can't diverge; KS
+        drift is NOT here because the two callers evaluate it differently
+        (run() reuses the rollup sketches driver-side — PLANS.md §4)."""
+        c = self.config
+        if c.check_uniqueness:
+            violations = violations.unionByName(
+                uniqueness_violations(pages, key_col=c.key_col, n_salt=c.n_salt)
+            )
+        for dc in c.data_unique_cols:
+            violations = violations.unionByName(
+                data_uniqueness_violations(pages, dc, n_salt=c.n_salt)
+            )
         if c.cat_drift_col:
-            out = out.unionByName(
+            violations = violations.unionByName(
                 categorical_drift_violations(
                     categorical_drift(
                         pages, c.cat_drift_col, threshold=c.cat_drift_threshold
@@ -175,7 +185,7 @@ class ValidationEngine:
                     c.cat_drift_col,
                 )
             )
-        return out
+        return violations
 
     # ------------------------------------------------------------------
     def run(self, pages: DataFrame, dim: DataFrame | None = None) -> ValidationReport:
@@ -221,8 +231,12 @@ class ValidationEngine:
         # the grand-total run profile, AND the per-window + pooled drift
         # sketches; the KS max-gap is then computed driver-side over the
         # collected (tiny: #partitions × N_PROBS floats) vectors.
-        drift_metric = F.when(
-            F.col("warc_ts").isNotNull(), F.length(F.col("text"))
+        # drift sketches ride the rollup only when the drift pass is on —
+        # the chain-builder contract says a disabled pass costs nothing
+        drift_metric = (
+            F.when(F.col("warc_ts").isNotNull(), F.length(F.col("text")))
+            if c.check_drift
+            else None
         )
         prof_rows = partitioned_profile(
             work, "_partition_id", drift_metric=drift_metric
@@ -256,25 +270,8 @@ class ValidationEngine:
             lang_dim=dim if c.check_referential else None,
         )
         if not skip_global:
-            if c.check_uniqueness:
-                violations = violations.unionByName(
-                    uniqueness_violations(pages, key_col=c.key_col, n_salt=c.n_salt)
-                )
-            for dc in c.data_unique_cols:
-                violations = violations.unionByName(
-                    data_uniqueness_violations(pages, dc, n_salt=c.n_salt)
-                )
-            if c.cat_drift_col:
-                # global categorical drift (PSI/chi2 per window vs pooled) —
-                # must see all windows, so it runs over `pages`
-                violations = violations.unionByName(
-                    categorical_drift_violations(
-                        categorical_drift(
-                            pages, c.cat_drift_col, threshold=c.cat_drift_threshold
-                        ),
-                        c.cat_drift_col,
-                    )
-                )
+            # whole-table passes run over `pages`, not the pruned work-list
+            violations = self._append_global_passes(violations, pages)
             if c.check_drift and not done:
                 # fast path: work == pages, so the rollup sketches cover all
                 # windows — drift evaluated driver-side, zero extra jobs.

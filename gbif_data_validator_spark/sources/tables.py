@@ -82,9 +82,10 @@ def read_pages_jsonl(
             T.StructField("lang", T.StringType()),
         ]
     )
-    schema = T.StructType(
-        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
-    )
+    if "_corrupt_record" not in schema.fieldNames():
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+        )
     df = (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
@@ -92,8 +93,11 @@ def read_pages_jsonl(
         .json(path)
     )
     if "html_b64" in df.columns:
-        df = df.withColumn("html", F.unbase64(F.col("html_b64"))).drop("html_b64")
-        df = df.select("url", "warc_ts", "html", "text", "lang", "_corrupt_record")
+        # decode in place, preserving the caller's declared column order
+        # (custom schemas keep all their columns)
+        df = df.withColumn("html_b64", F.unbase64(F.col("html_b64"))).withColumnRenamed(
+            "html_b64", "html"
+        )
     return df
 
 

@@ -249,12 +249,16 @@ def stream_validate_to_work_dir(
                 )
                 for pid, checks in sorted(by_part.items())
             ]
-            if rows:
-                from ..plans import checkpoint as cp
+            if not rows:
+                # a clean batch still gets its lineage row — "batch
+                # validated, zero violations" must be distinguishable from
+                # "batch never ran" without reading stream offsets
+                rows = [(run_id, f"stream:{batch_id}", "PASS", 0, 0, {}, now, now)]
+            from ..plans import checkpoint as cp
 
-                cp.append_checkpoints(
-                    spark.createDataFrame(rows, schema=CHECKPOINT_SCHEMA), cp_path
-                )
+            cp.append_checkpoints(
+                spark.createDataFrame(rows, schema=CHECKPOINT_SCHEMA), cp_path
+            )
         finally:
             batch_df.unpersist()
 

@@ -123,3 +123,16 @@ def test_embedding_cosine_pairs_lsh_recall(spark):
     assert len(exact) == n_clusters * per * (per - 1) // 2
     assert approx <= exact                       # verified pairs: no false positives
     assert len(approx & exact) / len(exact) >= 0.9  # high recall
+
+
+def test_dedup_exact_keeps_null_text_representative(spark):
+    """Null-text rows form one group and keep their min-id representative —
+    they must never be silently dropped (null-key join trap)."""
+    from gbif_data_validator_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, "other")],
+        schema="doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup_exact(df, "doc_id", "text").collect())
+    assert kept == [1, 3, 5]
