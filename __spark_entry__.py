@@ -332,6 +332,15 @@ def _q_data_field_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_keys(o, "o_custkey").orderBy("o_custkey")
 
 
+def _q_frequent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiler top-k: most frequent event_type values (exact, tie-broken)."""
+    from gbif_data_validator_spark.operators.metrics import frequent_values
+
+    return frequent_values(_tbl(spark, sf_dir, "events"), "event_type", k=5).orderBy(
+        "rank"
+    )
+
+
 def _q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metrics extension: exact fixed-width histogram of documents.n_chars."""
     from gbif_data_validator_spark.operators.metrics import length_histogram
@@ -670,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "top_orders_per_cust": _q_top_orders_per_cust,
         "data_field_uniqueness": _q_data_field_uniqueness,
+        "frequent_values": _q_frequent_values,
         "length_histogram": _q_length_histogram,
         "top_revenue_orders": _q_top_revenue_orders,
         "events_sessionize": _q_events_sessionize,
@@ -868,6 +878,12 @@ def oracle_sql() -> dict[str, str]:
         "data_field_uniqueness": """
             SELECT o_custkey, count(*) AS dup_count FROM orders
             GROUP BY o_custkey HAVING count(*) > 1 ORDER BY o_custkey
+        """,
+        "frequent_values": """
+            SELECT event_type AS value, count(*) AS n,
+                   row_number() OVER (ORDER BY count(*) DESC, event_type) AS rank
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY event_type QUALIFY rank <= 5 ORDER BY rank
         """,
         "length_histogram": """
             SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket, count(*) AS n,

@@ -118,6 +118,26 @@ def interpreted_counts(df: DataFrame, typed_cols: dict[str, F.Column]) -> DataFr
     return df.agg(*[F.count(expr).alias(name) for name, expr in typed_cols.items()])
 
 
+def frequent_values(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """Exact top-k most frequent values of a column: → (value, n, rank),
+    NULLs excluded, ties broken by value for determinism. One hash agg
+    (partial+final) over the column, then a top-k over the (distinct-value-
+    sized) aggregate — the profiler companion to term_frequency. At high
+    cardinality prefer the HLL/sketch profile; this operator is for
+    enumerable columns (lang, status, media_type)."""
+    from pyspark.sql import Window
+
+    c = F.col(col)
+    counts = df.where(c.isNotNull()).groupBy(c.alias("value")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("value"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def length_histogram(df: DataFrame, col: str, width: int) -> DataFrame:
     """Exact fixed-width histogram of a numeric column: → (bucket, n, lo, hi)
     where bucket = floor(col / width). One hash agg whose output cardinality

@@ -67,3 +67,13 @@ def test_length_histogram(spark):
     got = {r.bucket: (r.n, r.lo, r.hi) for r in length_histogram(df, "n", 50).collect()}
     # NULLs excluded; buckets are floor(n/50) with exact per-bucket min/max
     assert got == {0: (2, 3, 49), 1: (1, 50, 50), 2: (2, 120, 121)}
+
+
+def test_frequent_values(spark):
+    from gbif_data_validator_spark.operators.metrics import frequent_values
+
+    df = spark.createDataFrame(
+        [("b",), ("a",), ("b",), ("c",), ("a",), ("b",), (None,)], schema="v string"
+    )
+    got = [(r.value, r.n, r.rank) for r in frequent_values(df, "v", 2).orderBy("rank").collect()]
+    assert got == [("b", 3, 1), ("a", 2, 2)]  # NULL excluded, ties by value
