@@ -188,6 +188,77 @@ class ValidationEngine:
         return violations
 
     # ------------------------------------------------------------------
+    def run_star(
+        self,
+        core: DataFrame,
+        extensions: dict[str, tuple[DataFrame, str]],
+        dim: DataFrame | None = None,
+    ) -> ValidationReport:
+        """DwcDataFile-shaped run: the FULL pass battery on the core table
+        plus per-extension referential integrity (plans/star.py), reported
+        per table — the reference's one-ValidationResultElement-per-rowType
+        model (api/result/ValidationResultElement.java:32-182; per-rowType
+        actors DataFileProcessorMaster.java:223-228). Core findings keep
+        their warc_ts-window partitions; star findings carry "core" /
+        "ext:<name>" partition ids, so partition_verdicts reads as the
+        per-table element list."""
+        from ..operators.metrics import issue_counts_by_partition
+        from ..operators.sampling import distinct_first_samples
+        from .star import validate_star
+
+        c = self.config
+        findings = preflight(core, key_col=c.key_col)
+        if any(f.blocking for f in findings):
+            return ValidationReport(
+                run_id=c.run_id,
+                indexable=False,
+                n_rows=0,
+                n_violations=sum(1 for f in findings if f.blocking),
+                issue_counts={f.check_id: 1 for f in findings if f.blocking},
+                error_code=CheckId.RESOURCE_INTEGRITY,
+            )
+        dim = dim if dim is not None else lang_dim(self.spark)
+        violations = (
+            self.build_violations(core, dim)
+            .unionByName(validate_star(core, extensions, core_key=c.key_col))
+            .persist()
+        )
+        vc_rows = issue_counts_by_partition(violations).collect()
+        issue_counts: dict[str, int] = {}
+        by_part: dict[str, dict[str, int]] = {}
+        for r in vc_rows:
+            by_part.setdefault(r.partition_id, {})[r.check_id] = r.n
+            issue_counts[r.check_id] = issue_counts.get(r.check_id, 0) + r.n
+        # per-table row counts: core + one count() per (small number of) tables
+        n_rows = core.count()
+        table_rows = {"core": n_rows}
+        for name, (ext, _) in extensions.items():
+            table_rows[f"ext:{name}"] = ext.count()
+        verdicts = {
+            pid: "FAIL" if any(k in BLOCKING_CHECKS for k in checks) else "PASS"
+            for pid, checks in sorted(by_part.items())
+        }
+        for pid in table_rows:
+            verdicts.setdefault(pid, "PASS")
+        samples_rows = distinct_first_samples(violations, c.max_samples).collect()
+        samples: dict[str, list[dict]] = {}
+        for r in sorted(samples_rows, key=lambda r: (r.check_id, r.sample_rank)):
+            samples.setdefault(r.check_id, []).append(
+                {"url": r.url, "expected": r.expected, "found": r.found}
+            )
+        violations.unpersist()
+        return ValidationReport(
+            run_id=c.run_id,
+            indexable=not any(k in BLOCKING_CHECKS for k in issue_counts),
+            n_rows=n_rows,
+            n_violations=sum(issue_counts.values()),
+            issue_counts=issue_counts,
+            samples=samples,
+            metrics={"table_rows": table_rows},
+            partition_verdicts=verdicts,
+        )
+
+    # ------------------------------------------------------------------
     def run(self, pages: DataFrame, dim: DataFrame | None = None) -> ValidationReport:
         c = self.config
         started = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)

@@ -92,3 +92,31 @@ def test_star_composes_with_engine_accounting(spark):
     }
     assert verdicts == {"core": "FAIL", "ext:ident": "FAIL"}
     v.unpersist()
+
+
+def test_run_star_per_table_report(spark, pages_path):
+    """Engine-level star run: full battery on the core + per-extension
+    referential, with per-table verdicts in one report."""
+    from pyspark.sql import functions as F
+
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    core = spark.read.parquet(pages_path).drop("expected_issue")
+    # extension: one row per clean core url + two orphans
+    ext = (
+        core.where(F.col("url").isNotNull() & (F.col("url") != "")).select(
+            F.col("url").alias("page_url")
+        ).limit(50)
+        .unionByName(
+            spark.createDataFrame([("https://nope.example/x",), ("https://nope.example/y",)],
+                                  schema="page_url string")
+        )
+    )
+    eng = ValidationEngine(spark, EngineConfig(check_extraction=False))
+    report = eng.run_star(core, {"links": (ext, "page_url")})
+    assert report.issue_counts[CheckId.RECORD_REFERENTIAL_INTEGRITY_VIOLATION] == 2
+    assert report.partition_verdicts["ext:links"] == "FAIL"
+    assert report.metrics["table_rows"]["ext:links"] == 52
+    assert not report.indexable
+    # core battery still ran (fixture has injected violations)
+    assert CheckId.URL_MALFORMED in report.issue_counts
