@@ -113,6 +113,13 @@ class EngineConfig:
     #: each listed column gets its own salted uniqueness pass emitting
     #: DATA_FIELD_NOT_UNIQUE (OCCURRENCE_NOT_UNIQUELY_IDENTIFIED analog)
     data_unique_cols: tuple = ()
+    #: Incremental validation: ALSO treat partitions checkpointed by this
+    #: earlier run (same work_dir) as done — the append-only-crawl pattern:
+    #: a new month of data revalidates only its new warc_ts windows, never
+    #: rescanning the 100 TB of already-validated history. The global
+    #: passes (uniqueness/drift) still see the full table unless the
+    #: baseline run also completed its GLOBAL partition.
+    baseline_run_id: str | None = None
     n_buckets: int = 1
     n_salt: int = 16
     drift_threshold: float = 0.15
@@ -291,6 +298,17 @@ class ValidationEngine:
         done: list[str] = []
         if c.checkpoint_path:
             done = cp.completed_partitions(self.spark, c.checkpoint_path, c.run_id)
+            if c.baseline_run_id:
+                # baseline windows are done, but its GLOBAL checkpoint never
+                # transfers: appended data can duplicate keys ACROSS runs, so
+                # the (key-column-only) global passes must rerun on the full
+                # table in every incremental run
+                baseline_done = set(
+                    cp.completed_partitions(
+                        self.spark, c.checkpoint_path, c.baseline_run_id
+                    )
+                ) - {GLOBAL_PARTITION}
+                done = sorted(set(done) | baseline_done)
         work = pages
         skip_global = GLOBAL_PARTITION in done
         if done:
@@ -374,7 +392,12 @@ class ValidationEngine:
             # partition's violations without checkpointing it; the re-run
             # appends them again, so reads dedup exact tuples (map column is
             # not set-op comparable → dedup on its JSON form).
-            raw = self.spark.read.parquet(c.violations_path)
+            # explicit schema: a fully-clean run writes ZERO violation files
+            # (partitionBy of an empty DF → only _SUCCESS), and a schema-less
+            # read of that directory throws UNABLE_TO_INFER_SCHEMA
+            from ..model import VIOLATIONS_SCHEMA
+
+            raw = self.spark.read.schema(VIOLATIONS_SCHEMA).parquet(c.violations_path)
             all_violations = (
                 raw.withColumn("_rd", F.to_json("related_data"))
                 .dropDuplicates(["url", "check_id", "expected", "found", "partition_id", "_rd"])

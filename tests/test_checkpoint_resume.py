@@ -125,3 +125,50 @@ def test_bucketed_partitions(spark, pages, tmp_path):
     rep2 = ValidationEngine(spark, cfg).run(src)
     assert rep2.partition_verdicts == rep.partition_verdicts
     assert rep2.issue_counts == rep.issue_counts
+
+
+def test_incremental_validation_with_baseline_run(spark, tmp_path):
+    """Append-only crawl: run B with baseline_run_id=A revalidates only the
+    NEW warc_ts windows; A's windows are pruned, but the global uniqueness
+    pass still sees the whole table (cross-run duplicates must surface)."""
+    import datetime as dt
+
+    from gbif_data_validator_spark.model import CheckId
+    from gbif_data_validator_spark.plans import checkpoint as cp
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    wd = str(tmp_path / "inc")
+
+    def page(url, month, text="hello world"):
+        return (url, dt.datetime(2024, month, 15), None, text, "en")
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    old = spark.createDataFrame(
+        [page(f"https://a.example/{i}", 1 + i % 2) for i in range(40)], schema
+    )
+    # run A validates months 1-2
+    ValidationEngine(
+        spark, EngineConfig(check_extraction=False, work_dir=wd, run_id="A")
+    ).run(old)
+    done_a = cp.completed_partitions(spark, wd + "/checkpoint", "A")
+    assert {"2024-01", "2024-02", "GLOBAL"} <= set(done_a)
+
+    # month 3 appends, including a cross-run duplicate of an old url
+    new = old.unionByName(
+        spark.createDataFrame(
+            [page("https://a.example/0", 3), page("https://b.example/new", 3)], schema
+        )
+    )
+    report = ValidationEngine(
+        spark,
+        EngineConfig(
+            check_extraction=False, work_dir=wd, run_id="B", baseline_run_id="A"
+        ),
+    ).run(new)
+    done_b = cp.completed_partitions(spark, wd + "/checkpoint", "B")
+    # B checkpointed only the new window (plus its own GLOBAL)
+    assert "2024-03" in done_b and "2024-01" not in done_b and "2024-02" not in done_b
+    # the cross-run duplicate WAS caught by the rerun global pass
+    assert report.issue_counts.get(CheckId.RECORD_NOT_UNIQUELY_IDENTIFIED, 0) == 1
+    dup_samples = report.samples[CheckId.RECORD_NOT_UNIQUELY_IDENTIFIED]
+    assert dup_samples[0]["url"] == "https://a.example/0"
