@@ -31,6 +31,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "enables resume (same --run-id revalidates only "
                         "unfinished partitions)")
     p.add_argument("--run-id", default=None, help="resume/identify the run")
+    p.add_argument("--baseline-run-id", default=None,
+                   help="incremental validation: skip warc_ts windows already "
+                        "checkpointed by this earlier run in the same work-dir "
+                        "(global passes still rerun on the full table)")
     p.add_argument("--key-col", default="url")
     p.add_argument("--n-buckets", type=int, default=1,
                    help="url-hash buckets per warc_ts month partition")
@@ -75,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
         check_referential=not args.no_referential,
         check_drift=not args.no_drift,
         data_unique_cols=tuple(args.data_unique_col),
+        baseline_run_id=args.baseline_run_id,
         cat_drift_col=args.cat_drift_col,
         cat_drift_threshold=args.cat_drift_threshold,
         work_dir=args.work_dir,
