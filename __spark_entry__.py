@@ -447,6 +447,24 @@ def _q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured interpretation: parse the props JSON column with a
+    declared schema (from_json — parse failure → NULL, a finding in the
+    engine's semantics) and aggregate the extracted field."""
+    e = _tbl(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(k).alias("n_parsed"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (the engine's internal partitioned-profile shape,
     pinned against SQL GROUPING SETS semantics): per-(day, type), per-day,
@@ -685,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "lapsed_customers": _q_lapsed_customers,
         "events_rollup": _q_events_rollup,
+        "events_props_extract": _q_events_props_extract,
         "star_referential": _q_star_referential,
         # training-data pipeline
         "fingerprints": _q_fingerprints,
@@ -949,6 +968,14 @@ def oracle_sql() -> dict[str, str]:
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
             ) ORDER BY c_custkey
+        """,
+        "events_props_extract": """
+            SELECT event_type,
+                   count(CAST(json_extract(props, '$.k') AS INT)) AS n_parsed,
+                   sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+                   min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+                   max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "events_rollup": """
             SELECT coalesce(day, 'ALL') AS day,
