@@ -624,6 +624,13 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs_spread(spark, sf_dir), "doc_id", "text", max_hamming=3)
 
 
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-duplication candidates via shared winnowing fingerprints."""
+    from gbif_data_validator_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(_docs_spread(spark, sf_dir), "doc_id", "text", min_shared=2)
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gbif_data_validator_spark.functions.textstats import winnow_fingerprint_udf
 
@@ -752,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_pairs": _q_winnow_pairs,
         "lsh_ann": _q_lsh_ann,
         "drift_events": _q_drift_events,
         "media_features": _q_media_features,

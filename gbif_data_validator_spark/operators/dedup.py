@@ -387,6 +387,52 @@ def simhash_pairs(
 
 
 # --------------------------------------------------------------------------
+# Winnowing substring-duplicate candidates
+# --------------------------------------------------------------------------
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared: int = 2,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Substring-duplication candidates via winnowing fingerprints
+    (Schleimer et al., SIGMOD 2003 — the document-fingerprinting method for
+    detecting *copied passages*, not whole-document similarity): documents
+    sharing ≥ ``min_shared`` selected k-gram fingerprints. Winnowing
+    guarantees any shared run of ≥ k+w-1 words shares a fingerprint, so
+    long verbatim overlaps always collide — the scalable stand-in for exact
+    substring dedup (suffix arrays don't distribute; fingerprint posting
+    lists do). → (doc_a, doc_b, n_shared).
+
+    Same posting-list plan as the rest of the family: one narrow UDF pass,
+    one corpus-sized shuffle on fingerprint value, in-list pair generation,
+    count per pair = number of shared fingerprints. ``max_df`` drops
+    boilerplate fingerprints (headers, license blocks) — the skew cap AND
+    the standard noise filter."""
+    from ..functions.textstats import winnow_fingerprint_udf
+
+    fps = df.select(
+        F.col(id_col).alias("doc_id"), winnow_fingerprint_udf(F.col(text_col)).alias("fp")
+    ).where(F.col("fp").isNotNull() & (F.size("fp") > 0))
+    ex = fps.select(F.col("doc_id"), F.explode("fp").alias("f"))
+    posts = (
+        ex.groupBy("f")
+        .agg(F.collect_list(F.struct(F.col("doc_id").alias("id"))).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+    )
+    return (
+        posts.select(F.explode(_in_list_pairs(F.col("ds"), ["id"])).alias("p"))
+        .select(F.col("p.id_a").alias("doc_a"), F.col("p.id_b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding cosine near-dup (exact over candidate sets)
 # --------------------------------------------------------------------------
 

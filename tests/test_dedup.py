@@ -136,3 +136,22 @@ def test_dedup_exact_keeps_null_text_representative(spark):
     )
     kept = sorted(r.doc_id for r in dedup_exact(df, "doc_id", "text").collect())
     assert kept == [1, 3, 5]
+
+
+def test_winnow_pairs_find_copied_passage(spark):
+    """Two documents sharing a long verbatim passage collide on winnow
+    fingerprints; unrelated documents don't."""
+    from gbif_data_validator_spark.operators.dedup import winnow_pairs
+
+    passage = ("the quick brown fox jumps over the lazy dog while the rain "
+               "falls gently on the quiet village rooftops every evening")
+    rows = [
+        (1, "intro text alpha " + passage + " closing words beta"),
+        (2, "completely different opening " + passage + " and another ending"),
+        (3, "nothing in common here just some plain filler words about weather "
+            "patterns and various unrelated topics entirely separate"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.n_shared for r in winnow_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert not any(3 in pair for pair in got)
