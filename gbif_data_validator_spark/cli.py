@@ -66,7 +66,11 @@ def main(argv: list[str] | None = None) -> int:
     from .plans.engine import EngineConfig, ValidationEngine
     from .sources.tables import read_table
 
-    args = build_arg_parser().parse_args(argv)
+    parser = build_arg_parser()
+    args = parser.parse_args(argv)
+    if args.baseline_run_id and not args.work_dir:
+        parser.error("--baseline-run-id requires --work-dir (the shared "
+                     "checkpoint/violations store the baseline run wrote to)")
     spark = SparkSession.builder.appName("gdv-validate").getOrCreate()
 
     kwargs = dict(

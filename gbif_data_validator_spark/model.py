@@ -80,6 +80,21 @@ BLOCKING_CHECKS = frozenset(
     }
 )
 
+#: Checks whose findings describe the WHOLE table (or whole windows) rather
+#: than one record's content: their rows are re-derived from scratch by every
+#: run's global passes, so a later run's rows SUPERSEDE an earlier run's in
+#: the shared violations store (e.g. found='count=2' → 'count=3' after an
+#: append). Record-scoped findings are append-once (their partitions are
+#: pruned on re-runs) and never superseded.
+GLOBAL_SCOPE_CHECKS = frozenset(
+    {
+        CheckId.RECORD_NOT_UNIQUELY_IDENTIFIED,
+        CheckId.DATA_FIELD_NOT_UNIQUE,
+        CheckId.DRIFT_WINDOW,
+        CheckId.CATEGORICAL_DRIFT_WINDOW,
+    }
+)
+
 #: Violation samples retained per check — DEFAULT_MAX_NUMBER_OF_SAMPLE
 #: (collector/RecordEvaluationResultCollector.java:34).
 MAX_SAMPLES_PER_CHECK = 10

@@ -116,9 +116,11 @@ class EngineConfig:
     #: Incremental validation: ALSO treat partitions checkpointed by this
     #: earlier run (same work_dir) as done — the append-only-crawl pattern:
     #: a new month of data revalidates only its new warc_ts windows, never
-    #: rescanning the 100 TB of already-validated history. The global
-    #: passes (uniqueness/drift) still see the full table unless the
-    #: baseline run also completed its GLOBAL partition.
+    #: rescanning the already-validated history. The baseline's GLOBAL
+    #: checkpoint never transfers: the global passes (uniqueness, drift)
+    #: rerun on the full table every incremental run, and their fresh rows
+    #: supersede the baseline's (GLOBAL_SCOPE_CHECKS read filter). Requires
+    #: the same n_buckets as the baseline run (checked).
     baseline_run_id: str | None = None
     n_buckets: int = 1
     n_salt: int = 16
@@ -209,19 +211,22 @@ class ValidationEngine:
         their warc_ts-window partitions; star findings carry "core" /
         "ext:<name>" partition ids, so partition_verdicts reads as the
         per-table element list."""
-        from ..operators.metrics import issue_counts_by_partition
-        from ..operators.sampling import distinct_first_samples
         from .star import validate_star
 
         c = self.config
         findings = preflight(core, key_col=c.key_col)
-        if any(f.blocking for f in findings):
+        blocking = [f for f in findings if f.blocking]
+        if blocking:
             return ValidationReport(
                 run_id=c.run_id,
                 indexable=False,
                 n_rows=0,
-                n_violations=sum(1 for f in findings if f.blocking),
-                issue_counts={f.check_id: 1 for f in findings if f.blocking},
+                n_violations=len(blocking),
+                issue_counts={f.check_id: 1 for f in blocking},
+                samples={
+                    f.check_id: [{"expected": f.expected, "found": f.found}]
+                    for f in blocking
+                },
                 error_code=CheckId.RESOURCE_INTEGRITY,
             )
         dim = dim if dim is not None else lang_dim(self.spark)
@@ -245,6 +250,13 @@ class ValidationEngine:
             pid: "FAIL" if any(k in BLOCKING_CHECKS for k in checks) else "PASS"
             for pid, checks in sorted(by_part.items())
         }
+        # the CORE battery's findings carry warc_ts-window / GLOBAL partition
+        # ids, not "core" — the per-TABLE core verdict is the reduce over all
+        # non-extension partitions (else a failing core would read core: PASS)
+        core_fail = any(
+            v == "FAIL" for pid, v in verdicts.items() if not pid.startswith("ext:")
+        )
+        verdicts["core"] = "FAIL" if core_fail else verdicts.get("core", "PASS")
         for pid in table_rows:
             verdicts.setdefault(pid, "PASS")
         samples_rows = distinct_first_samples(violations, c.max_samples).collect()
@@ -301,13 +313,29 @@ class ValidationEngine:
             if c.baseline_run_id:
                 # baseline windows are done, but its GLOBAL checkpoint never
                 # transfers: appended data can duplicate keys ACROSS runs, so
-                # the (key-column-only) global passes must rerun on the full
-                # table in every incremental run
+                # the global passes must rerun in every incremental run
                 baseline_done = set(
                     cp.completed_partitions(
                         self.spark, c.checkpoint_path, c.baseline_run_id
                     )
                 ) - {GLOBAL_PARTITION}
+                # a bucket-scheme mismatch would make every baseline id miss
+                # the current scheme and SILENTLY disable pruning (plus
+                # double-append all historical violations) — fail loudly
+                import re as _re
+
+                pat = (
+                    _re.compile(r"^(\d{4}-\d{2}|UNKNOWN)-b\d+$")
+                    if c.n_buckets > 1
+                    else _re.compile(r"^(\d{4}-\d{2}|UNKNOWN)$")
+                )
+                bad = sorted(p for p in baseline_done if not pat.match(p))
+                if bad:
+                    raise ValueError(
+                        f"baseline run {c.baseline_run_id!r} used a different "
+                        f"partition scheme than n_buckets={c.n_buckets} "
+                        f"(e.g. {bad[:3]}); rerun with the baseline's n_buckets"
+                    )
                 done = sorted(set(done) | baseline_done)
         work = pages
         skip_global = GLOBAL_PARTITION in done
@@ -385,9 +413,13 @@ class ValidationEngine:
         # Persist violations FIRST (resume-correctness ordering), then
         # derive everything else from the durable copy.
         if c.violations_path:
-            violations.write.mode("append").partitionBy("partition_id").parquet(
-                c.violations_path
-            )
+            # rows are stamped with the writing run: global-scope findings
+            # (uniqueness/drift — re-derived from the WHOLE table each run)
+            # are superseded by the current run's copy at read time, so an
+            # incremental chain never accumulates stale count=N rows.
+            violations.withColumn("_run_id", F.lit(c.run_id)).write.mode(
+                "append"
+            ).partitionBy("partition_id").parquet(c.violations_path)
             # replay idempotence: an interrupted run may have appended a
             # partition's violations without checkpointing it; the re-run
             # appends them again, so reads dedup exact tuples (map column is
@@ -395,9 +427,19 @@ class ValidationEngine:
             # explicit schema: a fully-clean run writes ZERO violation files
             # (partitionBy of an empty DF → only _SUCCESS), and a schema-less
             # read of that directory throws UNABLE_TO_INFER_SCHEMA
-            from ..model import VIOLATIONS_SCHEMA
+            from ..model import GLOBAL_SCOPE_CHECKS, VIOLATIONS_SCHEMA
+            from pyspark.sql import types as _T
 
-            raw = self.spark.read.schema(VIOLATIONS_SCHEMA).parquet(c.violations_path)
+            read_schema = _T.StructType(
+                list(VIOLATIONS_SCHEMA.fields)
+                + [_T.StructField("_run_id", _T.StringType())]
+            )
+            raw = self.spark.read.schema(read_schema).parquet(c.violations_path)
+            raw = raw.where(
+                ~F.col("check_id").isin(sorted(GLOBAL_SCOPE_CHECKS))
+                | (F.col("_run_id") == c.run_id)
+                | F.col("_run_id").isNull()  # pre-stamping legacy rows
+            ).drop("_run_id")
             all_violations = (
                 raw.withColumn("_rd", F.to_json("related_data"))
                 .dropDuplicates(["url", "check_id", "expected", "found", "partition_id", "_rd"])
@@ -463,6 +505,19 @@ class ValidationEngine:
             # back into the report (all_violations already includes their
             # persisted violations, so issue_counts is complete; verdicts
             # and n_rows come from the checkpoint table)
+            if c.baseline_run_id:
+                # incremental runs: the report must describe the WHOLE table,
+                # so baseline windows' verdicts and row counts fold in too
+                # (current run's rows win on overlap; the baseline's GLOBAL
+                # row never transfers — this run re-ran the global passes)
+                base_rows = cps.where(
+                    (F.col("run_id") == c.baseline_run_id)
+                    & (F.col("partition_id") != GLOBAL_PARTITION)
+                ).collect()
+                for r in base_rows:
+                    if r.partition_id not in verdicts:
+                        verdicts[r.partition_id] = r.status
+                        n_rows += r.n_rows
         else:
             verdicts = {t[1]: t[2] for t in cp_tuples}
             n_rows = sum(part_rows.values())

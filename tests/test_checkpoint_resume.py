@@ -172,3 +172,75 @@ def test_incremental_validation_with_baseline_run(spark, tmp_path):
     assert report.issue_counts.get(CheckId.RECORD_NOT_UNIQUELY_IDENTIFIED, 0) == 1
     dup_samples = report.samples[CheckId.RECORD_NOT_UNIQUELY_IDENTIFIED]
     assert dup_samples[0]["url"] == "https://a.example/0"
+
+
+def test_incremental_global_rows_superseded_not_accumulated(spark, tmp_path):
+    """Run B's rerun global pass REPLACES run A's stale uniqueness rows in
+    the shared store: one finding per duplicated key with the fresh count,
+    and the report's verdicts/n_rows cover the whole table."""
+    import datetime as dt
+
+    from gbif_data_validator_spark.model import CheckId
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    wd = str(tmp_path / "inc2")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    def page(url, month):
+        return (url, dt.datetime(2024, month, 15), None, "hello world", "en")
+
+    # run A: url X appears twice (found=count=2)
+    old = spark.createDataFrame(
+        [page("https://x.example/dup", 1), page("https://x.example/dup", 1)]
+        + [page(f"https://a.example/{i}", 1 + i % 2) for i in range(30)],
+        schema,
+    )
+    ValidationEngine(
+        spark, EngineConfig(check_extraction=False, work_dir=wd, run_id="A")
+    ).run(old)
+
+    # run B appends a third copy of X in month 3
+    new = old.unionByName(
+        spark.createDataFrame([page("https://x.example/dup", 3)], schema)
+    )
+    report = ValidationEngine(
+        spark,
+        EngineConfig(
+            check_extraction=False, work_dir=wd, run_id="B", baseline_run_id="A"
+        ),
+    ).run(new)
+    # exactly ONE uniqueness finding, with the fresh count — not A's + B's
+    assert report.issue_counts[CheckId.RECORD_NOT_UNIQUELY_IDENTIFIED] == 1
+    samples = report.samples[CheckId.RECORD_NOT_UNIQUELY_IDENTIFIED]
+    assert len(samples) == 1 and samples[0]["found"] == "count=3"
+    # report covers the WHOLE table: baseline windows fold into verdicts/n_rows
+    assert {"2024-01", "2024-02", "2024-03"} <= set(report.partition_verdicts)
+    assert report.n_rows == new.count()
+
+
+def test_incremental_bucket_scheme_mismatch_rejected(spark, tmp_path):
+    import datetime as dt
+
+    import pytest
+
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    wd = str(tmp_path / "inc3")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    df = spark.createDataFrame(
+        [(f"https://a.example/{i}", dt.datetime(2024, 1, 15), None, "t", "en")
+         for i in range(20)],
+        schema,
+    )
+    ValidationEngine(
+        spark,
+        EngineConfig(check_extraction=False, work_dir=wd, run_id="A", n_buckets=4),
+    ).run(df)
+    with pytest.raises(ValueError, match="partition scheme"):
+        ValidationEngine(
+            spark,
+            EngineConfig(
+                check_extraction=False, work_dir=wd, run_id="B",
+                baseline_run_id="A", n_buckets=1,
+            ),
+        ).run(df)

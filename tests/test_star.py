@@ -120,3 +120,25 @@ def test_run_star_per_table_report(spark, pages_path):
     assert not report.indexable
     # core battery still ran (fixture has injected violations)
     assert CheckId.URL_MALFORMED in report.issue_counts
+
+
+def test_run_star_core_verdict_reflects_core_findings(spark):
+    """A failing core (duplicate urls → blocking) must show core: FAIL in
+    the per-table verdict list, even though its findings carry
+    warc_ts-window/GLOBAL partition ids."""
+    import datetime as dt
+
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    core = spark.createDataFrame(
+        [("https://a.example/x", dt.datetime(2024, 1, 1), None, "t", "en")] * 2
+        + [("https://a.example/y", dt.datetime(2024, 1, 1), None, "t", "en")],
+        schema,
+    )
+    ext = spark.createDataFrame([("https://a.example/y",)], "fk string")
+    report = ValidationEngine(spark, EngineConfig(check_extraction=False)).run_star(
+        core, {"links": (ext, "fk")}
+    )
+    assert report.partition_verdicts["core"] == "FAIL"
+    assert report.partition_verdicts["ext:links"] == "PASS"
