@@ -328,7 +328,9 @@ def _simhash_series(texts: pd.Series) -> pd.Series:
             return None
         words = t.lower().split()
         if not words:
-            return 0
+            # None, like minhash: a sig of 0 would put EVERY empty/blank doc
+            # in one uncapped hamming-0 bucket and pair them quadratically
+            return None
         uniq, counts = np.unique(np.array(words, dtype=object), return_counts=True)
         hs = _hash64_array(uniq)
         bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
@@ -343,19 +345,23 @@ simhash_udf = F.pandas_udf(_simhash_series, returnType=LongType())
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via the pigeonhole
     principle: split 64 bits into (max_hamming+1) chunks; any qualifying pair
     collides exactly on ≥1 chunk → posting-list groupBy(chunk_idx, chunk_val),
     exact Hamming verified in-bucket with bit_count (JVM-side). One shuffle
     over the (doc, chunk) postings; no self-join, no persist — the
-    pandas-UDF signature pass runs exactly once."""
+    pandas-UDF signature pass runs exactly once. ``max_bucket`` caps a chunk
+    bucket's posting list (the per-reducer skew bound, same role as
+    ngram_jaccard's max_df); empty/blank docs have NULL signatures and are
+    excluded (they'd otherwise all pair as hamming-0 duplicates)."""
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
     sigs = df.select(
         F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sig")
-    )
+    ).where(F.col("sig").isNotNull())
     # shift amounts must be Python ints (static per chunk), so the chunk
     # array is built with a driver-side loop of literal shifts
     chunk_cols = [
@@ -371,7 +377,7 @@ def simhash_pairs(
     posts = (
         chunks.groupBy("chunk_idx", "chunk_val")
         .agg(F.collect_list("d").alias("ds"))
-        .where(F.size("ds") >= 2)
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
     )
     hamming = F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b")))
     return (

@@ -154,18 +154,25 @@ def resize_images(
 
 
 def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling *plan*: expand each video row into (doc_id,
+    """Video frame-sampling *plan*: expand each VIDEO row (media_type
+    video/*; rows with no positive duration have no frames) into (doc_id,
     frame_ts_ms) rows from metadata only — no decode, pure JVM explode.
     The decode of each planned frame is the stubbed step."""
-    return media_df.select(
-        "doc_id",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
-                F.lit(every_ms),
-            )
-        ).alias("frame_ts_ms"),
+    return (
+        media_df.where(
+            F.col("meta.media_type").startswith("video/")
+            & (F.coalesce(F.col("meta.duration_ms"), F.lit(0)) > 0)
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.col("meta.duration_ms") - 1,
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
     )
 
 

@@ -66,6 +66,8 @@ def _bucket_series(vecs: pd.Series, dim: int, n_planes: int, seed: int) -> pd.Se
     weights = (1 << np.arange(n_planes, dtype=np.uint64)).astype(np.uint64)
 
     mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64)
+    if len(mat) == 0:  # zero-row Arrow batch: (0,) @ planes.T would raise
+        return pd.Series([], dtype="int64")
     signs = (mat @ planes.T) > 0  # (batch, n_planes)
     ids = (signs.astype(np.uint64) * weights[None, :]).sum(axis=1)
     return pd.Series(ids.astype(np.int64))

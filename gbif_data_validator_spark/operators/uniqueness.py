@@ -94,9 +94,12 @@ def data_uniqueness_violations(
 def uniqueness_violations(
     pages: DataFrame, key_col: str = "url", n_salt: int = DEFAULT_SALT
 ) -> DataFrame:
-    """Violations-DF-shaped output: one row per duplicated key, joined back
-    to the offending rows so each duplicate occurrence is reported (the
-    reference emits one result per duplicated id occurrence)."""
+    """Violations-DF-shaped output: ONE row per duplicated key, carrying the
+    occurrence count in ``found`` / ``related_data`` (count=N). The
+    reference emits one result per duplicated id occurrence; the
+    count-carrying summary is deliberate — at 10^12 rows a hot key's N
+    occurrence rows would recreate the very skew the salted agg removed,
+    and N is recoverable from the count."""
     key = F.col(key_col)
     nonempty = pages.where(non_blank(key))
     dups = duplicate_keys(nonempty, key_col, n_salt)

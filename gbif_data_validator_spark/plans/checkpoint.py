@@ -31,11 +31,29 @@ from ..model import CHECKPOINT_SCHEMA
 
 def read_checkpoints(spark: SparkSession, path: str) -> DataFrame:
     """All checkpoint rows, deduped to the latest per (run_id, partition_id)."""
-    if not _exists(path):
+    if not _exists(spark, path):
         return spark.createDataFrame([], CHECKPOINT_SCHEMA)
-    df = spark.read.parquet(path)
+    df = spark.read.schema(CHECKPOINT_SCHEMA).parquet(path)
     w = Window.partitionBy("run_id", "partition_id").orderBy(F.col("finished_at").desc())
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def completed_partitions_all_runs(spark: SparkSession, path: str) -> list[str]:
+    """Partition ids validated by ANY run in this work_dir (excluding the
+    per-run GLOBAL rows) — the incremental-chain prune set: the work_dir is
+    one table's validation lineage, so every historically-validated window
+    is history regardless of which run in the chain validated it."""
+    cps = read_checkpoints(spark, path)
+    rows = (
+        cps.where(
+            F.col("status").isin("PASS", "FAIL")
+            & ~F.col("partition_id").startswith("stream:")
+        )
+        .select("partition_id")
+        .distinct()
+        .collect()
+    )
+    return [r.partition_id for r in rows]
 
 
 def completed_partitions(spark: SparkSession, path: str, run_id: str) -> list[str]:
@@ -54,7 +72,32 @@ def append_checkpoints(checkpoint_rows: DataFrame, path: str) -> None:
     checkpoint_rows.write.mode("append").parquet(path)
 
 
-def _exists(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    )
+def ensure_partition_scheme(spark: SparkSession, work_dir: str, n_buckets: int) -> None:
+    """The first run against a work_dir records its partition scheme in
+    ``{work_dir}/_scheme``; every later run (resume or incremental) must use
+    the same ``n_buckets`` — a silent mismatch would make pruning skip
+    never-validated bucket slices (format-only id checks can't catch a
+    4-bucket baseline read with 2 buckets). Raises ValueError on mismatch."""
+    p = os.path.join(work_dir, "_scheme")
+    if _exists(spark, p):
+        recorded = spark.read.parquet(p).collect()[0].n_buckets
+        if recorded != n_buckets:
+            raise ValueError(
+                f"work_dir {work_dir!r} was written with a different partition "
+                f"scheme (n_buckets={recorded}); this run uses "
+                f"n_buckets={n_buckets} — pruning would be incorrect. "
+                f"Rerun with n_buckets={recorded}."
+            )
+    else:
+        spark.createDataFrame([(n_buckets,)], "n_buckets int").coalesce(1).write.parquet(p)
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence check through the Hadoop FS API — the
+    work_dir is an object-store URI (s3://, hdfs://, abfs://) in production,
+    where a driver-local os.path check would always be False (silently
+    disabling resume and emptying the final report)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)

@@ -197,6 +197,29 @@ class ValidationEngine:
         return violations
 
     # ------------------------------------------------------------------
+    def _blocked_report(self, findings) -> ValidationReport:
+        """Preflight short-circuit report (ResourceConstitutionEvaluationChain
+        analog): every blocking finding counted and sampled — two findings of
+        the same check_id are two violations, not one."""
+        blocking = [f for f in findings if f.blocking]
+        issue_counts: dict[str, int] = {}
+        samples: dict[str, list[dict]] = {}
+        for f in blocking:
+            issue_counts[f.check_id] = issue_counts.get(f.check_id, 0) + 1
+            samples.setdefault(f.check_id, []).append(
+                {"expected": f.expected, "found": f.found}
+            )
+        return ValidationReport(
+            run_id=self.config.run_id,
+            indexable=False,
+            n_rows=0,
+            n_violations=len(blocking),
+            issue_counts=issue_counts,
+            samples=samples,
+            error_code=CheckId.RESOURCE_INTEGRITY,
+        )
+
+    # ------------------------------------------------------------------
     def run_star(
         self,
         core: DataFrame,
@@ -215,20 +238,8 @@ class ValidationEngine:
 
         c = self.config
         findings = preflight(core, key_col=c.key_col)
-        blocking = [f for f in findings if f.blocking]
-        if blocking:
-            return ValidationReport(
-                run_id=c.run_id,
-                indexable=False,
-                n_rows=0,
-                n_violations=len(blocking),
-                issue_counts={f.check_id: 1 for f in blocking},
-                samples={
-                    f.check_id: [{"expected": f.expected, "found": f.found}]
-                    for f in blocking
-                },
-                error_code=CheckId.RESOURCE_INTEGRITY,
-            )
+        if any(f.blocking for f in findings):
+            return self._blocked_report(findings)
         dim = dim if dim is not None else lang_dim(self.spark)
         violations = (
             self.build_violations(core, dim)
@@ -286,20 +297,8 @@ class ValidationEngine:
         # Pass 0 — constitution; blocking finding stops everything
         # (ResourceConstitutionEvaluationChain.java:114-121 analog).
         findings = preflight(pages, key_col=c.key_col)
-        blocking = [f for f in findings if f.blocking]
-        if blocking:
-            return ValidationReport(
-                run_id=c.run_id,
-                indexable=False,
-                n_rows=0,
-                n_violations=len(blocking),
-                issue_counts={f.check_id: 1 for f in blocking},
-                samples={
-                    f.check_id: [{"expected": f.expected, "found": f.found}]
-                    for f in blocking
-                },
-                error_code=CheckId.RESOURCE_INTEGRITY,
-            )
+        if any(f.blocking for f in findings):
+            return self._blocked_report(findings)
 
         pages = pages.withColumn(
             "_partition_id",
@@ -309,33 +308,20 @@ class ValidationEngine:
         # Resume: prune completed partitions BEFORE any scan.
         done: list[str] = []
         if c.checkpoint_path:
+            # a silent n_buckets mismatch against this work_dir's recorded
+            # scheme would prune wrong slices — enforced before any pruning
+            cp.ensure_partition_scheme(self.spark, c.work_dir, c.n_buckets)
             done = cp.completed_partitions(self.spark, c.checkpoint_path, c.run_id)
             if c.baseline_run_id:
-                # baseline windows are done, but its GLOBAL checkpoint never
-                # transfers: appended data can duplicate keys ACROSS runs, so
-                # the global passes must rerun in every incremental run
+                # the work_dir is the table's validation lineage: EVERY
+                # window validated by any prior run in the chain is history
+                # (a two-step chain C←B←A must prune A's windows too). The
+                # per-run GLOBAL checkpoints never transfer: appended data
+                # can duplicate keys ACROSS runs, so the global passes
+                # rerun in every incremental run.
                 baseline_done = set(
-                    cp.completed_partitions(
-                        self.spark, c.checkpoint_path, c.baseline_run_id
-                    )
-                ) - {GLOBAL_PARTITION}
-                # a bucket-scheme mismatch would make every baseline id miss
-                # the current scheme and SILENTLY disable pruning (plus
-                # double-append all historical violations) — fail loudly
-                import re as _re
-
-                pat = (
-                    _re.compile(r"^(\d{4}-\d{2}|UNKNOWN)-b\d+$")
-                    if c.n_buckets > 1
-                    else _re.compile(r"^(\d{4}-\d{2}|UNKNOWN)$")
-                )
-                bad = sorted(p for p in baseline_done if not pat.match(p))
-                if bad:
-                    raise ValueError(
-                        f"baseline run {c.baseline_run_id!r} used a different "
-                        f"partition scheme than n_buckets={c.n_buckets} "
-                        f"(e.g. {bad[:3]}); rerun with the baseline's n_buckets"
-                    )
+                    cp.completed_partitions_all_runs(self.spark, c.checkpoint_path)
+                ) - {GLOBAL_PARTITION} - set(done)
                 done = sorted(set(done) | baseline_done)
         work = pages
         skip_global = GLOBAL_PARTITION in done
@@ -372,6 +358,11 @@ class ValidationEngine:
             if grand is not None
             else {"n_rows": 0}
         )
+        # the profile runs over the PRUNED work-list, so on resumed or
+        # incremental runs it describes only the newly-validated delta —
+        # labeled so a report consumer can't mistake it for the whole table
+        # (whose n_rows/verdicts DO fold in checkpointed history below)
+        metrics["_scope"] = "incremental_delta" if done else "full_table"
 
         # Passes 1+2 (lazy plan). The referential check is FUSED into the
         # record-check scan (broadcast left join + null-flag detail — same
@@ -389,7 +380,7 @@ class ValidationEngine:
         if not skip_global:
             # whole-table passes run over `pages`, not the pruned work-list
             violations = self._append_global_passes(violations, pages)
-            if c.check_drift and not done:
+            if c.check_drift and not done and c.n_buckets == 1:
                 # fast path: work == pages, so the rollup sketches cover all
                 # windows — drift evaluated driver-side, zero extra jobs.
                 from ..model import VIOLATIONS_SCHEMA
@@ -404,8 +395,11 @@ class ValidationEngine:
                         )
                     )
             elif c.check_drift:
-                # resumed run: the pruned work-list lacks completed windows,
-                # so drift needs its own full-table pass (rare path).
+                # resumed/incremental runs (pruned work-list lacks completed
+                # windows) and bucketed runs (rollup sketches are per
+                # month-bucket slice, but drift windows are per MONTH — a
+                # per-bucket KS would use a stricter noise bar and different
+                # window ids): drift runs as its own month-windowed pass.
                 violations = violations.unionByName(
                     drift_violations(ks_drift(pages, threshold=c.drift_threshold))
                 )
@@ -435,11 +429,20 @@ class ValidationEngine:
                 + [_T.StructField("_run_id", _T.StringType())]
             )
             raw = self.spark.read.schema(read_schema).parquet(c.violations_path)
-            raw = raw.where(
-                ~F.col("check_id").isin(sorted(GLOBAL_SCOPE_CHECKS))
-                | (F.col("_run_id") == c.run_id)
-                | F.col("_run_id").isNull()  # pre-stamping legacy rows
-            ).drop("_run_id")
+            # which persisted rows belong in THIS run's report:
+            #  - always: this run's own rows (+ pre-stamping legacy rows)
+            #  - incremental only: record-scoped history from the chain's
+            #    prior runs (their partitions were pruned, so their rows are
+            #    the valid findings for those windows). A fresh full run
+            #    (no baseline) must NOT inherit a previous run's findings —
+            #    it re-validated everything itself, and stale rows for
+            #    since-fixed records would wrongly poison its verdict.
+            #  - never: another run's GLOBAL_SCOPE rows (uniqueness/drift are
+            #    re-derived whole-table each run; fresh rows supersede).
+            keep = (F.col("_run_id") == c.run_id) | F.col("_run_id").isNull()
+            if c.baseline_run_id:
+                keep = keep | ~F.col("check_id").isin(sorted(GLOBAL_SCOPE_CHECKS))
+            raw = raw.where(keep).drop("_run_id")
             all_violations = (
                 raw.withColumn("_rd", F.to_json("related_data"))
                 .dropDuplicates(["url", "check_id", "expected", "found", "partition_id", "_rd"])
@@ -507,14 +510,15 @@ class ValidationEngine:
             # and n_rows come from the checkpoint table)
             if c.baseline_run_id:
                 # incremental runs: the report must describe the WHOLE table,
-                # so baseline windows' verdicts and row counts fold in too
-                # (current run's rows win on overlap; the baseline's GLOBAL
-                # row never transfers — this run re-ran the global passes)
+                # so historical windows' verdicts and row counts fold in from
+                # the chain (latest row per window wins; current run first;
+                # per-run GLOBAL rows and streaming batch rows never fold)
                 base_rows = cps.where(
-                    (F.col("run_id") == c.baseline_run_id)
+                    (F.col("run_id") != c.run_id)
                     & (F.col("partition_id") != GLOBAL_PARTITION)
+                    & ~F.col("partition_id").startswith("stream:")
                 ).collect()
-                for r in base_rows:
+                for r in sorted(base_rows, key=lambda r: r.finished_at, reverse=True):
                     if r.partition_id not in verdicts:
                         verdicts[r.partition_id] = r.status
                         n_rows += r.n_rows

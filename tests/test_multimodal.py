@@ -40,11 +40,12 @@ def test_frame_sample_plan(spark):
     media = mm.synth_media(spark, 30)
     plan = mm.frame_sample_plan(media, every_ms=1000)
     rows = plan.collect()
-    # one row per planned frame, starts at 0, strictly spaced
+    # ONLY video rows get frames (synth_media: doc_id % 3 == 2 → video/mp4);
+    # image/audio rows must not be frame-sampled
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append(r.frame_ts_ms)
-    assert set(by_doc) == set(range(30))
+    assert set(by_doc) == {i for i in range(30) if i % 3 == 2}
     for ts_list in by_doc.values():
         ts_list.sort()
         assert ts_list[0] == 0
