@@ -74,6 +74,7 @@ BLOCKING_CHECKS = frozenset(
         CheckId.RECORD_IDENTIFIER_NOT_FOUND,
         CheckId.KEY_EMPTY,
         CheckId.RECORD_NOT_UNIQUELY_IDENTIFIED,
+        CheckId.DATA_FIELD_NOT_UNIQUE,  # OCCURRENCE_NOT_UNIQUELY_IDENTIFIED is blocking in IndexableRules
         CheckId.RECORD_REFERENTIAL_INTEGRITY_VIOLATION,
         CheckId.LANG_UNKNOWN,
         CheckId.LICENSE_MISSING_OR_UNKNOWN,

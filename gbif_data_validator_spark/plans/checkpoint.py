@@ -72,6 +72,37 @@ def append_checkpoints(checkpoint_rows: DataFrame, path: str) -> None:
     checkpoint_rows.write.mode("append").parquet(path)
 
 
+def build_checkpoint_tuples(
+    run_id: str,
+    counts_by_partition: dict[str, dict[str, int]],
+    n_rows_by_partition: dict[str, int],
+    started,
+    finished,
+) -> list[tuple]:
+    """CHECKPOINT_SCHEMA-shaped rows from per-partition check counts: the
+    single definition of the blocking-verdict fold and tuple order, shared
+    by the batch engine and the streaming sink (a drifting copy of this
+    shape is how lineage tables rot)."""
+    from ..model import BLOCKING_CHECKS
+
+    out = []
+    for pid in sorted(set(counts_by_partition) | set(n_rows_by_partition)):
+        checks = counts_by_partition.get(pid, {})
+        out.append(
+            (
+                run_id,
+                pid,
+                "FAIL" if any(k in BLOCKING_CHECKS for k in checks) else "PASS",
+                n_rows_by_partition.get(pid, 0),
+                sum(checks.values()),
+                checks,
+                started,
+                finished,
+            )
+        )
+    return out
+
+
 def ensure_partition_scheme(spark: SparkSession, work_dir: str, n_buckets: int) -> None:
     """The first run against a work_dir records its partition scheme in
     ``{work_dir}/_scheme``; every later run (resume or incremental) must use

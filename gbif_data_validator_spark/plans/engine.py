@@ -469,21 +469,17 @@ class ValidationEngine:
             by_part.setdefault(r.partition_id, {})[r.check_id] = r.n
             issue_counts[r.check_id] = issue_counts.get(r.check_id, 0) + r.n
 
-        cp_tuples = []
-        for pid, n_rows_p in sorted(part_rows.items()):
-            checks = by_part.get(pid, {})
-            blocking = any(k in BLOCKING_CHECKS for k in checks)
-            cp_tuples.append(
-                (c.run_id, pid, "FAIL" if blocking else "PASS", n_rows_p,
-                 sum(checks.values()), checks, started, finished)
-            )
+        # checkpoint ONLY this run's validated partitions (+ its GLOBAL row):
+        # by_part may also hold counts for history partitions read back from
+        # the shared store — those belong to the runs that validated them
+        ck_counts = {pid: by_part.get(pid, {}) for pid in part_rows}
+        ck_nrows = dict(part_rows)
         if not skip_global:
-            g_checks = by_part.get(GLOBAL_PARTITION, {})
-            cp_tuples.append(
-                (c.run_id, GLOBAL_PARTITION,
-                 "FAIL" if any(k in BLOCKING_CHECKS for k in g_checks) else "PASS",
-                 0, sum(g_checks.values()), g_checks, started, finished)
-            )
+            ck_counts[GLOBAL_PARTITION] = by_part.get(GLOBAL_PARTITION, {})
+            ck_nrows.setdefault(GLOBAL_PARTITION, 0)
+        cp_tuples = cp.build_checkpoint_tuples(
+            c.run_id, ck_counts, ck_nrows, started, finished
+        )
         if c.checkpoint_path:
             from ..model import CHECKPOINT_SCHEMA
 

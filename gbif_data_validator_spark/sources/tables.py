@@ -57,7 +57,12 @@ def read_pages_csv(
         .csv(path)
     )
     if "html_b64" in df.columns:
-        df = df.withColumn("html", F.unbase64(F.col("html_b64"))).drop("html_b64")
+        # try_to_binary, NOT unbase64: a malformed base64 cell must surface
+        # as a NULL html (a finding downstream), never abort the scan
+        # (unbase64 throws in ANSI mode)
+        df = df.withColumn(
+            "html", F.try_to_binary(F.col("html_b64"), F.lit("base64"))
+        ).drop("html_b64")
         # keep the declared column order of the pages contract
         df = df.select("url", "warc_ts", "html", "text", "lang")
     return df
@@ -94,10 +99,11 @@ def read_pages_jsonl(
     )
     if "html_b64" in df.columns:
         # decode in place, preserving the caller's declared column order
-        # (custom schemas keep all their columns)
-        df = df.withColumn("html_b64", F.unbase64(F.col("html_b64"))).withColumnRenamed(
-            "html_b64", "html"
-        )
+        # (custom schemas keep all their columns). try_to_binary: malformed
+        # base64 → NULL html, not a job-aborting exception
+        df = df.withColumn(
+            "html_b64", F.try_to_binary(F.col("html_b64"), F.lit("base64"))
+        ).withColumnRenamed("html_b64", "html")
     return df
 
 
@@ -107,14 +113,21 @@ def corrupt_record_violations(df: DataFrame, key_col: str = "url") -> DataFrame:
     input-format damage surfaces as RECORD_STRUCTURE findings keyed by the
     (possibly NULL) record id."""
     from ..model import CheckId
+    from ..operators.record_checks import partition_id_col
 
+    # PERMISSIVE parsing yields PARTIAL rows (warc_ts may have parsed even
+    # though another field corrupted the record) — attribute the finding to
+    # its real window so per-partition verdicts/checkpoints agree with the
+    # record checks; only rows with no usable ts land in UNKNOWN
     return df.where(F.col("_corrupt_record").isNotNull()).select(
         F.coalesce(F.col(key_col), F.lit("NULL")).alias("url"),
         F.lit(CheckId.RECORD_MALFORMED).alias("check_id"),
         F.lit("parseable source record").alias("expected"),
         F.substring(F.col("_corrupt_record"), 1, 256).alias("found"),
         F.create_map().cast("map<string,string>").alias("related_data"),
-        F.lit("UNKNOWN").alias("partition_id"),
+        partition_id_col(F.col("warc_ts")).alias("partition_id")
+        if "warc_ts" in df.columns
+        else F.lit("UNKNOWN").alias("partition_id"),
     )
 
 

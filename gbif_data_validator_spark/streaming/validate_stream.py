@@ -98,7 +98,7 @@ def stream_crawl_sessions(
     (append mode requires the watermark)."""
     return (
         pages_stream.withWatermark("warc_ts", watermark)
-        .where(F.col(key_col).isNotNull())
+        .where(F.col(key_col).isNotNull() & (F.col(key_col) != ""))
         .groupBy(F.session_window("warc_ts", gap).alias("w"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n_pages"))
         .select(
@@ -194,6 +194,8 @@ def stream_validate_to_work_dir(
     run_id: str,
     check_extraction: bool = False,
     available_now: bool = True,
+    n_buckets: int = 1,
+    key_col: str = "url",
 ):
     """Streaming ingestion into the SAME durable layout as the batch engine:
     each micro-batch's pass-1 violations are appended to
@@ -216,46 +218,64 @@ def stream_validate_to_work_dir(
 
     from ..model import CHECKPOINT_SCHEMA
     from ..operators.metrics import issue_counts_by_partition
-    from .. import model as _m
+    from ..operators.record_checks import partition_id_col
+    from ..plans import checkpoint as cp
 
     violations_path = os.path.join(work_dir, "violations")
     cp_path = os.path.join(work_dir, "checkpoint")
     stream_cp = os.path.join(work_dir, "_stream_checkpoint")
 
-    v = run_record_checks(pages_stream, check_extraction=check_extraction)
+    # the work_dir's recorded partition scheme binds the stream too — a
+    # silent n_buckets mismatch against a batch run sharing this store would
+    # mix partition granularities
+    cp.ensure_partition_scheme(pages_stream.sparkSession, work_dir, n_buckets)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch receives the PAGES micro-batch (not pre-computed
+        # violations), so lineage can record the true per-partition row
+        # counts; the check battery runs here in plain batch mode
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
         try:
-            batch_df.write.mode("append").partitionBy("partition_id").parquet(
-                violations_path
-            )
-            counts = issue_counts_by_partition(batch_df).collect()
+            n_rows_by_part = {
+                r.pid: r.n
+                for r in batch_df.groupBy(
+                    partition_id_col(
+                        F.col("warc_ts"), n_buckets, F.col(key_col)
+                    ).alias("pid")
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            v = run_record_checks(
+                batch_df,
+                check_extraction=check_extraction,
+                n_buckets=n_buckets,
+                key_col=key_col,
+            ).persist()
+            # _run_id stamp: the batch engine's read filter treats unstamped
+            # rows as trusted legacy — streamed rows must be attributable
+            v.withColumn("_run_id", F.lit(run_id)).write.mode("append").partitionBy(
+                "partition_id"
+            ).parquet(violations_path)
+            counts = issue_counts_by_partition(v).collect()
+            v.unpersist()
             now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
             by_part: dict[str, dict[str, int]] = {}
             for r in counts:
                 by_part.setdefault(r.partition_id, {})[r.check_id] = r.n
-            rows = [
-                (
-                    run_id,
-                    f"stream:{batch_id}:{pid}",
-                    "FAIL" if any(k in _m.BLOCKING_CHECKS for k in checks) else "PASS",
-                    0,
-                    sum(checks.values()),
-                    checks,
-                    now,
-                    now,
-                )
-                for pid, checks in sorted(by_part.items())
-            ]
+            rows = cp.build_checkpoint_tuples(
+                run_id,
+                {f"stream:{batch_id}:{p}": c for p, c in by_part.items()},
+                {f"stream:{batch_id}:{p}": n for p, n in n_rows_by_part.items()},
+                now,
+                now,
+            )
             if not rows:
-                # a clean batch still gets its lineage row — "batch
-                # validated, zero violations" must be distinguishable from
+                # an empty batch still gets its lineage row — "batch
+                # validated, zero rows" must be distinguishable from
                 # "batch never ran" without reading stream offsets
                 rows = [(run_id, f"stream:{batch_id}", "PASS", 0, 0, {}, now, now)]
-            from ..plans import checkpoint as cp
-
             cp.append_checkpoints(
                 spark.createDataFrame(rows, schema=CHECKPOINT_SCHEMA), cp_path
             )
@@ -263,7 +283,7 @@ def stream_validate_to_work_dir(
             batch_df.unpersist()
 
     writer = (
-        v.writeStream.foreachBatch(write_batch)
+        pages_stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", stream_cp)
         .outputMode("append")
     )
