@@ -550,6 +550,21 @@ def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_paragraph_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (sentence-level here) exact dedup: content units shared
+    across documents. The synthetic corpus has none — a 0-row match against
+    the oracle is still a correctness check of the split/hash/group logic."""
+    from gbif_data_validator_spark.operators.dedup import paragraph_duplicate_groups
+
+    return (
+        paragraph_duplicate_groups(
+            _docs(spark, sf_dir), "doc_id", "text", min_chars=40, sep_regex=r"\. "
+        )
+        .select("fingerprint", "n_docs")
+        .orderBy("fingerprint")
+    )
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gbif_data_validator_spark.functions import textstats as ts
 
@@ -745,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline
         "fingerprints": _q_fingerprints,
         "dedup_exact_groups": _q_dedup_exact_groups,
+        "paragraph_dupes": _q_paragraph_dupes,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
@@ -1050,6 +1066,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
                    count(*) AS n_docs
             FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "paragraph_dupes": """
+            WITH p AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(s)), '\\s+', ' ', 'g')) AS fingerprint
+              FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\. ')) AS s
+                    FROM documents)
+              WHERE length(trim(s)) >= 40
+            ), d AS (SELECT DISTINCT doc_id, fingerprint FROM p)
+            SELECT fingerprint, count(*) AS n_docs
+            FROM d GROUP BY fingerprint HAVING count(*) > 1
+            ORDER BY fingerprint
         """,
         "token_stats": f"""
             SELECT doc_id,

@@ -16,7 +16,7 @@ from urllib.parse import urlsplit
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import BooleanType, StringType
 
 #: Conservative fast-path: scheme://host where host is a sane DNS name or
 #: IPv4, optional port/path/query/fragment, no whitespace anywhere.
@@ -68,6 +68,41 @@ def url_well_formed(col: Column) -> Column:
     return F.when(fast, F.lit(True)).otherwise(
         F.coalesce(url_well_formed_udf(residue), F.lit(False))
     )
+
+
+def _canonicalize(url: str | None) -> str | None:
+    """Deterministic crawl-URL canonical form: lowercase scheme+host, strip
+    default ports and fragments, collapse empty path to '/', sort query
+    parameters (stable for duplicate keys). Malformed inputs pass through
+    unchanged — canonicalization must never lose the original key."""
+    if not isinstance(url, str) or not url:
+        return url
+    try:
+        from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+        p = urlsplit(url)
+        if p.scheme not in ("http", "https") or not p.netloc:
+            return url
+        host = p.hostname.lower() if p.hostname else ""
+        port = p.port
+        default = (p.scheme == "http" and port == 80) or (
+            p.scheme == "https" and port == 443
+        )
+        netloc = host if (port is None or default) else f"{host}:{port}"
+        query = urlencode(sorted(parse_qsl(p.query, keep_blank_values=True)))
+        return urlunsplit((p.scheme.lower(), netloc, p.path or "/", query, ""))
+    except ValueError:
+        return url
+
+
+def _canonical_series(urls: pd.Series) -> pd.Series:
+    return urls.map(_canonicalize, na_action="ignore")
+
+
+#: Arrow-batched canonical-URL UDF; use upstream of the uniqueness check so
+#: trivially-different spellings of one page (port 80, unsorted params,
+#: fragments) count as the same key.
+canonicalize_url_udf = F.pandas_udf(_canonical_series, returnType=StringType())
 
 
 def url_host(col: Column) -> Column:

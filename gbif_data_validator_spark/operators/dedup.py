@@ -392,6 +392,39 @@ def simhash_pairs(
     )
 
 
+def paragraph_duplicate_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_chars: int = 40,
+    sep_regex: str = r"\n\s*\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup: split documents on blank lines, hash
+    each (normalized) paragraph, and report paragraphs appearing in more
+    than one document — the sub-document granularity training pipelines
+    dedup at (boilerplate paragraphs recur across a site even when whole
+    pages differ). → (fingerprint, n_docs, doc_ids sorted). Paragraphs
+    shorter than ``min_chars`` are noise (nav links, dates) and skipped.
+
+    Scale shape: explode paragraphs (narrow) → hash → one groupBy(hash)
+    shuffle carrying (16-byte digest, doc_id); output cardinality is the
+    number of SHARED paragraphs, not total paragraphs."""
+    para = F.explode(F.split(F.col(text_col), sep_regex)).alias("para")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("para"))), r"\s+", " ")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), para)
+        .where(F.length(F.trim(F.col("para"))) >= min_chars)
+        .select("doc_id", F.md5(norm).alias("fingerprint"))
+        .distinct()  # a paragraph repeated WITHIN one doc counts once
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
 # --------------------------------------------------------------------------
 # Winnowing substring-duplicate candidates
 # --------------------------------------------------------------------------

@@ -155,3 +155,18 @@ def test_winnow_pairs_find_copied_passage(spark):
     got = {(r.doc_a, r.doc_b): r.n_shared for r in winnow_pairs(df, "doc_id", "text").collect()}
     assert (1, 2) in got and got[(1, 2)] >= 2
     assert not any(3 in pair for pair in got)
+
+
+def test_paragraph_duplicate_groups(spark):
+    from gbif_data_validator_spark.operators.dedup import paragraph_duplicate_groups
+
+    boiler = "subscribe to our newsletter for the latest updates and exclusive offers"
+    rows = [
+        (1, f"unique intro one\n\n{boiler}\n\nunique body one that is long enough here"),
+        (2, f"unique intro two\n\n{boiler}\n\n{boiler}\n\nanother unique body follows"),
+        (3, "totally unrelated document with no shared paragraphs at all in it"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = paragraph_duplicate_groups(df, "doc_id", "text", min_chars=40).collect()
+    assert len(got) == 1
+    assert got[0].n_docs == 2 and got[0].doc_ids == [1, 2]  # within-doc repeat counts once

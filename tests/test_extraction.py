@@ -66,3 +66,33 @@ def test_extraction_goldens():
     for case in cases:
         html = bytes.fromhex(case["html_hex"])
         assert extract_text(html) == case["text"], html[:80]
+
+
+def test_canonicalize_url():
+    from gbif_data_validator_spark.functions.url import _canonicalize
+
+    assert _canonicalize("HTTP://Example.COM:80/a?b=2&a=1#frag") == "http://example.com/a?a=1&b=2"
+    assert _canonicalize("https://example.com") == "https://example.com/"
+    assert _canonicalize("https://example.com:8443/x") == "https://example.com:8443/x"
+    # malformed inputs pass through unchanged (never lose the key)
+    for bad in ("not a url", "ftp://x/y", "", None):
+        assert _canonicalize(bad) == bad
+    # idempotent
+    c = _canonicalize("http://A.example/path?z=1&y=2")
+    assert _canonicalize(c) == c
+
+
+def test_canonicalize_url_udf_feeds_uniqueness(spark):
+    from pyspark.sql import functions as F
+
+    from gbif_data_validator_spark.functions.url import canonicalize_url_udf
+    from gbif_data_validator_spark.operators.uniqueness import duplicate_keys
+
+    df = spark.createDataFrame(
+        [("HTTP://A.example:80/p?b=2&a=1",), ("http://a.example/p?a=1&b=2",),
+         ("http://other.example/q",)],
+        schema="url string",
+    )
+    canon = df.select(canonicalize_url_udf(F.col("url")).alias("url"))
+    dups = duplicate_keys(canon, "url").collect()
+    assert len(dups) == 1 and dups[0].dup_count == 2
