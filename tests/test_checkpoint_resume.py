@@ -244,3 +244,39 @@ def test_incremental_bucket_scheme_mismatch_rejected(spark, tmp_path):
                 baseline_run_id="A", n_buckets=1,
             ),
         ).run(df)
+
+
+def test_incremental_three_run_chain(spark, tmp_path):
+    """C←B←A chain: run C (baseline B) must prune A's windows too (the
+    work_dir is the table's lineage), keep A's and B's record findings in
+    its whole-table report, and fold all historical verdicts."""
+    import datetime as dt
+
+    from gbif_data_validator_spark.plans import checkpoint as cp
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    wd = str(tmp_path / "chain")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    def month_rows(month, n=20):
+        return [
+            (f"https://m{month}.example/{i}", dt.datetime(2024, month, 10), None, "t", "en")
+            for i in range(n)
+        ] + [("", dt.datetime(2024, month, 11), None, "t", "en")]  # 1 KEY_EMPTY per month
+
+    t1 = spark.createDataFrame(month_rows(1), schema)
+    t12 = t1.unionByName(spark.createDataFrame(month_rows(2), schema))
+    t123 = t12.unionByName(spark.createDataFrame(month_rows(3), schema))
+
+    ValidationEngine(spark, EngineConfig(check_extraction=False, work_dir=wd, run_id="A")).run(t1)
+    ValidationEngine(spark, EngineConfig(check_extraction=False, work_dir=wd,
+                                         run_id="B", baseline_run_id="A")).run(t12)
+    report = ValidationEngine(spark, EngineConfig(check_extraction=False, work_dir=wd,
+                                                  run_id="C", baseline_run_id="B")).run(t123)
+    # C checkpointed ONLY month 3 (A's and B's windows pruned transitively)
+    done_c = cp.completed_partitions(spark, wd + "/checkpoint", "C")
+    assert "2024-03" in done_c and "2024-01" not in done_c and "2024-02" not in done_c
+    # whole-table report: one KEY_EMPTY per month incl. A's, verdicts cover all
+    assert report.issue_counts["KEY_EMPTY"] == 3
+    assert {"2024-01", "2024-02", "2024-03"} <= set(report.partition_verdicts)
+    assert report.n_rows == t123.count()
