@@ -130,3 +130,31 @@ def test_categorical_psi_nonnegative_and_zero_on_identical(spark_free_counts):
             assert math.isfinite(term) and term >= -1e-15
             psi += term
         assert psi >= -1e-12
+
+
+url_parts = st.tuples(
+    st.sampled_from(["http", "https"]),
+    st.from_regex(r"[a-zA-Z0-9]([a-zA-Z0-9-]{0,10}[a-zA-Z0-9])?\.(com|org|de)", fullmatch=True),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.sampled_from(["", "/", "/a/b", "/p%20q"]),
+    st.sampled_from(["", "?b=2&a=1", "?a=&a=1", "?x=%2F"]),
+    st.sampled_from(["", "#frag"]),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(url_parts)
+def test_canonicalize_idempotent_and_fragment_free(parts):
+    from gbif_data_validator_spark.functions.url import _canonicalize
+
+    scheme, host, port, path, query, frag = parts
+    url = f"{scheme}://{host}{port}{path}{query}{frag}"
+    c = _canonicalize(url)
+    assert _canonicalize(c) == c          # idempotent
+    assert "#" not in c                   # fragments stripped
+    assert c.startswith(f"{scheme}://")   # scheme preserved
+    # default ports stripped, non-default kept
+    if (scheme, port) in (("http", ":80"), ("https", ":443")) or port == "":
+        assert ":" not in c.split("//")[1].split("/")[0]
+    else:
+        assert port in c
