@@ -675,6 +675,18 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, k=3, n_lists=8, n_probe=3)
 
 
+def _q_tdigest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest UDAF (explicit partial/merge/final) quantiles of
+    lineitem.l_extendedprice — approximate → rows-only."""
+    from gbif_data_validator_spark.operators.tdigest import t_digest_quantiles
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    qs = t_digest_quantiles(li, "l_extendedprice", [0.1, 0.5, 0.9, 0.99])
+    return spark.createDataFrame(
+        [(p, round(v, 2)) for p, v in qs], schema="p double, q double"
+    )
+
+
 def _q_profile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/rollup profile: per-partition + grand-total column stats (HLL
     distinct, null/non-blank counts, length sketches) in ONE aggregation
@@ -772,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
         "profile_rollup": _q_profile_rollup,
+        "tdigest_profile": _q_tdigest_profile,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "winnow_fingerprints": _q_winnow_fingerprints,
