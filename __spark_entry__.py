@@ -880,7 +880,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(n_w AS DOUBLE) * c_pool / total AS exp_c, cd
               FROM m CROSS JOIN tot
             )
-            SELECT win AS "window", n_w AS n,
+            SELECT win AS "window", CAST(n_w AS BIGINT) AS n,
                    round(sum((p_w - p_p) * ln(p_w / p_p)), 6) AS psi,
                    round(sum((cd - exp_c) * (cd - exp_c) / exp_c), 6) AS chi2
             FROM t GROUP BY win, n_w ORDER BY "window"
@@ -1006,8 +1006,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events WHERE ts IS NOT NULL
             ), s AS (
               SELECT user_id, ts, event_id,
-                     sum(CASE WHEN gap IS NULL OR gap >= 1800 * 1000000 THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+                     CAST(sum(CASE WHEN gap IS NULL OR gap >= 1800 * 1000000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sess_id
               FROM g
             )
             SELECT user_id, sess_id, count(*) AS n_events,
@@ -1055,7 +1055,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_extract": """
             SELECT event_type,
                    count(CAST(json_extract(props, '$.k') AS INT)) AS n_parsed,
-                   sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                    min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
                    max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type
