@@ -647,11 +647,16 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints, exploded to (doc_id, fp) rows. The hash is
+    md5-prefix-based (operators/dedup._hash64_array), so the whole pipeline —
+    k-gram split, hashing, sliding-window minima, dedup — is bit-exact
+    replicable in the DuckDB oracle."""
     from gbif_data_validator_spark.functions.textstats import winnow_fingerprint_udf
 
-    return _docs_spread(spark, sf_dir).select(
-        "doc_id", winnow_fingerprint_udf(F.col("text")).alias("winnow")
-    )
+    d = _docs_spread(spark, sf_dir)
+    return d.select(
+        "doc_id", F.explode(winnow_fingerprint_udf(F.col("text"))).alias("fp")
+    ).orderBy("doc_id", "fp")
 
 
 def _q_cosine_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,10 +695,36 @@ def _q_tdigest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_profile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/rollup profile: per-partition + grand-total column stats (HLL
     distinct, null/non-blank counts, length sketches) in ONE aggregation
-    scan — approx sketches → rows-only check."""
+    scan — approx sketches → rows-only check. Array-typed sketch columns are
+    serialized with to_json so the driver canonicalizer can hash the rows;
+    the grand-total (rollup NULL) key is labeled 'ALL' for stability."""
     from gbif_data_validator_spark.operators.metrics import partitioned_profile
 
-    return partitioned_profile(_docs(spark, sf_dir), "lang")
+    prof = partitioned_profile(_docs(spark, sf_dir), "lang")
+    return prof.withColumn(
+        "text_len_quantiles", F.to_json("text_len_quantiles")
+    ).withColumn("lang", F.coalesce("lang", F.lit("ALL")))
+
+
+def _q_profile_rollup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact half of the rollup profile, DuckDB-oracled: per-lang +
+    grand-total row counts, non-blank counts, null counts, and EXACT distinct
+    counts in one ROLLUP aggregation (the sketch half — HLL + quantiles —
+    stays in profile_rollup's rows-only check)."""
+    from gbif_data_validator_spark.functions.predicates import non_blank
+
+    d = _docs(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in ["doc_id", "text", "source", "n_chars"]:
+        aggs.append(F.count(F.when(non_blank(F.col(c)), 1)).alias(f"{c}_non_blank"))
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}_distinct"))
+    return (
+        d.rollup("lang")
+        .agg(*aggs)
+        .withColumn("lang", F.coalesce("lang", F.lit("ALL")))
+        .orderBy("lang")
+    )
 
 
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -714,12 +745,26 @@ def _q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over mapInPandas, exploded to one row
+    per (doc_id, feature index). The deterministic fake decode (byte-
+    histogram moments over a seeded payload) is bit-exact replicable in
+    DuckDB — payload = 'media-payload-' || sha256(doc_id || '42'), features =
+    high-nibble histogram / payload length as float32 — so the whole Arrow
+    plumbing path gets a real value-hash correctness row."""
     from gbif_data_validator_spark.operators.multimodal import (
         extract_media_features,
         synth_media,
     )
 
-    return extract_media_features(synth_media(spark, 500))
+    feats = extract_media_features(synth_media(spark, 500))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.posexplode("features").alias("feat_idx", "feat_val"),
+    ).withColumn("feat_idx", F.col("feat_idx").cast("long")).orderBy(
+        "doc_id", "feat_idx"
+    )
 
 
 def _q_pages_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -780,6 +825,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "dedup_survivors": _q_dedup_survivors,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "media_features": _q_media_features,
+        "profile_rollup_exact": _q_profile_rollup_exact,
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -787,11 +835,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_profile": _q_tdigest_profile,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
-        "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "lsh_ann": _q_lsh_ann,
         "drift_events": _q_drift_events,
-        "media_features": _q_media_features,
         "pages_validation": _q_pages_validation,
     }
 
@@ -1147,5 +1193,83 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
             ORDER BY doc_a, doc_b
+        """,
+        # winnowing (Schleimer et al. 2003): word 5-grams hashed with the
+        # md5-8-byte-prefix scheme of operators/dedup._hash64_array, masked to
+        # 62 bits, sliding-window (w=4) minima, per-doc dedup. Exploded rows.
+        "winnow_fingerprints": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+              SELECT doc_id, len(ws) - 4 AS m,
+                     unnest(generate_series(1, len(ws) - 4)) AS i, ws
+              FROM w WHERE len(ws) >= 5
+            ),
+            h AS (
+              SELECT doc_id, m, i,
+                     CAST(CAST(('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 16)) AS UBIGINT)
+                          % (1::UBIGINT << 62) AS BIGINT) AS hv
+              FROM g
+            ),
+            mins AS (
+              SELECT doc_id, m, i,
+                     min(hv) OVER (PARTITION BY doc_id) AS min_all,
+                     min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS min_win
+              FROM h
+            )
+            SELECT DISTINCT doc_id,
+                   CASE WHEN m <= 4 THEN min_all ELSE min_win END AS fp
+            FROM mins WHERE m <= 4 OR i >= 4
+            ORDER BY doc_id, fp
+        """,
+        # deterministic fake media decode: payload = 'media-payload-' ||
+        # sha256(doc_id || '42') (ASCII, 78 bytes); features = high-nibble
+        # byte histogram / length as float32 (multimodal._features_from_bytes)
+        "media_features": """
+            WITH ids AS (SELECT range AS doc_id FROM range(0, 500)),
+            p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+                          WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                          ELSE 'video/mp4' END AS media_type,
+                     'media-payload-' || sha256(CAST(doc_id AS VARCHAR) || '42') AS payload
+              FROM ids
+            ),
+            b AS (
+              SELECT doc_id, length(payload) AS n,
+                     ord(substr(payload, unnest(generate_series(1, length(payload))), 1)) // 16 AS bucket
+              FROM p
+            ),
+            h AS (SELECT doc_id, n, bucket, count(*) AS cnt FROM b GROUP BY ALL),
+            grid AS (
+              SELECT p.doc_id, p.media_type, length(p.payload) AS n, gs.bucket
+              FROM p CROSS JOIN (SELECT range AS bucket FROM range(0, 16)) gs
+            )
+            SELECT g.doc_id, g.media_type, CAST(g.n AS BIGINT) AS n_bytes,
+                   g.bucket AS feat_idx,
+                   CAST(CAST(coalesce(h.cnt, 0) AS DOUBLE) / g.n AS FLOAT) AS feat_val
+            FROM grid g LEFT JOIN h ON h.doc_id = g.doc_id AND h.bucket = g.bucket
+            ORDER BY g.doc_id, feat_idx
+        """,
+        "profile_rollup_exact": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+                   count(*) AS n_rows,
+                   count(doc_id) AS doc_id_non_blank,
+                   count(CASE WHEN doc_id IS NULL THEN 1 END) AS doc_id_nulls,
+                   count(DISTINCT doc_id) AS doc_id_distinct,
+                   count(CASE WHEN text IS NOT NULL AND regexp_matches(text, '\\S') THEN 1 END) AS text_non_blank,
+                   count(CASE WHEN text IS NULL THEN 1 END) AS text_nulls,
+                   count(DISTINCT text) AS text_distinct,
+                   count(CASE WHEN source IS NOT NULL AND regexp_matches(source, '\\S') THEN 1 END) AS source_non_blank,
+                   count(CASE WHEN source IS NULL THEN 1 END) AS source_nulls,
+                   count(DISTINCT source) AS source_distinct,
+                   count(n_chars) AS n_chars_non_blank,
+                   count(CASE WHEN n_chars IS NULL THEN 1 END) AS n_chars_nulls,
+                   count(DISTINCT n_chars) AS n_chars_distinct
+            FROM documents GROUP BY ROLLUP (lang) ORDER BY lang
         """,
     }
