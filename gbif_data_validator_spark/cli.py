@@ -33,8 +33,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--run-id", default=None, help="resume/identify the run")
     p.add_argument("--baseline-run-id", default=None,
                    help="incremental validation: skip warc_ts windows already "
-                        "checkpointed by this earlier run in the same work-dir "
-                        "(global passes still rerun on the full table)")
+                        "checkpointed by ANY earlier run in the same work-dir "
+                        "(chain-wide pruning; the named id must itself have "
+                        "checkpoint rows there — errors otherwise; global "
+                        "passes and the UNKNOWN partition still rerun)")
     p.add_argument("--key-col", default="url")
     p.add_argument("--n-buckets", type=int, default=1,
                    help="url-hash buckets per warc_ts month partition")

@@ -84,6 +84,11 @@ def _canonicalize(url: str | None) -> str | None:
         if p.scheme not in ("http", "https") or not p.netloc:
             return url
         host = p.hostname.lower() if p.hostname else ""
+        if ":" in host:
+            # urlsplit().hostname strips the brackets off IPv6 literals;
+            # rebuilding netloc without them would emit a malformed URL
+            # (http://::1:8080/) and break the never-lose-the-key contract
+            host = f"[{host}]"
         port = p.port
         default = (p.scheme == "http" and port == 80) or (
             p.scheme == "https" and port == 443

@@ -42,18 +42,54 @@ def completed_partitions_all_runs(spark: SparkSession, path: str) -> list[str]:
     """Partition ids validated by ANY run in this work_dir (excluding the
     per-run GLOBAL rows) — the incremental-chain prune set: the work_dir is
     one table's validation lineage, so every historically-validated window
-    is history regardless of which run in the chain validated it."""
+    is history regardless of which run in the chain validated it.
+
+    The UNKNOWN partition (null/invalid warc_ts rows — and its UNKNOWN-b*
+    bucketed variants) is never in the prune set: every append can add new
+    null-ts rows, which all land in UNKNOWN forever, so the append-only-
+    new-windows assumption is structurally false for that one bucket. A
+    pruned UNKNOWN would mean newly appended malformed records — exactly
+    what the engine exists to catch — are never validated."""
     cps = read_checkpoints(spark, path)
     rows = (
         cps.where(
             F.col("status").isin("PASS", "FAIL")
             & ~F.col("partition_id").startswith("stream:")
+            & ~F.col("partition_id").startswith("UNKNOWN")
         )
         .select("partition_id")
         .distinct()
         .collect()
     )
     return [r.partition_id for r in rows]
+
+
+def latest_validators(spark: SparkSession, path: str) -> dict[str, str]:
+    """partition_id → run_id of the run that most recently validated it
+    (by finished_at; PASS/FAIL rows only, per-run GLOBAL and streaming-batch
+    rows excluded). The incremental read filter uses this to inherit ONLY
+    violation rows written by a window's current validator — an older run's
+    rows for a since-revalidated window are stale (the finding may have been
+    fixed) and must not fold into the report."""
+    cps = read_checkpoints(spark, path)
+    rows = (
+        cps.where(
+            F.col("status").isin("PASS", "FAIL")
+            & ~F.col("partition_id").startswith("stream:")
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("partition_id").orderBy(
+                    F.col("finished_at").desc(), F.col("run_id")
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select("partition_id", "run_id")
+        .collect()
+    )
+    return {r.partition_id: r.run_id for r in rows}
 
 
 def completed_partitions(spark: SparkSession, path: str, run_id: str) -> list[str]:
@@ -110,17 +146,46 @@ def ensure_partition_scheme(spark: SparkSession, work_dir: str, n_buckets: int) 
     never-validated bucket slices (format-only id checks can't catch a
     4-bucket baseline read with 2 buckets). Raises ValueError on mismatch."""
     p = os.path.join(work_dir, "_scheme")
-    if _exists(spark, p):
-        recorded = spark.read.parquet(p).collect()[0].n_buckets
-        if recorded != n_buckets:
-            raise ValueError(
-                f"work_dir {work_dir!r} was written with a different partition "
-                f"scheme (n_buckets={recorded}); this run uses "
-                f"n_buckets={n_buckets} — pruning would be incorrect. "
-                f"Rerun with n_buckets={recorded}."
-            )
-    else:
-        spark.createDataFrame([(n_buckets,)], "n_buckets int").coalesce(1).write.parquet(p)
+    recorded = _read_scheme(spark, p)
+    if recorded is None:
+        # crash-safe write: an interrupted first run must not leave a
+        # half-written _scheme that bricks the work_dir, and concurrent
+        # first runs must converge — write to a temp dir, then promote with
+        # an atomic rename (fails if a concurrent writer won; re-read then).
+        import uuid as _uuid
+
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            # exists but unreadable/empty = an interrupted writer's garbage;
+            # remove it, else rename-into-existing-dir would nest the temp
+            # dir inside instead of replacing it
+            fs.delete(jpath, True)
+        tmp = os.path.join(work_dir, f"_scheme.tmp-{_uuid.uuid4().hex[:8]}")
+        spark.createDataFrame([(n_buckets,)], "n_buckets int").coalesce(1).write.parquet(tmp)
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)  # lost the race
+        recorded = _read_scheme(spark, p)
+    if recorded is not None and recorded != n_buckets:
+        raise ValueError(
+            f"work_dir {work_dir!r} was written with a different partition "
+            f"scheme (n_buckets={recorded}); this run uses "
+            f"n_buckets={n_buckets} — pruning would be incorrect. "
+            f"Rerun with n_buckets={recorded}."
+        )
+
+
+def _read_scheme(spark: SparkSession, p: str) -> int | None:
+    """n_buckets from a _scheme dir; None if absent, empty, or unreadable
+    (an interrupted writer's leftovers count as absent, not as corruption)."""
+    if not _exists(spark, p):
+        return None
+    try:
+        rows = spark.read.parquet(p).collect()
+        return rows[0].n_buckets if rows else None
+    except Exception:
+        return None
 
 
 def _exists(spark: SparkSession, path: str) -> bool:

@@ -313,6 +313,24 @@ class ValidationEngine:
             cp.ensure_partition_scheme(self.spark, c.work_dir, c.n_buckets)
             done = cp.completed_partitions(self.spark, c.checkpoint_path, c.run_id)
             if c.baseline_run_id:
+                # fail fast on a typo'd baseline id: its only legitimate use
+                # implies the named run checkpointed into this work_dir, and
+                # silently proceeding would enable chain-wide incremental
+                # semantics against the wrong (or an empty) lineage
+                has_baseline = (
+                    cp.read_checkpoints(self.spark, c.checkpoint_path)
+                    .where(F.col("run_id") == c.baseline_run_id)
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+                if not has_baseline:
+                    raise ValueError(
+                        f"baseline_run_id {c.baseline_run_id!r} has no "
+                        f"checkpoint rows in work_dir {c.work_dir!r} — "
+                        f"refusing to run incrementally against a lineage "
+                        f"the named baseline never wrote to"
+                    )
                 # the work_dir is the table's validation lineage: EVERY
                 # window validated by any prior run in the chain is history
                 # (a two-step chain C←B←A must prune A's windows too). The
@@ -432,16 +450,31 @@ class ValidationEngine:
             # which persisted rows belong in THIS run's report:
             #  - always: this run's own rows (+ pre-stamping legacy rows)
             #  - incremental only: record-scoped history from the chain's
-            #    prior runs (their partitions were pruned, so their rows are
-            #    the valid findings for those windows). A fresh full run
-            #    (no baseline) must NOT inherit a previous run's findings —
-            #    it re-validated everything itself, and stale rows for
-            #    since-fixed records would wrongly poison its verdict.
+            #    prior runs, and only rows written by the run that is STILL
+            #    the latest validator of a partition this run pruned. A
+            #    window re-validated later (e.g. by a full rerun) has its
+            #    older runs' rows superseded — the finding may have been
+            #    fixed, and inheriting the stale row would poison the counts
+            #    while the verdict fold reports the window as PASS. A fresh
+            #    full run (no baseline) inherits nothing — it re-validated
+            #    everything itself.
             #  - never: another run's GLOBAL_SCOPE rows (uniqueness/drift are
             #    re-derived whole-table each run; fresh rows supersede).
             keep = (F.col("_run_id") == c.run_id) | F.col("_run_id").isNull()
             if c.baseline_run_id:
-                keep = keep | ~F.col("check_id").isin(sorted(GLOBAL_SCOPE_CHECKS))
+                latest = cp.latest_validators(self.spark, c.checkpoint_path)
+                pruned = set(done)
+                inherit_keys = [
+                    f"{pid}\x00{rid}"
+                    for pid, rid in latest.items()
+                    if pid in pruned
+                ]
+                keep = keep | (
+                    (~F.col("check_id").isin(sorted(GLOBAL_SCOPE_CHECKS)))
+                    & F.concat_ws(
+                        "\x00", F.col("partition_id"), F.col("_run_id")
+                    ).isin(inherit_keys)
+                )
             raw = raw.where(keep).drop("_run_id")
             all_violations = (
                 raw.withColumn("_rd", F.to_json("related_data"))

@@ -92,7 +92,13 @@ class JobRunner:
                         trace=traceback.format_exc(limit=5),
                     )
             finally:
-                sc.clearJobGroup()
+                # Spark 4 removed SparkContext.clearJobGroup; resetting the
+                # local properties is the portable equivalent (and this is a
+                # worker thread — a crash here dies unobserved, leaving the
+                # thread-local group to leak onto any pooled reuse).
+                sc.setLocalProperty("spark.jobGroup.id", None)
+                sc.setLocalProperty("spark.job.description", None)
+                sc.setLocalProperty("spark.job.interruptOnCancel", None)
 
         t = threading.Thread(target=work, name=group, daemon=True)
         self._threads[job_id] = t

@@ -246,6 +246,150 @@ def test_incremental_bucket_scheme_mismatch_rejected(spark, tmp_path):
         ).run(df)
 
 
+def test_incremental_unknown_partition_revalidated(spark, tmp_path):
+    """The UNKNOWN partition (null warc_ts rows) is never pruned by the
+    incremental chain: every append can add new null-ts rows and they all
+    land in UNKNOWN forever, so a pruned UNKNOWN would mean newly appended
+    malformed records are never validated."""
+    import datetime as dt
+
+    from gbif_data_validator_spark.model import CheckId
+    from gbif_data_validator_spark.plans import checkpoint as cp
+
+    wd = str(tmp_path / "unk")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    old = spark.createDataFrame(
+        [(f"https://a.example/{i}", dt.datetime(2024, 1, 15), None, "t", "en")
+         for i in range(20)]
+        + [("https://a.example/nots", None, None, "t", "en")],  # UNKNOWN row
+        schema,
+    )
+    ValidationEngine(
+        spark, EngineConfig(check_extraction=False, work_dir=wd, run_id="A")
+    ).run(old)
+    assert "UNKNOWN" in cp.completed_partitions(spark, wd + "/checkpoint", "A")
+
+    # append: a new month AND a new malformed (blank-url, null-ts) row that
+    # lands in UNKNOWN — it must be caught despite A having validated UNKNOWN
+    new = old.unionByName(
+        spark.createDataFrame(
+            [("https://b.example/new", dt.datetime(2024, 2, 15), None, "t", "en"),
+             ("", None, None, "t", "en")],
+            schema,
+        )
+    )
+    report = ValidationEngine(
+        spark,
+        EngineConfig(check_extraction=False, work_dir=wd, run_id="B",
+                     baseline_run_id="A"),
+    ).run(new)
+    assert report.issue_counts.get(CheckId.KEY_EMPTY, 0) == 1
+    # B revalidated (and re-checkpointed) UNKNOWN with the fresh verdict
+    assert "UNKNOWN" in cp.completed_partitions(spark, wd + "/checkpoint", "B")
+    assert report.partition_verdicts["UNKNOWN"] == "FAIL"
+    assert report.n_rows == new.count()
+
+
+def test_incremental_does_not_inherit_stale_superseded_rows(spark, tmp_path):
+    """A window re-validated by a LATER full run supersedes the older run's
+    violation rows: an incremental run must inherit only rows written by
+    each pruned window's latest validator, else a since-fixed finding
+    poisons the counts while the verdict fold reports the window as PASS."""
+    import datetime as dt
+
+    from gbif_data_validator_spark.model import CheckId
+
+    wd = str(tmp_path / "stale")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    broken = spark.createDataFrame(
+        [(f"https://a.example/{i}", dt.datetime(2024, 1, 15), None, "t", "en")
+         for i in range(20)]
+        + [("", dt.datetime(2024, 1, 16), None, "t", "en")],  # KEY_EMPTY
+        schema,
+    )
+    fixed = spark.createDataFrame(
+        [(f"https://a.example/{i}", dt.datetime(2024, 1, 15), None, "t", "en")
+         for i in range(20)]
+        + [("https://a.example/fixed", dt.datetime(2024, 1, 16), None, "t", "en")],
+        schema,
+    )
+
+    # run A finds the January KEY_EMPTY; full rerun F validates the FIXED
+    # table (fresh full run inherits nothing, re-checkpoints January clean)
+    ValidationEngine(
+        spark, EngineConfig(check_extraction=False, work_dir=wd, run_id="A")
+    ).run(broken)
+    rep_f = ValidationEngine(
+        spark, EngineConfig(check_extraction=False, work_dir=wd, run_id="F")
+    ).run(fixed)
+    assert rep_f.issue_counts.get(CheckId.KEY_EMPTY, 0) == 0
+
+    # incremental C on appended data: January is pruned; its latest
+    # validator is F, so A's stale KEY_EMPTY row must NOT be inherited
+    appended = fixed.unionByName(
+        spark.createDataFrame(
+            [("https://b.example/new", dt.datetime(2024, 2, 15), None, "t", "en")],
+            schema,
+        )
+    )
+    report = ValidationEngine(
+        spark,
+        EngineConfig(check_extraction=False, work_dir=wd, run_id="C",
+                     baseline_run_id="F"),
+    ).run(appended)
+    assert report.issue_counts.get(CheckId.KEY_EMPTY, 0) == 0
+    assert report.partition_verdicts["2024-01"] == "PASS"
+    assert report.indexable
+
+
+def test_baseline_run_id_must_have_checkpoint_rows(spark, tmp_path):
+    """A typo'd baseline_run_id fails fast instead of silently enabling
+    chain-wide incremental semantics against a lineage it never wrote."""
+    import datetime as dt
+
+    import pytest
+
+    wd = str(tmp_path / "typo")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    df = spark.createDataFrame(
+        [(f"https://a.example/{i}", dt.datetime(2024, 1, 15), None, "t", "en")
+         for i in range(5)],
+        schema,
+    )
+    ValidationEngine(
+        spark, EngineConfig(check_extraction=False, work_dir=wd, run_id="A")
+    ).run(df)
+    with pytest.raises(ValueError, match="no checkpoint rows"):
+        ValidationEngine(
+            spark,
+            EngineConfig(check_extraction=False, work_dir=wd, run_id="B",
+                         baseline_run_id="A-typo"),
+        ).run(df)
+
+
+def test_interrupted_scheme_marker_self_heals(spark, pages, tmp_path):
+    """An interrupted first run can leave an empty/unreadable _scheme dir;
+    later runs must treat it as absent and rewrite it instead of crashing
+    on every subsequent attempt (a permanently bricked work_dir)."""
+    import os
+
+    wd = str(tmp_path / "heal")
+    os.makedirs(os.path.join(wd, "_scheme"))  # exists, but no data files
+    cfg = EngineConfig(check_extraction=False, work_dir=wd, run_id="r1")
+    rep = ValidationEngine(spark, cfg).run(pages.drop("expected_issue"))
+    assert rep.n_rows == pages.count()
+    # the marker was repaired: a mismatched reuse is still rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="partition scheme"):
+        ValidationEngine(
+            spark,
+            EngineConfig(check_extraction=False, work_dir=wd, run_id="r2",
+                         n_buckets=4),
+        ).run(pages.drop("expected_issue"))
+
+
 def test_incremental_three_run_chain(spark, tmp_path):
     """C←B←A chain: run C (baseline B) must prune A's windows too (the
     work_dir is the table's lineage), keep A's and B's record findings in

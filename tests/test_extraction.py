@@ -80,6 +80,10 @@ def test_canonicalize_url():
     # idempotent
     c = _canonicalize("http://A.example/path?z=1&y=2")
     assert _canonicalize(c) == c
+    # IPv6 hosts keep their brackets (urlsplit().hostname strips them)
+    assert _canonicalize("http://[::1]:8080/x") == "http://[::1]:8080/x"
+    assert _canonicalize("http://[2001:DB8::1]/x") == "http://[2001:db8::1]/x"
+    assert _canonicalize("https://[::1]:443/x") == "https://[::1]/x"
 
 
 def test_canonicalize_url_udf_feeds_uniqueness(spark):
