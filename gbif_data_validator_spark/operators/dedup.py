@@ -61,13 +61,21 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep one representative (min id) per exact-content group — the
     training-data 'drop exact dups' pass. Returns the surviving rows.
     NULL text fingerprints as a sentinel so null-text rows form one group
-    (and keep a representative) instead of being silently dropped by a
-    null-key join — matching SQL window semantics (PARTITION BY groups
-    NULLs together); the sentinel cannot collide with a real 32-hex md5."""
-    fp = F.coalesce(content_fingerprint(F.col(text_col)), F.lit("NULL")).alias("_fp")
-    w = df.select("*", fp)
-    keep = w.groupBy("_fp").agg(F.min(F.col(id_col)).alias(id_col))
-    return w.join(keep, on=["_fp", id_col], how="inner").drop("_fp")
+    (and keep a representative) instead of being dropped; the sentinel
+    cannot collide with a real 32-hex md5.
+
+    Plan shape: a min-over-fingerprint window — ONE exchange on the
+    16-byte digest (the groupBy+self-join formulation pays two)."""
+    from pyspark.sql import Window
+
+    fp = F.coalesce(content_fingerprint(F.col(text_col)), F.lit("NULL"))
+    win = Window.partitionBy("_fp")
+    return (
+        df.withColumn("_fp", fp)
+        .withColumn("_min_id", F.min(id_col).over(win))
+        .where(F.col(id_col) == F.col("_min_id"))
+        .drop("_fp", "_min_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -242,30 +250,29 @@ def minhash_signatures(
     ).where(F.col("sig").isNotNull())
 
 
-def minhash_lsh_pairs(
+def _dropped_buckets(posts: DataFrame, group_cols: list[str], max_bucket: int) -> DataFrame:
+    """Buckets a cap dropped, with their sizes — the no-silent-caps report:
+    a capped operator's caller can (and tests do) account for what was
+    skipped instead of reading 'no pairs' as 'no duplicates'."""
+    return posts.where(F.size("ds") > max_bucket).select(
+        *group_cols, F.size("ds").alias("n_docs")
+    )
+
+
+def _minhash_band_posts(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    k: int = 3,
-    n_hashes: int = 64,
-    n_bands: int = 16,
-    threshold: float = 0.7,
-    seed: int = 42,
+    k: int,
+    n_hashes: int,
+    n_bands: int,
+    seed: int,
 ) -> DataFrame:
-    """MinHash-LSH near-dup pairs: band the signature into n_bands buckets,
-    candidates = pairs colliding in ≥1 band, verified by estimated Jaccard
-    (signature agreement rate) ≥ threshold.
-
-    Scale: the only corpus-sized shuffle is the posting-list
-    groupBy(band, bucket); signatures are constant-size and travel WITH the
-    doc ids into the buckets, so estimated Jaccard (signature agreement
-    rate) is computed in-bucket — zero joins back to the signature table.
-    A true-duplicate cluster of size c costs c²/2 in its bucket, which is
-    inherent to emitting all its pairs; re-verification with exact Jaccard
-    can chain after."""
+    """(band, bucket, ds) posting lists: signatures banded into n_bands
+    xxhash64 bucket keys, docs grouped per (band, bucket). The groupBy here
+    is the family's single corpus-sized shuffle."""
     rows_per_band = n_hashes // n_bands
     sigs = minhash_signatures(df, id_col, text_col, k, n_hashes, seed)
-
     bands = sigs.select(
         F.struct(F.col("doc_id").alias("id"), F.col("sig").alias("sig")).alias("d"),
         F.posexplode(
@@ -283,10 +290,35 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    posts = (
-        bands.groupBy("band", "bucket")
-        .agg(F.collect_list("d").alias("ds"))
-        .where(F.size("ds") >= 2)
+    return bands.groupBy("band", "bucket").agg(F.collect_list("d").alias("ds"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band the signature into n_bands buckets,
+    candidates = pairs colliding in ≥1 band, verified by estimated Jaccard
+    (signature agreement rate) ≥ threshold.
+
+    Scale: the only corpus-sized shuffle is the posting-list
+    groupBy(band, bucket); signatures are constant-size and travel WITH the
+    doc ids into the buckets, so estimated Jaccard (signature agreement
+    rate) is computed in-bucket — zero joins back to the signature table.
+    ``max_bucket`` caps a band bucket's posting list: a degenerate bucket
+    (template boilerplate shared by 10^7 crawl pages) would otherwise
+    generate c²/2 pairs on ONE reducer — the same skew blow-up max_df
+    guards in the shingle plan. Dropped buckets are not silent: audit them
+    with ``minhash_lsh_dropped_buckets`` (same parameters)."""
+    posts = _minhash_band_posts(df, id_col, text_col, k, n_hashes, n_bands, seed).where(
+        (F.size("ds") >= 2) & (F.size("ds") <= max_bucket)
     )
     est = F.size(
         F.filter(
@@ -305,6 +337,27 @@ def minhash_lsh_pairs(
         )
         .where(F.col("est_jaccard") >= threshold)
         .distinct()
+    )
+
+
+def minhash_lsh_dropped_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """→ (band, bucket, n_docs) for band buckets the cap excluded from
+    ``minhash_lsh_pairs`` — run the degenerate buckets through a dedicated
+    pass (e.g. exact-dedup by fingerprint) instead of pretending they
+    produced no candidates."""
+    return _dropped_buckets(
+        _minhash_band_posts(df, id_col, text_col, k, n_hashes, n_bands, seed),
+        ["band", "bucket"],
+        max_bucket,
     )
 
 
@@ -506,6 +559,30 @@ def embedding_cosine_pairs(
     )
 
 
+def _hyperplane_posts(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+) -> DataFrame:
+    """(table, bucket, ds) posting lists from hyperplane-LSH sign buckets —
+    the corpus-sized shuffle of the embedding-dedup plan."""
+    from ..operators import similarity as sim
+
+    tables = df.select(
+        F.struct(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).alias("d"),
+        F.posexplode(
+            sim.lsh_multi_bucket_udf(dim, n_planes, n_tables, seed)(F.col(vec_col))
+        ).alias("table", "bucket"),
+    )
+    return tables.groupBy("table", "bucket").agg(F.collect_list("d").alias("ds"))
+
+
 def embedding_cosine_pairs_lsh(
     df: DataFrame,
     id_col: str,
@@ -515,6 +592,7 @@ def embedding_cosine_pairs_lsh(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Embedding near-dup pairs at corpus scale: hyperplane-LSH bucketing
     (``n_tables`` independent hash tables of ``n_planes`` sign bits each —
@@ -529,22 +607,14 @@ def embedding_cosine_pairs_lsh(
     only corpus-sized shuffle is groupBy(table, bucket); vectors travel with
     their ids into the buckets, so verification joins nothing back. Expected
     bucket size at 10^12 rows is N/2^n_planes per table — size n_planes for
-    per-reducer bounds the way max_df bounds the shingle plan. Approximate:
-    recall < 1.0 by design (measured vs the exact operator in tests)."""
-    from ..operators import similarity as sim
-
-    tables = df.select(
-        F.struct(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-        ).alias("d"),
-        F.posexplode(
-            sim.lsh_multi_bucket_udf(dim, n_planes, n_tables, seed)(F.col(vec_col))
-        ).alias("table", "bucket"),
-    )
-    posts = (
-        tables.groupBy("table", "bucket")
-        .agg(F.collect_list("d").alias("ds"))
-        .where(F.size("ds") >= 2)
+    the EXPECTED per-reducer load, and ``max_bucket`` hard-caps the
+    degenerate case (a zero vector / dead-embedding cluster collapsing into
+    one bucket would otherwise pay c²/2 on a single reducer). Dropped
+    buckets are not silent: audit with ``embedding_lsh_dropped_buckets``.
+    Approximate: recall < 1.0 by design (measured vs the exact operator in
+    tests)."""
+    posts = _hyperplane_posts(df, id_col, vec_col, dim, n_planes, n_tables, seed).where(
+        (F.size("ds") >= 2) & (F.size("ds") <= max_bucket)
     )
     # threshold the UNROUNDED cosine (the exact operator does), then round
     # for display — thresholding the rounded value would admit pairs up to
@@ -561,4 +631,23 @@ def embedding_cosine_pairs_lsh(
         .where(F.col("_cos") >= threshold)
         .select("doc_a", "doc_b", F.round(F.col("_cos"), 6).alias("cosine"))
         .distinct()
+    )
+
+
+def embedding_lsh_dropped_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """→ (table, bucket, n_docs) for hyperplane buckets the cap excluded
+    from ``embedding_cosine_pairs_lsh``."""
+    return _dropped_buckets(
+        _hyperplane_posts(df, id_col, vec_col, dim, n_planes, n_tables, seed),
+        ["table", "bucket"],
+        max_bucket,
     )

@@ -11,9 +11,14 @@ for statistics Spark has no built-in sketch for.
 
 Scale shape: ONE narrow scan; each Arrow batch folds into a bounded
 centroid list (``mapInPandas`` → one partial-digest row per batch, ~delta
-centroids ≈ KBs); partials are merged driver-side (#batches rows — tiny).
-No shuffle at all: the digest is order-independent by construction
-(merging is associative and commutative up to compression error).
+centroids ≈ KBs); the partials then go through one DISTRIBUTED tree-merge
+round (repartition into ``n_merge`` groups → in-group merge), so the
+driver collects ≤ n_merge digests regardless of input size — at 10^12
+rows the per-batch partials are O(10^8) rows, which would OOM a
+driver-side-only merge. Cost: one shuffle of sketch state (KBs per
+partial), nothing corpus-sized. The digest is order-independent by
+construction (merging is associative and commutative up to compression
+error).
 
 Algorithm: the "merging t-digest" (Dunning & Ertl, 2019) with the
 q·(1-q) size bound — centroids near the tails stay tiny (accurate
@@ -106,13 +111,42 @@ def partial_digests(df: DataFrame, col: str, delta: int = 100) -> DataFrame:
     return df.select(col).mapInPandas(fold, schema=PARTIAL_SCHEMA)
 
 
+def merged_digests(
+    df: DataFrame, col: str, delta: int = 100, n_merge: int = 16
+) -> DataFrame:
+    """Phase 2a (distributed tree merge): the per-batch partials are
+    repartitioned into ``n_merge`` groups and merged within each group by a
+    second ``mapInPandas`` pass — ≤ n_merge digest rows come out no matter
+    how many batches went in. This is the reference's split-collector →
+    master merge (CollectorGroup.mergeAndGetResult) with the merge itself
+    distributed; only sketch state shuffles."""
+
+    def merge_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ms: list[np.ndarray] = []
+        ws: list[np.ndarray] = []
+        for pdf in batches:
+            for m_, w_ in zip(pdf["means"], pdf["weights"]):
+                ms.append(np.asarray(m_, dtype=np.float64))
+                ws.append(np.asarray(w_, dtype=np.float64))
+        if ms:
+            m, w = _merge_centroids(np.concatenate(ms), np.concatenate(ws), delta)
+            yield pd.DataFrame({"means": [m.tolist()], "weights": [w.tolist()]})
+
+    return (
+        partial_digests(df, col, delta)
+        .repartition(n_merge)
+        .mapInPandas(merge_group, schema=PARTIAL_SCHEMA)
+    )
+
+
 def t_digest_quantiles(
-    df: DataFrame, col: str, probs: list[float], delta: int = 100
+    df: DataFrame, col: str, probs: list[float], delta: int = 100, n_merge: int = 16
 ) -> list[tuple[float, float]]:
-    """Phases 2+3 (merge + final): collect the (tiny) partial digests,
-    merge them into one digest, extract quantiles → [(p, value), ...].
-    The driver-side merge mirrors CollectorGroup.mergeAndGetResult."""
-    partials = partial_digests(df, col, delta).collect()
+    """Phases 2b+3 (final merge + extract): collect the ≤ n_merge tree-merged
+    digests, fold them into one, extract quantiles → [(p, value), ...].
+    The driver-side step mirrors CollectorGroup.mergeAndGetResult but sees a
+    bounded row count (the distributed round above did the fan-in)."""
+    partials = merged_digests(df, col, delta, n_merge).collect()
     if not partials:
         return [(p, float("nan")) for p in probs]
     means = np.concatenate([np.asarray(r.means) for r in partials])

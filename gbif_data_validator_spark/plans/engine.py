@@ -93,6 +93,61 @@ def _drift_rows_from_profile(
     return out
 
 
+def _fully_completed_months(done: list[str], n_buckets: int) -> list[str]:
+    """'yyyy-MM' months whose EVERY partition id is in the prune set: with
+    n_buckets == 1 each done month qualifies directly; bucketed schemes
+    require all n_buckets slices (a month with one missing bucket must keep
+    being scanned — the partition-id filter handles its done slices).
+    UNKNOWN / GLOBAL / stream ids never match the month shape."""
+    import re
+
+    if n_buckets <= 1:
+        return sorted(p for p in done if re.fullmatch(r"\d{4}-\d{2}", p))
+    by_month: dict[str, set[int]] = {}
+    for p in done:
+        m = re.fullmatch(r"(\d{4}-\d{2})-b(\d+)", p)
+        if m:
+            by_month.setdefault(m.group(1), set()).add(int(m.group(2)))
+    return sorted(m for m, bs in by_month.items() if bs >= set(range(n_buckets)))
+
+
+def _month_bounds(months: list[str]) -> list[tuple]:
+    """[month-start, next-month-start) datetime bounds for 'yyyy-MM' ids
+    (session timezone is UTC — matching the date_format that derived them)."""
+    out = []
+    for m in months:
+        start = _dt.datetime.strptime(m, "%Y-%m")
+        nxt = (start.replace(day=28) + _dt.timedelta(days=4)).replace(day=1)
+        out.append((start, nxt))
+    return out
+
+
+def prune_completed(pages: DataFrame, done: list[str], n_buckets: int) -> DataFrame:
+    """Resume/incremental work-list pruning, in two layers:
+
+    1. correctness filter on the derived ``_partition_id`` — exact, but the
+       column is computed, so this predicate alone cannot reach the scan (a
+       resumed run would re-READ pruned months and only then discard them);
+    2. I/O pruning: fully-completed months re-expressed as ``warc_ts`` RANGE
+       predicates on the raw storage column — these push down to the
+       parquet/Iceberg scan (PushedFilters → row-group / partition-transform
+       pruning), so the resumed run skips the pruned months' BYTES, not just
+       their compute. Null-ts rows (UNKNOWN) are explicitly retained, and
+       months with only some buckets checkpointed keep relying on layer 1.
+    """
+    if not done:
+        return pages
+    work = pages.where(~F.col("_partition_id").isin(list(done)))
+    months = _fully_completed_months(done, n_buckets)
+    if months:
+        skip = None
+        for start, end in _month_bounds(months):
+            clause = (F.col("warc_ts") >= F.lit(start)) & (F.col("warc_ts") < F.lit(end))
+            skip = clause if skip is None else (skip | clause)
+        work = work.where(F.col("warc_ts").isNull() | ~skip)
+    return work
+
+
 @dataclass
 class EngineConfig:
     """Chain-builder analog (EvaluationChain.Builder,
@@ -341,10 +396,8 @@ class ValidationEngine:
                     cp.completed_partitions_all_runs(self.spark, c.checkpoint_path)
                 ) - {GLOBAL_PARTITION} - set(done)
                 done = sorted(set(done) | baseline_done)
-        work = pages
         skip_global = GLOBAL_PARTITION in done
-        if done:
-            work = pages.where(~F.col("_partition_id").isin([d for d in done]))
+        work = prune_completed(pages, done, c.n_buckets)
 
         # Pass 3 FIRST — it has no dependency on the violations and its
         # rollup carries the drift quantile sketches, so KS drift costs no

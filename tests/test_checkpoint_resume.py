@@ -246,6 +246,45 @@ def test_incremental_bucket_scheme_mismatch_rejected(spark, tmp_path):
         ).run(df)
 
 
+def test_resume_pruning_pushes_warc_ts_filter_to_scan(spark, pages, tmp_path):
+    """Completed months must prune at the SCAN, not just post-scan: the
+    derived _partition_id filter can't reach storage, so prune_completed
+    re-expresses fully-done months as warc_ts range predicates — assert
+    they appear in the parquet scan's PushedFilters (at cluster scale this
+    is Iceberg partition pruning: skipped bytes, not just skipped rows)."""
+    from gbif_data_validator_spark.operators.record_checks import partition_id_col
+    from gbif_data_validator_spark.plans.engine import (
+        _fully_completed_months,
+        prune_completed,
+    )
+
+    path = str(tmp_path / "pages.parquet")
+    pages.drop("expected_issue").write.parquet(path)
+    src = spark.read.parquet(path).withColumn(
+        "_partition_id", partition_id_col(F.col("warc_ts"), 1, F.col("url"))
+    )
+    months = sorted(
+        r._partition_id
+        for r in src.select("_partition_id").distinct().collect()
+        if r._partition_id not in ("UNKNOWN",)
+    )[:2]
+    pruned = prune_completed(src, months, 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "warc_ts" in pushed, pushed
+    # and the correctness layer still holds: no pruned-month rows survive
+    left = {r._partition_id for r in pruned.select("_partition_id").distinct().collect()}
+    assert not (left & set(months))
+
+    # bucketed scheme: a month with only SOME buckets done must NOT become
+    # a range predicate (layer-1 partition-id filter handles its done slices)
+    assert _fully_completed_months(["2024-01-b0", "2024-01-b1"], 4) == []
+    assert _fully_completed_months(
+        ["2024-01-b0", "2024-01-b1", "2024-01-b2", "2024-01-b3", "UNKNOWN-b1"], 4
+    ) == ["2024-01"]
+
+
 def test_incremental_unknown_partition_revalidated(spark, tmp_path):
     """The UNKNOWN partition (null warc_ts rows) is never pruned by the
     incremental chain: every append can add new null-ts rows and they all

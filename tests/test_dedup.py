@@ -125,6 +125,75 @@ def test_embedding_cosine_pairs_lsh_recall(spark):
     assert len(approx & exact) / len(exact) >= 0.9  # high recall
 
 
+def test_minhash_bucket_cap_drops_degenerate_bucket_loudly(spark):
+    """A boilerplate cluster larger than max_bucket must be EXCLUDED from
+    the pair fan-out (the c²/2-on-one-reducer guard) and REPORTED by the
+    dropped-buckets audit — no silent caps."""
+    boiler = "copyright notice all rights reserved contact us terms of service privacy policy"
+    rows = [(i, boiler) for i in range(30)] + [
+        (100, "a genuinely unique document about marine biology and coral reefs near the coast"),
+        (101, "a genuinely unique document about marine biology and coral reefs near the shore"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+
+    capped = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.5, max_bucket=10
+    ).collect()
+    got = {(r.doc_a, r.doc_b) for r in capped}
+    assert not any(a < 100 and b < 100 for a, b in got)  # cluster dropped
+    assert (100, 101) in got  # normal near-dups unaffected
+
+    dropped = dedup.minhash_lsh_dropped_buckets(
+        df, "doc_id", "text", max_bucket=10
+    ).collect()
+    assert dropped and all(r.n_docs == 30 for r in dropped)
+
+    # uncapped (cap above the cluster) still yields the full pair set
+    full = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.5, max_bucket=1000
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in full} >= {(0, 1), (0, 29), (100, 101)}
+
+
+def test_embedding_lsh_bucket_cap_and_audit(spark):
+    """Same guard for the hyperplane-LSH embedding dedup: a dead-embedding
+    cluster bigger than max_bucket is dropped from pair generation and
+    surfaced by the audit."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    v = rng.standard_normal(16)
+    v /= np.linalg.norm(v)
+    w = rng.standard_normal(16)
+    w /= np.linalg.norm(w)
+    rows = [(i, [float(x) for x in v]) for i in range(25)] + [
+        (200, [float(x) for x in w]),
+        (201, [float(x) for x in (w + 0.01 * rng.standard_normal(16))]),
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+
+    capped = dedup.embedding_cosine_pairs_lsh(
+        df, "vec_id", "embedding", dim=16, threshold=0.9, max_bucket=10
+    ).collect()
+    got = {(r.doc_a, r.doc_b) for r in capped}
+    assert not any(a < 200 and b < 200 for a, b in got)
+    assert (200, 201) in got
+
+    dropped = dedup.embedding_lsh_dropped_buckets(
+        df, "vec_id", "embedding", dim=16, max_bucket=10
+    ).collect()
+    assert dropped and all(r.n_docs == 25 for r in dropped)
+
+
+def test_dedup_exact_single_exchange(spark, corpus):
+    """The survivor pass is a window over the fingerprint: exactly ONE
+    shuffle exchange in the physical plan (the groupBy+join formulation
+    pays two)."""
+    plan = dedup.dedup_exact(corpus, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
 def test_dedup_exact_keeps_null_text_representative(spark):
     """Null-text rows form one group and keep their min-id representative —
     they must never be silently dropped (null-key join trap)."""

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from gbif_data_validator_spark.operators.tdigest import (
     _merge_centroids,
     _quantile,
+    merged_digests,
     partial_digests,
     t_digest_quantiles,
 )
@@ -42,6 +43,27 @@ def test_partial_digests_bounded_and_mergeable(spark):
         assert len(r.means) <= 5 * 100
     # total weight is conserved through partial compression
     assert sum(sum(r.weights) for r in parts) == 50_000
+
+
+def test_distributed_tree_merge_bounds_driver_collect(spark):
+    """With many partitions (many per-batch partials), the tree-merge round
+    must hand the driver ≤ n_merge digest rows — the 10^12-row guarantee
+    that the final collect is O(n_merge), never O(#batches) — while the
+    quantiles stay within tolerance of percentile_approx."""
+    df = (
+        spark.range(0, 100_000)
+        .select((F.col("id") % 997).cast("double").alias("x"))
+        .repartition(200)  # ≥200 partials going into the merge round
+    )
+    merged = merged_digests(df, "x", delta=100, n_merge=8).collect()
+    assert 1 <= len(merged) <= 8
+    assert sum(sum(r.weights) for r in merged) == 100_000  # nothing lost
+
+    probs = [0.1, 0.5, 0.9]
+    got = dict(t_digest_quantiles(df, "x", probs, delta=100, n_merge=8))
+    ref = df.select(F.percentile_approx("x", probs, 10000).alias("q")).collect()[0].q
+    for p, r in zip(probs, ref):
+        assert abs(got[p] - r) <= 0.02 * 997, (p, got[p], r)
 
 
 def test_merge_is_weight_conserving_and_sorted():
