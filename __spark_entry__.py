@@ -828,14 +828,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "media_features": _q_media_features,
         "profile_rollup_exact": _q_profile_rollup_exact,
+        "simhash_pairs": _q_simhash_pairs,
+        "winnow_pairs": _q_winnow_pairs,
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
         "profile_rollup": _q_profile_rollup,
         "tdigest_profile": _q_tdigest_profile,
         "minhash_pairs": _q_minhash_pairs,
-        "simhash_pairs": _q_simhash_pairs,
-        "winnow_pairs": _q_winnow_pairs,
         "lsh_ann": _q_lsh_ann,
         "drift_events": _q_drift_events,
         "pages_validation": _q_pages_validation,
@@ -1192,6 +1192,90 @@ def oracle_sql() -> dict[str, str]:
                    round(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6), 4) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+            ORDER BY doc_a, doc_b
+        """,
+        # SimHash (Charikar 2002) is fully deterministic given the md5-prefix
+        # token hash, and the pigeonhole candidate scheme is EXACT for
+        # hamming <= 3 with 4 chunks — so brute-force SQL over recomputed
+        # signatures is a bit-exact oracle for the distributed operator.
+        "simhash_pairs": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            tf AS (
+              SELECT doc_id, w, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(ws) AS w FROM words WHERE len(ws) > 0)
+              GROUP BY doc_id, w
+            ),
+            h AS (
+              SELECT doc_id, cnt,
+                     CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS hv
+              FROM tf
+            ),
+            bits AS (
+              SELECT doc_id, b.bit,
+                     sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN cnt ELSE -cnt END) AS acc
+              FROM h CROSS JOIN (SELECT range AS bit FROM range(0, 64)) b
+              GROUP BY doc_id, b.bit
+            ),
+            -- sum(UHUGEINT) degrades to DOUBLE in DuckDB (low-bit loss), so
+            -- the signature is assembled in BIGINT: bits 0-62 summed
+            -- directly, bit 63 folded in as the two's-complement sign term
+            sig AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN acc > 0 AND bit < 63
+                                   THEN (1::BIGINT << CAST(bit AS INT))
+                                   ELSE 0 END) AS BIGINT)
+                     + CASE WHEN bool_or(bit = 63 AND acc > 0)
+                            THEN -9223372036854775807 - 1 ELSE 0 END AS s
+              FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s, b.s)) <= 3
+            ORDER BY doc_a, doc_b
+        """,
+        # winnow_pairs: documents sharing >= 2 winnowing fingerprints, with
+        # the max_df=1000 posting-list cap (never binding at this corpus
+        # size, modeled anyway for semantic parity)
+        "winnow_pairs": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+              SELECT doc_id, len(ws) - 4 AS m,
+                     unnest(generate_series(1, len(ws) - 4)) AS i, ws
+              FROM w WHERE len(ws) >= 5
+            ),
+            h AS (
+              SELECT doc_id, m, i,
+                     CAST(CAST(('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 16)) AS UBIGINT)
+                          % (1::UBIGINT << 62) AS BIGINT) AS hv
+              FROM g
+            ),
+            mins AS (
+              SELECT doc_id, m, i,
+                     min(hv) OVER (PARTITION BY doc_id) AS min_all,
+                     min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS min_win
+              FROM h
+            ),
+            fps AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN m <= 4 THEN min_all ELSE min_win END AS fp
+              FROM mins WHERE m <= 4 OR i >= 4
+            ),
+            df AS (SELECT fp, count(*) AS n FROM fps GROUP BY fp)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            FROM fps a
+            JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            JOIN df ON df.fp = a.fp AND df.n BETWEEN 2 AND 1000
+            GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY doc_a, doc_b
         """,
         # winnowing (Schleimer et al. 2003): word 5-grams hashed with the

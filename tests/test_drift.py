@@ -31,6 +31,41 @@ def test_no_drift_on_clean_uniform_table(spark):
     assert d.where(F.col("drifted")).count() == 0
 
 
+def test_sketch_ks_within_tolerance_of_exact(spark):
+    """The sketch KS (equi-probability quantile vectors, N_PROBS=41) must
+    track the exact two-sample KS statistic within the sketch's CDF
+    resolution (~2/(N_PROBS-1) = 0.05) at matching window granularity —
+    the accuracy contract behind the drift_events query's no-oracle status."""
+    import datetime as dt
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for day in range(1, 6):
+        shift = 10.0 if day == 3 else 0.0
+        for i, v in enumerate(rng.normal(100 + shift, 15, 800)):
+            rows.append((dt.datetime(2024, 1, day, i % 24), float(v)))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    sketch = {
+        r.window: r.ks_stat
+        for r in ks_drift(
+            df, metric=F.col("value"), ts_col="ts",
+            window_fmt="yyyy-MM-dd", min_rows=10,
+        ).collect()
+    }
+
+    pdf = df.toPandas()
+    pooled = np.sort(pdf.value.values)
+    for day, grp in pdf.groupby(pdf.ts.dt.strftime("%Y-%m-%d")):
+        w = np.sort(grp.value.values)
+        support = np.union1d(w, pooled)
+        f_w = np.searchsorted(w, support, side="right") / len(w)
+        f_p = np.searchsorted(pooled, support, side="right") / len(pooled)
+        exact = float(np.abs(f_w - f_p).max())
+        assert abs(sketch[day] - exact) <= 0.05, (day, sketch[day], exact)
+
+
 def test_categorical_drift_flags_shifted_window(spark):
     from gbif_data_validator_spark.operators.drift import (
         categorical_drift,
