@@ -646,6 +646,52 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs(_docs_spread(spark, sf_dir), "doc_id", "text", min_shared=2)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (connected components over the n-gram Jaccard pair
+    list, min-id labels) — the unit a dedup pipeline actually keys survivor
+    selection on. Oracle: DuckDB recursive CTE over the same pair SQL."""
+    from gbif_data_validator_spark.operators.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _docs_spread(spark, sf_dir), "doc_id", "text", k=3, threshold=0.5
+    )
+    return duplicate_clusters(pairs).orderBy("doc_id")
+
+
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by md5-prefix hash bucket of the key —
+    membership is a pure function of doc_id (reproducible across runs,
+    engines, appends), which random sampling cannot give without a
+    persisted membership table."""
+    from gbif_data_validator_spark.operators.sampling import hash_bucket
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", hash_bucket(F.col("doc_id"), 100).alias("bucket"))
+        .where(F.col("bucket") < 10)
+        .orderBy("doc_id")
+    )
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split (10% test) summarized per side."""
+    from gbif_data_validator_spark.operators.sampling import deterministic_split
+
+    d = _docs(spark, sf_dir)
+    return (
+        deterministic_split(d, "doc_id", test_pct=10)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_ids"),
+        )
+        .orderBy("split")
+    )
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints, exploded to (doc_id, fp) rows. The hash is
     md5-prefix-based (operators/dedup._hash64_array), so the whole pipeline —
@@ -830,6 +876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_rollup_exact": _q_profile_rollup_exact,
         "simhash_pairs": _q_simhash_pairs,
         "winnow_pairs": _q_winnow_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "hash_sample": _q_hash_sample,
+        "hash_split": _q_hash_split,
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -1193,6 +1242,51 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
             ORDER BY doc_a, doc_b
+        """,
+        # connected components over the ngram-Jaccard pair list (recursive
+        # min-reachable-id), matching duplicate_clusters' min-label fixpoint
+        "dedup_clusters": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]) AS s
+              FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM documents)
+              WHERE len(words) >= 3
+            ), ex AS (
+              SELECT doc_id, unnest(s) AS g FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), p AS (
+              SELECT doc_a, doc_b
+              FROM inter
+              JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = doc_a
+              JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = doc_b
+              WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+            ), e AS (
+              SELECT doc_a AS a, doc_b AS b FROM p
+              UNION
+              SELECT doc_b, doc_a FROM p
+            ), reach AS (
+              SELECT a AS id, a AS r FROM e
+              UNION
+              SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+            )
+            SELECT id AS doc_id, min(r) AS cluster_id
+            FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "hash_sample": """
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+            ORDER BY doc_id
+        """,
+        "hash_split": """
+            SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+                        THEN 'test' ELSE 'train' END AS split,
+                   count(*) AS n, count(DISTINCT doc_id) AS n_ids
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         # SimHash (Charikar 2002) is fully deterministic given the md5-prefix
         # token hash, and the pigeonhole candidate scheme is EXACT for

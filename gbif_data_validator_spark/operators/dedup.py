@@ -634,6 +634,68 @@ def embedding_cosine_pairs_lsh(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair list → (doc_id, cluster_id)
+    where cluster_id = the minimum doc id in the component. Dedup pipelines
+    act on CLUSTERS (keep one survivor per component), not raw pairs — two
+    pairs (a,b), (b,c) are one three-document group.
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (label ← label's label each round), the GraphFrames-free connected
+    components that needs only joins + groupBy. Plain propagation converges
+    in O(diameter) rounds; the pointer-jumping step makes it
+    O(log diameter) — near-dup components are chains/cliques of small
+    diameter, so this terminates in a handful of rounds. Each round is two
+    shuffles over the EDGE list (|pairs| rows — already a tiny fraction of
+    the corpus), never the corpus. Convergence is checked with a
+    limit(1)-style changed-count action per round; iteration stops early
+    the first round nothing moves."""
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        # 1) neighbor propagation: each node adopts min(label of neighbors)
+        prop = edges.join(labels, edges.a == labels.id).select(
+            F.col("b").alias("id"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        # 2) pointer jumping: label ← label's current label
+        lab2 = new_labels.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+        )
+        new_labels = (
+            new_labels.join(lab2, new_labels.label == lab2._lid, "left")
+            .select("id", F.coalesce("_llabel", "label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def embedding_lsh_dropped_buckets(
     df: DataFrame,
     id_col: str,

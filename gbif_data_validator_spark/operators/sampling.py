@@ -57,6 +57,39 @@ def distinct_first_samples(
     )
 
 
+def hash_bucket(col: F.Column, n_buckets: int = 100) -> F.Column:
+    """Deterministic [0, n_buckets) bucket from a stable content hash
+    (md5 prefix — NOT xxhash/rand, so the assignment is reproducible across
+    runs, engines, and languages; DuckDB computes the identical value).
+    The building block for consistent sampling and train/test splits at
+    corpus scale: a document's split follows its KEY, so re-runs, appends,
+    and different clusters agree on membership — the property random
+    sampling can't give without persisting a membership table."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+    return (h % n_buckets).alias("bucket")
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, pct: int, n_buckets: int = 100
+) -> DataFrame:
+    """Keep the rows whose hash bucket < pct — a stable pct/n_buckets
+    sample (narrow, zero shuffles, pushes nothing but a filter into the
+    plan)."""
+    return df.where(hash_bucket(F.col(id_col), n_buckets) < pct)
+
+
+def deterministic_split(
+    df: DataFrame, id_col: str, test_pct: int = 10, n_buckets: int = 100
+) -> DataFrame:
+    """Label every row 'test' (bucket < test_pct) or 'train' — the
+    train/test split as a derived column, so downstream passes filter on it
+    without a second hash computation."""
+    b = hash_bucket(F.col(id_col), n_buckets)
+    return df.withColumn(
+        "split", F.when(b < test_pct, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
 def top_n_by_key(df: DataFrame, partition_col: str, order_col: str, n: int) -> DataFrame:
     """Generic top-N per group (reference W3: samples sorted by lineNumber,
     limit 10 — collector/CollectorGroup.java:179-186)."""

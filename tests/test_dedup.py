@@ -194,6 +194,22 @@ def test_dedup_exact_single_exchange(spark, corpus):
     assert n_exchanges == 1, plan
 
 
+def test_duplicate_clusters_connected_components(spark):
+    """Pairs (1,2),(2,3) are ONE three-doc cluster; (10,11) another; an
+    8-node chain converges despite its diameter (pointer jumping)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)] + [(i, i + 1) for i in range(20, 27)],
+        schema="doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(pairs, max_iter=10).collect()
+    }
+    assert {k: v for k, v in got.items() if k < 10} == {1: 1, 2: 1, 3: 1}
+    assert got[10] == 10 and got[11] == 10
+    assert all(got[i] == 20 for i in range(20, 28))  # the whole chain
+
+
 def test_dedup_exact_keeps_null_text_representative(spark):
     """Null-text rows form one group and keep their min-id representative —
     they must never be silently dropped (null-key join trap)."""

@@ -63,3 +63,30 @@ def test_top_n_by_key(spark):
     )
     got = top_n_by_key(df, "k", "v", 3).groupBy("k").count().collect()
     assert {r.k: r["count"] for r in got} == {"a": 3, "b": 2}
+
+
+def test_deterministic_sample_is_stable_and_key_derived(spark):
+    """Membership is a pure function of the key: two independent
+    computations agree row-for-row, the fraction lands near pct, and a
+    superset table keeps exactly the same members (append-consistency —
+    the property rand()-based sampling lacks)."""
+    from gbif_data_validator_spark.operators.sampling import (
+        deterministic_sample,
+        deterministic_split,
+    )
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id for r in deterministic_sample(df, "doc_id", 10).collect()}
+    s2 = {r.doc_id for r in deterministic_sample(df, "doc_id", 10).collect()}
+    assert s1 == s2
+    assert 0.07 < len(s1) / 5000 < 0.13
+
+    bigger = spark.range(0, 10000).withColumnRenamed("id", "doc_id")
+    s3 = {r.doc_id for r in deterministic_sample(bigger, "doc_id", 10).collect()}
+    assert {x for x in s3 if x < 5000} == s1  # appends never reshuffle membership
+
+    split = deterministic_split(df, "doc_id", test_pct=10).collect()
+    by = {}
+    for r in split:
+        by.setdefault(r.split, set()).add(r.doc_id)
+    assert by["test"] == s1 and len(by["train"]) == 5000 - len(s1)
