@@ -692,6 +692,32 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: contiguous-fill token-budget bins
+    within hash shards (FFD order, tie-broken by id) — batch assembly as a
+    pure function of (key, tokens), window over (id, tokens) only."""
+    from gbif_data_validator_spark.operators.curation import pack_bins
+
+    return pack_bins(
+        _docs(spark, sf_dir), "doc_id", "n_chars", budget=2000, n_shards=8
+    ).orderBy("doc_id")
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc 8-gram overlap of the corpus
+    (doc_id >= 20) against the broadcast benchmark set (doc_id < 20)."""
+    from gbif_data_validator_spark.operators.curation import ngram_contamination
+
+    d = _docs(spark, sf_dir)
+    return (
+        ngram_contamination(
+            d.where(F.col("doc_id") >= 20), d.where(F.col("doc_id") < 20), n=8
+        )
+        .withColumn("n_grams", F.col("n_grams").cast("long"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints, exploded to (doc_id, fp) rows. The hash is
     md5-prefix-based (operators/dedup._hash64_array), so the whole pipeline —
@@ -879,6 +905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "hash_sample": _q_hash_sample,
         "hash_split": _q_hash_split,
+        "pack_bins": _q_pack_bins,
+        "contamination": _q_contamination,
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -1287,6 +1315,43 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'test' ELSE 'train' END AS split,
                    count(*) AS n, count(DISTINCT doc_id) AS n_ids
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "pack_bins": """
+            WITH t AS (
+              SELECT doc_id, n_chars,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard
+              FROM documents
+            ), w AS (
+              SELECT doc_id, n_chars, shard,
+                     sum(n_chars) OVER (PARTITION BY shard ORDER BY n_chars DESC, doc_id) AS cum
+              FROM t
+            )
+            SELECT doc_id, shard,
+                   CAST(floor(CAST(cum - n_chars AS DOUBLE) / 2000) AS BIGINT) AS bin_id,
+                   n_chars AS tokens
+            FROM w ORDER BY doc_id
+        """,
+        "contamination": """
+            WITH bench AS (
+              SELECT DISTINCT unnest(list_distinct([array_to_string(words[i:i+7], ' ') for i in range(1, len(words) - 6)])) AS g
+              FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+                    FROM documents WHERE doc_id < 20)
+              WHERE len(words) >= 8
+            ), corpus AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(words[i:i+7], ' ') for i in range(1, len(words) - 6)]) AS sh
+              FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+                    FROM documents WHERE doc_id >= 20)
+              WHERE len(words) >= 8
+            ), ex AS (
+              SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS g FROM corpus
+            )
+            SELECT ex.doc_id, CAST(ex.n_grams AS BIGINT) AS n_grams,
+                   count(bench.g) AS n_hits,
+                   round(count(bench.g) / CAST(ex.n_grams AS DOUBLE), 6) AS ratio
+            FROM ex LEFT JOIN bench ON ex.g = bench.g
+            GROUP BY ex.doc_id, ex.n_grams
+            ORDER BY ex.doc_id
         """,
         # SimHash (Charikar 2002) is fully deterministic given the md5-prefix
         # token hash, and the pigeonhole candidate scheme is EXACT for

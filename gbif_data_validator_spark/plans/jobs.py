@@ -116,12 +116,19 @@ class JobRunner:
 
     def kill(self, job_id: int) -> dict:
         """Cancel every in-flight stage of the job's Spark job group
-        (JobServer.kill analog, JobServer.java:119-134)."""
+        (JobServer.kill analog, JobServer.java:119-134). cancelJobGroup only
+        aborts jobs ALREADY running — a cancel landing in a driver-side gap
+        between the engine's sequential actions would let the next action
+        proceed — so the cancel is re-issued until the worker thread dies
+        (each newly scheduled action is then cancelled within one beat)."""
         self._killed.add(job_id)
-        self.spark.sparkContext.cancelJobGroup(f"gdv-job-{job_id}")
         t = self._threads.get(job_id)
-        if t is not None:
-            t.join(timeout=60)
+        deadline = time.time() + 60
+        while True:
+            self.spark.sparkContext.cancelJobGroup(f"gdv-job-{job_id}")
+            if t is None or not t.is_alive() or time.time() > deadline:
+                break
+            t.join(timeout=0.5)
         st = self.status(job_id)
         if st.get("status") not in (FINISHED, KILLED, FAILED):
             self._put(job_id, KILLED)

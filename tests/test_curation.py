@@ -1,0 +1,71 @@
+"""Curation operators: deterministic sequence packing (token-budget bins)
+and benchmark decontamination (n-gram overlap)."""
+
+from pyspark.sql import functions as F
+
+from gbif_data_validator_spark.operators.curation import (
+    ngram_contamination,
+    pack_bins,
+)
+
+
+def test_pack_bins_budget_and_determinism(spark):
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 700 + 50).cast("int").alias("tokens"),
+    )
+    packed = pack_bins(df, "doc_id", "tokens", budget=1000, n_shards=4)
+    rows = packed.collect()
+    assert len(rows) == 400  # every document assigned exactly once
+
+    # contiguous-fill bounds: a bin holds < budget + its largest item, and
+    # a shard uses no more bins than ceil(total / budget) — the fill is
+    # gapless, so the bin count is within one of optimal for its order
+    import collections
+    import math
+
+    bins = collections.defaultdict(list)
+    shard_tot = collections.defaultdict(int)
+    for r in rows:
+        bins[(r.shard, r.bin_id)].append(r.tokens)
+        shard_tot[r.shard] += r.tokens
+    for (s, b), toks in bins.items():
+        assert sum(toks) < 1000 + max(toks), (s, b, toks)
+    for s, tot in shard_tot.items():
+        n_bins = len([1 for (s2, _) in bins if s2 == s])
+        assert n_bins <= math.ceil(tot / 1000), (s, tot, n_bins)
+
+    # deterministic: a second computation agrees row-for-row
+    again = {(r.doc_id): (r.shard, r.bin_id) for r in packed.collect()}
+    assert {(r.doc_id): (r.shard, r.bin_id) for r in rows} == again
+
+
+def test_pack_bins_oversized_item_gets_own_bin_start(spark):
+    df = spark.createDataFrame(
+        [(1, 5000), (2, 100), (3, 100)], "doc_id long, tokens int"
+    )
+    rows = pack_bins(df, "doc_id", "tokens", budget=1000, n_shards=1).collect()
+    by_id = {r.doc_id: r.bin_id for r in rows}
+    # FFD order: the 5000-token doc packs first and fully occupies bins 0-4;
+    # the small docs start in bin 5
+    assert by_id[1] == 0
+    assert by_id[2] == 5 and by_id[3] == 5
+
+
+def test_ngram_contamination_flags_copied_passage(spark):
+    passage = " ".join(f"bench{i}" for i in range(20))
+    bench = spark.createDataFrame([(passage,)], "text string")
+    docs = spark.createDataFrame(
+        [
+            (1, passage + " plus some trailing words here"),        # contains it
+            (2, " ".join(f"clean{i}" for i in range(30))),          # disjoint
+            (3, "too short"),                                       # < n words
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ngram_contamination(docs, bench, n=8).collect()}
+    assert 3 not in got  # no 8-grams → no row
+    assert got[2].n_hits == 0 and got[2].ratio == 0.0
+    # doc 1 shares every 8-gram of the 20-word passage (13 grams)
+    assert got[1].n_hits == 13
+    assert got[1].ratio > 0.4
