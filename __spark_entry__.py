@@ -907,12 +907,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "pack_bins": _q_pack_bins,
         "contamination": _q_contamination,
+        "minhash_pairs": _q_minhash_pairs,
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
         "profile_rollup": _q_profile_rollup,
         "tdigest_profile": _q_tdigest_profile,
-        "minhash_pairs": _q_minhash_pairs,
         "lsh_ann": _q_lsh_ann,
         "drift_events": _q_drift_events,
         "pages_validation": _q_pages_validation,
@@ -920,6 +920,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from gbif_data_validator_spark.operators.dedup import minhash_constants
+
+    mh_a, mh_b = minhash_constants(n_hashes=64, seed=42)
+    mh_consts = ", ".join(
+        f"({i}, {mh_a[i]}, {mh_b[i]})" for i in range(64)
+    )
     sources_sql = "[" + ",".join(f"'{s}'" for s in KNOWN_SOURCES) + "]"
     stop_sql = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
     doc_viol = _DOC_VIOLATIONS_SQL.format(sources=sources_sql)
@@ -1435,6 +1441,61 @@ def oracle_sql() -> dict[str, str]:
             JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
             JOIN df ON df.fp = a.fp AND df.n BETWEEN 2 AND 1000
             GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY doc_a, doc_b
+        """,
+        # minhash_pairs: bit-exact brute-force reimplementation of the
+        # MinHash-LSH candidate scheme (operators/dedup.minhash_lsh_pairs,
+        # k=3 word-shingles, 64 hashes, 16 bands x 4 rows, threshold 0.5,
+        # max_bucket 1000). The signature is fully deterministic given the
+        # md5-prefix shingle hash and the shared minhash_constants() family;
+        # numpy's uint64 arithmetic wraps mod 2**64 BEFORE the Mersenne
+        # mod, replicated here in HUGEINT. Band collision == equality of
+        # the 4-value signature slice, modeled as the comma-joined slice
+        # string; est_jaccard = n/64 is exact at 6 decimals (1/64 =
+        # 0.015625), so round(.,6) is the identity on both engines.
+        "minhash_pairs": f"""
+            WITH consts(i, a, b) AS (VALUES {mh_consts}),
+            w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, ws[r.i] || ' ' || ws[r.i+1] || ' ' || ws[r.i+2] AS g
+              FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) r
+              WHERE len(ws) >= 3
+            ),
+            hx AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(g), 1, 16)) AS UBIGINT)
+                       % 2305843009213693951 AS x
+              FROM grams
+            ),
+            mh AS (
+              SELECT doc_id, c.i,
+                     min(CAST(((CAST(c.a AS HUGEINT) * x + c.b) % 18446744073709551616)
+                              % 2305843009213693951 AS BIGINT)) AS v
+              FROM hx CROSS JOIN consts c GROUP BY doc_id, c.i
+            ),
+            sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, sig, bd.band,
+                     array_to_string(sig[bd.band*4+1 : bd.band*4+4], ',') AS key
+              FROM sig, (SELECT unnest(range(0, 16)) AS band) bd
+            ),
+            bsz AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.sig AS sa, b.sig AS sb
+              FROM bands a
+              JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+              JOIN bsz s ON s.band = a.band AND s.key = a.key
+              WHERE s.c BETWEEN 2 AND 1000
+            )
+            SELECT doc_a, doc_b,
+                   round(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0, 6) AS est_jaccard
+            FROM cand
+            WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.5
             ORDER BY doc_a, doc_b
         """,
         # winnowing (Schleimer et al. 2003): word 5-grams hashed with the

@@ -202,6 +202,20 @@ def _hash64_array(strs) -> "object":
     return np.frombuffer(buf, dtype=">u8").astype(np.uint64)
 
 
+def minhash_constants(n_hashes: int = 64, seed: int = 42) -> "tuple[list[int], list[int]]":
+    """The (a_i, b_i) permutation-hash constants as plain ints. Shared by
+    the signature UDF and the DuckDB oracle SQL so both sides are pinned to
+    the same hash family; note the arithmetic in `_minhash_series` wraps
+    mod 2**64 (uint64) BEFORE the Mersenne mod — any reimplementation must
+    replicate ((a*x + b) % 2**64) % p, not (a*x + b) % p."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    return [int(v) for v in a], [int(v) for v in b]
+
+
 def _minhash_series(texts: pd.Series, k: int, n_hashes: int, seed: int) -> pd.Series:
     """numpy minhash signatures over Arrow batches: h_i(x) = (a_i*x + b_i)
     mod p, min over the doc's shingle hashes. Shingling happens here in
@@ -210,9 +224,9 @@ def _minhash_series(texts: pd.Series, k: int, n_hashes: int, seed: int) -> pd.Se
     avoids shipping shingle arrays through Arrow."""
     import numpy as np
 
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    aa, bb = minhash_constants(n_hashes, seed)
+    a = np.array(aa, dtype=np.uint64)
+    b = np.array(bb, dtype=np.uint64)
 
     def one(t):
         if t is None:

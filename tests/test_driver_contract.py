@@ -19,7 +19,7 @@ def test_contract_counts():
     """Keep an explicit floor so a refactor can't silently drop coverage."""
     qs, oracles = entry.queries(), entry.oracle_sql()
     assert len(qs) >= 54, len(qs)
-    assert len(oracles) >= 46, len(oracles)
+    assert len(oracles) >= 47, len(oracles)
 
 
 def test_entry_is_a_registered_query(spark):
