@@ -718,6 +718,50 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_augmented_text(i: "Column") -> "Column":
+    """documents.text with PII planted on fixed doc_id slots — the
+    synthetic corpus has none, so the query fabricates deterministic
+    positives (mirrored verbatim in the oracle SQL) to exercise real
+    detection and redaction, not a vacuous all-zeros scan."""
+
+    def slot(mod: int, s: "Column") -> "Column":
+        return F.when(i % mod == 0, s).otherwise(F.lit(""))
+
+    return F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        slot(7, F.concat(F.lit(" reach me at user"), i.cast("string"),
+                         F.lit("@crawl-mail.example.com"))),
+        slot(11, F.concat(F.lit(" origin 192.168."), (i % 250).cast("string"),
+                          F.lit("."), (i % 100).cast("string"))),
+        slot(13, F.concat(F.lit(" tel +1 555 "),
+                          F.lpad((i % 1000).cast("string"), 3, "0"),
+                          F.lit(" 0199"))),
+        slot(17, F.concat(F.lit(" ssn 123-45-"),
+                          F.lpad((i % 10000).cast("string"), 4, "0"))),
+        slot(19, F.concat(F.lit(" card 4111-1111-1111-"),
+                          F.lpad((i % 10000).cast("string"), 4, "0"))),
+    )
+
+
+def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the augmented documents table:
+    per-kind match counts, total, and the md5/length of the redacted text
+    (md5 instead of the text itself keeps compare traffic flat)."""
+    from gbif_data_validator_spark.functions import pii
+
+    d = _docs_spread(spark, sf_dir)
+    aug = _pii_augmented_text(F.col("doc_id"))
+    counts = pii.pii_counts(aug)
+    red = pii.pii_redact(aug)
+    return d.select(
+        "doc_id",
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        pii.pii_total(aug).alias("n_pii"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints, exploded to (doc_id, fp) rows. The hash is
     md5-prefix-based (operators/dedup._hash64_array), so the whole pipeline —
@@ -908,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": _q_pack_bins,
         "contamination": _q_contamination,
         "minhash_pairs": _q_minhash_pairs,
+        "pii_scan": _q_pii_scan,
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -920,7 +965,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from gbif_data_validator_spark.functions.pii import PII_PATTERNS
     from gbif_data_validator_spark.operators.dedup import minhash_constants
+
+    # PII fragments generated from the same PII_PATTERNS the Spark side
+    # uses (patterns are written in the Java-regex ∩ RE2 dialect)
+    pii_count_exprs = ",\n              ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    pii_total_expr = " + ".join(
+        f"len(regexp_extract_all(t, '{pat}'))" for name, pat, _ in PII_PATTERNS
+    )
+    pii_red_expr = "t"
+    for _, pat, mask in PII_PATTERNS:
+        pii_red_expr = f"regexp_replace({pii_red_expr}, '{pat}', '{mask}', 'g')"
 
     mh_a, mh_b = minhash_constants(n_hashes=64, seed=42)
     mh_consts = ", ".join(
@@ -1442,6 +1501,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN df ON df.fp = a.fp AND df.n BETWEEN 2 AND 1000
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY doc_a, doc_b
+        """,
+        # pii_scan: the augmentation CASEs mirror _pii_augmented_text
+        # verbatim; counts/redaction are generated from PII_PATTERNS
+        "pii_scan": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                coalesce(text, '')
+                || CASE WHEN doc_id % 7 = 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@crawl-mail.example.com' ELSE '' END
+                || CASE WHEN doc_id % 11 = 0 THEN ' origin 192.168.' || CAST(doc_id % 250 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+                || CASE WHEN doc_id % 13 = 0 THEN ' tel +1 555 ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' 0199' ELSE '' END
+                || CASE WHEN doc_id % 17 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                || CASE WHEN doc_id % 19 = 0 THEN ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                AS t
+              FROM documents
+            )
+            SELECT doc_id,
+              {pii_count_exprs},
+              {pii_total_expr} AS n_pii,
+              md5({pii_red_expr}) AS redacted_md5,
+              length({pii_red_expr}) AS redacted_len
+            FROM aug ORDER BY doc_id
         """,
         # minhash_pairs: bit-exact brute-force reimplementation of the
         # MinHash-LSH candidate scheme (operators/dedup.minhash_lsh_pairs,
