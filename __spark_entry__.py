@@ -762,6 +762,47 @@ def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-line metrics. The synthetic word soup has no
+    newlines, so the query chunks the word array into 2-word pseudo-lines
+    (the sentence pool repeats, so duplicates are real); production callers
+    pass ``nonblank_lines(text)`` instead. Mirrored in the oracle SQL."""
+    from gbif_data_validator_spark.functions.textstats import dup_line_stats
+
+    d = _docs_spread(spark, sf_dir)
+    ws = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    n_lines = F.floor((F.size(ws) + 1) / F.lit(2)).cast("int")
+    lines = F.when(
+        F.size(ws) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(ws, i * 2 + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stats = dup_line_stats(lines)
+    return (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            stats["n_lines"].alias("n_lines"),
+            stats["dup_line_frac"].alias("dup_line_frac"),
+            stats["dup_line_char_frac"].alias("dup_line_char_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word-2-gram per document with the char fraction it covers (the
+    boilerplate-repetition signal; ties broken (count desc, longer gram,
+    lexicographic) so the top-1 is deterministic)."""
+    from gbif_data_validator_spark.operators.metrics import top_ngram_stats
+
+    return top_ngram_stats(
+        _docs_spread(spark, sf_dir), "doc_id", "text", n=2
+    ).orderBy("doc_id")
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints, exploded to (doc_id, fp) rows. The hash is
     md5-prefix-based (operators/dedup._hash64_array), so the whole pipeline —
@@ -953,6 +994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "minhash_pairs": _q_minhash_pairs,
         "pii_scan": _q_pii_scan,
+        "repetition_stats": _q_repetition_stats,
+        "top_ngram": _q_top_ngram,
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -1522,6 +1565,67 @@ def oracle_sql() -> dict[str, str]:
               md5({pii_red_expr}) AS redacted_md5,
               length({pii_red_expr}) AS redacted_len
             FROM aug ORDER BY doc_id
+        """,
+        # repetition_stats: 2-word pseudo-lines (mirrors _q_repetition_stats),
+        # sorted-neighbor duplicate flags; DuckDB lambda indexes are 1-based
+        # where Spark's transform/filter indexes are 0-based
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            l AS (
+              SELECT doc_id,
+                     list_transform(range(0, (len(ws) + 1) // 2),
+                                    i -> array_to_string(ws[i*2+1 : i*2+2], ' ')) AS lines
+              FROM w
+            ),
+            s AS (
+              SELECT doc_id, lines, list_sort(lines) AS sl, len(lines) AS n
+              FROM l
+            ),
+            d AS (
+              SELECT doc_id, lines, n,
+                     list_filter(sl, (x, i) -> (i > 1 AND x = sl[i-1])
+                                            OR (i < n AND x = sl[i+1])) AS dup
+              FROM s
+            )
+            SELECT doc_id,
+                   n AS n_lines,
+                   round(CASE WHEN n > 0
+                              THEN CAST(len(dup) AS DOUBLE) / n ELSE 0.0 END, 6) AS dup_line_frac,
+                   round(CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) > 0
+                              THEN CAST(coalesce(list_sum(list_transform(dup, x -> length(x))), 0) AS DOUBLE)
+                                   / list_sum(list_transform(lines, x -> length(x)))
+                              ELSE 0.0 END, 6) AS dup_line_char_frac
+            FROM d ORDER BY doc_id
+        """,
+        # top_ngram: same tokenizer, same (count desc, len desc, gram) tie
+        "top_ngram": """
+            WITH w AS (
+              SELECT doc_id, length(text) AS nc,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+              SELECT doc_id, nc, ws[r.i] || ' ' || ws[r.i+1] AS gram
+              FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) r
+              WHERE len(ws) >= 2
+            ),
+            c AS (
+              SELECT doc_id, gram, nc, count(*) AS n_occurrences
+              FROM g GROUP BY 1, 2, 3
+            ),
+            rk AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY n_occurrences DESC, length(gram) DESC, gram
+              ) AS rk FROM c
+            )
+            SELECT doc_id, gram AS top_gram, n_occurrences,
+                   round(n_occurrences * length(gram) / CAST(nc AS DOUBLE), 6) AS char_frac
+            FROM rk WHERE rk = 1 ORDER BY doc_id
         """,
         # minhash_pairs: bit-exact brute-force reimplementation of the
         # MinHash-LSH candidate scheme (operators/dedup.minhash_lsh_pairs,

@@ -88,6 +88,52 @@ def quality_score(text: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
+# Repetition stats (Gopher-style duplicate-line filters)
+# --------------------------------------------------------------------------
+
+
+def nonblank_lines(text: Column, sep: str = "\n") -> Column:
+    """text split on ``sep``, blank entries dropped — the production
+    line-maker for ``dup_line_stats`` (tests chunk the synthetic word soup
+    into fixed-width pseudo-lines instead, since it has no newlines)."""
+    return F.filter(
+        F.split(F.coalesce(text, F.lit("")), sep),
+        lambda l: l.rlike(r"\S"),
+    )
+
+
+def dup_line_stats(lines: Column) -> dict[str, Column]:
+    """Gopher-style duplicate-line metrics over an array-of-lines column:
+
+    - ``n_lines``
+    - ``dup_line_frac``   — lines whose value occurs >= 2 times / n_lines
+    - ``dup_line_char_frac`` — chars in those lines / chars in all lines
+
+    Pure Column algebra, zero shuffles: sort the array once, flag a line as
+    duplicated iff it equals a sorted neighbor (O(n log n) per doc instead
+    of the naive O(n^2) membership scan). Both engines sort strings by raw
+    binary collation, so the oracle reproduces this exactly."""
+    s = F.array_sort(lines)
+    n = F.size(s)
+    dup = F.filter(
+        s,
+        lambda x, i: ((i > 0) & (x == F.element_at(s, i)))
+        | ((i < n - 1) & (x == F.element_at(s, i + 2))),
+    )
+    chars = F.aggregate(lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    dup_chars = F.aggregate(dup, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    return {
+        "n_lines": n,
+        "dup_line_frac": F.round(
+            F.when(n > 0, F.size(dup).cast("double") / n).otherwise(F.lit(0.0)), 6
+        ),
+        "dup_line_char_frac": F.round(
+            F.when(chars > 0, dup_chars.cast("double") / chars).otherwise(F.lit(0.0)), 6
+        ),
+    }
+
+
+# --------------------------------------------------------------------------
 # Language-ID heuristic (stopword-profile n-gram scoring)
 # --------------------------------------------------------------------------
 

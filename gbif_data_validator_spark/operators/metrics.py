@@ -157,6 +157,62 @@ def length_histogram(df: DataFrame, col: str, width: int) -> DataFrame:
     )
 
 
+def top_ngram_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style top-n-gram repetition metric per document: the most
+    frequent word n-gram, its count, and the fraction of the text's chars
+    it covers (count x len(gram) / len(text)) — the standard boilerplate
+    signal for crawl filtering. → (doc_id, top_gram, n_occurrences,
+    char_frac); docs with no n-gram are absent.
+
+    Plan: explode n-grams (narrow), ONE corpus-sized hash agg on
+    (doc, gram) with map-side partial aggregation, then a per-doc top-1
+    window over the gram-distinct aggregate (output cardinality, not row
+    cardinality). Ties break by (longer gram, lexicographic) so the result
+    is deterministic and SQL-oracle-checkable."""
+    from pyspark.sql import Window
+
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+    )
+    g = (
+        df.where(F.col(text_col).isNotNull() & (F.size(ws) >= n))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.length(text_col).alias("n_chars_doc"),
+            F.explode(grams).alias("gram"),
+        )
+    )
+    counts = g.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.first("n_chars_doc").alias("n_chars_doc"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_occurrences").desc(),
+        F.length("gram").desc(),
+        F.col("gram"),
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_gram"),
+            "n_occurrences",
+            F.round(
+                F.col("n_occurrences") * F.length("gram")
+                / F.col("n_chars_doc").cast("double"),
+                6,
+            ).alias("char_frac"),
+        )
+    )
+
+
 def issue_counts(violations: DataFrame) -> DataFrame:
     """count by check_id — RecordEvaluationResultCollector counter map
     (collector/RecordEvaluationResultCollector.java:50-71). Partial+final

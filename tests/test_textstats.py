@@ -83,3 +83,44 @@ def test_on_real_documents_table(spark):
     rows = out.collect()
     assert all(r.n_tok > 0 for r in rows)
     assert all(0.0 <= r.q <= 1.0 for r in rows)
+
+
+def test_nonblank_lines_drops_blanks(spark):
+    df = spark.createDataFrame([(1, "x\n\n y \nz"), (2, None)], "id long, text string")
+    rows = {r.id: r.l for r in df.select("id", ts.nonblank_lines(F.col("text")).alias("l")).collect()}
+    assert rows[1] == ["x", " y ", "z"]
+    assert rows[2] == []
+
+
+def test_dup_line_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, ["a b", "c d", "a b", "e f"]), (2, ["u", "v"]), (3, [])],
+        "id long, lines array<string>",
+    )
+    stats = ts.dup_line_stats(F.col("lines"))
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            stats["n_lines"].alias("n"),
+            stats["dup_line_frac"].alias("f"),
+            stats["dup_line_char_frac"].alias("cf"),
+        ).collect()
+    }
+    # "a b" occurs twice: 2/4 lines, 6/12 chars
+    assert rows[1].n == 4 and rows[1].f == 0.5 and rows[1].cf == 0.5
+    assert rows[2].f == 0.0 and rows[2].cf == 0.0
+    assert rows[3].n == 0 and rows[3].f == 0.0 and rows[3].cf == 0.0
+
+
+def test_top_ngram_stats_tiebreak(spark):
+    from gbif_data_validator_spark.operators.metrics import top_ngram_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "solo"), (3, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in top_ngram_stats(df, "doc_id", "text", n=2).collect()}
+    # "a b" and "b a" both occur twice; lexicographic tiebreak picks "a b"
+    assert rows[1].top_gram == "a b" and rows[1].n_occurrences == 2
+    assert abs(rows[1].char_frac - 2 * 3 / 9) < 1e-6  # round(.,6) applied
+    assert 2 not in rows and 3 not in rows  # no 2-gram / null text absent
