@@ -803,6 +803,35 @@ def _q_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: per-source sampling rates for the stratified-sample query: even-numbered
+#: sources downsampled to 10%, odd kept at 30% (the oracle SQL CASE is
+#: generated from this same dict)
+STRATA_RATES = {f"src{i}": (10 if i % 2 == 0 else 30) for i in range(20)}
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum (source) downsampling: hash-bucket
+    membership per doc_id, per-source keep rate from STRATA_RATES."""
+    from gbif_data_validator_spark.operators.sampling import stratified_sample
+
+    return (
+        stratified_sample(
+            _docs(spark, sf_dir), "doc_id", "source", STRATA_RATES, default_pct=5
+        )
+        .select("doc_id", "source", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+def _q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation rollup (the mix-weighting health table)."""
+    from gbif_data_validator_spark.operators.metrics import stratum_rollup
+
+    return stratum_rollup(
+        _docs(spark, sf_dir), "source", "text", "n_chars"
+    ).orderBy("stratum")
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints, exploded to (doc_id, fp) rows. The hash is
     md5-prefix-based (operators/dedup._hash64_array), so the whole pipeline —
@@ -996,6 +1025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "repetition_stats": _q_repetition_stats,
         "top_ngram": _q_top_ngram,
+        "stratified_sample": _q_stratified_sample,
+        "source_rollup": _q_source_rollup,
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -1057,6 +1088,17 @@ def oracle_sql() -> dict[str, str]:
         f"+ 0.2 * (CASE WHEN ({mwl}) >= 3.0 AND ({mwl}) <= 10.0 THEN 1.0 ELSE 0.5 END) "
         f"+ 0.25 * least(({sw_ratio}) * 4.0, 1.0) "
         f"+ 0.25 * greatest(0.0, 1.0 - ({punct_ratio}) * 4.0), 4)"
+    )
+    # quality at the function's native 6-decimal rounding (quality_score
+    # itself rounds 6; the quality_scores query adds a round-4 on top)
+    quality6 = quality[:-2] + "6)"
+    strata_case = (
+        "CASE source "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in STRATA_RATES.items())
+        + " ELSE 5 END"
+    )
+    bucket_expr = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
     )
 
     return {
@@ -1565,6 +1607,28 @@ def oracle_sql() -> dict[str, str]:
               md5({pii_red_expr}) AS redacted_md5,
               length({pii_red_expr}) AS redacted_len
             FROM aug ORDER BY doc_id
+        """,
+        # stratified_sample: per-source keep rates generated from the same
+        # STRATA_RATES dict the Spark side compiles into its MAP literal
+        "stratified_sample": f"""
+            SELECT doc_id, source, {bucket_expr} AS bucket
+            FROM documents
+            WHERE {bucket_expr} < ({strata_case})
+            ORDER BY doc_id
+        """,
+        # source_rollup: integer-sum/order-statistic aggregates only, so
+        # both engines are summation-order-independent; the mean derives
+        # from the exact integer sum
+        "source_rollup": f"""
+            SELECT source AS stratum,
+                   count(*) AS n_docs,
+                   count(CASE WHEN text IS NULL THEN 1 END) AS n_null_text,
+                   CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_size,
+                   count(DISTINCT lang) AS n_langs,
+                   CAST(sum({ws_tokens}) AS BIGINT) AS sum_ws_tokens,
+                   count(CASE WHEN ({quality6}) >= 0.5 THEN 1 END) AS n_hi_quality,
+                   round(CAST(sum(coalesce(n_chars, 0)) AS DOUBLE) / count(*), 6) AS avg_size
+            FROM documents GROUP BY source ORDER BY stratum
         """,
         # repetition_stats: 2-word pseudo-lines (mirrors _q_repetition_stats),
         # sorted-neighbor duplicate flags; DuckDB lambda indexes are 1-based

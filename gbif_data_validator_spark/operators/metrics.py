@@ -157,6 +157,40 @@ def length_histogram(df: DataFrame, col: str, width: int) -> DataFrame:
     )
 
 
+def stratum_rollup(
+    df: DataFrame, strata_col: str, text_col: str, size_col: str,
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-stratum curation rollup — the per-domain/per-source health table
+    a corpus curator reads before weighting a training mix: doc counts,
+    null-text counts, size sums/means, language spread, token volume, and
+    the high-quality share. ONE hash agg (map-side partials, output
+    cardinality = #strata, never row count).
+
+    Every aggregate is integer-sum-based or an order statistic so the
+    result is summation-order-independent (deterministic under any
+    partitioning — float avg of doubles would not be): the mean is derived
+    from the exact integer sum at the end."""
+    from ..functions.textstats import quality_score, ws_token_count
+
+    size = F.col(size_col)
+    return (
+        df.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col(text_col).isNull(), 1)).alias("n_null_text"),
+            F.sum(F.coalesce(size, F.lit(0))).alias("sum_size"),
+            F.countDistinct(lang_col).alias("n_langs"),
+            F.sum(ws_token_count(F.col(text_col)).cast("long")).alias("sum_ws_tokens"),
+            F.count(F.when(quality_score(F.col(text_col)) >= 0.5, 1)).alias("n_hi_quality"),
+        )
+        .withColumn(
+            "avg_size",
+            F.round(F.col("sum_size").cast("double") / F.col("n_docs"), 6),
+        )
+    )
+
+
 def top_ngram_stats(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:

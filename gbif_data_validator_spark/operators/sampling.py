@@ -90,6 +90,32 @@ def deterministic_split(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, int],
+    default_pct: int = 0,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its hash bucket
+    < its stratum's pct — the primitive behind per-domain / per-language
+    downsampling when rebalancing a training mix (boilerplate-heavy
+    domains sampled down, rare languages kept whole).
+
+    The rate map compiles into the plan as a literal MAP expression — no
+    join, no shuffle, just a narrow filter; membership follows the KEY
+    (`hash_bucket`), so re-runs, appends, and different engines agree on
+    every row's fate. Strata missing from ``rates`` fall back to
+    ``default_pct``. At 100 TB this is scan + filter: Catalyst pushes the
+    projection, and the map lookup is constant-time per row."""
+    mapping = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
+    pct = F.coalesce(mapping[F.col(strata_col)], F.lit(default_pct))
+    return df.withColumn("bucket", hash_bucket(F.col(id_col), n_buckets)).where(
+        F.col("bucket") < pct
+    )
+
+
 def top_n_by_key(df: DataFrame, partition_col: str, order_col: str, n: int) -> DataFrame:
     """Generic top-N per group (reference W3: samples sorted by lineNumber,
     limit 10 — collector/CollectorGroup.java:179-186)."""

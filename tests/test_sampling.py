@@ -90,3 +90,49 @@ def test_deterministic_sample_is_stable_and_key_derived(spark):
     for r in split:
         by.setdefault(r.split, set()).add(r.doc_id)
     assert by["test"] == s1 and len(by["train"]) == 5000 - len(s1)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """Per-stratum keep rates are honored (hash-bucket < pct), strata
+    absent from the rate map fall back to default_pct, and membership is
+    a pure function of the key (re-run agrees row-for-row)."""
+    from gbif_data_validator_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 2 == 0 else "rare") for i in range(4000)],
+        schema="doc_id long, src string",
+    )
+    got = stratified_sample(df, "doc_id", "src", {"hot": 10, "rare": 90})
+    rows = got.collect()
+    assert all(0 <= r.bucket < 100 for r in rows)
+    by = {}
+    for r in rows:
+        by.setdefault(r.src, set()).add(r.doc_id)
+    assert 0.05 < len(by["hot"]) / 2000 < 0.15
+    assert 0.85 < len(by["rare"]) / 2000 < 0.95
+    again = {(r.src, r.doc_id) for r in got.collect()}
+    assert again == {(s, d) for s, ds in by.items() for d in ds}
+
+    # unmapped stratum -> default_pct=0 drops everything
+    df2 = spark.createDataFrame([(i, "other") for i in range(500)],
+                                schema="doc_id long, src string")
+    assert stratified_sample(df2, "doc_id", "src", {"hot": 10}).count() == 0
+
+
+def test_stratum_rollup_aggregates(spark):
+    from gbif_data_validator_spark.operators.metrics import stratum_rollup
+
+    df = spark.createDataFrame(
+        [
+            ("a", "good text here", 14, "en"),
+            ("a", None, None, "de"),
+            ("b", "x", 1, "en"),
+        ],
+        schema="source string, text string, n_chars int, lang string",
+    )
+    got = {r.stratum: r for r in stratum_rollup(df, "source", "text", "n_chars").collect()}
+    assert got["a"].n_docs == 2 and got["a"].n_null_text == 1
+    assert got["a"].sum_size == 14 and got["a"].n_langs == 2
+    assert got["a"].sum_ws_tokens == 3
+    assert got["b"].n_docs == 1 and got["b"].sum_size == 1
+    assert abs(got["a"].avg_size - 7.0) < 1e-9
