@@ -832,6 +832,56 @@ def _q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stratum")
 
 
+def _doc_pseudo_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (text non-null) + a ``lines`` array of 2-word pseudo-lines
+    (same tokenizer as _q_repetition_stats — the sf documents are
+    single-line, so word chunks stand in for page lines; on real pages the
+    operator takes ``textstats.nonblank_lines(text)`` unchanged)."""
+    d = _docs_spread(spark, sf_dir).where(F.col("text").isNotNull())
+    ws = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    n_lines = F.floor((F.size(ws) + 1) / F.lit(2)).cast("int")
+    lines = F.when(
+        F.size(ws) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(ws, i * 2 + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.withColumn("lines", lines)
+
+
+def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain boilerplate census: pseudo-lines recurring in ≥3 docs of
+    the same source, capped at the 50 most widespread per domain."""
+    from gbif_data_validator_spark.operators.curation import boilerplate_lines
+
+    return boilerplate_lines(
+        _doc_pseudo_lines(spark, sf_dir), "doc_id", "source", "lines",
+        min_docs=3, max_lines=50,
+    ).orderBy("domain", "line")
+
+
+def _q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate strip over the same census: per-doc kept-line counts and
+    an md5 of the cleaned text (so the full cleaned content is hash-checked
+    without shipping it through the canonicalizer)."""
+    from gbif_data_validator_spark.operators.curation import strip_boilerplate
+
+    return (
+        strip_boilerplate(
+            _doc_pseudo_lines(spark, sf_dir), "doc_id", "source", "lines",
+            min_docs=3, max_lines=50,
+        )
+        .select(
+            "doc_id",
+            F.size("lines").cast("long").alias("n_lines"),
+            F.size("clean_lines").cast("long").alias("n_kept"),
+            F.md5(F.array_join("clean_lines", " ")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints, exploded to (doc_id, fp) rows. The hash is
     md5-prefix-based (operators/dedup._hash64_array), so the whole pipeline —
@@ -1027,6 +1077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram": _q_top_ngram,
         "stratified_sample": _q_stratified_sample,
         "source_rollup": _q_source_rollup,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "strip_boilerplate": _q_strip_boilerplate,
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -1629,6 +1681,79 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN ({quality6}) >= 0.5 THEN 1 END) AS n_hi_quality,
                    round(CAST(sum(coalesce(n_chars, 0)) AS DOUBLE) / count(*), 6) AS avg_size
             FROM documents GROUP BY source ORDER BY stratum
+        """,
+        # boilerplate census: same 2-word pseudo-line tokenizer as
+        # repetition_stats; per-doc DISTINCT lines, per-(source,line) doc
+        # counts >= 3, capped at the 50 most widespread per domain with the
+        # (n_docs desc, line) tie-break the Spark window uses
+        "boilerplate_lines": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            l AS (
+              SELECT doc_id, source,
+                     list_transform(range(0, (len(ws) + 1) // 2),
+                                    i -> array_to_string(ws[i*2+1 : i*2+2], ' ')) AS lines
+              FROM w
+            ),
+            c AS (
+              SELECT source AS domain, line, count(*) AS n_docs
+              FROM (SELECT doc_id, source, unnest(list_distinct(lines)) AS line FROM l)
+              WHERE line <> ''
+              GROUP BY 1, 2
+              HAVING count(*) >= 3
+            )
+            SELECT domain, line, n_docs FROM c
+            QUALIFY row_number() OVER (PARTITION BY domain ORDER BY n_docs DESC, line) <= 50
+            ORDER BY domain, line
+        """,
+        # strip_boilerplate: the same census, then a positional keep-filter
+        # per doc (blank lines always kept) and an md5 of the re-joined
+        # cleaned text; docs whose line array is empty still emit a row
+        "strip_boilerplate": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            l AS (
+              SELECT doc_id, source,
+                     list_transform(range(0, (len(ws) + 1) // 2),
+                                    i -> array_to_string(ws[i*2+1 : i*2+2], ' ')) AS lines
+              FROM w
+            ),
+            c AS (
+              SELECT source AS domain, line, count(*) AS n_docs
+              FROM (SELECT doc_id, source, unnest(list_distinct(lines)) AS line FROM l)
+              WHERE line <> ''
+              GROUP BY 1, 2
+              HAVING count(*) >= 3
+            ),
+            bl AS (
+              SELECT domain, line FROM c
+              QUALIFY row_number() OVER (PARTITION BY domain ORDER BY n_docs DESC, line) <= 50
+            ),
+            p AS (
+              SELECT l.doc_id, l.source, i.i AS pos, l.lines[i.i] AS line
+              FROM l, LATERAL (SELECT unnest(range(1, len(l.lines) + 1)) AS i) i
+            ),
+            k AS (
+              SELECT p.doc_id, p.pos, p.line,
+                     (p.line = '' OR bl.line IS NULL) AS keep
+              FROM p LEFT JOIN bl ON bl.domain = p.source AND bl.line = p.line
+            ),
+            a AS (
+              SELECT doc_id,
+                     count(*) FILTER (WHERE keep) AS n_kept,
+                     md5(coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE keep), '')) AS clean_md5
+              FROM k GROUP BY doc_id
+            )
+            SELECT l.doc_id, len(l.lines) AS n_lines,
+                   coalesce(a.n_kept, 0) AS n_kept,
+                   coalesce(a.clean_md5, md5('')) AS clean_md5
+            FROM l LEFT JOIN a USING (doc_id) ORDER BY l.doc_id
         """,
         # repetition_stats: 2-word pseudo-lines (mirrors _q_repetition_stats),
         # sorted-neighbor duplicate flags; DuckDB lambda indexes are 1-based

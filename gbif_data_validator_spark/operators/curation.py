@@ -99,3 +99,80 @@ def ngram_contamination(
             F.round(F.col("n_hits") / F.col("n_grams").cast("double"), 6),
         )
     )
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    lines_col,
+    min_docs: int = 3,
+    max_lines: int = 10_000,
+) -> DataFrame:
+    """→ (domain, line, n_docs): lines that recur across ≥ ``min_docs``
+    distinct documents of the same domain — the C4/RefinedWeb-style
+    boilerplate census (nav bars, cookie banners, footers repeat on every
+    page of a site; body text doesn't). ``lines_col`` is an array<string>
+    column (or name) — callers pass ``textstats.nonblank_lines(text)`` for
+    real pages or any pseudo-line splitter; the operator is agnostic.
+
+    Counting is per-document (``array_distinct`` before the explode), so a
+    line repeated inside one page counts once, and the groupBy count equals
+    count(DISTINCT doc) without a distinct aggregate. ``max_lines`` caps
+    the census per domain by (n_docs desc, line) — at 100 TB this bounds
+    both the result and the downstream broadcast in
+    :func:`strip_boilerplate` no matter how degenerate a template site is.
+
+    Plan: one narrow explode of per-doc DISTINCT lines (never the full
+    text), one hash agg on (domain, line), one window over the already
+    tiny census. Nothing corpus-sized shuffles twice."""
+    lines = F.col(lines_col) if isinstance(lines_col, str) else lines_col
+    census = (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.explode(F.array_distinct(lines)).alias("line"),
+        )
+        .where(F.col("line") != "")
+        .groupBy("domain", "line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    w = Window.partitionBy("domain").orderBy(F.col("n_docs").desc(), "line")
+    return (
+        census.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= max_lines)
+        .drop("_rk")
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    lines_col,
+    min_docs: int = 3,
+    max_lines: int = 10_000,
+) -> DataFrame:
+    """Append ``clean_lines``: the input line array with its domain's
+    boilerplate lines removed, order and duplicates preserved (this is a
+    filter, not a set-subtract — ``array_except`` would dedupe and reorder
+    the body text). Empty-string lines are never boilerplate-eligible and
+    are always kept, preserving paragraph structure.
+
+    Plan: the capped census from :func:`boilerplate_lines` collapses to one
+    array per domain and BROADCASTS (≤ max_lines × |domains| short strings
+    by construction); the corpus pass is then a shuffle-free map — no
+    explode, no corpus-sized join. A domain with no boilerplate joins null
+    and keeps every line."""
+    lines = F.col(lines_col) if isinstance(lines_col, str) else lines_col
+    dim = (
+        boilerplate_lines(df, id_col, domain_col, lines, min_docs, max_lines)
+        .groupBy("domain")
+        .agg(F.collect_list("line").alias("_bl"))
+    )
+    joined = df.join(
+        F.broadcast(dim), df[domain_col] == dim["domain"], "left"
+    ).drop("domain")
+    keep = lambda x: (x == F.lit("")) | ~F.coalesce(
+        F.array_contains(F.col("_bl"), x), F.lit(False)
+    )
+    return joined.withColumn("clean_lines", F.filter(lines, keep)).drop("_bl")

@@ -69,3 +69,65 @@ def test_ngram_contamination_flags_copied_passage(spark):
     # doc 1 shares every 8-gram of the 20-word passage (13 grams)
     assert got[1].n_hits == 13
     assert got[1].ratio > 0.4
+
+
+def _bp_df(spark):
+    # domain d1: "COOKIE NOTICE" on 3 of 4 docs, "FOOTER" on all 4,
+    # "body N" unique per doc; domain d2: no recurring lines
+    rows = []
+    for i in range(4):
+        lines = [f"body {i}", "FOOTER", ""]
+        if i < 3:
+            lines.insert(0, "COOKIE NOTICE")
+        rows.append((i, "d1", lines))
+    rows += [(10, "d2", ["hello", "world"]), (11, "d2", ["other", "text"])]
+    return spark.createDataFrame(
+        rows, schema="doc_id long, domain string, lines array<string>"
+    )
+
+
+def test_boilerplate_lines_census_and_cap(spark):
+    from gbif_data_validator_spark.operators.curation import boilerplate_lines
+
+    df = _bp_df(spark)
+    got = {
+        (r.domain, r.line): r.n_docs
+        for r in boilerplate_lines(df, "doc_id", "domain", "lines", min_docs=3).collect()
+    }
+    assert got == {("d1", "FOOTER"): 4, ("d1", "COOKIE NOTICE"): 3}
+
+    # in-doc repeats count once (array_distinct semantics)
+    rep = spark.createDataFrame(
+        [(1, "d", ["x", "x", "x"]), (2, "d", ["x"])],
+        schema="doc_id long, domain string, lines array<string>",
+    )
+    assert boilerplate_lines(rep, "doc_id", "domain", "lines", min_docs=3).count() == 0
+
+    # cap keeps the most widespread line (n_docs desc, line tie-break)
+    top1 = boilerplate_lines(
+        df, "doc_id", "domain", "lines", min_docs=3, max_lines=1
+    ).collect()
+    assert {(r.domain, r.line) for r in top1} == {("d1", "FOOTER")}
+
+
+def test_strip_boilerplate_preserves_order_blanks_and_clean_domains(spark):
+    from gbif_data_validator_spark.operators.curation import strip_boilerplate
+
+    df = _bp_df(spark)
+    got = {
+        r.doc_id: r.clean_lines
+        for r in strip_boilerplate(df, "doc_id", "domain", "lines", min_docs=3).collect()
+    }
+    # boilerplate removed, order + blank lines preserved
+    assert got[0] == ["body 0", ""]
+    assert got[3] == ["body 3", ""]  # doc without COOKIE still loses FOOTER
+    # clean domain untouched (null dim join -> keep everything)
+    assert got[10] == ["hello", "world"]
+
+    # null lines array stays null
+    nul = spark.createDataFrame(
+        [(1, "d1", None), (2, "d1", ["a"]), (3, "d1", ["a"]), (4, "d1", ["a"])],
+        schema="doc_id long, domain string, lines array<string>",
+    )
+    out = {r.doc_id: r.clean_lines for r in strip_boilerplate(nul, "doc_id", "domain", "lines").collect()}
+    assert out[1] is None and out[2] == []
