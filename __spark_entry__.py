@@ -882,6 +882,35 @@ def _q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget quota selection per source: rank docs by rounded
+    quality (desc, doc_id tie-break), select while the running whitespace
+    token total stays ≤ 400 per source."""
+    from gbif_data_validator_spark.operators.curation import quota_by_stratum
+    from gbif_data_validator_spark.functions.textstats import (
+        quality_score,
+        ws_token_count,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        ws_token_count(F.col("text")).alias("tokens"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    return (
+        quota_by_stratum(
+            d, "source", "tokens", 400,
+            [F.col("q").desc_nulls_last(), F.col("doc_id")],
+        )
+        .select(
+            "doc_id", "source", F.col("rank").cast("long").alias("rank"),
+            "cum_tokens", "selected",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints, exploded to (doc_id, fp) rows. The hash is
     md5-prefix-based (operators/dedup._hash64_array), so the whole pipeline —
@@ -1079,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_rollup": _q_source_rollup,
         "boilerplate_lines": _q_boilerplate_lines,
         "strip_boilerplate": _q_strip_boilerplate,
+        "source_quota": _q_source_quota,
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -1681,6 +1711,29 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN ({quality6}) >= 0.5 THEN 1 END) AS n_hi_quality,
                    round(CAST(sum(coalesce(n_chars, 0)) AS DOUBLE) / count(*), 6) AS avg_size
             FROM documents GROUP BY source ORDER BY stratum
+        """,
+        # source_quota: greedy per-source token-budget selection — rank by
+        # (round-6 quality desc, doc_id), running ROWS-frame token sum,
+        # selected iff the inclusive total stays <= 400
+        "source_quota": f"""
+            WITH s AS (
+              SELECT doc_id, source, {ws_tokens} AS tokens, ({quality6}) AS q
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, source,
+                     CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY q DESC NULLS LAST, doc_id
+                     ) AS BIGINT) AS rank,
+                     CAST(sum(tokens) OVER (
+                       PARTITION BY source ORDER BY q DESC NULLS LAST, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS cum_tokens
+              FROM s
+            )
+            SELECT doc_id, source, rank, cum_tokens,
+                   (cum_tokens <= 400) AS selected
+            FROM r ORDER BY doc_id
         """,
         # boilerplate census: same 2-word pseudo-line tokenizer as
         # repetition_stats; per-doc DISTINCT lines, per-(source,line) doc

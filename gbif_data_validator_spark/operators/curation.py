@@ -176,3 +176,33 @@ def strip_boilerplate(
         F.array_contains(F.col("_bl"), x), F.lit(False)
     )
     return joined.withColumn("clean_lines", F.filter(lines, keep)).drop("_bl")
+
+def quota_by_stratum(
+    df: DataFrame,
+    strata_col: str,
+    tokens_col: str,
+    budget: int,
+    order_by: list,
+) -> DataFrame:
+    """Append (rank, cum_tokens, selected): greedy per-stratum selection
+    under a token budget — the "take the best documents from each source
+    until its quota is full" pass that turns mix weights into an actual
+    training set. Within each stratum, documents are ranked by ``order_by``
+    (pass quality desc + id asc — the tie-break must make the order total,
+    or ranks are nondeterministic); a document is selected iff the running
+    token total INCLUDING it stays ≤ ``budget`` (no overflow — the first
+    document that would cross the line, and everything after it, is out).
+
+    One window over (stratum) — the shuffle moves (id, tokens, order keys),
+    never text. Ordered running sums serialize per stratum, which is fine
+    when strata are domains/sources (cardinality ≫ cores); for a single
+    giant stratum, pre-bucket by a secondary key or raise the budget
+    granularity instead."""
+    wo = Window.partitionBy(strata_col).orderBy(*order_by)
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(F.col(tokens_col).cast("long")).over(wf)
+    return (
+        df.withColumn("rank", F.row_number().over(wo))
+        .withColumn("cum_tokens", cum)
+        .withColumn("selected", F.col("cum_tokens") <= F.lit(budget))
+    )

@@ -131,3 +131,26 @@ def test_strip_boilerplate_preserves_order_blanks_and_clean_domains(spark):
     )
     out = {r.doc_id: r.clean_lines for r in strip_boilerplate(nul, "doc_id", "domain", "lines").collect()}
     assert out[1] is None and out[2] == []
+
+
+def test_quota_by_stratum_budget_and_order(spark):
+    from gbif_data_validator_spark.operators.curation import quota_by_stratum
+
+    # stratum a: qualities 5,4,3,2 with 40 tokens each, budget 100 ->
+    # top two selected (cum 80), third would cross (120). stratum b fits whole.
+    df = spark.createDataFrame(
+        [(1, "a", 5.0, 40), (2, "a", 4.0, 40), (3, "a", 3.0, 40), (4, "a", 2.0, 40),
+         (5, "b", 1.0, 30), (6, "b", 1.0, 30)],
+        schema="doc_id long, src string, q double, tokens int",
+    )
+    got = {
+        r.doc_id: (r.rank, r.cum_tokens, r.selected)
+        for r in quota_by_stratum(
+            df, "src", "tokens", 100,
+            [F.col("q").desc(), F.col("doc_id")],
+        ).collect()
+    }
+    assert got[1] == (1, 40, True) and got[2] == (2, 80, True)
+    assert got[3] == (3, 120, False) and got[4] == (4, 160, False)
+    # tie on q=1.0 broken by doc_id; both fit in budget
+    assert got[5] == (1, 30, True) and got[6] == (2, 60, True)
