@@ -911,6 +911,40 @@ def _q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (round-6 score, term tie-break)."""
+    from gbif_data_validator_spark.operators.metrics import tfidf_top_terms
+
+    return tfidf_top_terms(_docs_spread(spark, sf_dir), "doc_id", "text", k=3).orderBy(
+        "doc_id", "term"
+    )
+
+
+def _q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication health: fraction of a source's docs whose
+    (corpus-wide) content fingerprint is shared — the number a curator
+    reads to decide which sources need aggressive dedup before mixing.
+    One window over the fingerprint + one per-source agg; the corpus never
+    self-joins."""
+    from gbif_data_validator_spark.functions.textstats import content_fingerprint
+
+    d = _docs(spark, sf_dir)
+    fp = F.coalesce(content_fingerprint(F.col("text")), F.lit("NULL"))
+    w = Window.partitionBy("_fp")
+    n_dup = F.count(F.when(F.col("_grp") > 1, 1))
+    return (
+        d.withColumn("_fp", fp)
+        .withColumn("_grp", F.count(F.lit(1)).over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n_dup.alias("n_dup_docs"),
+            F.round(n_dup.cast("double") / F.count(F.lit(1)), 6).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints, exploded to (doc_id, fp) rows. The hash is
     md5-prefix-based (operators/dedup._hash64_array), so the whole pipeline —
@@ -1109,6 +1143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": _q_boilerplate_lines,
         "strip_boilerplate": _q_strip_boilerplate,
         "source_quota": _q_source_quota,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -1711,6 +1747,53 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN ({quality6}) >= 0.5 THEN 1 END) AS n_hi_quality,
                    round(CAST(sum(coalesce(n_chars, 0)) AS DOUBLE) / count(*), 6) AS avg_size
             FROM documents GROUP BY source ORDER BY stratum
+        """,
+        # dedup_rate_by_source: corpus-wide fingerprint group sizes (null
+        # text → sentinel group, matching the Spark coalesce), attributed
+        # per source
+        "dedup_rate_by_source": """
+            WITH f AS (
+              SELECT doc_id, source,
+                     coalesce(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 'NULL') AS fp
+              FROM documents
+            ),
+            c AS (SELECT fp, count(*) AS n FROM f GROUP BY fp)
+            SELECT source,
+                   count(*) AS n_docs,
+                   count(CASE WHEN c.n > 1 THEN 1 END) AS n_dup_docs,
+                   round(CAST(count(CASE WHEN c.n > 1 THEN 1 END) AS DOUBLE) / count(*), 6) AS dup_frac
+            FROM f JOIN c USING (fp)
+            GROUP BY source ORDER BY source
+        """,
+        # tfidf_top_terms: same tokenizer; df = docs-per-term from the
+        # (doc,term) counts, tfidf = tf*ln(N/df) rounded to 6 (cross-engine
+        # stable, ln ulp noise vanishes under the rounding), top-3 per doc
+        # with the (tfidf desc, term) tie-break
+        "tfidf_top_terms": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+              GROUP BY 1, 2
+            ),
+            df_t AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n FROM w),
+            s AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df_t.df,
+                     round(tf.tf * ln(CAST(n.n AS DOUBLE) / df_t.df), 6) AS tfidf
+              FROM tf JOIN df_t USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, df, tfidf,
+                   CAST(row_number() OVER (
+                     PARTITION BY doc_id ORDER BY tfidf DESC, term
+                   ) AS BIGINT) AS rk
+            FROM s
+            QUALIFY rk <= 3
+            ORDER BY doc_id, term
         """,
         # source_quota: greedy per-source token-budget selection — rank by
         # (round-6 quality desc, doc_id), running ROWS-frame token sum,

@@ -260,3 +260,50 @@ def issue_counts_by_partition(violations: DataFrame) -> DataFrame:
     return violations.groupBy("partition_id", "check_id").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """→ (id, term, tf, df, tfidf, rk): top-``k`` TF-IDF terms per document
+    (whitespace tokens, lowercased; tfidf = tf · ln(N/df), rounded to 6 so
+    the score is cross-engine stable). The per-doc keyword signal used for
+    topic tagging and near-dup triage in corpus curation.
+
+    Plan: ONE tokenize+explode feeds everything — the document-frequency
+    table is a re-aggregation of the (doc, term) counts, not a second scan;
+    N is a column-pruned count. The vocabulary-sized DF table is joined on
+    term (never broadcast — at web scale the vocabulary is 10^8+ terms);
+    hot stopword terms are the classic skew key, which AQE's skew-join
+    split handles, and the join input is already one row per (doc, term),
+    never one per occurrence."""
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("_toks"))
+    )
+    tf = (
+        base.select(id_col, F.explode("_toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = base.select(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", F.col("rk").cast("long").alias("rk"))
+    )

@@ -77,3 +77,30 @@ def test_frequent_values(spark):
     )
     got = [(r.value, r.n, r.rank) for r in frequent_values(df, "v", 2).orderBy("rank").collect()]
     assert got == [("b", 3, 1), ("a", 2, 2)]  # NULL excluded, ties by value
+
+
+def test_tfidf_top_terms_ranks_rare_terms(spark):
+    from gbif_data_validator_spark.operators.metrics import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the zebra"),
+            (2, "the cow"),
+            (3, "the cow cow"),
+            (4, None),
+        ],
+        schema="doc_id long, text string",
+    )
+    got = tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.doc_id, []).append((r.rk, r.term, r.tf, r.df))
+    # doc 1: zebra (df=1) beats 'the' (df=3, idf=0)
+    assert by[1][0][1] == "zebra" and by[1][0][3] == 1
+    # 'the' appears in every text doc -> idf = ln(3/3) = 0 -> tfidf 0
+    the = [r for r in got if r.term == "the"]
+    assert all(r.tfidf == 0.0 for r in the)
+    # doc 3: cow tf=2 ranks first
+    assert by[3][0][1] == "cow" and by[3][0][2] == 2
+    assert 4 not in by  # null text drops out
+    assert all(len(v) <= 2 for v in by.values())
