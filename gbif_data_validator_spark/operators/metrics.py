@@ -270,13 +270,15 @@ def tfidf_top_terms(
     the score is cross-engine stable). The per-doc keyword signal used for
     topic tagging and near-dup triage in corpus curation.
 
-    Plan: ONE tokenize+explode feeds everything — the document-frequency
-    table is a re-aggregation of the (doc, term) counts, not a second scan;
-    N is a column-pruned count. The vocabulary-sized DF table is joined on
-    term (never broadcast — at web scale the vocabulary is 10^8+ terms);
-    hot stopword terms are the classic skew key, which AQE's skew-join
-    split handles, and the join input is already one row per (doc, term),
-    never one per occurrence."""
+    Plan: ONE tokenize+explode feeds everything. Document frequency is a
+    window count over the (doc, term) rows — NOT a separate aggregation
+    joined back, which would make Spark re-derive the whole tokenize
+    lineage a second time (no subplan sharing without caching) and double
+    the dominant cost. N is a separate column-pruned count scan (trivial
+    next to the explode). Three shuffles total — (doc, term), term, doc —
+    no joins; the hot-stopword term partition is the classic skew key, but
+    its input is already one row per (doc, term), never one per
+    occurrence."""
     from pyspark.sql import Window
 
     toks = F.filter(
@@ -291,10 +293,10 @@ def tfidf_top_terms(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = base.select(F.count(F.lit(1)).alias("_n"))
+    wdf = Window.partitionBy("term")
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
