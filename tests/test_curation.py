@@ -154,3 +154,42 @@ def test_quota_by_stratum_budget_and_order(spark):
     assert got[3] == (3, 120, False) and got[4] == (4, 160, False)
     # tie on q=1.0 broken by doc_id; both fit in budget
     assert got[5] == (1, 30, True) and got[6] == (2, 60, True)
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_strip_boilerplate_plan_broadcasts_census(spark):
+    """The corpus side must NOT shuffle: the census broadcasts (bounded by
+    max_lines × |domains|), and the per-domain top-N compiles to a
+    WindowGroupLimit so the cap prunes map-side."""
+    from gbif_data_validator_spark.operators.curation import strip_boilerplate
+
+    df = _bp_df(spark)
+    plan = _plan(strip_boilerplate(df, "doc_id", "domain", "lines", max_lines=50))
+    assert "BroadcastHashJoin" in plan and "BuildRight" in plan
+    # the rank<=N cap compiles to a map-side WindowGroupLimit when N is
+    # under spark.sql.optimizer.windowGroupLimitThreshold (1000)
+    assert "WindowGroupLimit" in plan
+    # corpus branch: no hashpartitioning exchange of the full input columns
+    # (the only hash exchanges belong to the census agg/window)
+    corpus_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "domain" not in l and "line" not in l
+    ]
+    assert corpus_exchanges == [], corpus_exchanges
+
+
+def test_quota_plan_single_stratum_exchange(spark):
+    """rank + running sum share one hashpartitioning(stratum) exchange."""
+    from gbif_data_validator_spark.operators.curation import quota_by_stratum
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, 10)], schema="doc_id long, src string, q double, tokens int"
+    )
+    plan = _plan(
+        quota_by_stratum(df, "src", "tokens", 100, [F.col("q").desc(), "doc_id"])
+    )
+    hashes = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(hashes) == 1, hashes

@@ -136,3 +136,16 @@ def test_stratum_rollup_aggregates(spark):
     assert got["a"].sum_ws_tokens == 3
     assert got["b"].n_docs == 1 and got["b"].sum_size == 1
     assert abs(got["a"].avg_size - 7.0) < 1e-9
+
+
+def test_stratified_sample_plan_is_narrow(spark):
+    """Rate map compiles into the plan as a literal — no join, no shuffle."""
+    from gbif_data_validator_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "a")], schema="doc_id long, src string"
+    )
+    plan = stratified_sample(
+        df, "doc_id", "src", {"a": 10}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
