@@ -945,6 +945,40 @@ def _q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-source epoch weights for the resampling query: even sources
+#: downsampled to 0.5 epochs, odd upsampled to 2.5 (exact binary fractions
+#: so the frac→bucket threshold is float-exact in both engines)
+MIX_WEIGHTS = {f"src{i}": (0.5 if i % 2 == 0 else 2.5) for i in range(20)}
+
+
+def _q_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic resampling with replacement per MIX_WEIGHTS: copy
+    counts are a pure function of (doc_id, source weight)."""
+    from gbif_data_validator_spark.operators.sampling import resample_by_weight
+
+    return (
+        resample_by_weight(_docs(spark, sf_dir), "doc_id", "source", MIX_WEIGHTS)
+        .select("doc_id", "source", F.col("copy").cast("long").alias("copy"))
+        .orderBy("doc_id", "copy")
+    )
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (16 tokens, overlap 4): per-chunk token
+    counts and an md5 of the chunk text."""
+    from gbif_data_validator_spark.operators.curation import chunk_documents
+
+    return (
+        chunk_documents(_docs_spread(spark, sf_dir), "doc_id", "text",
+                        chunk_tokens=16, overlap=4)
+        .select(
+            "doc_id", "chunk_id", "n_tokens",
+            F.md5(F.col("chunk_text")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints, exploded to (doc_id, fp) rows. The hash is
     md5-prefix-based (operators/dedup._hash64_array), so the whole pipeline —
@@ -1145,6 +1179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": _q_source_quota,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "mix_resample": _q_mix_resample,
+        "doc_chunks": _q_doc_chunks,
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -1747,6 +1783,47 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN ({quality6}) >= 0.5 THEN 1 END) AS n_hi_quality,
                    round(CAST(sum(coalesce(n_chars, 0)) AS DOUBLE) / count(*), 6) AS avg_size
             FROM documents GROUP BY source ORDER BY stratum
+        """,
+        # mix_resample: copy count = floor(w) + (hash bucket < frac(w)*100),
+        # replicas generated by range-unnest; weights are exact binary
+        # fractions so the frac threshold is float-exact in both engines
+        "mix_resample": f"""
+            WITH c AS (
+              SELECT doc_id, source,
+                     CAST(CASE source {' '.join(f"WHEN '{k}' THEN {v}" for k, v in MIX_WEIGHTS.items())} ELSE 1.0 END AS DOUBLE) AS w,
+                     {bucket_expr} AS b
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id, source,
+                     CAST(floor(w) AS BIGINT)
+                     + CASE WHEN b < CAST((w - floor(w)) * 100 AS BIGINT) THEN 1 ELSE 0 END AS n_copies
+              FROM c
+            )
+            SELECT doc_id, source, CAST(t.i AS BIGINT) AS copy
+            FROM n, unnest(range(n_copies)) AS t(i)
+            ORDER BY doc_id, copy
+        """,
+        # doc_chunks: 16-token windows with stride 12 over the same
+        # whitespace tokenizer; chunk count = 1 + ceil((n-16)/12) for n>16
+        "doc_chunks": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            nz AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+            ch AS (
+              SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_id,
+                     ws[(CAST(t.i AS BIGINT)*12+1):(CAST(t.i AS BIGINT)*12+16)] AS ct
+              FROM nz, unnest(range(
+                CASE WHEN n <= 16 THEN 1
+                     ELSE 1 + CAST(ceil((n - 16) / 12.0) AS BIGINT) END)) AS t(i)
+            )
+            SELECT doc_id, chunk_id,
+                   CAST(len(ct) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(ct, ' ')) AS chunk_md5
+            FROM ch ORDER BY doc_id, chunk_id
         """,
         # dedup_rate_by_source: corpus-wide fingerprint group sizes (null
         # text → sentinel group, matching the Spark coalesce), attributed

@@ -206,3 +206,51 @@ def quota_by_stratum(
         .withColumn("cum_tokens", cum)
         .withColumn("selected", F.col("cum_tokens") <= F.lit(budget))
     )
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """→ (id, chunk_id, chunk_text, n_tokens): split each document's
+    whitespace tokens into context-window chunks of ≤ ``chunk_tokens``
+    with ``overlap`` tokens shared between consecutive chunks (stride =
+    chunk_tokens − overlap) — the pre-packing pass that turns over-long
+    documents into trainable sequences without dropping their tails.
+    The final chunk may be short; documents with no tokens emit no rows.
+
+    Plan: tokenize once, ``explode(sequence(...))`` over the per-doc chunk
+    count, slice per chunk — a narrow generate, zero shuffles; output row
+    count = Σ ceil((n_i − overlap)/stride). The token arrays never
+    shuffle (chunking happens in the scan stage)."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    n = F.size(F.col("_t"))
+    n_chunks = (
+        F.when(n <= chunk_tokens, F.lit(1))
+        .otherwise(
+            F.lit(1)
+            + F.ceil((n - F.lit(chunk_tokens)) / F.lit(float(stride))).cast("int")
+        )
+    )
+    chunk_toks = F.slice(
+        F.col("_t"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("_t"))
+        .where(F.size("_t") > 0)
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(chunk_toks, " ").alias("chunk_text"),
+            F.size(chunk_toks).cast("long").alias("n_tokens"),
+        )
+    )

@@ -123,3 +123,41 @@ def top_n_by_key(df: DataFrame, partition_col: str, order_col: str, n: int) -> D
     return (
         df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= n).drop("_rn")
     )
+
+
+def resample_by_weight(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Deterministic resampling WITH replacement: each row is emitted
+    ``floor(w)`` times plus one more iff its hash bucket falls under the
+    fractional part — so a stratum with weight 2.5 is exactly 2.5× larger
+    in expectation, and every doc's copy count is a pure function of its
+    key. This is the upsampling half of mix weighting (epochs > 1 for
+    rare, high-quality sources) that :func:`stratified_sample` (w ≤ 1)
+    can't express; w < 1 degrades to keep-probability sampling with the
+    identical hash so the two operators agree on membership.
+
+    Output appends ``copy`` (0-based replica index) — downstream packing
+    keys on (id, copy) so replicas land in different batches.
+
+    Plan: the weight map compiles to a literal MAP; copies come from
+    ``explode(sequence(...))`` — a narrow generate, zero shuffles, zero
+    joins, and output size = Σ w_s·|s| exactly (no rejection step)."""
+    mapping = F.create_map(
+        *[c for k, v in weights.items() for c in (F.lit(k), F.lit(float(v)))]
+    )
+    w = F.coalesce(mapping[F.col(strata_col)], F.lit(float(default_weight)))
+    frac_pct = ((w - F.floor(w)) * n_buckets).cast("long")
+    extra = (hash_bucket(F.col(id_col), n_buckets) < frac_pct).cast("long")
+    n_copies = (F.floor(w).cast("long") + extra).cast("int")
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .where(F.col("_n_copies") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
+        .drop("_n_copies")
+    )

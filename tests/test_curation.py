@@ -193,3 +193,51 @@ def test_quota_plan_single_stratum_exchange(spark):
     )
     hashes = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(hashes) == 1, hashes
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from gbif_data_validator_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "   "), (4, None)],
+        schema="doc_id long, text string",
+    )
+    got = {}
+    for r in chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text, r.n_tokens))
+    # 7 tokens, chunk 4, stride 3 -> chunks at offsets 0 and 3 cover all
+    # tokens (the second ends exactly at n, so no third chunk)
+    assert got[1] == [(0, "a b c d", 4), (1, "d e f g", 4)]
+    assert got[2] == [(0, "x y", 2)]
+    assert 3 not in got and 4 not in got
+    # every token covered, consecutive chunks share `overlap` tokens
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_resample_by_weight_copy_counts(spark):
+    from gbif_data_validator_spark.operators.sampling import resample_by_weight
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 2 == 0 else "rare") for i in range(2000)],
+        schema="doc_id long, src string",
+    )
+    out = resample_by_weight(df, "doc_id", "src", {"hot": 0.5, "rare": 2.5})
+    rows = out.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.doc_id, []).append(r.copy)
+    # copy indexes are dense 0..n-1
+    assert all(sorted(v) == list(range(len(v))) for v in by.values())
+    hot = [r for r in rows if r.src == "hot"]
+    rare = [r for r in rows if r.src == "rare"]
+    # expectations: hot ~0.5x, rare ~2.5x (hash-deterministic, tolerance wide)
+    assert 0.4 * 1000 < len(hot) < 0.6 * 1000
+    assert 2.3 * 1000 < len(rare) < 2.7 * 1000
+    # rare docs get 2 or 3 copies; hot docs 0 or 1
+    assert {len(v) for k, v in by.items() if k % 2 == 1} == {2, 3}
+    assert all(len(v) == 1 for k, v in by.items() if k % 2 == 0)
+    # determinism
+    assert {(r.doc_id, r.copy) for r in out.collect()} == {(r.doc_id, r.copy) for r in rows}
