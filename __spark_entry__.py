@@ -979,6 +979,34 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cross_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl exact dedup: the hash-bucket lower half plays the
+    already-validated reference corpus; each upper-half (new) doc is
+    flagged if its normalization fingerprint already exists there."""
+    from gbif_data_validator_spark.operators.dedup import exact_cross_flags
+    from gbif_data_validator_spark.operators.sampling import hash_bucket
+
+    d = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), 100)
+    return (
+        exact_cross_flags(d.where(b >= 50), d.where(b < 50), "doc_id", "text")
+        .orderBy("doc_id")
+    )
+
+
+def _q_minhash_cross_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination shape: near-dup pairs between the two bucket
+    halves of the corpus (train-vs-benchmark analog), est_jaccard ≥ 0.5."""
+    from gbif_data_validator_spark.operators.dedup import minhash_lsh_cross_pairs
+    from gbif_data_validator_spark.operators.sampling import hash_bucket
+
+    d = _docs_spread(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), 100)
+    return minhash_lsh_cross_pairs(
+        d.where(b >= 50), d.where(b < 50), "doc_id", "text", threshold=0.5
+    )
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints, exploded to (doc_id, fp) rows. The hash is
     md5-prefix-based (operators/dedup._hash64_array), so the whole pipeline —
@@ -1181,6 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "mix_resample": _q_mix_resample,
         "doc_chunks": _q_doc_chunks,
+        "cross_dedup_flags": _q_cross_dedup_flags,
+        "minhash_cross_pairs": _q_minhash_cross_pairs,
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -2039,6 +2069,71 @@ def oracle_sql() -> dict[str, str]:
         # the 4-value signature slice, modeled as the comma-joined slice
         # string; est_jaccard = n/64 is exact at 6 decimals (1/64 =
         # 0.015625), so round(.,6) is the identity on both engines.
+        # cross_dedup_flags: lower bucket half = reference corpus, upper
+        # half = new docs; EXISTS (not IN) so null fingerprints stay
+        # trivially novel instead of three-valued-logic NULL
+        "cross_dedup_flags": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+                     {bucket_expr} AS b
+              FROM documents
+            ),
+            ref AS (SELECT DISTINCT fingerprint FROM t WHERE b < 50 AND fingerprint IS NOT NULL)
+            SELECT t.doc_id, t.fingerprint,
+                   EXISTS (SELECT 1 FROM ref WHERE ref.fingerprint = t.fingerprint) AS seen_in_ref
+            FROM t WHERE b >= 50 ORDER BY doc_id
+        """,
+        # minhash_cross_pairs: same signature/banding pipeline as
+        # minhash_pairs, sides from the hash-bucket halves; bucket-size cap
+        # counts BOTH sides (the Spark op caps the unioned posting list)
+        "minhash_cross_pairs": f"""
+            WITH consts(i, a, b) AS (VALUES {mh_consts}),
+            w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws,
+                     CASE WHEN {bucket_expr} >= 50 THEN 'L' ELSE 'R' END AS side
+              FROM documents WHERE text IS NOT NULL
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, side, ws[r.i] || ' ' || ws[r.i+1] || ' ' || ws[r.i+2] AS g
+              FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) r
+              WHERE len(ws) >= 3
+            ),
+            hx AS (
+              SELECT doc_id, side,
+                     CAST(('0x' || substr(md5(g), 1, 16)) AS UBIGINT)
+                       % 2305843009213693951 AS x
+              FROM grams
+            ),
+            mh AS (
+              SELECT doc_id, side, c.i,
+                     min(CAST(((CAST(c.a AS HUGEINT) * x + c.b) % 18446744073709551616)
+                              % 2305843009213693951 AS BIGINT)) AS v
+              FROM hx CROSS JOIN consts c GROUP BY doc_id, side, c.i
+            ),
+            sig AS (SELECT doc_id, side, list(v ORDER BY i) AS sig FROM mh GROUP BY doc_id, side),
+            bands AS (
+              SELECT doc_id, side, sig, bd.band,
+                     array_to_string(sig[bd.band*4+1 : bd.band*4+4], ',') AS key
+              FROM sig, (SELECT unnest(range(0, 16)) AS band) bd
+            ),
+            bsz AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id,
+                              a.sig AS sa, b.sig AS sb
+              FROM bands a
+              JOIN bands b ON a.band = b.band AND a.key = b.key
+                          AND a.side = 'L' AND b.side = 'R'
+              JOIN bsz s ON s.band = a.band AND s.key = a.key
+              WHERE s.c BETWEEN 2 AND 1000
+            )
+            SELECT left_id, right_id,
+                   round(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0, 6) AS est_jaccard
+            FROM cand
+            WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.5
+            ORDER BY left_id, right_id
+        """,
         "minhash_pairs": f"""
             WITH consts(i, a, b) AS (VALUES {mh_consts}),
             w AS (

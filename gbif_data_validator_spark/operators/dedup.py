@@ -727,3 +727,147 @@ def embedding_lsh_dropped_buckets(
         ["table", "bucket"],
         max_bucket,
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus dedup (incremental-crawl / decontamination shape)
+# --------------------------------------------------------------------------
+
+
+def exact_cross_flags(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    broadcast_ref: bool = False,
+) -> DataFrame:
+    """→ (doc_id, fingerprint, seen_in_ref): flag each NEW doc whose exact
+    content (normalization fingerprint) already exists in a REFERENCE
+    corpus — the incremental-crawl dedup pass ("drop what last month's
+    crawl already kept") and the exact half of benchmark decontamination.
+
+    Null-text docs are trivially novel (null fingerprints never join).
+
+    Plan: both sides project to the 16-byte digest only, then ONE
+    left-semi-shaped join on the fingerprint — an md5 key is uniform by
+    construction, so the shuffle-hash join has no skew path at any scale;
+    pass ``broadcast_ref=True`` when the reference fingerprint set is a
+    dimension-sized blocklist (e.g. a benchmark suite)."""
+    fp = content_fingerprint(F.col(text_col))
+    new_fps = new_df.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+    ref_fps = ref_df.select(fp.alias("fingerprint")).where(
+        F.col("fingerprint").isNotNull()
+    ).distinct()
+    if broadcast_ref:
+        ref_fps = F.broadcast(ref_fps)
+    hits = ref_fps.withColumn("seen_in_ref", F.lit(True))
+    return new_fps.join(hits, "fingerprint", "left").select(
+        "doc_id",
+        "fingerprint",
+        F.coalesce(F.col("seen_in_ref"), F.lit(False)).alias("seen_in_ref"),
+    )
+
+
+def dedup_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    broadcast_ref: bool = False,
+) -> DataFrame:
+    """NEW rows whose content does NOT already exist in the reference
+    corpus (all original columns kept) — `exact_cross_flags` as a filter,
+    via one left_anti join on the fingerprint."""
+    fp = content_fingerprint(F.col(text_col))
+    ref_fps = ref_df.select(fp.alias("_fp")).where(F.col("_fp").isNotNull()).distinct()
+    if broadcast_ref:
+        ref_fps = F.broadcast(ref_fps)
+    return (
+        new_df.withColumn("_fp", fp)
+        .join(ref_fps, "_fp", "left_anti")
+        .drop("_fp")
+    )
+
+
+def minhash_lsh_cross_pairs(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs ACROSS two corpora (fuzzy decontamination: training
+    set vs benchmark; or crawl N vs crawl N-1): (left_id, right_id,
+    est_jaccard ≥ threshold). Same-side pairs are suppressed.
+
+    Plan: both sides are tagged and unioned BEFORE the banded posting-list
+    groupBy, so the family's single corpus-sized shuffle is preserved —
+    cross pairs are filtered in-bucket (side_a ≠ side_b) before the
+    estimate, and the same ``max_bucket`` cap bounds degenerate boilerplate
+    buckets; audit dropped buckets with ``minhash_lsh_dropped_buckets`` on
+    the union. Signatures are computed per side BEFORE the union (a narrow
+    Arrow pass each — no shuffle, no id-collision ambiguity between the
+    corpora)."""
+    rows_per_band = n_hashes // n_bands
+    sigs = (
+        minhash_signatures(left_df, id_col, text_col, k, n_hashes, seed)
+        .withColumn("_side", F.lit("L"))
+        .unionByName(
+            minhash_signatures(right_df, id_col, text_col, k, n_hashes, seed)
+            .withColumn("_side", F.lit("R"))
+        )
+    )
+    bands = sigs.select(
+        F.struct(
+            F.col("doc_id").alias("id"),
+            F.col("sig").alias("sig"),
+            F.col("_side").alias("side"),
+        ).alias("d"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda bnd: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), bnd * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    posts = bands.groupBy("band", "bucket").agg(F.collect_list("d").alias("ds")).where(
+        (F.size("ds") >= 2) & (F.size("ds") <= max_bucket)
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("p.sig_a"), F.col("p.sig_b"), lambda x, y: (x == y).cast("int")
+            ),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(n_hashes))
+    pairs = (
+        posts.select(F.explode(_in_list_pairs(F.col("ds"), ["id", "sig", "side"])).alias("p"))
+        .where(F.col("p.side_a") != F.col("p.side_b"))
+        .select(
+            # normalize to (left, right) regardless of id ordering
+            F.when(F.col("p.side_a") == "L", F.col("p.id_a"))
+            .otherwise(F.col("p.id_b"))
+            .alias("left_id"),
+            F.when(F.col("p.side_a") == "L", F.col("p.id_b"))
+            .otherwise(F.col("p.id_a"))
+            .alias("right_id"),
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )
+    return pairs

@@ -255,3 +255,79 @@ def test_paragraph_duplicate_groups(spark):
     got = paragraph_duplicate_groups(df, "doc_id", "text", min_chars=40).collect()
     assert len(got) == 1
     assert got[0].n_docs == 2 and got[0].doc_ids == [1, 2]  # within-doc repeat counts once
+
+
+# -- cross-corpus dedup ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def two_corpora(spark):
+    base = "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire"
+    ref = spark.createDataFrame(
+        [
+            (101, base),
+            (102, "spark shuffles data between executors during wide transformations like joins"),
+            (103, None),
+        ],
+        schema="doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),                                  # exact dup of ref 101
+            (2, "The  Quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire"),  # normalized dup
+            (3, base + " and then some extra words happen at the end of it"),  # near dup only
+            (4, "completely different content about gardens flowers bees and honey production"),
+            (5, None),                                   # null text: trivially novel
+        ],
+        schema="doc_id long, text string",
+    )
+    return new, ref
+
+
+def test_exact_cross_flags(spark, two_corpora):
+    new, ref = two_corpora
+    flags = {r.doc_id: r.seen_in_ref for r in
+             dedup.exact_cross_flags(new, ref, "doc_id", "text").collect()}
+    assert flags == {1: True, 2: True, 3: False, 4: False, 5: False}
+
+
+def test_dedup_against_keeps_novel_rows_with_all_columns(spark, two_corpora):
+    new, ref = two_corpora
+    out = dedup.dedup_against(new, ref, "doc_id", "text", broadcast_ref=True)
+    assert out.columns == new.columns
+    assert sorted(r.doc_id for r in out.collect()) == [3, 4, 5]
+    # broadcast_ref puts the reference fingerprints on the broadcast side
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_minhash_cross_pairs_only_cross_side(spark, two_corpora):
+    new, ref = two_corpora
+    # seed a same-side near-dup in `new` that must NOT appear in the output
+    extra = spark.createDataFrame(
+        [(6, "the quick brown fox jumps over the lazy dog while the cat sleeps near a warm fire")],
+        schema="doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_cross_pairs(
+        new.unionByName(extra), ref, "doc_id", "text", threshold=0.5
+    ).collect()
+    got = {(r.left_id, r.right_id) for r in pairs}
+    assert (1, 101) in got and (2, 101) in got  # exact dups always collide
+    assert all(r.right_id > 100 and r.left_id < 100 for r in pairs)
+    assert all(0.5 <= r.est_jaccard <= 1.0 for r in pairs)
+
+
+def test_minhash_cross_pairs_id_collision_safe(spark):
+    """Same doc_id on both sides must stay distinguishable (sides are
+    tagged before the union, never joined back by id)."""
+    left = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        schema="doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        schema="doc_id long, text string",
+    )
+    rows = dedup.minhash_lsh_cross_pairs(left, right, "doc_id", "text", threshold=0.5).collect()
+    assert len(rows) == 1 and rows[0].left_id == 1 and rows[0].right_id == 1
+    assert rows[0].est_jaccard == 1.0
