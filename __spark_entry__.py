@@ -1041,6 +1041,21 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, k=3, n_lists=8, n_probe=3)
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means clusters + in-cluster cosine pruning; survivors
+    ordered by id (k-means not SQL-reproducible → rows-only; golden-
+    structure behavior asserted in tests/test_similarity.py)."""
+    from gbif_data_validator_spark.operators.similarity import semantic_dedup
+
+    return (
+        semantic_dedup(
+            _tbl(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.9
+        )
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 def _q_tdigest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest UDAF (explicit partial/merge/final) quantiles of
     lineitem.l_extendedprice — approximate → rows-only."""
@@ -1214,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
+        "semantic_dedup": _q_semantic_dedup,
         "profile_rollup": _q_profile_rollup,
         "tdigest_profile": _q_tdigest_profile,
         "lsh_ann": _q_lsh_ann,

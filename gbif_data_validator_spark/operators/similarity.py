@@ -105,6 +105,45 @@ def lsh_multi_bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int = 42)
     return F.pandas_udf(buckets, returnType="array<long>")
 
 
+def train_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_lists: int,
+    seed: int = 42,
+    max_train: int = 50_000,
+) -> np.ndarray:
+    """k-means coarse-quantizer centroids as an (n_lists, dim) matrix —
+    pyspark.ml KMeans trained on a bounded sample (≤ ``max_train``
+    vectors), so training cost is constant in corpus size. Shared by the
+    IVF probe path and semantic dedup."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    n = train.count()
+    if n > max_train:
+        train = train.sample(fraction=max_train / n, seed=seed)
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
+    return np.stack([np.asarray(c) for c in model.clusterCenters()])  # (L, d)
+
+
+def centroid_assign_udf(centers: np.ndarray, n_nearest: int = 1):
+    """Pandas UDF: list ids of the ``n_nearest`` centroids per vector
+    (euclidean, same metric KMeans optimizes) — the centroid matrix rides
+    into executors inside the serialized UDF, one matmul per Arrow batch."""
+
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(mat) == 0:
+            return pd.Series([], dtype=object)
+        # squared euclidean to every centroid: (B, L)
+        d2 = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argsort(d2, axis=1)[:, :n_nearest]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    return F.pandas_udf(assign, returnType="array<int>")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -128,30 +167,10 @@ def ivf_topk(
     is an equi-join on list id, so Catalyst shuffles only bucket-matched
     candidates. Same output schema as brute_force_topk; recall < 1.0 by
     design (measured against the exact baseline in tests)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    n = train.count()
-    if n > max_train:
-        train = train.sample(fraction=max_train / n, seed=seed)
-    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
-    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])  # (L, d)
+    centers = train_centroids(corpus, vec_col, n_lists, seed, max_train)
 
     def assign_udf(n_nearest: int):
-        """list ids of the n_nearest centroids per vector (euclidean, same
-        metric KMeans optimizes) — vectorized over the Arrow batch."""
-
-        def assign(vecs: pd.Series) -> pd.Series:
-            mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-            if len(mat) == 0:
-                return pd.Series([], dtype=object)
-            # squared euclidean to every centroid: (B, L)
-            d2 = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            idx = np.argsort(d2, axis=1)[:, :n_nearest]
-            return pd.Series([row.astype("int32").tolist() for row in idx])
-
-        return F.pandas_udf(assign, returnType="array<int>")
+        return centroid_assign_udf(centers, n_nearest)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
@@ -222,4 +241,116 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup)
+# --------------------------------------------------------------------------
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    max_train: int = 50_000,
+    max_cluster: int = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embeddings, compute exact cosine only
+    WITHIN each cluster, keep pairs ≥ ``threshold``.
+    → (doc_a, doc_b, cosine, cluster_id), doc_a < doc_b.
+
+    Scale: cluster assignment is a narrow Arrow pass (centroids ride in the
+    UDF); the only corpus-sized shuffle is the per-cluster posting-list
+    groupBy, and in-cluster pairing is JVM-side nested transforms — no
+    self-join. ``n_clusters`` must scale with the corpus (the paper uses
+    ~√n clusters at 10^8+ docs) so clusters stay O(thousands); the
+    ``max_cluster`` cap bounds the quadratic in-cluster work against a
+    degenerate clustering, and dropped clusters are auditable via
+    ``semantic_dropped_clusters`` — never silent."""
+    from .dedup import _in_list_pairs
+
+    posts = _semantic_posts(df, id_col, vec_col, n_clusters, seed, max_train)
+    pairs = (
+        posts.where((F.size("ds") >= 2) & (F.size("ds") <= max_cluster))
+        .select(
+            F.col("cluster_id"),
+            F.explode(_in_list_pairs(F.col("ds"), ["id", "vec"])).alias("p"),
+        )
+        .select(
+            F.col("p.id_a").alias("doc_a"),
+            F.col("p.id_b").alias("doc_b"),
+            F.round(cosine_sim(F.col("p.vec_a"), F.col("p.vec_b")), 6).alias("cosine"),
+            "cluster_id",
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    return pairs
+
+
+def _semantic_posts(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    seed: int,
+    max_train: int,
+) -> DataFrame:
+    centers = train_centroids(df, vec_col, n_clusters, seed, max_train)
+    assign = centroid_assign_udf(centers, 1)
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("cluster_id", F.element_at(assign(F.col("vec")), 1))
+        .groupBy("cluster_id")
+        .agg(F.collect_list(F.struct("id", "vec")).alias("ds"))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    max_train: int = 50_000,
+    max_cluster: int = 10_000,
+) -> DataFrame:
+    """Rows of ``df`` surviving semantic dedup: a doc is dropped iff it has
+    an in-cluster partner at cosine ≥ threshold with a SMALLER id (the
+    deterministic analog of SemDeDup's keep-one-per-duplicate-set; on a
+    chain a→b→c this drops b and c — marginally more aggressive than a
+    connected-component representative, and reproducible). One broadcast-
+    able anti-join of the (small) dropped-id set against the corpus."""
+    dropped = (
+        semantic_dup_pairs(
+            df, id_col, vec_col, n_clusters, threshold, seed, max_train, max_cluster
+        )
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, id_col, "left_anti")
+
+
+def semantic_dropped_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_train: int = 50_000,
+    max_cluster: int = 10_000,
+) -> DataFrame:
+    """→ (cluster_id, n_docs) for clusters ``max_cluster`` excluded from
+    the semantic-dedup pair scan — route these through a coarser pass
+    (raise n_clusters, or fall back to embedding LSH) instead of reading
+    'no pairs' as 'no duplicates'."""
+    return (
+        _semantic_posts(df, id_col, vec_col, n_clusters, seed, max_train)
+        .where(F.size("ds") > max_cluster)
+        .select("cluster_id", F.size("ds").alias("n_docs"))
     )

@@ -139,3 +139,73 @@ def test_ivf_recall_on_planted_clusters(spark):
         ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [len(exact_sets[q] & ann_sets.get(q, set())) / k for q in exact_sets]
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+# -- semantic dedup (SemDeDup) ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered_vecs(spark):
+    """Two tight clusters + isolated points: ids 0-2 are near-identical
+    around (1,0,...), ids 10-11 near-identical around (0,1,...), 20/21
+    far from everything (and each other)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim = 8
+
+    def around(base, eps):
+        v = np.array(base, dtype=float) + rng.standard_normal(dim) * eps
+        return [float(x) for x in v]
+
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    rows = (
+        [(i, around(e1, 0.01)) for i in range(3)]
+        + [(10 + i, around(e2, 0.01)) for i in range(2)]
+        + [(20, [float(x) for x in rng.standard_normal(dim)]),
+           (21, [float(x) for x in rng.standard_normal(dim)])]
+    )
+    return spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+
+
+def test_semantic_dup_pairs_finds_tight_clusters(spark, clustered_vecs):
+    from gbif_data_validator_spark.operators.similarity import semantic_dup_pairs
+
+    pairs = semantic_dup_pairs(
+        clustered_vecs, n_clusters=4, threshold=0.95
+    ).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert {(0, 1), (0, 2), (1, 2), (10, 11)} <= got
+    assert all(a < b for a, b in got)
+    assert not any(20 in p or 21 in p for p in got)
+    assert all(r.cosine >= 0.95 for r in pairs)
+
+
+def test_semantic_dedup_survivors(spark, clustered_vecs):
+    from gbif_data_validator_spark.operators.similarity import semantic_dedup
+
+    kept = sorted(
+        r.vec_id for r in semantic_dedup(
+            clustered_vecs, n_clusters=4, threshold=0.95
+        ).collect()
+    )
+    # one representative (min id) per tight cluster; isolated points kept
+    assert kept == [0, 10, 20, 21]
+
+
+def test_semantic_cluster_cap_is_loud(spark, clustered_vecs):
+    from gbif_data_validator_spark.operators.similarity import (
+        semantic_dropped_clusters,
+        semantic_dup_pairs,
+    )
+
+    # cap of 2 drops the 3-doc cluster: its pairs disappear from the scan
+    pairs = semantic_dup_pairs(
+        clustered_vecs, n_clusters=4, threshold=0.95, max_cluster=2
+    ).collect()
+    assert not any(r.doc_a in (0, 1, 2) for r in pairs)
+    dropped = semantic_dropped_clusters(
+        clustered_vecs, n_clusters=4, max_cluster=2
+    ).collect()
+    assert len(dropped) == 1 and dropped[0].n_docs == 3
