@@ -979,6 +979,30 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-aware quality signals: per-doc token count, type-token
+    ratio, and unigram token entropy (nats)."""
+    from gbif_data_validator_spark.functions.textstats import (
+        _ws_tokens,
+        token_entropy,
+        type_token_ratio,
+    )
+
+    d = _docs_spread(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = _ws_tokens(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            type_token_ratio(F.col("text")).alias("ttr"),
+            token_entropy(F.col("text")).alias("entropy"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "ttr", "entropy")
+        .orderBy("doc_id")
+    )
+
+
 def _q_cross_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl exact dedup: the hash-bucket lower half plays the
     already-validated reference corpus; each upper-half (new) doc is
@@ -1226,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "cross_dedup_flags": _q_cross_dedup_flags,
         "minhash_cross_pairs": _q_minhash_cross_pairs,
+        "lexical_diversity": _q_lexical_diversity,
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -2085,6 +2110,25 @@ def oracle_sql() -> dict[str, str]:
         # the 4-value signature slice, modeled as the comma-joined slice
         # string; est_jaccard = n/64 is exact at 6 decimals (1/64 =
         # 0.015625), so round(.,6) is the identity on both engines.
+        # lexical_diversity: token histogram per doc; entropy as
+        # -sum(p*ln(p)) in float64 on both engines, rounded 6
+        "lexical_diversity": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            t AS (
+              SELECT doc_id, len(ws) AS n, unnest(ws) AS tok
+              FROM w WHERE len(ws) > 0
+            ),
+            c AS (SELECT doc_id, n, tok, count(*) AS cnt FROM t GROUP BY doc_id, n, tok)
+            SELECT doc_id,
+                   CAST(max(n) AS BIGINT) AS n_tokens,
+                   round(CAST(count(*) AS DOUBLE) / max(n), 6) AS ttr,
+                   round(-sum((CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n)), 6) AS entropy
+            FROM c GROUP BY doc_id ORDER BY doc_id
+        """,
         # cross_dedup_flags: lower bucket half = reference corpus, upper
         # half = new docs; EXISTS (not IN) so null fingerprints stay
         # trivially novel instead of three-valued-logic NULL

@@ -209,3 +209,55 @@ def _winnow_series_stable(texts: pd.Series) -> pd.Series:
 #: Arrow-batched winnowing fingerprint: text -> array<long> of selected
 #: k-gram hashes (stable across processes/executors — no salted hashing).
 winnow_fingerprint_udf = F.pandas_udf(_winnow_series_stable, returnType=ArrayType(LongType()))
+
+
+# --------------------------------------------------------------------------
+# Lexical diversity (repetition-aware quality signals)
+# --------------------------------------------------------------------------
+
+
+def _ws_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped — the family's shared
+    tokenizer (same as the dedup/shingle/chunking pipelines)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+
+
+def type_token_ratio(text: Column) -> Column:
+    """Distinct/total lowercased whitespace tokens, rounded 6 — near 0 for
+    templated/repetitive text, near 1 for diverse prose. Blank/null → null.
+    Pure Column algebra (codegen, zero shuffles)."""
+    toks = _ws_tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6),
+    ).otherwise(F.lit(None).cast("double"))
+
+
+def _entropy_series(texts: pd.Series) -> pd.Series:
+    """Shannon entropy (nats) of the per-doc token unigram distribution —
+    numpy unique+counts per doc, Arrow-batched."""
+    import numpy as np
+
+    def one(t):
+        if t is None:
+            return None
+        toks = t.lower().split()
+        if not toks:
+            return None
+        _, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        p = counts / counts.sum()
+        return round(float(-(p * np.log(p)).sum()), 6)
+
+    return texts.map(one)
+
+
+def token_entropy(text: Column) -> Column:
+    """Unigram token entropy in nats (0 = one token repeated; ln(n) =
+    all-distinct), rounded 6. Low entropy + high length flags boilerplate
+    and keyword-stuffed spam that length/punct ratios miss. Arrow-batched
+    pandas UDF (token histograms need per-doc grouping that Column algebra
+    can't express without an O(n²) nested filter)."""
+    from pyspark.sql.types import DoubleType
+
+    return F.pandas_udf(_entropy_series, returnType=DoubleType())(text)

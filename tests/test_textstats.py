@@ -124,3 +124,33 @@ def test_top_ngram_stats_tiebreak(spark):
     assert rows[1].top_gram == "a b" and rows[1].n_occurrences == 2
     assert abs(rows[1].char_frac - 2 * 3 / 9) < 1e-6  # round(.,6) applied
     assert 2 not in rows and 3 not in rows  # no 2-gram / null text absent
+
+
+def test_type_token_ratio(spark):
+    from gbif_data_validator_spark.functions.textstats import type_token_ratio
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x y z"), (3, "A a"), (4, "   "), (5, None)],
+        schema="id long, text string",
+    )
+    got = {r.id: r.ttr for r in df.select("id", type_token_ratio(F.col("text")).alias("ttr")).collect()}
+    assert got[1] == 0.5
+    assert got[2] == 1.0
+    assert got[3] == 0.5  # lowercased: {a} / 2 tokens
+    assert got[4] is None and got[5] is None
+
+
+def test_token_entropy(spark):
+    import math
+
+    from gbif_data_validator_spark.functions.textstats import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b"), (4, ""), (5, None)],
+        schema="id long, text string",
+    )
+    got = {r.id: r.h for r in df.select("id", token_entropy(F.col("text")).alias("h")).collect()}
+    assert got[1] == 0.0
+    assert abs(got[2] - math.log(4)) < 1e-6
+    assert abs(got[3] - math.log(2)) < 1e-6
+    assert got[4] is None and got[5] is None
