@@ -241,3 +241,25 @@ def test_resample_by_weight_copy_counts(spark):
     assert all(len(v) == 1 for k, v in by.items() if k % 2 == 0)
     # determinism
     assert {(r.doc_id, r.copy) for r in out.collect()} == {(r.doc_id, r.copy) for r in rows}
+
+
+def test_chunk_documents_plan_is_narrow(spark):
+    from gbif_data_validator_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    plan = (
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_resample_by_weight_plan_is_narrow(spark):
+    from gbif_data_validator_spark.operators.sampling import resample_by_weight
+
+    df = spark.createDataFrame([(1, "s")], "doc_id long, src string")
+    plan = (
+        resample_by_weight(df, "doc_id", "src", {"s": 2.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan, plan
