@@ -1003,6 +1003,33 @@ def _q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_spreadsheet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 spreadsheet converter surface: parse the committed xlsx/ods/
+    excel-xml fixture workbooks (binaryFile scan → stdlib zip/XML parse in
+    mapInPandas) into one string-typed table under the reference's
+    semantics — first sheet, extract-while header, stop at first blank row,
+    ISO-instant dates (source/SpreadsheetConverters.java:35-72,
+    OdsConverter.java:86-158). The fixture bytes are deterministic
+    (scripts/make_spreadsheet_fixtures.py), so the expected output is a
+    fixed literal — the oracle states it as VALUES."""
+    import os
+
+    from gbif_data_validator_spark.sources.spreadsheets import spreadsheet_table
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "spreadsheets"
+    )
+    df = spreadsheet_table(spark, fixtures)
+    return (
+        df.select(
+            F.element_at(F.split(F.col("src_file"), "/"), -1).alias("src_name"),
+            F.col("src_row").cast("long").alias("src_row"),
+            "url", "warc_ts", "text", "lang",
+        )
+        .orderBy("url")
+    )
+
+
 def _q_cross_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl exact dedup: the hash-bucket lower half plays the
     already-validated reference corpus; each upper-half (new) doc is
@@ -1251,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dedup_flags": _q_cross_dedup_flags,
         "minhash_cross_pairs": _q_minhash_cross_pairs,
         "lexical_diversity": _q_lexical_diversity,
+        "spreadsheet_pages": _q_spreadsheet_pages,
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -2110,6 +2138,20 @@ def oracle_sql() -> dict[str, str]:
         # the 4-value signature slice, modeled as the comma-joined slice
         # string; est_jaccard = n/64 is exact at 6 decimals (1/64 =
         # 0.015625), so round(.,6) is the identity on both engines.
+        # spreadsheet_pages: the fixture workbooks are deterministic bytes,
+        # so the expected parse is a fixed literal table — this checks the
+        # whole stdlib zip/XML parse chain (shared strings, date serials,
+        # repeated columns, ss:Index gaps, stop-at-blank) end to end
+        "spreadsheet_pages": """
+            SELECT * FROM (VALUES
+              ('pages_a.xlsx', CAST(1 AS BIGINT), 'https://example.org/a', '1990-01-02T12:00:00Z', 'hello world', 'en'),
+              ('pages_a.xlsx', CAST(2 AS BIGINT), 'https://example.org/b', '1991-01-01T00:00:00Z', '42', 'TRUE'),
+              ('pages_b.ods',  CAST(1 AS BIGINT), 'https://example.org/c', '1990-01-02T00:00:00Z', 'dup', 'dup'),
+              ('pages_b.ods',  CAST(2 AS BIGINT), 'https://example.org/d', '1991-03-04T05:06:07Z', '2.5', 'FALSE'),
+              ('pages_c.xml',  CAST(1 AS BIGINT), 'https://example.org/e', '1992-05-06T00:00:00.000Z', '', 'de')
+            ) AS t(src_name, src_row, url, warc_ts, text, lang)
+            ORDER BY url
+        """,
         # lexical_diversity: token histogram per doc; entropy as
         # -sum(p*ln(p)) in float64 on both engines, rounded 6
         "lexical_diversity": """

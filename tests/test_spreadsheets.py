@@ -1,0 +1,157 @@
+"""Spreadsheet source (S4): pure-stdlib workbook parsing + the distributed
+binaryFile→mapInPandas surface. Mirrors the reference's converter tests
+(source/OdsConverterTest.java) plus the table semantics of
+OdsConverter.java:86-158: first sheet only, extract-while header, stop at
+the first blank row, padded rows, ISO-instant dates."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_data_validator_spark.sources.spreadsheets import (
+    conversion_results,
+    detect_spreadsheet_format,
+    parse_workbook_rows,
+    read_spreadsheet_files,
+    spreadsheet_table,
+    workbook_table,
+)
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures", "spreadsheets")
+
+
+def _load(name: str) -> bytes:
+    with open(os.path.join(FIXTURES, name), "rb") as f:
+        return f.read()
+
+
+# --- format detection (S2 analog: magic bytes, never the extension) -------
+
+
+def test_detect_formats():
+    assert detect_spreadsheet_format(_load("pages_a.xlsx")) == "xlsx"
+    assert detect_spreadsheet_format(_load("pages_b.ods")) == "ods"
+    assert detect_spreadsheet_format(_load("pages_c.xml")) == "excel-xml"
+    assert detect_spreadsheet_format(_load("broken.xlsx")) == "unsupported"
+    assert detect_spreadsheet_format(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1rest") == "xls-legacy"
+    assert detect_spreadsheet_format(b"plain text") == "unsupported"
+
+
+# --- pure parsers ----------------------------------------------------------
+
+
+def test_xlsx_rows_exact():
+    fmt, rows = parse_workbook_rows(_load("pages_a.xlsx"))
+    assert fmt == "xlsx"
+    # shared strings incl. multi-run, builtin/custom date styles → ISO
+    # instants, general numbers, booleans; sheet 2 never appears
+    assert rows[0] == ["url", "warc_ts", "text", "lang"]
+    assert rows[1] == ["https://example.org/a", "1990-01-02T12:00:00Z", "hello world", "en"]
+    assert rows[2] == ["https://example.org/b", "1991-01-01T00:00:00Z", "42", "TRUE"]
+    assert rows[3] == []  # the blank row survives in the raw surface
+    assert all("MUST NOT APPEAR" not in c for r in rows for c in r)
+
+
+def test_ods_rows_exact():
+    fmt, rows = parse_workbook_rows(_load("pages_b.ods"))
+    assert fmt == "ods"
+    assert rows[0] == ["url", "warc_ts", "text", "lang"]  # 16380 trailing empties trimmed
+    assert rows[1] == ["https://example.org/c", "1990-01-02T00:00:00Z", "dup", "dup"]
+    assert rows[2] == ["https://example.org/d", "1991-03-04T05:06:07Z", "2.5", "FALSE"]
+    # 1048570 repeated empty rows must be capped, not expanded
+    assert len(rows) < 20
+
+
+def test_excel_xml_rows_exact():
+    fmt, rows = parse_workbook_rows(_load("pages_c.xml"))
+    assert fmt == "excel-xml"
+    assert rows[0] == ["url", "warc_ts", "text", "lang"]
+    # ss:Index=4 leaves a gap at column 3
+    assert rows[1] == ["https://example.org/e", "1992-05-06T00:00:00.000Z", "", "de"]
+
+
+def test_workbook_table_reference_semantics():
+    for name, n_data in [("pages_a.xlsx", 2), ("pages_b.ods", 2), ("pages_c.xml", 1)]:
+        headers, data, n_lines = workbook_table(_load(name))
+        assert headers == ["url", "warc_ts", "text", "lang"]
+        assert len(data) == n_data and n_lines == 1 + n_data
+        assert all(len(r) == 4 for r in data)  # padded to header width
+        # stop-at-blank: the row after the blank row is gone
+        assert all("after-blank" not in r[0] for r in data)
+
+
+def test_unsupported_raises():
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_workbook_rows(_load("broken.xlsx"))
+
+
+# --- Spark surface ----------------------------------------------------------
+
+
+def test_read_spreadsheet_files_rows_and_errors(spark):
+    rows = read_spreadsheet_files(spark, FIXTURES).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(os.path.basename(r.src_file), []).append(r)
+    assert set(by_file) == {"pages_a.xlsx", "pages_b.ods", "pages_c.xml", "broken.xlsx"}
+    # corrupt file: exactly one error row, no cells — a finding, not a crash
+    (err,) = by_file["broken.xlsx"]
+    assert err.error and err.cells is None and err.fmt is None
+    assert all(r.error is None for r in by_file["pages_a.xlsx"])
+    a0 = next(r for r in by_file["pages_a.xlsx"] if r.row_idx == 0)
+    assert a0.cells == ["url", "warc_ts", "text", "lang"] and a0.fmt == "xlsx"
+
+
+def test_spreadsheet_table_unified(spark):
+    df = spreadsheet_table(spark, FIXTURES)
+    assert df.columns == ["src_file", "src_row", "url", "warc_ts", "text", "lang"]
+    got = {
+        (r.url, r.warc_ts, r.text, r.lang)
+        for r in df.collect()
+    }
+    assert got == {
+        ("https://example.org/a", "1990-01-02T12:00:00Z", "hello world", "en"),
+        ("https://example.org/b", "1991-01-01T00:00:00Z", "42", "TRUE"),
+        ("https://example.org/c", "1990-01-02T00:00:00Z", "dup", "dup"),
+        ("https://example.org/d", "1991-03-04T05:06:07Z", "2.5", "FALSE"),
+        ("https://example.org/e", "1992-05-06T00:00:00.000Z", "", "de"),
+    }
+    # every value is a string — the reference's string-until-interpreted model
+    assert all(f.dataType.simpleString() == "string" for f in df.schema.fields[2:])
+
+
+def test_spreadsheet_table_feeds_validation(spark):
+    """The parsed table runs through the standard record-check battery —
+    the whole point of the converter (reference: convert → validate CSV)."""
+    from gbif_data_validator_spark.operators.record_checks import run_record_checks
+
+    pages = spreadsheet_table(spark, FIXTURES).select(
+        "url",
+        F.to_timestamp(F.replace(F.col("warc_ts"), F.lit("Z"), F.lit(""))).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+    v = run_record_checks(pages, check_extraction=False)
+    rows = v.collect()
+    assert len(rows) >= 1  # the empty-text excel-xml row is a finding
+    assert "TEXT_EMPTY" in {r.check_id for r in rows}
+
+
+def test_conversion_results(spark):
+    res = {os.path.basename(r.src_file): r for r in conversion_results(spark, FIXTURES).collect()}
+    assert res["broken.xlsx"].error is not None and res["broken.xlsx"].n_lines == 0
+    assert res["pages_a.xlsx"].fmt == "xlsx" and res["pages_a.xlsx"].n_lines == 5
+    assert res["pages_c.xml"].fmt == "excel-xml" and res["pages_c.xml"].n_lines == 2
+
+
+def test_spreadsheet_table_plan_shape(spark):
+    """Only joins allowed are broadcast (the #files cutoff dim)."""
+    plan = (
+        spreadsheet_table(spark, FIXTURES)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
