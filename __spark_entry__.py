@@ -1030,6 +1030,79 @@ def _q_spreadsheet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_checklist_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checklist-graph evaluator (ChecklistEvaluator.java:74-130 reimagined
+    relationally): a 3-level taxonomy is built from region→nation→customer
+    with deterministically injected anomalies — orphan parents (%97),
+    self-cycles (%101), species-under-species (%103), a 2-cycle between
+    nations 23/24, synonym chains (%89/%178) — then checked for orphan
+    pointers, chained synonyms, unterminated ancestor chains, and rank
+    order. The oracle replays the construction and walks parents with a
+    depth-capped recursive CTE."""
+    from gbif_data_validator_spark.operators.checklist import checklist_graph_checks
+
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nul = F.lit(None).cast("long")
+    reg_nodes = region.select(
+        (F.col("r_regionkey") + 1).cast("long").alias("node_id"),
+        nul.alias("parent_id"), nul.alias("accepted_id"),
+        F.lit("kingdom").alias("rank"),
+    )
+    nat_nodes = nation.select(
+        (F.col("n_nationkey") + 100).cast("long").alias("node_id"),
+        F.when(F.col("n_nationkey") == 23, F.lit(124))
+        .when(F.col("n_nationkey") == 24, F.lit(123))
+        .otherwise(F.col("n_regionkey") + 1)
+        .cast("long").alias("parent_id"),
+        nul.alias("accepted_id"),
+        F.lit("family").alias("rank"),
+    )
+    c = F.col("c_custkey")
+    cust_nodes = customer.select(
+        (c + 1000).cast("long").alias("node_id"),
+        F.when(c % 97 == 0, c + 9000000)
+        .when(c % 101 == 0, c + 1000)
+        .when(c % 103 == 0, c + 1001)
+        .otherwise(F.col("c_nationkey") + 100)
+        .cast("long").alias("parent_id"),
+        F.when(c % 178 == 0, c + 1089)
+        .when(c % 89 == 0, c + 1001)
+        .otherwise(nul)
+        .cast("long").alias("accepted_id"),
+        F.lit("species").alias("rank"),
+    )
+    nodes = reg_nodes.unionByName(nat_nodes).unionByName(cust_nodes)
+    return checklist_graph_checks(
+        nodes, rank_order=["kingdom", "family", "species"], max_depth=64
+    ).orderBy("node_id", "check_id")
+
+
+def _q_taxon_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backbone name matching (TaxonomyInterpreter shape,
+    EvaluatorFactory.java:200-207): part names are the backbone; probes are
+    deterministic perturbations — unknown tokens (%13 → NONE), case/
+    punctuation noise (%7 → FUZZY), first-token-only (%11 → HIGHERRANK),
+    else verbatim (EXACT)."""
+    from gbif_data_validator_spark.operators.checklist import taxon_match
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    backbone = part.select(
+        F.col("p_partkey").alias("taxon_id"), F.col("p_name").alias("name")
+    )
+    k = F.col("p_partkey")
+    probes = part.select(
+        k.alias("rec_id"),
+        F.when(k % 13 == 0, F.concat(F.lit("zzzz"), k.cast("string")))
+        .when(k % 7 == 0, F.upper(F.col("p_name")))
+        .when(k % 11 == 0, F.concat(F.get(F.split(F.col("p_name"), " "), 0), F.lit(" zzz qq")))
+        .otherwise(F.col("p_name"))
+        .alias("name"),
+    )
+    return taxon_match(probes, backbone).orderBy("rec_id")
+
+
 def _q_cross_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl exact dedup: the hash-bucket lower half plays the
     already-validated reference corpus; each upper-half (new) doc is
@@ -1279,6 +1352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_cross_pairs": _q_minhash_cross_pairs,
         "lexical_diversity": _q_lexical_diversity,
         "spreadsheet_pages": _q_spreadsheet_pages,
+        "checklist_checks": _q_checklist_checks,
+        "taxon_match": _q_taxon_match,
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -2151,6 +2226,115 @@ def oracle_sql() -> dict[str, str]:
               ('pages_c.xml',  CAST(1 AS BIGINT), 'https://example.org/e', '1992-05-06T00:00:00.000Z', '', 'de')
             ) AS t(src_name, src_row, url, warc_ts, text, lang)
             ORDER BY url
+        """,
+        # checklist_checks: replay the node construction, then express each
+        # graph check relationally; PARENT_CYCLE = the parent walk is still
+        # alive (non-null, resolvable) at depth 63 — exactly "no root
+        # within 64 hops", matching the 6-round pointer doubling
+        "checklist_checks": """
+            WITH RECURSIVE nodes AS (
+              SELECT CAST(r_regionkey + 1 AS BIGINT) AS node_id,
+                     CAST(NULL AS BIGINT) AS parent_id,
+                     CAST(NULL AS BIGINT) AS accepted_id,
+                     'kingdom' AS rank
+              FROM region
+              UNION ALL
+              SELECT CAST(n_nationkey + 100 AS BIGINT),
+                     CAST(CASE WHEN n_nationkey = 23 THEN 124
+                               WHEN n_nationkey = 24 THEN 123
+                               ELSE n_regionkey + 1 END AS BIGINT),
+                     CAST(NULL AS BIGINT), 'family'
+              FROM nation
+              UNION ALL
+              SELECT CAST(c_custkey + 1000 AS BIGINT),
+                     CAST(CASE WHEN c_custkey % 97 = 0 THEN c_custkey + 9000000
+                               WHEN c_custkey % 101 = 0 THEN c_custkey + 1000
+                               WHEN c_custkey % 103 = 0 THEN c_custkey + 1001
+                               ELSE c_nationkey + 100 END AS BIGINT),
+                     CAST(CASE WHEN c_custkey % 178 = 0 THEN c_custkey + 1089
+                               WHEN c_custkey % 89 = 0 THEN c_custkey + 1001
+                               ELSE NULL END AS BIGINT),
+                     'species'
+              FROM customer
+            ),
+            walk(start_id, cur_parent, depth) AS (
+              SELECT node_id, parent_id, 0 FROM nodes
+              UNION ALL
+              SELECT w.start_id, n.parent_id, w.depth + 1
+              FROM walk w JOIN nodes n ON n.node_id = w.cur_parent
+              WHERE w.depth < 63
+            ),
+            ranks AS (
+              SELECT * FROM (VALUES ('kingdom', 0), ('family', 1), ('species', 2)) AS r(rank, idx)
+            ),
+            findings AS (
+              SELECT node_id, 'PARENT_ID_INVALID' AS check_id,
+                     'existing node id' AS expected,
+                     CAST(parent_id AS VARCHAR) AS found
+              FROM nodes
+              WHERE parent_id IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM nodes i WHERE i.node_id = nodes.parent_id)
+              UNION ALL
+              SELECT node_id, 'ACCEPTED_ID_INVALID', 'existing node id',
+                     CAST(accepted_id AS VARCHAR)
+              FROM nodes
+              WHERE accepted_id IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM nodes i WHERE i.node_id = nodes.accepted_id)
+              UNION ALL
+              SELECT a.node_id, 'CHAINED_SYNONYM',
+                     'accepted usage that is not itself a synonym',
+                     CAST(a.accepted_id AS VARCHAR) || '->' || CAST(b.accepted_id AS VARCHAR)
+              FROM nodes a JOIN nodes b ON a.accepted_id = b.node_id
+              WHERE b.accepted_id IS NOT NULL
+              UNION ALL
+              SELECT start_id, 'PARENT_CYCLE',
+                     'ancestor chain reaching a root within 64 hops',
+                     'unterminated parent chain'
+              FROM walk WHERE depth = 63 AND cur_parent IS NOT NULL
+              UNION ALL
+              SELECT c.node_id, 'CLASSIFICATION_RANK_ORDER_INVALID',
+                     'parent of strictly higher rank',
+                     p.rank || '<=' || c.rank
+              FROM nodes c
+              JOIN nodes p ON c.parent_id = p.node_id
+              JOIN ranks rc ON rc.rank = c.rank
+              JOIN ranks rp ON rp.rank = p.rank
+              WHERE rp.idx >= rc.idx
+            )
+            SELECT node_id, check_id, expected, found
+            FROM findings ORDER BY node_id, check_id
+        """,
+        # taxon_match: three-tier backbone lookup; ties resolve to
+        # min(taxon_id) on both sides; canonical form = lower + collapse
+        # non-alphanumerics
+        "taxon_match": """
+            WITH backbone AS (
+              SELECT p_partkey AS taxon_id, p_name AS name FROM part
+            ),
+            probes AS (
+              SELECT p_partkey AS rec_id,
+                     CASE WHEN p_partkey % 13 = 0 THEN 'zzzz' || CAST(p_partkey AS VARCHAR)
+                          WHEN p_partkey % 7 = 0 THEN upper(p_name)
+                          WHEN p_partkey % 11 = 0 THEN str_split(p_name, ' ')[1] || ' zzz qq'
+                          ELSE p_name END AS name
+              FROM part
+            ),
+            ex AS (SELECT name AS ex_name, min(taxon_id) AS ex_id FROM backbone GROUP BY 1),
+            cn AS (SELECT trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS cn_name,
+                          min(taxon_id) AS cn_id FROM backbone GROUP BY 1),
+            tk AS (SELECT str_split(trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')), ' ')[1] AS tk_name,
+                          min(taxon_id) AS tk_id FROM backbone GROUP BY 1)
+            SELECT rec_id, p.name AS name,
+                   CASE WHEN ex_id IS NOT NULL THEN 'EXACT'
+                        WHEN cn_id IS NOT NULL THEN 'FUZZY'
+                        WHEN tk_id IS NOT NULL THEN 'HIGHERRANK'
+                        ELSE 'NONE' END AS match_type,
+                   COALESCE(ex_id, cn_id, tk_id) AS matched_id
+            FROM probes p
+            LEFT JOIN ex ON p.name = ex_name
+            LEFT JOIN cn ON trim(regexp_replace(lower(p.name), '[^a-z0-9]+', ' ', 'g')) = cn_name
+            LEFT JOIN tk ON str_split(trim(regexp_replace(lower(p.name), '[^a-z0-9]+', ' ', 'g')), ' ')[1] = tk_name
+            ORDER BY rec_id
         """,
         # lexical_diversity: token histogram per doc; entropy as
         # -sum(p*ln(p)) in float64 on both engines, rounded 6
