@@ -1103,6 +1103,29 @@ def _q_taxon_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return taxon_match(probes, backbone).orderBy("rec_id")
 
 
+def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: train an add-0.5-smoothed unigram LM
+    on the deterministic lower hash-bucket half of the corpus, score the
+    upper half's perplexity."""
+    from gbif_data_validator_spark.operators.lm import lm_perplexity, train_unigram_lm
+    from gbif_data_validator_spark.operators.sampling import hash_bucket
+
+    d = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), 100)
+    lm, oov, _ = train_unigram_lm(d.where(b < 50))
+    return lm_perplexity(d.where(b >= 50), lm, oov).orderBy("doc_id")
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights toward the English slice: hashed-bigram
+    feature distributions (4096 md5 buckets), add-0.5 smoothing, per-doc
+    log weight vs. the whole corpus as source."""
+    from gbif_data_validator_spark.operators.lm import dsir_log_weights
+
+    d = _docs(spark, sf_dir)
+    return dsir_log_weights(d, d.where(F.col("lang") == "en")).orderBy("doc_id")
+
+
 def _q_cross_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl exact dedup: the hash-bucket lower half plays the
     already-validated reference corpus; each upper-half (new) doc is
@@ -1354,6 +1377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spreadsheet_pages": _q_spreadsheet_pages,
         "checklist_checks": _q_checklist_checks,
         "taxon_match": _q_taxon_match,
+        "lm_quality": _q_lm_quality,
+        "dsir_weights": _q_dsir_weights,
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -2335,6 +2360,75 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN cn ON trim(regexp_replace(lower(p.name), '[^a-z0-9]+', ' ', 'g')) = cn_name
             LEFT JOIN tk ON str_split(trim(regexp_replace(lower(p.name), '[^a-z0-9]+', ' ', 'g')), ' ')[1] = tk_name
             ORDER BY rec_id
+        """,
+        # lm_quality: train slice = hash bucket < 50; denom = total +
+        # 0.5*(V+1); OOV mass = one reserved smoothing bucket. Sums of
+        # float64 logs differ across engines only at ~1e-13 — round(.,6)
+        # absorbs it (same argument as lexical_diversity's entropy)
+        "lm_quality": """
+            WITH cnts AS (
+              SELECT tok AS token, count(*) AS cnt
+              FROM (
+                SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS tok
+                FROM documents
+                WHERE text IS NOT NULL
+                  AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+              ) GROUP BY tok
+            ),
+            scal AS (SELECT sum(cnt) + 0.5 * (count(*) + 1) AS denom FROM cnts),
+            ev AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS token
+              FROM documents
+              WHERE text IS NOT NULL
+                AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 >= 50
+            ),
+            scored AS (
+              SELECT e.doc_id,
+                     COALESCE(ln((c.cnt + 0.5) / s.denom), ln(0.5 / s.denom)) AS logp
+              FROM ev e CROSS JOIN scal s LEFT JOIN cnts c ON e.token = c.token
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(sum(logp), 6) AS log_prob,
+                   round(exp(-sum(logp) / count(*)), 6) AS ppl
+            FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        # dsir_weights: hashed bigram buckets (md5-prefix % 4096, the
+        # hash_bucket mirror); target = lang='en', source = all docs;
+        # add-0.5 smoothing over 4096 buckets on both distributions
+        "dsir_weights": """
+            WITH grams AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+              FROM (
+                SELECT doc_id, lang,
+                       unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS g
+                FROM (
+                  SELECT doc_id, lang,
+                         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+                  FROM documents WHERE text IS NOT NULL
+                )
+              )
+            ),
+            t AS (SELECT b, count(*) AS t_cnt FROM grams WHERE lang = 'en' GROUP BY b),
+            s AS (SELECT b, count(*) AS s_cnt FROM grams GROUP BY b),
+            tot AS (
+              SELECT (SELECT sum(t_cnt) FROM t) + 0.5 * 4096 AS t_denom,
+                     (SELECT sum(s_cnt) FROM s) + 0.5 * 4096 AS s_denom
+            ),
+            ratio AS (
+              SELECT s.b,
+                     ln((COALESCE(t.t_cnt, 0) + 0.5) / tot.t_denom)
+                     - ln((s.s_cnt + 0.5) / tot.s_denom) AS log_ratio
+              FROM s LEFT JOIN t ON s.b = t.b CROSS JOIN tot
+            ),
+            df AS (SELECT doc_id, b, count(*) AS c FROM grams GROUP BY doc_id, b)
+            SELECT df.doc_id,
+                   CAST(sum(df.c) AS BIGINT) AS n_feats,
+                   round(sum(df.c * r.log_ratio), 6) AS log_weight
+            FROM df JOIN ratio r ON df.b = r.b
+            GROUP BY df.doc_id ORDER BY df.doc_id
         """,
         # lexical_diversity: token histogram per doc; entropy as
         # -sum(p*ln(p)) in float64 on both engines, rounded 6
