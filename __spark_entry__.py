@@ -1126,6 +1126,54 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_log_weights(d, d.where(F.col("lang") == "en")).orderBy("doc_id")
 
 
+def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning battery over deterministically re-lined documents (the
+    corpus is single-line word soup, so pseudo-lines of 8 tokens are built
+    in-query with injected rule triggers: unterminated lines (%3),
+    'javascript' lines (%11), lorem-ipsum pages (%37), curly-brace pages
+    (%41)); both engines replay the construction, then the rules."""
+    from gbif_data_validator_spark.functions.cleaning import c4_clean
+    from gbif_data_validator_spark.functions.textstats import _ws_tokens
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = _ws_tokens(F.col("text"))
+    doc = F.col("doc_id")
+    nl = F.floor((F.size(toks) + 7) / F.lit(8)).cast("int")
+
+    def line(i):
+        base = F.array_join(F.slice(toks, i * 8 + 1, 8), " ")
+        return (
+            F.when((doc + i) % 11 == 0, F.concat(base, F.lit(" javascript.")))
+            .when((doc + i) % 3 == 0, base)
+            .otherwise(F.concat(base, F.lit(".")))
+        )
+
+    text2 = F.concat(
+        F.array_join(F.transform(F.sequence(F.lit(0), nl - 1), line), "\n"),
+        F.when(doc % 37 == 0, F.lit("\nlorem ipsum dolor sit amet.")).otherwise(F.lit("")),
+        F.when(doc % 41 == 0, F.lit("\nif (x) { return 1; }")).otherwise(F.lit("")),
+    )
+    lined = d.where(F.size(toks) > 0).select("doc_id", text2.alias("text"))
+    return (
+        c4_clean(lined)
+        .select(
+            "doc_id", "kept", F.md5(F.col("clean_text")).alias("clean_md5"),
+            "n_lines_kept", "n_lines_dropped", "n_sentences",
+            "has_lorem_ipsum", "has_curly",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality gates (Rae et al. 2021 Table A1) over the raw docs."""
+    from gbif_data_validator_spark.functions.cleaning import gopher_gates
+
+    return gopher_gates(_docs(spark, sf_dir).where(F.col("text").isNotNull())).orderBy(
+        "doc_id"
+    )
+
+
 def _q_cross_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl exact dedup: the hash-bucket lower half plays the
     already-validated reference corpus; each upper-half (new) doc is
@@ -1379,6 +1427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taxon_match": _q_taxon_match,
         "lm_quality": _q_lm_quality,
         "dsir_weights": _q_dsir_weights,
+        "c4_clean": _q_c4_clean,
+        "gopher_quality": _q_gopher_quality,
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -2429,6 +2479,108 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(df.c * r.log_ratio), 6) AS log_weight
             FROM df JOIN ratio r ON df.b = r.b
             GROUP BY df.doc_id ORDER BY df.doc_id
+        """,
+        # c4_clean: replay the pseudo-line construction (8-token lines,
+        # %11 javascript lines, %3 unterminated, %37 lorem pages, %41
+        # curly pages), then the C4 rules; clean_text compared via md5
+        "c4_clean": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            nz AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+            lined AS (
+              SELECT doc_id,
+                     array_to_string(
+                       list_transform(range(CAST(ceil(n / 8.0) AS BIGINT)),
+                         i -> array_to_string(ws[(i*8+1):(i*8+8)], ' ')
+                              || CASE WHEN (doc_id + i) % 11 = 0 THEN ' javascript.'
+                                      WHEN (doc_id + i) % 3 = 0 THEN ''
+                                      ELSE '.' END),
+                       chr(10))
+                     || CASE WHEN doc_id % 37 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+                     || CASE WHEN doc_id % 41 = 0 THEN chr(10) || 'if (x) { return 1; }' ELSE '' END AS text
+              FROM nz
+            ),
+            rules AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(text, chr(10)),
+                                 l -> regexp_matches(l, '\\S')) AS lines
+              FROM lined
+            ),
+            kp AS (
+              SELECT doc_id, text, lines,
+                     list_filter(lines, l ->
+                        regexp_matches(l, '[.!?"]\\s*$')
+                        AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'), x -> x <> '')) >= 5
+                        AND NOT contains(lower(l), 'javascript')) AS kept_lines
+              FROM rules
+            ),
+            -- array_to_string([]) is NULL in DuckDB but '' in Spark
+            kt AS (
+              SELECT *, COALESCE(array_to_string(kept_lines, chr(10)), '') AS ct
+              FROM kp
+            )
+            SELECT doc_id,
+                   (NOT contains(lower(text), 'lorem ipsum'))
+                     AND (NOT contains(text, '{'))
+                     AND (len(regexp_extract_all(ct, '[.!?]')) >= 3) AS kept,
+                   md5(ct) AS clean_md5,
+                   CAST(len(kept_lines) AS BIGINT) AS n_lines_kept,
+                   CAST(len(lines) - len(kept_lines) AS BIGINT) AS n_lines_dropped,
+                   CAST(len(regexp_extract_all(ct, '[.!?]')) AS BIGINT) AS n_sentences,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+                   contains(text, '{') AS has_curly
+            FROM kt ORDER BY doc_id
+        """,
+        # gopher_quality: every gate is a closed-form ratio/threshold both
+        # engines compute identically in float64
+        "gopher_quality": """
+            WITH d AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS words,
+                     list_filter(regexp_split_to_array(text, chr(10)),
+                                 l -> regexp_matches(l, '\\S')) AS lines
+              FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+              SELECT doc_id,
+                     len(words) AS n_words,
+                     CASE WHEN len(words) > 0
+                          THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(words)
+                          ELSE 0.0 END AS mwl,
+                     len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+                     CASE WHEN len(lines) > 0
+                          THEN CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE) / len(lines)
+                          ELSE 0.0 END AS bullet_frac,
+                     CASE WHEN len(lines) > 0
+                          THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS DOUBLE) / len(lines)
+                          ELSE 0.0 END AS ellipsis_frac,
+                     CASE WHEN len(words) > 0
+                          THEN CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(words)
+                          ELSE 0.0 END AS alpha_frac,
+                     len(list_filter(list_distinct(list_transform(words, w -> lower(w))),
+                         w -> list_contains(['the','be','to','of','and','that','have','with'], w))) AS sw_hits
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   n_words >= 50 AND n_words <= 100000 AS gate_word_count,
+                   mwl >= 3.0 AND mwl <= 10.0 AS gate_mean_word_len,
+                   CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE) / n_words <= 0.1 ELSE TRUE END AS gate_symbol_ratio,
+                   bullet_frac <= 0.9 AS gate_bullets,
+                   ellipsis_frac <= 0.3 AS gate_ellipsis,
+                   alpha_frac >= 0.8 AS gate_alpha_words,
+                   sw_hits >= 2 AS gate_stopwords,
+                   (n_words >= 50 AND n_words <= 100000)
+                     AND (mwl >= 3.0 AND mwl <= 10.0)
+                     AND (CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE) / n_words <= 0.1 ELSE TRUE END)
+                     AND bullet_frac <= 0.9
+                     AND ellipsis_frac <= 0.3
+                     AND alpha_frac >= 0.8
+                     AND sw_hits >= 2 AS passes
+            FROM g ORDER BY doc_id
         """,
         # lexical_diversity: token histogram per doc; entropy as
         # -sum(p*ln(p)) in float64 on both engines, rounded 6
