@@ -53,8 +53,10 @@ from pyspark.sql import types as T
 _XLSX_EPOCH = datetime(1899, 12, 30, tzinfo=timezone.utc)
 #: builtin numFmtIds that render as dates/times (ECMA-376 §18.8.30)
 _XLSX_DATE_FMT_IDS = frozenset(range(14, 23)) | frozenset(range(45, 48))
-#: date/time tokens in a custom format code, outside quoted literals
-_DATE_TOKEN_RE = re.compile(r'(?:"[^"]*")|([ymdhs])', re.IGNORECASE)
+#: date/time tokens in a custom format code, outside quoted literals AND
+#: outside bracketed color/locale codes ([Magenta], [$-409]) — POI's
+#: isADateFormat strips both before probing
+_DATE_TOKEN_RE = re.compile(r'(?:"[^"]*")|(?:\[[^\]]*\])|([ymdhs])', re.IGNORECASE)
 
 
 def detect_spreadsheet_format(payload: bytes) -> str:
@@ -88,11 +90,12 @@ def _is_date_format(fmt_code: str) -> bool:
 
 
 def _serial_to_instant(serial: float) -> str:
-    """Excel 1900-system serial → ISO instant. Epoch 1899-12-30 absorbs the
-    Lotus leap-year bug for serials ≥ 61 (the reference's POI DataFormatter
-    does the same); sub-61 serials inherit the historical off-by-one."""
-    dt = _XLSX_EPOCH + timedelta(days=serial)
-    dt = dt.replace(microsecond=round(dt.microsecond, -3) % 1000000)
+    """Excel 1900-system serial → ISO instant, rounded to the NEAREST
+    second (a time stored as the double just below 1/3 of a day must print
+    08:00:00, not 07:59:59 — POI's DataFormatter rounds too). Epoch
+    1899-12-30 absorbs the Lotus leap-year bug for serials ≥ 61; sub-61
+    serials inherit the historical off-by-one."""
+    dt = _XLSX_EPOCH + timedelta(seconds=round(serial * 86400.0))
     return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
@@ -123,6 +126,20 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
+def _rich_text(el: ElementTree.Element) -> str:
+    """Cell text from an <si>/<is> element: plain <t> plus run <r><t>
+    children ONLY — phonetic guides (<rPh>/<phoneticPr>, furigana in East
+    Asian workbooks) must not leak into the value (POI excludes them)."""
+    parts: list[str] = []
+    for ch in el:
+        tag = _local(ch.tag)
+        if tag == "t":
+            parts.append(ch.text or "")
+        elif tag == "r":
+            parts.extend(t.text or "" for t in ch if _local(t.tag) == "t")
+    return "".join(parts)
+
+
 def parse_xlsx_rows(payload: bytes) -> Iterator[list[str]]:
     """Yield every raw row of the FIRST sheet as a list of cell strings
     (gaps filled with ``""``). Shared strings, inline strings, booleans,
@@ -150,8 +167,7 @@ def parse_xlsx_rows(payload: bytes) -> Iterator[list[str]]:
         shared: list[str] = []
         if "xl/sharedStrings.xml" in names:
             ss = ElementTree.fromstring(zf.read("xl/sharedStrings.xml"))
-            for si in ss:
-                shared.append("".join(t.text or "" for t in si.iter() if _local(t.tag) == "t"))
+            shared = [_rich_text(si) for si in ss]
 
         date_styles: set[int] = set()
         if "xl/styles.xml" in names:
@@ -191,7 +207,8 @@ def parse_xlsx_rows(payload: bytes) -> Iterator[list[str]]:
                 ctype = c.attrib.get("t", "n")
                 v_el = next((ch for ch in c if _local(ch.tag) == "v"), None)
                 if ctype == "inlineStr":
-                    val = "".join(t.text or "" for t in c.iter() if _local(t.tag) == "t")
+                    is_el = next((ch for ch in c if _local(ch.tag) == "is"), None)
+                    val = _rich_text(is_el) if is_el is not None else ""
                 elif v_el is None or v_el.text is None:
                     val = ""
                 elif ctype == "s":
@@ -211,9 +228,13 @@ def parse_xlsx_rows(payload: bytes) -> Iterator[list[str]]:
 
 _ODS_NS_TABLE = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
 _ODS_NS_OFFICE = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
-#: cap for number-columns/rows-repeated of EMPTY cells — trailing filler in
-#: real ODS files repeats to 16384/1048576; expanding that would be a bomb
+#: consecutive EMPTY repeated rows collapse to this many (trailing filler
+#: in real ODS files repeats rows to 1048576; one blank row is all the
+#: stop-at-blank semantics needs)
 _ODS_EMPTY_REPEAT_CAP = 8
+#: a mid-row empty-cell run or a non-empty repeat wider/taller than this is
+#: a repeat bomb, surfaced as a parse error (→ error row), never expanded
+_ODS_MAX_REPEAT = 16384
 
 
 def _ods_cell_value(cell: ElementTree.Element) -> str:
@@ -237,8 +258,15 @@ def _ods_cell_value(cell: ElementTree.Element) -> str:
 
 def parse_ods_rows(payload: bytes) -> Iterator[list[str]]:
     """Yield every raw row of the FIRST table in content.xml, expanding
-    ``number-columns-repeated`` / ``number-rows-repeated`` (empty repeats
-    capped — trailing 16384-wide filler must not expand)."""
+    ``number-columns-repeated`` / ``number-rows-repeated``.
+
+    Repeat handling preserves positions: a MID-ROW empty run is a real gap
+    and expands in full (values after it must stay under their headers);
+    only TRAILING empty runs — the 16384-wide filler real writers emit —
+    are dropped, by deferring empty runs until a value follows. A run or
+    repeat wider than ``_ODS_MAX_REPEAT`` raises (repeat bomb → error row
+    upstream); consecutive repeated EMPTY rows collapse to
+    ``_ODS_EMPTY_REPEAT_CAP`` (stop-at-blank needs one)."""
     with zipfile.ZipFile(io.BytesIO(payload)) as zf:
         root = ElementTree.fromstring(zf.read("content.xml"))
     table = next(iter(root.iter(_ODS_NS_TABLE + "table")), None)
@@ -246,19 +274,25 @@ def parse_ods_rows(payload: bytes) -> Iterator[list[str]]:
         return
     for row in table.iter(_ODS_NS_TABLE + "table-row"):
         cells: list[str] = []
+        pending_empty = 0  # deferred empty run; dropped if nothing follows
         for cell in row:
             if _local(cell.tag) not in ("table-cell", "covered-table-cell"):
                 continue
             val = _ods_cell_value(cell) if _local(cell.tag) == "table-cell" else ""
             rep = int(cell.attrib.get(_ODS_NS_TABLE + "number-columns-repeated", "1"))
             if val == "":
-                rep = min(rep, _ODS_EMPTY_REPEAT_CAP)
+                pending_empty += rep
+                continue
+            if pending_empty > _ODS_MAX_REPEAT or rep > _ODS_MAX_REPEAT:
+                raise ValueError("ods column-repeat bomb")
+            cells.extend([""] * pending_empty)
+            pending_empty = 0
             cells.extend([val] * rep)
-        while cells and cells[-1] == "":
-            cells.pop()
         row_rep = int(row.attrib.get(_ODS_NS_TABLE + "number-rows-repeated", "1"))
         if not cells:
             row_rep = min(row_rep, _ODS_EMPTY_REPEAT_CAP)
+        elif row_rep > _ODS_MAX_REPEAT:
+            raise ValueError("ods row-repeat bomb")
         for _ in range(row_rep):
             yield list(cells)
 

@@ -88,6 +88,150 @@ def test_unsupported_raises():
         parse_workbook_rows(_load("broken.xlsx"))
 
 
+# --- POI-parity edge cases (round-2 hardening) ------------------------------
+
+
+def test_serial_rounds_to_nearest_second():
+    """A time stored as the double just below 1/3 day must print 08:00:00
+    (POI's DataFormatter rounds); truncation would print 07:59:59."""
+    from gbif_data_validator_spark.sources.spreadsheets import _serial_to_instant
+
+    assert _serial_to_instant(1 / 3).endswith("08:00:00Z")
+    assert _serial_to_instant(2 / 3).endswith("16:00:00Z")
+    assert _serial_to_instant(61.0) == "1900-03-01T00:00:00Z"
+
+
+def test_bracketed_format_codes_are_not_date_tokens():
+    """'[Red]0.00' contains a literal 'd' inside the color code — POI strips
+    bracketed sections before probing, so it must NOT classify as a date."""
+    from gbif_data_validator_spark.sources.spreadsheets import _is_date_format
+
+    assert not _is_date_format("[Red]0.00")
+    assert not _is_date_format('[$USD-409]#,##0.00')
+    assert _is_date_format("[$-409]yyyy-mm-dd")
+    assert _is_date_format('yyyy"d"mm')  # quoted literal stripped, ymd remain
+
+
+def _zip_xlsx(sheet_xml: str, shared_xml: str | None = None) -> bytes:
+    import io
+    import zipfile
+
+    wb = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+        if shared_xml is not None:
+            zf.writestr("xl/sharedStrings.xml", shared_xml)
+    return buf.getvalue()
+
+
+_SHEET_NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+
+
+def test_phonetic_runs_excluded_from_strings():
+    """<rPh> furigana guides must not leak into shared or inline values."""
+    from gbif_data_validator_spark.sources.spreadsheets import parse_xlsx_rows
+
+    shared = (
+        f'<?xml version="1.0"?><sst {_SHEET_NS}>'
+        "<si><r><t>東</t></r><r><t>京</t></r>"
+        '<rPh sb="0" eb="2"><t>トウキョウ</t></rPh><phoneticPr fontId="1"/></si>'
+        "</sst>"
+    )
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {_SHEET_NS}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+        '<c r="B1" t="inlineStr"><is><r><t>a</t></r><r><t>b</t></r>'
+        '<rPh sb="0" eb="1"><t>NO</t></rPh></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    rows = list(parse_xlsx_rows(_zip_xlsx(sheet, shared)))
+    assert rows == [["東京", "ab"]]
+
+
+def _zip_ods(table_rows_xml: str) -> bytes:
+    import io
+    import zipfile
+
+    content = (
+        '<?xml version="1.0"?>'
+        "<office:document-content "
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:spreadsheet>"
+        f'<table:table table:name="s">{table_rows_xml}</table:table>'
+        "</office:spreadsheet></office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+        zf.writestr("content.xml", content)
+    return buf.getvalue()
+
+
+def _ods_cell(val: str | None, rep: int = 1) -> str:
+    attr = f' table:number-columns-repeated="{rep}"' if rep != 1 else ""
+    body = f'<text:p>{val}</text:p>' if val is not None else ""
+    return f'<table:table-cell office:value-type="string"{attr}>{body}</table:table-cell>'
+
+
+def test_ods_mid_row_gap_preserved_trailing_dropped():
+    """A mid-row empty run is a real gap (values must stay under their
+    headers); the 16384-wide trailing filler run is dropped, not expanded."""
+    from gbif_data_validator_spark.sources.spreadsheets import parse_ods_rows
+
+    row = (
+        "<table:table-row>"
+        + _ods_cell("a")
+        + _ods_cell(None, rep=3)
+        + _ods_cell("b")
+        + _ods_cell(None, rep=16384)
+        + "</table:table-row>"
+    )
+    (got,) = list(parse_ods_rows(_zip_ods(row)))
+    assert got == ["a", "", "", "", "b"]
+
+
+def test_ods_repeat_bomb_raises():
+    """A non-empty cell repeated past the cap is a decompression bomb — it
+    must raise (→ per-file error row upstream), never expand."""
+    from gbif_data_validator_spark.sources.spreadsheets import parse_ods_rows
+
+    bomb_cells = "<table:table-row>" + _ods_cell("x", rep=100000) + "</table:table-row>"
+    with pytest.raises(ValueError, match="bomb"):
+        list(parse_ods_rows(_zip_ods(bomb_cells)))
+    bomb_rows = (
+        '<table:table-row table:number-rows-repeated="100000">'
+        + _ods_cell("x")
+        + "</table:table-row>"
+    )
+    with pytest.raises(ValueError, match="bomb"):
+        list(parse_ods_rows(_zip_ods(bomb_rows)))
+    # mid-row empty run wider than the cap: also a bomb (would expand in full)
+    gap_bomb = (
+        "<table:table-row>"
+        + _ods_cell("a")
+        + _ods_cell(None, rep=100000)
+        + _ods_cell("b")
+        + "</table:table-row>"
+    )
+    with pytest.raises(ValueError, match="bomb"):
+        list(parse_ods_rows(_zip_ods(gap_bomb)))
+
+
 # --- Spark surface ----------------------------------------------------------
 
 
