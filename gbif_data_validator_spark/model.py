@@ -143,6 +143,22 @@ CHECKPOINT_SCHEMA = T.StructType(
     ]
 )
 
+#: Per-window drift-sketch row (companion to the checkpoint table): the
+#: equi-probability quantile sketch + metric count the KS drift pass derived
+#: for one warc_ts partition. Incremental runs merge the stored sketches of
+#: pruned windows with the fresh windows' sketches instead of rescanning the
+#: whole table for drift — the sketch IS the partition's drift state, and
+#: quantile sketches merge associatively (weighted ECDF average).
+SKETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("partition_id", T.StringType()),
+        T.StructField("drift_n", T.LongType()),
+        T.StructField("drift_q", T.ArrayType(T.DoubleType())),
+        T.StructField("finished_at", T.TimestampType()),
+    ]
+)
+
 
 # --------------------------------------------------------------------------
 # Report model (ValidationResult analog)

@@ -58,6 +58,41 @@ def ks_statistic(qw, qr) -> float:
     return float(np.max(np.abs(cdf_at(w, support) - cdf_at(r, support))))
 
 
+def merge_quantile_sketches(sketches) -> tuple[int, list[float] | None]:
+    """Pooled ``(n, q[N_PROBS])`` from per-window equi-probability quantile
+    sketches: the pooled ECDF is the row-count-weighted average of the
+    window step-ECDFs (exactly how a pooled sample's ECDF decomposes), and
+    the pooled quantile vector is that ECDF inverted at ``PROBS``.
+
+    This is what makes drift INCREMENTAL at 100 TB: a window's sketch is its
+    complete drift state, so already-validated windows contribute their
+    stored (run-time) sketches and only new windows are scanned — the pooled
+    reference never needs a whole-table pass. Uses the same right-continuous
+    step-ECDF as ``ks_statistic`` so merged-vs-direct pooled sketches agree
+    up to sketch resolution (accuracy pinned in tests/test_drift.py)."""
+    items = [
+        (int(n), np.asarray(q, dtype=float))
+        for n, q in sketches
+        if n and q is not None
+    ]
+    if not items:
+        return 0, None
+    total = sum(n for n, _ in items)
+    probs = np.asarray(PROBS)
+    support = np.unique(np.concatenate([q for _, q in items]))
+    cdf = np.zeros(len(support))
+    for n, q in items:
+        idx = np.searchsorted(q, support, side="right") - 1
+        cdf += (n / total) * np.where(
+            idx >= 0, probs[np.clip(idx, 0, len(probs) - 1)], 0.0
+        )
+    # invert: smallest support value whose pooled CDF reaches p (tolerance
+    # absorbs float dust from the weighted sum; p=1 lands on the global max)
+    pos = np.searchsorted(cdf, probs - 1e-9, side="left")
+    merged = support[np.clip(pos, 0, len(support) - 1)]
+    return total, [float(v) for v in merged]
+
+
 def _ks_from_quantiles(qw: pd.Series, qr: pd.Series) -> pd.Series:
     return pd.Series([ks_statistic(w, r) for w, r in zip(qw, qr)])
 

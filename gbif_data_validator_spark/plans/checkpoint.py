@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..model import CHECKPOINT_SCHEMA
+from ..model import CHECKPOINT_SCHEMA, SKETCH_SCHEMA
 
 
 def read_checkpoints(spark: SparkSession, path: str) -> DataFrame:
@@ -106,6 +106,41 @@ def completed_partitions(spark: SparkSession, path: str, run_id: str) -> list[st
 
 def append_checkpoints(checkpoint_rows: DataFrame, path: str) -> None:
     checkpoint_rows.write.mode("append").parquet(path)
+
+
+def append_sketches(spark: SparkSession, tuples: list[tuple], path: str) -> None:
+    """Persist per-window drift-sketch rows (SKETCH_SCHEMA tuples). Append-
+    only like the checkpoint table; replays dedup at read time."""
+    if tuples:
+        spark.createDataFrame(tuples, schema=SKETCH_SCHEMA).write.mode(
+            "append"
+        ).parquet(path)
+
+
+def latest_window_sketches(spark: SparkSession, path: str) -> dict:
+    """partition_id → (drift_n, drift_q) from the run that most recently
+    wrote the window's sketch (finished_at desc, run_id tiebreak — the same
+    latest-validator discipline as the violations read filter). Driver-side
+    dict: the sketch table has #windows × #runs rows, tiny even at 100 TB."""
+    if not _exists(spark, path):
+        return {}
+    df = spark.read.schema(SKETCH_SCHEMA).parquet(path)
+    w = Window.partitionBy("partition_id").orderBy(
+        F.col("finished_at").desc(), F.col("run_id")
+    )
+    rows = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("partition_id", "drift_n", "drift_q")
+        .collect()
+    )
+    return {
+        r.partition_id: (
+            r.drift_n or 0,
+            list(r.drift_q) if r.drift_q is not None else None,
+        )
+        for r in rows
+    }
 
 
 def build_checkpoint_tuples(

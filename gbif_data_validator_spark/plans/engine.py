@@ -38,6 +38,7 @@ from ..operators.drift import (
     categorical_drift_violations,
     drift_violations,
     ks_drift,
+    merge_quantile_sketches,
 )
 from ..operators.metrics import issue_counts_by_partition, partitioned_profile
 from ..operators.record_checks import partition_id_col, run_record_checks
@@ -55,31 +56,28 @@ GLOBAL_PARTITION = "GLOBAL"
 DRIFT_MIN_ROWS = 30
 
 
-def _drift_rows_from_profile(
-    rc_rows, grand, threshold: float, min_rows: int = DRIFT_MIN_ROWS
+def _drift_rows_from_sketches(
+    windows: dict, q_ref, threshold: float, min_rows: int = DRIFT_MIN_ROWS
 ) -> list[tuple]:
-    """KS drift verdicts computed driver-side from the rollup profile's
-    collected quantile sketches (per-window ``drift_q`` vs the grand row's
-    pooled sketch) — violations-schema tuples for the drifted windows.
-    Flag bar = max(configured floor, one-sample KS critical value
-    c(α≈0.001)/sqrt(n)), matching operators.drift.ks_drift."""
+    """KS drift verdicts computed driver-side from per-window quantile
+    sketches — ``{window_id: (n, q)}`` vs the pooled reference vector —
+    violations-schema tuples for the drifted windows. Flag bar =
+    max(configured floor, one-sample KS critical value c(α≈0.001)/sqrt(n)),
+    matching operators.drift.ks_drift."""
     import math
 
     from ..operators.drift import ks_statistic
 
     out: list[tuple] = []
-    q_ref = grand["drift_q"] if grand is not None else None
     if q_ref is None:
         return out
-    for r in rc_rows:
-        n = r["drift_n"] or 0
-        q = r["drift_q"]
-        if n < min_rows or q is None:
+    for pid in sorted(windows):
+        n, q = windows[pid]
+        if (n or 0) < min_rows or q is None:
             continue
         ks = ks_statistic(list(q), list(q_ref))
         bar = max(threshold, 1.95 / math.sqrt(n))
         if ks == ks and ks > bar:  # NaN-safe
-            pid = r["_partition_id"]
             out.append(
                 (
                     f"window:{pid}",
@@ -91,6 +89,54 @@ def _drift_rows_from_profile(
                 )
             )
     return out
+
+
+def _drift_rows_from_profile(
+    rc_rows, grand, threshold: float, min_rows: int = DRIFT_MIN_ROWS
+) -> list[tuple]:
+    """Fast-path wrapper: per-window sketches straight off the collected
+    rollup rows, pooled reference = the grand row's (exact single-pass)
+    sketch."""
+    q_ref = grand["drift_q"] if grand is not None else None
+    windows = {
+        r["_partition_id"]: (r["drift_n"] or 0, r["drift_q"]) for r in rc_rows
+    }
+    return _drift_rows_from_sketches(windows, q_ref, threshold, min_rows)
+
+
+_MONTH_RE = None  # compiled lazily in _window_month
+
+
+def _window_month(pid: str, n_buckets: int) -> str | None:
+    """The 'yyyy-MM' drift window a partition id belongs to: the id itself
+    (n_buckets == 1) or its month prefix ('yyyy-MM-bK'). None for ids that
+    are not warc_ts windows (UNKNOWN*, GLOBAL, stream:*)."""
+    import re
+
+    global _MONTH_RE
+    if _MONTH_RE is None:
+        _MONTH_RE = (
+            re.compile(r"(\d{4}-\d{2})"),
+            re.compile(r"(\d{4}-\d{2})-b\d+"),
+        )
+    m = (_MONTH_RE[0] if n_buckets <= 1 else _MONTH_RE[1]).fullmatch(pid)
+    return m.group(1) if m else None
+
+
+def _merge_to_months(sketches: dict, n_buckets: int) -> dict:
+    """Month-level drift sketches from (possibly bucketed) partition-level
+    ones: 'yyyy-MM-bK' slices of one month merge into one (n, q) via the
+    weighted ECDF merge (drift windows are per MONTH regardless of the
+    checkpoint bucketing — a per-bucket KS would use a stricter noise bar
+    and different window ids). Non-window ids (UNKNOWN*, GLOBAL) drop out."""
+    from ..operators.drift import merge_quantile_sketches
+
+    by_month: dict[str, list] = {}
+    for pid, (n, q) in sketches.items():
+        month = _window_month(pid, n_buckets)
+        if month is not None:
+            by_month.setdefault(month, []).append((n or 0, q))
+    return {m: merge_quantile_sketches(parts) for m, parts in by_month.items()}
 
 
 def _fully_completed_months(done: list[str], n_buckets: int) -> list[str]:
@@ -197,6 +243,10 @@ class EngineConfig:
     def checkpoint_path(self) -> str | None:
         return os.path.join(self.work_dir, "checkpoint") if self.work_dir else None
 
+    @property
+    def sketch_path(self) -> str | None:
+        return os.path.join(self.work_dir, "sketches") if self.work_dir else None
+
 
 class ValidationEngine:
     def __init__(self, spark: SparkSession, config: EngineConfig | None = None):
@@ -224,6 +274,46 @@ class ValidationEngine:
                 drift_violations(ks_drift(pages, threshold=c.drift_threshold))
             )
         return out
+
+    def _drift_verdicts(self, rc_rows, grand, done: list[str]) -> list[tuple] | None:
+        """DRIFT_WINDOW verdict tuples derived entirely from quantile
+        sketches — never a second table scan:
+
+        - fresh run, n_buckets == 1: rollup sketches cover every window and
+          the grand row IS the pooled reference (zero extra jobs);
+        - fresh bucketed run: the month's bucket sketches merge (weighted
+          ECDF) into month windows; pooled reference is still the grand
+          row's exact single-pass sketch;
+        - resumed/incremental run: pruned windows contribute their STORED
+          sketches (latest validator wins) merged with the fresh windows';
+          the pooled reference is the merge of all window sketches.
+
+        Returns None when stored sketches cannot cover every pruned window
+        (work_dir predating sketch checkpointing) — the caller falls back to
+        the full windowed drift scan."""
+        c = self.config
+        if not done and c.n_buckets == 1:
+            return _drift_rows_from_profile(rc_rows, grand, c.drift_threshold)
+        fresh = {
+            r["_partition_id"]: (r["drift_n"] or 0, r["drift_q"]) for r in rc_rows
+        }
+        if not done:
+            windows = _merge_to_months(fresh, c.n_buckets)
+            q_ref = grand["drift_q"] if grand is not None else None
+            return _drift_rows_from_sketches(windows, q_ref, c.drift_threshold)
+        need = [p for p in done if _window_month(p, c.n_buckets) is not None]
+        stored = (
+            cp.latest_window_sketches(self.spark, c.sketch_path)
+            if c.sketch_path
+            else {}
+        )
+        if any(p not in stored for p in need):
+            return None
+        merged = {p: stored[p] for p in need}
+        merged.update(fresh)
+        windows = _merge_to_months(merged, c.n_buckets)
+        _, q_ref = merge_quantile_sketches(windows.values())
+        return _drift_rows_from_sketches(windows, q_ref, c.drift_threshold)
 
     def _append_global_passes(self, violations: DataFrame, pages: DataFrame) -> DataFrame:
         """Union the toggled whole-table passes (key uniqueness, A2 data-field
@@ -435,6 +525,33 @@ class ValidationEngine:
         # (whose n_rows/verdicts DO fold in checkpointed history below)
         metrics["_scope"] = "incremental_delta" if done else "full_table"
 
+        # Persist this run's per-window drift sketches — a window's sketch
+        # IS its complete drift state, so future incremental runs merge the
+        # stored vectors for pruned windows instead of rescanning their
+        # bytes. Tiny write (#windows rows); written before the checkpoint
+        # rows, so a checkpointed window always has its sketch on disk.
+        if c.check_drift and c.sketch_path and rc_rows:
+            sk_ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+            cp.append_sketches(
+                self.spark,
+                [
+                    (
+                        c.run_id,
+                        r["_partition_id"],
+                        int(r["drift_n"] or 0),
+                        # percentile_approx of an int metric yields ints;
+                        # the stored vector is array<double>
+                        [float(v) for v in r["drift_q"]]
+                        if r["drift_q"] is not None
+                        else None,
+                        sk_ts,
+                    )
+                    for r in rc_rows
+                    if _window_month(r["_partition_id"], c.n_buckets) is not None
+                ],
+                c.sketch_path,
+            )
+
         # Passes 1+2 (lazy plan). The referential check is FUSED into the
         # record-check scan (broadcast left join + null-flag detail — same
         # broadcast-hash-join mechanics, one source scan instead of two).
@@ -451,29 +568,25 @@ class ValidationEngine:
         if not skip_global:
             # whole-table passes run over `pages`, not the pruned work-list
             violations = self._append_global_passes(violations, pages)
-            if c.check_drift and not done and c.n_buckets == 1:
-                # fast path: work == pages, so the rollup sketches cover all
-                # windows — drift evaluated driver-side, zero extra jobs.
-                from ..model import VIOLATIONS_SCHEMA
+            if c.check_drift:
+                drift_tuples = self._drift_verdicts(rc_rows, grand, done)
+                if drift_tuples is None:
+                    # stored sketches can't cover every pruned window (a
+                    # legacy work_dir written before sketch checkpointing) —
+                    # fall back to the full month-windowed drift pass.
+                    violations = violations.unionByName(
+                        drift_violations(
+                            ks_drift(pages, threshold=c.drift_threshold)
+                        )
+                    )
+                elif drift_tuples:
+                    from ..model import VIOLATIONS_SCHEMA
 
-                drift_tuples = _drift_rows_from_profile(
-                    rc_rows, grand, c.drift_threshold
-                )
-                if drift_tuples:
                     violations = violations.unionByName(
                         self.spark.createDataFrame(
                             drift_tuples, schema=VIOLATIONS_SCHEMA
                         )
                     )
-            elif c.check_drift:
-                # resumed/incremental runs (pruned work-list lacks completed
-                # windows) and bucketed runs (rollup sketches are per
-                # month-bucket slice, but drift windows are per MONTH — a
-                # per-bucket KS would use a stricter noise bar and different
-                # window ids): drift runs as its own month-windowed pass.
-                violations = violations.unionByName(
-                    drift_violations(ks_drift(pages, threshold=c.drift_threshold))
-                )
 
         # Persist violations FIRST (resume-correctness ordering), then
         # derive everything else from the durable copy.
