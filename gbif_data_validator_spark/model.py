@@ -143,6 +143,25 @@ CHECKPOINT_SCHEMA = T.StructType(
     ]
 )
 
+#: Per-window column-profile state (companion to the checkpoint table):
+#: everything needed to reconstitute the whole-table profile by MERGING —
+#: exact additive counts, HLL sketch binaries (datasketches, unioned via
+#: ``hll_union_agg``) for distincts, and equi-probability length-quantile
+#: vectors (merged via the weighted-ECDF average). Incremental runs report
+#: a full-table profile from these rows without rescanning pruned windows.
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("partition_id", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("counts", T.MapType(T.StringType(), T.LongType())),
+        T.StructField("hlls", T.MapType(T.StringType(), T.BinaryType())),
+        T.StructField("len_q", T.MapType(T.StringType(), T.ArrayType(T.DoubleType()))),
+        T.StructField("len_avg", T.MapType(T.StringType(), T.DoubleType())),
+        T.StructField("finished_at", T.TimestampType()),
+    ]
+)
+
 #: Per-window drift-sketch row (companion to the checkpoint table): the
 #: equi-probability quantile sketch + metric count the KS drift pass derived
 #: for one warc_ts partition. Incremental runs merge the stored sketches of

@@ -58,7 +58,7 @@ def ks_statistic(qw, qr) -> float:
     return float(np.max(np.abs(cdf_at(w, support) - cdf_at(r, support))))
 
 
-def merge_quantile_sketches(sketches) -> tuple[int, list[float] | None]:
+def merge_quantile_sketches(sketches, probs=None) -> tuple[int, list[float] | None]:
     """Pooled ``(n, q[N_PROBS])`` from per-window equi-probability quantile
     sketches: the pooled ECDF is the row-count-weighted average of the
     window step-ECDFs (exactly how a pooled sample's ECDF decomposes), and
@@ -69,16 +69,20 @@ def merge_quantile_sketches(sketches) -> tuple[int, list[float] | None]:
     stored (run-time) sketches and only new windows are scanned — the pooled
     reference never needs a whole-table pass. Uses the same right-continuous
     step-ECDF as ``ks_statistic`` so merged-vs-direct pooled sketches agree
-    up to sketch resolution (accuracy pinned in tests/test_drift.py)."""
+    up to sketch resolution (accuracy pinned in tests/test_drift.py).
+
+    ``probs`` is the equi-probability grid the input vectors were computed
+    at (default: the drift grid ``PROBS``; the engine's profile merge passes
+    its own 11-point grid)."""
+    probs = np.asarray(PROBS if probs is None else probs)
     items = [
         (int(n), np.asarray(q, dtype=float))
         for n, q in sketches
-        if n and q is not None
+        if n and q is not None and len(q) == len(probs)
     ]
     if not items:
         return 0, None
     total = sum(n for n, _ in items)
-    probs = np.asarray(PROBS)
     support = np.unique(np.concatenate([q for _, q in items]))
     cdf = np.zeros(len(support))
     for n, q in items:

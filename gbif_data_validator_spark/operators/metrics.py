@@ -64,6 +64,7 @@ def partitioned_profile(
     drift_metric: F.Column | None = None,
     drift_probs: list[float] | None = None,
     drift_accuracy: int = 10000,
+    mergeable: bool = False,
 ) -> DataFrame:
     """ROLLUP(partition) column profile: one aggregation pass emits BOTH the
     per-partition rows (n_rows + stats per warc_ts window — feeds checkpoint
@@ -76,7 +77,15 @@ def partitioned_profile(
     warc_ts is non-null) additionally emits ``drift_n`` + ``drift_q`` — the
     per-partition and pooled (grand row) equi-probability quantile sketches
     the KS drift check needs, so drift costs NO extra scan: the engine
-    computes the KS max-gap driver-side from these collected vectors."""
+    computes the KS max-gap driver-side from these collected vectors.
+
+    ``mergeable=True`` additionally emits a ``{col}_hll`` datasketches HLL
+    binary per column (``hll_sketch_agg``; values cast to string — same
+    cardinality, and the sketch accepts timestamps that way). Unlike
+    ``approx_count_distinct``'s internal state, these binaries are
+    PERSISTABLE and union across runs (``hll_union_agg``) — what lets an
+    incremental run merge stored per-window profiles into a whole-table
+    profile without rescanning validated history."""
     columns = columns or [c for c in df.columns if c not in ("html", partition_col)]
     length_cols = (
         length_cols if length_cols is not None else [c for c in columns if c == "text"]
@@ -87,6 +96,10 @@ def partitioned_profile(
         aggs.append(_non_blank(c).alias(f"{c}_non_blank"))
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_nulls"))
         aggs.append(F.approx_count_distinct(c, rsd=hll_rsd).alias(f"{c}_approx_distinct"))
+        if mergeable:
+            aggs.append(
+                F.hll_sketch_agg(F.col(c).cast("string")).alias(f"{c}_hll")
+            )
     for c in length_cols:
         aggs.append(
             F.percentile_approx(F.length(F.col(c)), qs, 1000).alias(f"{c}_len_quantiles")

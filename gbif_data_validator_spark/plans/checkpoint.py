@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..model import CHECKPOINT_SCHEMA, SKETCH_SCHEMA
+from ..model import CHECKPOINT_SCHEMA, PROFILE_SCHEMA, SKETCH_SCHEMA
 
 
 def read_checkpoints(spark: SparkSession, path: str) -> DataFrame:
@@ -115,6 +115,42 @@ def append_sketches(spark: SparkSession, tuples: list[tuple], path: str) -> None
         spark.createDataFrame(tuples, schema=SKETCH_SCHEMA).write.mode(
             "append"
         ).parquet(path)
+
+
+def append_profiles(spark: SparkSession, tuples: list[tuple], path: str) -> None:
+    """Persist per-window profile-state rows (PROFILE_SCHEMA tuples)."""
+    if tuples:
+        spark.createDataFrame(tuples, schema=PROFILE_SCHEMA).write.mode(
+            "append"
+        ).parquet(path)
+
+
+def latest_window_profiles(spark: SparkSession, path: str) -> dict:
+    """partition_id → profile-state dict (n_rows, counts, hlls, len_q,
+    len_avg) from each window's latest validator (finished_at desc, run_id
+    tiebreak). Driver-side: #windows rows of KB-sized state."""
+    if not _exists(spark, path):
+        return {}
+    df = spark.read.schema(PROFILE_SCHEMA).parquet(path)
+    w = Window.partitionBy("partition_id").orderBy(
+        F.col("finished_at").desc(), F.col("run_id")
+    )
+    rows = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "run_id", "finished_at")
+        .collect()
+    )
+    return {
+        r.partition_id: {
+            "n_rows": r.n_rows or 0,
+            "counts": dict(r.counts or {}),
+            "hlls": dict(r.hlls or {}),
+            "len_q": {k: list(v) for k, v in (r.len_q or {}).items()},
+            "len_avg": dict(r.len_avg or {}),
+        }
+        for r in rows
+    }
 
 
 def latest_window_sketches(spark: SparkSession, path: str) -> dict:

@@ -123,6 +123,70 @@ def _window_month(pid: str, n_buckets: int) -> str | None:
     return m.group(1) if m else None
 
 
+#: the profile's equi-probability grid (partitioned_profile n_quantiles=11)
+_PROFILE_QS = [i / 10 for i in range(11)]
+
+
+def _profile_state(row) -> dict:
+    """A collected rollup row → the mergeable profile state the PROFILE
+    table stores: exact additive counts, HLL binaries, length-quantile
+    vectors + weighted averages. Shared by persistence and by the
+    incremental whole-table merge so the two can't drift apart."""
+    d = row.asDict()
+    state = {
+        "n_rows": int(d.get("n_rows") or 0),
+        "counts": {},
+        "hlls": {},
+        "len_q": {},
+        "len_avg": {},
+    }
+    for k, v in d.items():
+        if k.endswith("_non_blank") or k.endswith("_nulls"):
+            state["counts"][k] = int(v or 0)
+        elif k.endswith("_hll"):
+            if v is not None:
+                state["hlls"][k[: -len("_hll")]] = bytes(v)
+        elif k.endswith("_len_quantiles"):
+            if v is not None:
+                state["len_q"][k[: -len("_len_quantiles")]] = [float(x) for x in v]
+        elif k.endswith("_len_avg"):
+            if v is not None:
+                state["len_avg"][k[: -len("_len_avg")]] = float(v)
+    return state
+
+
+def _merge_profile_states(states: list[dict]) -> dict:
+    """Whole-table metrics dict from per-window profile states — additive
+    counts sum exactly; length quantiles merge via the weighted-ECDF
+    average; averages reweight by their non-null counts. HLL distincts are
+    NOT merged here (they need one tiny ``hll_union_agg`` job — the caller
+    attaches them) — every other stat is pure driver arithmetic."""
+    from ..operators.drift import merge_quantile_sketches
+
+    out: dict = {"n_rows": sum(s["n_rows"] for s in states)}
+    count_keys = sorted({k for s in states for k in s["counts"]})
+    for k in count_keys:
+        out[k] = sum(s["counts"].get(k, 0) for s in states)
+    len_cols = sorted({c for s in states for c in s["len_q"]})
+    for col in len_cols:
+        # weight = count of non-null lengths = n_rows - nulls (length(col)
+        # is null exactly when col is)
+        items, wsum, acc = [], 0, 0.0
+        for s in states:
+            w = s["n_rows"] - s["counts"].get(f"{col}_nulls", 0)
+            if col in s["len_q"]:
+                items.append((w, s["len_q"][col]))
+            if col in s["len_avg"] and w > 0:
+                wsum += w
+                acc += w * s["len_avg"][col]
+        _, merged_q = merge_quantile_sketches(items, probs=_PROFILE_QS)
+        if merged_q is not None:
+            out[f"{col}_len_quantiles"] = merged_q
+        if wsum > 0:
+            out[f"{col}_len_avg"] = acc / wsum
+    return out
+
+
 def _merge_to_months(sketches: dict, n_buckets: int) -> dict:
     """Month-level drift sketches from (possibly bucketed) partition-level
     ones: 'yyyy-MM-bK' slices of one month merge into one (n, q) via the
@@ -247,6 +311,10 @@ class EngineConfig:
     def sketch_path(self) -> str | None:
         return os.path.join(self.work_dir, "sketches") if self.work_dir else None
 
+    @property
+    def profile_path(self) -> str | None:
+        return os.path.join(self.work_dir, "profiles") if self.work_dir else None
+
 
 class ValidationEngine:
     def __init__(self, spark: SparkSession, config: EngineConfig | None = None):
@@ -274,6 +342,45 @@ class ValidationEngine:
                 drift_violations(ks_drift(pages, threshold=c.drift_threshold))
             )
         return out
+
+    def _merged_metrics(self, rc_rows, done: list[str]) -> dict | None:
+        """Whole-table profile for a resumed/incremental run, reconstituted
+        by MERGING: pruned windows contribute their stored profile states
+        (latest validator wins), fresh windows theirs. Additive counts and
+        quantile merges are pure driver arithmetic; distincts take ONE tiny
+        ``hll_union_agg`` job over #windows × #columns KB-sized binaries.
+        None when any pruned window lacks stored state (legacy work_dir) —
+        the caller keeps the delta-scoped profile."""
+        c = self.config
+        stored = (
+            cp.latest_window_profiles(self.spark, c.profile_path)
+            if c.profile_path
+            else {}
+        )
+        need = [
+            p
+            for p in done
+            if p != GLOBAL_PARTITION and not p.startswith("stream:")
+        ]
+        if any(p not in stored for p in need):
+            return None
+        states = [stored[p] for p in need] + [_profile_state(r) for r in rc_rows]
+        if not states:
+            return {"n_rows": 0}
+        merged = _merge_profile_states(states)
+        hll_items = [
+            (col, s["hlls"][col]) for s in states for col in s["hlls"]
+        ]
+        if hll_items:
+            est = (
+                self.spark.createDataFrame(hll_items, "col string, hll binary")
+                .groupBy("col")
+                .agg(F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("est"))
+                .collect()
+            )
+            for r in est:
+                merged[f"{r.col}_approx_distinct"] = int(r.est)
+        return merged
 
     def _drift_verdicts(self, rc_rows, grand, done: list[str]) -> list[tuple] | None:
         """DRIFT_WINDOW verdict tuples derived entirely from quantile
@@ -503,7 +610,12 @@ class ValidationEngine:
             else None
         )
         prof_rows = partitioned_profile(
-            work, "_partition_id", drift_metric=drift_metric
+            work,
+            "_partition_id",
+            drift_metric=drift_metric,
+            # persisted runs carry HLL binaries so later incremental runs
+            # can merge this run's windows into a whole-table profile
+            mergeable=bool(c.work_dir),
         ).collect()
         rc_rows = [r for r in prof_rows if r["_partition_id"] is not None]
         # rollup over EMPTY input yields zero rows (no grand-total row, unlike
@@ -515,21 +627,50 @@ class ValidationEngine:
                 k: (list(v) if isinstance(v, list) else v)
                 for k, v in grand.asDict().items()
                 if k not in ("_partition_id", "drift_q", "drift_n")
+                and not k.endswith("_hll")
             }
             if grand is not None
             else {"n_rows": 0}
         )
-        # the profile runs over the PRUNED work-list, so on resumed or
-        # incremental runs it describes only the newly-validated delta —
-        # labeled so a report consumer can't mistake it for the whole table
-        # (whose n_rows/verdicts DO fold in checkpointed history below)
-        metrics["_scope"] = "incremental_delta" if done else "full_table"
+        metrics["_scope"] = "full_table"
+        if done:
+            # the profile scan covered only the PRUNED work-list; merge the
+            # stored per-window profile states of the pruned windows with
+            # the fresh ones into a WHOLE-TABLE profile — no rescan. Only a
+            # work_dir predating profile checkpointing degrades to the
+            # delta-scoped profile (labeled, so a consumer can't mistake it
+            # for the whole table).
+            merged = self._merged_metrics(rc_rows, done)
+            if merged is not None:
+                metrics = merged
+                metrics["_scope"] = "full_table_merged"
+            else:
+                metrics["_scope"] = "incremental_delta"
 
-        # Persist this run's per-window drift sketches — a window's sketch
-        # IS its complete drift state, so future incremental runs merge the
-        # stored vectors for pruned windows instead of rescanning their
-        # bytes. Tiny write (#windows rows); written before the checkpoint
-        # rows, so a checkpointed window always has its sketch on disk.
+        # Persist this run's per-window profile states — MERGEABLE drift/
+        # profile state is what makes the whole engine incremental: a later
+        # run reconstitutes whole-table metrics and drift verdicts from
+        # these rows instead of rescanning validated history. Tiny writes
+        # (#windows rows); written before the checkpoint rows, so a
+        # checkpointed window always has its state on disk.
+        if c.profile_path and rc_rows:
+            pf_ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+            pf_tuples = []
+            for r in rc_rows:
+                s = _profile_state(r)
+                pf_tuples.append(
+                    (
+                        c.run_id,
+                        r["_partition_id"],
+                        s["n_rows"],
+                        s["counts"],
+                        s["hlls"],
+                        s["len_q"],
+                        s["len_avg"],
+                        pf_ts,
+                    )
+                )
+            cp.append_profiles(self.spark, pf_tuples, c.profile_path)
         if c.check_drift and c.sketch_path and rc_rows:
             sk_ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
             cp.append_sketches(
