@@ -212,6 +212,16 @@ def stream_validate_to_work_dir(
     foreachBatch body mirrors the batch ordering contract: violations
     first, then the lineage row (plans/checkpoint.py protocol step 1-2).
 
+    Drift state: each micro-batch ALSO appends its per-window drift
+    quantile sketches to ``{work_dir}/sketches`` under
+    ``stream:{batch_id}:{window}`` ids — constant-size state per batch per
+    window. Batches slice a window (they never re-validate it), so their
+    sketches MERGE across batches (weighted ECDF) rather than supersede;
+    ``streaming_drift_verdicts`` evaluates KS drift over the accumulated
+    state driver-side, no rescan of streamed history. Replays overwrite
+    their own ``stream:{batch_id}:*`` ids (latest row wins at read time),
+    preserving exactly-once.
+
     Returns the terminated (availableNow) or running query."""
     import datetime as _dt
     import os
@@ -223,6 +233,7 @@ def stream_validate_to_work_dir(
 
     violations_path = os.path.join(work_dir, "violations")
     cp_path = os.path.join(work_dir, "checkpoint")
+    sketch_path = os.path.join(work_dir, "sketches")
     stream_cp = os.path.join(work_dir, "_stream_checkpoint")
 
     # the work_dir's recorded partition scheme binds the stream too — a
@@ -279,6 +290,25 @@ def stream_validate_to_work_dir(
             cp.append_checkpoints(
                 spark.createDataFrame(rows, schema=CHECKPOINT_SCHEMA), cp_path
             )
+            # per-window drift sketches for THIS batch's slice (one small
+            # agg over the persisted batch; KBs of state per window)
+            from ..operators.drift import window_quantiles
+
+            sk = window_quantiles(batch_df, F.length(F.col("text"))).collect()
+            cp.append_sketches(
+                spark,
+                [
+                    (
+                        run_id,
+                        f"stream:{batch_id}:{r.window}",
+                        int(r.n),
+                        [float(v) for v in r.q] if r.q is not None else None,
+                        now,
+                    )
+                    for r in sk
+                ],
+                sketch_path,
+            )
         finally:
             batch_df.unpersist()
 
@@ -292,6 +322,40 @@ def stream_validate_to_work_dir(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def streaming_drift_verdicts(
+    spark: SparkSession,
+    work_dir: str,
+    threshold: float = 0.15,
+    min_rows: int = 30,
+) -> list[tuple]:
+    """KS drift verdicts over everything streamed into ``work_dir`` so far,
+    computed ONLY from the accumulated per-batch sketches — violations-
+    contract tuples (same shape as the batch engine's driver-side drift).
+
+    Scale shape: state is #batches × #windows sketch rows (41 doubles
+    each); a firehose that has streamed 10^12 rows is evaluated from KBs.
+    Batches slice windows, so per-window state is the weighted-ECDF merge
+    of its batches' sketches; the pooled reference is the merge of all
+    windows. Replayed batches dedup to their latest row first."""
+    import os
+    import re
+
+    from ..operators.drift import merge_quantile_sketches
+    from ..plans import checkpoint as cp
+    from ..plans.engine import _drift_rows_from_sketches
+
+    stored = cp.latest_window_sketches(spark, os.path.join(work_dir, "sketches"))
+    pat = re.compile(r"stream:\d+:(.+)")
+    by_window: dict[str, list] = {}
+    for pid, (n, q) in stored.items():
+        m = pat.fullmatch(pid)
+        if m:
+            by_window.setdefault(m.group(1), []).append((n, q))
+    windows = {w: merge_quantile_sketches(parts) for w, parts in by_window.items()}
+    _, q_ref = merge_quantile_sketches(windows.values())
+    return _drift_rows_from_sketches(windows, q_ref, threshold, min_rows)
 
 
 def run_stream_once(stream_df: DataFrame, query_name: str, output_mode: str = "append"):

@@ -156,3 +156,30 @@ def test_stream_validate_to_work_dir(spark, pages_stream_dir, tmp_path):
     stream2 = vs.read_pages_stream(spark, pages_stream_dir, max_files_per_trigger=2)
     vs.stream_validate_to_work_dir(stream2, wd, run_id="s1", check_extraction=False)
     assert spark.read.parquet(wd + "/violations").count() == got.count()
+
+
+def test_streaming_drift_from_accumulated_sketches(spark, pages_stream_dir, tmp_path):
+    """Drift over a firehose: every micro-batch appends constant-size
+    window sketches; the verdict is computed from that state alone and
+    matches the batch KS pass over the same rows."""
+    from gbif_data_validator_spark.operators.drift import ks_drift
+
+    wd = str(tmp_path / "swork")
+    stream = vs.read_pages_stream(spark, pages_stream_dir, max_files_per_trigger=2)
+    vs.stream_validate_to_work_dir(stream, wd, run_id="s1", check_extraction=False)
+
+    # sketch state exists, one row per (batch, window), exactly-once on replay
+    sk = spark.read.parquet(wd + "/sketches")
+    n_sketch_rows = sk.count()
+    assert n_sketch_rows > 0
+    assert all(r.partition_id.startswith("stream:") for r in sk.collect())
+    stream2 = vs.read_pages_stream(spark, pages_stream_dir, max_files_per_trigger=2)
+    vs.stream_validate_to_work_dir(stream2, wd, run_id="s1", check_extraction=False)
+    assert spark.read.parquet(wd + "/sketches").count() == n_sketch_rows
+
+    got = {t[5] for t in vs.streaming_drift_verdicts(spark, wd)}
+    batch = spark.read.parquet(pages_stream_dir)
+    expect = {
+        r.window for r in ks_drift(batch).where(F.col("drifted")).collect()
+    }
+    assert got == expect and len(got) == 1
