@@ -529,6 +529,68 @@ def _q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join, operators/temporal.py::asof_join: each
+    click attributed to the most recent same-user error at-or-before it.
+    Spark plan is union + ONE window (|L|+|R| rows, one shuffle, no join);
+    the oracle is the classic inequality-join + QUALIFY formulation that
+    explodes per-key pairs — same answer, different asymptotics."""
+    from gbif_data_validator_spark.operators.temporal import asof_join
+
+    e = _tbl(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id"), F.col("value").alias("err_value")
+    )
+    out = asof_join(
+        clicks,
+        errors,
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="ts",
+        right_cols=["err_id", "err_value"],
+        tiebreak=["err_id"],
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        F.col("r_ts").alias("err_ts"),
+        F.col("r_err_id").alias("err_id"),
+        F.col("r_err_value").alias("err_value"),
+    ).orderBy("click_id")
+
+
+def _q_interval_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join, operators/temporal.py::interval_join: clicks falling in
+    any 60-minute incident window opened by a top-50-severity error. Spark
+    plan is the bucket-explode equi-join (linear shuffle) — the naive range
+    predicate would plan a BroadcastNestedLoopJoin; the oracle IS that
+    naive inequality join (fine at oracle scale)."""
+    from gbif_data_validator_spark.operators.temporal import interval_join
+
+    e = _tbl(spark, sf_dir, "events")
+    inc = (
+        e.where(F.col("event_type") == "error")
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(50)
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts").alias("incident_start"),
+            (F.col("ts") + F.expr("INTERVAL 60 MINUTES")).alias("incident_end"),
+        )
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    out = interval_join(clicks, inc, "click_ts", "incident_start", "incident_end")
+    return out.select(
+        "click_id", "user_id", "click_ts", "incident_id", "incident_start"
+    ).orderBy("click_id", "incident_id")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries
 # ---------------------------------------------------------------------------
@@ -1380,6 +1442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": _q_length_histogram,
         "top_revenue_orders": _q_top_revenue_orders,
         "events_sessionize": _q_events_sessionize,
+        "asof_attribution": _q_asof_attribution,
+        "interval_join_incidents": _q_interval_join_incidents,
         "lapsed_customers": _q_lapsed_customers,
         "events_rollup": _q_events_rollup,
         "events_props_extract": _q_events_props_extract,
@@ -1689,6 +1753,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sess_id, count(*) AS n_events,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start
             FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id
+        """,
+        "asof_attribution": """
+            WITH clicks AS (
+              SELECT event_id AS click_id, user_id, ts AS click_ts
+              FROM events WHERE event_type = 'click'
+            ), errors AS (
+              SELECT user_id, ts, event_id AS err_id, value AS err_value
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT c.click_id, c.user_id, c.click_ts,
+                   e.ts AS err_ts, e.err_id, e.err_value
+            FROM clicks c JOIN errors e
+              ON c.user_id = e.user_id AND e.ts <= c.click_ts
+            QUALIFY row_number() OVER (
+              PARTITION BY c.click_id ORDER BY e.ts DESC, e.err_id DESC) = 1
+            ORDER BY click_id
+        """,
+        "interval_join_incidents": """
+            WITH inc AS (
+              SELECT event_id AS incident_id, ts AS incident_start,
+                     ts + INTERVAL 60 MINUTE AS incident_end
+              FROM events WHERE event_type = 'error'
+              ORDER BY value DESC, event_id LIMIT 50
+            ), clicks AS (
+              SELECT event_id AS click_id, user_id, ts AS click_ts
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT c.click_id, c.user_id, c.click_ts,
+                   i.incident_id, i.incident_start
+            FROM clicks c JOIN inc i
+              ON c.click_ts >= i.incident_start AND c.click_ts < i.incident_end
+            ORDER BY click_id, incident_id
         """,
         "star_referential": """
             SELECT 'ext:lineitem' AS partition_id,
