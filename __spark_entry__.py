@@ -663,6 +663,16 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-supersets: |A∩B| / min(|A|,|B|) ≥ 0.8 — the
+    boilerplate-wrapper duplicate class symmetric Jaccard dilutes."""
+    from gbif_data_validator_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _docs_spread(spark, sf_dir), "doc_id", "text", k=3, threshold=0.8
+    ).orderBy("doc_a", "doc_b")
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gbif_data_validator_spark.operators.similarity import brute_force_topk
 
@@ -1457,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
+        "ngram_containment": _q_ngram_containment,
         "cosine_topk": _q_cosine_topk,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "dedup_survivors": _q_dedup_survivors,
@@ -1900,6 +1911,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = doc_a
             JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = doc_b
             WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "ngram_containment": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]) AS s
+              FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM documents)
+              WHERE len(words) >= 3
+            ), ex AS (
+              SELECT doc_id, unnest(s) AS g FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(n_inter AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+            FROM inter
+            JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = doc_a
+            JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = doc_b
+            WHERE CAST(n_inter AS DOUBLE) / least(sa.n, sb.n) >= 0.8
             ORDER BY doc_a, doc_b
         """,
         "cosine_topk": """

@@ -151,6 +151,49 @@ def ngram_jaccard_pairs(
     that caps both candidate fan-out AND per-reducer skew — a hot shingle's
     whole posting list lands on one reducer, so max_df is the explicit
     bound on its work."""
+    counts = _ngram_pair_counts(df, id_col, text_col, k, max_df)
+    jac = F.col("n_inter") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        counts.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """→ (doc_a, doc_b, containment) for pairs with
+    ``|A ∩ B| / min(|A|, |B|) ≥ threshold`` — the asymmetric twin of
+    ``ngram_jaccard_pairs`` (same posting-list plan, same two shuffles).
+
+    Containment is what catches NEAR-SUPERSETS: a page republished inside a
+    boilerplate wrapper has containment ≈ 1 while its Jaccard is diluted by
+    the wrapper's shingles — exactly the duplicate class symmetric Jaccard
+    misses on template-heavy web crawls."""
+    counts = _ngram_pair_counts(df, id_col, text_col, k, max_df)
+    cont = F.col("n_inter") / F.least("n_a", "n_b").cast("double")
+    return (
+        counts.withColumn("containment", cont)
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
+    )
+
+
+def _ngram_pair_counts(
+    df: DataFrame, id_col: str, text_col: str, k: int, max_df: int
+) -> DataFrame:
+    """Shared posting-list core: → (doc_a, doc_b, n_a, n_b, n_inter) with
+    doc_a < doc_b, exact shingle-set sizes and intersection counts. Two
+    shuffles, no self-join; ``max_df`` stop-shingle pruning bounds both
+    candidate fan-out and per-reducer skew."""
     sh = df.select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
     ).where(F.size("sh") > 0)
@@ -173,13 +216,6 @@ def ngram_jaccard_pairs(
         )
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
-        .withColumn(
-            "jaccard",
-            F.col("n_inter")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

@@ -51,6 +51,25 @@ def test_ngram_jaccard_exact_value(spark):
     assert len(rows) == 1 and rows[0].jaccard == 0.5
 
 
+def test_ngram_containment_catches_supersets(spark):
+    """A page wrapped in boilerplate: containment 1.0 (subset fully inside
+    the superset) while Jaccard is diluted below any useful threshold."""
+    inner = "alpha beta gamma delta epsilon zeta"
+    wrapper = (
+        "nav home about contact subscribe footer terms privacy " * 3
+        + inner
+        + " copyright sitemap rss feed archive tags search login logout"
+    )
+    df = spark.createDataFrame(
+        [(1, inner), (2, wrapper)], schema="doc_id long, text string"
+    )
+    cont = dedup.ngram_containment_pairs(df, "doc_id", "text", k=3, threshold=0.9)
+    rows = cont.collect()
+    assert len(rows) == 1 and rows[0].containment == 1.0
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.5)
+    assert jac.count() == 0  # symmetric Jaccard misses it
+
+
 def test_minhash_lsh_finds_near_dups(spark, corpus):
     pairs = dedup.minhash_lsh_pairs(
         corpus, "doc_id", "text", k=3, n_hashes=64, n_bands=16, threshold=0.5
