@@ -663,6 +663,30 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def _q_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over the bipartite customer↔supplier graph
+    (edges = co-occurrence in an order, both directions). No SQL oracle —
+    the driver contract exempts iterative algorithms; correctness is
+    pinned by tests/test_graph.py's analytic fixed-point fixtures."""
+    from gbif_data_validator_spark.operators.graph import pagerank
+
+    li = _tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    both = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        pagerank(both, iterations=5)
+        .orderBy(F.col("rank").desc(), "vertex")
+        .limit(25)
+        .select("vertex", F.round("rank", 8).alias("rank"))
+    )
+
+
 def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-supersets: |A∩B| / min(|A|,|B|) ≥ 0.8 — the
     boilerplate-wrapper duplicate class symmetric Jaccard dilutes."""
@@ -1468,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "ngram_containment": _q_ngram_containment,
+        "pagerank_entities": _q_pagerank_entities,
         "cosine_topk": _q_cosine_topk,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "dedup_survivors": _q_dedup_survivors,

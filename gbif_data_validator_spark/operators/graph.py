@@ -1,0 +1,104 @@
+"""Iterative graph analytics over DataFrames: PageRank.
+
+No reference analog (the reference validates records, not link structure);
+this is the reputation-scoring primitive web-corpus pipelines pair with
+validation — CommonCrawl-style host ranking feeds quality filters the same
+way the Gopher/C4 gates do (functions/cleaning.py), and the duplicate-
+cluster operator (operators/dedup.py::duplicate_clusters) already covers
+the other classic iterative algorithm (connected components via pointer
+doubling).
+
+Scale shape (power iteration, all DataFrame ops):
+- edges are deduped, degree-annotated and repartitioned by ``src`` ONCE,
+  then persisted — every iteration reuses that partitioning for its join
+  (one-sided shuffle of the rank table, which is |V| rows, never |E|).
+- each iteration: ranks ⋈ edges on src (contributions) → groupBy(dst) sum
+  → damping + dangling-mass redistribution. Two |V|-sized shuffles per
+  iteration; the |E|-sized side stays put.
+- dangling mass (vertices with no out-edges) is collected as ONE scalar
+  per iteration (a 1-row agg) and redistributed uniformly — ranks sum to
+  1.0 every iteration (pinned by tests), so the iteration count is the
+  only convergence knob.
+
+At 10^12 edges: the edge table partitioning amortizes across iterations,
+AQE handles reducer skew on hot dst hosts, and the driver only ever sees
+1-row aggregates. Python never touches a row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """→ (vertex, rank) after ``iterations`` of damped power iteration over
+    the directed edge list (parallel edges collapse to one; vertices = all
+    ids appearing as src or dst). Ranks sum to 1.0 at every iteration
+    (dangling mass redistributed uniformly) — the probability
+    interpretation survives, so thresholds transfer across corpus sizes."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if n_partitions:
+        e = e.repartition(n_partitions, "src")
+    else:
+        e = e.repartition("src")
+    e = e.persist()
+    verts = out_deg = None
+    try:
+        verts = (
+            e.select(F.col("src").alias("vertex"))
+            .union(e.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .persist()
+        )
+        n_v = verts.count()  # also materializes the cached edge/vertex tables
+        out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+        ranks = verts.withColumn("rank", F.lit(1.0 / n_v))
+        for i in range(iterations):
+            share = ranks.join(
+                out_deg, ranks.vertex == out_deg.src, "left"
+            ).select("vertex", "rank", "deg")
+            # dangling vertices (no out-edges): their whole rank
+            # redistributes uniformly — a 1-row agg, driver sees one float
+            dangling = (
+                share.where(F.col("deg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .first()[0]
+            )
+            contribs = (
+                share.where(F.col("deg").isNotNull())
+                .withColumn("c", F.col("rank") / F.col("deg"))
+                .join(e, F.col("vertex") == e.src)
+                .groupBy("dst")
+                .agg(F.sum("c").alias("in_mass"))
+            )
+            base = (1.0 - damping) / n_v + damping * dangling / n_v
+            ranks = verts.join(
+                contribs, verts.vertex == contribs.dst, "left"
+            ).select(
+                "vertex",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            # truncate lineage periodically: each iteration nests the full
+            # prior plan — at 10+ iterations analysis time and task-binary
+            # size blow up without this
+            if (i + 1) % 3 == 0 and i + 1 < iterations:
+                ranks = ranks.localCheckpoint(eager=True)
+        # materialize before releasing the cached inputs the plan feeds on
+        ranks = ranks.localCheckpoint(eager=True)
+        return ranks
+    finally:
+        e.unpersist()
+        for df in (verts, out_deg):
+            if df is not None:
+                df.unpersist()
