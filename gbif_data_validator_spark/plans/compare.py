@@ -1,0 +1,105 @@
+"""Run-over-run comparison — validation as CI.
+
+Reference analog: the jobserver keeps every run's JobStatusResponse on disk
+(jobserver/impl/FileJobStorage.java:53-133) but offers no comparison; real
+pipelines re-validate after every fix/append and need the DELTA: which
+checks got worse, which partitions flipped verdict. Both tables this reads
+(checkpoint lineage + persisted violations) are the engine's own outputs,
+so the comparison is pure plan over small data — no rescan of the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import checkpoint as cp
+
+
+def compare_runs(
+    spark: SparkSession, work_dir: str, run_a: str, run_b: str
+) -> dict:
+    """Delta report between two runs sharing a work_dir lineage:
+
+    - ``check_deltas``: per check_id — violation counts in A and B and the
+      delta (B − A); a positive delta on a blocking check is a regression.
+    - ``verdict_changes``: partitions whose PASS/FAIL verdict flipped,
+      with both statuses.
+    - ``fixed`` / ``regressed``: convenience lists of check_ids whose
+      count went to zero / rose from zero.
+
+    Counts come from each run's checkpoint rows (violations_by_check — the
+    durable per-partition accounting), so the comparison costs one read of
+    the #partitions-sized lineage table, never a corpus scan."""
+    cps = cp.read_checkpoints(spark, os.path.join(work_dir, "checkpoint"))
+    rows = cps.where(F.col("run_id").isin([run_a, run_b])).collect()
+    by_run: dict[str, dict[str, dict]] = {run_a: {}, run_b: {}}
+    for r in rows:
+        by_run[r.run_id][r.partition_id] = r
+
+    def counts(run: str) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for r in by_run[run].values():
+            for check, n in (r.violations_by_check or {}).items():
+                out[check] = out.get(check, 0) + n
+        return out
+
+    ca, cb = counts(run_a), counts(run_b)
+    checks = sorted(set(ca) | set(cb))
+    check_deltas = {
+        c: {"a": ca.get(c, 0), "b": cb.get(c, 0), "delta": cb.get(c, 0) - ca.get(c, 0)}
+        for c in checks
+    }
+    verdict_changes = {}
+    for pid in sorted(set(by_run[run_a]) & set(by_run[run_b])):
+        sa, sb = by_run[run_a][pid].status, by_run[run_b][pid].status
+        if sa != sb:
+            verdict_changes[pid] = {"a": sa, "b": sb}
+    return {
+        "run_a": run_a,
+        "run_b": run_b,
+        "check_deltas": check_deltas,
+        "verdict_changes": verdict_changes,
+        "fixed": [c for c in checks if ca.get(c, 0) > 0 and cb.get(c, 0) == 0],
+        "regressed": [c for c in checks if ca.get(c, 0) == 0 and cb.get(c, 0) > 0],
+    }
+
+
+def violation_diff(
+    spark: SparkSession, work_dir: str, run_a: str, run_b: str
+) -> DataFrame:
+    """Row-level symmetric diff of the two runs' persisted violations:
+    → (url, check_id, partition_id, in_a, in_b) for rows present in exactly
+    one run — the record-level answer to "what exactly changed". One
+    full-outer join over the (small) violations store, grouped first so the
+    join keys are distinct on both sides."""
+    path = os.path.join(work_dir, "violations")
+    from ..model import VIOLATIONS_SCHEMA
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(VIOLATIONS_SCHEMA.fields) + [T.StructField("_run_id", T.StringType())]
+    )
+    raw = spark.read.schema(schema).parquet(path)
+    key = ["url", "check_id", "partition_id"]
+
+    def side(run: str, flag: str) -> DataFrame:
+        return (
+            raw.where(F.col("_run_id") == run)
+            .select(*key)
+            .distinct()
+            .withColumn(flag, F.lit(True))
+        )
+
+    return (
+        side(run_a, "in_a")
+        .join(side(run_b, "in_b"), on=key, how="full_outer")
+        .select(
+            *key,
+            F.coalesce("in_a", F.lit(False)).alias("in_a"),
+            F.coalesce("in_b", F.lit(False)).alias("in_b"),
+        )
+        .where(F.col("in_a") != F.col("in_b"))
+    )

@@ -1,0 +1,62 @@
+"""Run-over-run comparison (plans/compare.py): check-count deltas, verdict
+flips, and the row-level violation diff — computed entirely from the
+work_dir's own lineage/violations tables, never a corpus rescan."""
+
+import datetime as dt
+
+from gbif_data_validator_spark.plans.compare import compare_runs, violation_diff
+from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def _pages(spark, n_bad_urls: int, bad_url=lambda i: ""):
+    rows = []
+    for i in range(80):
+        url = bad_url(i) if i < n_bad_urls else f"https://ex.org/{i}"
+        rows.append((url, dt.datetime(2024, 1, 1 + i % 28), None, "hello world", "en"))
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_compare_runs_detects_fix_and_regression(spark, tmp_path):
+    wd = str(tmp_path / "w")
+    # run A: 3 empty keys; run B: fixed to 0 but one unknown lang appears
+    ValidationEngine(
+        spark, EngineConfig(check_extraction=False, work_dir=wd, run_id="A")
+    ).run(_pages(spark, 3))
+    # the regression lands in a DIFFERENT month (LANG_UNKNOWN is blocking),
+    # so January — A's KEY_EMPTY month — must flip FAIL→PASS in B
+    fixed = _pages(spark, 0).unionByName(
+        spark.createDataFrame(
+            [("https://ex.org/zz", dt.datetime(2024, 2, 5), None, "hi there", "zz")],
+            SCHEMA,
+        )
+    )
+    ValidationEngine(
+        spark, EngineConfig(check_extraction=False, work_dir=wd, run_id="B")
+    ).run(fixed)
+
+    d = compare_runs(spark, wd, "A", "B")
+    assert d["check_deltas"]["KEY_EMPTY"] == {"a": 3, "b": 0, "delta": -3}
+    assert "KEY_EMPTY" in d["fixed"]
+    assert "LANG_UNKNOWN" in d["regressed"]
+    # the empty-key partitions flipped FAIL→PASS (KEY_EMPTY is blocking)
+    assert any(
+        v == {"a": "FAIL", "b": "PASS"} for v in d["verdict_changes"].values()
+    )
+
+
+def test_violation_diff_row_level(spark, tmp_path):
+    wd = str(tmp_path / "w")
+    # bad urls stay DISTINCT — the row-level diff keys on url
+    bad = lambda i: f"not a url {i}"
+    ValidationEngine(
+        spark, EngineConfig(check_extraction=False, work_dir=wd, run_id="A")
+    ).run(_pages(spark, 2, bad_url=bad))
+    ValidationEngine(
+        spark, EngineConfig(check_extraction=False, work_dir=wd, run_id="B")
+    ).run(_pages(spark, 0))
+    rows = violation_diff(spark, wd, "A", "B").collect()
+    gone = [r for r in rows if r.in_a and not r.in_b]
+    assert {r.check_id for r in gone} == {"URL_MALFORMED"} and len(gone) == 2
+    assert all(r.in_a != r.in_b for r in rows)  # only one-sided rows appear
