@@ -24,8 +24,15 @@ from pyspark.sql import SparkSession
 
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="gdv-validate", description=__doc__)
-    p.add_argument("--table", required=True,
-                   help="parquet path or catalog reference (db.table)")
+    p.add_argument("--table", default=None,
+                   help="parquet path or catalog reference (db.table); "
+                        "required unless --compare-runs")
+    p.add_argument("--compare-runs", nargs=2, metavar=("RUN_A", "RUN_B"),
+                   default=None,
+                   help="no validation: print the delta report between two "
+                        "runs of this --work-dir (per-check count deltas, "
+                        "fixed/regressed checks, verdict flips) and exit 0, "
+                        "or 2 if any blocking check regressed")
     p.add_argument("--work-dir", default=None,
                    help="durable run dir: violations + checkpoint tables; "
                         "enables resume (same --run-id revalidates only "
@@ -73,7 +80,24 @@ def main(argv: list[str] | None = None) -> int:
     if args.baseline_run_id and not args.work_dir:
         parser.error("--baseline-run-id requires --work-dir (the shared "
                      "checkpoint/violations store the baseline run wrote to)")
+    if args.compare_runs:
+        if not args.work_dir:
+            parser.error("--compare-runs requires --work-dir")
+    elif not args.table:
+        parser.error("--table is required (unless --compare-runs)")
     spark = SparkSession.builder.appName("gdv-validate").getOrCreate()
+
+    if args.compare_runs:
+        from .model import BLOCKING_CHECKS
+        from .plans.compare import compare_runs
+
+        delta = compare_runs(spark, args.work_dir, *args.compare_runs)
+        print(json.dumps(delta, default=str))
+        regressed_blocking = any(
+            c in BLOCKING_CHECKS and d["delta"] > 0
+            for c, d in delta["check_deltas"].items()
+        )
+        return 2 if regressed_blocking else 0
 
     kwargs = dict(
         key_col=args.key_col,

@@ -36,3 +36,25 @@ def test_main_exit_codes(spark, pages, tmp_path, capsys):
     bad = str(tmp_path / "bad")
     spark.range(3).write.parquet(bad)
     assert main(["--table", bad]) == 1
+
+
+def test_main_compare_runs_mode(spark, pages, tmp_path, capsys):
+    """--compare-runs: no validation, prints the delta report; exit 2 iff a
+    blocking check regressed (validation as CI)."""
+    from gbif_data_validator_spark.sources.synthetic import synth_pages
+
+    src = str(tmp_path / "pages")
+    pages.drop("expected_issue").write.parquet(src)
+    clean = str(tmp_path / "clean")
+    synth_pages(spark, 800, with_violations=False).drop("expected_issue").write.parquet(clean)
+    wd = str(tmp_path / "w")
+    assert main(["--table", clean, "--no-extraction", "--work-dir", wd, "--run-id", "A"]) == 0
+    assert main(["--table", src, "--no-extraction", "--work-dir", wd, "--run-id", "B"]) == 2
+    capsys.readouterr()
+
+    # B introduced blocking violations over clean A → regression → exit 2
+    assert main(["--compare-runs", "A", "B", "--work-dir", wd]) == 2
+    delta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "KEY_EMPTY" in delta["regressed"]
+    # reversed direction: everything fixed → exit 0
+    assert main(["--compare-runs", "B", "A", "--work-dir", wd]) == 0
