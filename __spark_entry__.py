@@ -1449,6 +1449,47 @@ def _q_pages_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bloom_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filtered big-big referential (the explicit runtime-filter
+    shape): bit-identical result to ``lapsed_customers``, but definite
+    misses exit at a scan-side probe and only |matches| + ~1% of orphans
+    reach the anti-join shuffle."""
+    from gbif_data_validator_spark.operators.bloom import orphan_rows_bloom
+
+    c = _tbl(spark, sf_dir, "customer")
+    recent = _tbl(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        orphan_rows_bloom(c, recent.select("o_custkey"), "c_custkey", "o_custkey")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+#: tables covered by the physical-layout audit (single parquet files in the
+#: driver's testdata — the oracle below hard-codes that 1-file layout, the
+#: Spark side measures it for real via input_file_name()).
+_AUDIT_TABLES = ("customer", "documents", "events", "lineitem", "orders")
+
+
+def _q_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout audit: per-table file census (small-file detector)
+    over input_file_name() — zero data columns read."""
+    from gbif_data_validator_spark.operators.layout import layout_audit
+
+    tables = {t: f"{sf_dir}/{t}.parquet" for t in _AUDIT_TABLES}
+    return layout_audit(spark, tables).orderBy("table")
+
+
+def _q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of lineitem.l_orderkey: top-10 heaviest groups
+    + share of total — the decision input for salting (SURVEY.md §4.2)."""
+    from gbif_data_validator_spark.operators.layout import key_skew_audit
+
+    return key_skew_audit(_tbl(spark, sf_dir, "lineitem"), "l_orderkey", top_k=10)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1529,6 +1570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "c4_clean": _q_c4_clean,
         "gopher_quality": _q_gopher_quality,
+        "bloom_lapsed_customers": _q_bloom_lapsed_customers,
+        "file_audit": _q_file_audit,
+        "skew_audit": _q_skew_audit,
         # rows-only (no SQL oracle)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -1843,6 +1887,43 @@ def oracle_sql() -> dict[str, str]:
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
             ) ORDER BY c_custkey
+        """,
+        # bloom_lapsed_customers: EXACT same semantics as lapsed_customers —
+        # the bloom pre-filter changes the physical plan, never the result.
+        "bloom_lapsed_customers": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+            ) ORDER BY c_custkey
+        """,
+        # file_audit: the driver's testdata tables are single parquet files
+        # (TESTDATA.md); the oracle hard-codes that 1-file layout while the
+        # Spark side measures it for real via input_file_name().
+        "file_audit": """
+            WITH a AS (
+              SELECT 'customer' AS t, count(*) AS n FROM customer
+              UNION ALL SELECT 'documents', count(*) FROM documents
+              UNION ALL SELECT 'events', count(*) FROM events
+              UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+              UNION ALL SELECT 'orders', count(*) FROM orders
+            )
+            SELECT t AS "table", CAST(1 AS BIGINT) AS n_files, n AS n_rows,
+                   n AS min_file_rows, n AS max_file_rows,
+                   CAST(CASE WHEN n < 100000 THEN 1 ELSE 0 END AS BIGINT)
+                     AS n_small_files
+            FROM a ORDER BY "table"
+        """,
+        "skew_audit": """
+            WITH c AS (
+              SELECT CAST(l_orderkey AS VARCHAR) AS key, count(*) AS n
+              FROM lineitem GROUP BY 1
+            ), t AS (
+              SELECT CAST(sum(n) AS DOUBLE) AS total, count(*) AS n_groups FROM c
+            )
+            SELECT key, n, round(n / total, 6) AS share, n_groups
+            FROM c CROSS JOIN t ORDER BY n DESC, key ASC LIMIT 10
         """,
         "regional_revenue": """
             SELECT n_name,

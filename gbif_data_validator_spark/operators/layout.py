@@ -1,0 +1,83 @@
+"""Physical-layout and key-skew audits — planning tools for the 100 TB run.
+
+Reference analog: the validator's "file splitter" sizing decision
+(processor/DataFileProcessorMaster.java:199-208 picks a split size so each
+actor gets a bounded chunk). On Spark the analogous planning inputs are
+(a) the parquet file-size distribution — thousands of tiny files per
+partition destroy scan throughput and driver listing time — and (b) the
+join/group key skew profile, which decides whether a key needs salting
+(SURVEY.md §4.2) before it melts one reducer.
+
+Both audits are single aggregations over metadata-cheap columns:
+``input_file_name()`` is a per-row virtual column (no extra I/O), and the
+skew audit reads only the key column (column pruning keeps the scan
+narrow). Output is O(#files) / O(k) rows — driver-safe at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def file_rowcounts(df: DataFrame, file_col: str = "file") -> DataFrame:
+    """Rows per physical input file (basename — path prefixes are
+    environment noise). One narrow scan; output has one row per file."""
+    base = F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+    return df.groupBy(base.alias(file_col)).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def layout_audit(
+    spark: SparkSession, tables: dict[str, str], small_file_rows: int = 100_000
+) -> DataFrame:
+    """Per-table file census over ``{name: path}`` parquet tables:
+    file count, min/max/total rows, and how many files fall under the
+    small-file threshold. The scan per table touches zero data columns
+    (count over input_file_name only)."""
+    parts = []
+    for name, path in sorted(tables.items()):
+        counts = file_rowcounts(spark.read.parquet(path))
+        parts.append(
+            counts.agg(
+                F.lit(name).alias("table"),
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("n_rows").alias("n_rows"),
+                F.min("n_rows").alias("min_file_rows"),
+                F.max("n_rows").alias("max_file_rows"),
+                F.sum(
+                    F.when(F.col("n_rows") < small_file_rows, 1).otherwise(0)
+                ).alias("n_small_files"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def key_skew_audit(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Top-k heaviest groups of ``key_col`` with their share of all rows —
+    the decision input for salting/AQE-skew-join. Two-phase: one groupBy
+    (map-side combinable count), then a broadcast of the single global
+    total onto the top-k rows. NULL keys count as a group (they hash to
+    one reducer too — the classic silent skew).
+
+    Deterministic: ties broken by key value ascending.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(
+        F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_n_groups")
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("key").asc_nulls_last()).limit(top_k)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+            F.col("_n_groups").alias("n_groups"),
+        )
+        .orderBy(F.col("n").desc(), F.col("key").asc_nulls_last())
+    )
