@@ -55,6 +55,82 @@ def layout_audit(
     return out
 
 
+def zorder_key(cols: list, mins: list, maxs: list, bits: int = 12):
+    """Morton (Z-order) key over numeric columns: each value is linearly
+    bucketed to [0, 2^bits) via ``width_bucket`` against its global
+    min/max, then the bucket bits are interleaved. Files written sorted by
+    this key have narrow min/max ranges on EVERY participating column, so
+    parquet row-group stats prune scans on any of them — the Column-algebra
+    form of Delta/Iceberg OPTIMIZE ZORDER (linear bucketing; quantile
+    bucketing would need a per-column global sort and is the documented
+    trade-off). ``shiftleft``/``shiftright`` take literal counts, so the
+    interleave unrolls to 2·bits·n_cols codegen-friendly bit ops."""
+    n = len(cols)
+    buckets = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        v = F.col(c).cast("double") if isinstance(c, str) else c.cast("double")
+        if hi is None or lo is None or not hi > lo:
+            buckets.append(F.lit(0).cast("bigint"))
+            continue
+        b = F.width_bucket(v, F.lit(float(lo)), F.lit(float(hi)), F.lit((1 << bits) - 1))
+        # width_bucket: NULL→NULL (sort first), 1..2^bits; shift to 0-based
+        buckets.append((F.coalesce(b, F.lit(1)) - F.lit(1)).cast("bigint"))
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def optimize_layout(
+    df: DataFrame,
+    path: str,
+    by: list[str],
+    target_rows_per_file: int = 1_000_000,
+    zorder: bool = False,
+    bits: int = 12,
+) -> int:
+    """Write ``df`` as a clustered parquet layout: ``repartitionByRange``
+    into ceil(n/target) files, each sorted by the clustering key — the
+    write-side fix for what ``layout_audit`` flags. Returns the file count.
+
+    With ``zorder=False`` files are range-clustered on ``by`` (perfect
+    skipping on the leading column). With ``zorder=True`` (numeric/
+    timestamp columns) a Morton key interleaves all of ``by``, trading a
+    little per-column locality for skipping on every column at once. Both
+    paths are one count/min-max agg + one range shuffle; the range
+    partitioner's sampling handles skew (equal-rows files, not equal-key-
+    width), so a hot key never produces a jumbo file beyond its own rows.
+    """
+    agg = [F.count(F.lit(1)).alias("_n")]
+    if zorder:
+        for c in by:
+            agg += [
+                F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
+            ]
+    stats = df.agg(*agg).collect()[0]
+    n_files = max(1, -(-int(stats["_n"]) // target_rows_per_file))
+    if zorder:
+        key = zorder_key(
+            by,
+            [stats[f"_lo_{c}"] for c in by],
+            [stats[f"_hi_{c}"] for c in by],
+            bits=bits,
+        ).alias("_zkey")
+        out = (
+            df.withColumn("_zkey", key)
+            .repartitionByRange(n_files, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+    else:
+        out = df.repartitionByRange(n_files, *by).sortWithinPartitions(*by)
+    out.write.mode("overwrite").parquet(path)
+    return n_files
+
+
 def key_skew_audit(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
     """Top-k heaviest groups of ``key_col`` with their share of all rows —
     the decision input for salting/AQE-skew-join. Two-phase: one groupBy

@@ -39,6 +39,72 @@ def test_layout_audit_flags_small_files(spark, tmp_path):
     assert out["big"]["min_file_rows"] == out["big"]["max_file_rows"] == 2000
 
 
+def _file_ranges(path: str, col: str) -> list[tuple]:
+    """Per-file (min, max) of a column from parquet footer stats — what a
+    stats-pruning scan (Spark/Iceberg/DuckDB) actually sees."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""
+        SELECT file_name, min(CAST(stats_min AS DOUBLE)), max(CAST(stats_max AS DOUBLE))
+        FROM parquet_metadata('{path}/*.parquet')
+        WHERE path_in_schema = '{col}' GROUP BY file_name
+        """
+    ).fetchall()
+    return [(r[1], r[2]) for r in rows]
+
+
+def _mean_coverage(path: str, col: str, lo: float, hi: float) -> float:
+    """Average fraction of the global [lo, hi] range a file's stats span —
+    1.0 means stats prune nothing, 1/n_files is perfect clustering."""
+    spans = _file_ranges(path, col)
+    return sum((b - a) / (hi - lo) for a, b in spans) / len(spans)
+
+
+def test_optimize_layout_range_clustering(spark, tmp_path):
+    from gbif_data_validator_spark.operators.layout import optimize_layout
+
+    df = spark.range(0, 40_000).select(
+        F.col("id").alias("x"), F.xxhash64("id").alias("noise")
+    )
+    p = str(tmp_path / "ranged")
+    n_files = optimize_layout(df, p, by=["x"], target_rows_per_file=10_000)
+    assert n_files == 4
+    cov = _mean_coverage(p, "x", 0, 39_999)
+    assert cov < 0.30  # ~0.25 ideal; a random layout would be ~1.0
+
+
+def test_optimize_layout_zorder_skips_both_columns(spark, tmp_path):
+    """Z-order: BOTH columns get narrow per-file stats; a plain (x, y)
+    sort leaves y's per-file range at ~the full domain."""
+    from gbif_data_validator_spark.operators.layout import optimize_layout
+
+    grid = spark.range(0, 65_536).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y")
+    )
+    zp, lp = str(tmp_path / "z"), str(tmp_path / "linear")
+    nz = optimize_layout(grid, zp, by=["x", "y"], target_rows_per_file=4_096, zorder=True)
+    optimize_layout(grid, lp, by=["x", "y"], target_rows_per_file=4_096)
+    assert nz == 16
+    zx, zy = _mean_coverage(zp, "x", 0, 255), _mean_coverage(zp, "y", 0, 255)
+    lx, ly = _mean_coverage(lp, "x", 0, 255), _mean_coverage(lp, "y", 0, 255)
+    assert lx < 0.15  # linear: leading column clusters perfectly…
+    assert ly > 0.8  # …but the second column prunes nothing
+    assert zx < 0.5 and zy < 0.5  # zorder: both columns prune (4x4 tiles → ~0.25)
+
+
+def test_optimize_layout_files_sorted_within(spark, tmp_path):
+    from gbif_data_validator_spark.operators.layout import optimize_layout
+
+    df = spark.range(0, 5_000).select(F.col("id").alias("x"))
+    p = str(tmp_path / "sorted")
+    optimize_layout(df, p, by=["x"], target_rows_per_file=2_500)
+    # file ranges must be disjoint (range partitioning, not hash)
+    spans = sorted(_file_ranges(p, "x"))
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo
+
+
 def test_key_skew_audit_orders_and_shares(spark):
     # key "a" ×6, "b" ×3, "c" ×1 → shares .6/.3/.1; null key counts too
     rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1 + [(None,)] * 10
