@@ -27,6 +27,23 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PAGES_PER_SF = 1_200_000
 
 
+def host_canary() -> dict:
+    """Fixed single-thread CPU workload + load average — a host-speed
+    reference so a bench number can be read against the sandbox's
+    documented invisible-throttle swings (BASELINE.md): compare
+    canary_sec across rounds before comparing suite seconds."""
+    t0 = time.time()
+    import hashlib
+
+    x = b"x" * 64
+    for _ in range(2_000_000):
+        x = hashlib.md5(x).digest() * 4
+    return {
+        "canary_sec": round(time.time() - t0, 2),
+        "load_avg_1m": round(os.getloadavg()[0], 2),
+    }
+
+
 def sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -128,6 +145,7 @@ def main() -> None:
                 "docs_per_sec": docs_per_sec,
                 "pages_rows": n_pages,
                 "cpus": CPUS,
+                "host": host_canary(),
             }
         )
     )
