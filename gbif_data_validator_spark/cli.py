@@ -68,6 +68,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "(html column is then never scanned)")
     p.add_argument("--report-json", default=None,
                    help="directory to write {run_id}.json into (S9 sink)")
+    p.add_argument("--audit-layout", action="store_true",
+                   help="no validation: print the --table's physical-layout "
+                        "audit (per-file census, small-file flags) as JSON "
+                        "and exit 0, or 3 if any small files were flagged")
+    p.add_argument("--audit-skew", metavar="KEY_COL", default=None,
+                   help="no validation: print the --table's top-10 key-skew "
+                        "profile for KEY_COL as JSON (salting decision "
+                        "input) and exit 0")
+    p.add_argument("--small-file-rows", type=int, default=100_000,
+                   help="threshold for --audit-layout's small-file flag")
     return p
 
 
@@ -98,6 +108,24 @@ def main(argv: list[str] | None = None) -> int:
             for c, d in delta["check_deltas"].items()
         )
         return 2 if regressed_blocking else 0
+
+    if args.audit_layout:
+        from .operators.layout import layout_audit
+
+        rows = layout_audit(
+            spark, {args.table: args.table}, small_file_rows=args.small_file_rows
+        ).collect()
+        out = [r.asDict() for r in rows]
+        print(json.dumps(out, default=str))
+        return 3 if any(r["n_small_files"] > 0 for r in out) else 0
+
+    if args.audit_skew:
+        from .operators.layout import key_skew_audit
+        from .sources.tables import read_table as _rt
+
+        rows = key_skew_audit(_rt(spark, args.table), args.audit_skew).collect()
+        print(json.dumps([r.asDict() for r in rows], default=str))
+        return 0
 
     kwargs = dict(
         key_col=args.key_col,

@@ -109,20 +109,28 @@ def main() -> None:
     # all of one level then all of the other correlates the noise with the
     # level — alternation decorrelates it.
     lo = hi = None
+    max_load = 0.0
     for _ in range(rounds):
         r_lo = run_at(n_lo, path, repeats)
+        max_load = max(max_load, os.getloadavg()[0])
         if lo is None or r_lo["secs"] < lo["secs"]:
             lo = r_lo
         r_hi = run_at(4 * n_lo, path, repeats)
+        max_load = max(max_load, os.getloadavg()[0])
         if hi is None or r_hi["secs"] < hi["secs"]:
             hi = r_hi
     eff = round(hi["docs_per_sec"] / (4 * lo["docs_per_sec"]), 3)
+    # Co-tenant pressure poisons the 4N level proportionally more than N
+    # (8 pinned cores contend with background load; 2 rarely do) — report
+    # the worst observed load so a sub-0.8 reading can be attributed
+    # (load >> our own 8-core job's contribution means rerun, not regress).
     print(json.dumps({
         "n_rows": n_rows,
         f"local{n_lo}": lo,
         f"local{4*n_lo}": hi,
         f"scaling_efficiency_{n_lo}_to_{4*n_lo}": eff,
         "meets_0.8": eff >= 0.8,
+        "max_load_avg_1m": round(max_load, 2),
     }))
 
 

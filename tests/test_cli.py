@@ -38,6 +38,26 @@ def test_main_exit_codes(spark, pages, tmp_path, capsys):
     assert main(["--table", bad]) == 1
 
 
+def test_main_audit_modes(spark, tmp_path, capsys):
+    """--audit-layout / --audit-skew: no validation, JSON diagnostics;
+    layout exit 3 iff small files flagged."""
+    frag = str(tmp_path / "frag")
+    spark.range(0, 900).selectExpr("id AS x", "CAST(id % 3 AS STRING) AS k").repartition(
+        3
+    ).write.parquet(frag)
+
+    assert main(["--table", frag, "--audit-layout"]) == 3
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rows[0]["n_files"] == 3 and rows[0]["n_small_files"] == 3
+
+    assert main(["--table", frag, "--audit-layout", "--small-file-rows", "10"]) == 0
+    capsys.readouterr()
+
+    assert main(["--table", frag, "--audit-skew", "k"]) == 0
+    skew = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(skew) == 3 and skew[0]["n"] == 300 and skew[0]["n_groups"] == 3
+
+
 def test_main_compare_runs_mode(spark, pages, tmp_path, capsys):
     """--compare-runs: no validation, prints the delta report; exit 2 iff a
     blocking check regressed (validation as CI)."""

@@ -105,6 +105,29 @@ def test_optimize_layout_files_sorted_within(spark, tmp_path):
         assert a_hi < b_lo
 
 
+def test_audit_optimize_audit_roundtrip(spark, tmp_path):
+    """The ops loop: audit flags a fragmented table → optimize_layout
+    rewrites it → re-audit comes back clean with identical data."""
+    from gbif_data_validator_spark.operators.layout import optimize_layout
+
+    bad = str(tmp_path / "bad")
+    spark.range(0, 10_000).select(F.col("id").alias("x")).repartition(
+        50
+    ).write.parquet(bad)
+    before = layout_audit(spark, {"t": bad}, small_file_rows=1_000).collect()[0]
+    assert before["n_files"] == 50 and before["n_small_files"] == 50
+
+    good = str(tmp_path / "good")
+    optimize_layout(spark.read.parquet(bad), good, by=["x"], target_rows_per_file=5_000)
+    after = layout_audit(spark, {"t": good}, small_file_rows=1_000).collect()[0]
+    assert after["n_files"] == 2 and after["n_small_files"] == 0
+    assert after["n_rows"] == before["n_rows"] == 10_000
+    # data unchanged, just re-clustered
+    assert (
+        spark.read.parquet(good).exceptAll(spark.read.parquet(bad)).count() == 0
+    )
+
+
 def test_key_skew_audit_orders_and_shares(spark):
     # key "a" ×6, "b" ×3, "c" ×1 → shares .6/.3/.1; null key counts too
     rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1 + [(None,)] * 10
