@@ -78,6 +78,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "input) and exit 0")
     p.add_argument("--small-file-rows", type=int, default=100_000,
                    help="threshold for --audit-layout's small-file flag")
+    p.add_argument("--compact", action="store_true",
+                   help="no validation: compact + vacuum this --work-dir's "
+                        "violations store (offline maintenance — do not run "
+                        "concurrently with validation; resuming run-ids "
+                        "older than the latest becomes unsupported)")
+    p.add_argument("--no-vacuum", action="store_true",
+                   help="with --compact: merge files only, keep all rows")
     return p
 
 
@@ -90,12 +97,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.baseline_run_id and not args.work_dir:
         parser.error("--baseline-run-id requires --work-dir (the shared "
                      "checkpoint/violations store the baseline run wrote to)")
-    if args.compare_runs:
+    if args.compare_runs or args.compact:
         if not args.work_dir:
-            parser.error("--compare-runs requires --work-dir")
+            parser.error("--compare-runs/--compact require --work-dir")
     elif not args.table:
-        parser.error("--table is required (unless --compare-runs)")
+        parser.error("--table is required (unless --compare-runs/--compact)")
     spark = SparkSession.builder.appName("gdv-validate").getOrCreate()
+
+    if args.compact:
+        from .plans.maintenance import compact_violations
+
+        print(json.dumps(
+            compact_violations(spark, args.work_dir, vacuum=not args.no_vacuum)
+        ))
+        return 0
 
     if args.compare_runs:
         from .model import BLOCKING_CHECKS

@@ -58,6 +58,18 @@ def test_main_audit_modes(spark, tmp_path, capsys):
     assert len(skew) == 3 and skew[0]["n"] == 300 and skew[0]["n_groups"] == 3
 
 
+def test_main_compact_mode(spark, pages, tmp_path, capsys):
+    src = str(tmp_path / "p")
+    pages.drop("expected_issue").write.parquet(src)
+    wd = str(tmp_path / "w")
+    main(["--table", src, "--no-extraction", "--work-dir", wd, "--run-id", "A"])
+    capsys.readouterr()
+    assert main(["--compact", "--work-dir", wd]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_rows_after"] <= stats["n_rows_before"]
+    assert stats["vacuumed"] is True
+
+
 def test_main_compare_runs_mode(spark, pages, tmp_path, capsys):
     """--compare-runs: no validation, prints the delta report; exit 2 iff a
     blocking check regressed (validation as CI)."""
