@@ -15,7 +15,13 @@ Vacuum keep-rules (mirrors the engine's read filter exactly):
      validator of that partition — the inheritable record-scoped history,
   3. every row of the overall latest finished run — its GLOBAL-scope rows
      are the chain's current uniqueness/drift findings, and a resume of
-     that run_id re-reads its own rows.
+     that run_id re-reads its own rows,
+  4. streaming-ingestion runs' rows (runs whose checkpoints are
+     ``stream:*`` batch lineage — excluded from latest_validators by
+     design) for windows NO batch run has since revalidated: the stream
+     is those windows' only validator, so its rows are live until a batch
+     backfill supersedes the window (then rule 2 covers the batch rows
+     and the stream's stale copies vacuum away).
 
 Caveats (documented like Delta VACUUM's):
   - offline maintenance only — do not run concurrently with a validation
@@ -105,6 +111,20 @@ def compact_violations(
         ).isin(inherit_keys)
         if last_run is not None:
             cond = cond | (F.col("_run_id") == last_run)
+        stream_runs = sorted(
+            r.run_id
+            for r in cp.read_checkpoints(spark, cpath)
+            .where(F.col("partition_id").startswith("stream:"))
+            .select("run_id")
+            .distinct()
+            .collect()
+        )
+        if stream_runs:
+            batch_validated = sorted(latest.keys())
+            cond = cond | (
+                F.col("_run_id").isin(stream_runs)
+                & ~F.col("partition_id").isin(batch_validated)
+            )
         keep = raw.where(cond)
 
     tag = uuid.uuid4().hex[:8]

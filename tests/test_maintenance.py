@@ -97,6 +97,53 @@ def test_compact_without_vacuum_keeps_rows(spark, tmp_path):
     assert stats["n_files_after"] < stats["n_files_before"]
 
 
+def test_vacuum_keeps_streamed_rows_until_batch_revalidates(spark, tmp_path):
+    """Streaming runs have only stream:* checkpoint lineage (excluded from
+    latest_validators), but their violation rows live under REAL window
+    ids: vacuum must keep them while the stream is a window's only
+    validator, and drop them once a batch run revalidates the window."""
+    from gbif_data_validator_spark.streaming import validate_stream as vs
+
+    wd = str(tmp_path / "wd")
+    land = str(tmp_path / "land")
+    # month-1 landing zone with one KEY_EMPTY violation
+    spark.createDataFrame(
+        [("https://s.example/1", dt.datetime(2024, 1, 5), None, "t", "en"),
+         ("", dt.datetime(2024, 1, 6), None, "t", "en")],
+        SCHEMA,
+    ).write.parquet(land)
+    stream = vs.read_pages_stream(spark, land)
+    vs.stream_validate_to_work_dir(stream, wd, run_id="s1", check_extraction=False)
+
+    # a later BATCH run on month 2 only — becomes the latest finished run
+    ValidationEngine(
+        spark, EngineConfig(check_extraction=False, work_dir=wd, run_id="B")
+    ).run(spark.createDataFrame(_month_rows(2), SCHEMA))
+
+    compact_violations(spark, wd, vacuum=True)
+    live = spark.read.parquet(wd + "/violations")
+    jan = live.where("partition_id = '2024-01'").collect()
+    assert len(jan) == 1 and jan[0]["check_id"] == "KEY_EMPTY"  # streamed row kept
+
+    # batch backfill revalidates month 1 with CLEAN data → stream's stale
+    # copy is superseded and vacuums away
+    clean_m1 = spark.createDataFrame(
+        [(f"https://c.example/{i}", dt.datetime(2024, 1, 7), None, "t", "en")
+         for i in range(5)],
+        SCHEMA,
+    )
+    ValidationEngine(
+        spark, EngineConfig(check_extraction=False, work_dir=wd, run_id="C")
+    ).run(clean_m1)
+    compact_violations(spark, wd, vacuum=True)
+    assert (
+        spark.read.parquet(wd + "/violations")
+        .where("partition_id = '2024-01'")
+        .count()
+        == 0
+    )
+
+
 def test_compact_missing_dir_is_noop(spark, tmp_path):
     assert compact_violations(spark, str(tmp_path / "nope")) == {
         "skipped": "no violations dir"
