@@ -85,6 +85,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "older than the latest becomes unsupported)")
     p.add_argument("--no-vacuum", action="store_true",
                    help="with --compact: merge files only, keep all rows")
+    p.add_argument("--history", action="store_true",
+                   help="no validation: print one JSON line per run that "
+                        "touched this --work-dir (newest first) and exit 0")
     return p
 
 
@@ -97,12 +100,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.baseline_run_id and not args.work_dir:
         parser.error("--baseline-run-id requires --work-dir (the shared "
                      "checkpoint/violations store the baseline run wrote to)")
-    if args.compare_runs or args.compact:
+    if args.compare_runs or args.compact or args.history:
         if not args.work_dir:
-            parser.error("--compare-runs/--compact require --work-dir")
+            parser.error("--compare-runs/--compact/--history require --work-dir")
     elif not args.table:
-        parser.error("--table is required (unless --compare-runs/--compact)")
+        parser.error("--table is required (unless --compare-runs/--compact/"
+                     "--history)")
     spark = SparkSession.builder.appName("gdv-validate").getOrCreate()
+
+    if args.history:
+        from .plans.compare import report_history
+
+        for r in report_history(spark, args.work_dir).collect():
+            print(json.dumps(r.asDict(), default=str))
+        return 0
 
     if args.compact:
         from .plans.maintenance import compact_violations

@@ -18,6 +18,35 @@ from pyspark.sql import functions as F
 from . import checkpoint as cp
 
 
+def report_history(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Per-run summary of every run that touched this work_dir, newest
+    first — the jobserver's FileJobStorage listing (FileJobStorage.java:
+    53-78) as one aggregation over the checkpoint lineage: run_id, time
+    span, partitions validated (stream batches counted separately),
+    row/violation totals, and the worst status. Pure plan over the
+    lineage table — no violations read, no corpus scan."""
+    cps = cp.read_checkpoints(spark, os.path.join(work_dir, "checkpoint"))
+    is_stream = F.col("partition_id").startswith("stream:")
+    is_global = F.col("partition_id") == "GLOBAL"
+    return (
+        cps.groupBy("run_id")
+        .agg(
+            F.min("started_at").alias("started_at"),
+            F.max("finished_at").alias("finished_at"),
+            F.sum(F.when(~is_stream & ~is_global, 1).otherwise(0)).alias(
+                "n_partitions"
+            ),
+            F.sum(F.when(is_stream, 1).otherwise(0)).alias("n_stream_batches"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_violations").alias("n_violations"),
+            F.max(F.when(F.col("status") == "FAIL", "FAIL"))
+            .isNotNull()
+            .alias("any_fail"),
+        )
+        .orderBy(F.col("finished_at").desc(), F.col("run_id").desc())
+    )
+
+
 def compare_runs(
     spark: SparkSession, work_dir: str, run_a: str, run_b: str
 ) -> dict:

@@ -46,6 +46,26 @@ def test_compare_runs_detects_fix_and_regression(spark, tmp_path):
     )
 
 
+def test_report_history_lists_runs_newest_first(spark, tmp_path):
+    from gbif_data_validator_spark.plans.compare import report_history
+
+    wd = str(tmp_path / "w")
+    ValidationEngine(
+        spark, EngineConfig(check_extraction=False, work_dir=wd, run_id="A")
+    ).run(_pages(spark, 2))
+    ValidationEngine(
+        spark, EngineConfig(check_extraction=False, work_dir=wd, run_id="B")
+    ).run(_pages(spark, 0))
+    hist = report_history(spark, wd).collect()
+    assert [r.run_id for r in hist] == ["B", "A"]
+    a = next(r for r in hist if r.run_id == "A")
+    b = next(r for r in hist if r.run_id == "B")
+    assert a.any_fail and not b.any_fail
+    assert a.n_violations >= 2 and b.n_violations == 0
+    assert a.n_partitions > 0 and a.n_stream_batches == 0
+    assert a.n_rows >= 80  # GLOBAL row carries the table total
+
+
 def test_violation_diff_row_level(spark, tmp_path):
     wd = str(tmp_path / "w")
     # bad urls stay DISTINCT — the row-level diff keys on url
