@@ -1402,6 +1402,17 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, q, dim=64, k=3, n_planes=6, multiprobe=6)
 
 
+def _q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ ANN (compressed-domain scale path): candidates shuffle as m
+    small ints, never raw vectors; ADC scoring from per-query lookup
+    tables. Approximate — recall vs brute force pinned in pytest."""
+    from gbif_data_validator_spark.operators.similarity import pq_ivf_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    return pq_ivf_topk(emb, q, dim=64, k=3, n_lists=8, n_probe=4)
+
+
 def _q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gbif_data_validator_spark.operators.drift import ks_drift
 
@@ -1580,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_rollup": _q_profile_rollup,
         "tdigest_profile": _q_tdigest_profile,
         "lsh_ann": _q_lsh_ann,
+        "pq_ann": _q_pq_ann,
         "drift_events": _q_drift_events,
         "pages_validation": _q_pages_validation,
     }

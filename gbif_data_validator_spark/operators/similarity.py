@@ -354,3 +354,162 @@ def semantic_dropped_clusters(
         .where(F.size("ds") > max_cluster)
         .select("cluster_id", F.size("ds").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-domain scale path
+# ---------------------------------------------------------------------------
+
+
+def _lloyd_kmeans(X: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
+    """Seeded Lloyd's k-means in numpy — deterministic (no MLlib randomness
+    surface), used per PQ subspace on a bounded driver-side sample. Empty
+    clusters reseed to the farthest point."""
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    if n <= k:
+        reps = X[rng.integers(0, n, size=k - n)] if k > n else X[:0]
+        return np.concatenate([X, reps + rng.normal(0, 1e-6, reps.shape)])[:k]
+    centers = X[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            pts = X[assign == j]
+            centers[j] = pts.mean(axis=0) if len(pts) else X[d2.min(axis=1).argmax()]
+    return centers
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 16,
+    seed: int = 42,
+    max_train: int = 20_000,
+) -> np.ndarray:
+    """(m, k_codes, dim/m) PQ codebooks: the L2-NORMALIZED vector space is
+    split into ``m`` contiguous subspaces and each gets its own k-means
+    codebook (so Σ_j <q_j, c_j(x)> approximates cosine(q, x)). Trained on a
+    bounded sample — constant cost in corpus size, like train_centroids."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    rows = corpus.select(vec_col)
+    n = rows.count()
+    if n > max_train:
+        rows = rows.sample(fraction=max_train / n, seed=seed)
+    X = np.array([np.asarray(r[0], dtype=np.float64) for r in rows.collect()])
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(norms == 0, 1.0, norms)
+    return np.stack(
+        [
+            _lloyd_kmeans(X[:, j * sub : (j + 1) * sub], k_codes, seed + j)
+            for j in range(m)
+        ]
+    )  # (m, k, sub)
+
+
+def pq_encode_udf(codebooks: np.ndarray):
+    """Pandas UDF: L2-normalize and quantize each vector to its per-subspace
+    nearest-code ids → array<int> of length m. The 100 TB win is storage and
+    shuffle volume: m small ints travel instead of dim floats (~32× at
+    dim=64, m=8), and candidate scoring never touches the raw vector."""
+    m, _, sub = codebooks.shape
+
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1.0, norms)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            xj = mat[:, j * sub : (j + 1) * sub]
+            d2 = ((xj[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return F.pandas_udf(encode, returnType="array<int>")
+
+
+def pq_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    seed: int = 42,
+    max_train: int = 20_000,
+) -> DataFrame:
+    """IVF + PQ/ADC ANN: IVF lists bound WHICH candidates are scored
+    (n_probe/n_lists of the corpus per query), PQ bounds WHAT travels —
+    the probe join carries only (neighbor_id, list_id, m codes); raw
+    embeddings never shuffle. Scoring is true ADC: per query a (m × k_codes)
+    lookup table of subvector dot products is built ONCE driver-side (the
+    query set is small by the same contract that lets brute_force_topk
+    broadcast it) and candidate scores are m table adds — no float vector
+    math per pair. → (query_id, neighbor_id, adc_cosine, rank); approximate
+    by construction, recall measured against brute_force_topk in tests."""
+    codebooks = train_pq_codebooks(corpus, vec_col, dim, m, k_codes, seed, max_train)
+    centers = train_centroids(corpus, vec_col, n_lists, seed, max_train)
+    sub = dim // m
+
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .withColumn("list_id", F.element_at(centroid_assign_udf(centers, 1)(F.col("cv")), 1))
+        .withColumn("codes", pq_encode_udf(codebooks)(F.col("cv")))
+        .drop("cv")  # the point: candidates travel as codes, not vectors
+    )
+
+    qrows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).collect()
+    luts = {}
+    for r in qrows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        nrm = np.linalg.norm(qv)
+        qv = qv / (nrm if nrm else 1.0)
+        luts[r["query_id"]] = np.stack(
+            [codebooks[j] @ qv[j * sub : (j + 1) * sub] for j in range(m)]
+        )  # (m, k_codes)
+
+    def adc(qids: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(qids) == 0:
+            return pd.Series([], dtype="float64")
+        out = np.empty(len(qids), dtype=np.float64)
+        qarr = qids.to_numpy()
+        carr = np.array([np.asarray(c, dtype=np.int64) for c in codes])
+        for qid in np.unique(qarr):
+            sel = qarr == qid
+            lut = luts[qid]
+            out[sel] = lut[np.arange(m)[None, :], carr[sel]].sum(axis=1)
+        return pd.Series(out)
+
+    adc_udf = F.pandas_udf(adc, returnType="double")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("list_id", F.explode(centroid_assign_udf(centers, n_probe)(F.col("qv")))).drop("qv")
+
+    scored = (
+        F.broadcast(q)
+        .join(c, on="list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "codes")
+        .distinct()
+        .withColumn("adc_cosine", F.round(adc_udf(F.col("query_id"), F.col("codes")), 6))
+        .drop("codes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_cosine", "rank")
+    )

@@ -209,3 +209,68 @@ def test_semantic_cluster_cap_is_loud(spark, clustered_vecs):
         clustered_vecs, n_clusters=4, max_cluster=2
     ).collect()
     assert len(dropped) == 1 and dropped[0].n_docs == 3
+
+
+def test_pq_codebooks_deterministic_and_shaped(spark, emb):
+    from gbif_data_validator_spark.operators.similarity import train_pq_codebooks
+
+    cb1 = train_pq_codebooks(emb, "embedding", dim=64, m=8, k_codes=16)
+    cb2 = train_pq_codebooks(emb, "embedding", dim=64, m=8, k_codes=16)
+    assert cb1.shape == (8, 16, 8)
+    assert (cb1 == cb2).all()  # seeded numpy Lloyd — bit-reproducible
+
+
+def test_pq_encode_compresses(spark, emb):
+    from gbif_data_validator_spark.operators.similarity import (
+        pq_encode_udf,
+        train_pq_codebooks,
+    )
+    from pyspark.sql import functions as F
+
+    cb = train_pq_codebooks(emb, "embedding", dim=64, m=8, k_codes=16)
+    codes = emb.select(pq_encode_udf(cb)(F.col("embedding")).alias("c")).collect()
+    assert all(len(r.c) == 8 for r in codes)  # 64 floats -> 8 small ints
+    assert all(0 <= v < 16 for r in codes for v in r.c)
+
+
+def test_pq_ivf_shape_on_real_embeddings(spark, emb, queries):
+    from gbif_data_validator_spark.operators.similarity import pq_ivf_topk
+
+    ann = pq_ivf_topk(emb, queries, dim=64, k=5, n_lists=8, n_probe=4).collect()
+    assert len(ann) > 0
+    assert all(r.neighbor_id != r.query_id for r in ann)
+    by_q = {}
+    for r in ann:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(ranks) == list(range(1, len(ranks) + 1)) for ranks in by_q.values())
+
+
+def test_pq_ivf_recall_on_planted_clusters(spark):
+    """Cluster mates quantize to (near-)identical codes, so ADC ranks them
+    ahead of other clusters; recall vs the exact baseline must stay high."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.similarity import pq_ivf_topk
+
+    rng = np.random.RandomState(11)
+    dim, n_clusters, per = 64, 20, 8
+    rows = []
+    for c in range(n_clusters):
+        center = rng.standard_normal(dim)
+        center /= np.linalg.norm(center)
+        for j in range(per):
+            v = center + 0.01 * rng.standard_normal(dim)
+            rows.append((c * per + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    qs = df.where(F.col("vec_id") % per == 0)
+
+    k = per - 1
+    exact = brute_force_topk(df, qs, k=k).collect()
+    ann = pq_ivf_topk(df, qs, dim=dim, k=k, n_lists=8, n_probe=4, m=8, k_codes=32).collect()
+    exact_sets, ann_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ann:
+        ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(exact_sets[q] & ann_sets.get(q, set())) / k for q in exact_sets]
+    assert sum(recalls) / len(recalls) >= 0.9
