@@ -18,10 +18,12 @@ Vacuum keep-rules (mirrors the engine's read filter exactly):
      that run_id re-reads its own rows,
   4. streaming-ingestion runs' rows (runs whose checkpoints are
      ``stream:*`` batch lineage — excluded from latest_validators by
-     design) for windows NO batch run has since revalidated: the stream
-     is those windows' only validator, so its rows are live until a batch
-     backfill supersedes the window (then rule 2 covers the batch rows
-     and the stream's stale copies vacuum away).
+     design) unless a batch run revalidated the window AFTER the stream
+     run's last batch: a batch backfill re-reads the whole table, so it
+     supersedes every streamed finding older than itself, but a stream
+     that appended into a window after its batch validation carries LIVE
+     findings for rows the batch never saw (kept conservatively at
+     stream-run granularity — rows are run-stamped, not batch-stamped).
 
 Caveats (documented like Delta VACUUM's):
   - offline maintenance only — do not run concurrently with a validation
@@ -111,19 +113,46 @@ def compact_violations(
         ).isin(inherit_keys)
         if last_run is not None:
             cond = cond | (F.col("_run_id") == last_run)
-        stream_runs = sorted(
-            r.run_id
-            for r in cp.read_checkpoints(spark, cpath)
-            .where(F.col("partition_id").startswith("stream:"))
-            .select("run_id")
-            .distinct()
+        cps = cp.read_checkpoints(spark, cpath)
+        stream_last = {
+            r.run_id: r.t
+            for r in cps.where(F.col("partition_id").startswith("stream:"))
+            .groupBy("run_id")
+            .agg(F.max("finished_at").alias("t"))
             .collect()
-        )
-        if stream_runs:
-            batch_validated = sorted(latest.keys())
+        }
+        if stream_last:
+            from pyspark.sql import Window as _W
+
+            validated_at = {
+                r.partition_id: r.finished_at
+                for r in cps.where(
+                    F.col("status").isin("PASS", "FAIL")
+                    & ~F.col("partition_id").startswith("stream:")
+                )
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        _W.partitionBy("partition_id").orderBy(
+                            F.col("finished_at").desc(), F.col("run_id")
+                        )
+                    ),
+                )
+                .where(F.col("_rn") == 1)
+                .collect()
+            }
+            # (run, window) pairs a later batch validation supersedes
+            superseded = sorted(
+                f"{pid}\x00{rid}"
+                for rid, last in stream_last.items()
+                for pid, vat in validated_at.items()
+                if vat is not None and last is not None and vat > last
+            )
             cond = cond | (
-                F.col("_run_id").isin(stream_runs)
-                & ~F.col("partition_id").isin(batch_validated)
+                F.col("_run_id").isin(sorted(stream_last))
+                & ~F.concat_ws(
+                    "\x00", F.col("partition_id"), F.col("_run_id")
+                ).isin(superseded)
             )
         keep = raw.where(cond)
 

@@ -144,6 +144,40 @@ def test_vacuum_keeps_streamed_rows_until_batch_revalidates(spark, tmp_path):
     )
 
 
+def test_vacuum_keeps_stream_rows_appended_after_batch_validation(spark, tmp_path):
+    """Reverse order: a window batch-validated FIRST, then a stream appends
+    new rows into it — the streamed findings cover rows the batch never
+    saw and must survive vacuum (supersede is timestamp-aware, not just
+    window-membership)."""
+    from gbif_data_validator_spark.streaming import validate_stream as vs
+
+    wd = str(tmp_path / "wd")
+    # batch validates month 1 (clean)
+    ValidationEngine(
+        spark, EngineConfig(check_extraction=False, work_dir=wd, run_id="B")
+    ).run(
+        spark.createDataFrame(
+            [(f"https://b.example/{i}", dt.datetime(2024, 1, 5), None, "t", "en")
+             for i in range(5)],
+            SCHEMA,
+        )
+    )
+    # stream later appends a violating row into the SAME window
+    land = str(tmp_path / "land")
+    spark.createDataFrame(
+        [("", dt.datetime(2024, 1, 20), None, "t", "en")], SCHEMA
+    ).write.parquet(land)
+    vs.stream_validate_to_work_dir(
+        vs.read_pages_stream(spark, land), wd, run_id="s2", check_extraction=False
+    )
+
+    compact_violations(spark, wd, vacuum=True)
+    jan = spark.read.parquet(wd + "/violations").where(
+        "partition_id = '2024-01'"
+    ).collect()
+    assert len(jan) == 1 and jan[0]["check_id"] == "KEY_EMPTY"
+
+
 def test_compact_missing_dir_is_noop(spark, tmp_path):
     assert compact_violations(spark, str(tmp_path / "nope")) == {
         "skipped": "no violations dir"
