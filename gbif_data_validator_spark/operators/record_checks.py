@@ -15,6 +15,8 @@ dominates bytes at 100 TB — SURVEY.md §7.4).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -40,6 +42,25 @@ def _detail(check_id: str, violated: Column, expected: Column | str, found: Colu
             found.alias("found"),
         ),
     )
+
+
+@dataclass(frozen=True)
+class CustomCheck:
+    """User-defined validation rule in Column algebra — the extension
+    surface the reference lacks (its evaluator set is fixed at build time,
+    evaluator/EvaluatorFactory.java). A custom check is one more nullable
+    detail slot in the SAME pass-1 scan: zero extra scans, zero shuffles,
+    fused by whole-stage codegen like the built-ins.
+
+    ``violated`` is a boolean Column over the pages schema; ``found`` the
+    value surfaced in the report. ``blocking=True`` adds the check to the
+    indexability blocking set for verdicts (IndexableRules analog)."""
+
+    check_id: str
+    violated: Column
+    expected: str
+    found: Column
+    blocking: bool = False
 
 
 def partition_id_col(ts: Column, n_buckets: int = 1, key: Column | None = None) -> Column:
@@ -124,6 +145,7 @@ def run_record_checks(
     key_col: str = "url",
     lang_dim: DataFrame | None = None,
     lang_col: str = "lang",
+    custom_checks: tuple = (),
 ) -> DataFrame:
     """pages → violations(url, check_id, expected, found, related_data,
     partition_id). One narrow scan, zero shuffles.
@@ -154,6 +176,12 @@ def run_record_checks(
                 f"{lang_col} present in dimension",
                 lang,
             )
+        )
+
+    for cc in custom_checks:
+        # user rules ride the same detail array — fused into this scan
+        details.append(
+            _detail(cc.check_id, cc.violated, cc.expected, cc.found.cast("string"))
         )
 
     related = F.create_map(

@@ -185,13 +185,17 @@ def build_checkpoint_tuples(
     n_rows_by_partition: dict[str, int],
     started,
     finished,
+    blocking: frozenset | None = None,
 ) -> list[tuple]:
     """CHECKPOINT_SCHEMA-shaped rows from per-partition check counts: the
     single definition of the blocking-verdict fold and tuple order, shared
     by the batch engine and the streaming sink (a drifting copy of this
-    shape is how lineage tables rot)."""
+    shape is how lineage tables rot). ``blocking`` defaults to the built-in
+    set; the engine passes its config-aware set (custom blocking checks)."""
     from ..model import BLOCKING_CHECKS
 
+    if blocking is None:
+        blocking = BLOCKING_CHECKS
     out = []
     for pid in sorted(set(counts_by_partition) | set(n_rows_by_partition)):
         checks = counts_by_partition.get(pid, {})
@@ -199,7 +203,7 @@ def build_checkpoint_tuples(
             (
                 run_id,
                 pid,
-                "FAIL" if any(k in BLOCKING_CHECKS for k in checks) else "PASS",
+                "FAIL" if any(k in blocking for k in checks) else "PASS",
                 n_rows_by_partition.get(pid, 0),
                 sum(checks.values()),
                 checks,

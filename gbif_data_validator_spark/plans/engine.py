@@ -296,8 +296,19 @@ class EngineConfig:
     cat_drift_col: str | None = None
     cat_drift_threshold: float = 0.2
     max_samples: int = 10
+    #: user-defined Column-algebra rules (operators.record_checks.CustomCheck)
+    #: fused into the pass-1 scan; blocking=True ones join the verdict
+    #: blocking set (the reference's evaluator set is fixed — this is the
+    #: extension surface)
+    custom_checks: tuple = ()
     work_dir: str | None = None  # enables persisted violations + checkpoint/resume
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+
+    @property
+    def blocking_checks(self) -> frozenset:
+        return BLOCKING_CHECKS | {
+            cc.check_id for cc in self.custom_checks if cc.blocking
+        }
 
     @property
     def violations_path(self) -> str | None:
@@ -335,6 +346,7 @@ class ValidationEngine:
             n_buckets=c.n_buckets,
             key_col=c.key_col,
             lang_dim=dim if c.check_referential else None,
+            custom_checks=c.custom_checks,
         )
         out = self._append_global_passes(out, pages)
         if c.check_drift:
@@ -489,6 +501,7 @@ class ValidationEngine:
         from .star import validate_star
 
         c = self.config
+        blocking = c.blocking_checks
         findings = preflight(core, key_col=c.key_col)
         if any(f.blocking for f in findings):
             return self._blocked_report(findings)
@@ -510,7 +523,7 @@ class ValidationEngine:
         for name, (ext, _) in extensions.items():
             table_rows[f"ext:{name}"] = ext.count()
         verdicts = {
-            pid: "FAIL" if any(k in BLOCKING_CHECKS for k in checks) else "PASS"
+            pid: "FAIL" if any(k in blocking for k in checks) else "PASS"
             for pid, checks in sorted(by_part.items())
         }
         # the CORE battery's findings carry warc_ts-window / GLOBAL partition
@@ -531,7 +544,7 @@ class ValidationEngine:
         violations.unpersist()
         return ValidationReport(
             run_id=c.run_id,
-            indexable=not any(k in BLOCKING_CHECKS for k in issue_counts),
+            indexable=not any(k in blocking for k in issue_counts),
             n_rows=n_rows,
             n_violations=sum(issue_counts.values()),
             issue_counts=issue_counts,
@@ -543,6 +556,7 @@ class ValidationEngine:
     # ------------------------------------------------------------------
     def run(self, pages: DataFrame, dim: DataFrame | None = None) -> ValidationReport:
         c = self.config
+        blocking = c.blocking_checks
         started = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
         dim = dim if dim is not None else lang_dim(self.spark)
 
@@ -705,6 +719,7 @@ class ValidationEngine:
             n_buckets=c.n_buckets,
             key_col=c.key_col,
             lang_dim=dim if c.check_referential else None,
+            custom_checks=c.custom_checks,
         )
         if not skip_global:
             # whole-table passes run over `pages`, not the pruned work-list
@@ -818,7 +833,8 @@ class ValidationEngine:
             ck_counts[GLOBAL_PARTITION] = by_part.get(GLOBAL_PARTITION, {})
             ck_nrows.setdefault(GLOBAL_PARTITION, 0)
         cp_tuples = cp.build_checkpoint_tuples(
-            c.run_id, ck_counts, ck_nrows, started, finished
+            c.run_id, ck_counts, ck_nrows, started, finished,
+            blocking=c.blocking_checks,
         )
         if c.checkpoint_path:
             from ..model import CHECKPOINT_SCHEMA
@@ -863,7 +879,7 @@ class ValidationEngine:
             n_rows = sum(part_rows.values())
 
         n_violations = sum(issue_counts.values())
-        indexable = not any(k in BLOCKING_CHECKS for k in issue_counts)
+        indexable = not any(k in blocking for k in issue_counts)
         if not c.violations_path:
             violations.unpersist()
         return ValidationReport(

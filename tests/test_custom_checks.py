@@ -1,0 +1,75 @@
+"""CustomCheck extension surface: user rules fuse into the pass-1 scan
+(no extra scan, no shuffle), flow through counts/samples/verdicts, and
+blocking=True joins the indexability fold."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gbif_data_validator_spark.operators.record_checks import (
+    CustomCheck,
+    run_record_checks,
+)
+from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def _pages(spark):
+    rows = [
+        (f"https://ex.org/{i}", dt.datetime(2024, 1, 1 + i), None,
+         "short" if i < 3 else "a perfectly reasonable document text", "en")
+        for i in range(10)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _too_short(blocking: bool = False) -> CustomCheck:
+    # Columns need a live JVM — build inside the test, not at import time
+    return CustomCheck(
+        check_id="TEXT_TOO_SHORT",
+        violated=F.length("text") < 10,
+        expected="length(text) >= 10",
+        found=F.length("text"),
+        blocking=blocking,
+    )
+
+
+def test_custom_check_rows_and_fusion(spark):
+    df = _pages(spark)
+    v = run_record_checks(df, check_extraction=False, custom_checks=(_too_short(),))
+    rows = v.where(F.col("check_id") == "TEXT_TOO_SHORT").collect()
+    assert len(rows) == 3
+    assert all(r.found == "5" and r.expected == "length(text) >= 10" for r in rows)
+    # fused: still exactly ONE scan of the source in the plan
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") <= 1
+    assert "Exchange" not in plan
+
+
+def test_non_blocking_custom_check_reports_but_indexes(spark):
+    rep = ValidationEngine(
+        spark, EngineConfig(check_extraction=False, custom_checks=(_too_short(),))
+    ).run(_pages(spark))
+    assert rep.issue_counts["TEXT_TOO_SHORT"] == 3
+    assert rep.indexable  # not in the blocking set
+    assert rep.samples["TEXT_TOO_SHORT"][0]["found"] == "5"
+
+
+def test_blocking_custom_check_flips_verdicts(spark):
+    rep = ValidationEngine(
+        spark,
+        EngineConfig(check_extraction=False, custom_checks=(_too_short(True),)),
+    ).run(_pages(spark))
+    assert not rep.indexable
+    # the three short docs are on days 1-3 of 2024-01 → that window FAILs
+    assert rep.partition_verdicts["2024-01"] == "FAIL"
+
+
+def test_custom_checks_default_off_keeps_goldens(spark):
+    rep = ValidationEngine(
+        spark, EngineConfig(check_extraction=False)
+    ).run(_pages(spark))
+    assert "TEXT_TOO_SHORT" not in rep.issue_counts and rep.indexable
