@@ -88,6 +88,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--history", action="store_true",
                    help="no validation: print one JSON line per run that "
                         "touched this --work-dir (newest first) and exit 0")
+    p.add_argument("--diff-schema", metavar="OTHER_TABLE", default=None,
+                   help="no validation: schema-evolution diff of --table vs "
+                        "OTHER_TABLE (added/removed/type_changed columns as "
+                        "JSON); exit 0 if identical, 2 otherwise — the "
+                        "pre-flight for chaining an incremental run")
     return p
 
 
@@ -107,6 +112,17 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--table is required (unless --compare-runs/--compact/"
                      "--history)")
     spark = SparkSession.builder.appName("gdv-validate").getOrCreate()
+
+    if args.diff_schema:
+        from .plans.preflight import schema_diff
+        from .sources.tables import read_table as _rt
+
+        diff = schema_diff(_rt(spark, args.table), _rt(spark, args.diff_schema))
+        print(json.dumps([
+            {"column": c, "status": s, "type_a": ta, "type_b": tb}
+            for c, s, ta, tb in diff
+        ]))
+        return 2 if diff else 0
 
     if args.history:
         from .plans.compare import report_history

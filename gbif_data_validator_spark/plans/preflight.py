@@ -69,3 +69,26 @@ def preflight(
             PreflightFinding(CheckId.RECORD_IDENTIFIER_NOT_FOUND, key_col, "absent")
         )
     return findings
+
+
+def schema_diff(a: DataFrame, b: DataFrame) -> list[tuple]:
+    """Table-vs-table schema evolution diff — the incremental-append
+    pre-flight: before chaining run N+1 onto a work_dir, confirm the new
+    month's table still matches the baseline's shape. Same check family as
+    ``preflight`` (schema vs the declared StructType) but between two live
+    tables. Pure metadata — no Spark jobs.
+
+    → sorted (column, status ∈ added|removed|type_changed, type_a, type_b)
+    tuples; empty = identical schemas (column order is NOT a difference —
+    Spark reads by name)."""
+    ta = {f.name: f.dataType.simpleString() for f in a.schema.fields}
+    tb = {f.name: f.dataType.simpleString() for f in b.schema.fields}
+    out: list[tuple] = []
+    for name in sorted(set(ta) | set(tb)):
+        if name not in tb:
+            out.append((name, "removed", ta[name], None))
+        elif name not in ta:
+            out.append((name, "added", None, tb[name]))
+        elif ta[name] != tb[name]:
+            out.append((name, "type_changed", ta[name], tb[name]))
+    return out

@@ -58,6 +58,26 @@ def test_main_audit_modes(spark, tmp_path, capsys):
     assert len(skew) == 3 and skew[0]["n"] == 300 and skew[0]["n_groups"] == 3
 
 
+def test_main_diff_schema_mode(spark, tmp_path, capsys):
+    """--diff-schema: added/removed/type_changed as JSON; exit 2 on any
+    difference, 0 when identical (column order ignored)."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(3).selectExpr("id", "CAST(id AS STRING) AS s", "id * 1.0 AS v").write.parquet(a)
+    spark.range(3).selectExpr(
+        "CAST(id AS INT) AS id", "id * 2 AS w", "CAST(id AS STRING) AS s"
+    ).write.parquet(b)
+
+    assert main(["--table", a, "--diff-schema", b]) == 2
+    diff = {d["column"]: d for d in json.loads(capsys.readouterr().out.strip().splitlines()[-1])}
+    assert diff["id"]["status"] == "type_changed" and diff["id"]["type_b"] == "int"
+    assert diff["v"]["status"] == "removed"
+    assert diff["w"]["status"] == "added"
+    assert "s" not in diff  # same name+type, different order → no diff
+
+    assert main(["--table", a, "--diff-schema", a]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == []
+
+
 def test_main_compact_mode(spark, pages, tmp_path, capsys):
     src = str(tmp_path / "p")
     pages.drop("expected_issue").write.parquet(src)
