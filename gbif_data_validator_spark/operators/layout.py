@@ -133,10 +133,12 @@ def optimize_layout(
 
 def key_skew_audit(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
     """Top-k heaviest groups of ``key_col`` with their share of all rows —
-    the decision input for salting/AQE-skew-join. Two-phase: one groupBy
-    (map-side combinable count), then a broadcast of the single global
-    total onto the top-k rows. NULL keys count as a group (they hash to
-    one reducer too — the classic silent skew).
+    the decision input for salting/AQE-skew-join. Two map-side-combinable
+    key-column-only aggregations (the grouped-counts subtree is evaluated
+    once per branch — top-k via TakeOrdered, totals via a 1-row agg;
+    caching |groups| rows to share it would cost more than the second
+    narrow scan at url-key scale). NULL keys count as a group (they hash
+    to one reducer too — the classic silent skew).
 
     Deterministic: ties broken by key value ascending.
     """

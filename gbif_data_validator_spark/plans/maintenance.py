@@ -104,6 +104,11 @@ def compact_violations(
         "n_rows_before": raw.count(),
     }
     keep = raw
+    if vacuum and cp.read_checkpoints(spark, cpath).limit(1).count() == 0:
+        # no lineage → cannot tell live rows from dead; deleting stamped
+        # rows here would be data loss, so degrade to compact-only, loudly
+        stats["vacuum_skipped"] = "no checkpoint lineage in work_dir"
+        vacuum = False
     if vacuum:
         latest = cp.latest_validators(spark, cpath)
         inherit_keys = sorted(f"{pid}\x00{rid}" for pid, rid in latest.items())

@@ -182,3 +182,18 @@ def test_compact_missing_dir_is_noop(spark, tmp_path):
     assert compact_violations(spark, str(tmp_path / "nope")) == {
         "skipped": "no violations dir"
     }
+
+
+def test_vacuum_refuses_without_checkpoint_lineage(spark, tmp_path):
+    """Violations with no checkpoint table: vacuum can't tell live rows
+    from dead — it must degrade to compact-only, never delete."""
+    wd = str(tmp_path / "wd")
+    spark.createDataFrame(
+        [("u1", "KEY_EMPTY", "e", "f", {}, "2024-01", "orphan-run")],
+        "url string, check_id string, expected string, found string, "
+        "related_data map<string,string>, partition_id string, _run_id string",
+    ).write.partitionBy("partition_id").parquet(wd + "/violations")
+    stats = compact_violations(spark, wd, vacuum=True)
+    assert stats["vacuum_skipped"] == "no checkpoint lineage in work_dir"
+    assert stats["n_rows_after"] == stats["n_rows_before"] == 1
+    assert stats["vacuumed"] is False
