@@ -50,6 +50,23 @@ from pyspark.sql import types as T
 # pure parsing layer (no Spark) — unit-testable, runs inside mapInPandas
 # ---------------------------------------------------------------------------
 
+#: decompressed-size cap for any XML member read out of a workbook zip —
+#: a sheet/content part bigger than this is a zip bomb; checked against
+#: ZipInfo.file_size BEFORE read so the bomb never inflates (zipfile
+#: verifies the header size on read, so a lying header also fails)
+_MAX_XML_MEMBER_BYTES = 256 * 1024 * 1024
+#: DOCTYPE / ENTITY declarations are rejected outright: no real workbook
+#: XML carries a DTD, and stdlib expat expands internal entities
+#: (billion-laughs) — the declaration itself is the finding
+_XML_DTD_RE = re.compile(rb"<!(?:DOCTYPE|ENTITY)", re.IGNORECASE)
+#: consecutive empty rows materialized for an xlsx row-index gap (a single
+#: cell at r=1048576 must not expand to a million rows; stop-at-blank
+#:  semantics only needs one blank row) — mirrors _ODS_EMPTY_REPEAT_CAP
+_XLSX_EMPTY_GAP_CAP = 8
+#: hard cap on 0-based cell column index (Excel's own max is 16384 cols);
+#: a crafted ref like 'AAAAAA1' must not trigger an unbounded gap fill
+_MAX_CELL_COL = 16384
+
 _XLSX_EPOCH = datetime(1899, 12, 30, tzinfo=timezone.utc)
 #: builtin numFmtIds that render as dates/times (ECMA-376 §18.8.30)
 _XLSX_DATE_FMT_IDS = frozenset(range(14, 23)) | frozenset(range(45, 48))
@@ -57,6 +74,25 @@ _XLSX_DATE_FMT_IDS = frozenset(range(14, 23)) | frozenset(range(45, 48))
 #: outside bracketed color/locale codes ([Magenta], [$-409]) — POI's
 #: isADateFormat strips both before probing
 _DATE_TOKEN_RE = re.compile(r'(?:"[^"]*")|(?:\[[^\]]*\])|([ymdhs])', re.IGNORECASE)
+
+
+def _zip_read(zf: zipfile.ZipFile, name: str) -> bytes:
+    """Read a zip member only after its DECLARED decompressed size passes
+    the bomb cap; parse failures upstream turn this into an error row."""
+    info = zf.getinfo(name)
+    if info.file_size > _MAX_XML_MEMBER_BYTES:
+        raise ValueError(
+            f"zip member too large: {name} ({info.file_size} bytes decompressed)"
+        )
+    return zf.read(name)
+
+
+def _parse_xml(data: bytes) -> ElementTree.Element:
+    """fromstring with DTD hardening: any DOCTYPE/ENTITY declaration is
+    rejected before expat sees it (entity-expansion bombs)."""
+    if _XML_DTD_RE.search(data):
+        raise ValueError("xml doctype/entity declaration rejected")
+    return ElementTree.fromstring(data)
 
 
 def detect_spreadsheet_format(payload: bytes) -> str:
@@ -73,7 +109,7 @@ def detect_spreadsheet_format(payload: bytes) -> str:
         if "content.xml" in names:
             if "mimetype" in names:
                 with zipfile.ZipFile(io.BytesIO(payload)) as zf:
-                    if b"spreadsheet" not in zf.read("mimetype"):
+                    if b"spreadsheet" not in _zip_read(zf, "mimetype"):
                         return "unsupported"
             return "ods"
         return "unsupported"
@@ -147,7 +183,7 @@ def parse_xlsx_rows(payload: bytes) -> Iterator[list[str]]:
     with zipfile.ZipFile(io.BytesIO(payload)) as zf:
         names = set(zf.namelist())
         # workbook sheet order → relationship id → worksheet part
-        wb = ElementTree.fromstring(zf.read("xl/workbook.xml"))
+        wb = _parse_xml(_zip_read(zf, "xl/workbook.xml"))
         first_rid = None
         for el in wb.iter():
             if _local(el.tag) == "sheet":
@@ -157,7 +193,7 @@ def parse_xlsx_rows(payload: bytes) -> Iterator[list[str]]:
                 break
         target = "worksheets/sheet1.xml"
         if first_rid and "xl/_rels/workbook.xml.rels" in names:
-            rels = ElementTree.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+            rels = _parse_xml(_zip_read(zf, "xl/_rels/workbook.xml.rels"))
             for rel in rels.iter():
                 if rel.attrib.get("Id") == first_rid:
                     target = rel.attrib["Target"]
@@ -166,12 +202,12 @@ def parse_xlsx_rows(payload: bytes) -> Iterator[list[str]]:
 
         shared: list[str] = []
         if "xl/sharedStrings.xml" in names:
-            ss = ElementTree.fromstring(zf.read("xl/sharedStrings.xml"))
+            ss = _parse_xml(_zip_read(zf, "xl/sharedStrings.xml"))
             shared = [_rich_text(si) for si in ss]
 
         date_styles: set[int] = set()
         if "xl/styles.xml" in names:
-            styles = ElementTree.fromstring(zf.read("xl/styles.xml"))
+            styles = _parse_xml(_zip_read(zf, "xl/styles.xml"))
             custom_date_ids = {
                 int(nf.attrib["numFmtId"])
                 for nf in styles.iter()
@@ -186,14 +222,17 @@ def parse_xlsx_rows(payload: bytes) -> Iterator[list[str]]:
                             date_styles.add(xf_idx)
                         xf_idx += 1
 
-        sheet = ElementTree.fromstring(zf.read(sheet_path))
+        sheet = _parse_xml(_zip_read(zf, sheet_path))
         prev_row = 0
         for row in sheet.iter():
             if _local(row.tag) != "row":
                 continue
             r = int(row.attrib.get("r", prev_row + 1))
-            for _ in range(prev_row + 1, r):
-                yield []  # skipped (entirely empty) sheet rows
+            # skipped (entirely empty) sheet rows — capped: stop-at-blank
+            # only needs one blank, and a lone cell parked at r=1048576
+            # must not expand into a million rows
+            for _ in range(min(r - prev_row - 1, _XLSX_EMPTY_GAP_CAP)):
+                yield []
             prev_row = r
             cells: list[str] = []
             next_col = 0
@@ -201,6 +240,8 @@ def parse_xlsx_rows(payload: bytes) -> Iterator[list[str]]:
                 if _local(c.tag) != "c":
                     continue
                 col = _xlsx_cell_col(c.attrib["r"]) if "r" in c.attrib else next_col
+                if col >= _MAX_CELL_COL:
+                    raise ValueError(f"cell column out of range: {c.attrib.get('r')}")
                 next_col = col + 1
                 while len(cells) < col:
                     cells.append("")
@@ -268,7 +309,7 @@ def parse_ods_rows(payload: bytes) -> Iterator[list[str]]:
     upstream); consecutive repeated EMPTY rows collapse to
     ``_ODS_EMPTY_REPEAT_CAP`` (stop-at-blank needs one)."""
     with zipfile.ZipFile(io.BytesIO(payload)) as zf:
-        root = ElementTree.fromstring(zf.read("content.xml"))
+        root = _parse_xml(_zip_read(zf, "content.xml"))
     table = next(iter(root.iter(_ODS_NS_TABLE + "table")), None)
     if table is None:
         return
@@ -304,7 +345,7 @@ def parse_excel_xml_rows(payload: bytes) -> Iterator[list[str]]:
     """Excel 2003 SpreadsheetML (the convertExcelXmlToCSV path): FIRST
     Worksheet/Table; ``ss:Index`` gaps fill with empty cells; DateTime cells
     pass through their ISO value."""
-    root = ElementTree.fromstring(payload)
+    root = _parse_xml(payload)
     table = next(iter(root.iter(_SSML_NS + "Table")), None)
     if table is None:
         return
@@ -313,6 +354,8 @@ def parse_excel_xml_rows(payload: bytes) -> Iterator[list[str]]:
         for cell in row.iter(_SSML_NS + "Cell"):
             idx = cell.attrib.get(_SSML_NS + "Index")
             if idx is not None:
+                if int(idx) > _MAX_CELL_COL:
+                    raise ValueError(f"cell index out of range: {idx}")
                 while len(cells) < int(idx) - 1:
                     cells.append("")
             data = next(iter(cell.iter(_SSML_NS + "Data")), None)

@@ -299,3 +299,93 @@ def test_spreadsheet_table_plan_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+# --- hardening guards (round-3 ADVICE: bombs must be findings, not OOMs) ----
+
+
+def test_zip_member_size_cap(monkeypatch):
+    """A zip member whose DECLARED decompressed size exceeds the cap is
+    rejected before inflation."""
+    from gbif_data_validator_spark.sources import spreadsheets as ss
+
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {_SHEET_NS}><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>' + "x" * 4096 + "</t></is></c></row>"
+        "</sheetData></worksheet>"
+    )
+    payload = _zip_xlsx(sheet)
+    monkeypatch.setattr(ss, "_MAX_XML_MEMBER_BYTES", 1024)
+    with pytest.raises(ValueError, match="too large"):
+        list(ss.parse_xlsx_rows(payload))
+
+
+def test_xml_doctype_rejected():
+    """DOCTYPE/ENTITY declarations (entity-expansion bombs) are rejected
+    outright — no real workbook XML carries a DTD."""
+    from gbif_data_validator_spark.sources.spreadsheets import (
+        parse_excel_xml_rows,
+        parse_xlsx_rows,
+    )
+
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<!DOCTYPE x [<!ENTITY a "aaaa"><!ENTITY b "&a;&a;&a;&a;">]>'
+        f"<worksheet {_SHEET_NS}><sheetData>"
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>&b;</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with pytest.raises(ValueError, match="doctype/entity"):
+        list(parse_xlsx_rows(_zip_xlsx(sheet)))
+    ssml = (
+        '<?xml version="1.0"?><!DOCTYPE w [<!ENTITY e "x">]>'
+        '<Workbook xmlns:ss="urn:schemas-microsoft-com:office:spreadsheet"/>'
+    )
+    with pytest.raises(ValueError, match="doctype/entity"):
+        list(parse_excel_xml_rows(ssml.encode()))
+
+
+def test_xlsx_row_gap_capped():
+    """One cell parked at r=1048576 yields a handful of blank rows (enough
+    for stop-at-blank), never a million."""
+    from gbif_data_validator_spark.sources.spreadsheets import (
+        _XLSX_EMPTY_GAP_CAP,
+        parse_xlsx_rows,
+    )
+
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {_SHEET_NS}><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>'
+        '<row r="1048576"><c r="A1048576" t="inlineStr"><is><t>tail</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    rows = list(parse_xlsx_rows(_zip_xlsx(sheet)))
+    assert rows[0] == ["h"] and rows[-1] == ["tail"]
+    assert len(rows) == 2 + _XLSX_EMPTY_GAP_CAP
+
+
+def test_cell_column_bombs_raise():
+    """A crafted column ref ('AAAAAA1') or ss:Index must not trigger an
+    unbounded empty-cell fill — raise → per-file error row upstream."""
+    from gbif_data_validator_spark.sources.spreadsheets import (
+        parse_excel_xml_rows,
+        parse_xlsx_rows,
+    )
+
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {_SHEET_NS}><sheetData>'
+        '<row r="1"><c r="AAAAAA1" t="inlineStr"><is><t>x</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        list(parse_xlsx_rows(_zip_xlsx(sheet)))
+    ssml = (
+        '<?xml version="1.0"?>'
+        '<Workbook xmlns="urn:schemas-microsoft-com:office:spreadsheet" '
+        'xmlns:ss="urn:schemas-microsoft-com:office:spreadsheet">'
+        "<Worksheet><Table><Row>"
+        '<Cell ss:Index="10000000"><Data ss:Type="String">x</Data></Cell>'
+        "</Row></Table></Worksheet></Workbook>"
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        list(parse_excel_xml_rows(ssml.encode()))
