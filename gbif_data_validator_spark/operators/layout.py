@@ -64,8 +64,17 @@ def zorder_key(cols: list, mins: list, maxs: list, bits: int = 12):
     form of Delta/Iceberg OPTIMIZE ZORDER (linear bucketing; quantile
     bucketing would need a per-column global sort and is the documented
     trade-off). ``shiftleft``/``shiftright`` take literal counts, so the
-    interleave unrolls to 2·bits·n_cols codegen-friendly bit ops."""
+    interleave unrolls to 2·bits·n_cols codegen-friendly bit ops.
+
+    ``bits * n_cols`` must fit a signed 64-bit key: JVM ``shiftleft`` wraps
+    its count mod 64, which would silently interleave bits into WRONG
+    positions (files still write, but cluster badly) — so the precision is
+    auto-reduced to ``63 // n_cols`` instead."""
     n = len(cols)
+    if bits * n > 63:
+        bits = 63 // n
+        if bits < 1:
+            raise ValueError(f"zorder_key: too many columns to interleave ({n})")
     buckets = []
     for c, lo, hi in zip(cols, mins, maxs):
         v = F.col(c).cast("double") if isinstance(c, str) else c.cast("double")

@@ -106,7 +106,7 @@ def interval_join(
     point_ts: str,
     start_col: str,
     end_col: str,
-    bucket_seconds: int = 60,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """All (point, interval) pairs with ``start <= point_ts < end``
     (half-open). Output: every point column + every interval column; a
@@ -117,15 +117,30 @@ def interval_join(
     point to its one bucket — then a plain equi-join on the bucket plus the
     exact containment filter. This is a shuffled hash/sort-merge join that
     scales linearly, where the naive range predicate plans as a
-    BroadcastNestedLoopJoin. Pick ``bucket_seconds`` near the median
-    interval length; an interval covering more than
-    ``MAX_BUCKETS_PER_INTERVAL`` buckets raises rather than exploding."""
-    us = F.lit(int(bucket_seconds) * 1_000_000)
+    BroadcastNestedLoopJoin. ``bucket_seconds=None`` (default) auto-sizes
+    to the MEDIAN interval span — one bounded 1-row agg — so a typical
+    interval explodes to ~2 buckets; an interval covering more than
+    ``MAX_BUCKETS_PER_INTERVAL`` buckets raises rather than exploding.
+
+    Degenerate intervals (``end <= start``) contain nothing under the
+    half-open semantics and are dropped BEFORE the explode — otherwise
+    ``sequence(lo, hi)`` with ``hi < lo`` emits a DESCENDING array that
+    bypasses the bucket-count guard (one dirty row, millions of spurious
+    bucket rows)."""
 
     def _epoch_us(col: str) -> F.Column:
         # unix_micros rejects TIMESTAMP_NTZ (the type parquet timestamps
         # read back as); the cast is identity under the UTC session tz
         return F.unix_micros(F.col(col).cast("timestamp"))
+
+    intervals = intervals.where(F.col(end_col) > F.col(start_col))
+    if bucket_seconds is None:
+        span_s = (_epoch_us(end_col) - _epoch_us(start_col)) / F.lit(1_000_000.0)
+        med = intervals.agg(
+            F.percentile_approx(span_s, 0.5).alias("_median_span")
+        ).first()["_median_span"]
+        bucket_seconds = max(1, int(med)) if med is not None else 60
+    us = F.lit(int(bucket_seconds) * 1_000_000)
 
     p_b = (_epoch_us(point_ts) / us).cast("long").alias("_b")
     lo = (_epoch_us(start_col) / us).cast("long")

@@ -25,11 +25,22 @@ stages cluster-wide via ``cancelJobGroup``. ``ThreadingHTTPServer`` gives
 one handler thread per request; all shared state lives in JobRunner's
 lock-guarded maps and atomic status files. The server binds an ephemeral
 port by default so tests never collide.
+
+Trust model: any client that can reach the port can submit jobs that READ
+Spark-accessible paths and WRITE under the job work dir — so the server is
+loopback-only by default, binding a non-loopback host requires an
+``auth_token`` (checked as ``Authorization: Bearer <token>`` on every
+request, constant-time compare), the filesystem-path config field
+(``work_dir``) is NOT client-settable unless ``path_prefix`` is configured,
+and with ``path_prefix`` set both the input path and any client
+``work_dir`` must normalize under that prefix (403 otherwise).
 """
 
 from __future__ import annotations
 
+import hmac
 import json
+import os.path
 import re
 import threading
 from dataclasses import fields as dc_fields
@@ -72,9 +83,25 @@ class _JobHTTPServer(ThreadingHTTPServer):
 
     daemon_threads = True
 
-    def __init__(self, addr, handler, runner: JobRunner) -> None:
+    def __init__(
+        self,
+        addr,
+        handler,
+        runner: JobRunner,
+        auth_token: str | None = None,
+        path_prefix: str | None = None,
+    ) -> None:
         self.runner = runner
+        self.auth_token = auth_token
+        self.path_prefix = (
+            os.path.normpath(path_prefix) + os.sep if path_prefix else None
+        )
         super().__init__(addr, handler)
+
+    def path_allowed(self, path: str) -> bool:
+        if self.path_prefix is None:
+            return True
+        return (os.path.normpath(path) + os.sep).startswith(self.path_prefix)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -92,8 +119,19 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *a) -> None:  # quiet: tests assert on responses
         pass
 
+    def _authorized(self) -> bool:
+        """Bearer-token check (constant-time) when the server carries a
+        token; loopback-default servers without one skip it."""
+        token = self.server.auth_token
+        if token is None:
+            return True
+        got = self.headers.get("Authorization", "")
+        return got.startswith("Bearer ") and hmac.compare_digest(got[7:], token)
+
     # -- routes ----------------------------------------------------------
     def do_POST(self) -> None:
+        if not self._authorized():
+            return self._send(401, {**FAILED_RESPONSE, "error": "unauthorized"})
         url = urlparse(self.path)
         if url.path == "/jobserver/submit":
             try:
@@ -125,6 +163,21 @@ class _Handler(BaseHTTPRequestHandler):
                 400, {**FAILED_RESPONSE, "error": f"unknown config keys: {sorted(unknown)}"}
             )
         srv = self.server
+        # filesystem-path fields: work_dir is client-settable ONLY under an
+        # explicit allowlisted prefix (a reachable client could otherwise
+        # direct violation/checkpoint writes anywhere Spark can write)
+        if "work_dir" in cfg_kwargs:
+            wd = cfg_kwargs["work_dir"]
+            if srv.path_prefix is None or not isinstance(wd, str) or not srv.path_allowed(wd):
+                return self._send(
+                    403,
+                    {**FAILED_RESPONSE,
+                     "error": "work_dir not permitted (server has no path_prefix allowlist or value outside it)"},
+                )
+        if not srv.path_allowed(path):
+            return self._send(
+                403, {**FAILED_RESPONSE, "error": "path outside the server's path_prefix"}
+            )
         try:
             # schema errors raise here (handler thread), before submit —
             # the preflight pass inside the engine catches the rest async
@@ -139,6 +192,8 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(202, srv.runner.status(job_id))
 
     def do_GET(self) -> None:
+        if not self._authorized():
+            return self._send(401, {**FAILED_RESPONSE, "error": "unauthorized"})
         m = _STATUS_RE.match(self.path)
         if m:
             job_id, kill = int(m.group(1)), bool(m.group(2))
@@ -166,10 +221,25 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(200, {"job_id": job_id, "type": out_type, "data": doc})
 
 
+def _is_loopback(host: str) -> bool:
+    if host in ("localhost", ""):
+        return True
+    try:
+        import ipaddress
+
+        return ipaddress.ip_address(host).is_loopback
+    except ValueError:
+        return False
+
+
 class ValidationServer:
     """Embeddable HTTP facade over :class:`JobRunner` (ValidationWsListener
     analog, minus the servlet container). ``port=0`` binds an ephemeral
-    port — read it back from ``.port`` after :meth:`start`."""
+    port — read it back from ``.port`` after :meth:`start`.
+
+    See the module docstring for the trust model: non-loopback binds
+    require ``auth_token``; ``path_prefix`` allowlists client-supplied
+    input paths and unlocks client-settable ``work_dir`` under it."""
 
     def __init__(
         self,
@@ -177,9 +247,19 @@ class ValidationServer:
         storage_dir: str,
         host: str = "127.0.0.1",
         port: int = 0,
+        auth_token: str | None = None,
+        path_prefix: str | None = None,
     ) -> None:
+        if auth_token is None and not _is_loopback(host):
+            raise ValueError(
+                f"refusing to bind non-loopback host {host!r} without auth_token — "
+                "any client that reaches the port can read Spark-accessible paths"
+            )
         self.runner = JobRunner(spark, storage_dir)
-        self._httpd = _JobHTTPServer((host, port), _Handler, self.runner)
+        self._httpd = _JobHTTPServer(
+            (host, port), _Handler, self.runner,
+            auth_token=auth_token, path_prefix=path_prefix,
+        )
         self._thread: threading.Thread | None = None
 
     @property

@@ -20,13 +20,20 @@ def main() -> int:
     ap.add_argument("--storage-dir", required=True, help="job status/report JSON dir")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--auth-token", default=None,
+                    help="Bearer token required on every request; MANDATORY for non-loopback --host")
+    ap.add_argument("--path-prefix", default=None,
+                    help="allowlist prefix for client-supplied input paths and work_dir")
     args = ap.parse_args()
 
     from gbif_data_validator_spark.serving import ValidationServer
     from gbif_data_validator_spark.session import build_session
 
     spark = build_session(app_name="gdv-serve")
-    srv = ValidationServer(spark, args.storage_dir, host=args.host, port=args.port).start()
+    srv = ValidationServer(
+        spark, args.storage_dir, host=args.host, port=args.port,
+        auth_token=args.auth_token, path_prefix=args.path_prefix,
+    ).start()
     print(f"gdv job server listening on http://{args.host}:{srv.port}/jobserver", flush=True)
 
     stop = threading.Event()

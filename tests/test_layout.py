@@ -156,3 +156,29 @@ def test_skew_audit_scan_is_narrow(spark, pages):
         .toString()
     )
     assert "html" not in plan
+
+
+def test_zorder_key_auto_reduces_bits(spark):
+    """bits*n_cols > 63 would hit the JVM's mod-64 shiftleft wrap and
+    silently scramble the Morton order — precision must auto-reduce so
+    every interleaved bit lands in a distinct position."""
+    from gbif_data_validator_spark.operators.layout import zorder_key
+
+    cols = [f"c{i}" for i in range(6)]
+    df = spark.createDataFrame(
+        [tuple(float(v) for _ in cols) for v in (0.0, 63.0, 511.0, 1023.0)],
+        ", ".join(f"{c} double" for c in cols),
+    )
+    # default bits=12 × 6 cols = 72 > 63 → auto-reduced to 10; the key must
+    # stay strictly monotone for rows that are monotone on every column
+    keys = [
+        r[0]
+        for r in df.select(
+            zorder_key(cols, [0.0] * 6, [1023.0] * 6).alias("z")
+        ).orderBy("c0").collect()
+    ]
+    assert keys == sorted(keys) and len(set(keys)) == len(keys)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="too many columns"):
+        zorder_key([f"x{i}" for i in range(64)], [0.0] * 64, [1.0] * 64)

@@ -122,3 +122,66 @@ def test_output_unknown_type(server, pages_path):
     code, st = _err(_get, server, f"/jobserver/output/{job_id}/dataset_blob")
     assert code == 400
     _wait_finished(server, job_id)
+
+
+# --- trust model (round-3 ADVICE) -------------------------------------------
+
+
+def test_non_loopback_requires_token(spark, tmp_path):
+    with pytest.raises(ValueError, match="auth_token"):
+        ValidationServer(spark, str(tmp_path), host="0.0.0.0")
+
+
+def test_work_dir_not_client_settable_without_prefix(server, pages_path):
+    code, st = _err(
+        _post, server, "/jobserver/submit",
+        {"path": pages_path, "config": {"work_dir": "/etc/pwned"}},
+    )
+    assert code == 403 and "work_dir" in st["error"]
+
+
+def test_auth_token_and_path_prefix(spark, tmp_path, pages_path):
+    import os
+    import urllib.request
+
+    srv = ValidationServer(
+        spark, str(tmp_path / "jobs"),
+        auth_token="s3cret", path_prefix=os.path.dirname(pages_path),
+    ).start()
+    try:
+        # unauthenticated → 401 on both verbs
+        code, st = _err(_get, srv, "/jobserver/status/1")
+        assert code == 401
+        code, st = _err(_post, srv, "/jobserver/submit", {"path": pages_path})
+        assert code == 401
+
+        def _auth_post(body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/jobserver/submit",
+                data=json.dumps(body).encode(),
+                headers={
+                    "Content-Type": "application/json",
+                    "Authorization": "Bearer s3cret",
+                },
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        # path escaping the prefix → 403; work_dir outside prefix → 403
+        code, st = _auth_post({"path": "/etc/passwd"})
+        assert code == 403 and "path" in st["error"]
+        code, st = _auth_post(
+            {"path": pages_path, "config": {"work_dir": "/tmp/elsewhere"}}
+        )
+        assert code == 403
+        # in-prefix path + in-prefix work_dir → accepted
+        wd = os.path.join(os.path.dirname(pages_path), "wd")
+        code, st = _auth_post({"path": pages_path, "config": {"work_dir": wd}})
+        assert code == 202
+        _wait_finished(srv, st["job_id"])
+    finally:
+        srv.stop()

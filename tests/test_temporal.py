@@ -129,3 +129,43 @@ def test_interval_join_bucket_bomb_raises(spark):
     pts = spark.createDataFrame([(1, _ts(1))], "pid long, ts timestamp")
     with pytest.raises(Exception, match="too many buckets"):
         interval_join(pts, iv, "ts", "lo", "hi", bucket_seconds=1).collect()
+
+
+def test_interval_join_inverted_interval_dropped(spark):
+    """end <= start contains nothing under half-open semantics; the dirty
+    row must be dropped BEFORE the explode (sequence(lo, hi) with hi < lo
+    is a descending-array row bomb that bypasses the bucket guard)."""
+    iv = spark.createDataFrame(
+        [
+            ("ok", _ts(0), _ts(10)),
+            # inverted by ~12 days: unguarded, this is a ~10^6-bucket bomb
+            ("inv", dt.datetime(2024, 1, 13), dt.datetime(2024, 1, 1)),
+            ("empty", _ts(5), _ts(5)),
+        ],
+        "wid string, lo timestamp, hi timestamp",
+    )
+    pts = spark.createDataFrame([(1, _ts(3))], "pid long, ts timestamp")
+    got = {
+        (r.pid, r.wid)
+        for r in interval_join(pts, iv, "ts", "lo", "hi", bucket_seconds=1).collect()
+    }
+    assert got == {(1, "ok")}
+
+
+def test_interval_join_auto_bucket(spark):
+    """Default bucket_seconds=None sizes buckets from the median interval
+    span (one 1-row agg) and matches the explicit-bucket result."""
+    iv = spark.createDataFrame(
+        [("w1", _ts(0), _ts(10)), ("w2", _ts(5), _ts(15)), ("w3", _ts(30), _ts(45))],
+        "wid string, lo timestamp, hi timestamp",
+    )
+    pts = spark.createDataFrame(
+        [(1, _ts(0)), (2, _ts(7)), (3, _ts(10)), (4, _ts(35)), (5, _ts(45))],
+        "pid long, ts timestamp",
+    )
+    auto = {(r.pid, r.wid) for r in interval_join(pts, iv, "ts", "lo", "hi").collect()}
+    explicit = {
+        (r.pid, r.wid)
+        for r in interval_join(pts, iv, "ts", "lo", "hi", bucket_seconds=7).collect()
+    }
+    assert auto == explicit == {(1, "w1"), (2, "w1"), (2, "w2"), (3, "w2"), (4, "w3")}
