@@ -180,6 +180,12 @@ def canonical_name(col: F.Column) -> F.Column:
     return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
 
 
+#: backbone rows above which the three tier dims stop being force-broadcast
+#: and fall back to shuffle joins — the real GBIF backbone is ~7M names, and
+#: three forced broadcasts of hundreds of MB would pin every executor
+MAX_BROADCAST_BACKBONE_ROWS = 2_000_000
+
+
 def taxon_match(
     records: DataFrame,
     backbone: DataFrame,
@@ -187,6 +193,7 @@ def taxon_match(
     rec_name_col: str = "name",
     bb_id_col: str = "taxon_id",
     bb_name_col: str = "name",
+    max_broadcast_rows: int = MAX_BROADCAST_BACKBONE_ROWS,
 ) -> DataFrame:
     """Three-tier backbone match → ``(rec_id, name, match_type,
     matched_id)`` with match_type ∈ EXACT | FUZZY | HIGHERRANK | NONE
@@ -195,11 +202,17 @@ def taxon_match(
     taxon_id so the result is deterministic.
 
     Plan: the backbone and its two derived dims (canonical form, first
-    token) are BROADCAST; the record side is scanned once with three
-    broadcast left joins — no record-side shuffle at any corpus size."""
+    token) are BROADCAST when the backbone fits (one cheap count, same
+    guard discipline as operators/bloom.py) — record side scanned once
+    with three broadcast left joins, no record-side shuffle. Past
+    ``max_broadcast_rows`` the tier joins become plain shuffle joins
+    instead of pinning every executor with a multi-hundred-MB build side
+    ×3; Catalyst/AQE still picks the physical strategy from there."""
     bb = backbone.select(
         F.col(bb_id_col).alias("_bb_id"), F.col(bb_name_col).alias("_bb_name")
     )
+    n_bb = bb.count()  # one cheap key-column-only agg, driver sees a scalar
+    hint = F.broadcast if n_bb <= max_broadcast_rows else (lambda d: d)
     exact_dim = bb.groupBy(F.col("_bb_name").alias("_ex_name")).agg(
         F.min("_bb_id").alias("_ex_id")
     )
@@ -215,10 +228,10 @@ def taxon_match(
     )
     canon = canonical_name(F.col("name"))
     out = (
-        r.join(F.broadcast(exact_dim), F.col("name") == F.col("_ex_name"), "left")
-        .join(F.broadcast(canon_dim), canon == F.col("_cn_name"), "left")
+        r.join(hint(exact_dim), F.col("name") == F.col("_ex_name"), "left")
+        .join(hint(canon_dim), canon == F.col("_cn_name"), "left")
         .join(
-            F.broadcast(token_dim),
+            hint(token_dim),
             F.get(F.split(canon, " "), 0) == F.col("_tk_name"),
             "left",
         )

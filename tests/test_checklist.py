@@ -130,3 +130,27 @@ def test_unresolved_ancestors_plan_stays_linear(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert tree.count("Join") == 7, tree
+
+
+def test_taxon_match_broadcast_guard(spark):
+    """Past max_broadcast_rows the three tier joins must NOT carry a
+    broadcast hint (an unguarded ~7M-name backbone would force three
+    multi-hundred-MB broadcasts); results are identical either way."""
+    from gbif_data_validator_spark.operators.checklist import taxon_match
+
+    backbone = spark.createDataFrame(
+        [(i, f"Genus species{i}") for i in range(1, 40)],
+        "taxon_id long, name string",
+    )
+    records = spark.createDataFrame(
+        [(1, "Genus species1"), (2, "genus SPECIES2!"), (3, "Genus unknownx"), (4, "Nope")],
+        "rec_id long, name string",
+    )
+    small = taxon_match(records, backbone)
+    big = taxon_match(records, backbone, max_broadcast_rows=10)
+    assert "ResolvedHint" not in big._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in small._jdf.queryExecution().analyzed().toString()
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(small) == key(big)
+    got = {r.rec_id: r.match_type for r in small.collect()}
+    assert got == {1: "EXACT", 2: "FUZZY", 3: "HIGHERRANK", 4: "NONE"}
