@@ -709,6 +709,24 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of deterministic multi-probe sign-LSH ANN vs
+    exact brute force — the ANN-quality pin. The LSH here is engine-
+    portable (integer-quantized vectors, LCG Rademacher hyperplanes), so
+    the DuckDB oracle reproduces the exact same buckets, candidates, and
+    recall values bit-for-bit."""
+    from gbif_data_validator_spark.operators.similarity import lsh_recall_report
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return (
+        lsh_recall_report(
+            emb, emb.where(F.col("vec_id") < 16), dim=64, k=5, n_planes=4
+        )
+        .select("query_id", "n_ann", "n_hit", F.round("recall", 6).alias("recall"))
+        .orderBy("query_id")
+    )
+
+
 def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gbif_data_validator_spark.operators.dedup import embedding_cosine_pairs
 
@@ -1101,7 +1119,7 @@ def _q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_spreadsheet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 spreadsheet converter surface: parse the committed xlsx/ods/
-    excel-xml fixture workbooks (binaryFile scan → stdlib zip/XML parse in
+    excel-xml/legacy-xls fixture workbooks (binaryFile scan → stdlib zip/XML parse in
     mapInPandas) into one string-typed table under the reference's
     semantics — first sheet, extract-while header, stop at first blank row,
     ISO-instant dates (source/SpreadsheetConverters.java:35-72,
@@ -1506,7 +1524,8 @@ def _q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # validation engine (SURVEY.md §2)
+        # reference-core validation surface (SURVEY.md §2 S/P/J/A/W rows) --
+        # these stay inside the driver's 50-query correctness window
         "term_frequency": _q_term_frequency,
         "profile_nulls_distinct": _q_profile_nulls_distinct,
         "uniqueness_lineitem": _q_uniqueness_lineitem,
@@ -1521,21 +1540,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpreted_counts": _q_interpreted_counts,
         "events_ts_unlikely": _q_events_ts_unlikely,
         "events_windows": _q_events_windows,
-        "pricing_summary": _q_pricing_summary,
-        "top_orders_per_cust": _q_top_orders_per_cust,
         "data_field_uniqueness": _q_data_field_uniqueness,
         "frequent_values": _q_frequent_values,
         "length_histogram": _q_length_histogram,
+        "top_orders_per_cust": _q_top_orders_per_cust,
+        "star_referential": _q_star_referential,
+        "lapsed_customers": _q_lapsed_customers,
+        "events_props_extract": _q_events_props_extract,
+        "profile_rollup_exact": _q_profile_rollup_exact,
+        # flagship operator families (round 2/3): one driver-checked
+        # representative per family, inside the window
+        "spreadsheet_pages": _q_spreadsheet_pages,
+        "checklist_checks": _q_checklist_checks,
+        "taxon_match": _q_taxon_match,
+        "bloom_lapsed_customers": _q_bloom_lapsed_customers,
+        "pii_scan": _q_pii_scan,
+        "c4_clean": _q_c4_clean,
+        "gopher_quality": _q_gopher_quality,
+        "lm_quality": _q_lm_quality,
+        "dsir_weights": _q_dsir_weights,
+        "cross_dedup_flags": _q_cross_dedup_flags,
+        "minhash_cross_pairs": _q_minhash_cross_pairs,
+        "file_audit": _q_file_audit,
+        "skew_audit": _q_skew_audit,
+        "minhash_pairs": _q_minhash_pairs,
+        "lexical_diversity": _q_lexical_diversity,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "strip_boilerplate": _q_strip_boilerplate,
+        "source_quota": _q_source_quota,
+        "stratified_sample": _q_stratified_sample,
+        "mix_resample": _q_mix_resample,
+        "doc_chunks": _q_doc_chunks,
+        "top_ngram": _q_top_ngram,
+        "repetition_stats": _q_repetition_stats,
+        "source_rollup": _q_source_rollup,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
+        # round-3 additions + as-of join flagship (window slots 49-50)
+        "ann_recall": _q_ann_recall,
+        "asof_attribution": _q_asof_attribution,
+        # previously driver-verified (green in CORRECTNESS_r01/r02) --
+        # intentionally past the 50-query window
+        "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
         "events_sessionize": _q_events_sessionize,
-        "asof_attribution": _q_asof_attribution,
         "interval_join_incidents": _q_interval_join_incidents,
-        "lapsed_customers": _q_lapsed_customers,
         "events_rollup": _q_events_rollup,
-        "events_props_extract": _q_events_props_extract,
         "regional_revenue": _q_regional_revenue,
-        "star_referential": _q_star_referential,
-        # training-data pipeline
         "fingerprints": _q_fingerprints,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "paragraph_dupes": _q_paragraph_dupes,
@@ -1544,13 +1595,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "ngram_containment": _q_ngram_containment,
-        "pagerank_entities": _q_pagerank_entities,
         "cosine_topk": _q_cosine_topk,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "dedup_survivors": _q_dedup_survivors,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "media_features": _q_media_features,
-        "profile_rollup_exact": _q_profile_rollup_exact,
         "simhash_pairs": _q_simhash_pairs,
         "winnow_pairs": _q_winnow_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -1558,33 +1607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "pack_bins": _q_pack_bins,
         "contamination": _q_contamination,
-        "minhash_pairs": _q_minhash_pairs,
-        "pii_scan": _q_pii_scan,
-        "repetition_stats": _q_repetition_stats,
-        "top_ngram": _q_top_ngram,
-        "stratified_sample": _q_stratified_sample,
-        "source_rollup": _q_source_rollup,
-        "boilerplate_lines": _q_boilerplate_lines,
-        "strip_boilerplate": _q_strip_boilerplate,
-        "source_quota": _q_source_quota,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "dedup_rate_by_source": _q_dedup_rate_by_source,
-        "mix_resample": _q_mix_resample,
-        "doc_chunks": _q_doc_chunks,
-        "cross_dedup_flags": _q_cross_dedup_flags,
-        "minhash_cross_pairs": _q_minhash_cross_pairs,
-        "lexical_diversity": _q_lexical_diversity,
-        "spreadsheet_pages": _q_spreadsheet_pages,
-        "checklist_checks": _q_checklist_checks,
-        "taxon_match": _q_taxon_match,
-        "lm_quality": _q_lm_quality,
-        "dsir_weights": _q_dsir_weights,
-        "c4_clean": _q_c4_clean,
-        "gopher_quality": _q_gopher_quality,
-        "bloom_lapsed_customers": _q_bloom_lapsed_customers,
-        "file_audit": _q_file_audit,
-        "skew_audit": _q_skew_audit,
-        # rows-only (no SQL oracle)
+        # rows-only (no SQL oracle by nature: LSH/ANN/sketch/iterative)
+        "pagerank_entities": _q_pagerank_entities,
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
         "semantic_dedup": _q_semantic_dedup,
@@ -2062,6 +2086,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, round(cos6, 4) AS cosine,
                    row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rank
             FROM scored QUALIFY rank <= 3 ORDER BY query_id, rank
+        """,
+        # deterministic multi-probe sign-LSH recall@5 vs exact brute force:
+        # integer-quantized vectors + LCG Rademacher hyperplanes make the
+        # buckets (and therefore the ANN picks) bit-identical across engines
+        "ann_recall": """
+            WITH qv AS (
+              SELECT vec_id, embedding,
+                     [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS q
+              FROM embeddings
+            ),
+            buck AS (
+              SELECT vec_id, embedding,
+                     list_sum([
+                       CASE WHEN list_sum([
+                         q[d + 1] * (CASE WHEN ((b * 10007 + d + 1) * 1103515245 + 12345) % 2147483648 >= 1073741824 THEN 1 ELSE -1 END)
+                         for d in range(64)]) > 0
+                       THEN 1 << b ELSE 0 END
+                       for b in range(4)]) AS bucket
+              FROM qv
+            ),
+            probes AS (
+              SELECT query_id, qe, unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8)]) AS pb
+              FROM (SELECT vec_id AS query_id, embedding AS qe, bucket AS qb FROM buck WHERE vec_id < 16)
+            ),
+            ann AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rnk
+                FROM (
+                  SELECT p.query_id, c.vec_id AS neighbor_id,
+                         round(list_cosine_similarity(CAST(p.qe AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos6
+                  FROM probes p JOIN buck c ON c.bucket = p.pb AND c.vec_id <> p.query_id
+                )
+              ) WHERE rnk <= 5
+            ),
+            exact AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rnk
+                FROM (
+                  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos6
+                  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+                  WHERE q.vec_id < 16
+                )
+              ) WHERE rnk <= 5
+            )
+            SELECT e.query_id,
+                   coalesce(a.n_ann, 0) AS n_ann,
+                   coalesce(h.n_hit, 0) AS n_hit,
+                   round(coalesce(h.n_hit, 0) * 1.0 / e.n_exact, 6) AS recall
+            FROM (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1) e
+            LEFT JOIN (SELECT query_id, count(*) AS n_ann FROM ann GROUP BY 1) a USING (query_id)
+            LEFT JOIN (
+              SELECT query_id, count(*) AS n_hit
+              FROM exact SEMI JOIN ann USING (query_id, neighbor_id) GROUP BY 1
+            ) h USING (query_id)
+            ORDER BY query_id
         """,
         "cosine_dup_pairs": """
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
@@ -2544,7 +2626,8 @@ def oracle_sql() -> dict[str, str]:
               ('pages_a.xlsx', CAST(2 AS BIGINT), 'https://example.org/b', '1991-01-01T00:00:00Z', '42', 'TRUE'),
               ('pages_b.ods',  CAST(1 AS BIGINT), 'https://example.org/c', '1990-01-02T00:00:00Z', 'dup', 'dup'),
               ('pages_b.ods',  CAST(2 AS BIGINT), 'https://example.org/d', '1991-03-04T05:06:07Z', '2.5', 'FALSE'),
-              ('pages_c.xml',  CAST(1 AS BIGINT), 'https://example.org/e', '1992-05-06T00:00:00.000Z', '', 'de')
+              ('pages_c.xml',  CAST(1 AS BIGINT), 'https://example.org/e', '1992-05-06T00:00:00.000Z', '', 'de'),
+              ('pages_d.xls',  CAST(1 AS BIGINT), 'https://example.org/f', '1990-01-02T12:00:00Z', '99', 'fr')
             ) AS t(src_name, src_row, url, warc_ts, text, lang)
             ORDER BY url
         """,

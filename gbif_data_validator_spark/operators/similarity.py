@@ -513,3 +513,131 @@ def pq_ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic (engine-portable) LSH + recall measurement
+# --------------------------------------------------------------------------
+
+#: LCG constants (glibc) driving the Rademacher hyperplanes — chosen so the
+#: identical arithmetic is expressible in ANSI SQL (the DuckDB oracle
+#: recomputes the same buckets bit-for-bit)
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2_147_483_648  # 2^31
+
+
+def det_lsh_bucket(vec, dim: int, n_planes: int = 4, scale: int = 1000):
+    """Deterministic sign-LSH bucket id (Column) for an array<float> vector.
+
+    Unlike the seeded-numpy hyperplanes above, this variant is *engine
+    portable*: components quantize to integers (``floor(x*scale)`` — floor,
+    not round, so no half-even/half-up divergence), each of ``n_planes``
+    Rademacher hyperplanes has ±1 entries derived from an LCG over
+    ``(plane, dim)``, and the projection is a pure BIGINT dot product — so
+    an ANSI-SQL oracle (DuckDB) reproduces the exact bucket for every
+    vector and the ANN result becomes a hash-checkable correctness row
+    rather than a rows-only recall test. All Column algebra, JVM-side."""
+    qv = F.transform(vec, lambda x: F.floor(x.cast("double") * scale).cast("long"))
+
+    def _dot_with_plane(b: int):
+        # closure (not a default arg — PySpark reads lambda arity)
+        def merge(acc, d):
+            # all-long arithmetic: the LCG multiply overflows int32 (ANSI throws)
+            seed = F.lit(b * 10007).cast("long") + d.cast("long") + F.lit(1).cast("long")
+            rademacher = F.when(
+                (seed * F.lit(_LCG_A).cast("long") + F.lit(_LCG_C).cast("long"))
+                % F.lit(_LCG_M).cast("long")
+                >= F.lit(_LCG_M // 2).cast("long"),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+            return acc + F.element_at(qv, d.cast("int") + 1) * rademacher
+
+        return merge
+
+    bucket = F.lit(0).cast("long")
+    for b in range(n_planes):
+        proj = F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.lit(0).cast("long"),
+            _dot_with_plane(b),
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**b)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int = 4,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Per-query recall@k of deterministic-LSH ANN against exact brute
+    force → ``(query_id, n_ann, n_hit, recall)`` — the quality pin for the
+    ANN family (SQL-expressible end to end, so the driver hash-checks it).
+
+    Plan: one narrow pass buckets the corpus (no shuffle), the (small,
+    broadcast-by-contract) query set probes its own bucket — plus, with
+    ``multiprobe=1``, every bucket one sign-flip away (bucket XOR 2^p, the
+    classic multi-probe trick: a vector near a hyperplane hashes across
+    it, so the adjacent buckets hold most of the missed neighbors) —
+    candidates rank by exact cosine inside the probed buckets, and the
+    exact top-k comes from :func:`brute_force_topk`. The brute-force side
+    is O(|Q|·|C|) — this is a measurement harness run over a bounded query
+    sample, not the serving path (that's lsh_ann/ivf_ann/pq_ann)."""
+    bucket = lambda df: det_lsh_bucket(F.col(vec_col), dim=dim, n_planes=n_planes)
+    probe_of = F.col("_qb0")
+    probes = F.array(
+        probe_of,
+        *(
+            [probe_of.bitwiseXOR(F.lit(2**p)) for p in range(n_planes)]
+            if multiprobe >= 1
+            else []
+        ),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            bucket(queries).alias("_qb0"),
+        )
+        .withColumn("_qb", F.explode(probes))
+        .drop("_qb0")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        bucket(corpus).alias("_cb"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    ann = (
+        q.join(c, (F.col("_qb") == F.col("_cb")) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("cosine", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    exact = brute_force_topk(corpus, queries, id_col=id_col, vec_col=vec_col, k=k)
+    hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann")), "query_id", "left"
+        )
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")), "query_id", "left"
+        )
+        .select(
+            "query_id",
+            F.coalesce("n_ann", F.lit(0)).alias("n_ann"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("recall"),
+        )
+    )

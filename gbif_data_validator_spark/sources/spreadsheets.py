@@ -21,9 +21,9 @@ Reference semantics preserved (OdsConverter.java:86-117,120-158):
 - an unparseable workbook is a *finding* (error row), never a crash, and
   per-file conversion stats mirror ``SpreadsheetConversionResult``.
 
-Deliberate deviation: legacy binary ``.xls`` (BIFF) is not supported — it
-needs POI's binary parser; detection reports it as ``unsupported`` so the
-preflight can emit a typed finding (the S2 media-type-detection analog).
+Legacy binary ``.xls`` (BIFF8/CFB) parses via the stdlib reader in
+``sources/xls.py`` — all four reference-accepted workbook formats flow
+through the same table semantics.
 
 Scale notes: one workbook file is one task input (binaryFile splits at file
 granularity); ``spark.sql.files.maxPartitionBytes`` bins small workbooks
@@ -114,7 +114,7 @@ def detect_spreadsheet_format(payload: bytes) -> str:
             return "ods"
         return "unsupported"
     if payload[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
-        return "xls-legacy"  # OLE2/BIFF — POI-only, declared unsupported
+        return "xls-legacy"  # OLE2/BIFF8 — parsed by sources/xls.py
     head = payload[:512].lstrip()
     if head.startswith(b"<?xml") and b"urn:schemas-microsoft-com:office:spreadsheet" in payload[:2048]:
         return "excel-xml"
@@ -369,10 +369,17 @@ def parse_excel_xml_rows(payload: bytes) -> Iterator[list[str]]:
         yield cells
 
 
+def _parse_xls_rows(payload: bytes):
+    from .xls import parse_xls_rows  # deferred: avoids a cycle at import
+
+    return parse_xls_rows(payload)
+
+
 _PARSERS = {
     "xlsx": parse_xlsx_rows,
     "ods": parse_ods_rows,
     "excel-xml": parse_excel_xml_rows,
+    "xls-legacy": _parse_xls_rows,
 }
 
 

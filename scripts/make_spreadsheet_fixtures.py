@@ -155,6 +155,115 @@ def make_excel_xml(path: str) -> None:
         f.write(doc)
 
 
+def make_xls(path: str) -> None:
+    """Minimal BIFF8-in-CFB workbook (pure stdlib, byte-deterministic).
+    The Workbook stream carries the record set sources/xls.py reads —
+    BOF/DATEMODE/FORMAT/XF/BOUNDSHEET/SST in the globals substream,
+    LABELSST/NUMBER/RK cells in the sheet — and is zero-padded past the
+    4096-byte mini-stream cutoff so the regular FAT path serves it (the
+    padding sits after the final EOF record, which no reader touches).
+    The reader itself is validated against a real Excel-written fixture
+    (the reference's occurrence-workbook.xls) so writer and reader bugs
+    can't cancel out."""
+    import struct
+
+    def rec(opcode: int, data: bytes) -> bytes:
+        return struct.pack("<HH", opcode, len(data)) + data
+
+    def xf(ifmt: int) -> bytes:
+        body = bytearray(20)
+        struct.pack_into("<H", body, 2, ifmt)
+        return rec(0x00E0, bytes(body))
+
+    sst_strings = [
+        "url", "warc_ts", "text", "lang",
+        "https://example.org/f", "fr", "https://example.org/after-blank",
+    ]
+    sst_body = struct.pack("<II", len(sst_strings), len(sst_strings))
+    for s in sst_strings:
+        sst_body += struct.pack("<HB", len(s), 0) + s.encode("latin-1")
+
+    fmt_code = "yyyy-mm-dd hh:mm"
+    bof_globals = rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    bof_sheet = rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+
+    def labelsst(row: int, col: int, isst: int, ixfe: int = 0) -> bytes:
+        return rec(0x00FD, struct.pack("<HHHI", row, col, ixfe, isst))
+
+    sheet = bof_sheet
+    for c in range(4):  # header row from SST
+        sheet += labelsst(0, c, c)
+    sheet += labelsst(1, 0, 4)
+    # B2: date-styled NUMBER (ixfe 1 → builtin fmt 14): serial 32875.5
+    sheet += rec(0x0203, struct.pack("<HHHd", 1, 1, 1, 32875.5))
+    # C2: RK integer 99 (fInt flag set)
+    sheet += rec(0x027E, struct.pack("<HHHI", 1, 2, 0, (99 << 2) | 0x02))
+    sheet += labelsst(1, 3, 5)
+    # row 2 blank (no records); row 3 must fall to stop-at-blank upstream
+    sheet += labelsst(3, 0, 6)
+    sheet += rec(0x000A, b"")
+
+    # globals need the sheet's stream offset → assemble in two passes
+    def globals_part(ply_pos: int) -> bytes:
+        name = b"pages"
+        return (
+            bof_globals
+            + rec(0x0022, struct.pack("<H", 0))  # DATEMODE 1900
+            + rec(
+                0x041E,
+                struct.pack("<HHB", 164, len(fmt_code), 0) + fmt_code.encode(),
+            )
+            + xf(0) + xf(14) + xf(164)
+            + rec(0x0085, struct.pack("<IHB", ply_pos, 0, len(name)) + b"\x00" + name)
+            + rec(0x00FC, sst_body)
+            + rec(0x000A, b"")
+        )
+
+    ply = len(globals_part(0))
+    stream = globals_part(ply) + sheet
+    stream += b"\x00" * max(0, 4096 + 1 - len(stream))  # past the mini cutoff
+
+    # --- CFB container: sector 0 = FAT, sector 1 = directory, 2.. = stream
+    sec = 512
+    n_stream_secs = -(-len(stream) // sec)
+    FREE, END, FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+    fat = [FATSECT, END] + [2 + i + 1 for i in range(n_stream_secs - 1)] + [END]
+    fat += [FREE] * (sec // 4 - len(fat))
+    fat_sector = struct.pack(f"<{sec // 4}I", *fat)
+
+    def dirent(name: str, typ: int, start: int, size: int, child: int) -> bytes:
+        raw = name.encode("utf-16-le")
+        e = bytearray(128)
+        e[0 : len(raw)] = raw
+        struct.pack_into("<H", e, 64, len(raw) + 2)
+        e[66] = typ
+        e[67] = 1  # black
+        struct.pack_into("<iii", e, 68, -1, -1, child)
+        struct.pack_into("<II", e, 116, start, size)
+        return bytes(e)
+
+    directory = (
+        dirent("Root Entry", 5, END, 0, 1)
+        + dirent("Workbook", 2, 2, len(stream), -1)
+        + bytes(128) * 2
+    )
+
+    header = bytearray(512)
+    header[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<HHHHH", header, 24, 0x003E, 0x0003, 0xFFFE, 9, 6)
+    struct.pack_into("<I", header, 44, 1)  # one FAT sector
+    struct.pack_into("<I", header, 48, 1)  # directory starts at sector 1
+    struct.pack_into("<I", header, 56, 4096)  # mini cutoff
+    struct.pack_into("<II", header, 60, END, 0)  # no miniFAT
+    struct.pack_into("<II", header, 68, END, 0)  # no DIFAT sectors
+    struct.pack_into("<109I", header, 76, 0, *([FREE] * 108))
+
+    body = fat_sector + directory + stream
+    body += b"\x00" * (-len(body) % sec)
+    with open(path, "wb") as f:
+        f.write(bytes(header) + body)
+
+
 def make_corrupt(path: str) -> None:
     with open(path, "wb") as f:
         f.write(b"PK\x03\x04 this is not really a zip archive")
@@ -165,6 +274,7 @@ def main() -> None:
     make_xlsx(os.path.join(OUT, "pages_a.xlsx"))
     make_ods(os.path.join(OUT, "pages_b.ods"))
     make_excel_xml(os.path.join(OUT, "pages_c.xml"))
+    make_xls(os.path.join(OUT, "pages_d.xls"))
     make_corrupt(os.path.join(OUT, "broken.xlsx"))
     print("wrote fixtures to", os.path.abspath(OUT))
 

@@ -18,8 +18,18 @@ def test_query_names_are_stable_identifiers():
 def test_contract_counts():
     """Keep an explicit floor so a refactor can't silently drop coverage."""
     qs, oracles = entry.queries(), entry.oracle_sql()
-    assert len(qs) >= 85, len(qs)
-    assert len(oracles) >= 75, len(oracles)
+    assert len(qs) >= 86, len(qs)
+    assert len(oracles) >= 76, len(oracles)
+
+
+def test_driver_window_fully_oracled():
+    """The driver hash-checks only the FIRST 50 queries() entries — every
+    one of those slots must carry a SQL oracle (rows-only queries belong
+    past the window; see the ordering comments in queries())."""
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    window = list(qs)[:50]
+    unoracled = [n for n in window if n not in oracles]
+    assert not unoracled, f"window entries without oracle: {unoracled}"
 
 
 def test_entry_is_a_registered_query(spark):

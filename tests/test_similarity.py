@@ -274,3 +274,26 @@ def test_pq_ivf_recall_on_planted_clusters(spark):
         ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [len(exact_sets[q] & ann_sets.get(q, set())) / k for q in exact_sets]
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_det_lsh_recall_report(spark):
+    """Deterministic LSH recall: engine-portable buckets (the DuckDB
+    oracle reproduces them), multiprobe never hurts recall, and the
+    report's counters are internally consistent."""
+    from gbif_data_validator_spark.operators.similarity import lsh_recall_report
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8)
+    probe = lsh_recall_report(emb, q, dim=64, k=5, n_planes=4, multiprobe=1)
+    single = lsh_recall_report(emb, q, dim=64, k=5, n_planes=4, multiprobe=0)
+    p = {r.query_id: r for r in probe.collect()}
+    s = {r.query_id: r for r in single.collect()}
+    assert set(p) == set(s) and len(p) == 8
+    for qid in p:
+        assert 0 <= p[qid].n_hit <= p[qid].n_ann <= 5
+        assert p[qid].recall == p[qid].n_hit / 5.0
+        # probing adjacent buckets can only add candidates
+        assert p[qid].n_hit >= s[qid].n_hit
+    # determinism: a second run is identical
+    again = {r.query_id: tuple(r) for r in lsh_recall_report(emb, q, dim=64, k=5, n_planes=4).collect()}
+    assert again == {k: tuple(v) for k, v in p.items()}

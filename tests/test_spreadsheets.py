@@ -240,7 +240,9 @@ def test_read_spreadsheet_files_rows_and_errors(spark):
     by_file = {}
     for r in rows:
         by_file.setdefault(os.path.basename(r.src_file), []).append(r)
-    assert set(by_file) == {"pages_a.xlsx", "pages_b.ods", "pages_c.xml", "broken.xlsx"}
+    assert set(by_file) == {
+        "pages_a.xlsx", "pages_b.ods", "pages_c.xml", "pages_d.xls", "broken.xlsx"
+    }
     # corrupt file: exactly one error row, no cells — a finding, not a crash
     (err,) = by_file["broken.xlsx"]
     assert err.error and err.cells is None and err.fmt is None
@@ -262,6 +264,7 @@ def test_spreadsheet_table_unified(spark):
         ("https://example.org/c", "1990-01-02T00:00:00Z", "dup", "dup"),
         ("https://example.org/d", "1991-03-04T05:06:07Z", "2.5", "FALSE"),
         ("https://example.org/e", "1992-05-06T00:00:00.000Z", "", "de"),
+        ("https://example.org/f", "1990-01-02T12:00:00Z", "99", "fr"),
     }
     # every value is a string — the reference's string-until-interpreted model
     assert all(f.dataType.simpleString() == "string" for f in df.schema.fields[2:])
@@ -290,6 +293,7 @@ def test_conversion_results(spark):
     assert res["broken.xlsx"].error is not None and res["broken.xlsx"].n_lines == 0
     assert res["pages_a.xlsx"].fmt == "xlsx" and res["pages_a.xlsx"].n_lines == 5
     assert res["pages_c.xml"].fmt == "excel-xml" and res["pages_c.xml"].n_lines == 2
+    assert res["pages_d.xls"].fmt == "xls-legacy" and res["pages_d.xls"].n_lines == 4
 
 
 def test_spreadsheet_table_plan_shape(spark):
