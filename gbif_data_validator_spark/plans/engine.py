@@ -301,6 +301,16 @@ class EngineConfig:
     #: blocking set (the reference's evaluator set is fixed — this is the
     #: extension surface)
     custom_checks: tuple = ()
+    #: exact-duplicate cluster summary in report.metrics["dup_clusters"]
+    #: (n_docs/n_distinct/n_dup_clusters/max_cluster/dup_rate); adds one
+    #: text-column scan + a digest groupBy when enabled
+    cluster_summary: bool = False
+    #: host→host link-graph PageRank summary in
+    #: report.metrics["host_graph"] (top hosts by reputation); adds one
+    #: html-bearing scan + graph_iterations iterative jobs when enabled
+    graph_summary: bool = False
+    graph_iterations: int = 5
+    graph_top_k: int = 10
     work_dir: str | None = None  # enables persisted violations + checkpoint/resume
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
 
@@ -882,6 +892,12 @@ class ValidationEngine:
         indexable = not any(k in blocking for k in issue_counts)
         if not c.violations_path:
             violations.unpersist()
+        # Optional first-class summaries (config-gated like drift — a
+        # disabled pass costs nothing; enabling adds its own scans)
+        if c.cluster_summary:
+            metrics["dup_clusters"] = self._cluster_summary(pages)
+        if c.graph_summary and "html" in pages.columns:
+            metrics["host_graph"] = self._graph_summary(pages)
         return ValidationReport(
             run_id=c.run_id,
             indexable=indexable,
@@ -892,3 +908,71 @@ class ValidationEngine:
             metrics=metrics,
             partition_verdicts=verdicts,
         )
+
+    def _cluster_summary(self, pages: DataFrame) -> dict:
+        """Exact-duplicate cluster summary folded into the report metrics
+        (config: ``cluster_summary``) — the engine-citizen face of
+        operators/dedup.py's fingerprint family. One text-column scan, one
+        digest groupBy, a 1-row agg; the driver sees five scalars."""
+        c = self.config
+        groups = (
+            pages.select(
+                F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("_digest")
+            )
+            .groupBy("_digest")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        row = groups.agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.coalesce(
+                F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)), F.lit(0)
+            ).alias("n_dup_clusters"),
+            F.coalesce(F.max("_n"), F.lit(0)).alias("max_cluster"),
+        ).first()
+        n_docs = int(row["n_docs"])
+        return {
+            "n_docs": n_docs,
+            "n_distinct": int(row["n_distinct"]) if n_docs else 0,
+            "n_dup_clusters": int(row["n_dup_clusters"]),
+            "max_cluster": int(row["max_cluster"]),
+            "dup_rate": (n_docs - int(row["n_distinct"])) / n_docs if n_docs else 0.0,
+        }
+
+    def _graph_summary(self, pages: DataFrame) -> dict:
+        """Host-level link-reputation summary (config: ``graph_summary``) —
+        hrefs regex-extracted from ``html`` JVM-side, collapsed to a
+        host→host edge list, ranked by operators/graph.py's PageRank.
+        Driver collects only ``graph_top_k`` rows + two scalars; the edge
+        scan is the one html-bearing scan the flag buys."""
+        from ..functions.url import url_host
+        from ..operators.graph import pagerank
+
+        c = self.config
+        src = url_host(F.col(c.key_col))
+        href = F.explode(
+            F.regexp_extract_all(
+                F.col("html").cast("string"),
+                F.lit(r"""(?i)href\s*=\s*["']([^"']+)["']"""),
+                F.lit(1),
+            )
+        ).alias("_href")
+        edges = (
+            pages.where(F.col("html").isNotNull())
+            .select(src.alias("src"), href)
+            .select("src", url_host(F.col("_href")).alias("dst"))
+            .where(
+                (F.col("src") != "") & (F.col("dst") != "")
+                & (F.col("src") != F.col("dst"))
+            )
+        )
+        if edges.limit(1).count() == 0:
+            return {"n_hosts": 0, "top_hosts": []}
+        ranks = pagerank(edges, iterations=c.graph_iterations)
+        top = ranks.orderBy(F.desc("rank"), "vertex").limit(c.graph_top_k).collect()
+        return {
+            "n_hosts": ranks.count(),
+            "top_hosts": [
+                {"host": r["vertex"], "rank": float(r["rank"])} for r in top
+            ],
+        }

@@ -142,3 +142,72 @@ def test_chain_builder_toggles(spark, pages_path):
     v = ValidationEngine(spark, cfg).build_violations(pages, lang_dim(spark))
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan
+
+
+def test_cluster_and_graph_summaries(spark):
+    """Config-gated report summaries (round-3): exact-dup clusters and
+    host-PageRank become first-class engine citizens like drift — off by
+    default (metrics untouched), exact scalars when on."""
+    import datetime as dt
+
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    ts = dt.datetime(2024, 1, 2, 3, 4, 5)
+    rows = [
+        # a.example links to b and c; b links to c — c should rank top
+        ("https://a.example/1", ts, b'<a href="https://b.example/x">b</a><a href="https://c.example/y">c</a>', "dup text", "en"),
+        ("https://a.example/2", ts, b'<a href="https://c.example/z">c</a>', "dup text", "en"),
+        ("https://b.example/1", ts, b"<a href='https://c.example/w'>c</a>", "dup text", "en"),
+        ("https://c.example/1", ts, b"<p>no links</p>", "unique one", "en"),
+        ("https://c.example/2", ts, None, "unique two", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    off = ValidationEngine(
+        spark, EngineConfig(check_extraction=False, check_drift=False)
+    ).run(pages)
+    assert "dup_clusters" not in off.metrics and "host_graph" not in off.metrics
+
+    rep = ValidationEngine(
+        spark,
+        EngineConfig(
+            check_extraction=False,
+            check_drift=False,
+            cluster_summary=True,
+            graph_summary=True,
+            graph_iterations=8,
+            graph_top_k=2,
+        ),
+    ).run(pages)
+    dc = rep.metrics["dup_clusters"]
+    assert dc == {
+        "n_docs": 5,
+        "n_distinct": 3,
+        "n_dup_clusters": 1,
+        "max_cluster": 3,
+        "dup_rate": 0.4,
+    }
+    hg = rep.metrics["host_graph"]
+    assert hg["n_hosts"] == 3 and len(hg["top_hosts"]) == 2
+    assert hg["top_hosts"][0]["host"] == "c.example"  # most linked-to
+    assert hg["top_hosts"][0]["rank"] > hg["top_hosts"][1]["rank"]
+
+
+def test_graph_summary_no_edges(spark):
+    """A corpus with no parseable links reports an empty summary, not a
+    crash or a degenerate PageRank run."""
+    import datetime as dt
+
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    ts = dt.datetime(2024, 1, 2)
+    pages = spark.createDataFrame(
+        [("https://a.example/1", ts, b"<p>plain</p>", "t", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    rep = ValidationEngine(
+        spark,
+        EngineConfig(check_extraction=False, check_drift=False, graph_summary=True),
+    ).run(pages)
+    assert rep.metrics["host_graph"] == {"n_hosts": 0, "top_hosts": []}
