@@ -1144,6 +1144,33 @@ def _q_spreadsheet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source surface: parse the committed Common-Crawl-convention
+    fixture archive (gzip member per record) into the engine's pages
+    layout — warcinfo/request/metadata records skipped, response records
+    emitted with the HTTP envelope stripped. The fixture bytes are
+    deterministic (scripts/make_warc_fixtures.py), so the oracle states
+    the expected table as VALUES."""
+    import os
+
+    from gbif_data_validator_spark.sources.warc import read_warc_files
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "warc"
+    )
+    df = read_warc_files(spark, fixtures)
+    return (
+        df.where(F.col("error").isNull())
+        .select(
+            "url",
+            "warc_ts",
+            F.col("html").cast("string").alias("html_text"),
+            F.length("html").cast("long").alias("n_bytes"),
+        )
+        .orderBy("url")
+    )
+
+
 def _q_checklist_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checklist-graph evaluator (ChecklistEvaluator.java:74-130 reimagined
     relationally): a 3-level taxonomy is built from region→nation→customer
@@ -1228,6 +1255,25 @@ def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = hash_bucket(F.col("doc_id"), 100)
     lm, oov, _ = train_unigram_lm(d.where(b < 50))
     return lm_perplexity(d.where(b >= 50), lm, oov).orderBy("doc_id")
+
+
+def _q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style supervised quality filter: train a multinomial
+    Naive Bayes classifier on the deterministic lower hash-bucket half
+    (seed label = lang='en'), score the upper half's log-odds. Pure
+    DataFrame aggregation train + broadcast-join scoring — exactly
+    SQL-expressible, so the scores hash-check against DuckDB."""
+    from gbif_data_validator_spark.operators.classifier import nb_score, nb_train
+    from gbif_data_validator_spark.operators.sampling import hash_bucket
+
+    d = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), 100)
+    model = nb_train(d.where(b < 50).withColumn("_lbl", F.col("lang") == "en"), "_lbl")
+    return (
+        nb_score(d.where(b >= 50), model)
+        .select("doc_id", "n_tokens", F.round("log_odds", 6).alias("log_odds"), "pred")
+        .orderBy("doc_id")
+    )
 
 
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1574,13 +1620,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "top_ngram": _q_top_ngram,
         "repetition_stats": _q_repetition_stats,
-        "source_rollup": _q_source_rollup,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
-        # round-3 additions + as-of join flagship (window slots 49-50)
+        # round-3 additions (window slots 48-50)
         "ann_recall": _q_ann_recall,
-        "asof_attribution": _q_asof_attribution,
+        "nb_quality": _q_nb_quality,
+        "warc_pages": _q_warc_pages,
         # previously driver-verified (green in CORRECTNESS_r01/r02) --
         # intentionally past the 50-query window
+        "asof_attribution": _q_asof_attribution,
+        "source_rollup": _q_source_rollup,
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
         "events_sessionize": _q_events_sessionize,
@@ -2620,6 +2668,14 @@ def oracle_sql() -> dict[str, str]:
         # so the expected parse is a fixed literal table — this checks the
         # whole stdlib zip/XML parse chain (shared strings, date serials,
         # repeated columns, ss:Index gaps, stop-at-blank) end to end
+        "warc_pages": """
+            SELECT * FROM (VALUES
+              ('https://warc.example/a', TIMESTAMP '2024-01-02 03:04:05', '<html><body><p>alpha page</p></body></html>', CAST(43 AS BIGINT)),
+              ('https://warc.example/b', TIMESTAMP '2024-02-03 04:05:06', '<html><body><p>beta page</p></body></html>', CAST(42 AS BIGINT)),
+              ('https://warc.example/c', TIMESTAMP '2024-03-04 05:06:07', '<p>gamma</p>', CAST(12 AS BIGINT))
+            ) AS t(url, warc_ts, html_text, n_bytes)
+            ORDER BY url
+        """,
         "spreadsheet_pages": """
             SELECT * FROM (VALUES
               ('pages_a.xlsx', CAST(1 AS BIGINT), 'https://example.org/a', '1990-01-02T12:00:00Z', 'hello world', 'en'),
@@ -2772,6 +2828,56 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(logp), 6) AS log_prob,
                    round(exp(-sum(logp) / count(*)), 6) AS ppl
             FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        # nb_quality: multinomial Naive Bayes replayed relationally — seed
+        # labels lang='en' on the lower md5-bucket half, add-0.5 smoothing
+        # with one OOV bucket per class (train_unigram_lm's formulation),
+        # scores = prior delta + summed per-token log-likelihood deltas
+        "nb_quality": """
+            WITH seed AS (
+              SELECT (lang = 'en') AS pos, text FROM documents
+              WHERE text IS NOT NULL
+                AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+            ),
+            cnts AS (
+              SELECT token,
+                     sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pos_cnt,
+                     sum(CASE WHEN pos THEN 0 ELSE 1 END) AS neg_cnt
+              FROM (
+                SELECT pos,
+                       unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS token
+                FROM seed
+              ) GROUP BY token
+            ),
+            scal AS (
+              SELECT sum(pos_cnt) + 0.5 * (count(*) + 1) AS dp,
+                     sum(neg_cnt) + 0.5 * (count(*) + 1) AS dn
+              FROM cnts
+            ),
+            prior AS (
+              SELECT ln(sum(CASE WHEN pos THEN 1 ELSE 0 END) + 0.5)
+                     - ln(sum(CASE WHEN pos THEN 0 ELSE 1 END) + 0.5) AS pr
+              FROM seed
+            ),
+            ev AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS token
+              FROM documents
+              WHERE text IS NOT NULL
+                AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 >= 50
+            ),
+            scored AS (
+              SELECT e.doc_id,
+                     COALESCE(ln((c.pos_cnt + 0.5) / s.dp) - ln((c.neg_cnt + 0.5) / s.dn),
+                              ln(0.5 / s.dp) - ln(0.5 / s.dn)) AS dlogp
+              FROM ev e CROSS JOIN scal s LEFT JOIN cnts c ON e.token = c.token
+            )
+            SELECT sc.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(sum(sc.dlogp) + p.pr, 6) AS log_odds,
+                   (sum(sc.dlogp) + p.pr) > 0 AS pred
+            FROM scored sc CROSS JOIN prior p
+            GROUP BY sc.doc_id, p.pr ORDER BY sc.doc_id
         """,
         # dsir_weights: hashed bigram buckets (md5-prefix % 4096, the
         # hash_bucket mirror); target = lang='en', source = all docs;

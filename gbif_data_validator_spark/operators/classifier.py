@@ -1,0 +1,120 @@
+"""Supervised document quality classifier — the fastText-style "train a
+tiny classifier on seed labels, filter the crawl with it" stage (the
+GPT-3/LLaMA/CCNet-reported pipeline step) that the LM-perplexity and
+rule-gate operators beside it (operators/lm.py, functions/cleaning.py)
+don't cover. No reference analog (the reference's quality surface is
+per-field predicates, evaluator/record/RecordStructureEvaluator.java).
+
+Multinomial Naive Bayes over whitespace tokens instead of a learned
+embedding model: deterministic, trainable as pure DataFrame aggregation,
+and — unlike an iterative logistic fit — exactly SQL-expressible, so the
+driver hash-checks the scores against a DuckDB oracle.
+
+Scale shape:
+- train = one explode + ONE (token)-keyed groupBy with conditional sums
+  (map-side combinable) + a 1-row scalar agg; model size is |vocab|, not
+  corpus.
+- score = one explode + one token join (broadcast when the vocab fits —
+  same contract as operators/lm.py's LM table; pass
+  ``broadcast_model=False`` past ~10^8-token vocabularies and Catalyst
+  plans a shuffle join) + one doc-keyed sum.
+- the driver only ever sees the 4 training scalars.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import _ws_tokens
+
+
+@dataclass(frozen=True)
+class NBModel:
+    """Broadcastable classifier state: per-token log-likelihood DELTAS
+    (pos minus neg — scoring only ever needs the difference), the
+    out-of-vocabulary delta, and the log-prior delta."""
+
+    table: DataFrame  # (token, dlogp)
+    oov_dlogp: float
+    prior_dlogp: float
+
+
+def nb_train(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    k: float = 0.5,
+) -> NBModel:
+    """Train multinomial NB from ``label_col`` (truthy = positive class).
+    Add-k smoothing with one reserved OOV bucket per class:
+    ``logp_c(t) = ln((cnt_c(t) + k) / (total_c + k·(V + 1)))`` where V is
+    the JOINT vocabulary — mirrors train_unigram_lm's smoothing so the two
+    operators share one oracle formulation."""
+    lbl = F.col(label_col).cast("boolean")
+    counts = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(lbl.alias("_pos"), F.explode(_ws_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("pos_cnt"),
+            F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("neg_cnt"),
+        )
+    )
+    counts = counts.localCheckpoint(eager=False)  # reused: scalars + table
+    row = counts.agg(
+        F.sum("pos_cnt").alias("tp"),
+        F.sum("neg_cnt").alias("tn"),
+        F.count(F.lit(1)).alias("v"),
+    ).head()
+    total_pos, total_neg, v = (row.tp or 0), (row.tn or 0), (row.v or 0)
+    denom_pos = float(total_pos) + k * (v + 1)
+    denom_neg = float(total_neg) + k * (v + 1)
+    nd = docs.where(F.col(text_col).isNotNull()).agg(
+        F.sum(F.when(lbl, 1).otherwise(0)).alias("np"),
+        F.count(F.lit(1)).alias("n"),
+    ).head()
+    n_pos, n = (nd.np or 0), (nd.n or 0)
+    prior = math.log(n_pos + k) - math.log((n - n_pos) + k)
+    table = counts.select(
+        "token",
+        (
+            F.log((F.col("pos_cnt") + F.lit(k)) / F.lit(denom_pos))
+            - F.log((F.col("neg_cnt") + F.lit(k)) / F.lit(denom_neg))
+        ).alias("dlogp"),
+    )
+    return NBModel(
+        table=table,
+        oov_dlogp=math.log(k / denom_pos) - math.log(k / denom_neg),
+        prior_dlogp=prior,
+    )
+
+
+def nb_score(
+    docs: DataFrame,
+    model: NBModel,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-doc log-odds under the trained classifier →
+    ``(doc_id, n_tokens, log_odds, pred)`` with
+    ``log_odds = prior_Δ + Σ_t Δlogp(t)`` and ``pred = log_odds > 0``.
+    Token-less docs are dropped (nothing to classify — same contract as
+    lm_perplexity)."""
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(_ws_tokens(F.col(text_col))).alias("token"),
+    )
+    table = F.broadcast(model.table) if broadcast_model else model.table
+    scored = toks.join(table, "token", "left").select(
+        "doc_id", F.coalesce("dlogp", F.lit(model.oov_dlogp)).alias("dlogp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("dlogp") + F.lit(model.prior_dlogp)).alias("log_odds"),
+        ((F.sum("dlogp") + F.lit(model.prior_dlogp)) > 0).alias("pred"),
+    )

@@ -1,0 +1,61 @@
+"""Naive Bayes quality classifier (operators/classifier.py): separability
+on a planted two-dialect corpus, OOV handling, prior behavior, and
+broadcast/shuffle-join result equality. The bit-exact score check lives in
+the nb_quality driver oracle."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_data_validator_spark.operators.classifier import nb_score, nb_train
+
+
+def _corpus(spark):
+    rows = [
+        (1, "good clean prose with varied words", True),
+        (2, "more good prose here clean and varied", True),
+        (3, "clean words good text varied prose", True),
+        (4, "spam spam buy now spam click spam", False),
+        (5, "click buy spam now now buy click", False),
+        (6, "buy click spam buy spam now click", False),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+
+
+def test_separates_planted_dialects(spark):
+    docs = _corpus(spark)
+    model = nb_train(docs, "label")
+    scored = {r.doc_id: r for r in nb_score(docs, model).collect()}
+    for i in (1, 2, 3):
+        assert scored[i].pred is True and scored[i].log_odds > 0, i
+    for i in (4, 5, 6):
+        assert scored[i].pred is False and scored[i].log_odds < 0, i
+
+
+def test_oov_and_prior(spark):
+    docs = _corpus(spark)
+    model = nb_train(docs, "label")
+    # an all-OOV doc scores prior + n_tokens*oov_delta exactly
+    unseen = spark.createDataFrame(
+        [(9, "zzz yyy xxx")], "doc_id long, text string"
+    )
+    (row,) = nb_score(unseen, model).collect()
+    want = model.prior_dlogp + 3 * model.oov_dlogp
+    assert row.n_tokens == 3 and row.log_odds == pytest.approx(want, abs=1e-12)
+    # balanced classes → zero log-prior
+    assert model.prior_dlogp == pytest.approx(math.log(3.5) - math.log(3.5))
+    # token-less docs are dropped, not scored
+    empty = spark.createDataFrame([(10, "   "), (11, None)], "doc_id long, text string")
+    assert nb_score(empty, model).count() == 0
+
+
+def test_broadcast_and_shuffle_paths_agree(spark):
+    docs = _corpus(spark)
+    model = nb_train(docs, "label")
+    a = {r.doc_id: r for r in nb_score(docs, model, broadcast_model=True).collect()}
+    b = {r.doc_id: r for r in nb_score(docs, model, broadcast_model=False).collect()}
+    assert set(a) == set(b)
+    for i in a:  # join strategy changes float summation order → ulp noise
+        assert a[i].n_tokens == b[i].n_tokens and a[i].pred == b[i].pred
+        assert a[i].log_odds == pytest.approx(b[i].log_odds, abs=1e-9)
