@@ -1144,6 +1144,84 @@ def _q_spreadsheet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style URL blocklist gate over deterministically constructed
+    urls (documents carry no url column, so both engines build
+    ``https://[cdn.]{source}-{doc_id%7}.example.org{path}`` with injected
+    block/flag triggers): exact-domain block, subdomain block via the
+    dot-suffix equi-join, and a path-pattern flag."""
+    from gbif_data_validator_spark.operators.curation import url_blocklist_flags
+
+    d = _docs(spark, sf_dir)
+    host = F.concat(F.col("source"), F.lit("-"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.org"))
+    host = F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("cdn."), host)).otherwise(host)
+    path = F.when(F.col("doc_id") % 17 == 0, F.lit("/adult/x")).otherwise(
+        F.concat(F.lit("/p/"), F.col("doc_id").cast("string"))
+    )
+    docs = d.select("doc_id", F.concat(F.lit("https://"), host, path).alias("url"))
+    blocked = spark.createDataFrame(
+        [("src1-3.example.org",), ("src2-4.example.org",)], "domain string"
+    )
+    return (
+        url_blocklist_flags(docs, blocked, path_patterns=("/adult/",))
+        .select("doc_id", "url", "host", "domain_blocked", "path_flagged", "allowed")
+        .orderBy("doc_id")
+    )
+
+
+def _q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-document exact line dedup (keep-first) over pseudo-lines of 4
+    tokens (the corpus is single-line word soup; both engines replay the
+    re-lining, mirroring c4_clean's construction). Output pins the
+    deduped text by md5 so the whole reassembly is hash-checked."""
+    from gbif_data_validator_spark.functions.textstats import _ws_tokens
+    from gbif_data_validator_spark.operators.curation import dedup_lines_in_doc
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = _ws_tokens(F.col("text"))
+    nl = F.floor((F.size(toks) + 3) / F.lit(4)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(F.slice(toks, i * 4 + 1, 4), " "),
+    )
+    docs = d.select("doc_id", F.array_join(lines, "\n").alias("text")).where(
+        F.size(toks) > 0
+    )
+    return (
+        dedup_lines_in_doc(docs)
+        .select(
+            "doc_id", "n_lines", "n_dropped",
+            F.md5(F.col("text_dedup").cast("binary")).alias("dedup_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_nfc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalization audit: a decomposed sequence (' cafe'+U+0301)
+    is injected on doc_id%7 rows in BOTH engines; the pandas-UDF
+    unicodedata NFC must agree with DuckDB's native nfc_normalize on the
+    composed text (md5-pinned), the char counts, and the changed flag."""
+    from gbif_data_validator_spark.functions.normalize import normalization_report
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    t2 = F.when(
+        F.col("doc_id") % 7 == 0,
+        # explicitly DECOMPOSED: 'e' + combining acute (U+0301) - NFC composes it
+        F.concat(F.col("text"), F.lit(" cafe"), F.lit("\u0301")),
+    ).otherwise(F.col("text"))
+    docs = d.select("doc_id", t2.alias("text"))
+    return (
+        normalization_report(docs)
+        .select(
+            "doc_id", "changed", "len_before", "len_after",
+            F.md5(F.col("text_nfc").cast("binary")).alias("nfc_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source surface: parse the committed Common-Crawl-convention
     fixture archive (gzip member per record) into the engine's pages
@@ -1627,6 +1705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_pages": _q_warc_pages,
         # previously driver-verified (green in CORRECTNESS_r01/r02) --
         # intentionally past the 50-query window
+        "url_filter": _q_url_filter,
+        "doc_line_dedup": _q_doc_line_dedup,
+        "nfc_report": _q_nfc_report,
         "asof_attribution": _q_asof_attribution,
         "source_rollup": _q_source_rollup,
         "pricing_summary": _q_pricing_summary,
@@ -2668,6 +2749,71 @@ def oracle_sql() -> dict[str, str]:
         # so the expected parse is a fixed literal table — this checks the
         # whole stdlib zip/XML parse chain (shared strings, date serials,
         # repeated columns, ss:Index gaps, stop-at-blank) end to end
+        # url_filter: replay the url construction; subdomain block via
+        # exact-or-dot-suffix match against the 2-domain list
+        "url_filter": """
+            WITH built AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END
+                       || source || '-' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+                     CASE WHEN doc_id % 17 = 0 THEN '/adult/x'
+                          ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS path
+              FROM documents
+            ),
+            b AS (SELECT * FROM (VALUES ('src1-3.example.org'), ('src2-4.example.org')) AS t(domain)),
+            flags AS (
+              SELECT doc_id, 'https://' || host || path AS url, host,
+                     EXISTS (SELECT 1 FROM b WHERE built.host = b.domain
+                             OR built.host LIKE '%.' || b.domain) AS domain_blocked,
+                     path LIKE '/adult/%' AS path_flagged
+              FROM built
+            )
+            SELECT doc_id, url, host, domain_blocked, path_flagged,
+                   (NOT domain_blocked AND NOT path_flagged) AS allowed
+            FROM flags ORDER BY doc_id
+        """,
+        # doc_line_dedup: replay the 4-token re-lining, keep-first filter
+        # via list_position == own index, md5-pin the reassembled text
+        "doc_line_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            lined AS (
+              SELECT doc_id,
+                     [array_to_string(ws[(i * 4 + 1):(i * 4 + 4)], ' ')
+                      for i in range(0, CAST(floor((len(ws) + 3) / 4) AS BIGINT))] AS lines
+              FROM toks WHERE len(ws) > 0
+            ),
+            dd AS (
+              SELECT doc_id, lines,
+                     [lines[i] for i in range(1, len(lines) + 1)
+                      if list_position(lines, lines[i]) = i] AS kept
+              FROM lined
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped,
+                   md5(array_to_string(kept, chr(10))) AS dedup_md5
+            FROM dd ORDER BY doc_id
+        """,
+        # nfc_report: native nfc_normalize vs the pandas-UDF unicodedata
+        # path; the decomposed ' cafe'+U+0301 suffix is injected on %7 rows
+        "nfc_report": """
+            WITH built AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' cafe' || chr(769)
+                          ELSE text END AS t
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id,
+                   nfc_normalize(t) <> t AS changed,
+                   CAST(length(t) AS BIGINT) AS len_before,
+                   CAST(length(nfc_normalize(t)) AS BIGINT) AS len_after,
+                   md5(nfc_normalize(t)) AS nfc_md5
+            FROM built ORDER BY doc_id
+        """,
         "warc_pages": """
             SELECT * FROM (VALUES
               ('https://warc.example/a', TIMESTAMP '2024-01-02 03:04:05', '<html><body><p>alpha page</p></body></html>', CAST(43 AS BIGINT)),

@@ -254,3 +254,78 @@ def chunk_documents(
             F.size(chunk_toks).cast("long").alias("n_tokens"),
         )
     )
+
+
+def url_blocklist_flags(
+    df: DataFrame,
+    blocked_domains: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    path_patterns: tuple[str, ...] = (),
+) -> DataFrame:
+    """UT1-style URL filtering (the blocklist gate crawls apply before any
+    content-based quality pass): every input row + ``host``,
+    ``domain_blocked`` (host equals a blocked domain OR is a subdomain of
+    one), ``path_flagged`` (any of ``path_patterns`` matches the URL,
+    case-insensitive), and the combined ``allowed``.
+
+    Plan: subdomain matching is an EQUI-join — the host explodes to its
+    dot-suffix set ('a.b.example.org' → 4 candidates, bounded by label
+    count) against the (deduped) blocklist dim, so no LIKE-join cross
+    product anywhere; only ``(id, suffix)`` rows travel, and the blocklist
+    broadcasts at UT1 scale (~4M domains). Pattern flags are a
+    zero-shuffle regex battery on the original rows."""
+    from ..functions.url import url_host
+
+    host = url_host(F.col(url_col))
+    # host 'a.b.example.org' → candidate suffixes [a.b.example.org,
+    # b.example.org, example.org, org]: equi-joinable against the list
+    labels = F.split(host, r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(0), F.size(labels) - 1),
+        lambda i: F.array_join(F.slice(labels, i + 1, F.size(labels)), "."),
+    )
+    dim = blocked_domains.select(
+        F.col(blocked_domains.columns[0]).alias("_blocked_domain")
+    ).distinct()
+    blocked_ids = (
+        df.select(F.col(id_col).alias("_id"), F.explode(suffixes).alias("_suffix"))
+        .join(dim, F.col("_suffix") == F.col("_blocked_domain"), "left_semi")
+        .select("_id")
+        .distinct()
+        .withColumn("_blocked", F.lit(True))
+    )
+    flagged = df.join(blocked_ids, df[id_col] == blocked_ids["_id"], "left").drop("_id")
+    path_flag = F.lit(False)
+    for pat in path_patterns:
+        path_flag = path_flag | F.col(url_col).rlike(f"(?i){pat}")
+    is_blocked = F.coalesce(F.col("_blocked"), F.lit(False))
+    return flagged.select(
+        *df.columns,
+        host.alias("host"),
+        is_blocked.alias("domain_blocked"),
+        path_flag.alias("path_flagged"),
+        (~is_blocked & ~path_flag).alias("allowed"),
+    )
+
+
+def dedup_lines_in_doc(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """In-document exact line dedup, first occurrence kept (the
+    intra-page face of the cross-corpus boilerplate strip): →
+    ``(doc_id, text_dedup, n_lines, n_dropped)``. Pure Column algebra —
+    the keep-first filter is ``array_position(lines, x) == own index``
+    (first-occurrence test), quadratic in LINES PER DOC (bounded small),
+    never in docs; zero shuffles, zero UDFs."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda x, i: F.array_position(lines, x) == i.cast("long") + 1,
+    )
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(kept, "\n").alias("text_dedup"),
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_dropped"),
+    )
