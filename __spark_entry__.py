@@ -1222,6 +1222,77 @@ def _q_nfc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency check: does ``source`` determine ``lang``?
+    (It shouldn't — every violating source comes back with its row count,
+    distinct-RHS count, and the min/max RHS as bounded evidence.)"""
+    from gbif_data_validator_spark.operators.constraints import fd_violations
+
+    return (
+        fd_violations(_docs(spark, sf_dir), ["source"], "lang")
+        .select("source", "n_rows", "n_rhs_distinct", "rhs_min", "rhs_max")
+        .orderBy("source")
+    )
+
+
+def _q_mask_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-mask census over ``events.props`` (JSON strings, so digit
+    runs of varying width yield a real mask distribution): mask, row
+    count, distinct raw values, deterministic min-value example."""
+    from gbif_data_validator_spark.operators.constraints import mask_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mask_profile(ev, "props", max_masks=50)
+
+
+def _q_suggest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suggestion over ``nation``: expects
+    NOT_NULL everywhere, UNIQUE on key+name, RANGE on the int columns,
+    IN_SET on the 5-value region key."""
+    from gbif_data_validator_spark.operators.constraints import suggest_constraints
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return suggest_constraints(nation, ["n_nationkey", "n_name", "n_regionkey"])
+
+
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup: five URL variant classes are constructed per
+    doc_id (uppercase host + default port + fragment + unsorted params;
+    the already-canonical spelling of the same page; non-default port;
+    percent-encoded query; a malformed non-URL that must pass through
+    unchanged). The real pandas-UDF canonicalizer runs Spark-side; the
+    oracle states the EXPECTED canonical form per variant, so every rule
+    (lowercase, port-strip, fragment-strip, query-sort/re-encode,
+    path-default, malformed-passthrough) is bit-pinned. Dup grouping is a
+    window count over the canonical key — variants 0 and 1 collapse."""
+    from pyspark.sql import Window
+
+    from gbif_data_validator_spark.functions.url import canonicalize_url_udf
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    v = did % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("HTTP://WWW.Example.ORG:80/shared?b=2&a=1#f"),
+                                did.cast("string")))
+        .when(v == 1, F.lit("http://www.example.org/shared?a=1&b=2"))
+        .when(v == 2, F.concat(F.lit("https://Example.org:443/p/"), did.cast("string")))
+        .when(v == 3, F.concat(F.lit("https://example.org/q"), did.cast("string"),
+                               F.lit("?x=%20y")))
+        .otherwise(F.concat(F.lit("not a url "), did.cast("string")))
+    )
+    built = d.select("doc_id", url.alias("url_in"))
+    canon = built.withColumn("url_canon", canonicalize_url_udf(F.col("url_in")))
+    w = Window.partitionBy("url_canon")
+    return (
+        canon.select(
+            "doc_id", "url_in", "url_canon",
+            F.count(F.lit(1)).over(w).alias("n_same_canon"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source surface: parse the committed Common-Crawl-convention
     fixture archive (gzip member per record) into the engine's pages
@@ -1708,6 +1779,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": _q_url_filter,
         "doc_line_dedup": _q_doc_line_dedup,
         "nfc_report": _q_nfc_report,
+        "fd_check": _q_fd_check,
+        "mask_profile": _q_mask_profile,
+        "suggest_constraints": _q_suggest_constraints,
+        "url_canonical": _q_url_canonical,
         "asof_attribution": _q_asof_attribution,
         "source_rollup": _q_source_rollup,
         "pricing_summary": _q_pricing_summary,
@@ -2812,6 +2887,94 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(t) AS BIGINT) AS len_before,
                    CAST(length(nfc_normalize(t)) AS BIGINT) AS len_after,
                    md5(nfc_normalize(t)) AS nfc_md5
+            FROM built ORDER BY doc_id
+        """,
+        # fd_check: SQL functional-dependency replay — groups with >1
+        # distinct RHS, with min/max RHS as the bounded evidence
+        "fd_check": """
+            SELECT source, COUNT(*) AS n_rows,
+                   COUNT(DISTINCT lang) AS n_rhs_distinct,
+                   MIN(lang) AS rhs_min, MAX(lang) AS rhs_max
+            FROM documents
+            GROUP BY source
+            HAVING COUNT(DISTINCT lang) > 1
+            ORDER BY source
+        """,
+        # mask_profile: same 3-class regex mask (A/a/9), deterministic
+        # (n DESC, mask) cut at 50
+        "mask_profile": """
+            SELECT regexp_replace(regexp_replace(regexp_replace(
+                     props, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'),
+                     '[0-9]', '9', 'g') AS mask,
+                   COUNT(*) AS n_rows,
+                   COUNT(DISTINCT props) AS n_values,
+                   MIN(props) AS example
+            FROM events WHERE props IS NOT NULL
+            GROUP BY 1
+            ORDER BY n_rows DESC, mask
+            LIMIT 50
+        """,
+        # suggest_constraints: replay the suggestion rules per column
+        # (NOT_NULL / COMPLETENESS_GE / UNIQUE / RANGE / IN_SET) from one
+        # stats CTE — conditions mirror operators/constraints.py exactly
+        "suggest_constraints": """
+            WITH s AS (
+              SELECT COUNT(*) AS n,
+                     COUNT(n_nationkey) AS k_nn, COUNT(DISTINCT n_nationkey) AS k_nd,
+                     CAST(MIN(n_nationkey) AS VARCHAR) AS k_min,
+                     CAST(MAX(n_nationkey) AS VARCHAR) AS k_max,
+                     COUNT(n_name) AS nm_nn, COUNT(DISTINCT n_name) AS nm_nd,
+                     COUNT(n_regionkey) AS r_nn, COUNT(DISTINCT n_regionkey) AS r_nd,
+                     CAST(MIN(n_regionkey) AS VARCHAR) AS r_min,
+                     CAST(MAX(n_regionkey) AS VARCHAR) AS r_max,
+                     array_to_string(list_sort(list(DISTINCT CAST(n_regionkey AS VARCHAR))), ',') AS r_set
+              FROM nation
+            )
+            SELECT * FROM (
+              SELECT 'n_nationkey' AS "column", 'NOT_NULL' AS "constraint", '' AS detail
+                FROM s WHERE n > 0 AND k_nn = n
+              UNION ALL SELECT 'n_nationkey', 'COMPLETENESS_GE', printf('%.6f', ROUND(k_nn * 1.0 / n, 6))
+                FROM s WHERE n > 0 AND k_nn < n
+              UNION ALL SELECT 'n_nationkey', 'UNIQUE', '' FROM s WHERE k_nn > 0 AND k_nd = k_nn
+              UNION ALL SELECT 'n_nationkey', 'RANGE', k_min || '..' || k_max FROM s WHERE k_nn > 0
+              UNION ALL SELECT 'n_name', 'NOT_NULL', '' FROM s WHERE n > 0 AND nm_nn = n
+              UNION ALL SELECT 'n_name', 'COMPLETENESS_GE', printf('%.6f', ROUND(nm_nn * 1.0 / n, 6))
+                FROM s WHERE n > 0 AND nm_nn < n
+              UNION ALL SELECT 'n_name', 'UNIQUE', '' FROM s WHERE nm_nn > 0 AND nm_nd = nm_nn
+              UNION ALL SELECT 'n_regionkey', 'NOT_NULL', '' FROM s WHERE n > 0 AND r_nn = n
+              UNION ALL SELECT 'n_regionkey', 'COMPLETENESS_GE', printf('%.6f', ROUND(r_nn * 1.0 / n, 6))
+                FROM s WHERE n > 0 AND r_nn < n
+              UNION ALL SELECT 'n_regionkey', 'UNIQUE', '' FROM s WHERE r_nn > 0 AND r_nd = r_nn
+              UNION ALL SELECT 'n_regionkey', 'RANGE', r_min || '..' || r_max FROM s WHERE r_nn > 0
+              UNION ALL SELECT 'n_regionkey', 'IN_SET', r_set
+                FROM s WHERE r_nd BETWEEN 1 AND 10 AND r_nd < r_nn
+            ) ORDER BY "column", "constraint"
+        """,
+        # url_canonical: the oracle STATES the expected canonical form per
+        # constructed variant (lowercase host, default-port strip,
+        # fragment strip, query sort + re-encode %20→+, malformed
+        # passthrough), then replays the window dup count
+        "url_canonical": """
+            WITH built AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 5 AS INTEGER)
+                  WHEN 0 THEN 'HTTP://WWW.Example.ORG:80/shared?b=2&a=1#f' || CAST(doc_id AS VARCHAR)
+                  WHEN 1 THEN 'http://www.example.org/shared?a=1&b=2'
+                  WHEN 2 THEN 'https://Example.org:443/p/' || CAST(doc_id AS VARCHAR)
+                  WHEN 3 THEN 'https://example.org/q' || CAST(doc_id AS VARCHAR) || '?x=%20y'
+                  ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+                END AS url_in,
+                CASE CAST(doc_id % 5 AS INTEGER)
+                  WHEN 0 THEN 'http://www.example.org/shared?a=1&b=2'
+                  WHEN 1 THEN 'http://www.example.org/shared?a=1&b=2'
+                  WHEN 2 THEN 'https://example.org/p/' || CAST(doc_id AS VARCHAR)
+                  WHEN 3 THEN 'https://example.org/q' || CAST(doc_id AS VARCHAR) || '?x=+y'
+                  ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+                END AS url_canon
+              FROM documents
+            )
+            SELECT doc_id, url_in, url_canon,
+                   COUNT(*) OVER (PARTITION BY url_canon) AS n_same_canon
             FROM built ORDER BY doc_id
         """,
         "warc_pages": """

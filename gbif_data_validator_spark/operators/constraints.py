@@ -1,0 +1,167 @@
+"""Constraint discovery + dependency checks — the data-quality-rule face
+of the validation engine.
+
+The reference validates against a FIXED rule set (its evaluation chain,
+core/EvaluationChain.java via api/model/EvaluationType.java); production
+validation systems (Deequ's ConstraintSuggestion, Great Expectations'
+profilers) additionally *discover* the rules a table already satisfies and
+check *set-level* dependencies no per-row predicate can express. Three
+operators:
+
+- ``fd_violations``: functional-dependency check — LHS columns that map to
+  more than one distinct RHS value. One shuffle (map-side partial agg on
+  the LHS key); output is one bounded row per violating LHS group, never
+  per input row.
+- ``mask_profile``: format-mask census (``Clerk#000000001`` →
+  ``Aaaaa#999999999``) — the classic profiler primitive for spotting
+  format drift in string columns. Pure Column regex algebra into one
+  groupBy; masks are low-cardinality by construction so the shuffle is
+  tiny.
+- ``suggest_constraints``: Deequ-style suggestion pass. Pass 1 is ONE
+  aggregation scan collecting a single bounded row (counts, nulls,
+  distincts, min/max per column); IN-set details run a second scan
+  restricted to columns *proven* low-cardinality by pass 1, so no
+  unbounded ``collect_set`` ever executes. At 100 TB the exact
+  ``countDistinct`` fan-out is the cost knob — ``exact=False`` switches to
+  HLL sketches (one pass, constant state) at the price of approximate
+  UNIQUE detection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def fd_violations(
+    df: DataFrame, lhs_cols: list[str], rhs_col: str
+) -> DataFrame:
+    """Groups of ``lhs_cols`` whose rows carry >1 distinct ``rhs_col``
+    value → ``(*lhs, n_rows, n_rhs_distinct, rhs_min, rhs_max)``.
+
+    NULL RHS values are ignored for distinctness (SQL ``COUNT(DISTINCT)``
+    semantics, identical in Spark and DuckDB); NULL LHS groups are kept —
+    a null key that maps to two departments is still a violation worth
+    seeing. Single shuffle on the LHS key with map-side partial
+    aggregation; the result is bounded by the number of *violating
+    groups*, not rows."""
+    return (
+        df.groupBy(*[F.col(c) for c in lhs_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(rhs_col).alias("n_rhs_distinct"),
+            F.min(rhs_col).alias("rhs_min"),
+            F.max(rhs_col).alias("rhs_max"),
+        )
+        .where(F.col("n_rhs_distinct") > 1)
+    )
+
+
+#: ASCII mask classes: uppercase → A, lowercase → a, digit → 9. Non-ASCII
+#: and punctuation pass through verbatim (they ARE the format).
+def mask_expr(col: F.Column) -> F.Column:
+    m = F.regexp_replace(col, "[A-Z]", "A")
+    m = F.regexp_replace(m, "[a-z]", "a")
+    return F.regexp_replace(m, "[0-9]", "9")
+
+
+def mask_profile(df: DataFrame, col: str, max_masks: int = 50) -> DataFrame:
+    """Format-mask census for one string column →
+    ``(mask, n_rows, n_values, example)``, most frequent first
+    (ties broken by mask for a deterministic cut at ``max_masks``).
+
+    ``example`` is the MIN raw value under the mask — deterministic, no
+    sampling. NULLs are excluded (they are a completeness finding, not a
+    format). The groupBy key is the mask, whose cardinality is bounded by
+    the column's format diversity (typically tens), so the shuffle state
+    is trivial at any table size."""
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(mask_expr(F.col(col)).alias("mask"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(col).alias("n_values"),
+            F.min(col).alias("example"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("mask"))
+        .limit(max_masks)
+    )
+
+
+def suggest_constraints(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    max_set: int = 10,
+    exact: bool = True,
+) -> DataFrame:
+    """Discover the constraints the table currently satisfies →
+    ``(column, constraint, detail)`` rows, one per suggestion:
+
+    - ``NOT_NULL`` — zero nulls observed; else ``COMPLETENESS_GE`` with
+      the observed non-null ratio (rounded to 6 dp) as detail.
+    - ``UNIQUE`` — distinct == non-null count (key candidate).
+    - ``RANGE`` — numeric columns: ``min..max`` observed envelope.
+    - ``IN_SET`` — ≤ ``max_set`` distinct values: the sorted value list.
+
+    Plan shape: pass 1 is one aggregation scan → ONE collected row
+    (bounded: 4 scalars per column). IN-set values need the actual
+    distinct sets, which are only safe to materialize once pass 1 has
+    *proven* cardinality ≤ ``max_set`` — those columns get a second scan
+    with ``collect_set`` whose result is ≤ ``max_set × n_cols`` strings.
+    With ``exact=False`` pass 1 uses HLL distincts (cheaper at 100 TB) and
+    UNIQUE/IN_SET decisions become approximate; IN-set still verifies the
+    true set size before emitting."""
+    spark: SparkSession = df.sparkSession
+    cols = cols or [c for c in df.columns if c not in ("html",)]
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
+
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"{c}_nn"))
+        aggs.append(
+            (F.countDistinct(c) if exact else F.approx_count_distinct(c)).alias(
+                f"{c}_nd"
+            )
+        )
+        aggs.append(F.min(c).cast("string").alias(f"{c}_min"))
+        aggs.append(F.max(c).cast("string").alias(f"{c}_max"))
+    stats = df.agg(*aggs).first()  # bounded: one row, 4 scalars/column
+
+    small = [
+        c
+        for c in cols
+        if 0 < stats[f"{c}_nd"] <= max_set and stats[f"{c}_nd"] < stats[f"{c}_nn"]
+    ]
+    in_sets: dict[str, str] = {}
+    if small:
+        row = df.agg(
+            *[
+                F.sort_array(F.collect_set(F.col(c).cast("string"))).alias(c)
+                for c in small
+            ]
+        ).first()
+        for c in small:
+            vals = row[c]
+            if len(vals) <= max_set:  # re-verify under exact=False sketches
+                in_sets[c] = ",".join(vals)
+
+    out: list[tuple[str, str, str]] = []
+    n = stats["_n"]
+    for c in cols:
+        nn, nd = stats[f"{c}_nn"], stats[f"{c}_nd"]
+        if n > 0 and nn == n:
+            out.append((c, "NOT_NULL", ""))
+        elif n > 0:
+            out.append((c, "COMPLETENESS_GE", f"{round(nn / n, 6):.6f}"))
+        if nn > 0 and nd == nn:
+            out.append((c, "UNIQUE", ""))
+        if c in numeric and nn > 0:
+            out.append((c, "RANGE", f"{stats[f'{c}_min']}..{stats[f'{c}_max']}"))
+        if c in in_sets:
+            out.append((c, "IN_SET", in_sets[c]))
+    return spark.createDataFrame(
+        out, "column string, constraint string, detail string"
+    ).orderBy("column", "constraint")

@@ -1,0 +1,96 @@
+"""Constraint discovery + FD/mask operators. Bit-exact value checks live
+in the fd_check / mask_profile / suggest_constraints / url_canonical
+driver oracles; these pin the branchy semantics (null groups, completeness
+ratios, the IN_SET cardinality gate, the two-scan plan contract)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_data_validator_spark.operators.constraints import (
+    fd_violations,
+    mask_expr,
+    mask_profile,
+    suggest_constraints,
+)
+
+
+def test_fd_violations_null_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "x"), ("a", "x"),          # clean group
+            ("b", "x"), ("b", "y"),          # violation
+            ("c", "x"), ("c", None),         # null RHS ignored -> clean
+            (None, "x"), (None, "y"),        # null LHS group still checked
+        ],
+        "k string, v string",
+    )
+    got = {r.k: (r.n_rows, r.n_rhs_distinct, r.rhs_min, r.rhs_max)
+           for r in fd_violations(df, ["k"], "v").collect()}
+    assert got == {"b": (2, 2, "x", "y"), None: (2, 2, "x", "y")}
+
+
+def test_fd_violations_multi_column_lhs(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 1, "y"), ("a", 2, "x"), ("b", 1, "x")],
+        "k1 string, k2 int, v string",
+    )
+    rows = fd_violations(df, ["k1", "k2"], "v").collect()
+    assert [(r.k1, r.k2) for r in rows] == [("a", 1)]
+
+
+def test_mask_expr_classes(spark):
+    df = spark.createDataFrame([("Clerk#000000001",), ("+41 22-B x",)], "s string")
+    got = [r.m for r in df.select(mask_expr(F.col("s")).alias("m")).collect()]
+    assert got == ["Aaaaa#999999999", "+99 99-A a"]
+
+
+def test_mask_profile_order_and_example(spark):
+    df = spark.createDataFrame(
+        [("ab1",), ("cd2",), ("ef3",), ("X9",), (None,)], "s string"
+    )
+    rows = mask_profile(df, "s").collect()
+    assert [(r.mask, r.n_rows, r.n_values, r.example) for r in rows] == [
+        ("aa9", 3, 3, "ab1"),   # most frequent first; example = min value
+        ("A9", 1, 1, "X9"),     # nulls excluded entirely
+    ]
+
+
+def test_suggest_constraints_branches(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", "red", None),
+            (2, "b", "red", 1.5),
+            (3, "c", "blue", 2.5),
+            (4, "d", "blue", 3.5),
+        ],
+        "id int, name string, color string, score double",
+    )
+    got = {(r["column"], r["constraint"]): r["detail"]
+           for r in suggest_constraints(df).collect()}
+    assert got[("id", "NOT_NULL")] == ""
+    assert got[("id", "UNIQUE")] == ""
+    assert got[("id", "RANGE")] == "1..4"
+    assert got[("name", "UNIQUE")] == ""
+    assert got[("color", "IN_SET")] == "blue,red"   # sorted, < nn so not UNIQUE
+    assert ("color", "UNIQUE") not in got
+    assert got[("score", "COMPLETENESS_GE")] == "0.750000"
+    assert ("score", "NOT_NULL") not in got
+    assert got[("score", "RANGE")] == "1.5..3.5"
+    # unique columns never get IN_SET even at tiny cardinality
+    assert ("id", "IN_SET") not in got and ("name", "IN_SET") not in got
+
+
+def test_suggest_constraints_in_set_cardinality_gate(spark):
+    # 11 distinct values > max_set=10 -> no IN_SET, and (the scale
+    # contract) no collect_set scan runs at all for that column
+    df = spark.createDataFrame([(i, f"v{i % 11}") for i in range(50)], "id int, c string")
+    got = {(r["column"], r["constraint"]) for r in suggest_constraints(df).collect()}
+    assert ("c", "IN_SET") not in got
+    got10 = {(r["column"], r["constraint"]): r["detail"]
+             for r in suggest_constraints(df, max_set=11).collect()}
+    assert got10[("c", "IN_SET")] == ",".join(sorted(f"v{i}" for i in range(11)))
+
+
+def test_suggest_constraints_empty_table(spark):
+    df = spark.createDataFrame([], "id int, c string")
+    assert suggest_constraints(df).collect() == []
