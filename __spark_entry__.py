@@ -1255,6 +1255,31 @@ def _q_suggest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_constraints(nation, ["n_nationkey", "n_name", "n_regionkey"])
 
 
+def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance over ``l_extendedprice`` — digit
+    extracted from the string form (immune to libm log10 divergence),
+    fractions and expectations quantized to 6 dp on both engines."""
+    from gbif_data_validator_spark.operators.constraints import benford_deviation
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return benford_deviation(li, "l_extendedprice")
+
+
+def _q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers on ``events.value`` (long-tailed, so the cut
+    is non-empty at every SF): exact percentile bounds (Spark
+    ``percentile`` == DuckDB ``quantile_cont`` linear interpolation),
+    fences rounded to 6 dp before the comparison."""
+    from gbif_data_validator_spark.operators.constraints import iqr_outlier_rows
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value"
+    )
+    return iqr_outlier_rows(events, "value", id_cols=["event_id"]).orderBy(
+        "event_id"
+    )
+
+
 def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup: five URL variant classes are constructed per
     doc_id (uppercase host + default port + fragment + unsorted params;
@@ -1783,6 +1808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_profile": _q_mask_profile,
         "suggest_constraints": _q_suggest_constraints,
         "url_canonical": _q_url_canonical,
+        "benford_check": _q_benford,
+        "iqr_outliers": _q_iqr_outliers,
         "asof_attribution": _q_asof_attribution,
         "source_rollup": _q_source_rollup,
         "pricing_summary": _q_pricing_summary,
@@ -2949,6 +2976,41 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'n_regionkey', 'IN_SET', r_set
                 FROM s WHERE r_nd BETWEEN 1 AND 10 AND r_nd < r_nn
             ) ORDER BY "column", "constraint"
+        """,
+        # benford_check: first [1-9] of the string form on both engines;
+        # frac/expected/abs_dev all quantized round(.,6) identically
+        "benford_check": """
+            WITH d AS (
+              SELECT regexp_extract(CAST(l_extendedprice AS VARCHAR), '[1-9]', 0) AS digit
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ),
+            counted AS (
+              SELECT digit, COUNT(*) AS n_rows FROM d WHERE digit <> '' GROUP BY digit
+            )
+            SELECT digit, n_rows,
+                   ROUND(n_rows * 1.0 / SUM(n_rows) OVER (), 6) AS frac,
+                   ROUND(log10(1 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected,
+                   ROUND(ABS(ROUND(n_rows * 1.0 / SUM(n_rows) OVER (), 6)
+                             - ROUND(log10(1 + 1.0 / CAST(digit AS DOUBLE)), 6)), 6) AS abs_dev
+            FROM counted ORDER BY digit
+        """,
+        # iqr_outliers: quantile_cont == Spark's exact percentile (linear
+        # interpolation); fences rounded to 6 dp before the cut
+        "iqr_outliers": """
+            WITH s AS (
+              SELECT quantile_cont(value, 0.25) AS q1,
+                     quantile_cont(value, 0.75) AS q3
+              FROM events
+            ),
+            b AS (
+              SELECT ROUND(q1 - 1.5 * (q3 - q1), 6) AS lo,
+                     ROUND(q3 + 1.5 * (q3 - q1), 6) AS hi
+              FROM s
+            )
+            SELECT event_id, value, lo, hi
+            FROM events, b
+            WHERE value < lo OR value > hi
+            ORDER BY event_id
         """,
         # url_canonical: the oracle STATES the expected canonical form per
         # constructed variant (lowercase host, default-port strip,

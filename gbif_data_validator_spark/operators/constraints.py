@@ -29,7 +29,7 @@ operators:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
@@ -86,6 +86,70 @@ def mask_profile(df: DataFrame, col: str, max_masks: int = 50) -> DataFrame:
         )
         .orderBy(F.col("n_rows").desc(), F.col("mask"))
         .limit(max_masks)
+    )
+
+
+def benford_deviation(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law →
+    ``(digit, n_rows, frac, expected, abs_dev)``, one row per digit 1-9.
+
+    The classic conformance check for organically-grown numeric columns
+    (amounts, populations, file sizes): a large deviation flags synthetic,
+    truncated, or defaulted data. The digit is extracted from the STRING
+    form (first ``[1-9]`` match) rather than ``floor(x / 10^floor(log10 x))``
+    — the string path is immune to libm log10 rounding at decade
+    boundaries, so two engines agree bit-exactly. One scan into a 9-key
+    groupBy; fractions rounded to 6 dp (the engine-portable quantization).
+    Rows with no nonzero digit (NULL, 0, NaN) are excluded."""
+    digit = F.regexp_extract(F.col(col).cast("string"), "[1-9]", 0)
+    counted = (
+        df.where(F.col(col).isNotNull())
+        .select(digit.alias("digit"))
+        .where(F.col("digit") != "")
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    total = F.sum("n_rows").over(Window.partitionBy())
+    expected = F.round(F.log10(F.lit(1) + F.lit(1) / F.col("digit").cast("double")), 6)
+    frac = F.round(F.col("n_rows") / total, 6)
+    return counted.select(
+        "digit",
+        "n_rows",
+        frac.alias("frac"),
+        expected.alias("expected"),
+        F.round(F.abs(frac - expected), 6).alias("abs_dev"),
+    ).orderBy("digit")
+
+
+def iqr_outlier_rows(
+    df: DataFrame, col: str, k: float = 1.5, id_cols: list[str] | None = None
+) -> DataFrame:
+    """Rows whose ``col`` falls outside ``[q1 - k·IQR, q3 + k·IQR]`` →
+    ``(*id_cols, col, lo, hi)`` — the Tukey-fence numeric-plausibility
+    check (Great Expectations' expect_column_values_to_be_between with
+    discovered bounds).
+
+    Exact ``percentile`` (linear interpolation, identical in DuckDB's
+    ``quantile_cont``) so the bounds are oracle-checkable; fences rounded
+    to 6 dp before comparison so both engines cut at the same value. Plan:
+    one stats agg → 1-row broadcast crossJoin → one filter scan (two scans
+    total). At 100 TB swap the stats agg for ``percentile_approx`` — same
+    shape, single-pass sketch, approximate fences (documented knob, not
+    the oracle path)."""
+    c = F.col(col)
+    stats = df.agg(
+        F.percentile(c, F.lit(0.25)).alias("_q1"),
+        F.percentile(c, F.lit(0.75)).alias("_q3"),
+    )
+    bounds = stats.select(
+        F.round(F.col("_q1") - k * (F.col("_q3") - F.col("_q1")), 6).alias("lo"),
+        F.round(F.col("_q3") + k * (F.col("_q3") - F.col("_q1")), 6).alias("hi"),
+    )
+    keep = id_cols if id_cols is not None else [x for x in df.columns if x != col]
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .where((c < F.col("lo")) | (c > F.col("hi")))
+        .select(*keep, col, "lo", "hi")
     )
 
 

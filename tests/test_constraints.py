@@ -7,7 +7,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from gbif_data_validator_spark.operators.constraints import (
+    benford_deviation,
     fd_violations,
+    iqr_outlier_rows,
     mask_expr,
     mask_profile,
     suggest_constraints,
@@ -94,3 +96,29 @@ def test_suggest_constraints_in_set_cardinality_gate(spark):
 def test_suggest_constraints_empty_table(spark):
     df = spark.createDataFrame([], "id int, c string")
     assert suggest_constraints(df).collect() == []
+
+
+def test_benford_digit_extraction_and_math(spark):
+    # digits from the string form: 123.0->1, 0.045->4, -900.0->9;
+    # 0 / NULL excluded
+    df = spark.createDataFrame(
+        [(123.0,), (0.045,), (-900.0,), (1.5,), (0.0,), (None,)], "x double"
+    )
+    rows = {r.digit: r for r in benford_deviation(df, "x").collect()}
+    assert set(rows) == {"1", "4", "9"}
+    assert rows["1"].n_rows == 2 and rows["1"].frac == 0.5
+    assert rows["1"].expected == round(__import__("math").log10(2), 6)
+    assert rows["9"].abs_dev == round(abs(0.25 - round(__import__("math").log10(1 + 1 / 9), 6)), 6)
+
+
+def test_iqr_outlier_fences(spark):
+    # sorted [-50,1,2,3,4,5,100]: interpolated q1=1.5, q3=4.5, IQR=3
+    # -> fences [-3, 9]: only 100 and -50 flagged
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 100, -50])],
+        "id long, x double",
+    )
+    rows = iqr_outlier_rows(df, "x", id_cols=["id"]).collect()
+    got = sorted((r.id, r.x) for r in rows)
+    assert got == [(5, 100.0), (6, -50.0)]
+    assert rows[0].lo == -3.0 and rows[0].hi == 9.0
