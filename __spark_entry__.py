@@ -665,9 +665,14 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative PageRank over the bipartite customer↔supplier graph
-    (edges = co-occurrence in an order, both directions). No SQL oracle —
-    the driver contract exempts iterative algorithms; correctness is
-    pinned by tests/test_graph.py's analytic fixed-point fixtures."""
+    (edges = co-occurrence in an order, both directions). ORACLED despite
+    being iterative: with a fixed iteration count the damped power
+    iteration unrolls into chained SQL CTEs (oracle_sql generates the
+    5-level unroll with the same IEEE operation order Spark uses), and
+    the top-25 cut sorts on the ROUNDED rank (8 dp) so sub-ulp summation
+    ordering differences between engines can't flip the cut or the
+    tie-break. Fixed-point math is additionally pinned by
+    tests/test_graph.py's analytic fixtures."""
     from gbif_data_validator_spark.operators.graph import pagerank
 
     li = _tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -679,12 +684,10 @@ def _q_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return (
-        pagerank(both, iterations=5)
-        .orderBy(F.col("rank").desc(), "vertex")
-        .limit(25)
-        .select("vertex", F.round("rank", 8).alias("rank"))
+    ranked = pagerank(both, iterations=5).select(
+        "vertex", F.round("rank", 8).alias("rank")
     )
+    return ranked.orderBy(F.col("rank").desc(), "vertex").limit(25)
 
 
 def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1744,32 +1747,12 @@ def _q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # reference-core validation surface (SURVEY.md §2 S/P/J/A/W rows) --
-        # these stay inside the driver's 50-query correctness window
-        "term_frequency": _q_term_frequency,
-        "profile_nulls_distinct": _q_profile_nulls_distinct,
-        "uniqueness_lineitem": _q_uniqueness_lineitem,
-        "uniqueness_sorted": _q_uniqueness_sorted,
-        "drift_exact": _q_drift_exact,
-        "categorical_drift": _q_categorical_drift,
-        "ref_orphans_source": _q_ref_orphans_source,
-        "doc_violations": _q_doc_violations,
-        "doc_check_counts": _q_doc_check_counts,
-        "doc_samples": _q_doc_samples,
-        "verbatim_samples": _q_verbatim_samples,
-        "interpreted_counts": _q_interpreted_counts,
-        "events_ts_unlikely": _q_events_ts_unlikely,
-        "events_windows": _q_events_windows,
-        "data_field_uniqueness": _q_data_field_uniqueness,
-        "frequent_values": _q_frequent_values,
-        "length_histogram": _q_length_histogram,
-        "top_orders_per_cust": _q_top_orders_per_cust,
-        "star_referential": _q_star_referential,
-        "lapsed_customers": _q_lapsed_customers,
-        "events_props_extract": _q_events_props_extract,
-        "profile_rollup_exact": _q_profile_rollup_exact,
-        # flagship operator families (round 2/3): one driver-checked
-        # representative per family, inside the window
+        # Driver-window policy (slots 1-50, the driver's correctness cap):
+        # every oracled query WITHOUT a green CORRECTNESS_r02 row comes
+        # first (38 entries), so the union of r02 + r03 driver rows covers
+        # all oracled queries; slots 39-50 re-confirm one reference-core
+        # query per §2 family. Already-r02-green queries follow, then the
+        # rows-only (no-oracle-by-nature) tail.
         "spreadsheet_pages": _q_spreadsheet_pages,
         "checklist_checks": _q_checklist_checks,
         "taxon_match": _q_taxon_match,
@@ -1795,12 +1778,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram": _q_top_ngram,
         "repetition_stats": _q_repetition_stats,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
-        # round-3 additions (window slots 48-50)
+        # round-3 additions (uncovered in r02)
         "ann_recall": _q_ann_recall,
         "nb_quality": _q_nb_quality,
         "warc_pages": _q_warc_pages,
-        # previously driver-verified (green in CORRECTNESS_r01/r02) --
-        # intentionally past the 50-query window
         "url_filter": _q_url_filter,
         "doc_line_dedup": _q_doc_line_dedup,
         "nfc_report": _q_nfc_report,
@@ -1810,23 +1791,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "benford_check": _q_benford,
         "iqr_outliers": _q_iqr_outliers,
-        "asof_attribution": _q_asof_attribution,
         "source_rollup": _q_source_rollup,
+        # newly oracled this round (r02 row was err: no_oracle) — the
+        # fixed-iteration unrolled-CTE replay makes even PageRank hashable
+        "pagerank_entities": _q_pagerank_entities,
+        # slots 40-50: reference-core re-confirmations (green in r02),
+        # one per §2 family
+        "term_frequency": _q_term_frequency,
+        "profile_nulls_distinct": _q_profile_nulls_distinct,
+        "uniqueness_lineitem": _q_uniqueness_lineitem,
+        "doc_violations": _q_doc_violations,
+        "doc_check_counts": _q_doc_check_counts,
+        "verbatim_samples": _q_verbatim_samples,
+        "events_props_extract": _q_events_props_extract,
+        "star_referential": _q_star_referential,
+        "asof_attribution": _q_asof_attribution,
+        "interval_join_incidents": _q_interval_join_incidents,
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        # previously driver-verified (green in CORRECTNESS_r01/r02) --
+        # intentionally past the 50-query window
+        "cosine_topk": _q_cosine_topk,
+        "uniqueness_sorted": _q_uniqueness_sorted,
+        "drift_exact": _q_drift_exact,
+        "categorical_drift": _q_categorical_drift,
+        "ref_orphans_source": _q_ref_orphans_source,
+        "doc_samples": _q_doc_samples,
+        "interpreted_counts": _q_interpreted_counts,
+        "events_ts_unlikely": _q_events_ts_unlikely,
+        "events_windows": _q_events_windows,
+        "data_field_uniqueness": _q_data_field_uniqueness,
+        "frequent_values": _q_frequent_values,
+        "length_histogram": _q_length_histogram,
+        "top_orders_per_cust": _q_top_orders_per_cust,
+        "lapsed_customers": _q_lapsed_customers,
+        "profile_rollup_exact": _q_profile_rollup_exact,
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
         "events_sessionize": _q_events_sessionize,
-        "interval_join_incidents": _q_interval_join_incidents,
         "events_rollup": _q_events_rollup,
         "regional_revenue": _q_regional_revenue,
         "fingerprints": _q_fingerprints,
-        "dedup_exact_groups": _q_dedup_exact_groups,
         "paragraph_dupes": _q_paragraph_dupes,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "ngram_containment": _q_ngram_containment,
-        "cosine_topk": _q_cosine_topk,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "dedup_survivors": _q_dedup_survivors,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -1838,8 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "pack_bins": _q_pack_bins,
         "contamination": _q_contamination,
-        # rows-only (no SQL oracle by nature: LSH/ANN/sketch/iterative)
-        "pagerank_entities": _q_pagerank_entities,
+        # rows-only (no SQL oracle by nature: LSH/ANN/sketch)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
         "semantic_dedup": _q_semantic_dedup,
@@ -1850,6 +1859,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events": _q_drift_events,
         "pages_validation": _q_pages_validation,
     }
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Generate the unrolled DuckDB replay of
+    ``operators/graph.py::pagerank`` at a fixed iteration count over the
+    customer↔supplier co-occurrence graph (both directions, deduped).
+
+    Per iteration i: ``d{i}`` is the dangling mass (rank of vertices with
+    no out-edge, a 1-row scalar), ``c{i}`` the in-mass sums, ``r{i+1}``
+    the damped update. Every literal is forced to DOUBLE so DuckDB never
+    routes through DECIMAL arithmetic, and the expression tree matches the
+    Spark/Python operation order token for token."""
+    ctes = [
+        """eb AS (
+              SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                     's' || CAST(l_suppkey AS VARCHAR) AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            )""",
+        """e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM eb
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM eb
+              )
+            )""",
+        """verts AS (
+              SELECT DISTINCT vertex FROM (
+                SELECT src AS vertex FROM e
+                UNION ALL
+                SELECT dst AS vertex FROM e
+              )
+            )""",
+        "nv AS (SELECT COUNT(*) AS n FROM verts)",
+        "od AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        """r0 AS (
+              SELECT vertex, CAST(1.0 AS DOUBLE) / (SELECT n FROM nv) AS rank
+              FROM verts
+            )""",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""d{i} AS (
+              SELECT COALESCE(SUM(r.rank), CAST(0.0 AS DOUBLE)) AS dm
+              FROM r{i} r LEFT JOIN od ON r.vertex = od.src
+              WHERE od.deg IS NULL
+            )"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+              SELECT e.dst AS dst, SUM(r.rank / od.deg) AS in_mass
+              FROM r{i} r JOIN od ON r.vertex = od.src JOIN e ON e.src = od.src
+              GROUP BY e.dst
+            )"""
+        )
+        ctes.append(
+            f"""r{i + 1} AS (
+              SELECT v.vertex,
+                     ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nv)
+                      + CAST(0.85 AS DOUBLE) * (SELECT dm FROM d{i}) / (SELECT n FROM nv))
+                     + CAST(0.85 AS DOUBLE) * COALESCE(c.in_mass, CAST(0.0 AS DOUBLE)) AS rank
+              FROM verts v LEFT JOIN c{i} c ON v.vertex = c.dst
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n            ".join(ctes)
+        + f"""
+            SELECT vertex, ROUND(rank, 8) AS rank FROM r{iterations}
+            ORDER BY 2 DESC, 1 LIMIT 25
+        """
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3595,4 +3675,12 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT n_chars) AS n_chars_distinct
             FROM documents GROUP BY ROLLUP (lang) ORDER BY lang
         """,
+        # pagerank_entities: fixed-iteration damped power iteration unrolled
+        # into chained CTEs. Arithmetic mirrors operators/graph.py::pagerank
+        # exactly: base uses (1.0 - 0.85) computed IN DOUBLES (Python's
+        # 1.0-0.85 == 0.15000000000000002, NOT the decimal literal 0.15),
+        # (0.85*dm)/n left-assoc, rank/deg double-by-bigint. Sub-ulp
+        # summation-order noise is absorbed by the ROUND(.,8) before the
+        # top-25 sort (ordinal ORDER BY so the alias, not r5.rank, sorts).
+        "pagerank_entities": _pagerank_oracle_sql(iterations=5),
     }
