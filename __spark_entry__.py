@@ -1688,7 +1688,12 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_pages_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine pass battery on a synthesized pages table (the primary
-    north-star workload; synthetic because testdata has no html column)."""
+    north-star workload; synthetic because testdata has no html column).
+    ORACLED as a VALUES table (the house pattern for non-parquet fixtures,
+    like ``warc_pages``): ``synth_pages(3000, with_violations=True)`` is
+    deterministic, and its per-check counts are the same goldens the
+    verify-skill pins — 4 per planted check class, 3 duplicate-key rows,
+    1 drift window."""
     from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
     from gbif_data_validator_spark.sources.synthetic import synth_pages
 
@@ -1696,8 +1701,11 @@ def _q_pages_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = synth_pages(spark, 3000, with_violations=True).drop("expected_issue")
     eng = ValidationEngine(spark, EngineConfig(check_extraction=True))
-    return eng.build_violations(pages, lang_dim(spark)).groupBy("check_id").agg(
-        F.count(F.lit(1)).alias("n")
+    return (
+        eng.build_violations(pages, lang_dim(spark))
+        .groupBy("check_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("check_id")
     )
 
 
@@ -1792,10 +1800,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_check": _q_benford,
         "iqr_outliers": _q_iqr_outliers,
         "source_rollup": _q_source_rollup,
-        # newly oracled this round (r02 row was err: no_oracle) — the
-        # fixed-iteration unrolled-CTE replay makes even PageRank hashable
+        # newly oracled this round (no r02 row / err: no_oracle): the
+        # fixed-iteration unrolled-CTE replay makes even PageRank hashable,
+        # and the flagship engine battery pins its golden VALUES counts
         "pagerank_entities": _q_pagerank_entities,
-        # slots 40-50: reference-core re-confirmations (green in r02),
+        "pages_validation": _q_pages_validation,
+        # slots 41-50: reference-core re-confirmations (green in r02),
         # one per §2 family
         "term_frequency": _q_term_frequency,
         "profile_nulls_distinct": _q_profile_nulls_distinct,
@@ -1807,9 +1817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_referential": _q_star_referential,
         "asof_attribution": _q_asof_attribution,
         "interval_join_incidents": _q_interval_join_incidents,
-        "dedup_exact_groups": _q_dedup_exact_groups,
         # previously driver-verified (green in CORRECTNESS_r01/r02) --
         # intentionally past the 50-query window
+        "dedup_exact_groups": _q_dedup_exact_groups,
         "cosine_topk": _q_cosine_topk,
         "uniqueness_sorted": _q_uniqueness_sorted,
         "drift_exact": _q_drift_exact,
@@ -1857,7 +1867,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": _q_lsh_ann,
         "pq_ann": _q_pq_ann,
         "drift_events": _q_drift_events,
-        "pages_validation": _q_pages_validation,
     }
 
 
@@ -3674,6 +3683,22 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN n_chars IS NULL THEN 1 END) AS n_chars_nulls,
                    count(DISTINCT n_chars) AS n_chars_distinct
             FROM documents GROUP BY ROLLUP (lang) ORDER BY lang
+        """,
+        # pages_validation: VALUES oracle over the deterministic synthetic
+        # fixture (no parquet input exists for it) — the engine's golden
+        # per-check counts at n=3000, the same ones the verify skill pins
+        "pages_validation": """
+            SELECT * FROM (VALUES
+              ('DRIFT_WINDOW', CAST(1 AS BIGINT)),
+              ('KEY_EMPTY', 4),
+              ('LANG_UNKNOWN', 4),
+              ('RECORD_NOT_UNIQUELY_IDENTIFIED', 3),
+              ('TEXT_EMPTY', 4),
+              ('TEXT_EXTRACTION_MISMATCH', 4),
+              ('URL_MALFORMED', 4),
+              ('WARC_TS_INVALID', 4),
+              ('WARC_TS_UNLIKELY', 4)
+            ) AS t(check_id, n) ORDER BY check_id
         """,
         # pagerank_entities: fixed-iteration damped power iteration unrolled
         # into chained CTEs. Arithmetic mirrors operators/graph.py::pagerank

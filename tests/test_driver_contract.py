@@ -19,7 +19,7 @@ def test_contract_counts():
     """Keep an explicit floor so a refactor can't silently drop coverage."""
     qs, oracles = entry.queries(), entry.oracle_sql()
     assert len(qs) >= 97, len(qs)
-    assert len(oracles) >= 88, len(oracles)
+    assert len(oracles) >= 89, len(oracles)
 
 
 def test_driver_window_fully_oracled():
