@@ -1258,6 +1258,35 @@ def _q_suggest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_constraints(nation, ["n_nationkey", "n_name", "n_regionkey"])
 
 
+def _q_verify_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-VerificationSuite analog: a declared rule battery (the rules
+    ``suggest_constraints`` emits for clean ``nation``) verified against
+    nation PLUS one planted bad row (duplicate key 0, NULL name, region 99)
+    — one conditional-aggregate scan. Expected: UNIQUE(n_nationkey),
+    RANGE(n_regionkey) and IN_SET(n_regionkey) each catch 1 violation;
+    COMPLETENESS_GE(n_name, 0.96) records 1 null yet still passes
+    (25/26 = 0.961538)."""
+    from gbif_data_validator_spark.operators.constraints import verify_constraints
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    bad = spark.createDataFrame(
+        [(0, None, 99)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    rules = [
+        ("n_nationkey", "NOT_NULL", ""),
+        ("n_nationkey", "RANGE", "0..24"),
+        ("n_nationkey", "UNIQUE", ""),
+        ("n_name", "COMPLETENESS_GE", "0.960000"),
+        ("n_name", "UNIQUE", ""),
+        ("n_regionkey", "NOT_NULL", ""),
+        ("n_regionkey", "RANGE", "0..4"),
+        ("n_regionkey", "IN_SET", "0,1,2,3,4"),
+    ]
+    return verify_constraints(nation.union(bad), rules)
+
+
 def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit conformance over ``l_extendedprice`` — digit
     extracted from the string form (immune to libm log10 divergence),
@@ -1796,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_check": _q_fd_check,
         "mask_profile": _q_mask_profile,
         "suggest_constraints": _q_suggest_constraints,
+        "verify_constraints": _q_verify_constraints,
         "url_canonical": _q_url_canonical,
         "benford_check": _q_benford,
         "iqr_outliers": _q_iqr_outliers,
@@ -1814,11 +1844,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_check_counts": _q_doc_check_counts,
         "verbatim_samples": _q_verbatim_samples,
         "events_props_extract": _q_events_props_extract,
-        "star_referential": _q_star_referential,
         "asof_attribution": _q_asof_attribution,
         "interval_join_incidents": _q_interval_join_incidents,
         # previously driver-verified (green in CORRECTNESS_r01/r02) --
         # intentionally past the 50-query window
+        "star_referential": _q_star_referential,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "cosine_topk": _q_cosine_topk,
         "uniqueness_sorted": _q_uniqueness_sorted,
@@ -3065,6 +3095,51 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'n_regionkey', 'IN_SET', r_set
                 FROM s WHERE r_nd BETWEEN 1 AND 10 AND r_nd < r_nn
             ) ORDER BY "column", "constraint"
+        """,
+        # verify_constraints: per-rule conditional-aggregate replay over
+        # nation + the same planted bad row; COMPLETENESS_GE passes on the
+        # rounded ratio while still reporting its null as a violation count
+        "verify_constraints": """
+            WITH t AS (
+              SELECT n_nationkey, n_name, n_regionkey FROM nation
+              UNION ALL
+              SELECT 0, NULL, 99
+            ),
+            s AS (
+              SELECT COUNT(*) AS n,
+                     COUNT(CASE WHEN n_nationkey IS NULL THEN 1 END) AS nk_nulls,
+                     COUNT(CASE WHEN n_nationkey IS NOT NULL
+                                AND (n_nationkey < 0 OR n_nationkey > 24) THEN 1 END) AS nk_range,
+                     COUNT(n_nationkey) - COUNT(DISTINCT n_nationkey) AS nk_dups,
+                     COUNT(CASE WHEN n_name IS NULL THEN 1 END) AS nm_nulls,
+                     COUNT(n_name) AS nm_nn,
+                     COUNT(n_name) - COUNT(DISTINCT n_name) AS nm_dups,
+                     COUNT(CASE WHEN n_regionkey IS NULL THEN 1 END) AS rk_nulls,
+                     COUNT(CASE WHEN n_regionkey IS NOT NULL
+                                AND (n_regionkey < 0 OR n_regionkey > 4) THEN 1 END) AS rk_range,
+                     COUNT(CASE WHEN n_regionkey IS NOT NULL
+                                AND CAST(n_regionkey AS VARCHAR) NOT IN ('0','1','2','3','4') THEN 1 END) AS rk_inset
+              FROM t
+            )
+            SELECT * FROM (
+              SELECT 'n_nationkey' AS "column", 'NOT_NULL' AS "constraint", '' AS detail,
+                     nk_nulls AS n_violations, nk_nulls = 0 AS passed FROM s
+              UNION ALL
+              SELECT 'n_nationkey', 'RANGE', '0..24', nk_range, nk_range = 0 FROM s
+              UNION ALL
+              SELECT 'n_nationkey', 'UNIQUE', '', nk_dups, nk_dups = 0 FROM s
+              UNION ALL
+              SELECT 'n_name', 'COMPLETENESS_GE', '0.960000', nm_nulls,
+                     ROUND(CAST(nm_nn AS DOUBLE) / n, 6) >= 0.96 FROM s
+              UNION ALL
+              SELECT 'n_name', 'UNIQUE', '', nm_dups, nm_dups = 0 FROM s
+              UNION ALL
+              SELECT 'n_regionkey', 'NOT_NULL', '', rk_nulls, rk_nulls = 0 FROM s
+              UNION ALL
+              SELECT 'n_regionkey', 'RANGE', '0..4', rk_range, rk_range = 0 FROM s
+              UNION ALL
+              SELECT 'n_regionkey', 'IN_SET', '0,1,2,3,4', rk_inset, rk_inset = 0 FROM s
+            ) ORDER BY "column", "constraint", detail
         """,
         # benford_check: first [1-9] of the string form on both engines;
         # frac/expected/abs_dev all quantized round(.,6) identically

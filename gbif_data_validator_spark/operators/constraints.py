@@ -5,7 +5,7 @@ The reference validates against a FIXED rule set (its evaluation chain,
 core/EvaluationChain.java via api/model/EvaluationType.java); production
 validation systems (Deequ's ConstraintSuggestion, Great Expectations'
 profilers) additionally *discover* the rules a table already satisfies and
-check *set-level* dependencies no per-row predicate can express. Three
+check *set-level* dependencies no per-row predicate can express. The
 operators:
 
 - ``fd_violations``: functional-dependency check — LHS columns that map to
@@ -25,6 +25,11 @@ operators:
   ``countDistinct`` fan-out is the cost knob — ``exact=False`` switches to
   HLL sketches (one pass, constant state) at the price of approximate
   UNIQUE detection.
+- ``verify_constraints``: Deequ VerificationSuite analog — a declared (or
+  suggested) rule list verified in ONE conditional-aggregate scan.
+- ``benford_deviation`` / ``iqr_outlier_rows``: numeric-conformance checks
+  (first-digit law; Tukey fences with exact, oracle-checkable percentile
+  bounds).
 """
 
 from __future__ import annotations
@@ -151,6 +156,74 @@ def iqr_outlier_rows(
         .where((c < F.col("lo")) | (c > F.col("hi")))
         .select(*keep, col, "lo", "hi")
     )
+
+
+def verify_constraints(
+    df: DataFrame, constraints: list[tuple[str, str, str]]
+) -> DataFrame:
+    """Verify a declared constraint list against a table in ONE aggregation
+    scan → ``(column, constraint, detail, n_violations, passed)`` — the
+    Deequ VerificationSuite analog, closing the loop with
+    ``suggest_constraints`` (whose output rows are accepted verbatim:
+    ``[(r.column, r.constraint, r.detail) for r in suggestions]``).
+
+    Violation semantics (all NULL-handling matches ANSI SQL so the result
+    is oracle-checkable):
+
+    - ``NOT_NULL`` — n_violations = null count.
+    - ``COMPLETENESS_GE p`` — n_violations = null count, but ``passed``
+      compares the observed non-null ratio (rounded 6 dp) against ``p``.
+    - ``UNIQUE`` — n_violations = non-null count − distinct count (extra
+      duplicate rows; NULLs ignored, COUNT DISTINCT semantics).
+    - ``RANGE lo..hi`` — non-null values outside the closed envelope.
+    - ``IN_SET v1,v2,…`` — non-null values whose string form is not in
+      the set.
+
+    Plan shape: every constraint compiles to one conditional aggregate in
+    a single ``df.agg`` — one scan, no joins, no shuffles beyond the final
+    1-row reduce; the driver collects exactly one bounded row. The result
+    table is built driver-side (bounded by the number of constraints, not
+    data)."""
+    spark: SparkSession = df.sparkSession
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("_n")]
+    for i, (col, kind, detail) in enumerate(constraints):
+        c = F.col(col)
+        if kind in ("NOT_NULL", "COMPLETENESS_GE"):
+            expr = F.count(F.when(c.isNull(), F.lit(1)))
+        elif kind == "UNIQUE":
+            expr = F.count(c) - F.countDistinct(c)
+        elif kind == "RANGE":
+            lo, hi = (float(v) for v in detail.split("..", 1))
+            expr = F.count(
+                F.when(c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))), F.lit(1))
+            )
+        elif kind == "IN_SET":
+            vals = detail.split(",") if detail else []
+            expr = F.count(
+                F.when(c.isNotNull() & ~c.cast("string").isin(vals), F.lit(1))
+            )
+        else:
+            raise ValueError(f"unknown constraint kind: {kind!r}")
+        aggs.append(expr.cast("long").alias(f"_v{i}"))
+        if kind == "COMPLETENESS_GE":
+            aggs.append(F.count(c).cast("long").alias(f"_nn{i}"))
+    row = df.agg(*aggs).first()  # bounded: one row, ≤2 scalars/constraint
+
+    out: list[tuple[str, str, str, int, bool]] = []
+    n = row["_n"]
+    for i, (col, kind, detail) in enumerate(constraints):
+        viol = int(row[f"_v{i}"])
+        if kind == "COMPLETENESS_GE":
+            ratio = round(row[f"_nn{i}"] / n, 6) if n else 1.0
+            passed = ratio >= float(detail)
+        else:
+            passed = viol == 0
+        out.append((col, kind, detail, viol, passed))
+    return spark.createDataFrame(
+        out,
+        "column string, constraint string, detail string, "
+        "n_violations long, passed boolean",
+    ).orderBy("column", "constraint", "detail")
 
 
 def suggest_constraints(

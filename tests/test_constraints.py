@@ -13,6 +13,7 @@ from gbif_data_validator_spark.operators.constraints import (
     mask_expr,
     mask_profile,
     suggest_constraints,
+    verify_constraints,
 )
 
 
@@ -122,3 +123,52 @@ def test_iqr_outlier_fences(spark):
     got = sorted((r.id, r.x) for r in rows)
     assert got == [(5, 100.0), (6, -50.0)]
     assert rows[0].lo == -3.0 and rows[0].hi == 9.0
+
+
+def test_verify_constraints_roundtrip_clean(spark):
+    # the suggest -> verify loop: a clean table passes every rule it
+    # suggested for itself, in one agg scan
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double",
+    )
+    rules = [
+        (r.column, r.constraint, r.detail)
+        for r in suggest_constraints(df).collect()
+    ]
+    assert rules  # NOT_NULL/UNIQUE/RANGE at minimum
+    res = verify_constraints(df, rules).collect()
+    assert all(r.passed for r in res)
+    assert all(r.n_violations == 0 for r in res)
+
+
+def test_verify_constraints_planted_violations(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, None), (2, "y"), (3, "ZZZ")], "id long, tag string"
+    )
+    res = {
+        (r.column, r.constraint): r
+        for r in verify_constraints(
+            df,
+            [
+                ("id", "UNIQUE", ""),
+                ("id", "RANGE", "1..2"),
+                ("tag", "NOT_NULL", ""),
+                ("tag", "IN_SET", "x,y"),
+                ("tag", "COMPLETENESS_GE", "0.500000"),
+            ],
+        ).collect()
+    }
+    assert res[("id", "UNIQUE")].n_violations == 1 and not res[("id", "UNIQUE")].passed
+    assert res[("id", "RANGE")].n_violations == 1  # the 3
+    assert res[("tag", "NOT_NULL")].n_violations == 1
+    assert res[("tag", "IN_SET")].n_violations == 1  # ZZZ; NULL ignored
+    # 3/4 = 0.75 >= 0.5: records the null but passes
+    c = res[("tag", "COMPLETENESS_GE")]
+    assert c.n_violations == 1 and c.passed
+
+
+def test_verify_constraints_unknown_kind_raises(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="unknown constraint kind"):
+        verify_constraints(df, [("id", "REGEX", ".*")])
