@@ -690,6 +690,18 @@ def _q_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.orderBy(F.col("rank").desc(), "vertex").limit(25)
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-lite (Lee et al. 2022): maximal verbatim-duplicated
+    token windows (≥16 tokens) across document pairs — k-gram seed posting
+    lists merged along alignment diagonals with the islands trick; grams
+    travel as strings so the result is exact and hash-checkable."""
+    from gbif_data_validator_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(
+        _docs_spread(spark, sf_dir), "doc_id", "text", k=8, min_tokens=16
+    ).orderBy("doc_a", "doc_b", "start_a", "start_b")
+
+
 def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-supersets: |A∩B| / min(|A|,|B|) ≥ 0.8 — the
     boilerplate-wrapper duplicate class symmetric Jaccard dilutes."""
@@ -1829,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "benford_check": _q_benford,
         "iqr_outliers": _q_iqr_outliers,
+        "dup_spans": _q_dup_spans,
         "source_rollup": _q_source_rollup,
         # newly oracled this round (no r02 row / err: no_oracle): the
         # fixed-iteration unrolled-CTE replay makes even PageRank hashable,
@@ -1845,9 +1858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verbatim_samples": _q_verbatim_samples,
         "events_props_extract": _q_events_props_extract,
         "asof_attribution": _q_asof_attribution,
-        "interval_join_incidents": _q_interval_join_incidents,
         # previously driver-verified (green in CORRECTNESS_r01/r02) --
         # intentionally past the 50-query window
+        "interval_join_incidents": _q_interval_join_incidents,
         "star_referential": _q_star_referential,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "cosine_topk": _q_cosine_topk,
@@ -3095,6 +3108,46 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'n_regionkey', 'IN_SET', r_set
                 FROM s WHERE r_nd BETWEEN 1 AND 10 AND r_nd < r_nn
             ) ORDER BY "column", "constraint"
+        """,
+        # dup_spans: the identical seed->diagonal->island algebra in SQL --
+        # positional 8-grams (lower/trim/\s+ exactly as the Spark side),
+        # occurrence-count stop-gram cap, islands via pos_a - row_number()
+        "dup_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+              FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+              SELECT doc_id, CAST(i AS INT) AS pos,
+                     array_to_string(w[i:i + 7], ' ') AS gram
+              FROM (
+                SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+                FROM toks WHERE len(w) >= 8
+              )
+            ),
+            eligible AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING COUNT(*) >= 2 AND COUNT(*) <= 1000
+            ),
+            ge AS (SELECT g.* FROM g JOIN eligible USING (gram)),
+            seeds AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.pos AS pos_a, b.pos AS pos_b
+              FROM ge a JOIN ge b USING (gram)
+              WHERE a.doc_id < b.doc_id
+            ),
+            runs AS (
+              SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+                     pos_a - ROW_NUMBER() OVER (
+                       PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+                     ) AS island
+              FROM seeds
+            )
+            SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+                   COUNT(*) + 7 AS n_tokens
+            FROM runs GROUP BY doc_a, doc_b, diag, island
+            HAVING COUNT(*) + 7 >= 16
+            ORDER BY doc_a, doc_b, start_a, start_b
         """,
         # verify_constraints: per-rule conditional-aggregate replay over
         # nation + the same planted bad row; COMPLETENESS_GE passes on the

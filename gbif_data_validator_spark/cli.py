@@ -88,6 +88,24 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--history", action="store_true",
                    help="no validation: print one JSON line per run that "
                         "touched this --work-dir (newest first) and exit 0")
+    p.add_argument("--suggest-constraints", action="store_true",
+                   help="no validation: print the constraint suggestions "
+                        "(Deequ ConstraintSuggestion analog) for --table as "
+                        "JSON rules and exit 0 — feed the output to "
+                        "--rules-json on a later table")
+    p.add_argument("--rules-json", metavar="RULES_FILE", default=None,
+                   help="verify the JSON rule list (as emitted by "
+                        "--suggest-constraints) against --table in one agg "
+                        "scan; with --table alone: no validation, print "
+                        "per-rule results, exit 0 if all passed else 2. "
+                        "Combined with a validation run the rules ride "
+                        "along as EngineConfig.table_rules")
+    p.add_argument("--rules-blocking", action="store_true",
+                   help="with --rules-json during validation: a failed rule "
+                        "blocks indexability (table_rules_blocking)")
+    p.add_argument("--rules-only", action="store_true",
+                   help="with --rules-json: verify rules and exit without "
+                        "running the validation engine")
     p.add_argument("--diff-schema", metavar="OTHER_TABLE", default=None,
                    help="no validation: schema-evolution diff of --table vs "
                         "OTHER_TABLE (added/removed/type_changed columns as "
@@ -151,6 +169,30 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 2 if regressed_blocking else 0
 
+    if args.suggest_constraints:
+        from .operators.constraints import suggest_constraints
+        from .sources.tables import read_table as _rt
+
+        rows = suggest_constraints(_rt(spark, args.table)).collect()
+        print(json.dumps([
+            {"column": r["column"], "constraint": r["constraint"],
+             "detail": r["detail"]}
+            for r in rows
+        ]))
+        return 0
+
+    if args.rules_json and args.rules_only:
+        from .operators.constraints import verify_constraints
+        from .sources.tables import read_table as _rt
+
+        with open(args.rules_json) as fh:
+            rules = [(r["column"], r["constraint"], r["detail"])
+                     for r in json.load(fh)]
+        rows = verify_constraints(_rt(spark, args.table), rules).collect()
+        out = [r.asDict() for r in rows]
+        print(json.dumps(out, default=str))
+        return 0 if all(r["passed"] for r in out) else 2
+
     if args.audit_layout:
         from .operators.layout import layout_audit
 
@@ -186,6 +228,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.run_id:
         kwargs["run_id"] = args.run_id
+    if args.rules_json:
+        with open(args.rules_json) as fh:
+            kwargs["table_rules"] = tuple(
+                (r["column"], r["constraint"], r["detail"])
+                for r in json.load(fh)
+            )
+        kwargs["table_rules_blocking"] = args.rules_blocking
     config = EngineConfig(**kwargs)
 
     pages = read_table(spark, args.table)

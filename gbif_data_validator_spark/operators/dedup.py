@@ -907,3 +907,106 @@ def minhash_lsh_cross_pairs(
         .distinct()
     )
     return pairs
+
+
+# --------------------------------------------------------------------------
+# ExactSubstr-lite: maximal duplicated token spans
+# --------------------------------------------------------------------------
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_tokens: int = 16,
+    max_df: int = 1000,
+) -> DataFrame:
+    """→ ``(doc_a, doc_b, start_a, start_b, n_tokens)``: maximal token
+    windows of ≥ ``min_tokens`` tokens shared VERBATIM between document
+    pairs (``doc_a < doc_b``), with 1-based token start offsets.
+
+    The distributed re-expression of ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"). The paper
+    builds one monolithic suffix array — inherently sequential and
+    single-machine; here the same duplicated windows fall out of pure
+    DataFrame algebra:
+
+    1. positional k-gram seeds per doc (same let-bound ``transform`` trick
+       as ``shingles`` so the regex split evaluates once per row; NOT
+       distinct — positions matter).
+    2. ``groupBy(gram)`` posting lists with the family ``max_df`` stop-gram
+       cap: a gram with > ``max_df`` total occurrences is boilerplate, and
+       the cap bounds candidate fan-out and per-reducer skew exactly as in
+       ``ngram_jaccard_pairs``.
+    3. in-list pair generation (no self-join) → cross-doc seed matches
+       ``(doc_a, doc_b, pos_a, pos_b)``.
+    4. seed matches on one alignment DIAGONAL (``pos_a − pos_b``) with
+       consecutive ``pos_a`` merge via the islands trick
+       (``pos_a − row_number()`` is constant within a run); a run of m
+       seeds is a duplicated window of ``m + k − 1`` tokens. The window +
+       groupBy run over SEED MATCHES (bounded by ``max_df``-capped posting
+       lists), never the corpus.
+
+    Exact and oracle-checkable: grams travel as strings, so there are no
+    hash collisions to reason about. At 100 TB swap the shuffle key for
+    ``xxhash64(gram)`` — same plan, 8-byte keys (documented knob, not the
+    oracle path).
+    """
+    from pyspark.sql import Window
+
+    def gen(w: Column) -> Column:
+        n = F.size(w)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.struct(
+                i.alias("pos"), F.array_join(F.slice(w, i, k), " ").alias("gram")
+            ),
+        )
+        # n < k must yield [] — sequence(1, <1) generates DESCENDING
+        return F.when(n >= k, grams).otherwise(
+            F.array().cast("array<struct<pos:int,gram:string>>")
+        )
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ex = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.element_at(F.transform(F.array(words), gen), 1)).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+    posts = (
+        ex.groupBy("gram")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("doc_id").alias("id"), F.col("pos").alias("n"))
+            ).alias("ds")
+        )
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+    )
+    seeds = (
+        posts.select(F.explode(_in_list_pairs(F.col("ds"), ["id", "n"])).alias("p"))
+        .where(F.col("p.id_a") != F.col("p.id_b"))
+        .select(
+            F.col("p.id_a").alias("doc_a"),
+            F.col("p.id_b").alias("doc_b"),
+            F.col("p.n_a").alias("pos_a"),
+            F.col("p.n_b").alias("pos_b"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = seeds.withColumn("diag", F.col("pos_a") - F.col("pos_b")).withColumn(
+        "island", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") >= min_tokens)
+        .select("doc_a", "doc_b", "start_a", "start_b", "n_tokens")
+    )

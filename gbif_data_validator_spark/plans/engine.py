@@ -311,6 +311,17 @@ class EngineConfig:
     graph_summary: bool = False
     graph_iterations: int = 5
     graph_top_k: int = 10
+    #: table-level constraint rules ``(column, kind, detail)`` — the Deequ
+    #: VerificationSuite face (operators/constraints.py::verify_constraints;
+    #: accepts suggest_constraints rows verbatim). When set, ONE extra
+    #: conditional-aggregate scan verifies the whole battery and the
+    #: results land in report.metrics["table_rules"]. Unlike custom_checks
+    #: (row-level, fused into pass 1) these are SET-level rules (UNIQUE,
+    #: COMPLETENESS_GE) that no per-row predicate can express.
+    table_rules: tuple = ()
+    #: when True, any failed table rule flips indexable to False (the
+    #: set-level analog of a blocking custom check)
+    table_rules_blocking: bool = False
     work_dir: str | None = None  # enables persisted violations + checkpoint/resume
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
 
@@ -898,6 +909,12 @@ class ValidationEngine:
             metrics["dup_clusters"] = self._cluster_summary(pages)
         if c.graph_summary and "html" in pages.columns:
             metrics["host_graph"] = self._graph_summary(pages)
+        if c.table_rules:
+            metrics["table_rules"] = self._table_rules_summary(pages)
+            if c.table_rules_blocking and any(
+                not r["passed"] for r in metrics["table_rules"]
+            ):
+                indexable = False
         return ValidationReport(
             run_id=c.run_id,
             indexable=indexable,
@@ -908,6 +925,27 @@ class ValidationEngine:
             metrics=metrics,
             partition_verdicts=verdicts,
         )
+
+    def _table_rules_summary(self, pages: DataFrame) -> list[dict]:
+        """Set-level rule battery folded into the report metrics (config:
+        ``table_rules``) — one conditional-aggregate scan regardless of
+        rule count; the driver sees one row per rule. Rules are the
+        ``(column, kind, detail)`` triples ``verify_constraints`` takes,
+        so a ``suggest_constraints`` pass on last month's table can gate
+        this month's run verbatim."""
+        from ..operators.constraints import verify_constraints
+
+        rows = verify_constraints(pages, list(self.config.table_rules)).collect()
+        return [
+            {
+                "column": r["column"],
+                "constraint": r["constraint"],
+                "detail": r["detail"],
+                "n_violations": int(r["n_violations"]),
+                "passed": bool(r["passed"]),
+            }
+            for r in rows
+        ]
 
     def _cluster_summary(self, pages: DataFrame) -> dict:
         """Exact-duplicate cluster summary folded into the report metrics

@@ -110,3 +110,46 @@ def test_main_compare_runs_mode(spark, pages, tmp_path, capsys):
     assert "KEY_EMPTY" in delta["regressed"]
     # reversed direction: everything fixed → exit 0
     assert main(["--compare-runs", "B", "A", "--work-dir", wd]) == 0
+
+
+def test_main_constraint_modes(spark, tmp_path, capsys):
+    """--suggest-constraints emits a JSON rule list; --rules-json
+    --rules-only verifies it (exit 0 clean / 2 on failures); --rules-json
+    during validation rides along as table_rules in the report."""
+    clean = str(tmp_path / "ctab")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, name string"
+    ).write.parquet(clean)
+
+    assert main(["--table", clean, "--suggest-constraints"]) == 0
+    rules = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {"column": "id", "constraint": "UNIQUE", "detail": ""} in rules
+    rf = tmp_path / "rules.json"
+    rf.write_text(json.dumps(rules))
+
+    # the suggested rules pass on the table they came from
+    assert main(["--table", clean, "--rules-json", str(rf), "--rules-only"]) == 0
+    capsys.readouterr()
+
+    # a drifted table (dup id, null name) fails → exit 2
+    drifted = str(tmp_path / "dtab")
+    spark.createDataFrame(
+        [(1, "a"), (1, None), (2, "b")], "id long, name string"
+    ).write.parquet(drifted)
+    assert main(["--table", drifted, "--rules-json", str(rf), "--rules-only"]) == 2
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert any(not r["passed"] for r in rows)
+
+    # riding along with a validation run: rules land in report metrics
+    from gbif_data_validator_spark.sources.synthetic import synth_pages
+
+    pages = str(tmp_path / "vpages")
+    synth_pages(spark, 800, with_violations=False).drop("expected_issue").write.parquet(pages)
+    pr = tmp_path / "prules.json"
+    pr.write_text(json.dumps(
+        [{"column": "url", "constraint": "NOT_NULL", "detail": ""}]
+    ))
+    assert main(["--table", pages, "--no-extraction",
+                 "--rules-json", str(pr)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["metrics"]["table_rules"][0]["passed"] is True

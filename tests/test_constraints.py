@@ -172,3 +172,32 @@ def test_verify_constraints_unknown_kind_raises(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="unknown constraint kind"):
         verify_constraints(df, [("id", "REGEX", ".*")])
+
+
+def test_verify_constraints_single_job(spark):
+    # the scale contract: N rules = ONE aggregation action (one scan),
+    # regardless of rule count — pinned via the job-group tracker the
+    # same way test_graph pins PageRank's per-iteration job count
+    df = spark.createDataFrame(
+        [(i, f"v{i % 5}") for i in range(100)], "id long, tag string"
+    )
+    rules_small = [("id", "NOT_NULL", ""), ("id", "UNIQUE", "")]
+    rules_big = rules_small + [
+        ("id", "RANGE", "0..99"),
+        ("tag", "NOT_NULL", ""),
+        ("tag", "IN_SET", "v0,v1,v2,v3,v4"),
+        ("tag", "COMPLETENESS_GE", "0.900000"),
+    ]
+    sc = spark.sparkContext
+
+    def jobs_for(rules) -> int:
+        group = f"vc-jobcount-{len(rules)}"
+        sc.setJobGroup(group, "verify_constraints job-count pin")
+        try:
+            verify_constraints(df, rules)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    n_small, n_big = jobs_for(rules_small), jobs_for(rules_big)
+    assert n_small == n_big  # more rules never add a scan

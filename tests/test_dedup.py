@@ -350,3 +350,40 @@ def test_minhash_cross_pairs_id_collision_safe(spark):
     rows = dedup.minhash_lsh_cross_pairs(left, right, "doc_id", "text", threshold=0.5).collect()
     assert len(rows) == 1 and rows[0].left_id == 1 and rows[0].right_id == 1
     assert rows[0].est_jaccard == 1.0
+
+
+def test_duplicated_spans_planted_window(spark):
+    # doc2 carries tokens 11..30 of doc1 verbatim (20 tokens) at its own
+    # offset 11; doc3 shares only a 10-token tail (< min_tokens); doc4 is
+    # shorter than k (the sequence(1, <1) descending-array guard path)
+    w = [f"w{i}" for i in range(50)]
+    doc1 = " ".join(w)
+    doc2 = " ".join([f"x{i}" for i in range(10)] + w[10:30] + [f"y{i}" for i in range(10)])
+    doc3 = " ".join([f"z{i}" for i in range(5)] + w[40:50])
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3), (4, "short text")],
+        "doc_id long, text string",
+    )
+    rows = dedup.duplicated_spans(df, "doc_id", "text", k=8, min_tokens=16).collect()
+    assert [(r.doc_a, r.doc_b, r.start_a, r.start_b, r.n_tokens) for r in rows] == [
+        (1, 2, 11, 11, 20)
+    ]
+    # the maximal span is reported ONCE (islands merge), not as sub-spans;
+    # lowering min_tokens surfaces the 10-token doc1/doc3 overlap too
+    rows10 = dedup.duplicated_spans(df, "doc_id", "text", k=8, min_tokens=10).collect()
+    got = sorted((r.doc_a, r.doc_b, r.start_a, r.start_b, r.n_tokens) for r in rows10)
+    assert got == [(1, 2, 11, 11, 20), (1, 3, 41, 6, 10)]
+
+
+def test_duplicated_spans_stop_gram_cap(spark):
+    # a gram appearing in max_df+ docs is pruned: no pairs survive
+    text = " ".join(f"t{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(i, text) for i in range(5)], "doc_id long, text string"
+    )
+    assert dedup.duplicated_spans(df, "doc_id", "text", k=8, min_tokens=8, max_df=4).collect() == []
+    # under the cap the clique of identical docs pairs up fully
+    assert (
+        dedup.duplicated_spans(df, "doc_id", "text", k=8, min_tokens=8, max_df=5).count()
+        == 10
+    )

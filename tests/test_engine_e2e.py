@@ -211,3 +211,49 @@ def test_graph_summary_no_edges(spark):
         EngineConfig(check_extraction=False, check_drift=False, graph_summary=True),
     ).run(pages)
     assert rep.metrics["host_graph"] == {"n_hosts": 0, "top_hosts": []}
+
+
+def test_table_rules_summary_and_blocking(spark):
+    """Set-level rule battery (config: table_rules): off by default, one
+    row per rule when on; a failed rule only blocks indexability under
+    table_rules_blocking."""
+    import datetime as dt
+
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    ts = dt.datetime(2024, 1, 2, 3, 4, 5)
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/1", ts, None, "alpha", "en"),
+            ("https://a.example/2", ts, None, "beta", "en"),
+            ("https://a.example/2", ts, None, "gamma", "fr"),  # dup url
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    base = EngineConfig(check_extraction=False, check_drift=False,
+                        check_uniqueness=False)
+    off = ValidationEngine(spark, base).run(pages)
+    assert "table_rules" not in off.metrics
+
+    rules = (("url", "UNIQUE", ""), ("lang", "IN_SET", "en,fr"),
+             ("text", "NOT_NULL", ""))
+    rep = ValidationEngine(
+        spark,
+        EngineConfig(check_extraction=False, check_drift=False,
+                     check_uniqueness=False, table_rules=rules),
+    ).run(pages)
+    tr = {(r["column"], r["constraint"]): r for r in rep.metrics["table_rules"]}
+    assert tr[("url", "UNIQUE")] == {
+        "column": "url", "constraint": "UNIQUE", "detail": "",
+        "n_violations": 1, "passed": False,
+    }
+    assert tr[("lang", "IN_SET")]["passed"] and tr[("text", "NOT_NULL")]["passed"]
+    assert rep.indexable  # non-blocking by default
+
+    blocked = ValidationEngine(
+        spark,
+        EngineConfig(check_extraction=False, check_drift=False,
+                     check_uniqueness=False, table_rules=rules,
+                     table_rules_blocking=True),
+    ).run(pages)
+    assert not blocked.indexable
