@@ -702,6 +702,31 @@ def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b", "start_a", "start_b")
 
 
+def _q_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot-over-snapshot churn: per-key added/changed/removed/
+    unchanged classification between two snapshots of the documents table.
+    The "new" snapshot derives deterministically from the old one (10% of
+    keys dropped, every 7th surviving text uppercased, every 13th key
+    re-added under a shifted id) so all four statuses appear and the oracle
+    replays the identical derivation."""
+    from gbif_data_validator_spark.operators.snapshot import snapshot_diff
+
+    d = _docs(spark, sf_dir)
+    survivors = d.where(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    additions = d.where(F.col("doc_id") % 13 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    new = survivors.unionByName(additions)
+    return snapshot_diff(d, new, key_col="doc_id", fingerprint_col="text").orderBy(
+        "doc_id"
+    )
+
+
 def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-supersets: |A∩B| / min(|A|,|B|) ≥ 0.8 — the
     boilerplate-wrapper duplicate class symmetric Jaccard dilutes."""
@@ -1842,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_check": _q_benford,
         "iqr_outliers": _q_iqr_outliers,
         "dup_spans": _q_dup_spans,
+        "snapshot_churn": _q_snapshot_churn,
         "source_rollup": _q_source_rollup,
         # newly oracled this round (no r02 row / err: no_oracle): the
         # fixed-iteration unrolled-CTE replay makes even PageRank hashable,
@@ -3148,6 +3174,40 @@ def oracle_sql() -> dict[str, str]:
             FROM runs GROUP BY doc_a, doc_b, diag, island
             HAVING COUNT(*) + 7 >= 16
             ORDER BY doc_a, doc_b, start_a, start_b
+        """,
+        # snapshot_churn: identical grain->full-outer-join algebra -- each
+        # snapshot collapses to (key, MIN(md5(text)), COUNT(*)), the "new"
+        # snapshot replays the same deterministic derivation, fingerprints
+        # compare null-safe (IS NOT DISTINCT FROM <=> eqNullSafe)
+        "snapshot_churn": """
+            WITH old_g AS (
+              SELECT doc_id AS key, MIN(md5(CAST(text AS VARCHAR))) AS fp,
+                     COUNT(*) AS n
+              FROM documents WHERE doc_id IS NOT NULL GROUP BY doc_id
+            ),
+            new_src AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END
+                       AS text
+              FROM documents WHERE doc_id % 10 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 13 = 0
+            ),
+            new_g AS (
+              SELECT doc_id AS key, MIN(md5(CAST(text AS VARCHAR))) AS fp,
+                     COUNT(*) AS n
+              FROM new_src WHERE doc_id IS NOT NULL GROUP BY doc_id
+            )
+            SELECT COALESCE(o.key, n.key) AS doc_id,
+                   CASE WHEN o.key IS NULL THEN 'added'
+                        WHEN n.key IS NULL THEN 'removed'
+                        WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   COALESCE(o.n, 0) AS n_old,
+                   COALESCE(n.n, 0) AS n_new
+            FROM old_g o FULL OUTER JOIN new_g n ON o.key = n.key
+            ORDER BY doc_id
         """,
         # verify_constraints: per-rule conditional-aggregate replay over
         # nation + the same planted bad row; COMPLETENESS_GE passes on the

@@ -106,6 +106,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--rules-only", action="store_true",
                    help="with --rules-json: verify rules and exit without "
                         "running the validation engine")
+    p.add_argument("--diff-rows", metavar="NEW_TABLE", default=None,
+                   help="no validation: snapshot-over-snapshot churn of "
+                        "--table (baseline) vs NEW_TABLE — per-status "
+                        "added/changed/removed/unchanged key + row counts "
+                        "as one JSON line; exit 0")
+    p.add_argument("--diff-key", default="url",
+                   help="key column for --diff-rows (default: url)")
+    p.add_argument("--diff-fingerprint", default="text",
+                   help="content-fingerprint column for --diff-rows "
+                        "(default: text)")
     p.add_argument("--diff-schema", metavar="OTHER_TABLE", default=None,
                    help="no validation: schema-evolution diff of --table vs "
                         "OTHER_TABLE (added/removed/type_changed columns as "
@@ -130,6 +140,27 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--table is required (unless --compare-runs/--compact/"
                      "--history)")
     spark = SparkSession.builder.appName("gdv-validate").getOrCreate()
+
+    if args.diff_rows:
+        from .operators.snapshot import STATUSES, snapshot_diff_summary
+        from .sources.tables import read_table as _rt
+
+        got = {
+            r["status"]: r
+            for r in snapshot_diff_summary(
+                _rt(spark, args.table), _rt(spark, args.diff_rows),
+                key_col=args.diff_key, fingerprint_col=args.diff_fingerprint,
+            ).collect()
+        }
+        print(json.dumps({
+            s: {
+                "n_keys": int(got[s]["n_keys"]) if s in got else 0,
+                "n_rows_old": int(got[s]["n_rows_old"]) if s in got else 0,
+                "n_rows_new": int(got[s]["n_rows_new"]) if s in got else 0,
+            }
+            for s in STATUSES
+        }))
+        return 0
 
     if args.diff_schema:
         from .plans.preflight import schema_diff

@@ -163,6 +163,56 @@ def lang_id(text: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
+# Unicode script census (script detection — the writing-system complement
+# to the lang_id heuristic: lang_id is marker-word-based and silent on
+# non-Latin text; the census classifies by codepoint block)
+# --------------------------------------------------------------------------
+
+#: major-script BMP codepoint ranges, as regex character-class bodies.
+#: BMP-only by design: Spark's length() and DuckDB's length() both count
+#: code points, so counts agree bit-exactly without surrogate reasoning.
+SCRIPT_RANGES: dict[str, str] = {
+    "arabic": "؀-ۿ",
+    "cjk": "一-鿿",
+    "cyrillic": "Ѐ-ӿ",
+    "devanagari": "ऀ-ॿ",
+    "greek": "Ͱ-Ͽ",
+    "hangul": "가-힯",
+    "hebrew": "֐-׿",
+    "kana": "぀-ヿ",
+    "latin": "A-Za-zÀ-ɏ",
+}
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """{script: codepoint count} — strip-and-measure (length of the text
+    with everything OUTSIDE the script's class removed). Pure codegen
+    Column algebra, one pass, zero shuffles; long-typed so the counts
+    survive any downstream sum at corpus scale."""
+    t = F.coalesce(text, F.lit(""))
+    return {
+        name: F.length(F.regexp_replace(t, f"[^{body}]", "")).cast("long")
+        for name, body in SCRIPT_RANGES.items()
+    }
+
+
+def dominant_script(text: Column) -> Column:
+    """argmax script by (count, name) — the same array_max-over-structs
+    tie-break as lang_id (equal counts pick the lexicographically greatest
+    name); 'und' when no script character appears at all."""
+    counts = script_counts(text)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(c.alias("n"), F.lit(name).alias("script"))
+                for name, c in counts.items()
+            ]
+        )
+    )
+    return F.when(best["n"] > 0, best["script"]).otherwise(F.lit("und"))
+
+
+# --------------------------------------------------------------------------
 # Document fingerprinting
 # --------------------------------------------------------------------------
 

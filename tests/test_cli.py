@@ -153,3 +153,23 @@ def test_main_constraint_modes(spark, tmp_path, capsys):
                  "--rules-json", str(pr)]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["metrics"]["table_rules"][0]["passed"] is True
+
+
+def test_main_diff_rows_mode(spark, tmp_path, capsys):
+    """--diff-rows: snapshot churn summary as one JSON line, exit 0."""
+    old = str(tmp_path / "snap_a")
+    new = str(tmp_path / "snap_b")
+    spark.createDataFrame(
+        [("u1", "a"), ("u2", "b"), ("u3", "c")], "url string, text string"
+    ).write.parquet(old)
+    spark.createDataFrame(
+        [("u1", "a"), ("u2", "B2"), ("u4", "d")], "url string, text string"
+    ).write.parquet(new)
+    assert main(["--table", old, "--diff-rows", new]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {
+        "added": {"n_keys": 1, "n_rows_old": 0, "n_rows_new": 1},
+        "changed": {"n_keys": 1, "n_rows_old": 1, "n_rows_new": 1},
+        "removed": {"n_keys": 1, "n_rows_old": 1, "n_rows_new": 0},
+        "unchanged": {"n_keys": 1, "n_rows_old": 1, "n_rows_new": 1},
+    }

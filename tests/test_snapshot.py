@@ -1,0 +1,61 @@
+"""Snapshot-over-snapshot diff (operators/snapshot.py)."""
+
+from gbif_data_validator_spark.operators.snapshot import (
+    snapshot_diff,
+    snapshot_diff_summary,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_snapshot_diff_four_statuses(spark):
+    old = spark.createDataFrame(
+        [("u1", "a"), ("u2", "b"), ("u3", "c")], "url string, text string"
+    )
+    new = spark.createDataFrame(
+        [("u1", "a"), ("u2", "B2"), ("u4", "d")], "url string, text string"
+    )
+    assert _rows(snapshot_diff(old, new)) == [
+        ("u1", "unchanged", 1, 1),
+        ("u2", "changed", 1, 1),
+        ("u3", "removed", 1, 0),
+        ("u4", "added", 0, 1),
+    ]
+    assert _rows(snapshot_diff_summary(old, new)) == [
+        ("added", 1, 0, 1),
+        ("changed", 1, 1, 1),
+        ("removed", 1, 1, 0),
+        ("unchanged", 1, 1, 1),
+    ]
+
+
+def test_snapshot_diff_dup_keys_and_nulls(spark):
+    # duplicate keys collapse to the MIN md5 of non-null fingerprints
+    # (deterministic regardless of row order); counts expose the dup drift.
+    # Null keys are excluded on both sides; null fingerprints compare
+    # null-safe (all-null vs all-null = unchanged, all-null vs value =
+    # changed).
+    old = spark.createDataFrame(
+        [("u1", "a"), ("u1", "z"), ("u2", None), ("u3", None), (None, "x")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "z"), ("u1", "a"), ("u1", "a"), ("u2", None), ("u3", "now"),
+         (None, "y")],
+        "url string, text string",
+    )
+    assert _rows(snapshot_diff(old, new)) == [
+        ("u1", "unchanged", 2, 3),  # same min-md5 {a,z}; dup drift in counts
+        ("u2", "unchanged", 1, 1),  # null fp on both sides — null-safe equal
+        ("u3", "changed", 1, 1),  # null fp -> value
+    ]
+
+
+def test_snapshot_diff_identical_snapshots(spark):
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(20)], "url long, text string"
+    )
+    out = snapshot_diff(df, df)
+    assert _rows(out.groupBy("status").count()) == [("unchanged", 20)]

@@ -154,3 +154,36 @@ def test_token_entropy(spark):
     assert abs(got[2] - math.log(4)) < 1e-6
     assert abs(got[3] - math.log(2)) < 1e-6
     assert got[4] is None and got[5] is None
+
+
+def test_script_counts(spark):
+    t = "abc привет 中文 γεια"
+    counts = {
+        k: _one(spark, t, v)
+        for k, v in ts.script_counts(F.col("text")).items()
+    }
+    assert counts["latin"] == 3
+    assert counts["cyrillic"] == 6
+    assert counts["cjk"] == 2
+    assert counts["greek"] == 4
+    assert counts["arabic"] == counts["hebrew"] == counts["hangul"] == 0
+    assert counts["kana"] == counts["devanagari"] == 0
+    # null-safe: every count is 0 on null text
+    assert all(
+        _one(spark, None, v) == 0
+        for v in ts.script_counts(F.col("text")).values()
+    )
+
+
+def test_dominant_script(spark):
+    assert _one(spark, "hello world", ts.dominant_script(F.col("text"))) == "latin"
+    assert _one(spark, "привет мир!", ts.dominant_script(F.col("text"))) == "cyrillic"
+    assert _one(spark, "中文网页测试", ts.dominant_script(F.col("text"))) == "cjk"
+    assert _one(spark, "مرحبا", ts.dominant_script(F.col("text"))) == "arabic"
+    assert _one(spark, "안녕하세요", ts.dominant_script(F.col("text"))) == "hangul"
+    assert _one(spark, "ひらがなカタカナ", ts.dominant_script(F.col("text"))) == "kana"
+    # digits/punct only -> und; ties break to the lexicographically
+    # greatest script name (same contract as lang_id)
+    assert _one(spark, "123 !!!", ts.dominant_script(F.col("text"))) == "und"
+    assert _one(spark, None, ts.dominant_script(F.col("text"))) == "und"
+    assert _one(spark, "ab ва", ts.dominant_script(F.col("text"))) == "latin"
