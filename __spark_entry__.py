@@ -727,6 +727,63 @@ def _q_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_script_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script census: per-doc codepoint counts across 9 major
+    script blocks + dominant script — the writing-system complement to the
+    marker-word lang_id. Multilingual text derives deterministically (a
+    per-residue script suffix) so every range is exercised; all-integer
+    logic, so the oracle is bit-exact by construction."""
+    from gbif_data_validator_spark.functions.textstats import (
+        dominant_script,
+        script_counts,
+    )
+
+    d = _docs(spark, sf_dir)
+    suffix = (
+        F.when(F.col("doc_id") % 6 == 1, F.lit(" привет мир"))
+        .when(F.col("doc_id") % 6 == 2, F.lit(" 中文网页测试"))
+        .when(F.col("doc_id") % 6 == 3, F.lit(" مرحبا بالعالم"))
+        .when(F.col("doc_id") % 6 == 4, F.lit(" γεια σου κοσμε"))
+        .when(F.col("doc_id") % 6 == 5, F.lit(" 안녕하세요 세계"))
+        .otherwise(F.lit(""))
+    )
+    t = F.concat(F.coalesce(F.col("text"), F.lit("")), suffix)
+    counts = script_counts(t)
+    return d.select(
+        "doc_id",
+        *[c.alias(f"n_{name}") for name, c in sorted(counts.items())],
+        dominant_script(t).alias("dominant"),
+    ).orderBy("doc_id")
+
+
+def _q_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-parity information-theoretic analyzers: Shannon entropy of
+    lang and source plus their mutual information — exact integer group
+    counts, then a value-sorted deterministic left fold, so the floats
+    hash-check rather than merely approximate."""
+    from gbif_data_validator_spark.operators.constraints import (
+        column_entropy,
+        mutual_information,
+    )
+
+    d = _docs(spark, sf_dir)
+    rows = [
+        column_entropy(d, "lang").select(
+            F.lit("entropy").alias("analyzer"), "*"
+        ),
+        column_entropy(d, "source").select(
+            F.lit("entropy").alias("analyzer"), "*"
+        ),
+        mutual_information(d, "lang", "source").select(
+            F.lit("mutual_information").alias("analyzer"), "*"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("analyzer", "column")
+
+
 def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-supersets: |A∩B| / min(|A|,|B|) ≥ 0.8 — the
     boilerplate-wrapper duplicate class symmetric Jaccard dilutes."""
@@ -1868,6 +1925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iqr_outliers": _q_iqr_outliers,
         "dup_spans": _q_dup_spans,
         "snapshot_churn": _q_snapshot_churn,
+        "script_census": _q_script_census,
+        "entropy_mi": _q_entropy_mi,
         "source_rollup": _q_source_rollup,
         # newly oracled this round (no r02 row / err: no_oracle): the
         # fixed-iteration unrolled-CTE replay makes even PageRank hashable,
@@ -2026,6 +2085,25 @@ def oracle_sql() -> dict[str, str]:
     pii_red_expr = "t"
     for _, pat, mask in PII_PATTERNS:
         pii_red_expr = f"regexp_replace({pii_red_expr}, '{pat}', '{mask}', 'g')"
+
+    # script-census fragments generated from the same SCRIPT_RANGES the
+    # Spark side uses; non-ASCII range endpoints render as RE2 \x{hex}
+    from gbif_data_validator_spark.functions.textstats import SCRIPT_RANGES
+
+    def _re2_class(body: str) -> str:
+        return "".join(
+            ch if ord(ch) < 128 else "\\x{%04X}" % ord(ch) for ch in body
+        )
+
+    script_count_exprs = ",\n              ".join(
+        f"length(regexp_replace(t, '[^{_re2_class(body)}]', '', 'g')) AS n_{name}"
+        for name, body in sorted(SCRIPT_RANGES.items())
+    )
+    script_dom_list = ", ".join(
+        f"struct_pack(n := n_{name}, s := '{name}')"
+        for name in sorted(SCRIPT_RANGES)
+    )
+    script_out_cols = ", ".join(f"n_{name}" for name in sorted(SCRIPT_RANGES))
 
     mh_a, mh_b = minhash_constants(n_hashes=64, seed=42)
     mh_consts = ", ".join(
@@ -3208,6 +3286,102 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(n.n, 0) AS n_new
             FROM old_g o FULL OUTER JOIN new_g n ON o.key = n.key
             ORDER BY doc_id
+        """,
+        # script_census: counts from the SAME SCRIPT_RANGES dict (rendered
+        # as RE2 \x{hex} classes); dominant via list_max over (n, name)
+        # structs == Spark's array_max tie-break; all-integer, so bit-exact
+        "script_census": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     concat(COALESCE(text, ''),
+                       CASE doc_id % 6
+                         WHEN 1 THEN ' привет мир'
+                         WHEN 2 THEN ' 中文网页测试'
+                         WHEN 3 THEN ' مرحبا بالعالم'
+                         WHEN 4 THEN ' γεια σου κοσμε'
+                         WHEN 5 THEN ' 안녕하세요 세계'
+                         ELSE '' END) AS t
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+              {script_count_exprs}
+              FROM d
+            ),
+            m AS (SELECT *, list_max([{script_dom_list}]) AS mx FROM c)
+            SELECT doc_id, {script_out_cols},
+                   CASE WHEN mx['n'] > 0 THEN mx['s'] ELSE 'und' END
+                     AS dominant
+            FROM m ORDER BY doc_id
+        """,
+        # entropy_mi: identical integer group counts, then the identical
+        # value-sorted left fold (list_sort + list_reduce == sort_array +
+        # aggregate-with-0.0-init; trailing +0.0 normalizes -0.0) — the
+        # floats hash-check because the op ORDER matches, not by tolerance
+        "entropy_mi": """
+            WITH el AS (
+              SELECT CAST(lang AS VARCHAR) AS v, COUNT(*) AS c
+              FROM documents WHERE lang IS NOT NULL GROUP BY 1
+            ),
+            el1 AS (
+              SELECT list_sort(list(struct_pack(v := v, c := c))) AS g,
+                     CAST(SUM(c) AS BIGINT) AS n
+              FROM el
+            ),
+            es AS (
+              SELECT CAST(source AS VARCHAR) AS v, COUNT(*) AS c
+              FROM documents WHERE source IS NOT NULL GROUP BY 1
+            ),
+            es1 AS (
+              SELECT list_sort(list(struct_pack(v := v, c := c))) AS g,
+                     CAST(SUM(c) AS BIGINT) AS n
+              FROM es
+            ),
+            j AS (
+              SELECT CAST(lang AS VARCHAR) AS vx, CAST(source AS VARCHAR) AS vy,
+                     COUNT(*) AS cxy
+              FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            jm AS (
+              SELECT vx, vy, cxy,
+                     CAST(SUM(cxy) OVER (PARTITION BY vx) AS BIGINT) AS cx,
+                     CAST(SUM(cxy) OVER (PARTITION BY vy) AS BIGINT) AS cy
+              FROM j
+            ),
+            j1 AS (
+              SELECT list_sort(list(struct_pack(
+                       vx := vx, vy := vy, cxy := cxy, cx := cx, cy := cy
+                     ))) AS g,
+                     CAST(SUM(cxy) AS BIGINT) AS n
+              FROM jm
+            )
+            SELECT * FROM (
+              SELECT 'entropy' AS analyzer, 'lang' AS "column", n AS n_rows,
+                     CAST(len(g) AS BIGINT) AS n_groups,
+                     round(list_reduce(list_transform(g, s ->
+                       -(CAST(s.c AS DOUBLE) / CAST(n AS DOUBLE))
+                       * ln(CAST(s.c AS DOUBLE) / CAST(n AS DOUBLE))),
+                       (a, x) -> a + x) + 0.0, 6) AS value
+              FROM el1
+              UNION ALL
+              SELECT 'entropy', 'source', n, CAST(len(g) AS BIGINT),
+                     round(list_reduce(list_transform(g, s ->
+                       -(CAST(s.c AS DOUBLE) / CAST(n AS DOUBLE))
+                       * ln(CAST(s.c AS DOUBLE) / CAST(n AS DOUBLE))),
+                       (a, x) -> a + x) + 0.0, 6)
+              FROM es1
+              UNION ALL
+              SELECT 'mutual_information', 'lang|source', n,
+                     CAST(len(g) AS BIGINT),
+                     round(list_reduce(list_transform(g, s ->
+                       (CAST(s.cxy AS DOUBLE) / CAST(n AS DOUBLE))
+                       * ln((CAST(s.cxy AS DOUBLE) * CAST(n AS DOUBLE))
+                            / (CAST(s.cx AS DOUBLE) * CAST(s.cy AS DOUBLE)))),
+                       (a, x) -> a + x) + 0.0, 6)
+              FROM j1
+            ) ORDER BY analyzer, "column"
         """,
         # verify_constraints: per-rule conditional-aggregate replay over
         # nation + the same planted bad row; COMPLETENESS_GE passes on the

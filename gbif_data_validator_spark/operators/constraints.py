@@ -302,3 +302,116 @@ def suggest_constraints(
     return spark.createDataFrame(
         out, "column string, constraint string, detail string"
     ).orderBy("column", "constraint")
+
+
+# --------------------------------------------------------------------------
+# Information-theoretic analyzers (Deequ Entropy / MutualInformation)
+# --------------------------------------------------------------------------
+
+
+def _ordered_fold(terms: F.Column) -> F.Column:
+    """Left-fold a DOUBLE array with explicit 0.0 init and a trailing
+    ``+ 0.0``: the accumulation order is the array order on every engine
+    (no tree combine, no partition-order dependence), and the trailing add
+    normalizes -0.0 — so a SQL replay folding the identically-sorted list
+    is bit-identical, not merely close."""
+    return F.aggregate(terms, F.lit(0.0), lambda a, x: a + x) + F.lit(0.0)
+
+
+def column_entropy(df: DataFrame, col: str, max_groups: int = 100_000) -> DataFrame:
+    """Shannon entropy (nats) of a categorical column → ONE row
+    ``(column, n_rows, n_groups, value)``; NULLs excluded (Deequ Entropy
+    semantics).
+
+    Plan: one groupBy (map-side combinable) to exact integer counts —
+    bounded by the column's cardinality, never rows — then the entropy
+    folds DETERMINISTICALLY over the value-sorted group list inside one
+    final row (``sort_array`` + explicit left fold), so two engines agree
+    bit-exactly at 6 dp instead of "close up to float merge order". The
+    ``max_groups`` cap fails loudly (raise_error, no extra action) when
+    the column isn't categorical enough for an exact entropy — the
+    HLL-distinctness profile is the high-cardinality tool, not this."""
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    one = counts.agg(
+        F.sort_array(F.collect_list(F.struct("v", "c"))).alias("g"),
+        F.sum("c").alias("n"),
+    )
+    guarded = F.when(
+        F.size("g") <= max_groups, F.col("g")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"column_entropy({col}): group count "),
+                F.size("g").cast("string"),
+                F.lit(f" exceeds max_groups={max_groups}"),
+            )
+        )
+    )
+    p = lambda s: s["c"].cast("double") / F.col("n").cast("double")  # noqa: E731
+    terms = F.transform(guarded, lambda s: -p(s) * F.log(p(s)))
+    return one.select(
+        F.lit(col).alias("column"),
+        F.col("n").alias("n_rows"),
+        F.size("g").cast("long").alias("n_groups"),
+        F.round(_ordered_fold(terms), 6).alias("value"),
+    )
+
+
+def mutual_information(
+    df: DataFrame, col_x: str, col_y: str, max_groups: int = 100_000
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns → ONE row
+    ``(column, n_rows, n_groups, value)`` with ``column = "x|y"``; rows
+    where either side is NULL are excluded (Deequ MutualInformation
+    semantics).
+
+    Plan: one groupBy on the (x, y) pair to exact joint counts (bounded by
+    |X|·|Y| groups), marginals as integer window sums OVER THE GROUP TABLE
+    (exact regardless of order — no float risk), then the same
+    sorted-list deterministic fold as ``column_entropy``. Products inside
+    the log ratio evaluate as doubles so 10^12-row counts can't overflow
+    the int64 lattice."""
+    joint = (
+        df.where(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+        .groupBy(
+            F.col(col_x).cast("string").alias("vx"),
+            F.col(col_y).cast("string").alias("vy"),
+        )
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .withColumn("cx", F.sum("cxy").over(Window.partitionBy("vx")))
+        .withColumn("cy", F.sum("cxy").over(Window.partitionBy("vy")))
+    )
+    one = joint.agg(
+        F.sort_array(F.collect_list(F.struct("vx", "vy", "cxy", "cx", "cy"))).alias(
+            "g"
+        ),
+        F.sum("cxy").alias("n"),
+    )
+    guarded = F.when(
+        F.size("g") <= max_groups, F.col("g")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"mutual_information({col_x},{col_y}): group count "),
+                F.size("g").cast("string"),
+                F.lit(f" exceeds max_groups={max_groups}"),
+            )
+        )
+    )
+    nd = F.col("n").cast("double")
+
+    def term(s: F.Column) -> F.Column:
+        cxy = s["cxy"].cast("double")
+        ratio = (cxy * nd) / (s["cx"].cast("double") * s["cy"].cast("double"))
+        return (cxy / nd) * F.log(ratio)
+
+    return one.select(
+        F.lit(f"{col_x}|{col_y}").alias("column"),
+        F.col("n").alias("n_rows"),
+        F.size("g").cast("long").alias("n_groups"),
+        F.round(_ordered_fold(F.transform(guarded, term)), 6).alias("value"),
+    )

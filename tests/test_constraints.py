@@ -201,3 +201,59 @@ def test_verify_constraints_single_job(spark):
 
     n_small, n_big = jobs_for(rules_small), jobs_for(rules_big)
     assert n_small == n_big  # more rules never add a scan
+
+
+def test_column_entropy_analytic(spark):
+    import math
+
+    # uniform over 4 values -> ln 4; constant column -> 0.0; NULLs excluded
+    df = spark.createDataFrame(
+        [(v, "k") for v in ["a", "a", "b", "b", "c", "c", "d", "d"]]
+        + [(None, "k")],
+        "x string, y string",
+    )
+    from gbif_data_validator_spark.operators.constraints import column_entropy
+
+    row = column_entropy(df, "x").collect()[0]
+    assert (row["column"], row["n_rows"], row["n_groups"]) == ("x", 8, 4)
+    assert row["value"] == round(math.log(4), 6)
+    const = column_entropy(df, "y").collect()[0]
+    assert const["value"] == 0.0 and const["n_groups"] == 1
+
+
+def test_mutual_information_analytic(spark):
+    import math
+
+    from gbif_data_validator_spark.operators.constraints import (
+        column_entropy,
+        mutual_information,
+    )
+
+    # independent pair -> 0.0
+    indep = spark.createDataFrame(
+        [("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")], "x string, y string"
+    )
+    assert mutual_information(indep, "x", "y").collect()[0]["value"] == 0.0
+    # identical columns -> MI == H(X)
+    dep = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("b", "b"), ("c", "c")], "x string, y string"
+    )
+    mi = mutual_information(dep, "x", "y").collect()[0]
+    h = column_entropy(dep, "x").collect()[0]
+    assert mi["value"] == h["value"] > 0
+    assert mi["column"] == "x|y" and mi["n_groups"] == 3
+    # either-side NULL rows excluded
+    holey = spark.createDataFrame(
+        [("a", "c"), ("a", None), (None, "d")], "x string, y string"
+    )
+    assert mutual_information(holey, "x", "y").collect()[0]["n_rows"] == 1
+
+
+def test_entropy_max_groups_guard(spark):
+    import pytest as _pytest
+
+    from gbif_data_validator_spark.operators.constraints import column_entropy
+
+    df = spark.createDataFrame([(str(i),) for i in range(50)], "x string")
+    with _pytest.raises(Exception, match="exceeds max_groups"):
+        column_entropy(df, "x", max_groups=10).collect()
