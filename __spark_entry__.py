@@ -1357,9 +1357,11 @@ def _q_verify_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``suggest_constraints`` emits for clean ``nation``) verified against
     nation PLUS one planted bad row (duplicate key 0, NULL name, region 99)
     — one conditional-aggregate scan. Expected: UNIQUE(n_nationkey),
-    RANGE(n_regionkey) and IN_SET(n_regionkey) each catch 1 violation;
-    COMPLETENESS_GE(n_name, 0.96) records 1 null yet still passes
-    (25/26 = 0.961538)."""
+    RANGE(n_regionkey), IN_SET(n_regionkey) and MATCHES(n_regionkey) each
+    catch 1 violation; COMPLETENESS_GE(n_name, 0.96) records 1 null yet
+    still passes (25/26 = 0.961538); LENGTH_BETWEEN counts the short
+    names; QUANTILE_BETWEEN passes at the median and fails at the max
+    (the planted region 99)."""
     from gbif_data_validator_spark.operators.constraints import verify_constraints
 
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
@@ -1372,11 +1374,15 @@ def _q_verify_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_nationkey", "NOT_NULL", ""),
         ("n_nationkey", "RANGE", "0..24"),
         ("n_nationkey", "UNIQUE", ""),
+        ("n_nationkey", "QUANTILE_BETWEEN", "0.5:0..24"),
         ("n_name", "COMPLETENESS_GE", "0.960000"),
         ("n_name", "UNIQUE", ""),
+        ("n_name", "LENGTH_BETWEEN", "5..25"),
         ("n_regionkey", "NOT_NULL", ""),
         ("n_regionkey", "RANGE", "0..4"),
         ("n_regionkey", "IN_SET", "0,1,2,3,4"),
+        ("n_regionkey", "MATCHES", "^[0-4]$"),
+        ("n_regionkey", "QUANTILE_BETWEEN", "1.0:0..4"),
     ]
     return verify_constraints(nation.union(bad), rules)
 
@@ -3405,12 +3411,24 @@ def oracle_sql() -> dict[str, str]:
                      COUNT(CASE WHEN n_regionkey IS NOT NULL
                                 AND (n_regionkey < 0 OR n_regionkey > 4) THEN 1 END) AS rk_range,
                      COUNT(CASE WHEN n_regionkey IS NOT NULL
-                                AND CAST(n_regionkey AS VARCHAR) NOT IN ('0','1','2','3','4') THEN 1 END) AS rk_inset
+                                AND CAST(n_regionkey AS VARCHAR) NOT IN ('0','1','2','3','4') THEN 1 END) AS rk_inset,
+                     COUNT(CASE WHEN n_name IS NOT NULL
+                                AND (length(CAST(n_name AS VARCHAR)) < 5
+                                     OR length(CAST(n_name AS VARCHAR)) > 25) THEN 1 END) AS nm_len,
+                     COUNT(CASE WHEN n_regionkey IS NOT NULL
+                                AND NOT regexp_matches(CAST(n_regionkey AS VARCHAR), '^[0-4]$') THEN 1 END) AS rk_match,
+                     quantile_cont(CAST(n_nationkey AS DOUBLE), 0.5) AS nk_q50,
+                     quantile_cont(CAST(n_regionkey AS DOUBLE), 1.0) AS rk_q100
               FROM t
             )
             SELECT * FROM (
               SELECT 'n_nationkey' AS "column", 'NOT_NULL' AS "constraint", '' AS detail,
                      nk_nulls AS n_violations, nk_nulls = 0 AS passed FROM s
+              UNION ALL
+              SELECT 'n_nationkey', 'QUANTILE_BETWEEN', '0.5:0..24',
+                     CASE WHEN nk_q50 IS NULL OR nk_q50 BETWEEN 0 AND 24
+                          THEN 0 ELSE 1 END,
+                     nk_q50 IS NULL OR nk_q50 BETWEEN 0 AND 24 FROM s
               UNION ALL
               SELECT 'n_nationkey', 'RANGE', '0..24', nk_range, nk_range = 0 FROM s
               UNION ALL
@@ -3419,13 +3437,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'n_name', 'COMPLETENESS_GE', '0.960000', nm_nulls,
                      ROUND(CAST(nm_nn AS DOUBLE) / n, 6) >= 0.96 FROM s
               UNION ALL
+              SELECT 'n_name', 'LENGTH_BETWEEN', '5..25', nm_len, nm_len = 0 FROM s
+              UNION ALL
               SELECT 'n_name', 'UNIQUE', '', nm_dups, nm_dups = 0 FROM s
+              UNION ALL
+              SELECT 'n_regionkey', 'IN_SET', '0,1,2,3,4', rk_inset, rk_inset = 0 FROM s
+              UNION ALL
+              SELECT 'n_regionkey', 'MATCHES', '^[0-4]$', rk_match, rk_match = 0 FROM s
               UNION ALL
               SELECT 'n_regionkey', 'NOT_NULL', '', rk_nulls, rk_nulls = 0 FROM s
               UNION ALL
-              SELECT 'n_regionkey', 'RANGE', '0..4', rk_range, rk_range = 0 FROM s
+              SELECT 'n_regionkey', 'QUANTILE_BETWEEN', '1.0:0..4',
+                     CASE WHEN rk_q100 IS NULL OR rk_q100 BETWEEN 0 AND 4
+                          THEN 0 ELSE 1 END,
+                     rk_q100 IS NULL OR rk_q100 BETWEEN 0 AND 4 FROM s
               UNION ALL
-              SELECT 'n_regionkey', 'IN_SET', '0,1,2,3,4', rk_inset, rk_inset = 0 FROM s
+              SELECT 'n_regionkey', 'RANGE', '0..4', rk_range, rk_range = 0 FROM s
             ) ORDER BY "column", "constraint", detail
         """,
         # benford_check: first [1-9] of the string form on both engines;

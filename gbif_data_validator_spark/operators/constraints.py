@@ -178,6 +178,17 @@ def verify_constraints(
     - ``RANGE lo..hi`` — non-null values outside the closed envelope.
     - ``IN_SET v1,v2,…`` — non-null values whose string form is not in
       the set.
+    - ``MATCHES regex`` — non-null values whose string form does not
+      contain a match (RLIKE / regexp_matches partial-match semantics;
+      anchor with ^$ for full-match — Deequ PatternMatch analog).
+    - ``LENGTH_BETWEEN lo..hi`` — non-null values whose string-form
+      length falls outside the closed envelope.
+    - ``QUANTILE_BETWEEN q:lo..hi`` — rule-level check: the exact
+      ``percentile(col, q)`` (≡ DuckDB ``quantile_cont``) must land in
+      the closed envelope; n_violations is 0 or 1 (the quantile itself),
+      and an all-NULL column passes vacuously. Still the same single
+      scan — ``percentile`` is just one more aggregate in the battery
+      (``percentile_approx`` is the documented 100 TB knob).
 
     Plan shape: every constraint compiles to one conditional aggregate in
     a single ``df.agg`` — one scan, no joins, no shuffles beyond the final
@@ -202,6 +213,26 @@ def verify_constraints(
             expr = F.count(
                 F.when(c.isNotNull() & ~c.cast("string").isin(vals), F.lit(1))
             )
+        elif kind == "MATCHES":
+            expr = F.count(
+                F.when(c.isNotNull() & ~c.cast("string").rlike(detail), F.lit(1))
+            )
+        elif kind == "LENGTH_BETWEEN":
+            lo, hi = (int(v) for v in detail.split("..", 1))
+            ln = F.length(c.cast("string"))
+            expr = F.count(
+                F.when(
+                    c.isNotNull() & ((ln < F.lit(lo)) | (ln > F.lit(hi))),
+                    F.lit(1),
+                )
+            )
+        elif kind == "QUANTILE_BETWEEN":
+            q, _env = detail.split(":", 1)
+            # the aggregate itself; pass/violation decided driver-side
+            aggs.append(
+                F.percentile(c.cast("double"), float(q)).alias(f"_q{i}")
+            )
+            expr = F.lit(0)
         else:
             raise ValueError(f"unknown constraint kind: {kind!r}")
         aggs.append(expr.cast("long").alias(f"_v{i}"))
@@ -216,6 +247,13 @@ def verify_constraints(
         if kind == "COMPLETENESS_GE":
             ratio = round(row[f"_nn{i}"] / n, 6) if n else 1.0
             passed = ratio >= float(detail)
+        elif kind == "QUANTILE_BETWEEN":
+            lo, hi = (
+                float(v) for v in detail.split(":", 1)[1].split("..", 1)
+            )
+            observed = row[f"_q{i}"]
+            passed = observed is None or lo <= observed <= hi
+            viol = 0 if passed else 1
         else:
             passed = viol == 0
         out.append((col, kind, detail, viol, passed))

@@ -257,3 +257,34 @@ def test_entropy_max_groups_guard(spark):
     df = spark.createDataFrame([(str(i),) for i in range(50)], "x string")
     with _pytest.raises(Exception, match="exceeds max_groups"):
         column_entropy(df, "x", max_groups=10).collect()
+
+
+def test_verify_constraints_new_kinds(spark):
+    from gbif_data_validator_spark.operators.constraints import verify_constraints
+
+    df = spark.createDataFrame(
+        [("AB-1", 10.0), ("CD-2", 20.0), ("bad", 30.0), (None, None)],
+        "code string, x double",
+    )
+    rows = {
+        (r["column"], r["constraint"], r["detail"]): r
+        for r in verify_constraints(df, [
+            ("code", "MATCHES", "^[A-Z]{2}-[0-9]$"),
+            ("code", "LENGTH_BETWEEN", "4..4"),
+            ("x", "QUANTILE_BETWEEN", "0.5:15..25"),   # median 20 -> pass
+            ("x", "QUANTILE_BETWEEN", "0.5:21..25"),   # median 20 -> fail
+        ]).collect()
+    }
+    m = rows[("code", "MATCHES", "^[A-Z]{2}-[0-9]$")]
+    assert (m["n_violations"], m["passed"]) == (1, False)  # 'bad'; NULL skipped
+    lb = rows[("code", "LENGTH_BETWEEN", "4..4")]
+    assert (lb["n_violations"], lb["passed"]) == (1, False)
+    by_detail = {r["detail"]: r for (_, k, _d), r in rows.items()
+                 if k == "QUANTILE_BETWEEN"}
+    assert by_detail["0.5:15..25"]["passed"] is True
+    assert by_detail["0.5:21..25"]["passed"] is False
+    assert by_detail["0.5:21..25"]["n_violations"] == 1
+    # all-NULL column passes QUANTILE_BETWEEN vacuously
+    empty = spark.createDataFrame([(None,), (None,)], "x double")
+    r = verify_constraints(empty, [("x", "QUANTILE_BETWEEN", "0.5:0..1")]).collect()[0]
+    assert r["passed"] is True and r["n_violations"] == 0
