@@ -85,6 +85,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "older than the latest becomes unsupported)")
     p.add_argument("--no-vacuum", action="store_true",
                    help="with --compact: merge files only, keep all rows")
+    p.add_argument("--detect-anomalies", action="store_true",
+                   help="no validation: score every run's violation rate "
+                        "against the runs preceding it (online z-score, "
+                        "Deequ AnomalyDetection analog) from this "
+                        "--work-dir's lineage; one JSON line per scored "
+                        "point; exit 2 if the LATEST run is flagged")
+    p.add_argument("--anomaly-k", type=float, default=3.0,
+                   help="z-score threshold for --detect-anomalies "
+                        "(default: 3.0)")
+    p.add_argument("--anomaly-per-check", action="store_true",
+                   help="score one series per check_id instead of the "
+                        "overall violation rate")
     p.add_argument("--history", action="store_true",
                    help="no validation: print one JSON line per run that "
                         "touched this --work-dir (newest first) and exit 0")
@@ -133,9 +145,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.baseline_run_id and not args.work_dir:
         parser.error("--baseline-run-id requires --work-dir (the shared "
                      "checkpoint/violations store the baseline run wrote to)")
-    if args.compare_runs or args.compact or args.history:
+    if args.compare_runs or args.compact or args.history or args.detect_anomalies:
         if not args.work_dir:
-            parser.error("--compare-runs/--compact/--history require --work-dir")
+            parser.error("--compare-runs/--compact/--history/"
+                         "--detect-anomalies require --work-dir")
     elif not args.table:
         parser.error("--table is required (unless --compare-runs/--compact/"
                      "--history)")
@@ -179,6 +192,22 @@ def main(argv: list[str] | None = None) -> int:
         for r in report_history(spark, args.work_dir).collect():
             print(json.dumps(r.asDict(), default=str))
         return 0
+
+    if args.detect_anomalies:
+        from .plans.compare import metric_anomalies
+
+        points = metric_anomalies(
+            spark, args.work_dir, k=args.anomaly_k,
+            per_check=args.anomaly_per_check,
+        )
+        for p_ in points:
+            print(json.dumps(p_, default=str))
+        if not points:
+            return 0
+        latest = max(p_["finished_at"] for p_ in points)
+        return 2 if any(
+            p_["flagged"] and p_["finished_at"] == latest for p_ in points
+        ) else 0
 
     if args.compact:
         from .plans.maintenance import compact_violations

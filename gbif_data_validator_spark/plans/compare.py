@@ -132,3 +132,123 @@ def violation_diff(
         )
         .where(F.col("in_a") != F.col("in_b"))
     )
+
+
+def metric_anomalies(
+    spark: SparkSession,
+    work_dir: str,
+    k: float = 3.0,
+    min_history: int = 3,
+    max_rel_increase: float | None = None,
+    per_check: bool = False,
+) -> list[dict]:
+    """Deequ-AnomalyDetection analog over the work_dir's own run history:
+    score each run's violation RATE (count/rows — immune to corpus growth)
+    against the runs that preceded it, chronologically.
+
+    Strategies (both online — a run is judged only by its PAST, so one
+    bad month can't normalize itself into the baseline):
+
+    - z-score (OnlineNormal analog): flag when |x − mean(prev)| >
+      ``k``·std(prev); with a zero-variance history any change flags.
+      Runs with fewer than ``min_history`` predecessors are never flagged
+      (warm-up).
+    - relative (RelativeRateOfChange analog, opt-in): additionally flag
+      when rate > previous run's rate × ``max_rel_increase``.
+
+    ``per_check=True`` scores one series per check_id (from the durable
+    ``violations_by_check`` accounting) instead of the overall rate —
+    the per-metric granularity Deequ's MetricsRepository gives.
+
+    Cost: ONE aggregation over the #partitions-sized checkpoint lineage
+    (never the corpus); the driver sees runs × checks rows — the same
+    bounded-collect contract as ``compare_runs``. Returns chronologically
+    ordered dicts: ``{run_id, finished_at, check_id, value, n_prev,
+    mean_prev, std_prev, flagged}`` (check_id is ``_overall`` for the
+    whole-run series)."""
+    cps = cp.read_checkpoints(spark, os.path.join(work_dir, "checkpoint"))
+    if per_check:
+        # two bounded aggs: per-run totals (the rate denominator — computed
+        # BEFORE the map explode, which would multiply n_rows by #checks),
+        # then per-(run, check) counts; combined driver-side with explicit
+        # zero-fill so a check that vanishes scores 0.0, not a series gap
+        totals = {
+            r["run_id"]: r.asDict()
+            for r in cps.groupBy("run_id")
+            .agg(
+                F.max("finished_at").alias("finished_at"),
+                F.sum("n_rows").alias("n_rows"),
+            )
+            .collect()
+        }
+        per = (
+            cps.select(
+                "run_id", F.explode("violations_by_check").alias("check_id", "n")
+            )
+            .groupBy("run_id", "check_id")
+            .agg(F.sum("n").alias("n_viol"))
+            .collect()
+        )
+        counts = {(r["run_id"], r["check_id"]): r["n_viol"] for r in per}
+        checks = sorted({c for (_, c) in counts})
+        series: dict[str, list[dict]] = {}
+        for check_id in checks:
+            series[check_id] = [
+                {
+                    "run_id": run_id,
+                    "finished_at": t["finished_at"],
+                    "check_id": check_id,
+                    "value": (
+                        counts.get((run_id, check_id), 0) / t["n_rows"]
+                        if t["n_rows"]
+                        else 0.0
+                    ),
+                }
+                for run_id, t in totals.items()
+            ]
+    else:
+        hist = [r.asDict() for r in report_history(spark, work_dir).collect()]
+        hist.reverse()  # chronological
+        series = {
+            "_overall": [
+                {
+                    "run_id": h["run_id"],
+                    "finished_at": h["finished_at"],
+                    "check_id": "_overall",
+                    "value": h["n_violations"] / h["n_rows"] if h["n_rows"] else 0.0,
+                }
+                for h in hist
+            ]
+        }
+
+    out: list[dict] = []
+    for check_id in sorted(series):
+        rows = sorted(series[check_id], key=lambda r: (r["finished_at"], r["run_id"]))
+        values: list[float] = []
+        for row in rows:
+            x = row["value"]
+            n_prev = len(values)
+            if n_prev:
+                mean = sum(values) / n_prev
+                var = sum((v - mean) ** 2 for v in values) / n_prev
+                std = var**0.5
+            else:
+                mean = std = 0.0
+            flagged = False
+            if n_prev >= min_history:
+                flagged = (
+                    abs(x - mean) > k * std if std > 0 else x != mean
+                )
+                if max_rel_increase is not None and values[-1] > 0:
+                    flagged = flagged or x > values[-1] * max_rel_increase
+            out.append(
+                {
+                    **row,
+                    "n_prev": n_prev,
+                    "mean_prev": round(mean, 9),
+                    "std_prev": round(std, 9),
+                    "flagged": flagged,
+                }
+            )
+            values.append(x)
+    return out

@@ -173,3 +173,36 @@ def test_main_diff_rows_mode(spark, tmp_path, capsys):
         "removed": {"n_keys": 1, "n_rows_old": 1, "n_rows_new": 0},
         "unchanged": {"n_keys": 1, "n_rows_old": 1, "n_rows_new": 1},
     }
+
+
+def test_main_detect_anomalies_mode(spark, tmp_path, capsys):
+    """--detect-anomalies: one JSON line per scored point; exit 2 only
+    when the LATEST run flags."""
+    import datetime as dt
+
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    def pages(n_bad):
+        rows = []
+        for i in range(60):
+            url = "" if i < n_bad else f"https://ex.org/{i}"
+            rows.append((url, dt.datetime(2024, 1, 1 + i % 28), None, "hi", "en"))
+        return spark.createDataFrame(rows, SCHEMA)
+
+    wd = str(tmp_path / "w")
+    for run_id, n_bad in [("A", 1), ("B", 1), ("C", 1)]:
+        ValidationEngine(
+            spark, EngineConfig(check_extraction=False, check_drift=False,
+                                work_dir=wd, run_id=run_id)
+        ).run(pages(n_bad))
+    assert main(["--detect-anomalies", "--work-dir", wd]) == 0
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert [ln["run_id"] for ln in lines] == ["A", "B", "C"]
+
+    ValidationEngine(
+        spark, EngineConfig(check_extraction=False, check_drift=False,
+                            work_dir=wd, run_id="D")
+    ).run(pages(30))
+    assert main(["--detect-anomalies", "--work-dir", wd]) == 2

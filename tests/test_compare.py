@@ -80,3 +80,55 @@ def test_violation_diff_row_level(spark, tmp_path):
     gone = [r for r in rows if r.in_a and not r.in_b]
     assert {r.check_id for r in gone} == {"URL_MALFORMED"} and len(gone) == 2
     assert all(r.in_a != r.in_b for r in rows)  # only one-sided rows appear
+
+
+def test_metric_anomalies_flags_spike(spark, tmp_path):
+    """Online z-score over the run history: three stable runs build the
+    baseline, a 10x violation spike in run D flags; the stable runs and
+    the warm-up window never flag."""
+    from gbif_data_validator_spark.plans.compare import metric_anomalies
+
+    wd = str(tmp_path / "w")
+    for run_id, n_bad in [("A", 2), ("B", 2), ("C", 2), ("D", 20)]:
+        ValidationEngine(
+            spark, EngineConfig(check_extraction=False, check_drift=False,
+                                work_dir=wd, run_id=run_id)
+        ).run(_pages(spark, n_bad))
+
+    pts = metric_anomalies(spark, wd, k=3.0, min_history=3)
+    by_run = {p["run_id"]: p for p in pts}
+    assert [p["run_id"] for p in pts] == ["A", "B", "C", "D"]  # chronological
+    assert not any(by_run[r]["flagged"] for r in "ABC")  # warm-up + stable
+    d = by_run["D"]
+    assert d["flagged"] and d["n_prev"] == 3 and d["value"] > d["mean_prev"]
+
+    # per-check granularity: KEY_EMPTY spikes, RECORD checks stay quiet
+    per = metric_anomalies(spark, wd, k=3.0, min_history=3, per_check=True)
+    key_pts = [p for p in per if p["check_id"] == "KEY_EMPTY"]
+    assert [p["run_id"] for p in key_pts] == ["A", "B", "C", "D"]
+    assert key_pts[-1]["flagged"] and not any(p["flagged"] for p in key_pts[:-1])
+    assert not any(
+        p["flagged"] for p in per if p["check_id"] != "KEY_EMPTY"
+    )
+
+
+def test_metric_anomalies_zero_variance_history(spark, tmp_path):
+    """A flat history has std 0 — ANY change flags (Deequ OnlineNormal
+    degenerate case), identical rates never do."""
+    from gbif_data_validator_spark.plans.compare import metric_anomalies
+
+    wd = str(tmp_path / "w0")
+    for run_id in ["A", "B", "C", "D"]:
+        ValidationEngine(
+            spark, EngineConfig(check_extraction=False, check_drift=False,
+                                work_dir=wd, run_id=run_id)
+        ).run(_pages(spark, 2))
+    pts = metric_anomalies(spark, wd, min_history=3)
+    assert not any(p["flagged"] for p in pts)
+
+    ValidationEngine(
+        spark, EngineConfig(check_extraction=False, check_drift=False,
+                            work_dir=wd, run_id="E")
+    ).run(_pages(spark, 3))
+    pts = metric_anomalies(spark, wd, min_history=3)
+    assert pts[-1]["run_id"] == "E" and pts[-1]["flagged"]
