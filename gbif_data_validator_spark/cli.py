@@ -97,6 +97,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--anomaly-per-check", action="store_true",
                    help="score one series per check_id instead of the "
                         "overall violation rate")
+    p.add_argument("--anomaly-gate", action="store_true",
+                   help="during validation (requires --work-dir): score "
+                        "THIS run against the work-dir history right after "
+                        "its checkpoint lands (report.metrics['anomaly'])")
+    p.add_argument("--anomaly-blocking", action="store_true",
+                   help="with --anomaly-gate: an anomalous run blocks "
+                        "indexability")
     p.add_argument("--history", action="store_true",
                    help="no validation: print one JSON line per run that "
                         "touched this --work-dir (newest first) and exit 0")
@@ -295,6 +302,10 @@ def main(argv: list[str] | None = None) -> int:
                 for r in json.load(fh)
             )
         kwargs["table_rules_blocking"] = args.rules_blocking
+    if args.anomaly_gate:
+        kwargs["anomaly_gate"] = True
+        kwargs["anomaly_k"] = args.anomaly_k
+        kwargs["anomaly_blocking"] = args.anomaly_blocking
     config = EngineConfig(**kwargs)
 
     pages = read_table(spark, args.table)

@@ -322,6 +322,16 @@ class EngineConfig:
     #: when True, any failed table rule flips indexable to False (the
     #: set-level analog of a blocking custom check)
     table_rules_blocking: bool = False
+    #: score THIS run's violation rate against the work_dir's run history
+    #: (plans/compare.py::metric_anomalies, online z-score) right after
+    #: its own checkpoint lands; results in report.metrics["anomaly"].
+    #: Requires work_dir (the history lives in the lineage table).
+    anomaly_gate: bool = False
+    anomaly_k: float = 3.0
+    anomaly_min_history: int = 3
+    #: when True, an anomalous run flips indexable to False — the
+    #: "this month's crawl regressed vs history" gate
+    anomaly_blocking: bool = False
     work_dir: str | None = None  # enables persisted violations + checkpoint/resume
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
 
@@ -915,6 +925,10 @@ class ValidationEngine:
                 not r["passed"] for r in metrics["table_rules"]
             ):
                 indexable = False
+        if c.anomaly_gate:
+            metrics["anomaly"] = self._anomaly_summary()
+            if c.anomaly_blocking and metrics["anomaly"]["flagged"]:
+                indexable = False
         return ValidationReport(
             run_id=c.run_id,
             indexable=indexable,
@@ -925,6 +939,30 @@ class ValidationEngine:
             metrics=metrics,
             partition_verdicts=verdicts,
         )
+
+    def _anomaly_summary(self) -> dict:
+        """This run's own anomaly verdict vs the work_dir's history
+        (config: ``anomaly_gate``) — computed AFTER the run's checkpoint
+        rows land, so the lineage already contains it. One agg over the
+        #partitions lineage, never a corpus scan. The warm-up contract is
+        metric_anomalies' own: fewer than ``anomaly_min_history``
+        predecessors never flags."""
+        c = self.config
+        if not c.work_dir:
+            raise ValueError("anomaly_gate requires work_dir (the run "
+                             "history lives in its checkpoint lineage)")
+        from .compare import metric_anomalies
+
+        pts = metric_anomalies(
+            self.spark, c.work_dir, k=c.anomaly_k,
+            min_history=c.anomaly_min_history,
+        )
+        mine = next((p for p in pts if p["run_id"] == c.run_id), None)
+        if mine is None:  # resume no-op re-run: no fresh checkpoint row
+            return {"value": None, "n_prev": len(pts), "mean_prev": None,
+                    "std_prev": None, "flagged": False}
+        return {k_: mine[k_]
+                for k_ in ("value", "n_prev", "mean_prev", "std_prev", "flagged")}
 
     def _table_rules_summary(self, pages: DataFrame) -> list[dict]:
         """Set-level rule battery folded into the report metrics (config:

@@ -257,3 +257,55 @@ def test_table_rules_summary_and_blocking(spark):
                      table_rules_blocking=True),
     ).run(pages)
     assert not blocked.indexable
+
+
+def test_anomaly_gate(spark, tmp_path):
+    """Engine-citizen anomaly gate (config: anomaly_gate): after three
+    stable runs, a spiking run self-flags in report.metrics['anomaly'];
+    it blocks indexability only under anomaly_blocking; without work_dir
+    the gate raises loudly."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    def pages(n_bad):
+        rows = [("" if i < n_bad else f"https://ex.org/{i}",
+                 dt.datetime(2024, 1, 1 + i % 28), None, "hi", "en")
+                for i in range(60)]
+        return spark.createDataFrame(rows, SCHEMA)
+
+    wd = str(tmp_path / "w")
+    base = dict(check_extraction=False, check_drift=False, work_dir=wd)
+    for run_id in ["A", "B", "C"]:
+        rep = ValidationEngine(
+            spark, EngineConfig(run_id=run_id, anomaly_gate=True, **base)
+        ).run(pages(1))
+        assert rep.metrics["anomaly"]["flagged"] is False  # warm-up/stable
+
+    spike = ValidationEngine(
+        spark, EngineConfig(run_id="D", anomaly_gate=True, **base)
+    ).run(pages(30))
+    assert spike.metrics["anomaly"]["flagged"] is True
+    assert spike.metrics["anomaly"]["n_prev"] == 3
+    assert not spike.indexable  # KEY_EMPTY is blocking anyway
+
+    # blocking variant flips indexable even when every CHECK passes: a
+    # clean run whose rate drops to zero after a noisy history flags at a
+    # tight k (the spike widened std, so k=3 would absorb the drop)
+    clean = ValidationEngine(
+        spark, EngineConfig(run_id="E", anomaly_gate=True, anomaly_k=0.5,
+                            anomaly_blocking=True, **base)
+    ).run(pages(0))
+    assert clean.issue_counts == {}
+    assert clean.metrics["anomaly"]["flagged"] is True  # 0 is anomalous too
+    assert not clean.indexable  # blocked by the gate alone
+
+    with _pytest.raises(ValueError, match="anomaly_gate requires work_dir"):
+        ValidationEngine(
+            spark, EngineConfig(check_extraction=False, check_drift=False,
+                                anomaly_gate=True)
+        ).run(pages(0))
