@@ -784,6 +784,17 @@ def _q_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("analyzer", "column")
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement, top-50
+    by n_chars weight — md5-derived uniforms make the 'random' draw
+    reproducible and exactly replayable in SQL."""
+    from gbif_data_validator_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), "doc_id", "n_chars", 50).select(
+        "doc_id", "n_chars", "sample_key"
+    )
+
+
 def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-supersets: |A∩B| / min(|A|,|B|) ≥ 0.8 — the
     boilerplate-wrapper duplicate class symmetric Jaccard dilutes."""
@@ -1933,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_churn": _q_snapshot_churn,
         "script_census": _q_script_census,
         "entropy_mi": _q_entropy_mi,
+        "weighted_sample": _q_weighted_sample,
         "source_rollup": _q_source_rollup,
         # newly oracled this round (no r02 row / err: no_oracle): the
         # fixed-iteration unrolled-CTE replay makes even PageRank hashable,
@@ -3388,6 +3400,22 @@ def oracle_sql() -> dict[str, str]:
                        (a, x) -> a + x) + 0.0, 6)
               FROM j1
             ) ORDER BY analyzer, "column"
+        """,
+        # weighted_sample: the identical A-ES draw — u from the md5 prefix
+        # ('0x'||hex cast, the hash_sample idiom), key = round(u^(1/w), 9),
+        # id tie-break so libm pow ulps can't flip the top-k cut
+        "weighted_sample": """
+            WITH keyed AS (
+              SELECT doc_id, n_chars,
+                     round(pow(
+                       (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+                         / 4294967296.0,
+                       1.0 / CAST(n_chars AS DOUBLE)), 9) AS sample_key
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, n_chars, sample_key FROM keyed
+            ORDER BY sample_key DESC, doc_id LIMIT 50
         """,
         # verify_constraints: per-rule conditional-aggregate replay over
         # nation + the same planted bad row; COMPLETENESS_GE passes on the

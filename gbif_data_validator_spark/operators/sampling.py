@@ -161,3 +161,39 @@ def resample_by_weight(
         .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
         .drop("_n_copies")
     )
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each row draws ``key = u^(1/w)`` and the k largest keys win — the
+    classic one-pass distributed algorithm (inclusion probability
+    proportional to weight, no replacement bookkeeping, no global state).
+
+    The uniform ``u ∈ (0, 1]`` derives from the row's md5 prefix (the
+    house ``hash_bucket`` idiom), NOT ``rand()`` — so the "random" sample
+    is reproducible across runs, engines and cluster sizes, and the
+    oracle replays it exactly. Keys are rounded to 9 dp with an id
+    tie-break so libm ``pow`` ulp differences can't flip the cut.
+
+    Plan shape: narrow per-row key computation + global top-k
+    (``TakeOrderedAndProject``: per-partition heaps, only k rows per
+    partition reach the driver-side merge) — no full sort, no shuffle of
+    the corpus. Rows with NULL or non-positive weight are excluded by
+    contract (A-ES requires w > 0)."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    )
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -149,3 +149,24 @@ def test_stratified_sample_plan_is_narrow(spark):
         df, "doc_id", "src", {"a": 10}
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_weighted_sample(spark):
+    from gbif_data_validator_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1.0 if i else 1e6) for i in range(200)] + [(900, None), (901, -1.0)],
+        "doc_id long, w double",
+    )
+    out = weighted_sample(df, "doc_id", "w", 20).collect()
+    ids = [r.doc_id for r in out]
+    assert len(ids) == 20 == len(set(ids))  # without replacement
+    assert 0 in ids  # the 10^6-weight row essentially always wins
+    assert 900 not in ids and 901 not in ids  # null / non-positive excluded
+    # deterministic: identical picks on a second evaluation
+    assert [r.doc_id for r in weighted_sample(df, "doc_id", "w", 20).collect()] == ids
+    # k >= n returns every eligible row
+    assert weighted_sample(df, "doc_id", "w", 500).count() == 200
+    # keys are valid (0, 1] powers, descending
+    keys = [r.sample_key for r in out]
+    assert keys == sorted(keys, reverse=True) and all(0 < x <= 1 for x in keys)
