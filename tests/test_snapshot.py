@@ -59,3 +59,24 @@ def test_snapshot_diff_identical_snapshots(spark):
     )
     out = snapshot_diff(df, df)
     assert _rows(out.groupBy("status").count()) == [("unchanged", 20)]
+
+
+def test_snapshot_diff_plan_shape(spark, tmp_path):
+    """The scale contract: each snapshot scan projects ONLY the key +
+    fingerprint columns (never the wide payload), and the whole diff is
+    ONE join."""
+    wide = spark.createDataFrame(
+        [(f"u{i}", f"t{i}", "payload" * 10, i) for i in range(50)],
+        "url string, text string, html string, n long",
+    )
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    wide.write.parquet(a)
+    wide.write.parquet(b)
+    out = snapshot_diff(spark.read.parquet(a), spark.read.parquet(b))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # column pruning reached the parquet scans: payload columns absent
+    assert "html" not in plan and plan.count("ReadSchema") == 2
+    assert plan.count("url") >= 2 and "text" in plan
+    # exactly one join node (full outer on the key)
+    assert sum(plan.count(j) for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")) == 1
