@@ -92,16 +92,23 @@ def main() -> None:
     warm = pages.limit(4_000).repartition(CPUS)
     ValidationEngine(spark, EngineConfig(check_extraction=True)).run(warm)
 
-    # Best-of-2 per measurement: the sandbox host shows intermittent
+    # Best-of-k per measurement: the sandbox host shows intermittent
     # invisible CPU throttling (no steal accounting), so min-of-k is the
-    # least-interference estimate of true job cost.
+    # least-interference estimate of true job cost. Two runs normally; a
+    # third only when the first two disagree by >25% (one of them very
+    # likely hit a throttle burst — measured swings reach 4x within
+    # minutes on identical binaries, see BASELINE.md).
     def timed(fn, repeats: int = 2) -> float:
-        best = float("inf")
+        times = []
         for _ in range(repeats):
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
-        return round(best, 3)
+            times.append(time.time() - t0)
+        if min(times) > 0 and (max(times) - min(times)) / min(times) > 0.25:
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        return round(min(times), 3)
 
     # --- headline: full validation engine run (all passes) ---------------
     def run_engine():
