@@ -366,9 +366,15 @@ def column_entropy(df: DataFrame, col: str, max_groups: int = 100_000) -> DataFr
     folds DETERMINISTICALLY over the value-sorted group list inside one
     final row (``sort_array`` + explicit left fold), so two engines agree
     bit-exactly at 6 dp instead of "close up to float merge order". The
-    ``max_groups`` cap fails loudly (raise_error, no extra action) when
-    the column isn't categorical enough for an exact entropy — the
+    ``max_groups`` cap raises BEFORE the group list is built (a cheap
+    HLL cardinality pre-check — guarding after ``collect_list`` would be
+    too late, the oversized array is the OOM), so a non-categorical
+    column fails loudly instead of blowing the final reducer; the
     HLL-distinctness profile is the high-cardinality tool, not this."""
+    _guard_cardinality(
+        df.where(F.col(col).isNotNull()), F.col(col), max_groups,
+        f"column_entropy({col})",
+    )
     counts = (
         df.where(F.col(col).isNotNull())
         .groupBy(F.col(col).cast("string").alias("v"))
@@ -378,19 +384,8 @@ def column_entropy(df: DataFrame, col: str, max_groups: int = 100_000) -> DataFr
         F.sort_array(F.collect_list(F.struct("v", "c"))).alias("g"),
         F.sum("c").alias("n"),
     )
-    guarded = F.when(
-        F.size("g") <= max_groups, F.col("g")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"column_entropy({col}): group count "),
-                F.size("g").cast("string"),
-                F.lit(f" exceeds max_groups={max_groups}"),
-            )
-        )
-    )
     p = lambda s: s["c"].cast("double") / F.col("n").cast("double")  # noqa: E731
-    terms = F.transform(guarded, lambda s: -p(s) * F.log(p(s)))
+    terms = F.transform(F.col("g"), lambda s: -p(s) * F.log(p(s)))
     return one.select(
         F.lit(col).alias("column"),
         F.col("n").alias("n_rows"),
@@ -410,11 +405,17 @@ def mutual_information(
     Plan: one groupBy on the (x, y) pair to exact joint counts (bounded by
     |X|·|Y| groups), marginals as integer window sums OVER THE GROUP TABLE
     (exact regardless of order — no float risk), then the same
-    sorted-list deterministic fold as ``column_entropy``. Products inside
+    sorted-list deterministic fold as ``column_entropy`` (same
+    pre-``collect_list`` cardinality guard, on the PAIR). Products inside
     the log ratio evaluate as doubles so 10^12-row counts can't overflow
     the int64 lattice."""
+    both = df.where(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+    _guard_cardinality(
+        both, F.struct(col_x, col_y), max_groups,
+        f"mutual_information({col_x},{col_y})",
+    )
     joint = (
-        df.where(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+        both
         .groupBy(
             F.col(col_x).cast("string").alias("vx"),
             F.col(col_y).cast("string").alias("vy"),
@@ -429,17 +430,6 @@ def mutual_information(
         ),
         F.sum("cxy").alias("n"),
     )
-    guarded = F.when(
-        F.size("g") <= max_groups, F.col("g")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"mutual_information({col_x},{col_y}): group count "),
-                F.size("g").cast("string"),
-                F.lit(f" exceeds max_groups={max_groups}"),
-            )
-        )
-    )
     nd = F.col("n").cast("double")
 
     def term(s: F.Column) -> F.Column:
@@ -451,5 +441,25 @@ def mutual_information(
         F.lit(f"{col_x}|{col_y}").alias("column"),
         F.col("n").alias("n_rows"),
         F.size("g").cast("long").alias("n_groups"),
-        F.round(_ordered_fold(F.transform(guarded, term)), 6).alias("value"),
+        F.round(_ordered_fold(F.transform(F.col("g"), term)), 6).alias("value"),
     )
+
+
+def _guard_cardinality(
+    df: DataFrame, key: F.Column, max_groups: int, what: str
+) -> None:
+    """Loud high-cardinality guard that fires BEFORE any group list is
+    materialized: one narrow ``approx_count_distinct`` scan (constant HLL
+    state, projects only the key), raising driver-side when the estimate
+    exceeds the cap. A post-hoc check inside the aggregation would be
+    too late — the oversized ``collect_list`` array IS the failure mode
+    it exists to prevent. The ±2% HLL error is irrelevant to a misuse
+    guard; callers needing exactly-at-the-boundary semantics should size
+    ``max_groups`` with headroom."""
+    est = df.agg(F.approx_count_distinct(key).alias("n")).first()["n"]
+    if est > max_groups:
+        raise ValueError(
+            f"{what}: ~{est} distinct groups exceeds max_groups="
+            f"{max_groups} — not a categorical column; use the HLL "
+            f"distinctness profile for high-cardinality columns"
+        )
