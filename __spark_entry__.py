@@ -795,6 +795,18 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cosine_dup_pairs_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine near-dup pairs with the deterministic integer
+    sign-LSH — the scale path of embedding dedup as a hash-checkable
+    correctness row (the seeded-numpy variant stays rows-only by nature)."""
+    from gbif_data_validator_spark.operators.similarity import det_lsh_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return det_lsh_cosine_pairs(
+        emb, "vec_id", "embedding", dim=64, n_planes=4, threshold=0.3
+    ).withColumn("cosine", F.round(F.col("cosine"), 4)).orderBy("doc_a", "doc_b")
+
+
 def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-supersets: |A∩B| / min(|A|,|B|) ≥ 0.8 — the
     boilerplate-wrapper duplicate class symmetric Jaccard dilutes."""
@@ -1945,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_census": _q_script_census,
         "entropy_mi": _q_entropy_mi,
         "weighted_sample": _q_weighted_sample,
+        "cosine_dup_pairs_det": _q_cosine_dup_pairs_det,
         "source_rollup": _q_source_rollup,
         # newly oracled this round (no r02 row / err: no_oracle): the
         # fixed-iteration unrolled-CTE replay makes even PageRank hashable,
@@ -3400,6 +3413,36 @@ def oracle_sql() -> dict[str, str]:
                        (a, x) -> a + x) + 0.0, 6)
               FROM j1
             ) ORDER BY analyzer, "column"
+        """,
+        # cosine_dup_pairs_det: the identical det-LSH bucket algebra the
+        # ann_recall oracle pins (floor-quantized ints, LCG Rademacher
+        # planes), bucket equi-join with the <=1000 size cap, exact cosine
+        # round(.,6) threshold then round(.,4) output like cosine_dup_pairs
+        "cosine_dup_pairs_det": """
+            WITH qv AS (
+              SELECT vec_id, embedding,
+                     [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS q
+              FROM embeddings
+            ),
+            buck AS (
+              SELECT vec_id, embedding,
+                     list_sum([
+                       CASE WHEN list_sum([
+                         q[d + 1] * (CASE WHEN ((b * 10007 + d + 1) * 1103515245 + 12345) % 2147483648 >= 1073741824 THEN 1 ELSE -1 END)
+                         for d in range(64)]) > 0
+                       THEN 1 << b ELSE 0 END
+                       for b in range(4)]) AS bucket
+              FROM qv
+            ),
+            ok AS (
+              SELECT bucket FROM buck GROUP BY bucket HAVING COUNT(*) <= 1000
+            ),
+            kept AS (SELECT buck.* FROM buck JOIN ok USING (bucket))
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   round(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6), 4) AS cosine
+            FROM kept a JOIN kept b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+            ORDER BY doc_a, doc_b
         """,
         # weighted_sample: the identical A-ES draw — u from the md5 prefix
         # ('0x'||hex cast, the hash_sample idiom), key = round(u^(1/w), 9),

@@ -641,3 +641,53 @@ def lsh_recall_report(
             (F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("recall"),
         )
     )
+
+
+def det_lsh_cosine_pairs(
+    df,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 4,
+    threshold: float = 0.3,
+    max_bucket: int = 1000,
+):
+    """Near-duplicate embedding pairs via the engine-portable deterministic
+    sign-LSH → ``(doc_a, doc_b, cosine)`` with ``doc_a < doc_b``:
+    candidates share a ``det_lsh_bucket`` (integer LCG Rademacher planes —
+    the same primitive ``ann_recall`` pins), exact cosine verifies
+    in-bucket. Unlike ``embedding_cosine_pairs_lsh`` (seeded-numpy
+    hyperplanes, rows-only correctness), EVERY stage here replays in ANSI
+    SQL, so the LSH-bucketed dedup path itself gets a hash-checkable
+    correctness row — not just a recall bound.
+
+    Plan shape: one narrow pass computes the bucket per row; a bucket-size
+    agg drops hot buckets past ``max_bucket`` (the family-wide loud skew
+    cap — a bucket that big means the planes aren't discriminating and the
+    quadratic in-bucket join would explode); the candidate join is a
+    bucket equi-join, quadratic only within capped buckets. No UDFs, no
+    Python rows."""
+    b = det_lsh_bucket(F.col(vec_col), dim, n_planes)
+    keyed = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), b.alias("bucket")
+    )
+    ok = (
+        keyed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") <= max_bucket)
+        .select("bucket")
+    )
+    keyed = keyed.join(F.broadcast(ok), "bucket")
+    a = keyed.select("bucket", F.col("vid").alias("doc_a"), F.col("v").alias("va"))
+    c = keyed.select("bucket", F.col("vid").alias("doc_b"), F.col("v").alias("vb"))
+    from .dedup import cosine_sim
+
+    return (
+        a.join(c, ["bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+        # no distinct: each doc lives in exactly ONE bucket, so a pair can
+        # only be generated once — a dedup here would be a wasted shuffle
+    )

@@ -297,3 +297,44 @@ def test_det_lsh_recall_report(spark):
     # determinism: a second run is identical
     again = {r.query_id: tuple(r) for r in lsh_recall_report(emb, q, dim=64, k=5, n_planes=4).collect()}
     assert again == {k: tuple(v) for k, v in p.items()}
+
+
+def test_det_lsh_cosine_pairs(spark):
+    """Pairs are a SUBSET of brute-force pairs (bucketing only prunes,
+    never invents), deterministic across evaluations, and the bucket cap
+    drops everything when set below the bucket sizes."""
+    import math
+
+    from gbif_data_validator_spark.operators.dedup import embedding_cosine_pairs
+    from gbif_data_validator_spark.operators.similarity import det_lsh_cosine_pairs
+
+    rows = []
+    for i in range(40):
+        base = [math.sin(0.7 * i + j) for j in range(8)]
+        rows.append((i, [float(x) for x in base]))
+        rows.append((i + 100, [float(x * 1.01) for x in base]))  # near-dup twin
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in det_lsh_cosine_pairs(
+            df, "vec_id", "embedding", dim=8, n_planes=4, threshold=0.9
+        ).collect()
+    }
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in embedding_cosine_pairs(df, "vec_id", "embedding", 0.9).collect()
+    }
+    assert got and got <= brute  # prunes, never invents
+    # every scaled twin shares its original's bucket (same sign pattern)
+    assert all((i, i + 100) in got for i in range(40) if (i, i + 100) in brute)
+    assert got == {
+        (r.doc_a, r.doc_b)
+        for r in det_lsh_cosine_pairs(
+            df, "vec_id", "embedding", dim=8, n_planes=4, threshold=0.9
+        ).collect()
+    }
+    # cap: with max_bucket=1 every bucket (twins share one) is dropped
+    assert det_lsh_cosine_pairs(
+        df, "vec_id", "embedding", dim=8, n_planes=4, threshold=0.9, max_bucket=1
+    ).count() == 0
