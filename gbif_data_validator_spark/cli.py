@@ -104,6 +104,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--anomaly-blocking", action="store_true",
                    help="with --anomaly-gate: an anomalous run blocks "
                         "indexability")
+    p.add_argument("--quarantine", action="store_true",
+                   help="during validation (requires --work-dir): write the "
+                        "FULL offending rows to work-dir/quarantine/<run-id> "
+                        "for reprocessing (report.metrics['quarantine'])")
     p.add_argument("--history", action="store_true",
                    help="no validation: print one JSON line per run that "
                         "touched this --work-dir (newest first) and exit 0")
@@ -306,6 +310,8 @@ def main(argv: list[str] | None = None) -> int:
         kwargs["anomaly_gate"] = True
         kwargs["anomaly_k"] = args.anomaly_k
         kwargs["anomaly_blocking"] = args.anomaly_blocking
+    if args.quarantine:
+        kwargs["quarantine"] = True
     config = EngineConfig(**kwargs)
 
     pages = read_table(spark, args.table)

@@ -332,6 +332,11 @@ class EngineConfig:
     #: when True, an anomalous run flips indexable to False — the
     #: "this month's crawl regressed vs history" gate
     anomaly_blocking: bool = False
+    #: write the FULL offending rows (every page whose url carries at
+    #: least one violation this run) to work_dir/quarantine/<run_id> —
+    #: the reprocessing feed: the publishable corpus is pages MINUS the
+    #: quarantine, and nothing about a bad row is lost. Requires work_dir.
+    quarantine: bool = False
     work_dir: str | None = None  # enables persisted violations + checkpoint/resume
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
 
@@ -929,6 +934,8 @@ class ValidationEngine:
             metrics["anomaly"] = self._anomaly_summary()
             if c.anomaly_blocking and metrics["anomaly"]["flagged"]:
                 indexable = False
+        if c.quarantine:
+            metrics["quarantine"] = self._write_quarantine(pages, all_violations)
         return ValidationReport(
             run_id=c.run_id,
             indexable=indexable,
@@ -939,6 +946,38 @@ class ValidationEngine:
             metrics=metrics,
             partition_verdicts=verdicts,
         )
+
+    #: above this many distinct offending urls the quarantine semi-join
+    #: falls back from broadcast to shuffle (the taxon_match guard
+    #: discipline) — 5M urls ≈ a few hundred MB broadcast, the ceiling
+    _QUARANTINE_BROADCAST_MAX = 5_000_000
+
+    def _write_quarantine(self, pages: DataFrame, all_violations: DataFrame) -> dict:
+        """Full offending rows → ``work_dir/quarantine/<run_id>`` (config:
+        ``quarantine``) — every page whose url carries ≥1 violation this
+        run. The key set is the DISTINCT urls of the (already bounded)
+        violations table; small sets broadcast into a left-semi join so
+        the corpus never shuffles, oversized sets fall back to a shuffle
+        semi-join rather than a driver OOM. Returns the row count (from
+        the written files' footers — no second scan) + path."""
+        import os as _os
+
+        c = self.config
+        if not c.work_dir:
+            raise ValueError("quarantine requires work_dir")
+        bad = all_violations.where(F.col("url").isNotNull()).select("url").distinct()
+        n_bad = bad.count()  # violations table: bounded, already materialized
+        if n_bad <= self._QUARANTINE_BROADCAST_MAX:
+            bad = F.broadcast(bad)
+        path = _os.path.join(c.work_dir, "quarantine", c.run_id)
+        # quarantined rows keep the USER's schema — engine-derived helper
+        # columns (underscore-prefixed) don't belong in the reprocess feed
+        user_cols = [col for col in pages.columns if not col.startswith("_")]
+        pages.select(*user_cols).join(bad, "url", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(path)
+        n_rows = self.spark.read.parquet(path).count()  # footer metadata only
+        return {"path": path, "n_urls": int(n_bad), "n_rows": int(n_rows)}
 
     def _anomaly_summary(self) -> dict:
         """This run's own anomaly verdict vs the work_dir's history

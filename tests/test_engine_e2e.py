@@ -309,3 +309,40 @@ def test_anomaly_gate(spark, tmp_path):
             spark, EngineConfig(check_extraction=False, check_drift=False,
                                 anomaly_gate=True)
         ).run(pages(0))
+
+
+def test_quarantine_sink(spark, tmp_path):
+    """config: quarantine — the full offending rows land under
+    work_dir/quarantine/<run_id>; clean rows stay out; the publishable
+    corpus is pages minus the quarantine."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+    rows = [("" if i < 3 else f"https://ex.org/{i}",
+             dt.datetime(2024, 1, 1 + i % 28), None,
+             "" if 3 <= i < 5 else "hello", "en") for i in range(40)]
+    pages = spark.createDataFrame(rows, SCHEMA)
+
+    wd = str(tmp_path / "w")
+    rep = ValidationEngine(
+        spark, EngineConfig(check_extraction=False, check_drift=False,
+                            work_dir=wd, run_id="Q", quarantine=True)
+    ).run(pages)
+    q = rep.metrics["quarantine"]
+    got = spark.read.parquet(q["path"])
+    # 3 empty-url rows + 2 empty-text rows quarantined in FULL width
+    assert q["n_rows"] == got.count() == 5
+    assert set(got.columns) == set(pages.columns)
+    assert got.where("text = 'hello' and url <> ''").count() == 0
+    # publishable corpus = pages minus quarantine
+    assert pages.join(got, ["url", "text"], "left_anti").count() == 35
+
+    with _pytest.raises(ValueError, match="quarantine requires work_dir"):
+        ValidationEngine(
+            spark, EngineConfig(check_extraction=False, check_drift=False,
+                                quarantine=True)
+        ).run(pages)
