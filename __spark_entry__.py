@@ -3218,6 +3218,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(MIN(n_nationkey) AS VARCHAR) AS k_min,
                      CAST(MAX(n_nationkey) AS VARCHAR) AS k_max,
                      COUNT(n_name) AS nm_nn, COUNT(DISTINCT n_name) AS nm_nd,
+                     MIN(length(n_name)) AS nm_lmin, MAX(length(n_name)) AS nm_lmax,
                      COUNT(n_regionkey) AS r_nn, COUNT(DISTINCT n_regionkey) AS r_nd,
                      CAST(MIN(n_regionkey) AS VARCHAR) AS r_min,
                      CAST(MAX(n_regionkey) AS VARCHAR) AS r_max,
@@ -3235,6 +3236,8 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'n_name', 'COMPLETENESS_GE', printf('%.6f', ROUND(nm_nn * 1.0 / n, 6))
                 FROM s WHERE n > 0 AND nm_nn < n
               UNION ALL SELECT 'n_name', 'UNIQUE', '' FROM s WHERE nm_nn > 0 AND nm_nd = nm_nn
+              UNION ALL SELECT 'n_name', 'LENGTH_BETWEEN', nm_lmin || '..' || nm_lmax
+                FROM s WHERE nm_nn > 0
               UNION ALL SELECT 'n_regionkey', 'NOT_NULL', '' FROM s WHERE n > 0 AND r_nn = n
               UNION ALL SELECT 'n_regionkey', 'COMPLETENESS_GE', printf('%.6f', ROUND(r_nn * 1.0 / n, 6))
                 FROM s WHERE n > 0 AND r_nn < n

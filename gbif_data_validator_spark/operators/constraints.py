@@ -277,6 +277,8 @@ def suggest_constraints(
       the observed non-null ratio (rounded to 6 dp) as detail.
     - ``UNIQUE`` — distinct == non-null count (key candidate).
     - ``RANGE`` — numeric columns: ``min..max`` observed envelope.
+    - ``LENGTH_BETWEEN`` — string columns: observed ``min..max`` length
+      envelope (nulls excluded), verifiable by the same-named rule kind.
     - ``IN_SET`` — ≤ ``max_set`` distinct values: the sorted value list.
 
     Plan shape: pass 1 is one aggregation scan → ONE collected row
@@ -287,10 +289,15 @@ def suggest_constraints(
     With ``exact=False`` pass 1 uses HLL distincts (cheaper at 100 TB) and
     UNIQUE/IN_SET decisions become approximate; IN-set still verifies the
     true set size before emitting."""
+    from pyspark.sql.types import StringType
+
     spark: SparkSession = df.sparkSession
     cols = cols or [c for c in df.columns if c not in ("html",)]
     numeric = {
         f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
+    strings = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, StringType)
     }
 
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("_n")]
@@ -303,6 +310,9 @@ def suggest_constraints(
         )
         aggs.append(F.min(c).cast("string").alias(f"{c}_min"))
         aggs.append(F.max(c).cast("string").alias(f"{c}_max"))
+        if c in strings:
+            aggs.append(F.min(F.length(F.col(c))).alias(f"{c}_lmin"))
+            aggs.append(F.max(F.length(F.col(c))).alias(f"{c}_lmax"))
     stats = df.agg(*aggs).first()  # bounded: one row, 4 scalars/column
 
     small = [
@@ -335,6 +345,10 @@ def suggest_constraints(
             out.append((c, "UNIQUE", ""))
         if c in numeric and nn > 0:
             out.append((c, "RANGE", f"{stats[f'{c}_min']}..{stats[f'{c}_max']}"))
+        if c in strings and nn > 0:
+            out.append(
+                (c, "LENGTH_BETWEEN", f"{stats[f'{c}_lmin']}..{stats[f'{c}_lmax']}")
+            )
         if c in in_sets:
             out.append((c, "IN_SET", in_sets[c]))
     return spark.createDataFrame(
