@@ -807,6 +807,21 @@ def _q_cosine_dup_pairs_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("cosine", F.round(F.col("cosine"), 4)).orderBy("doc_a", "doc_b")
 
 
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over the token stream of documents.text (count
+    ≥ 50) via the two-pass hot-bucket plan — the scale path for top-value
+    census over a column whose distinct-value set (a web corpus's
+    vocabulary / URL set) cannot be shuffled whole."""
+    from gbif_data_validator_spark.operators.metrics import exact_heavy_hitters
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+        ).alias("tok")
+    )
+    return exact_heavy_hitters(toks, "tok", min_count=50).orderBy("value")
+
+
 def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-supersets: |A∩B| / min(|A|,|B|) ≥ 0.8 — the
     boilerplate-wrapper duplicate class symmetric Jaccard dilutes."""
@@ -1959,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "cosine_dup_pairs_det": _q_cosine_dup_pairs_det,
         "source_rollup": _q_source_rollup,
+        "heavy_hitters": _q_heavy_hitters,
         # newly oracled this round (no r02 row / err: no_oracle): the
         # fixed-iteration unrolled-CTE replay makes even PageRank hashable,
         # and the flagship engine battery pins its golden VALUES counts
@@ -3462,6 +3478,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_chars, sample_key FROM keyed
             ORDER BY sample_key DESC, doc_id LIMIT 50
+        """,
+        # heavy_hitters: the bucket pruning is invisible to the result by
+        # the exactness theorem (final filter is on exact per-value counts),
+        # so the oracle is the plain GROUP BY ... HAVING census
+        "heavy_hitters": r"""
+            SELECT tok AS value, count(*) AS n
+            FROM (
+              SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+              FROM documents WHERE text IS NOT NULL
+            )
+            WHERE tok <> ''
+            GROUP BY tok HAVING count(*) >= 50
+            ORDER BY value
         """,
         # verify_constraints: per-rule conditional-aggregate replay over
         # nation + the same planted bad row; COMPLETENESS_GE passes on the

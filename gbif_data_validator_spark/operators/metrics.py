@@ -322,3 +322,53 @@ def tfidf_top_terms(
         .where(F.col("rk") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def exact_heavy_hitters(
+    df: DataFrame, col: str, min_count: int, n_buckets: int = 4096
+) -> DataFrame:
+    """→ (value, n): every value of ``col`` whose EXACT count ≥ ``min_count``
+    — the scale path for "top values of a high-cardinality column" (hot
+    URLs, hot domains, vocabulary census) where ``frequent_values``'s plain
+    groupBy would shuffle one row per *distinct value* (billions of URLs at
+    10^12 docs).
+
+    Two-pass hot-bucket plan (exact, not sketch-approximate):
+
+    1. Hash every value into ``n_buckets`` buckets (``xxhash64`` — stable
+       across runs) and count per bucket: map-side partial aggregation
+       means the shuffle carries ≤ ``n_buckets`` rows per input partition
+       regardless of value cardinality. A bucket's count upper-bounds every
+       member value's count, so buckets with count < min_count can contain
+       no heavy hitter — drop them.
+    2. Re-scan, keep only rows landing in hot buckets (broadcast hash
+       semi-join against the ≤ n_buckets hot-bucket ids — no shuffle), and
+       group exactly by value. The second shuffle's cardinality is the
+       number of distinct values in hot buckets — at a web-scale skew
+       profile (few hot values, long uniform tail) that is a tiny fraction
+       of the distinct-value count, because a uniform tail spread over
+       n_buckets rarely lifts a bucket past min_count.
+
+    Exactness does not depend on the bucket count — a colliding tail value
+    only inflates a bucket (more pass-2 work), never a final count; the
+    final ``n >= min_count`` filter is applied to exact per-value counts.
+    ``n_buckets`` is the knob trading pass-1 state for pass-2 selectivity.
+    Reference analog: the termed-value counters of
+    collector/TermsFrequencyCollector.java:18-45, generalized to columns
+    whose distinct-value set does not fit one counter map."""
+    c = F.col(col)
+    vals = df.where(c.isNotNull()).select(c.alias("value"))
+    bucket = F.pmod(F.xxhash64("value"), F.lit(n_buckets))
+    hot = (
+        vals.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_bucket"))
+        .where(F.col("n_bucket") >= min_count)
+        .select("bucket")
+    )
+    return (
+        vals.withColumn("bucket", bucket)
+        .join(F.broadcast(hot), "bucket")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )

@@ -104,3 +104,56 @@ def test_tfidf_top_terms_ranks_rare_terms(spark):
     assert by[3][0][1] == "cow" and by[3][0][2] == 2
     assert 4 not in by  # null text drops out
     assert all(len(v) <= 2 for v in by.values())
+
+
+def test_exact_heavy_hitters_matches_plain_groupby(spark):
+    from gbif_data_validator_spark.operators.metrics import exact_heavy_hitters
+
+    # skewed profile: 2 heavy values, long uniform tail, NULLs ignored
+    rows = [("hot",)] * 20 + [("warm",)] * 5 + [(f"t{i}",) for i in range(200)]
+    rows += [(None,)] * 3
+    df = spark.createDataFrame(rows, schema="v string").repartition(8)
+    expect = {
+        (r.v, r["count"])
+        for r in df.where(F.col("v").isNotNull())
+        .groupBy("v")
+        .count()
+        .where(F.col("count") >= 5)
+        .collect()
+    }
+    got = {
+        (r.value, r.n)
+        for r in exact_heavy_hitters(df, "v", min_count=5).collect()
+    }
+    assert got == expect == {("hot", 20), ("warm", 5)}
+
+
+def test_exact_heavy_hitters_exact_under_any_bucket_count(spark):
+    from gbif_data_validator_spark.operators.metrics import exact_heavy_hitters
+
+    # exactness theorem: result is invariant to n_buckets (collisions only
+    # add pass-2 work, never change a final exact count) — including the
+    # degenerate 1-bucket case where nothing is pruned
+    rows = [(f"v{i % 7}",) for i in range(70)] + [(f"u{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, schema="v string")
+    ref = {
+        (r.value, r.n)
+        for r in exact_heavy_hitters(df, "v", min_count=10, n_buckets=4096).collect()
+    }
+    assert ref == {(f"v{i}", 10) for i in range(7)}
+    for nb in (1, 2, 16):
+        got = {
+            (r.value, r.n)
+            for r in exact_heavy_hitters(df, "v", min_count=10, n_buckets=nb).collect()
+        }
+        assert got == ref
+
+
+def test_exact_heavy_hitters_broadcasts_hot_buckets(spark):
+    from gbif_data_validator_spark.operators.metrics import exact_heavy_hitters
+
+    df = spark.createDataFrame([("a",)] * 3 + [("b",)], schema="v string")
+    plan = exact_heavy_hitters(df, "v", min_count=2)._jdf.queryExecution().executedPlan().toString()
+    # pass 2 must reach the rows via a broadcast hash join on the bounded
+    # hot-bucket list — never a shuffle of the full value stream for the join
+    assert "BroadcastHashJoin" in plan
