@@ -663,6 +663,18 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered exact Jaccard — same parameters and
+    (by the prefix-filtering lemma) bit-identical output to ngram_jaccard,
+    reached by posting only prefix shingles. The oracle is the same exact
+    all-pairs SQL, which is precisely the point: the filter is lossless."""
+    from gbif_data_validator_spark.operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        _docs_spread(spark, sf_dir), "doc_id", "text", k=3, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
 def _q_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative PageRank over the bipartite customer↔supplier graph
     (edges = co-occurrence in an order, both directions). ORACLED despite
@@ -1975,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs_det": _q_cosine_dup_pairs_det,
         "source_rollup": _q_source_rollup,
         "heavy_hitters": _q_heavy_hitters,
+        "prefix_jaccard": _q_prefix_jaccard,
         # newly oracled this round (no r02 row / err: no_oracle): the
         # fixed-iteration unrolled-CTE replay makes even PageRank hashable,
         # and the flagship engine battery pins its golden VALUES counts
@@ -2549,6 +2562,30 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY doc_id
         """,
         "ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]) AS s
+              FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM documents)
+              WHERE len(words) >= 3
+            ), ex AS (
+              SELECT doc_id, unnest(s) AS g FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = doc_a
+            JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = doc_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        # prefix_jaccard: intentionally the SAME exact all-pairs SQL as
+        # ngram_jaccard — the prefix filter is lossless by theorem, and this
+        # row is the hash-exact proof of that claim on real data
+        "prefix_jaccard": """
             WITH sh AS (
               SELECT doc_id,
                      list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]) AS s

@@ -387,3 +387,45 @@ def test_duplicated_spans_stop_gram_cap(spark):
         dedup.duplicated_spans(df, "doc_id", "text", k=8, min_tokens=8, max_df=5).count()
         == 10
     )
+
+
+def test_prefix_jaccard_equals_all_token_plan(spark, corpus):
+    # the prefix-filtering lemma, empirically: bit-identical output to the
+    # all-token posting-list plan at several thresholds (incl. ones where
+    # threshold*n lands exactly on an integer — the ceil-epsilon edge)
+    for t in (0.5, 0.7, 0.8):
+        ref = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(
+                corpus, "doc_id", "text", k=3, threshold=t
+            ).collect()
+        )
+        got = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.prefix_jaccard_pairs(
+                corpus, "doc_id", "text", k=3, threshold=t
+            ).collect()
+        )
+        assert got == ref, t
+    assert ref  # the 0.8 pass still finds the exact-dup cluster
+
+
+def test_prefix_jaccard_wide_corpus_equivalence(spark):
+    # larger deterministic corpus with overlapping sentence templates so
+    # candidate pruning actually has work to do (shared common shingles,
+    # rare discriminating ones)
+    common = "data validation at scale needs exact answers under skew"
+    rows = [
+        (i, f"{common} variant {i % 7} tail token{i % 3} more shared words here")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string").repartition(8)
+    ref = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.6).collect()
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.prefix_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.6).collect()
+    )
+    assert got == ref and len(ref) > 0
