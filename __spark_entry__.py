@@ -675,6 +675,26 @@ def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def _q_grouped_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style grouped verification: the whole-table rule battery
+    evaluated per source in ONE grouped scan — 20 sources × 5 rules = 100
+    verdict rows, no driver-side build. Rules chosen so real data fails
+    some of them per-group (short docs break RANGE, es/zh break IN_SET,
+    low-median sources break QUANTILE_BETWEEN)."""
+    from gbif_data_validator_spark.operators.constraints import verify_constraints_by
+
+    rules = [
+        ("doc_id", "UNIQUE", ""),
+        ("lang", "IN_SET", "en,de,fr"),
+        ("n_chars", "RANGE", "60..600"),
+        ("text", "COMPLETENESS_GE", "0.9"),
+        ("n_chars", "QUANTILE_BETWEEN", "0.5:250..400"),
+    ]
+    return verify_constraints_by(_docs(spark, sf_dir), rules, ["source"]).orderBy(
+        "source", "column", "constraint"
+    )
+
+
 def _q_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative PageRank over the bipartite customer↔supplier graph
     (edges = co-occurrence in an order, both directions). ORACLED despite
@@ -1988,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_rollup": _q_source_rollup,
         "heavy_hitters": _q_heavy_hitters,
         "prefix_jaccard": _q_prefix_jaccard,
+        "grouped_constraints": _q_grouped_constraints,
         # newly oracled this round (no r02 row / err: no_oracle): the
         # fixed-iteration unrolled-CTE replay makes even PageRank hashable,
         # and the flagship engine battery pins its golden VALUES counts
@@ -3515,6 +3536,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_chars, sample_key FROM keyed
             ORDER BY sample_key DESC, doc_id LIMIT 50
+        """,
+        # grouped_constraints: per-source conditional aggregates unpivoted
+        # via UNION ALL, one verdict row per (source, rule); quantile_cont
+        # matches Spark's exact percentile (25 rows/group → an exact order
+        # statistic, no interpolation), and only the boolean verdict is
+        # emitted so the comparison is float-free
+        "grouped_constraints": """
+            WITH s AS (
+              SELECT source,
+                     count(*) AS n,
+                     count(doc_id) - count(DISTINCT doc_id) AS v_unique,
+                     count(CASE WHEN lang IS NOT NULL
+                                AND lang NOT IN ('en','de','fr') THEN 1 END) AS v_inset,
+                     count(CASE WHEN n_chars IS NOT NULL
+                                AND (n_chars < 60 OR n_chars > 600) THEN 1 END) AS v_range,
+                     count(CASE WHEN text IS NULL THEN 1 END) AS v_comp,
+                     count(text) AS nn_text,
+                     quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS q_med
+              FROM documents GROUP BY source
+            )
+            SELECT * FROM (
+              SELECT source, 'doc_id' AS "column", 'UNIQUE' AS "constraint",
+                     '' AS detail, v_unique AS n_violations, v_unique = 0 AS passed
+              FROM s
+              UNION ALL
+              SELECT source, 'lang', 'IN_SET', 'en,de,fr', v_inset, v_inset = 0 FROM s
+              UNION ALL
+              SELECT source, 'n_chars', 'RANGE', '60..600', v_range, v_range = 0 FROM s
+              UNION ALL
+              SELECT source, 'text', 'COMPLETENESS_GE', '0.9', v_comp,
+                     round(CAST(nn_text AS DOUBLE) / n, 6) >= 0.9 FROM s
+              UNION ALL
+              SELECT source, 'n_chars', 'QUANTILE_BETWEEN', '0.5:250..400',
+                     CAST(CASE WHEN q_med IS NULL
+                               OR (q_med >= 250.0 AND q_med <= 400.0)
+                          THEN 0 ELSE 1 END AS BIGINT),
+                     q_med IS NULL OR (q_med >= 250.0 AND q_med <= 400.0) FROM s
+            )
+            ORDER BY source, "column", "constraint"
         """,
         # heavy_hitters: the bucket pruning is invisible to the result by
         # the exactness theorem (final filter is on exact per-value counts),

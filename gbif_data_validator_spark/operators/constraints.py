@@ -477,3 +477,106 @@ def _guard_cardinality(
             f"{max_groups} — not a categorical column; use the HLL "
             f"distinctness profile for high-cardinality columns"
         )
+
+
+def verify_constraints_by(
+    df: DataFrame,
+    constraints: list[tuple[str, str, str]],
+    group_cols: list[str],
+) -> DataFrame:
+    """Grouped VerificationSuite — ``verify_constraints`` evaluated
+    per ``group_cols`` group (Deequ's grouped analyzers / the reference's
+    per-partition verdict grain, DataFileProcessorMaster's per-split
+    collector maps generalized to arbitrary grouping keys):
+    → ``(*group_cols, column, constraint, detail, n_violations, passed)``.
+
+    Same rule kinds and identical NULL/violation semantics as the
+    whole-table version (NOT_NULL, COMPLETENESS_GE, UNIQUE, RANGE, IN_SET,
+    MATCHES, LENGTH_BETWEEN, QUANTILE_BETWEEN), so a rule list suggested by
+    ``suggest_constraints`` runs verbatim at either grain.
+
+    Plan shape — fully distributed, unlike the whole-table version's
+    (bounded, 1-row) driver build: ONE hash-aggregate scan keyed on the
+    group columns (map-side partials; shuffle cardinality = #groups ×
+    constant state), then the per-constraint verdict columns are folded
+    into an array-of-structs and exploded JVM-side — no collect, no second
+    scan, no join. A UNIQUE rule adds the second Exchange of Spark's
+    two-phase exact distinct ((groups, col) pre-agg → (groups) final);
+    every counting-only battery is a single Exchange. Output is
+    #groups × #constraints rows. At 10^12 docs
+    grouped by crawl window or source domain this is the shape that holds:
+    per-group state is a fixed handful of counters (plus one exact
+    percentile buffer per QUANTILE_BETWEEN rule — swap to
+    ``percentile_approx`` for sketch-bounded state at extreme group
+    counts)."""
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("_n")]
+    for i, (col, kind, detail) in enumerate(constraints):
+        c = F.col(col)
+        if kind in ("NOT_NULL", "COMPLETENESS_GE"):
+            expr = F.count(F.when(c.isNull(), F.lit(1)))
+        elif kind == "UNIQUE":
+            expr = F.count(c) - F.countDistinct(c)
+        elif kind == "RANGE":
+            lo, hi = (float(v) for v in detail.split("..", 1))
+            expr = F.count(
+                F.when(c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))), F.lit(1))
+            )
+        elif kind == "IN_SET":
+            vals = detail.split(",") if detail else []
+            expr = F.count(
+                F.when(c.isNotNull() & ~c.cast("string").isin(vals), F.lit(1))
+            )
+        elif kind == "MATCHES":
+            expr = F.count(
+                F.when(c.isNotNull() & ~c.cast("string").rlike(detail), F.lit(1))
+            )
+        elif kind == "LENGTH_BETWEEN":
+            lo, hi = (int(v) for v in detail.split("..", 1))
+            ln = F.length(c.cast("string"))
+            expr = F.count(
+                F.when(
+                    c.isNotNull() & ((ln < F.lit(lo)) | (ln > F.lit(hi))),
+                    F.lit(1),
+                )
+            )
+        elif kind == "QUANTILE_BETWEEN":
+            q, _env = detail.split(":", 1)
+            aggs.append(
+                F.percentile(c.cast("double"), float(q)).alias(f"_q{i}")
+            )
+            expr = F.lit(0)
+        else:
+            raise ValueError(f"unknown constraint kind: {kind!r}")
+        aggs.append(expr.cast("long").alias(f"_v{i}"))
+        if kind == "COMPLETENESS_GE":
+            aggs.append(F.count(c).cast("long").alias(f"_nn{i}"))
+    g = df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+
+    verdicts: list[F.Column] = []
+    for i, (col, kind, detail) in enumerate(constraints):
+        viol = F.col(f"_v{i}")
+        if kind == "COMPLETENESS_GE":
+            ratio = F.when(
+                F.col("_n") > 0,
+                F.round(F.col(f"_nn{i}") / F.col("_n"), 6),
+            ).otherwise(F.lit(1.0))
+            passed = ratio >= F.lit(float(detail))
+        elif kind == "QUANTILE_BETWEEN":
+            lo, hi = (float(v) for v in detail.split(":", 1)[1].split("..", 1))
+            obs = F.col(f"_q{i}")
+            passed = obs.isNull() | ((obs >= F.lit(lo)) & (obs <= F.lit(hi)))
+            viol = F.when(passed, F.lit(0)).otherwise(F.lit(1)).cast("long")
+        else:
+            passed = viol == F.lit(0)
+        verdicts.append(
+            F.struct(
+                F.lit(col).alias("column"),
+                F.lit(kind).alias("constraint"),
+                F.lit(detail).alias("detail"),
+                viol.alias("n_violations"),
+                passed.alias("passed"),
+            )
+        )
+    return g.select(
+        *group_cols, F.explode(F.array(*verdicts)).alias("_r")
+    ).select(*group_cols, "_r.*")

@@ -288,3 +288,85 @@ def test_verify_constraints_new_kinds(spark):
     empty = spark.createDataFrame([(None,), (None,)], "x double")
     r = verify_constraints(empty, [("x", "QUANTILE_BETWEEN", "0.5:0..1")]).collect()[0]
     assert r["passed"] is True and r["n_violations"] == 0
+
+
+def test_verify_constraints_by_matches_whole_table_on_one_group(spark):
+    from gbif_data_validator_spark.operators.constraints import verify_constraints_by
+
+    df = spark.createDataFrame(
+        [(1, "x", 10.0), (1, None, 20.0), (2, "y", 30.0), (3, "ZZZ", 40.0)],
+        "id long, tag string, v double",
+    ).withColumn("g", F.lit("all"))
+    rules = [
+        ("id", "UNIQUE", ""),
+        ("id", "RANGE", "1..2"),
+        ("tag", "NOT_NULL", ""),
+        ("tag", "IN_SET", "x,y"),
+        ("tag", "COMPLETENESS_GE", "0.500000"),
+        ("v", "QUANTILE_BETWEEN", "0.5:0..25"),
+    ]
+    whole = {
+        (r.column, r.constraint): (r.n_violations, r.passed)
+        for r in verify_constraints(df, rules).collect()
+    }
+    grouped = {
+        (r.column, r.constraint): (r.n_violations, r.passed)
+        for r in verify_constraints_by(df, rules, ["g"]).collect()
+    }
+    assert grouped == whole
+
+
+def test_verify_constraints_by_isolates_groups(spark):
+    from gbif_data_validator_spark.operators.constraints import verify_constraints_by
+
+    # violations planted ONLY in group b must not bleed into group a's
+    # verdicts — including UNIQUE, whose duplicate ids are per-group
+    rows = [("a", 1, "x"), ("a", 2, "y"), ("b", 1, None), ("b", 1, "ZZZ")]
+    df = spark.createDataFrame(rows, "g string, id long, tag string")
+    rules = [("id", "UNIQUE", ""), ("tag", "NOT_NULL", ""), ("tag", "IN_SET", "x,y")]
+    res = {
+        (r.g, r.column, r.constraint): (r.n_violations, r.passed)
+        for r in verify_constraints_by(df, rules, ["g"]).collect()
+    }
+    assert res[("a", "id", "UNIQUE")] == (0, True)
+    assert res[("a", "tag", "NOT_NULL")] == (0, True)
+    assert res[("a", "tag", "IN_SET")] == (0, True)
+    assert res[("b", "id", "UNIQUE")] == (1, False)
+    assert res[("b", "tag", "NOT_NULL")] == (1, False)
+    assert res[("b", "tag", "IN_SET")] == (1, False)
+    # and the id=1 duplicated ACROSS groups is not a within-group duplicate
+    assert all(res[(g, "id", "UNIQUE")][1] for g in ("a",))
+
+
+def test_verify_constraints_by_plan_shape(spark):
+    from gbif_data_validator_spark.operators.constraints import verify_constraints_by
+
+    # scale contract: one grouped aggregation scan feeds every rule — no
+    # joins, the unpivot is a JVM-side explode over the agg output, and
+    # counting-only rule batteries carry exactly ONE Exchange (the groupBy).
+    # A UNIQUE rule adds the standard second Exchange of Spark's two-phase
+    # exact distinct ((g, id) pre-agg → (g) final) — still one scan.
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i, f"v{i % 5}") for i in range(60)],
+        "g string, id long, tag string",
+    )
+    rules = [
+        ("id", "NOT_NULL", ""),
+        ("id", "RANGE", "0..59"),
+        ("tag", "IN_SET", "v0,v1,v2,v3,v4"),
+    ]
+
+    def plan_of(rs) -> str:
+        return (
+            verify_constraints_by(df, rs, ["g"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    counting = plan_of(rules)
+    assert counting.count("Exchange") == 1, counting
+    assert "Join" not in counting, counting
+    with_unique = plan_of(rules + [("id", "UNIQUE", "")])
+    assert with_unique.count("Exchange") == 2, with_unique
+    assert "Join" not in with_unique, with_unique
