@@ -695,6 +695,32 @@ def _q_grouped_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join (orders ⋈ customer spread over 8
+    salts) rolled up to per-nation order counts + decimal-exact revenue —
+    the oracle pins that salting is result-invisible: same rows as the
+    plain join, just a different (hot-key-proof) physical layout."""
+    from gbif_data_validator_spark.operators.skew import salted_join
+
+    j = salted_join(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+        n_salts=8,
+    )
+    return (
+        j.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def _q_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative PageRank over the bipartite customer↔supplier graph
     (edges = co-occurrence in an order, both directions). ORACLED despite
@@ -2009,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "prefix_jaccard": _q_prefix_jaccard,
         "grouped_constraints": _q_grouped_constraints,
+        "salted_join_rollup": _q_salted_join_rollup,
         # newly oracled this round (no r02 row / err: no_oracle): the
         # fixed-iteration unrolled-CTE replay makes even PageRank hashable,
         # and the flagship engine battery pins its golden VALUES counts
@@ -3536,6 +3563,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_chars, sample_key FROM keyed
             ORDER BY sample_key DESC, doc_id LIMIT 50
+        """,
+        # salted_join_rollup: salting is invisible to the result — the
+        # oracle is the plain join + rollup
+        "salted_join_rollup": """
+            SELECT c_nationkey, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         # grouped_constraints: per-source conditional aggregates unpivoted
         # via UNION ALL, one verdict row per (source, rule); quantile_cont
