@@ -126,6 +126,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--rules-blocking", action="store_true",
                    help="with --rules-json during validation: a failed rule "
                         "blocks indexability (table_rules_blocking)")
+    p.add_argument("--rules-grouped", action="store_true",
+                   help="with --rules-json during validation: additionally "
+                        "evaluate the rule battery PER PARTITION WINDOW "
+                        "(EngineConfig.grouped_rules); --rules-blocking then "
+                        "also blocks on any per-window failure")
     p.add_argument("--rules-only", action="store_true",
                    help="with --rules-json: verify rules and exit without "
                         "running the validation engine")
@@ -306,6 +311,9 @@ def main(argv: list[str] | None = None) -> int:
                 for r in json.load(fh)
             )
         kwargs["table_rules_blocking"] = args.rules_blocking
+        if args.rules_grouped:
+            kwargs["grouped_rules"] = True
+            kwargs["grouped_rules_blocking"] = args.rules_blocking
     if args.anomaly_gate:
         kwargs["anomaly_gate"] = True
         kwargs["anomaly_k"] = args.anomaly_k

@@ -322,6 +322,16 @@ class EngineConfig:
     #: when True, any failed table rule flips indexable to False (the
     #: set-level analog of a blocking custom check)
     table_rules_blocking: bool = False
+    #: additionally evaluate table_rules PER PARTITION WINDOW
+    #: (operators/constraints.py::verify_constraints_by on _partition_id)
+    #: — the Deequ-grouped-analyzer face of the reference's per-partition
+    #: verdict grain: a rule that passes globally can still fail inside
+    #: one crawl month (e.g. one window's lang completeness collapses).
+    #: One extra grouped-aggregate scan; report.metrics["grouped_rules"]
+    #: carries bounded counts + the failed verdicts (capped, loudly).
+    grouped_rules: bool = False
+    #: when True, any failed per-window rule flips indexable to False
+    grouped_rules_blocking: bool = False
     #: score THIS run's violation rate against the work_dir's run history
     #: (plans/compare.py::metric_anomalies, online z-score) right after
     #: its own checkpoint lands; results in report.metrics["anomaly"].
@@ -930,6 +940,15 @@ class ValidationEngine:
                 not r["passed"] for r in metrics["table_rules"]
             ):
                 indexable = False
+        if c.grouped_rules:
+            if not c.table_rules:
+                raise ValueError(
+                    "grouped_rules=True requires table_rules — the grouped "
+                    "pass evaluates the same rule battery per window"
+                )
+            metrics["grouped_rules"] = self._grouped_rules_summary(pages)
+            if c.grouped_rules_blocking and metrics["grouped_rules"]["n_failed"]:
+                indexable = False
         if c.anomaly_gate:
             metrics["anomaly"] = self._anomaly_summary()
             if c.anomaly_blocking and metrics["anomaly"]["flagged"]:
@@ -1023,6 +1042,46 @@ class ValidationEngine:
             }
             for r in rows
         ]
+
+    #: grouped_rules failure list cap — the report stays bounded even if
+    #: every (window, rule) verdict fails; the counts are always complete
+    _GROUPED_RULES_MAX_FAILURES = 100
+
+    def _grouped_rules_summary(self, pages: DataFrame) -> dict:
+        """``table_rules`` evaluated per partition window (config:
+        ``grouped_rules``) — ONE grouped conditional-aggregate scan on
+        ``_partition_id`` (verify_constraints_by), verdict cardinality =
+        #windows × #rules, which is config-bounded (months × n_buckets),
+        so a single collect is as bounded as the checkpoint table itself.
+        The report carries complete counts plus at most
+        ``_GROUPED_RULES_MAX_FAILURES`` failed verdicts with an explicit
+        truncation flag — never an unbounded list."""
+        from ..operators.constraints import verify_constraints_by
+
+        rows = verify_constraints_by(
+            pages, list(self.config.table_rules), ["_partition_id"]
+        ).collect()
+        failed = sorted(
+            (r for r in rows if not r["passed"]),
+            key=lambda r: (r["_partition_id"], r["column"], r["constraint"]),
+        )
+        cap = self._GROUPED_RULES_MAX_FAILURES
+        return {
+            "n_groups": len({r["_partition_id"] for r in rows}),
+            "n_verdicts": len(rows),
+            "n_failed": len(failed),
+            "failures_truncated": len(failed) > cap,
+            "failures": [
+                {
+                    "partition_id": r["_partition_id"],
+                    "column": r["column"],
+                    "constraint": r["constraint"],
+                    "detail": r["detail"],
+                    "n_violations": int(r["n_violations"]),
+                }
+                for r in failed[:cap]
+            ],
+        }
 
     def _cluster_summary(self, pages: DataFrame) -> dict:
         """Exact-duplicate cluster summary folded into the report metrics

@@ -154,6 +154,13 @@ def test_main_constraint_modes(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["metrics"]["table_rules"][0]["passed"] is True
 
+    # --rules-grouped: the same battery per partition window rides along
+    assert main(["--table", pages, "--no-extraction",
+                 "--rules-json", str(pr), "--rules-grouped"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    g = rep["metrics"]["grouped_rules"]
+    assert g["n_groups"] >= 1 and g["n_failed"] == 0 and g["failures"] == []
+
 
 def test_main_diff_rows_mode(spark, tmp_path, capsys):
     """--diff-rows: snapshot churn summary as one JSON line, exit 0."""

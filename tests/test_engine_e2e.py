@@ -346,3 +346,53 @@ def test_quarantine_sink(spark, tmp_path):
             spark, EngineConfig(check_extraction=False, check_drift=False,
                                 quarantine=True)
         ).run(pages)
+
+
+def test_grouped_rules_per_window(spark):
+    """grouped_rules: the same battery per partition window — a rule that
+    passes globally can fail inside one crawl month, and only
+    grouped_rules_blocking lets that flip indexability."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    jan, feb = dt.datetime(2024, 1, 2), dt.datetime(2024, 2, 2)
+    # lang completeness: 2/2 in Jan, 1/2 in Feb → global 3/4 = 0.75 passes
+    # a 0.7 floor while the Feb window (0.5) fails it
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/1", jan, None, "t1", "en"),
+            ("https://a.example/2", jan, None, "t2", "en"),
+            ("https://a.example/3", feb, None, "t3", "en"),
+            ("https://a.example/4", feb, None, "t4", None),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    rules = (("lang", "COMPLETENESS_GE", "0.7"),)
+    base = dict(check_extraction=False, check_drift=False,
+                check_uniqueness=False, check_referential=False,
+                table_rules=rules)
+    rep = ValidationEngine(spark, EngineConfig(**base, grouped_rules=True)).run(pages)
+    # global battery passes...
+    assert all(r["passed"] for r in rep.metrics["table_rules"])
+    g = rep.metrics["grouped_rules"]
+    assert g["n_groups"] == 2 and g["n_verdicts"] == 2 and g["n_failed"] == 1
+    assert not g["failures_truncated"]
+    assert g["failures"] == [{
+        "partition_id": "2024-02", "column": "lang",
+        "constraint": "COMPLETENESS_GE", "detail": "0.7", "n_violations": 1,
+    }]
+    assert rep.indexable  # grouped failures observe, not block, by default
+
+    blocked = ValidationEngine(
+        spark, EngineConfig(**base, grouped_rules=True,
+                            grouped_rules_blocking=True)
+    ).run(pages)
+    assert not blocked.indexable
+
+    with _pytest.raises(ValueError, match="grouped_rules"):
+        cfg = dict(base)
+        cfg["table_rules"] = ()
+        ValidationEngine(spark, EngineConfig(**cfg, grouped_rules=True)).run(pages)
