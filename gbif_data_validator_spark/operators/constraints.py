@@ -509,9 +509,35 @@ def verify_constraints_by(
     percentile buffer per QUANTILE_BETWEEN rule — swap to
     ``percentile_approx`` for sketch-bounded state at extreme group
     counts)."""
+    g = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        *rule_agg_exprs(constraints)
+    )
+    return g.select(
+        *group_cols, F.explode(F.array(*rule_verdict_structs(constraints))).alias("_r")
+    ).select(*group_cols, "_r.*")
+
+
+def rule_agg_exprs(
+    constraints: list[tuple[str, str, str]], streaming: bool = False
+) -> list[F.Column]:
+    """The shared rule→aggregate compiler: one conditional aggregate per
+    rule (``_v{i}`` violation count, plus ``_nn{i}`` for COMPLETENESS_GE
+    and ``_q{i}`` for QUANTILE_BETWEEN), led by the ``_n`` row count.
+    With ``streaming=True``, kinds whose aggregates Structured Streaming
+    cannot evaluate incrementally (UNIQUE's exact countDistinct,
+    QUANTILE_BETWEEN's sort-based percentile) raise loudly instead of
+    silently degrading — streaming dup detection belongs to the
+    watermarked ``stream_duplicates_within_horizon``."""
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("_n")]
     for i, (col, kind, detail) in enumerate(constraints):
         c = F.col(col)
+        if streaming and kind in ("UNIQUE", "QUANTILE_BETWEEN"):
+            raise ValueError(
+                f"constraint kind {kind!r} is not streamable (exact "
+                f"distinct/percentile state is unbounded per window); "
+                f"use the batch battery, or "
+                f"stream_duplicates_within_horizon for streaming dups"
+            )
         if kind in ("NOT_NULL", "COMPLETENESS_GE"):
             expr = F.count(F.when(c.isNull(), F.lit(1)))
         elif kind == "UNIQUE":
@@ -550,8 +576,16 @@ def verify_constraints_by(
         aggs.append(expr.cast("long").alias(f"_v{i}"))
         if kind == "COMPLETENESS_GE":
             aggs.append(F.count(c).cast("long").alias(f"_nn{i}"))
-    g = df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+    return aggs
 
+
+def rule_verdict_structs(
+    constraints: list[tuple[str, str, str]]
+) -> list[F.Column]:
+    """The shared verdict projector over ``rule_agg_exprs`` output: one
+    (column, constraint, detail, n_violations, passed) struct per rule —
+    pure Column algebra, explodable after any (batch or streaming)
+    aggregation."""
     verdicts: list[F.Column] = []
     for i, (col, kind, detail) in enumerate(constraints):
         viol = F.col(f"_v{i}")
@@ -577,6 +611,4 @@ def verify_constraints_by(
                 passed.alias("passed"),
             )
         )
-    return g.select(
-        *group_cols, F.explode(F.array(*verdicts)).alias("_r")
-    ).select(*group_cols, "_r.*")
+    return verdicts

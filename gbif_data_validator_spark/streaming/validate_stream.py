@@ -370,3 +370,42 @@ def run_stream_once(stream_df: DataFrame, query_name: str, output_mode: str = "a
     )
     q.awaitTermination()
     return q
+
+
+def stream_rule_verdicts(
+    pages_stream: DataFrame,
+    constraints: list[tuple[str, str, str]],
+    ts_col: str = "warc_ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming grouped constraint verification: the batch rule battery
+    (``operators/constraints.py``) evaluated per event-time window →
+    ``(window_start, window_end, column, constraint, detail, n_violations,
+    passed)`` — Deequ's VerificationSuite lifted onto Structured Streaming,
+    the live face of ``EngineConfig.grouped_rules``.
+
+    Uses the SAME rule→aggregate compiler as the batch paths
+    (``rule_agg_exprs``/``rule_verdict_structs``), so a rule list suggested
+    on last month's table gates the live crawl with identical semantics —
+    one watermarked windowed aggregation (bounded state: a fixed handful of
+    counters per open window), verdicts unpivoted by the same JVM-side
+    struct explode. Kinds whose state cannot stream (UNIQUE's exact
+    distinct, QUANTILE_BETWEEN's percentile) raise loudly at plan time —
+    streaming dup detection is ``stream_duplicates_within_horizon``'s job.
+
+    Output mode contract: windows finalize at the watermark, so drain with
+    append mode (each window's verdicts emit exactly once) or update mode
+    for provisional verdicts per micro-batch."""
+    from ..operators.constraints import rule_agg_exprs, rule_verdict_structs
+
+    agged = (
+        pages_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration))
+        .agg(*rule_agg_exprs(constraints, streaming=True))
+    )
+    return agged.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        F.explode(F.array(*rule_verdict_structs(constraints))).alias("_r"),
+    ).select("window_start", "window_end", "_r.*")

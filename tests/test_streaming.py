@@ -183,3 +183,49 @@ def test_streaming_drift_from_accumulated_sketches(spark, pages_stream_dir, tmp_
         r.window for r in ks_drift(batch).where(F.col("drifted")).collect()
     }
     assert got == expect and len(got) == 1
+
+
+def test_stream_rule_verdicts_match_batch(spark, pages_stream_dir):
+    # the streamed windowed battery equals the batch grouped battery on the
+    # same data at the same window grain — same compiler, same verdicts
+    from gbif_data_validator_spark.operators.constraints import verify_constraints_by
+
+    rules = [
+        ("url", "NOT_NULL", ""),
+        ("lang", "IN_SET", "en,de,fr,es,zh"),
+        ("lang", "COMPLETENESS_GE", "0.5"),
+        ("url", "MATCHES", "^https?://"),
+    ]
+    stream = vs.read_pages_stream(spark, pages_stream_dir, max_files_per_trigger=2)
+    # complete mode so the memory sink holds the FINAL per-window verdicts
+    # (append would emit only watermark-closed windows, and the fixture's
+    # event times span decades across arbitrarily-ordered files)
+    vs.run_stream_once(
+        vs.stream_rule_verdicts(
+            stream, rules, window_duration="30 days", watermark="36500 days"
+        ),
+        "rule_stream",
+        output_mode="complete",
+    )
+    got = {
+        (str(r.window_start), r.column, r.constraint): (r.n_violations, r.passed)
+        for r in spark.sql("SELECT * FROM rule_stream").collect()
+    }
+    batch = spark.read.parquet(pages_stream_dir).withColumn(
+        "_w", F.window(F.col("warc_ts"), "30 days")["start"]
+    )
+    expect = {
+        (str(r._w), r.column, r.constraint): (r.n_violations, r.passed)
+        for r in verify_constraints_by(batch, rules, ["_w"]).collect()
+    }
+    assert got == expect and len(got) > 0
+    # real verdicts both ways: some window fails something, some passes
+    assert any(not v[1] for v in got.values()) and any(v[1] for v in got.values())
+
+
+def test_stream_rule_verdicts_reject_unstreamable_kinds(spark, pages_stream_dir):
+    stream = vs.read_pages_stream(spark, pages_stream_dir)
+    with pytest.raises(ValueError, match="not streamable"):
+        vs.stream_rule_verdicts(stream, [("url", "UNIQUE", "")])
+    with pytest.raises(ValueError, match="not streamable"):
+        vs.stream_rule_verdicts(stream, [("warc_ts", "QUANTILE_BETWEEN", "0.5:0..1")])
