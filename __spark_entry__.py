@@ -695,6 +695,23 @@ def _q_grouped_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup dedup: connected clusters over the 0.5-Jaccard
+    pair graph, keep the argmax-quality member per cluster (min-id
+    tie-break) — the survivor policy real corpus pipelines use instead of
+    min-id."""
+    from gbif_data_validator_spark.functions import textstats as ts
+    from gbif_data_validator_spark.operators.curation import survivors_by_score
+    from gbif_data_validator_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _docs_spread(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+    out = survivors_by_score(
+        d, pairs, "doc_id", F.round(ts.quality_score(F.col("text")), 4)
+    )
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
 def _q_salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant salted equi-join (orders ⋈ customer spread over 8
     salts) rolled up to per-nation order counts + decimal-exact revenue —
@@ -2036,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard": _q_prefix_jaccard,
         "grouped_constraints": _q_grouped_constraints,
         "salted_join_rollup": _q_salted_join_rollup,
+        "quality_survivors": _q_quality_survivors,
         # newly oracled this round (no r02 row / err: no_oracle): the
         # fixed-iteration unrolled-CTE replay makes even PageRank hashable,
         # and the flagship engine battery pins its golden VALUES counts
@@ -3563,6 +3581,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_chars, sample_key FROM keyed
             ORDER BY sample_key DESC, doc_id LIMIT 50
+        """,
+        # quality_survivors: the dedup_clusters recursive-CTE reachability
+        # plus per-cluster argmax(quality, -doc_id) via max(struct_pack);
+        # survivors = everything except non-winning cluster members
+        "quality_survivors": f"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]) AS s
+              FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM documents)
+              WHERE len(words) >= 3
+            ), ex AS (
+              SELECT doc_id, unnest(s) AS g FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), p AS (
+              SELECT doc_a, doc_b
+              FROM inter
+              JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = doc_a
+              JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = doc_b
+              WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+            ), e AS (
+              SELECT doc_a AS a, doc_b AS b FROM p
+              UNION
+              SELECT doc_b, doc_a FROM p
+            ), reach AS (
+              SELECT a AS id, a AS r FROM e
+              UNION
+              SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+            ), comp AS (
+              SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+            ), q AS (
+              SELECT doc_id, {quality} AS quality FROM documents
+            ), member AS (
+              SELECT comp.doc_id, comp.cluster_id, q.quality
+              FROM comp JOIN q USING (doc_id)
+            ), best AS (
+              SELECT cluster_id,
+                     max(struct_pack(s := quality, nid := -doc_id)) AS b
+              FROM member GROUP BY cluster_id
+            ), winners AS (
+              SELECT -struct_extract(b, 'nid') AS doc_id FROM best
+            ), losers AS (
+              SELECT doc_id FROM member
+              WHERE doc_id NOT IN (SELECT doc_id FROM winners)
+            )
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+            ORDER BY doc_id
         """,
         # salted_join_rollup: salting is invisible to the result — the
         # oracle is the plain join + rollup

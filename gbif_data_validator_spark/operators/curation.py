@@ -329,3 +329,41 @@ def dedup_lines_in_doc(
         F.size(lines).cast("long").alias("n_lines"),
         (F.size(lines) - F.size(kept)).cast("long").alias("n_dropped"),
     )
+
+
+def survivors_by_score(
+    df: DataFrame, pairs: DataFrame, id_col: str, score: Column
+) -> DataFrame:
+    """Quality-aware near-dup survivor selection: keep the BEST-scoring
+    document per connected near-dup cluster (ties → min id), drop the rest
+    — what production corpus pipelines actually do with near-dup clusters
+    (min-id survivors throw away the best-extracted copy of a page;
+    keeping argmax quality retains it). Documents in no cluster pass
+    through unchanged; output is ``df``'s own schema.
+
+    Plan: clusters come from ``duplicate_clusters`` over the pair list
+    (edges only — a tiny fraction of the corpus); the per-cluster argmax
+    is one groupBy over cluster MEMBERS via a ``max(struct(score, -id))``
+    (one aggregate, deterministic tie-break to the smallest id); the only
+    corpus-sized step is a single left-anti join against the non-survivor
+    id list, which is bounded by the number of clustered documents and
+    broadcastable in the common low-dup regime."""
+    from .dedup import duplicate_clusters
+
+    cl = duplicate_clusters(pairs)
+    scored = df.select(F.col(id_col).alias("_sid"), score.alias("_score"))
+    member = cl.join(scored, cl["doc_id"] == scored["_sid"]).select(
+        "doc_id", "cluster_id", "_score"
+    )
+    best = member.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("_score").alias("s"), (-F.col("doc_id")).alias("nid"))
+        ).alias("_b")
+    )
+    winners = best.select((-F.col("_b.nid")).alias("doc_id"))
+    losers = member.select("doc_id").exceptAll(winners)
+    return df.join(
+        losers.withColumnRenamed("doc_id", "_loser"),
+        df[id_col] == F.col("_loser"),
+        "left_anti",
+    )

@@ -263,3 +263,52 @@ def test_resample_by_weight_plan_is_narrow(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_survivors_by_score_keeps_best_not_min_id(spark):
+    from gbif_data_validator_spark.operators.curation import survivors_by_score
+
+    # docs 1/2/3 are one near-dup cluster; doc 3 (highest score) must
+    # survive even though min-id policy would keep doc 1. doc 9 is
+    # unclustered and passes through.
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.5), (3, 0.9), (9, 0.1)], "doc_id long, score double"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    got = sorted(
+        r.doc_id
+        for r in survivors_by_score(df, pairs, "doc_id", F.col("score")).collect()
+    )
+    assert got == [3, 9]
+
+
+def test_survivors_by_score_tie_breaks_to_min_id(spark):
+    from gbif_data_validator_spark.operators.curation import survivors_by_score
+
+    df = spark.createDataFrame(
+        [(5, 0.7), (6, 0.7), (7, 0.7)], "doc_id long, score double"
+    )
+    pairs = spark.createDataFrame([(5, 6), (6, 7)], "doc_a long, doc_b long")
+    got = sorted(
+        r.doc_id
+        for r in survivors_by_score(df, pairs, "doc_id", F.col("score")).collect()
+    )
+    assert got == [5]
+
+
+def test_survivors_by_score_multi_cluster(spark):
+    from gbif_data_validator_spark.operators.curation import survivors_by_score
+
+    # two disjoint clusters → one survivor each, chosen per-cluster
+    df = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (10, 0.8), (11, 0.2), (20, 0.5)],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = sorted(
+        r.doc_id
+        for r in survivors_by_score(df, pairs, "doc_id", F.col("score")).collect()
+    )
+    assert got == [2, 10, 20]
