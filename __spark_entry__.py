@@ -695,6 +695,26 @@ def _q_grouped_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source n_chars quartiles — the grouped order-statistics
+    profiler face (percentile_approx is the documented 100 TB knob)."""
+    from gbif_data_validator_spark.operators.constraints import quantiles_by
+
+    return quantiles_by(
+        _docs(spark, sf_dir), "n_chars", ["source"], probs=[0.25, 0.5, 0.75]
+    ).orderBy("source")
+
+
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-z (MAD) outlier rows on events.value — the 50%-contamination-
+    tolerant complement to the Tukey-fence iqr_outliers."""
+    from gbif_data_validator_spark.operators.constraints import mad_outlier_rows
+
+    return mad_outlier_rows(
+        _tbl(spark, sf_dir, "events"), "value", k=3.0, id_cols=["event_id"]
+    ).orderBy("event_id")
+
+
 def _q_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup dedup: connected clusters over the 0.5-Jaccard
     pair graph, keep the argmax-quality member per cluster (min-id
@@ -2054,6 +2074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_constraints": _q_grouped_constraints,
         "salted_join_rollup": _q_salted_join_rollup,
         "quality_survivors": _q_quality_survivors,
+        "group_quantiles": _q_group_quantiles,
+        "mad_outliers": _q_mad_outliers,
         # newly oracled this round (no r02 row / err: no_oracle): the
         # fixed-iteration unrolled-CTE replay makes even PageRank hashable,
         # and the flagship engine battery pins its golden VALUES counts
@@ -3581,6 +3603,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_chars, sample_key FROM keyed
             ORDER BY sample_key DESC, doc_id LIMIT 50
+        """,
+        "group_quantiles": """
+            SELECT source, count(CAST(n_chars AS DOUBLE)) AS n,
+                   round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 6) AS q25,
+                   round(quantile_cont(CAST(n_chars AS DOUBLE), 0.50), 6) AS q50,
+                   round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 6) AS q75
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        # mad_outliers: the ROUNDED center feeds the MAD so both engines
+        # measure deviations from the identical quantized median
+        "mad_outliers": """
+            WITH med AS (
+              SELECT round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS center
+              FROM events
+            ),
+            spread AS (
+              SELECT center,
+                     round(3.0 * 1.4826 * round(
+                       quantile_cont(abs(CAST(value AS DOUBLE) - center), 0.5), 6
+                     ), 6) AS spread
+              FROM events, med GROUP BY center
+            )
+            SELECT event_id, value, center, spread
+            FROM events, spread
+            WHERE abs(CAST(value AS DOUBLE) - center) > spread
+            ORDER BY event_id
         """,
         # quality_survivors: the dedup_clusters recursive-CTE reachability
         # plus per-cluster argmax(quality, -doc_id) via max(struct_pack);

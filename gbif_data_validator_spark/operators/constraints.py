@@ -612,3 +612,65 @@ def rule_verdict_structs(
             )
         )
     return verdicts
+
+
+def quantiles_by(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    probs: list[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact per-group quantiles → ``(*group_cols, n, q_25, q_50, …)`` —
+    the grouped face of the profiler's order statistics (per-source length
+    quantiles, per-window latency percentiles). One grouped aggregation
+    scan; per-group state is one sort buffer per quantile, which is the
+    exactness cost — at 10^12 rows swap ``F.percentile`` for
+    ``percentile_approx`` (same plan, constant sketch state, approximate
+    values; documented knob, not the oracle path). Values round to 6 dp —
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share linear
+    interpolation, and the quantization absorbs sub-ulp engine noise.
+    NULLs are excluded by both engines' aggregate semantics."""
+    c = F.col(col).cast("double")
+    aggs = [F.count(c).alias("n")]
+    for p in probs:
+        name = f"q{int(round(p * 100)):02d}"
+        aggs.append(F.round(F.percentile(c, F.lit(p)), 6).alias(name))
+    return df.groupBy(*[F.col(g) for g in group_cols]).agg(*aggs)
+
+
+def mad_outlier_rows(
+    df: DataFrame, col: str, k: float = 3.0, id_cols: list[str] | None = None
+) -> DataFrame:
+    """Rows where ``|col − median| > k · 1.4826 · MAD`` →
+    ``(*id_cols, col, center, spread)`` — the robust-z-score outlier check
+    (median absolute deviation; the 1.4826 factor makes MAD estimate σ
+    under normality). Complements ``iqr_outlier_rows``: MAD tolerates up
+    to 50% contamination where Tukey fences break at 25%, so it is the
+    check for columns suspected MOSTLY wrong (a scraper emitting garbage
+    sizes for half a crawl).
+
+    Plan (three scans, all exact and oracle-checkable): (1) exact median;
+    (2) exact median of |x − median| with the median as a 1-row broadcast;
+    (3) filter scan against the rounded fences, another 1-row broadcast —
+    no shuffle ever touches full rows. ``percentile_approx`` is the
+    documented single-pass 100 TB knob for both medians."""
+    c = F.col(col).cast("double")
+    med = df.agg(F.round(F.percentile(c, F.lit(0.5)), 6).alias("center"))
+    mad = (
+        df.crossJoin(F.broadcast(med))
+        .agg(
+            F.round(
+                F.percentile(F.abs(c - F.col("center")), F.lit(0.5)), 6
+            ).alias("mad"),
+            F.min("center").alias("center"),
+        )
+    )
+    bounds = mad.select(
+        "center", F.round(F.lit(k) * F.lit(1.4826) * F.col("mad"), 6).alias("spread")
+    )
+    keep = id_cols if id_cols is not None else [x for x in df.columns if x != col]
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .where(F.abs(c - F.col("center")) > F.col("spread"))
+        .select(*keep, col, "center", "spread")
+    )

@@ -370,3 +370,31 @@ def test_verify_constraints_by_plan_shape(spark):
     with_unique = plan_of(rules + [("id", "UNIQUE", "")])
     assert with_unique.count("Exchange") == 2, with_unique
     assert "Join" not in with_unique, with_unique
+
+
+def test_quantiles_by_exact_per_group(spark):
+    from gbif_data_validator_spark.operators.constraints import quantiles_by
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+         ("b", 10.0), ("b", 20.0), ("b", None)],
+        "g string, v double",
+    )
+    got = {r.g: (r.n, r.q25, r.q50, r.q75)
+           for r in quantiles_by(df, "v", ["g"]).collect()}
+    # linear interpolation, NULLs excluded from both count and quantiles
+    assert got["a"] == (4, 1.75, 2.5, 3.25)
+    assert got["b"] == (2, 12.5, 15.0, 17.5)
+
+
+def test_mad_outlier_rows_robust_to_heavy_contamination(spark):
+    from gbif_data_validator_spark.operators.constraints import mad_outlier_rows
+
+    # 9 inliers around 10, one absurd point; MAD spread stays tight
+    rows = [(i, 10.0 + (i % 3) * 0.1) for i in range(9)] + [(99, 1000.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = [r.id for r in mad_outlier_rows(df, "v", k=3.0, id_cols=["id"]).collect()]
+    assert got == [99]
+    # center is the true median, spread = k * 1.4826 * MAD
+    r = mad_outlier_rows(df, "v", k=3.0, id_cols=["id"]).first()
+    assert r.center == 10.1 and abs(r.spread - 3.0 * 1.4826 * 0.1) < 1e-6
