@@ -715,6 +715,18 @@ def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def _q_edit_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-aware near-dup pairs: posting-list candidates at Jaccard
+    ≥ 0.3, exact Levenshtein verify at edit-sim ≥ 0.95 — the check that
+    separates minor edits from mere shared vocabulary."""
+    from gbif_data_validator_spark.operators.dedup import edit_similarity_pairs
+
+    return edit_similarity_pairs(
+        _docs_spread(spark, sf_dir), "doc_id", "text",
+        k=3, candidate_threshold=0.3, threshold=0.95,
+    ).orderBy("doc_a", "doc_b")
+
+
 def _q_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup dedup: connected clusters over the 0.5-Jaccard
     pair graph, keep the argmax-quality member per cluster (min-id
@@ -2064,12 +2076,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_mi": _q_entropy_mi,
         "weighted_sample": _q_weighted_sample,
         "cosine_dup_pairs_det": _q_cosine_dup_pairs_det,
-        "source_rollup": _q_source_rollup,
         "heavy_hitters": _q_heavy_hitters,
         "prefix_jaccard": _q_prefix_jaccard,
         "grouped_constraints": _q_grouped_constraints,
         "salted_join_rollup": _q_salted_join_rollup,
         "quality_survivors": _q_quality_survivors,
+        "edit_dup_pairs": _q_edit_dup_pairs,
         "group_quantiles": _q_group_quantiles,
         "mad_outliers": _q_mad_outliers,
         # newly oracled this round (no r02 row / err: no_oracle): the
@@ -2083,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minhash_cross ~ cross_dedup_flags+minhash_pairs, strip ~ census,
         # mix_resample ~ quota/stratified, doc_chunks ~ pack_bins (r02)
         "minhash_cross_pairs": _q_minhash_cross_pairs,
+        "source_rollup": _q_source_rollup,
         "strip_boilerplate": _q_strip_boilerplate,
         "mix_resample": _q_mix_resample,
         "doc_chunks": _q_doc_chunks,
@@ -3608,6 +3621,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_chars, sample_key FROM keyed
             ORDER BY sample_key DESC, doc_id LIMIT 50
+        """,
+        # edit_dup_pairs: same candidate CTE as the Jaccard family at the
+        # 0.3 bar, then DuckDB's levenshtein == Spark's (classic DP, integer)
+        "edit_dup_pairs": """
+            WITH sh AS (
+              SELECT doc_id, text,
+                     list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]) AS s
+              FROM (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM documents)
+              WHERE len(words) >= 3
+            ), ex AS (
+              SELECT doc_id, unnest(s) AS g FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), cand AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = doc_a
+              JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = doc_b
+              WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.3
+            )
+            SELECT doc_a, doc_b,
+                   round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                         / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 6) AS edit_sim
+            FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+                      JOIN sh b ON b.doc_id = cand.doc_b
+            WHERE round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                        / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 6) >= 0.95
+            ORDER BY doc_a, doc_b
         """,
         "group_quantiles": """
             SELECT source, count(CAST(n_chars AS DOUBLE)) AS n,

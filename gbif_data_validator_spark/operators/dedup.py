@@ -1095,3 +1095,48 @@ def prefix_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def edit_similarity_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    candidate_threshold: float = 0.3,
+    threshold: float = 0.95,
+    max_df: int = 1000,
+) -> DataFrame:
+    """→ (doc_a, doc_b, edit_sim): pairs whose EXACT normalized Levenshtein
+    similarity ``1 − lev/max(|a|,|b|)`` ≥ threshold — the strictest
+    near-dup verifier in the family. Set-based measures (Jaccard,
+    containment, cosine) are order-blind: two pages with the same shingle
+    set but reshuffled paragraphs score 1.0; edit similarity is the
+    sequence-aware check that separates "same text, minor edits" from
+    "same vocabulary, different document".
+
+    Plan: candidates come from the cheap posting-list pass at a LOW
+    Jaccard bar (``candidate_threshold`` — sound for the target class:
+    edit-sim ≥ t forces shingle-set Jaccard well above a small floor, so
+    a generous floor keeps recall while killing the all-pairs quadratic),
+    then each surviving pair pays one exact JVM ``levenshtein`` over the
+    two full texts. That per-pair cost is O(|a|·|b|) — the expensive
+    verify is applied to the candidate set only, never the corpus; at
+    100 TB the knob is ``candidate_threshold`` (higher → fewer O(n²)
+    verifies), not partitioning."""
+    counts = _ngram_pair_counts(df, id_col, text_col, k, max_df)
+    jac = F.col("n_inter") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    cand = counts.where(jac >= candidate_threshold).select("doc_a", "doc_b")
+    a = df.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
+    b = df.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
+    lev = F.levenshtein("_ta", "_tb").cast("double")
+    maxlen = F.greatest(F.length("_ta"), F.length("_tb")).cast("double")
+    sim = F.round(F.lit(1.0) - lev / maxlen, 6)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("edit_sim", sim)
+        .where(F.col("edit_sim") >= threshold)
+        .select("doc_a", "doc_b", "edit_sim")
+    )

@@ -429,3 +429,22 @@ def test_prefix_jaccard_wide_corpus_equivalence(spark):
         for r in dedup.prefix_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.6).collect()
     )
     assert got == ref and len(ref) > 0
+
+
+def test_edit_similarity_pairs_sequence_aware(spark):
+    # docs 1/2: one-word edit → high edit sim; docs 1/3: same shingle
+    # VOCABULARY reshuffled → Jaccard-style candidates but low edit sim
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    shuffled = "eta theta iota kappa alpha beta gamma delta epsilon zeta"
+    rows = [(1, base), (2, base.replace("delta", "delXa")), (3, shuffled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.edit_sim
+        for r in dedup.edit_similarity_pairs(
+            df, "doc_id", "text", k=1, candidate_threshold=0.3, threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.9
+    assert (1, 3) not in got and (2, 3) not in got  # order matters
+    # exact value: 1 char substitution (delta→delXa) over the 56 chars
+    assert got[(1, 2)] == round(1.0 - 1 / len(base), 6)
