@@ -727,6 +727,21 @@ def _q_edit_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def _q_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-explosion audit: exact output size + top contributing keys of
+    the many-to-many events.user_id ⋈ orders.o_custkey join, computed from
+    the two key histograms without running the join."""
+    from gbif_data_validator_spark.operators.layout import join_explosion_audit
+
+    return join_explosion_audit(
+        _tbl(spark, sf_dir, "events"),
+        _tbl(spark, sf_dir, "orders"),
+        "user_id",
+        "o_custkey",
+        top_k=10,
+    )
+
+
 def _q_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup dedup: connected clusters over the 0.5-Jaccard
     pair graph, keep the argmax-quality member per cluster (min-id
@@ -2054,7 +2069,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": _q_source_quota,
         "stratified_sample": _q_stratified_sample,
         "top_ngram": _q_top_ngram,
-        "repetition_stats": _q_repetition_stats,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         # round-3 additions (uncovered in r02)
         "ann_recall": _q_ann_recall,
@@ -2082,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_rollup": _q_salted_join_rollup,
         "quality_survivors": _q_quality_survivors,
         "edit_dup_pairs": _q_edit_dup_pairs,
+        "join_audit": _q_join_audit,
         "group_quantiles": _q_group_quantiles,
         "mad_outliers": _q_mad_outliers,
         # newly oracled this round (no r02 row / err: no_oracle): the
@@ -2095,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minhash_cross ~ cross_dedup_flags+minhash_pairs, strip ~ census,
         # mix_resample ~ quota/stratified, doc_chunks ~ pack_bins (r02)
         "minhash_cross_pairs": _q_minhash_cross_pairs,
+        "repetition_stats": _q_repetition_stats,
         "source_rollup": _q_source_rollup,
         "strip_boilerplate": _q_strip_boilerplate,
         "mix_resample": _q_mix_resample,
@@ -3650,6 +3666,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
                         / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 6) >= 0.95
             ORDER BY doc_a, doc_b
+        """,
+        "join_audit": """
+            WITH l AS (
+              SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_left
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            ), r AS (
+              SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS n_right
+              FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+            ), m AS (
+              SELECT key, n_left, n_right, n_left * n_right AS n_out
+              FROM l JOIN r USING (key)
+            ), t AS (
+              SELECT CAST(sum(n_out) AS BIGINT) AS total_out FROM m
+            )
+            SELECT key, n_left, n_right, n_out, total_out,
+                   round(CAST(n_out AS DOUBLE) / total_out, 6) AS share
+            FROM m, t
+            ORDER BY n_out DESC, key LIMIT 10
         """,
         "group_quantiles": """
             SELECT source, count(CAST(n_chars AS DOUBLE)) AS n,

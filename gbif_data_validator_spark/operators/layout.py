@@ -168,3 +168,55 @@ def key_skew_audit(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), F.col("key").asc_nulls_last())
     )
+
+
+def join_explosion_audit(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-flight audit of an equi-join's EXACT output size from the two
+    key histograms → top-k contributing keys as
+    ``(key, n_left, n_right, n_out, total_out, share)`` — the "would this
+    join explode?" check run BEFORE committing a many-to-many join at
+    corpus scale. ``n_out = n_left · n_right`` per matched key;
+    ``total_out`` (on every row) is the exact inner-join row count, at the
+    cost of two key-column aggregations instead of the join itself — a
+    hot key contributing 50% of a 10^13-row output is visible here for
+    pennies, and the `share` column is the direct salting/broadcast
+    decision input (the join-shaped sibling of ``key_skew_audit``).
+
+    Plan: two map-side-combinable key-only groupBys, one equi-join of the
+    two DISTINCT-KEY count tables (each far smaller than its input),
+    top-k via TakeOrdered (no global sort materialization), totals via a
+    1-row broadcast. NULL keys never match in an equi-join and are
+    excluded, matching SQL join semantics. Ties broken by key value."""
+    lc = (
+        left.where(F.col(left_on).isNotNull())
+        .groupBy(F.col(left_on).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    rc = (
+        right.where(F.col(right_on).isNotNull())
+        .groupBy(F.col(right_on).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    matched = lc.join(rc, "key").withColumn(
+        "n_out", F.col("n_left") * F.col("n_right")
+    )
+    total = matched.agg(F.sum("n_out").alias("_total"))
+    top = matched.orderBy(F.col("n_out").desc(), F.col("key")).limit(top_k)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_left",
+            "n_right",
+            "n_out",
+            F.col("_total").alias("total_out"),
+            F.round(F.col("n_out") / F.col("_total"), 6).alias("share"),
+        )
+        .orderBy(F.col("n_out").desc(), F.col("key"))
+    )

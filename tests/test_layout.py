@@ -182,3 +182,22 @@ def test_zorder_key_auto_reduces_bits(spark):
 
     with _pytest.raises(ValueError, match="too many columns"):
         zorder_key([f"x{i}" for i in range(64)], [0.0] * 64, [1.0] * 64)
+
+
+def test_join_explosion_audit_exact_totals(spark):
+    from gbif_data_validator_spark.operators.layout import join_explosion_audit
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,), (None,)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (2,), (4,), (None,)], "rk long"
+    )
+    rows = join_explosion_audit(left, right, "k", "rk", top_k=10).collect()
+    got = {r.key: (r.n_left, r.n_right, r.n_out) for r in rows}
+    # key 3 and 4 unmatched; NULLs never match (SQL equi-join semantics)
+    assert got == {"1": (3, 2, 6), "2": (1, 1, 1)}
+    # total_out == the actual inner-join row count, on every row
+    actual = left.join(right, left.k == right.rk).count()
+    assert all(r.total_out == actual == 7 for r in rows)
+    assert rows[0].key == "1" and rows[0].share == round(6 / 7, 6)
