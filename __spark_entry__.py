@@ -742,6 +742,24 @@ def _q_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between the first and second half-month of events.value — the
+    bucket-attributable whole-shape drift monitor, hash-exact via the
+    ordered-fold recipe."""
+    from gbif_data_validator_spark.operators.drift import psi_drift
+
+    ev = _tbl(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return psi_drift(
+        ev.where(F.col("ts") < cut),
+        ev.where(F.col("ts") >= cut),
+        "value",
+        lo=0.0,
+        hi=500.0,
+        n_buckets=10,
+    )
+
+
 def _q_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup dedup: connected clusters over the 0.5-Jaccard
     pair graph, keep the argmax-quality member per cluster (min-id
@@ -2069,7 +2087,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": _q_source_quota,
         "stratified_sample": _q_stratified_sample,
         "top_ngram": _q_top_ngram,
-        "dedup_rate_by_source": _q_dedup_rate_by_source,
         # round-3 additions (uncovered in r02)
         "ann_recall": _q_ann_recall,
         "nb_quality": _q_nb_quality,
@@ -2097,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_survivors": _q_quality_survivors,
         "edit_dup_pairs": _q_edit_dup_pairs,
         "join_audit": _q_join_audit,
+        "psi_drift": _q_psi_drift,
         "group_quantiles": _q_group_quantiles,
         "mad_outliers": _q_mad_outliers,
         # newly oracled this round (no r02 row / err: no_oracle): the
@@ -2110,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minhash_cross ~ cross_dedup_flags+minhash_pairs, strip ~ census,
         # mix_resample ~ quota/stratified, doc_chunks ~ pack_bins (r02)
         "minhash_cross_pairs": _q_minhash_cross_pairs,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
         "repetition_stats": _q_repetition_stats,
         "source_rollup": _q_source_rollup,
         "strip_boilerplate": _q_strip_boilerplate,
@@ -3666,6 +3685,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
                         / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 6) >= 0.95
             ORDER BY doc_a, doc_b
+        """,
+        # psi_drift: identical floor-bucket math, round-6 + eps-floored
+        # proportions, and the list_sort+list_reduce ordered fold
+        "psi_drift": """
+            WITH rb AS (
+              SELECT CASE WHEN CAST(value AS DOUBLE) < 0.0 THEN 0
+                          WHEN CAST(value AS DOUBLE) >= 500.0 THEN 11
+                          ELSE CAST(floor(CAST(value AS DOUBLE) / 50.0) AS BIGINT) + 1 END AS bucket,
+                     count(*) AS n_ref
+              FROM events
+              WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16 00:00:00'
+              GROUP BY 1
+            ), cb AS (
+              SELECT CASE WHEN CAST(value AS DOUBLE) < 0.0 THEN 0
+                          WHEN CAST(value AS DOUBLE) >= 500.0 THEN 11
+                          ELSE CAST(floor(CAST(value AS DOUBLE) / 50.0) AS BIGINT) + 1 END AS bucket,
+                     count(*) AS n_cur
+              FROM events
+              WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+              GROUP BY 1
+            ), m AS (
+              SELECT coalesce(rb.bucket, cb.bucket) AS bucket,
+                     coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+              FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket
+            ), t AS (
+              SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+                     CAST(sum(n_cur) AS BIGINT) AS tc FROM m
+            ), s2 AS (
+              SELECT bucket, n_ref, n_cur,
+                     greatest(round(CAST(n_ref AS DOUBLE) / tr, 6), 1e-6) AS p_ref,
+                     greatest(round(CAST(n_cur AS DOUBLE) / tc, 6), 1e-6) AS p_cur
+              FROM m, t
+            ), s3 AS (
+              SELECT *, round((p_ref - p_cur) * ln(p_ref / p_cur), 6) AS term FROM s2
+            ), tot AS (
+              SELECT round(list_reduce(list_sort(list(term)), (a, x) -> a + x) + 0.0, 6) AS psi
+              FROM s3
+            )
+            SELECT bucket, n_ref, n_cur, p_ref, p_cur, term, psi
+            FROM s3, tot ORDER BY bucket
         """,
         "join_audit": """
             WITH l AS (

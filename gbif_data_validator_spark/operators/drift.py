@@ -264,3 +264,83 @@ def drift_violations(drift_df: DataFrame) -> DataFrame:
         ).alias("related_data"),
         F.col("window").alias("partition_id"),
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current sample
+    of ``col`` → one row per bucket ``(bucket, n_ref, n_cur, p_ref, p_cur,
+    term)`` plus the total ``psi`` repeated on every row — the
+    industry-standard "did the score distribution move" monitor
+    (rule of thumb: <0.1 stable, 0.1-0.25 shifting, >0.25 drifted),
+    complementing the KS check (sensitive to the worst single point) with
+    a whole-shape, bucket-attributable measure: the per-bucket ``term``
+    column says WHERE the mass moved.
+
+    Determinism contract (hash-checkable like entropy/MI): explicit
+    ``[lo, hi)`` fixed-width buckets via floor math (bucket 0 = underflow,
+    n_buckets+1 = overflow — never silently dropped mass); proportions
+    rounded to 6 dp then eps-floored (empty buckets contribute a finite
+    term); per-bucket terms rounded to 6 dp; the total is an ORDERED fold
+    over the bucket-sorted term list, so two engines sum in the same IEEE
+    order. Plan: two bucket-key groupBys (map-combinable, ≤ n_buckets+2
+    state), one full-outer join of the two tiny count tables, a 1-row
+    fold broadcast — nothing corpus-sized ever shuffles."""
+    from .constraints import _ordered_fold  # shared IEEE-order fold
+
+    w = (hi - lo) / n_buckets
+
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        c = F.col(col).cast("double")
+        b = (
+            F.when(c < F.lit(lo), F.lit(0))
+            .when(c >= F.lit(hi), F.lit(n_buckets + 1))
+            .otherwise(F.floor((c - F.lit(lo)) / F.lit(w)) + F.lit(1))
+        ).cast("long")
+        return (
+            df.where(c.isNotNull())
+            .groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    m = (
+        bucketed(ref, "n_ref")
+        .join(bucketed(cur, "n_cur"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = m.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    p_ref = F.greatest(F.round(F.col("n_ref") / F.col("_tr"), 6), F.lit(eps))
+    p_cur = F.greatest(F.round(F.col("n_cur") / F.col("_tc"), 6), F.lit(eps))
+    scored = (
+        m.crossJoin(F.broadcast(tot))
+        .withColumn("p_ref", p_ref)
+        .withColumn("p_cur", p_cur)
+        .withColumn(
+            "term",
+            F.round(
+                (F.col("p_ref") - F.col("p_cur"))
+                * F.log(F.col("p_ref") / F.col("p_cur")),
+                6,
+            ),
+        )
+        .select("bucket", "n_ref", "n_cur", "p_ref", "p_cur", "term")
+    )
+    total = scored.agg(
+        F.round(
+            _ordered_fold(F.sort_array(F.collect_list("term"))), 6
+        ).alias("psi")
+    )
+    return scored.crossJoin(F.broadcast(total)).orderBy("bucket")

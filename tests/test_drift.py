@@ -115,3 +115,38 @@ def test_categorical_drift_zero_cells_smoothed(spark):
     assert len(got) == 2
     assert all(r.psi == r.psi and abs(r.psi) < 1e9 for r in got)  # finite
     assert all(r.drifted for r in got)  # two disjoint windows → both drifted
+
+
+def test_psi_drift_identical_distributions(spark):
+    from gbif_data_validator_spark.operators.drift import psi_drift
+
+    df = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v double")
+    rows = psi_drift(df, df, "v", lo=0.0, hi=100.0, n_buckets=10).collect()
+    # identical samples: every term 0, psi 0, full bucket accounting
+    assert all(r.term == 0.0 for r in rows)
+    assert all(r.psi == 0.0 for r in rows)
+    assert sum(r.n_ref for r in rows) == 1000
+
+
+def test_psi_drift_detects_shift_and_attributes_bucket(spark):
+    from gbif_data_validator_spark.operators.drift import psi_drift
+
+    ref = spark.createDataFrame([(10.0,)] * 90 + [(90.0,)] * 10, "v double")
+    cur = spark.createDataFrame([(10.0,)] * 10 + [(90.0,)] * 90, "v double")
+    rows = {r.bucket: r for r in psi_drift(ref, cur, "v", 0.0, 100.0, 10).collect()}
+    psi = rows[2].psi
+    assert psi > 0.25  # "drifted" by the standard rule of thumb
+    # the mass moved between buckets 2 (=10.0) and 10 (=90.0): both attribute
+    assert rows[2].term > 0 and rows[10].term > 0
+    assert rows[2].n_ref == 90 and rows[2].n_cur == 10
+
+
+def test_psi_drift_overflow_underflow_buckets(spark):
+    from gbif_data_validator_spark.operators.drift import psi_drift
+
+    ref = spark.createDataFrame([(-5.0,), (50.0,), (500.0,)], "v double")
+    cur = spark.createDataFrame([(50.0,), (50.0,), (50.0,)], "v double")
+    got = {r.bucket: (r.n_ref, r.n_cur)
+           for r in psi_drift(ref, cur, "v", 0.0, 100.0, 10).collect()}
+    # nothing silently dropped: underflow → 0, overflow → n_buckets+1
+    assert got[0] == (1, 0) and got[11] == (1, 0) and got[6] == (1, 3)
