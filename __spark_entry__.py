@@ -760,6 +760,23 @@ def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_json_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-schema JSON validation as battery rules: props must carry
+    $.k as BIGINT (passes), $.missing (all 10k rows violate), and $.k as
+    TIMESTAMP (uncastable — all violate): presence and type are separate
+    failure modes of the same JSON_KEY kind."""
+    from gbif_data_validator_spark.operators.constraints import verify_constraints
+
+    return verify_constraints(
+        _tbl(spark, sf_dir, "events"),
+        [
+            ("props", "JSON_KEY", "$.k:BIGINT"),
+            ("props", "JSON_KEY", "$.missing:BIGINT"),
+            ("props", "JSON_KEY", "$.k:TIMESTAMP"),
+        ],
+    )
+
+
 def _q_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup dedup: connected clusters over the 0.5-Jaccard
     pair graph, keep the argmax-quality member per cluster (min-id
@@ -2081,7 +2098,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_audit": _q_file_audit,
         "skew_audit": _q_skew_audit,
         "minhash_pairs": _q_minhash_pairs,
-        "lexical_diversity": _q_lexical_diversity,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "boilerplate_lines": _q_boilerplate_lines,
         "source_quota": _q_source_quota,
@@ -2115,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_dup_pairs": _q_edit_dup_pairs,
         "join_audit": _q_join_audit,
         "psi_drift": _q_psi_drift,
+        "json_rules": _q_json_rules,
         "group_quantiles": _q_group_quantiles,
         "mad_outliers": _q_mad_outliers,
         # newly oracled this round (no r02 row / err: no_oracle): the
@@ -2128,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minhash_cross ~ cross_dedup_flags+minhash_pairs, strip ~ census,
         # mix_resample ~ quota/stratified, doc_chunks ~ pack_bins (r02)
         "minhash_cross_pairs": _q_minhash_cross_pairs,
+        "lexical_diversity": _q_lexical_diversity,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "repetition_stats": _q_repetition_stats,
         "source_rollup": _q_source_rollup,
@@ -3685,6 +3703,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
                         / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 6) >= 0.95
             ORDER BY doc_a, doc_b
+        """,
+        # json_rules: json_extract_string == get_json_object (both unquote
+        # scalars), TRY_CAST == try_cast; verdict rows replayed via UNION ALL
+        "json_rules": """
+            WITH s AS (
+              SELECT
+                count(CASE WHEN props IS NOT NULL
+                           AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL
+                      THEN 1 END) AS v_k,
+                count(CASE WHEN props IS NOT NULL
+                           AND TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) IS NULL
+                      THEN 1 END) AS v_miss,
+                count(CASE WHEN props IS NOT NULL
+                           AND TRY_CAST(json_extract_string(props, '$.k') AS TIMESTAMP) IS NULL
+                      THEN 1 END) AS v_ts
+              FROM events
+            )
+            SELECT * FROM (
+              SELECT 'props' AS "column", 'JSON_KEY' AS "constraint",
+                     '$.k:BIGINT' AS detail, v_k AS n_violations, v_k = 0 AS passed
+              FROM s
+              UNION ALL
+              SELECT 'props', 'JSON_KEY', '$.k:TIMESTAMP', v_ts, v_ts = 0 FROM s
+              UNION ALL
+              SELECT 'props', 'JSON_KEY', '$.missing:BIGINT', v_miss, v_miss = 0 FROM s
+            )
+            ORDER BY "column", "constraint", detail
         """,
         # psi_drift: identical floor-bucket math, round-6 + eps-floored
         # proportions, and the list_sort+list_reduce ordered fold

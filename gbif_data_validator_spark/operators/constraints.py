@@ -183,6 +183,10 @@ def verify_constraints(
       anchor with ^$ for full-match — Deequ PatternMatch analog).
     - ``LENGTH_BETWEEN lo..hi`` — non-null values whose string-form
       length falls outside the closed envelope.
+    - ``JSON_KEY path:TYPE`` — non-null values whose JSON payload lacks
+      ``path`` or whose extracted scalar fails a TRY_CAST to ``TYPE``
+      (``$.k:BIGINT``) — declared-schema validation for semi-structured
+      columns, streamable like the counting kinds.
     - ``QUANTILE_BETWEEN q:lo..hi`` — rule-level check: the exact
       ``percentile(col, q)`` (≡ DuckDB ``quantile_cont``) must land in
       the closed envelope; n_violations is 0 or 1 (the quantile itself),
@@ -196,49 +200,9 @@ def verify_constraints(
     table is built driver-side (bounded by the number of constraints, not
     data)."""
     spark: SparkSession = df.sparkSession
-    aggs: list[F.Column] = [F.count(F.lit(1)).alias("_n")]
-    for i, (col, kind, detail) in enumerate(constraints):
-        c = F.col(col)
-        if kind in ("NOT_NULL", "COMPLETENESS_GE"):
-            expr = F.count(F.when(c.isNull(), F.lit(1)))
-        elif kind == "UNIQUE":
-            expr = F.count(c) - F.countDistinct(c)
-        elif kind == "RANGE":
-            lo, hi = (float(v) for v in detail.split("..", 1))
-            expr = F.count(
-                F.when(c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))), F.lit(1))
-            )
-        elif kind == "IN_SET":
-            vals = detail.split(",") if detail else []
-            expr = F.count(
-                F.when(c.isNotNull() & ~c.cast("string").isin(vals), F.lit(1))
-            )
-        elif kind == "MATCHES":
-            expr = F.count(
-                F.when(c.isNotNull() & ~c.cast("string").rlike(detail), F.lit(1))
-            )
-        elif kind == "LENGTH_BETWEEN":
-            lo, hi = (int(v) for v in detail.split("..", 1))
-            ln = F.length(c.cast("string"))
-            expr = F.count(
-                F.when(
-                    c.isNotNull() & ((ln < F.lit(lo)) | (ln > F.lit(hi))),
-                    F.lit(1),
-                )
-            )
-        elif kind == "QUANTILE_BETWEEN":
-            q, _env = detail.split(":", 1)
-            # the aggregate itself; pass/violation decided driver-side
-            aggs.append(
-                F.percentile(c.cast("double"), float(q)).alias(f"_q{i}")
-            )
-            expr = F.lit(0)
-        else:
-            raise ValueError(f"unknown constraint kind: {kind!r}")
-        aggs.append(expr.cast("long").alias(f"_v{i}"))
-        if kind == "COMPLETENESS_GE":
-            aggs.append(F.count(c).cast("long").alias(f"_nn{i}"))
-    row = df.agg(*aggs).first()  # bounded: one row, ≤2 scalars/constraint
+    # one shared compiler for the whole family (this, the grouped face,
+    # and the streaming face): one conditional aggregate per rule
+    row = df.agg(*rule_agg_exprs(constraints)).first()  # bounded: one row
 
     out: list[tuple[str, str, str, int, bool]] = []
     n = row["_n"]
@@ -564,6 +528,17 @@ def rule_agg_exprs(
                     c.isNotNull() & ((ln < F.lit(lo)) | (ln > F.lit(hi))),
                     F.lit(1),
                 )
+            )
+        elif kind == "JSON_KEY":
+            # detail "path:TYPE" (e.g. "$.k:BIGINT"): non-null values whose
+            # JSON payload lacks the path OR whose extracted value does not
+            # TRY_CAST to the declared type — the record-interpretation
+            # check for semi-structured columns (get_json_object ==
+            # DuckDB json_extract_string; both unquote scalars)
+            path, typ = detail.rsplit(":", 1)
+            val = F.get_json_object(c.cast("string"), path)
+            expr = F.count(
+                F.when(c.isNotNull() & val.try_cast(typ).isNull(), F.lit(1))
             )
         elif kind == "QUANTILE_BETWEEN":
             q, _env = detail.split(":", 1)

@@ -398,3 +398,49 @@ def test_mad_outlier_rows_robust_to_heavy_contamination(spark):
     # center is the true median, spread = k * 1.4826 * MAD
     r = mad_outlier_rows(df, "v", k=3.0, id_cols=["id"]).first()
     assert r.center == 10.1 and abs(r.spread - 3.0 * 1.4826 * 0.1) < 1e-6
+
+
+def test_json_key_rule_presence_and_type(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7, "tag": "x"}'),
+            (2, '{"k": "seven"}'),          # present, uncastable
+            (3, '{"tag": "y"}'),            # missing k
+            (4, "not json at all"),         # unparseable → missing
+            (5, None),                      # NULL payload skipped
+        ],
+        "id long, props string",
+    )
+    res = {
+        r.detail: (r.n_violations, r.passed)
+        for r in verify_constraints(
+            df,
+            [
+                ("props", "JSON_KEY", "$.k:BIGINT"),
+                ("props", "JSON_KEY", "$.tag:STRING"),
+            ],
+        ).collect()
+    }
+    assert res["$.k:BIGINT"] == (3, False)   # rows 2, 3, 4
+    assert res["$.tag:STRING"] == (2, False)  # rows 2 (no tag), 4
+
+
+def test_json_key_rule_streams_and_groups(spark):
+    # the kind rides the shared compiler: grouped face works, streaming
+    # compiler accepts it (counting aggregate)
+    from gbif_data_validator_spark.operators.constraints import (
+        rule_agg_exprs,
+        verify_constraints_by,
+    )
+
+    rule_agg_exprs([("props", "JSON_KEY", "$.k:BIGINT")], streaming=True)
+    df = spark.createDataFrame(
+        [("a", '{"k": 1}'), ("b", '{"z": 1}')], "g string, props string"
+    )
+    got = {
+        r.g: r.n_violations
+        for r in verify_constraints_by(
+            df, [("props", "JSON_KEY", "$.k:BIGINT")], ["g"]
+        ).collect()
+    }
+    assert got == {"a": 0, "b": 1}
