@@ -1084,8 +1084,21 @@ def prefix_jaccard_pairs(
         .select(F.col("p.id_a").alias("doc_a"), F.col("p.id_b").alias("doc_b"))
         .distinct()
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # verify against shingles recomputed for CANDIDATE docs only: without
+    # a cache, referencing `sh` here would re-shingle the whole corpus once
+    # per verify side (no subplan sharing across actions of one query
+    # either) — the semi-join bounds the recompute to candidate ids, which
+    # AQE sees as broadcast-small in the common low-dup regime
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("_cid"))
+        .union(cand.select(F.col("doc_b").alias("_cid")))
+        .distinct()
+    )
+    vsh = df.join(
+        cand_ids, df[id_col] == cand_ids["_cid"], "left_semi"
+    ).select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh"))
+    a = vsh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = vsh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
     return (
