@@ -777,6 +777,22 @@ def _q_json_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lang_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary census via the grouped two-pass hot-bucket
+    plan: exact token counts ≥ 30 within each lang."""
+    from gbif_data_validator_spark.operators.metrics import exact_heavy_hitters
+
+    toks = _docs(spark, sf_dir).select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    return exact_heavy_hitters(
+        toks, "tok", min_count=30, group_cols=["lang"]
+    ).orderBy("lang", "value")
+
+
 def _q_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup dedup: connected clusters over the 0.5-Jaccard
     pair graph, keep the argmax-quality member per cluster (min-id
@@ -2098,7 +2114,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_audit": _q_file_audit,
         "skew_audit": _q_skew_audit,
         "minhash_pairs": _q_minhash_pairs,
-        "tfidf_top_terms": _q_tfidf_top_terms,
         "boilerplate_lines": _q_boilerplate_lines,
         "source_quota": _q_source_quota,
         "stratified_sample": _q_stratified_sample,
@@ -2132,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_audit": _q_join_audit,
         "psi_drift": _q_psi_drift,
         "json_rules": _q_json_rules,
+        "lang_heavy_hitters": _q_lang_heavy_hitters,
         "group_quantiles": _q_group_quantiles,
         "mad_outliers": _q_mad_outliers,
         # newly oracled this round (no r02 row / err: no_oracle): the
@@ -2145,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minhash_cross ~ cross_dedup_flags+minhash_pairs, strip ~ census,
         # mix_resample ~ quota/stratified, doc_chunks ~ pack_bins (r02)
         "minhash_cross_pairs": _q_minhash_cross_pairs,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "lexical_diversity": _q_lexical_diversity,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "repetition_stats": _q_repetition_stats,
@@ -3703,6 +3720,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
                         / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 6) >= 0.95
             ORDER BY doc_a, doc_b
+        """,
+        "lang_heavy_hitters": """
+            SELECT lang, tok AS value, count(*) AS n
+            FROM (
+              SELECT lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+              FROM documents WHERE text IS NOT NULL
+            )
+            WHERE tok <> ''
+            GROUP BY lang, tok HAVING count(*) >= 30
+            ORDER BY lang, value
         """,
         # json_rules: json_extract_string == get_json_object (both unquote
         # scalars), TRY_CAST == try_cast; verdict rows replayed via UNION ALL

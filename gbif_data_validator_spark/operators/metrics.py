@@ -325,7 +325,11 @@ def tfidf_top_terms(
 
 
 def exact_heavy_hitters(
-    df: DataFrame, col: str, min_count: int, n_buckets: int = 4096
+    df: DataFrame,
+    col: str,
+    min_count: int,
+    n_buckets: int = 4096,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """→ (value, n): every value of ``col`` whose EXACT count ≥ ``min_count``
     — the scale path for "top values of a high-cardinality column" (hot
@@ -353,22 +357,26 @@ def exact_heavy_hitters(
     only inflates a bucket (more pass-2 work), never a final count; the
     final ``n >= min_count`` filter is applied to exact per-value counts.
     ``n_buckets`` is the knob trading pass-1 state for pass-2 selectivity.
+    With ``group_cols`` the same two-pass plan runs at the (groups ×
+    bucket) grain — per-language vocabulary census, per-source hot URLs —
+    and the hot list stays broadcast-bounded at groups × n_buckets.
     Reference analog: the termed-value counters of
     collector/TermsFrequencyCollector.java:18-45, generalized to columns
     whose distinct-value set does not fit one counter map."""
     c = F.col(col)
-    vals = df.where(c.isNotNull()).select(c.alias("value"))
+    gcols = list(group_cols or [])
+    vals = df.where(c.isNotNull()).select(*gcols, c.alias("value"))
     bucket = F.pmod(F.xxhash64("value"), F.lit(n_buckets))
     hot = (
-        vals.groupBy(bucket.alias("bucket"))
+        vals.groupBy(*gcols, bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_bucket"))
         .where(F.col("n_bucket") >= min_count)
-        .select("bucket")
+        .select(*gcols, "bucket")
     )
     return (
         vals.withColumn("bucket", bucket)
-        .join(F.broadcast(hot), "bucket")
-        .groupBy("value")
+        .join(F.broadcast(hot), gcols + ["bucket"])
+        .groupBy(*gcols, "value")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= min_count)
     )

@@ -157,3 +157,19 @@ def test_exact_heavy_hitters_broadcasts_hot_buckets(spark):
     # pass 2 must reach the rows via a broadcast hash join on the bounded
     # hot-bucket list — never a shuffle of the full value stream for the join
     assert "BroadcastHashJoin" in plan
+
+
+def test_exact_heavy_hitters_grouped_isolation(spark):
+    from gbif_data_validator_spark.operators.metrics import exact_heavy_hitters
+
+    # "hot" clears the bar only inside group a — per-group counts never
+    # pool across groups
+    rows = [("a", "hot")] * 6 + [("b", "hot")] * 2 + [("b", "warm")] * 5
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        (r.g, r.value, r.n)
+        for r in exact_heavy_hitters(
+            df, "v", min_count=5, group_cols=["g"]
+        ).collect()
+    }
+    assert got == {("a", "hot", 6), ("b", "warm", 5)}
