@@ -3721,7 +3721,7 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 6) >= 0.95
             ORDER BY doc_a, doc_b
         """,
-        "lang_heavy_hitters": """
+        "lang_heavy_hitters": r"""
             SELECT lang, tok AS value, count(*) AS n
             FROM (
               SELECT lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
