@@ -134,6 +134,21 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--rules-only", action="store_true",
                    help="with --rules-json: verify rules and exit without "
                         "running the validation engine")
+    p.add_argument("--psi", nargs=2, metavar=("NEW_TABLE", "COLUMN"),
+                   default=None,
+                   help="no validation: Population Stability Index of COLUMN "
+                        "between --table (reference) and NEW_TABLE (current) "
+                        "— per-bucket terms + total as one JSON line; exit 2 "
+                        "when psi exceeds --psi-threshold (default 0.25, the "
+                        "standard 'drifted' bar), else 0")
+    p.add_argument("--psi-range", nargs=2, type=float, metavar=("LO", "HI"),
+                   default=None,
+                   help="explicit [LO, HI) bucket envelope for --psi "
+                        "(default: the reference table's min/max)")
+    p.add_argument("--psi-buckets", type=int, default=10,
+                   help="fixed-width bucket count for --psi (default 10)")
+    p.add_argument("--psi-threshold", type=float, default=0.25,
+                   help="exit-2 bar for --psi (default 0.25)")
     p.add_argument("--diff-rows", metavar="NEW_TABLE", default=None,
                    help="no validation: snapshot-over-snapshot churn of "
                         "--table (baseline) vs NEW_TABLE — per-status "
@@ -169,6 +184,36 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--table is required (unless --compare-runs/--compact/"
                      "--history)")
     spark = SparkSession.builder.appName("gdv-validate").getOrCreate()
+
+    if args.psi:
+        from pyspark.sql import functions as F
+
+        from .operators.drift import psi_drift
+        from .sources.tables import read_table as _rt
+
+        new_table, col = args.psi
+        ref, cur = _rt(spark, args.table), _rt(spark, new_table)
+        if args.psi_range:
+            lo, hi = args.psi_range
+        else:
+            b = ref.agg(
+                F.min(F.col(col).cast("double")).alias("lo"),
+                F.max(F.col(col).cast("double")).alias("hi"),
+            ).first()
+            lo, hi = float(b["lo"]), float(b["hi"])
+        rows = psi_drift(
+            ref, cur, col, lo=lo, hi=hi, n_buckets=args.psi_buckets
+        ).collect()
+        psi = rows[0]["psi"] if rows else 0.0
+        print(json.dumps({
+            "column": col, "lo": lo, "hi": hi, "psi": psi,
+            "buckets": [
+                {"bucket": int(r["bucket"]), "n_ref": int(r["n_ref"]),
+                 "n_cur": int(r["n_cur"]), "term": float(r["term"])}
+                for r in rows
+            ],
+        }))
+        return 2 if psi > args.psi_threshold else 0
 
     if args.diff_rows:
         from .operators.snapshot import STATUSES, snapshot_diff_summary

@@ -347,6 +347,12 @@ class EngineConfig:
     #: the reprocessing feed: the publishable corpus is pages MINUS the
     #: quarantine, and nothing about a bad row is lost. Requires work_dir.
     quarantine: bool = False
+    #: fold the top-k hot keys of key_col (operators/layout.py::
+    #: key_skew_audit — counts + corpus share) into
+    #: report.metrics["key_skew"] — the salting/AQE decision input as an
+    #: engine citizen; one extra key-column-only aggregation pass
+    skew_summary: bool = False
+    skew_summary_top_k: int = 5
     work_dir: str | None = None  # enables persisted violations + checkpoint/resume
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
 
@@ -953,6 +959,8 @@ class ValidationEngine:
             metrics["anomaly"] = self._anomaly_summary()
             if c.anomaly_blocking and metrics["anomaly"]["flagged"]:
                 indexable = False
+        if c.skew_summary:
+            metrics["key_skew"] = self._skew_summary(pages)
         if c.quarantine:
             metrics["quarantine"] = self._write_quarantine(pages, all_violations)
         return ValidationReport(
@@ -1046,6 +1054,26 @@ class ValidationEngine:
     #: grouped_rules failure list cap — the report stays bounded even if
     #: every (window, rule) verdict fails; the counts are always complete
     _GROUPED_RULES_MAX_FAILURES = 100
+
+    def _skew_summary(self, pages: DataFrame) -> list[dict]:
+        """Top-k hot keys of the record key column (config: ``skew_summary``)
+        — the report's answer to "should this table's joins/aggs be salted":
+        one key-only aggregation (layout.py::key_skew_audit), driver
+        collects exactly top_k rows."""
+        from ..operators.layout import key_skew_audit
+
+        rows = key_skew_audit(
+            pages, self.config.key_col, top_k=self.config.skew_summary_top_k
+        ).collect()
+        return [
+            {
+                "key": r["key"],
+                "n": int(r["n"]),
+                "share": float(r["share"]),
+                "n_groups": int(r["n_groups"]),
+            }
+            for r in rows
+        ]
 
     def _grouped_rules_summary(self, pages: DataFrame) -> dict:
         """``table_rules`` evaluated per partition window (config:

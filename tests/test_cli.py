@@ -213,3 +213,26 @@ def test_main_detect_anomalies_mode(spark, tmp_path, capsys):
                             work_dir=wd, run_id="D")
     ).run(pages(30))
     assert main(["--detect-anomalies", "--work-dir", wd]) == 2
+
+
+def test_main_psi_mode(spark, tmp_path, capsys):
+    """--psi: PSI of a column between two tables as one JSON line; exit 0
+    when stable (same table), exit 2 past the drift bar."""
+    ref = str(tmp_path / "psi_ref")
+    spark.createDataFrame(
+        [(float(i % 10),) for i in range(200)], "v double"
+    ).write.parquet(ref)
+    shifted = str(tmp_path / "psi_cur")
+    spark.createDataFrame(
+        [(float(9 - (i % 3)),) for i in range(200)], "v double"
+    ).write.parquet(shifted)
+
+    assert main(["--table", ref, "--psi", ref, "v"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["psi"] == 0.0 and rep["column"] == "v"
+    assert sum(b["n_ref"] for b in rep["buckets"]) == 200
+
+    assert main(["--table", ref, "--psi", shifted, "v",
+                 "--psi-range", "0", "10"]) == 2
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["psi"] > 0.25 and rep["lo"] == 0.0 and rep["hi"] == 10.0

@@ -396,3 +396,29 @@ def test_grouped_rules_per_window(spark):
         cfg = dict(base)
         cfg["table_rules"] = ()
         ValidationEngine(spark, EngineConfig(**cfg, grouped_rules=True)).run(pages)
+
+
+def test_skew_summary_in_report(spark):
+    """skew_summary: top hot keys of the record key land in the report —
+    the salting decision input as an engine citizen."""
+    import datetime as dt
+
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    ts = dt.datetime(2024, 3, 2)
+    rows = [(f"https://hot.example/x", ts, None, "t", "en")] * 6 + [
+        (f"https://a.example/{i}", ts, None, "t", "en") for i in range(4)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    base = dict(check_extraction=False, check_drift=False, check_uniqueness=False)
+    off = ValidationEngine(spark, EngineConfig(**base)).run(pages)
+    assert "key_skew" not in off.metrics
+    rep = ValidationEngine(
+        spark, EngineConfig(**base, skew_summary=True, skew_summary_top_k=2)
+    ).run(pages)
+    ks = rep.metrics["key_skew"]
+    assert len(ks) == 2
+    assert ks[0]["key"] == "https://hot.example/x"
+    assert ks[0]["n"] == 6 and ks[0]["share"] == 0.6 and ks[0]["n_groups"] == 5
