@@ -2090,6 +2090,66 @@ def _q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_audit(_tbl(spark, sf_dir, "lineitem"), "l_orderkey", top_k=10)
 
 
+def _q_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ ``Correlation`` analyzer, engine-portable: Pearson r of
+    (l_quantity, l_extendedprice) per return flag from EXACT decimal
+    moments — the five sums are order-independent integers, so the value
+    hash-checks across engines/cluster sizes where a naive double-sum
+    ``corr()`` would drift in the low bits. One grouped aggregation scan."""
+    from gbif_data_validator_spark.operators.constraints import correlation_exact
+
+    return correlation_exact(
+        _tbl(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        ["l_returnflag"],
+    ).orderBy("l_returnflag")
+
+
+#: null_patterns fixture — deterministic planted missingness (the driver's
+#: parquet tables carry no NULLs, so the census demos on the house VALUES
+#: pattern like warc_pages/pages_validation). (s, v, t): three columns, five
+#: distinct co-occurrence patterns.
+_NULLPAT_FIXTURE: list[tuple] = [
+    ("a", 1.0, "x"), ("b", 2.0, "y"), ("c", 3.0, "z"),   # 000 ×3
+    ("d", None, "x"), ("e", None, "y"),                   # 010 ×2
+    (None, None, "x"),                                    # 110
+    ("f", 4.0, None),                                     # 001
+    (None, None, None), (None, None, None),               # 111 ×2
+]
+
+
+def _q_null_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness-pattern census over the planted fixture: which NULLs
+    co-occur row-wise — the completeness view per-column null counts can't
+    express. Oracle recomputes the same patterns from the same VALUES."""
+    from gbif_data_validator_spark.operators.constraints import null_pattern_census
+
+    df = spark.createDataFrame(_NULLPAT_FIXTURE, "s string, v double, t string")
+    return null_pattern_census(df, ["s", "v", "t"])
+
+
+#: dtype_census fixture — one value per classification branch: integrals
+#: (signed, leading zeros), fractionals (bare point, exponent, overflow
+#: literal '1e309' — regex says fractional, try_cast engines disagree,
+#: which is WHY the classifier is regex-based), booleans (any case),
+#: strings (empty, padded ' 42' — anchors reject unstripped input), NULL.
+_DTYPE_FIXTURE: list[str | None] = [
+    "42", "-7", "+10", "0007", "3.14", ".5", "10.", "2e3", "1e309",
+    "TRUE", "false", "abc", "", " 42", None,
+]
+
+
+def _q_dtype_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ ``DataType`` analyzer over the planted string fixture: per-class
+    counts + the most-specific covering type, one conditional-agg scan.
+    Oracle replays the identical anchored ASCII regexes in DuckDB."""
+    from gbif_data_validator_spark.operators.constraints import dtype_census
+
+    df = spark.createDataFrame([(v,) for v in _DTYPE_FIXTURE], "v string")
+    return dtype_census(df, "v")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2222,6 +2282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "pack_bins": _q_pack_bins,
         "contamination": _q_contamination,
+        # session-3 additions (oracled; past the window by the same policy)
+        "corr_exact": _q_corr_exact,
+        "null_patterns": _q_null_patterns,
+        "dtype_census": _q_dtype_census,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -2232,6 +2296,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann": _q_pq_ann,
         "drift_events": _q_drift_events,
     }
+
+
+def _sql_lit(v) -> str:
+    """One fixture value as a SQL literal (single-quote escaping only —
+    the fixtures are code-owned constants, not user input)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"CAST({v!r} AS DOUBLE)"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _nullpat_values_sql() -> str:
+    """VALUES clause replaying ``_NULLPAT_FIXTURE`` — single source of
+    truth with the Spark query's createDataFrame."""
+    return ", ".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in _NULLPAT_FIXTURE
+    )
+
+
+def _dtype_values_sql() -> str:
+    return ", ".join(f"({_sql_lit(v)})" for v in _DTYPE_FIXTURE)
 
 
 def _pagerank_oracle_sql(iterations: int = 5) -> str:
@@ -4660,4 +4746,81 @@ def oracle_sql() -> dict[str, str]:
         # summation-order noise is absorbed by the ROUND(.,8) before the
         # top-25 sort (ordinal ORDER BY so the alias, not r5.rank, sorts).
         "pagerank_entities": _pagerank_oracle_sql(iterations=5),
+        # corr_exact: identical moment algebra — quantize to 1e6-grain
+        # integers (same double multiply + half-away round), sum in
+        # HUGEINT (≡ Spark DECIMAL(38,0): exact, order-free), then ONE
+        # closed-form double expression per group
+        "corr_exact": """
+            WITH q AS (
+              SELECT l_returnflag,
+                     CAST(round(CAST(l_quantity AS DOUBLE) * 1e6) AS HUGEINT) AS xq,
+                     CAST(round(CAST(l_extendedprice AS DOUBLE) * 1e6) AS HUGEINT) AS yq
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            ),
+            m AS (
+              SELECT l_returnflag, COUNT(*) AS n, SUM(xq) AS sx, SUM(yq) AS sy,
+                     SUM(xq * xq) AS sxx, SUM(yq * yq) AS syy, SUM(xq * yq) AS sxy
+              FROM q GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                   CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                         AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                        THEN round(
+                          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                   END AS "corr"
+            FROM m ORDER BY l_returnflag
+        """,
+        # null_patterns: pattern recomputed from the same VALUES fixture
+        "null_patterns": f"""
+            WITH t(s, v, t2) AS (VALUES {_nullpat_values_sql()}),
+            census AS (
+              SELECT CASE WHEN s IS NULL THEN '1' ELSE '0' END
+                     || CASE WHEN v IS NULL THEN '1' ELSE '0' END
+                     || CASE WHEN t2 IS NULL THEN '1' ELSE '0' END AS pattern,
+                     COUNT(*) AS n_rows
+              FROM t GROUP BY 1
+            )
+            SELECT pattern, CAST(n_rows AS BIGINT) AS n_rows,
+                   round(CAST(n_rows AS DOUBLE) / SUM(n_rows) OVER (), 6) AS share
+            FROM census ORDER BY n_rows DESC, pattern
+        """,
+        # dtype_census: the SAME anchored ASCII regexes (Java and RE2 run
+        # the same automaton on [0-9]) + Deequ's covering-type inference
+        "dtype_census": f"""
+            WITH t(v) AS (VALUES {_dtype_values_sql()}),
+            c AS (
+              SELECT v,
+                     regexp_matches(v, '^(?i)(true|false)$') AS b,
+                     regexp_matches(v, '^[+-]?[0-9]+$') AS i,
+                     regexp_matches(v, '^[+-]?([0-9]+\\.[0-9]*|[0-9]*\\.[0-9]+|[0-9]+)([eE][+-]?[0-9]+)?$')
+                       AND NOT regexp_matches(v, '^[+-]?[0-9]+$') AS f
+              FROM t
+            ),
+            a AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                     CAST(SUM(CASE WHEN v IS NOT NULL AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_boolean,
+                     CAST(SUM(CASE WHEN v IS NOT NULL AND i THEN 1 ELSE 0 END) AS BIGINT) AS n_integral,
+                     CAST(SUM(CASE WHEN v IS NOT NULL AND f THEN 1 ELSE 0 END) AS BIGINT) AS n_fractional,
+                     CAST(SUM(CASE WHEN v IS NOT NULL AND NOT b AND NOT i AND NOT f
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_string
+              FROM c
+            )
+            SELECT n_rows, n_null, n_boolean, n_integral, n_fractional, n_string,
+                   CASE WHEN n_rows - n_null = 0 THEN 'Unknown'
+                        WHEN n_string > 0 THEN 'String'
+                        WHEN n_boolean = n_rows - n_null THEN 'Boolean'
+                        WHEN n_integral = n_rows - n_null THEN 'Integral'
+                        WHEN n_boolean = 0 THEN 'Fractional'
+                        ELSE 'String' END AS inferred
+            FROM a
+        """,
     }

@@ -649,3 +649,152 @@ def mad_outlier_rows(
         .where(F.abs(c - F.col("center")) > F.col("spread"))
         .select(*keep, col, "center", "spread")
     )
+
+
+def correlation_exact(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Pearson correlation from EXACT integer moments →
+    ``(*group_cols, n_rows, corr)`` — the Deequ ``Correlation`` analyzer
+    with an engine-portable twist: a naive ``corr()`` aggregates doubles in
+    partition order, so two engines (or two cluster sizes) disagree in the
+    low bits and the result can't hash-check. Here both inputs quantize to
+    ``10^scale``-grain integers first (the same double multiply + half-away
+    round in Spark and DuckDB), the five moments (Σx, Σy, Σx², Σy², Σxy)
+    accumulate in DECIMAL(38,0) — exact, order-independent, map-side
+    combinable — and only the FINAL closed-form expression
+    ``(n·Σxy − Σx·Σy) / √((n·Σx² − Σx²̄)(n·Σy² − Σy²̄))`` runs in floating
+    point, one identical IEEE evaluation per group in either engine.
+
+    One aggregation scan (grouped or global), bounded output; rows where
+    either side is NULL are excluded (pairwise-complete, Deequ/SQL
+    ``corr`` semantics). Zero variance on either side → NULL, explicitly
+    (engines disagree on 0/0 for doubles). The DECIMAL(38,0) sums carry
+    ~10^38 of headroom: at ``scale=6`` that is 10^12 rows of values up to
+    10^13 before overflow — past that, lower ``scale``."""
+    q = F.lit(10 ** scale).cast("double")
+    xq = F.round(F.col(x_col).cast("double") * q).cast("decimal(38,0)")
+    yq = F.round(F.col(y_col).cast("double") * q).cast("decimal(38,0)")
+    both = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    both = both.select(
+        *(group_cols or []), xq.alias("_xq"), yq.alias("_yq")
+    )
+    g = both.groupBy(*[F.col(c) for c in (group_cols or [])])
+    moments = g.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_xq").alias("_sx"),
+        F.sum("_yq").alias("_sy"),
+        F.sum(F.col("_xq") * F.col("_xq")).alias("_sxx"),
+        F.sum(F.col("_yq") * F.col("_yq")).alias("_syy"),
+        F.sum(F.col("_xq") * F.col("_yq")).alias("_sxy"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    corr = F.when(
+        (var_x > 0) & (var_y > 0),
+        F.round((n * sxy - sx * sy) / F.sqrt(var_x * var_y), 6),
+    )
+    return moments.select(
+        *(group_cols or []), "n_rows", corr.alias("corr")
+    )
+
+
+def null_pattern_census(
+    df: DataFrame,
+    cols: list[str],
+    blank_as_missing: bool = False,
+    top_k: int = 50,
+) -> DataFrame:
+    """Row-level missingness-PATTERN census → ``(pattern, n_rows, share)``,
+    most frequent first — the profiler view completeness-per-column can't
+    give: whether nulls co-occur (whole ingest batches missing everything)
+    or scatter independently. ``pattern`` is one '0'/'1' char per column in
+    ``cols`` order ('1' = missing); with ``blank_as_missing`` string
+    columns also count whitespace-only values (the engine's NBSP-aware
+    blank predicate) as missing.
+
+    One scan into a groupBy whose key cardinality is ≤ 2^len(cols) — state
+    stays trivial at any table size; share denominators come from a window
+    sum over that tiny census, never a second scan. Deterministic
+    (n DESC, pattern) cut at ``top_k``."""
+    from ..functions.predicates import is_blank
+
+    flags = []
+    for c in cols:
+        missing = F.col(c).isNull()
+        if blank_as_missing and dict(df.dtypes).get(c) == "string":
+            missing = missing | is_blank(F.col(c))
+        flags.append(F.when(missing, F.lit("1")).otherwise(F.lit("0")))
+    census = (
+        df.select(F.concat(*flags).alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    total = F.sum("n_rows").over(Window.partitionBy())
+    return (
+        census.select(
+            "pattern", "n_rows", F.round(F.col("n_rows") / total, 6).alias("share")
+        )
+        .orderBy(F.col("n_rows").desc(), "pattern")
+        .limit(top_k)
+    )
+
+
+#: dtype_census classifiers — anchored, ASCII-only ([0-9], not \\d) so the
+#: Java (Spark) and RE2 (DuckDB) regex engines agree character-for-character
+_DTYPE_BOOL_RE = "^(?i)(true|false)$"
+_DTYPE_INT_RE = "^[+-]?[0-9]+$"
+_DTYPE_FRAC_RE = "^[+-]?([0-9]+\\.[0-9]*|[0-9]*\\.[0-9]+|[0-9]+)([eE][+-]?[0-9]+)?$"
+
+
+def dtype_census(df: DataFrame, col: str) -> DataFrame:
+    """Deequ ``DataType`` analyzer: what type is this STRING column really?
+    → one row ``(n_rows, n_null, n_boolean, n_integral, n_fractional,
+    n_string, inferred)``. The question every schema-less ingest (CSV,
+    spreadsheet, JSON-extracted) poses before declaring a schema; pairs
+    with ``mask_profile`` (formats) and ``suggest_constraints`` (rules).
+
+    Classification is REGEX-based, not try_cast-based — cast acceptance
+    differs between engines ('1e309', 'inf', '  42') while an anchored
+    ASCII regex is the same automaton in both, so the census hash-checks.
+    Classes are disjoint: boolean | integral | fractional-only (decimal
+    point or exponent present) | string | null. ``inferred`` follows
+    Deequ's most-specific-covering-type rule: all non-null boolean →
+    Boolean; all integral → Integral; all integral-or-fractional →
+    Fractional; any other value → String; no non-null values → Unknown.
+    ONE conditional-aggregate scan, 1-row output, no shuffle beyond the
+    final 1-row combine."""
+    v = F.col(col)
+    is_bool = v.rlike(_DTYPE_BOOL_RE)
+    is_int = v.rlike(_DTYPE_INT_RE)
+    is_frac = v.rlike(_DTYPE_FRAC_RE) & ~is_int
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        cnt(v.isNull()).alias("n_null"),
+        cnt(v.isNotNull() & is_bool).alias("n_boolean"),
+        cnt(v.isNotNull() & is_int).alias("n_integral"),
+        cnt(v.isNotNull() & is_frac).alias("n_fractional"),
+        cnt(v.isNotNull() & ~is_bool & ~is_int & ~is_frac).alias("n_string"),
+    )
+    non_null = F.col("n_rows") - F.col("n_null")
+    inferred = (
+        F.when(non_null == 0, F.lit("Unknown"))
+        .when(F.col("n_string") > 0, F.lit("String"))
+        .when(F.col("n_boolean") == non_null, F.lit("Boolean"))
+        .when(F.col("n_integral") == non_null, F.lit("Integral"))
+        .when(F.col("n_boolean") == 0, F.lit("Fractional"))
+        .otherwise(F.lit("String"))  # booleans mixed with numbers
+    )
+    return agg.select(
+        "n_rows", "n_null", "n_boolean", "n_integral", "n_fractional",
+        "n_string", inferred.alias("inferred"),
+    )

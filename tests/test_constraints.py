@@ -444,3 +444,79 @@ def test_json_key_rule_streams_and_groups(spark):
         ).collect()
     }
     assert got == {"a": 0, "b": 1}
+
+
+def test_correlation_exact_matches_numpy(spark):
+    """correlation_exact reproduces the closed-form Pearson r (to the 6-dp
+    quantization) and is invariant to partitioning — the property the
+    naive double-sum corr() lacks."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.constraints import correlation_exact
+
+    rng_x = [float(i) for i in range(1, 101)]
+    rng_y = [2.5 * x + ((x * 37) % 11) - 5.0 for x in rng_x]
+    df = spark.createDataFrame(list(zip(rng_x, rng_y)), "x double, y double")
+    r = correlation_exact(df, "x", "y").collect()[0]
+    assert r["n_rows"] == 100
+    assert abs(r["corr"] - round(float(np.corrcoef(rng_x, rng_y)[0, 1]), 6)) <= 1e-6
+    # partitioning invariance: identical result at 1 and 16 partitions
+    r16 = correlation_exact(df.repartition(16), "x", "y").collect()[0]
+    assert r16["corr"] == r["corr"]
+
+
+def test_correlation_exact_null_and_degenerate(spark):
+    """Pairwise-complete NULL handling; zero variance → NULL corr (never
+    an engine-dependent 0/0)."""
+    from gbif_data_validator_spark.operators.constraints import correlation_exact
+
+    df = spark.createDataFrame(
+        [("g1", 1.0, 2.0), ("g1", 2.0, 4.0), ("g1", None, 9.0),
+         ("g1", 3.0, None), ("g2", 5.0, 1.0), ("g2", 5.0, 7.0)],
+        "g string, x double, y double",
+    )
+    got = {r["g"]: r for r in correlation_exact(df, "x", "y", ["g"]).collect()}
+    assert got["g1"]["n_rows"] == 2 and got["g1"]["corr"] == 1.0
+    # g2: x has zero variance
+    assert got["g2"]["n_rows"] == 2 and got["g2"]["corr"] is None
+
+
+def test_null_pattern_census_counts_and_blank_mode(spark):
+    from gbif_data_validator_spark.operators.constraints import null_pattern_census
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), (None, None), ("  ", 2.0), ("\u00a0", 3.0)],
+        "s string, v double",
+    )
+    plain = {r["pattern"]: r["n_rows"]
+             for r in null_pattern_census(df, ["s", "v"]).collect()}
+    assert plain == {"00": 3, "01": 1, "11": 1}
+    # blank_as_missing folds whitespace-only strings into '1' — but NBSP is
+    # a real character under Java \S (the engine-wide blank semantics), so
+    # the U+00A0 row stays '00'
+    blank = {r["pattern"]: r["n_rows"]
+             for r in null_pattern_census(df, ["s", "v"],
+                                          blank_as_missing=True).collect()}
+    assert blank == {"00": 2, "01": 1, "10": 1, "11": 1}
+    shares = {r["pattern"]: r["share"]
+              for r in null_pattern_census(df, ["s", "v"]).collect()}
+    assert shares["00"] == 0.6
+
+
+def test_dtype_census_classes_and_inference(spark):
+    from gbif_data_validator_spark.operators.constraints import dtype_census
+
+    def census(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        return dtype_census(df, "v").collect()[0].asDict()
+
+    mixed = census(["42", "-7", "3.14", "2e3", "TRUE", "abc", "", None])
+    assert mixed == {"n_rows": 8, "n_null": 1, "n_boolean": 1,
+                     "n_integral": 2, "n_fractional": 2, "n_string": 2,
+                     "inferred": "String"}
+    assert census(["true", "False"])["inferred"] == "Boolean"
+    assert census(["1", "+2", "-0007"])["inferred"] == "Integral"
+    assert census(["1", "2.5", ".5", "1e-3", None])["inferred"] == "Fractional"
+    # booleans mixed with numerics have no covering numeric type
+    assert census(["true", "1"])["inferred"] == "String"
+    assert census([None, None])["inferred"] == "Unknown"
