@@ -149,6 +149,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="fixed-width bucket count for --psi (default 10)")
     p.add_argument("--psi-threshold", type=float, default=0.25,
                    help="exit-2 bar for --psi (default 0.25)")
+    p.add_argument("--psi-runs", nargs=2, metavar=("RUN_A", "RUN_B"),
+                   default=None,
+                   help="no validation: PSI of the drift metric between two "
+                        "runs of this --work-dir, computed ONLY from their "
+                        "persisted window sketches (zero corpus rescan); "
+                        "honors --psi-buckets/--psi-range/--psi-threshold, "
+                        "exit 2 past the bar")
     p.add_argument("--diff-rows", metavar="NEW_TABLE", default=None,
                    help="no validation: snapshot-over-snapshot churn of "
                         "--table (baseline) vs NEW_TABLE — per-status "
@@ -176,10 +183,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.baseline_run_id and not args.work_dir:
         parser.error("--baseline-run-id requires --work-dir (the shared "
                      "checkpoint/violations store the baseline run wrote to)")
-    if args.compare_runs or args.compact or args.history or args.detect_anomalies:
+    if (args.compare_runs or args.compact or args.history
+            or args.detect_anomalies or args.psi_runs):
         if not args.work_dir:
             parser.error("--compare-runs/--compact/--history/"
-                         "--detect-anomalies require --work-dir")
+                         "--detect-anomalies/--psi-runs require --work-dir")
     elif not args.table:
         parser.error("--table is required (unless --compare-runs/--compact/"
                      "--history)")
@@ -277,6 +285,17 @@ def main(argv: list[str] | None = None) -> int:
             compact_violations(spark, args.work_dir, vacuum=not args.no_vacuum)
         ))
         return 0
+
+    if args.psi_runs:
+        from .plans.compare import psi_between_runs
+
+        lo, hi = args.psi_range if args.psi_range else (None, None)
+        rep = psi_between_runs(
+            spark, args.work_dir, *args.psi_runs,
+            n_buckets=args.psi_buckets, lo=lo, hi=hi,
+        )
+        print(json.dumps(rep))
+        return 2 if rep["psi"] > args.psi_threshold else 0
 
     if args.compare_runs:
         from .model import BLOCKING_CHECKS

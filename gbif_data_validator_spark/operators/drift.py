@@ -344,3 +344,73 @@ def psi_drift(
         ).alias("psi")
     )
     return scored.crossJoin(F.broadcast(total)).orderBy("bucket")
+
+
+def psi_from_sketches(
+    ref: tuple[int, list[float] | None],
+    cur: tuple[int, list[float] | None],
+    n_buckets: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    eps: float = 1e-6,
+    probs=None,
+) -> dict:
+    """PSI between two PERSISTED quantile sketches — run-over-run drift
+    with zero data rescan: the engine checkpoints each window's
+    ``(drift_n, drift_q)`` (plans/checkpoint.py::append_sketches), so "did
+    the distribution move since last month's run" is answered entirely
+    from two pooled sketch vectors the driver already holds, at any table
+    size. ``ref``/``cur`` are ``(n, q)`` pairs (merge per-window sketches
+    with ``merge_quantile_sketches`` first).
+
+    Bucket mass is read off the same right-continuous step ECDF as
+    ``ks_statistic``: p[lo_edge, hi_edge) ≈ F(hi_edge) − F(lo_edge) — exact
+    up to sketch resolution (1/len(probs)), the documented approximation
+    vs the exact-count ``psi_drift``. Envelope defaults to the union of
+    the two sketch supports; bucket ids, 6-dp rounding, eps floor, and the
+    sorted-term total mirror ``psi_drift`` so the two faces read alike.
+    Returns ``{"psi", "lo", "hi", "n_ref", "n_cur", "buckets": [...]}``;
+    ``psi`` is NaN when either sketch is empty."""
+    pr = np.asarray(PROBS if probs is None else probs)
+
+    def cdf(q, vs):
+        idx = np.searchsorted(np.asarray(q, dtype=float), vs, side="right") - 1
+        return np.where(idx >= 0, pr[np.clip(idx, 0, len(pr) - 1)], 0.0)
+
+    n_ref, q_ref = ref
+    n_cur, q_cur = cur
+    if not n_ref or not n_cur or q_ref is None or q_cur is None:
+        return {
+            "psi": float("nan"), "lo": lo, "hi": hi,
+            "n_ref": int(n_ref or 0), "n_cur": int(n_cur or 0), "buckets": [],
+        }
+    if lo is None:
+        lo = float(min(q_ref[0], q_cur[0]))
+    if hi is None:
+        hi = float(max(q_ref[-1], q_cur[-1]))
+    if hi <= lo:
+        hi = lo + 1.0  # degenerate (constant) support: one interior bucket
+    edges = np.linspace(lo, hi, n_buckets + 1)
+
+    def masses(q):
+        f = cdf(q, edges)
+        inner = np.diff(f)
+        return np.concatenate([[f[0]], inner, [1.0 - f[-1]]])
+
+    p_ref = np.maximum(np.round(masses(q_ref), 6), eps)
+    p_cur = np.maximum(np.round(masses(q_cur), 6), eps)
+    terms = np.round((p_ref - p_cur) * np.log(p_ref / p_cur), 6)
+    buckets = [
+        {
+            "bucket": int(i),
+            "p_ref": float(p_ref[i]),
+            "p_cur": float(p_cur[i]),
+            "term": float(terms[i]),
+        }
+        for i in range(n_buckets + 2)
+    ]
+    psi = round(float(sum(sorted(float(t) for t in terms))), 6)
+    return {
+        "psi": psi, "lo": float(lo), "hi": float(hi),
+        "n_ref": int(n_ref), "n_cur": int(n_cur), "buckets": buckets,
+    }

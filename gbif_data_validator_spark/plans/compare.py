@@ -252,3 +252,61 @@ def metric_anomalies(
             )
             values.append(x)
     return out
+
+
+def run_sketch(
+    spark: SparkSession, work_dir: str, run_id: str
+) -> tuple[int, list[float] | None]:
+    """One run's pooled drift sketch ``(n, q)`` from the persisted sketch
+    table: the run's window sketches (latest write per window within the
+    run) merged via the weighted-ECDF pool. Reads only the sketch table —
+    #windows × #runs KB-sized rows — never the corpus."""
+    from pyspark.sql import Window
+
+    from ..model import SKETCH_SCHEMA
+    from ..operators.drift import merge_quantile_sketches
+
+    path = os.path.join(work_dir, "sketches")
+    if not cp._exists(spark, path):
+        return 0, None
+    df = spark.read.schema(SKETCH_SCHEMA).parquet(path).where(
+        F.col("run_id") == run_id
+    )
+    w = Window.partitionBy("partition_id").orderBy(F.col("finished_at").desc())
+    rows = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("drift_n", "drift_q")
+        .collect()
+    )
+    return merge_quantile_sketches(
+        (r.drift_n or 0, list(r.drift_q) if r.drift_q is not None else None)
+        for r in rows
+    )
+
+
+def psi_between_runs(
+    spark: SparkSession,
+    work_dir: str,
+    run_a: str,
+    run_b: str,
+    n_buckets: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> dict:
+    """Run-over-run PSI of the engine's drift metric (text length) from
+    PERSISTED sketches — "did the distribution move between run A and
+    run B" answered with zero corpus rescan, the PSI sibling of
+    ``compare_runs`` (counts) and ``metric_anomalies`` (rates). Raises
+    when either run left no sketch (drift off, or no work_dir windows) —
+    a silent NaN would read as "no drift"."""
+    from ..operators.drift import psi_from_sketches
+
+    a, b = run_sketch(spark, work_dir, run_a), run_sketch(spark, work_dir, run_b)
+    if not a[0] or a[1] is None:
+        raise ValueError(f"run {run_a!r} has no persisted drift sketch in {work_dir!r}")
+    if not b[0] or b[1] is None:
+        raise ValueError(f"run {run_b!r} has no persisted drift sketch in {work_dir!r}")
+    out = psi_from_sketches(a, b, n_buckets=n_buckets, lo=lo, hi=hi)
+    out["run_ref"], out["run_cur"] = run_a, run_b
+    return out

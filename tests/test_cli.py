@@ -236,3 +236,32 @@ def test_main_psi_mode(spark, tmp_path, capsys):
                  "--psi-range", "0", "10"]) == 2
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["psi"] > 0.25 and rep["lo"] == 0.0 and rep["hi"] == 10.0
+
+
+def test_main_psi_runs_mode(spark, tmp_path, capsys):
+    """--psi-runs: run-over-run PSI from persisted sketches only; exit 0
+    when stable, 2 past the drift bar."""
+    import datetime as dt
+
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    def pages(base_len):
+        rows = [(f"https://ex.org/{i}", dt.datetime(2024, 1, 1 + i % 28), None,
+                 "x" * (base_len + i % 25), "en") for i in range(120)]
+        return spark.createDataFrame(rows, SCHEMA)
+
+    wd = str(tmp_path / "w")
+    for run_id, base_len in [("A", 50), ("B", 50), ("C", 600)]:
+        ValidationEngine(
+            spark, EngineConfig(check_extraction=False, work_dir=wd, run_id=run_id)
+        ).run(pages(base_len))
+
+    assert main(["--work-dir", wd, "--psi-runs", "A", "B"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["psi"] < 0.1 and rep["run_cur"] == "B"
+
+    assert main(["--work-dir", wd, "--psi-runs", "A", "C"]) == 2
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["psi"] > 0.25 and rep["n_ref"] == 120

@@ -175,3 +175,73 @@ def test_legacy_work_dir_falls_back_to_full_scan(spark, tmp_path):
         ),
     ).run(both)
     assert rep.issue_counts.get(CheckId.DRIFT_WINDOW) == 1
+
+
+# --- run-over-run PSI from persisted sketches --------------------------------
+
+
+def test_psi_from_sketches_identity_shift_empty():
+    from gbif_data_validator_spark.operators.drift import psi_from_sketches
+
+    data = np.asarray([float(i % 100) for i in range(1000)])
+    a = (1000, _exact_q(data))
+    same = psi_from_sketches(a, a)
+    assert same["psi"] == 0.0
+    assert abs(sum(b["p_ref"] for b in same["buckets"]) - 1.0) < 1e-3
+    # a disjoint shift: the whole mass moves -> PSI far past the 0.25 bar
+    b = (1000, _exact_q(data + 500.0))
+    shifted = psi_from_sketches(a, b)
+    assert shifted["psi"] > 1.0
+    # attribution: ref mass sits in low buckets, cur in high ones
+    assert shifted["buckets"][1]["p_ref"] > shifted["buckets"][1]["p_cur"]
+    # empty side -> NaN, never a silent 0
+    import math
+
+    assert math.isnan(psi_from_sketches(a, (0, None))["psi"])
+
+
+def test_psi_from_sketches_tracks_exact_psi(spark):
+    """Sketch-PSI stays within sketch resolution of the exact-count
+    psi_drift on the same data and envelope."""
+    from gbif_data_validator_spark.operators.drift import psi_drift, psi_from_sketches
+
+    xs = [float((i * 37) % 200) for i in range(2000)]
+    ys = [float(((i * 53) % 200) * 0.7 + 60.0) for i in range(2000)]
+    ref = spark.createDataFrame([(v,) for v in xs], "v double")
+    cur = spark.createDataFrame([(v,) for v in ys], "v double")
+    exact = psi_drift(ref, cur, "v", lo=0.0, hi=200.0, n_buckets=10).collect()[0]["psi"]
+    approx = psi_from_sketches(
+        (2000, _exact_q(np.asarray(xs))),
+        (2000, _exact_q(np.asarray(ys))),
+        n_buckets=10, lo=0.0, hi=200.0,
+    )["psi"]
+    assert abs(approx - exact) < 0.05, (approx, exact)
+
+
+def test_psi_between_runs_zero_rescan(spark, tmp_path):
+    """Two engine runs in one work_dir: run-over-run PSI of the drift
+    metric computed entirely from their persisted sketches — stable pair
+    ~0, shifted pair past the drifted bar; unknown run raises."""
+    from gbif_data_validator_spark.plans.compare import psi_between_runs
+
+    wd = str(tmp_path / "w")
+    base = dict(check_extraction=False, work_dir=wd)
+    ValidationEngine(
+        spark, EngineConfig(**base, run_id="A")
+    ).run(_pages(spark, {1: (150, 50), 2: (150, 50)}))
+    ValidationEngine(
+        spark, EngineConfig(**base, run_id="B")
+    ).run(_pages(spark, {1: (150, 52), 2: (150, 48)}))
+    ValidationEngine(
+        spark, EngineConfig(**base, run_id="C")
+    ).run(_pages(spark, {1: (150, 500), 2: (150, 520)}))
+
+    stable = psi_between_runs(spark, wd, "A", "B")
+    assert stable["psi"] < 0.1
+    assert stable["run_ref"] == "A" and stable["run_cur"] == "B"
+    assert stable["n_ref"] == 300 and stable["n_cur"] == 300
+    drifted = psi_between_runs(spark, wd, "A", "C")
+    assert drifted["psi"] > 0.25
+
+    with pytest.raises(ValueError, match="no persisted drift sketch"):
+        psi_between_runs(spark, wd, "A", "NOPE")
