@@ -193,6 +193,13 @@ def verify_constraints(
       and an all-NULL column passes vacuously. Still the same single
       scan — ``percentile`` is just one more aggregate in the battery
       (``percentile_approx`` is the documented 100 TB knob).
+    - ``CORR_BETWEEN ycol:lo..hi`` — relationship rule: the exact-moment
+      Pearson r of (col, ycol) (``correlation_exact`` discipline —
+      DECIMAL(38,0) sums, order-independent) must land in the closed
+      envelope; pairwise-complete rows only, degenerate (zero-variance)
+      passes vacuously; n_violations 0 or 1. Unlike UNIQUE and
+      QUANTILE_BETWEEN the state is six bounded sums, so this kind also
+      rides the grouped AND streaming faces.
 
     Plan shape: every constraint compiles to one conditional aggregate in
     a single ``df.agg`` — one scan, no joins, no shuffles beyond the final
@@ -216,6 +223,24 @@ def verify_constraints(
                 float(v) for v in detail.split(":", 1)[1].split("..", 1)
             )
             observed = row[f"_q{i}"]
+            passed = observed is None or lo <= observed <= hi
+            viol = 0 if passed else 1
+        elif kind == "CORR_BETWEEN":
+            lo, hi = (
+                float(v) for v in detail.split(":", 1)[1].split("..", 1)
+            )
+            cn = int(row[f"_cn{i}"] or 0)
+            observed = None
+            if cn:
+                fn = float(cn)
+                sx, sy = float(row[f"_cx{i}"]), float(row[f"_cy{i}"])
+                sxx, syy = float(row[f"_cxx{i}"]), float(row[f"_cyy{i}"])
+                sxy = float(row[f"_cxy{i}"])
+                var_x, var_y = fn * sxx - sx * sx, fn * syy - sy * sy
+                if var_x > 0 and var_y > 0:
+                    observed = round(
+                        (fn * sxy - sx * sy) / (var_x * var_y) ** 0.5, 6
+                    )
             passed = observed is None or lo <= observed <= hi
             viol = 0 if passed else 1
         else:
@@ -546,6 +571,30 @@ def rule_agg_exprs(
                 F.percentile(c.cast("double"), float(q)).alias(f"_q{i}")
             )
             expr = F.lit(0)
+        elif kind == "CORR_BETWEEN":
+            # detail "ycol:lo..hi": exact-moment Pearson r of (col, ycol)
+            # must land in the closed envelope. The moments are plain sums
+            # over scale-6-quantized DECIMAL(38,0) integers (the
+            # correlation_exact discipline: order-independent, map-side
+            # combinable, hash-portable) — which ALSO makes this the one
+            # relationship rule the streaming face can evaluate
+            # incrementally, unlike UNIQUE/QUANTILE_BETWEEN
+            ycol, _env = detail.split(":", 1)
+            grain = F.lit(1_000_000).cast("double")
+            pair = c.isNotNull() & F.col(ycol).isNotNull()
+            xq = F.when(pair, F.round(c.cast("double") * grain)).cast(
+                "decimal(38,0)"
+            )
+            yq = F.when(
+                pair, F.round(F.col(ycol).cast("double") * grain)
+            ).cast("decimal(38,0)")
+            aggs.append(F.count(F.when(pair, F.lit(1))).alias(f"_cn{i}"))
+            aggs.append(F.sum(xq).alias(f"_cx{i}"))
+            aggs.append(F.sum(yq).alias(f"_cy{i}"))
+            aggs.append(F.sum(xq * xq).alias(f"_cxx{i}"))
+            aggs.append(F.sum(yq * yq).alias(f"_cyy{i}"))
+            aggs.append(F.sum(xq * yq).alias(f"_cxy{i}"))
+            expr = F.lit(0)
         else:
             raise ValueError(f"unknown constraint kind: {kind!r}")
         aggs.append(expr.cast("long").alias(f"_v{i}"))
@@ -573,6 +622,24 @@ def rule_verdict_structs(
         elif kind == "QUANTILE_BETWEEN":
             lo, hi = (float(v) for v in detail.split(":", 1)[1].split("..", 1))
             obs = F.col(f"_q{i}")
+            passed = obs.isNull() | ((obs >= F.lit(lo)) & (obs <= F.lit(hi)))
+            viol = F.when(passed, F.lit(0)).otherwise(F.lit(1)).cast("long")
+        elif kind == "CORR_BETWEEN":
+            lo, hi = (float(v) for v in detail.split(":", 1)[1].split("..", 1))
+            n = F.col(f"_cn{i}").cast("double")
+            sx = F.col(f"_cx{i}").cast("double")
+            sy = F.col(f"_cy{i}").cast("double")
+            sxx = F.col(f"_cxx{i}").cast("double")
+            syy = F.col(f"_cyy{i}").cast("double")
+            sxy = F.col(f"_cxy{i}").cast("double")
+            var_x = n * sxx - sx * sx
+            var_y = n * syy - sy * sy
+            obs = F.when(
+                (var_x > 0) & (var_y > 0),
+                F.round((n * sxy - sx * sy) / F.sqrt(var_x * var_y), 6),
+            )
+            # degenerate (zero variance / <2 pairs) passes vacuously, like
+            # an all-NULL QUANTILE_BETWEEN column
             passed = obs.isNull() | ((obs >= F.lit(lo)) & (obs <= F.lit(hi)))
             viol = F.when(passed, F.lit(0)).otherwise(F.lit(1)).cast("long")
         else:

@@ -520,3 +520,56 @@ def test_dtype_census_classes_and_inference(spark):
     # booleans mixed with numerics have no covering numeric type
     assert census(["true", "1"])["inferred"] == "String"
     assert census([None, None])["inferred"] == "Unknown"
+
+
+def test_corr_between_rule_all_faces(spark):
+    """CORR_BETWEEN rides the shared compiler: whole-table verdict agrees
+    with correlation_exact, grouped face isolates groups, streaming
+    compiler ACCEPTS it (bounded-sum state, unlike UNIQUE/QUANTILE),
+    degenerate variance passes vacuously."""
+    from gbif_data_validator_spark.operators.constraints import (
+        correlation_exact,
+        rule_agg_exprs,
+        verify_constraints_by,
+    )
+
+    # streaming compiler must not raise for this kind
+    rule_agg_exprs([("x", "CORR_BETWEEN", "y:0.9..1.0")], streaming=True)
+
+    xs = [float(i) for i in range(1, 41)]
+    df = spark.createDataFrame(
+        [(x, 3.0 * x + ((x * 7) % 5)) for x in xs], "x double, y double"
+    )
+    expected = correlation_exact(df, "x", "y").collect()[0]["corr"]
+    assert expected > 0.99
+    res = {
+        (r.constraint, r.detail): (r.n_violations, r.passed)
+        for r in verify_constraints(
+            df,
+            [("x", "CORR_BETWEEN", "y:0.9..1.0"),
+             ("x", "CORR_BETWEEN", "y:-1.0..0.0")],
+        ).collect()
+    }
+    assert res[("CORR_BETWEEN", "y:0.9..1.0")] == (0, True)
+    assert res[("CORR_BETWEEN", "y:-1.0..0.0")] == (1, False)
+
+    # grouped face: g1 perfectly correlated, g2 anti-correlated, g3
+    # zero-variance (vacuous pass)
+    gdf = spark.createDataFrame(
+        [("g1", 1.0, 2.0), ("g1", 2.0, 4.0), ("g1", 3.0, 6.0),
+         ("g2", 1.0, 9.0), ("g2", 2.0, 5.0), ("g2", 3.0, 1.0),
+         ("g3", 7.0, 1.0), ("g3", 7.0, 2.0)],
+        "g string, x double, y double",
+    )
+    got = {
+        r.g: (r.n_violations, r.passed)
+        for r in verify_constraints_by(
+            gdf, [("x", "CORR_BETWEEN", "y:0.5..1.0")], ["g"]
+        ).collect()
+    }
+    assert got == {"g1": (0, True), "g2": (1, False), "g3": (0, True)}
+
+    # whole-table and grouped faces agree on a single-group table
+    one = gdf.where(F.col("g") == "g2")
+    whole = verify_constraints(one, [("x", "CORR_BETWEEN", "y:0.5..1.0")]).collect()[0]
+    assert (whole.n_violations, whole.passed) == got["g2"]
