@@ -208,7 +208,13 @@ def main(argv: list[str] | None = None) -> int:
                 F.min(F.col(col).cast("double")).alias("lo"),
                 F.max(F.col(col).cast("double")).alias("hi"),
             ).first()
+            if b["lo"] is None:
+                parser.error(f"--psi: reference column {col!r} has no "
+                             "non-NULL values to derive an envelope from; "
+                             "pass --psi-range")
             lo, hi = float(b["lo"]), float(b["hi"])
+            if hi <= lo:
+                hi = lo + 1.0  # constant column: one interior bucket
         rows = psi_drift(
             ref, cur, col, lo=lo, hi=hi, n_buckets=args.psi_buckets
         ).collect()

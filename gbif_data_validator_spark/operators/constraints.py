@@ -794,6 +794,8 @@ def null_pattern_census(
     (n DESC, pattern) cut at ``top_k``."""
     from ..functions.predicates import is_blank
 
+    if not cols:
+        raise ValueError("null_pattern_census needs at least one column")
     flags = []
     for c in cols:
         missing = F.col(c).isNull()

@@ -295,6 +295,12 @@ def psi_drift(
     fold broadcast — nothing corpus-sized ever shuffles."""
     from .constraints import _ordered_fold  # shared IEEE-order fold
 
+    if not hi > lo:  # also catches NaN envelopes
+        raise ValueError(
+            f"psi_drift needs hi > lo (got [{lo}, {hi})) — a constant or "
+            f"all-NULL reference column has no bucketable envelope; widen "
+            f"it explicitly"
+        )
     w = (hi - lo) / n_buckets
 
     def bucketed(df: DataFrame, out: str) -> DataFrame:
@@ -377,6 +383,8 @@ def psi_from_sketches(
         idx = np.searchsorted(np.asarray(q, dtype=float), vs, side="right") - 1
         return np.where(idx >= 0, pr[np.clip(idx, 0, len(pr) - 1)], 0.0)
 
+    if lo is not None and hi is not None and not hi > lo:
+        raise ValueError(f"psi_from_sketches needs hi > lo (got [{lo}, {hi}))")
     n_ref, q_ref = ref
     n_cur, q_cur = cur
     if not n_ref or not n_cur or q_ref is None or q_cur is None:

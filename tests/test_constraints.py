@@ -573,3 +573,12 @@ def test_corr_between_rule_all_faces(spark):
     one = gdf.where(F.col("g") == "g2")
     whole = verify_constraints(one, [("x", "CORR_BETWEEN", "y:0.5..1.0")]).collect()[0]
     assert (whole.n_violations, whole.passed) == got["g2"]
+
+
+def test_null_pattern_census_empty_cols_raises(spark):
+    import pytest
+
+    from gbif_data_validator_spark.operators.constraints import null_pattern_census
+
+    with pytest.raises(ValueError, match="at least one column"):
+        null_pattern_census(spark.createDataFrame([(1,)], "a int"), [])

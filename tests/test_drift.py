@@ -150,3 +150,20 @@ def test_psi_drift_overflow_underflow_buckets(spark):
            for r in psi_drift(ref, cur, "v", 0.0, 100.0, 10).collect()}
     # nothing silently dropped: underflow → 0, overflow → n_buckets+1
     assert got[0] == (1, 0) and got[11] == (1, 0) and got[6] == (1, 3)
+
+
+def test_psi_drift_rejects_degenerate_envelope(spark):
+    """A constant/all-NULL reference has no bucketable envelope — raise,
+    never emit NaN buckets."""
+    import pytest
+
+    from gbif_data_validator_spark.operators.drift import (
+        psi_drift,
+        psi_from_sketches,
+    )
+
+    df = spark.createDataFrame([(1.0,), (1.0,)], "v double")
+    with pytest.raises(ValueError, match="hi > lo"):
+        psi_drift(df, df, "v", lo=5.0, hi=5.0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        psi_from_sketches((2, [1.0]), (2, [1.0]), lo=5.0, hi=2.0)
