@@ -111,13 +111,40 @@ def main() -> None:
         return round(min(times), 3)
 
     # --- headline: full validation engine run (all passes) ---------------
+    last_report = {}
+
     def run_engine():
         eng = ValidationEngine(spark, EngineConfig(check_extraction=True))
         report = eng.run(pages)
         assert report.n_rows == n_pages
+        last_report["issue_counts"] = dict(report.issue_counts)
 
     timings["validation_engine"] = timed(run_engine)
     docs_per_sec = round(n_pages / timings["validation_engine"], 1)
+
+    # --- violation-row recall vs the planted labels (the baseline metric
+    # is "docs/sec + violation-row recall"): expected per-class counts are
+    # pure slot arithmetic (synth_pages injects on id % SLOT_MOD slots),
+    # found counts come from the report — recall over the 7 row-level
+    # classes; window/dup-grain checks (DRIFT_WINDOW, RECORD_NOT_
+    # UNIQUELY_IDENTIFIED) have no 1:1 row labels and are pinned by the
+    # engine goldens instead.
+    from gbif_data_validator_spark.sources.synthetic import (
+        SLOT_MOD,
+        VIOLATION_SLOTS,
+    )
+
+    expected = {
+        str(check): n_pages // SLOT_MOD + (1 if n_pages % SLOT_MOD > slot else 0)
+        for slot, check in VIOLATION_SLOTS.items()
+        if check != "URL_DUPLICATE"
+    }
+    found = last_report["issue_counts"]
+    violation_recall = round(
+        sum(min(found.get(k, 0), v) for k, v in expected.items())
+        / sum(expected.values()),
+        6,
+    )
 
     # --- operator headliners over the sf testdata -------------------------
     qs = entry.queries()
@@ -150,6 +177,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "docs_per_sec": docs_per_sec,
+                "violation_recall": violation_recall,
                 "pages_rows": n_pages,
                 "cpus": CPUS,
                 "host": host_canary(),
