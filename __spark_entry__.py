@@ -2150,6 +2150,80 @@ def _q_dtype_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dtype_census(df, "v")
 
 
+def _q_interval_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2/validity-epoch invariant: per-supplier shipment intervals
+    (l_shipdate .. +l_linenumber days) must not overlap; every violating
+    row is convicted by the running max of earlier interval ends — one
+    window per key, catching containment chains the adjacent-lag shortcut
+    misses. Restricted to suppliers < 30 to bound the exhibit."""
+    from gbif_data_validator_spark.operators.sequence import interval_overlaps
+
+    iv = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(F.col("l_suppkey") < 30)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").alias("valid_from"),
+            F.timestamp_add(
+                "DAY", F.col("l_linenumber"), F.col("l_shipdate")
+            ).alias("valid_to"),
+        )
+    )
+    return interval_overlaps(
+        iv, ["l_suppkey"], "valid_from", "valid_to",
+        tiebreak=["l_orderkey", "l_linenumber"],
+    ).orderBy("l_suppkey", "valid_from", "l_orderkey", "l_linenumber")
+
+
+def _q_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-completeness census: holes in the event_id sequence after
+    deterministically knocking out every 97th id plus the 3000-3499 block
+    (spans five buckets at bucket=1000, exercising the boundary-stitch
+    path). Bucketed two-level plan — no global sort of the ids."""
+    from gbif_data_validator_spark.operators.sequence import id_gaps
+
+    ev = _tbl(spark, sf_dir, "events").where(
+        (F.col("event_id") % 97 != 0)
+        & ~F.col("event_id").between(3000, 3499)
+    )
+    return id_gaps(ev, "event_id", bucket=1000).orderBy("gap_start")
+
+
+def _q_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival census: per event_type, in event_id (arrival) order,
+    rows whose ts is behind the running high-water mark — what a streaming
+    watermark would have dropped, attributed row-by-row with exact
+    microsecond lateness. The corpus arrives time-ordered, so lateness is
+    planted in-query by a deterministic jitter (+(event_id %% 13) × 10
+    min) both engines replay — the c4_clean trigger-injection discipline."""
+    from gbif_data_validator_spark.operators.sequence import out_of_order_rows
+
+    ev = _tbl(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.timestamp_add(
+            "MINUTE", (F.col("event_id") % 13) * 10, F.col("ts")
+        ).alias("ts"),
+    )
+    return out_of_order_rows(ev, ["event_type"], "event_id", "ts").orderBy(
+        "event_type", "event_id"
+    )
+
+
+def _q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type freshness/cadence verdict against the global max
+    timestamp (deterministic 'now'): lag in exact microseconds, mean
+    inter-arrival gap, stale = lag > 3 mean gaps. One grouped agg + a
+    1-row broadcast crossJoin."""
+    from gbif_data_validator_spark.operators.sequence import freshness_by_group
+
+    return freshness_by_group(
+        _tbl(spark, sf_dir, "events"), "event_type", "ts", stale_factor=3.0
+    ).orderBy("group_key")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2286,6 +2360,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_exact": _q_corr_exact,
         "null_patterns": _q_null_patterns,
         "dtype_census": _q_dtype_census,
+        "interval_overlaps": _q_interval_overlaps,
+        "id_gaps": _q_id_gaps,
+        "out_of_order": _q_out_of_order,
+        "freshness": _q_freshness,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -4822,5 +4900,90 @@ def oracle_sql() -> dict[str, str]:
                         WHEN n_boolean = 0 THEN 'Fractional'
                         ELSE 'String' END AS inferred
             FROM a
+        """,
+        # interval_overlaps: identical running-max window (total order via
+        # the same tiebreak) and exact integer-microsecond overlap
+        "interval_overlaps": """
+            WITH iv AS (
+              SELECT l_suppkey, l_orderkey, l_linenumber,
+                     l_shipdate AS valid_from,
+                     l_shipdate + l_linenumber * INTERVAL 1 DAY AS valid_to
+              FROM lineitem WHERE l_suppkey < 30
+            ),
+            r AS (
+              SELECT *,
+                     max(valid_to) OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY valid_from, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_max_end
+              FROM iv WHERE valid_to > valid_from
+            )
+            SELECT l_suppkey, l_orderkey, l_linenumber, valid_from, valid_to,
+                   prev_max_end,
+                   CAST(epoch_us(least(valid_to, prev_max_end))
+                        - epoch_us(valid_from) AS BIGINT) AS overlap_us
+            FROM r WHERE prev_max_end > valid_from
+            ORDER BY l_suppkey, valid_from, l_orderkey, l_linenumber
+        """,
+        # id_gaps: the textbook single-ordered-lag formulation — the Spark
+        # side must reproduce it exactly from its bucketed two-level plan
+        "id_gaps": """
+            WITH ids AS (
+              SELECT DISTINCT event_id AS id FROM events
+              WHERE event_id % 97 <> 0
+                AND NOT (event_id BETWEEN 3000 AND 3499)
+            ),
+            l AS (SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM ids)
+            SELECT prev + 1 AS gap_start, id - 1 AS gap_end,
+                   id - prev - 1 AS gap_len
+            FROM l WHERE id > prev + 1 ORDER BY gap_start
+        """,
+        # out_of_order: same planted jitter, same strictly-preceding
+        # running-max window; lateness in exact integer micros (epoch_us)
+        "out_of_order": """
+            WITH j AS (
+              SELECT event_type, event_id,
+                     ts + (event_id % 13) * INTERVAL 10 MINUTE AS ts
+              FROM events
+            ),
+            w AS (
+              SELECT event_type, event_id, ts,
+                     max(ts) OVER (
+                       PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS high_water_ts
+              FROM j
+            )
+            SELECT event_type, event_id, ts, high_water_ts,
+                   CAST(epoch_us(high_water_ts) - epoch_us(ts) AS BIGINT)
+                     AS late_by_us
+            FROM w WHERE high_water_ts > ts
+            ORDER BY event_type, event_id
+        """,
+        # freshness: grouped min/max/count + global-max scalar; the mean
+        # gap is ONE division then round(6) on both engines (hash-portable)
+        "freshness": """
+            WITH per AS (
+              SELECT event_type AS group_key,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     min(ts) AS min_ts, max(ts) AS max_ts
+              FROM events GROUP BY event_type
+            ),
+            g AS (SELECT max(ts) AS gmax FROM events)
+            SELECT group_key, n_rows, min_ts, max_ts,
+                   CAST(epoch_us(gmax) - epoch_us(max_ts) AS BIGINT)
+                     AS lag_behind_us,
+                   round(CASE WHEN n_rows > 1
+                              THEN CAST(epoch_us(max_ts) - epoch_us(min_ts) AS DOUBLE)
+                                   / (n_rows - 1)
+                              ELSE 0.0 END, 6) AS mean_gap_us,
+                   n_rows > 1
+                     AND CAST(epoch_us(gmax) - epoch_us(max_ts) AS DOUBLE)
+                         > 3.0 * round(CASE WHEN n_rows > 1
+                                            THEN CAST(epoch_us(max_ts) - epoch_us(min_ts) AS DOUBLE)
+                                                 / (n_rows - 1)
+                                            ELSE 0.0 END, 6) AS stale
+            FROM per CROSS JOIN g ORDER BY group_key
         """,
     }

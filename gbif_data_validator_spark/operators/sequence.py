@@ -1,0 +1,245 @@
+"""Sequence / ordering data-quality checks: validity-interval overlaps,
+ID-sequence completeness (gap detection), out-of-order arrival detection,
+and per-group freshness/cadence.
+
+No reference analog (gbif-data-validator validates a single snapshot with
+no ordering semantics); these are the continuity checks an always-on crawl
+ingestion pipeline needs around the validation engine: did two config
+epochs for the same host overlap, did the fetcher skip a WARC id range,
+did a source's pages arrive out of crawl order, has a source gone stale.
+
+Scale shapes:
+- ``interval_overlaps`` / ``out_of_order_rows`` are ONE window over
+  (key, order) — a single hash Exchange on the key, running ``max`` over
+  the frame, no join, no explosion. Keys are expected at host/user grain;
+  a constant key serializes onto one reducer (same stated contract as
+  ``temporal.asof_join``).
+- ``id_gaps`` finds holes in a dense id sequence WITHOUT a global sort:
+  ids hash-shuffle once on ``id // bucket`` (window per bucket finds
+  interior holes), and only the tiny per-bucket ``(min, max)`` aggregate
+  — |ids| / bucket rows, e.g. 10^6 rows for 10^12 ids at bucket=10^6 —
+  crosses a single-partition window to stitch boundary/whole-bucket
+  holes. A naive ``lag() OVER (ORDER BY id)`` plans a SinglePartition
+  Exchange over ALL ids, which is the non-scalable shape this operator
+  exists to avoid.
+- ``freshness_by_group`` is one groupBy agg plus a 1-row global-max
+  broadcast crossJoin (the house pattern from boilerplate census).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "interval_overlaps",
+    "id_gaps",
+    "out_of_order_rows",
+    "freshness_by_group",
+]
+
+
+
+def _us(c: F.Column) -> F.Column:
+    # unix_micros rejects TIMESTAMP_NTZ (the type parquet timestamps load
+    # as); the cast is value-preserving under the session UTC timezone,
+    # and every use below is a DIFFERENCE, so any fixed offset cancels.
+    return F.unix_micros(c.cast("timestamp"))
+
+def interval_overlaps(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    tiebreak: list[str],
+) -> DataFrame:
+    """Rows whose ``[start, end)`` interval overlaps ANY earlier interval
+    of the same key (SCD2 / validity-epoch invariant: per-key intervals
+    must not overlap).
+
+    A row is flagged when ``start < max(end)`` over all preceding rows of
+    the key in ``(start, *tiebreak)`` order — the running-max formulation
+    detects every overlapping row in one pass where the adjacent-``lag``
+    shortcut misses containment chains (a long interval swallowing several
+    later short ones). ``tiebreak`` must make the ordering total or the
+    preceding-frame max is nondeterministic.
+
+    Output: the flagged rows' key + tiebreak + interval columns plus
+    ``prev_max_end`` (the running max that convicts them) and
+    ``overlap_us`` (microseconds, clipped to the row's own span; > 0 by
+    construction — exact integer arithmetic, no float epoch). Inverted
+    intervals (``end <= start``) are rejected loudly rather than silently
+    folded into the running max — the same dirty-row discipline as
+    ``temporal.interval_join``.
+    """
+    if not tiebreak:
+        raise ValueError("interval_overlaps: tiebreak columns are required "
+                         "for a deterministic preceding-frame max")
+    s, e = F.col(start_col), F.col(end_col)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(s, *[F.col(c) for c in tiebreak])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    clean = df.where(e > s)
+    prev_end = F.max(e).over(w)
+    return (
+        clean.select(
+            *key_cols,
+            *tiebreak,
+            s.alias(start_col),
+            e.alias(end_col),
+            prev_end.alias("prev_max_end"),
+        )
+        .where(F.col("prev_max_end") > s)
+        .withColumn(
+            "overlap_us",
+            (
+                _us(F.least(F.col(end_col), F.col("prev_max_end")))
+                - _us(F.col(start_col))
+            ).cast("long"),
+        )
+    )
+
+
+def id_gaps(df: DataFrame, id_col: str, bucket: int = 1_000_000) -> DataFrame:
+    """Missing ranges in a dense integer id sequence →
+    ``(gap_start, gap_end, gap_len)`` per hole, between the observed min
+    and max id (duplicates collapse; holes before the min / after the max
+    are unobservable and not reported).
+
+    Two-level plan instead of a global sort: interior holes come from a
+    ``lag`` window per ``id // bucket`` partition (one hash Exchange over
+    the ids); boundary holes — including whole missing buckets — come
+    from a ``lag`` over the per-bucket ``(min, max)`` aggregate, which is
+    |ids| / bucket rows and is the ONLY thing that crosses a
+    single-partition window. Result is identical to the textbook
+    ``lag() OVER (ORDER BY id)`` scan (the pytest pins it) without ever
+    materializing a total order of the ids.
+    """
+    if bucket < 2:
+        raise ValueError(f"id_gaps: bucket must be >= 2, got {bucket}")
+    ids = df.select(F.col(id_col).cast("long").alias("id")).where(
+        F.col("id").isNotNull()
+    ).distinct()
+    bucketed = ids.withColumn("_gap_bucket", F.floor(F.col("id") / bucket))
+
+    in_w = Window.partitionBy("_gap_bucket").orderBy("id")
+    interior = (
+        bucketed.withColumn("_prev", F.lag("id").over(in_w))
+        .where(F.col("id") > F.col("_prev") + 1)
+        .select(
+            (F.col("_prev") + 1).alias("gap_start"),
+            (F.col("id") - 1).alias("gap_end"),
+        )
+    )
+
+    edges = bucketed.groupBy("_gap_bucket").agg(
+        F.min("id").alias("_lo"), F.max("id").alias("_hi")
+    )
+    edge_w = Window.orderBy("_gap_bucket")
+    boundary = (
+        edges.withColumn("_prev_hi", F.lag("_hi").over(edge_w))
+        .where(F.col("_lo") > F.col("_prev_hi") + 1)
+        .select(
+            (F.col("_prev_hi") + 1).alias("gap_start"),
+            (F.col("_lo") - 1).alias("gap_end"),
+        )
+    )
+
+    return (
+        interior.unionByName(boundary)
+        .withColumn("gap_len", F.col("gap_end") - F.col("gap_start") + 1)
+    )
+
+
+def out_of_order_rows(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Rows that arrived out of order: per key, in ``seq_col`` order, the
+    row's ``ts_col`` is EARLIER than the running max of all preceding
+    timestamps (the streaming late-arrival census — what a watermark
+    would have dropped, attributed row-by-row).
+
+    One window per key, running ``max(ts)`` over the strictly-preceding
+    frame; ``seq_col`` must be unique per key for a total order. Output:
+    key + seq + ts + ``high_water_ts`` (the running max that convicts the
+    row) + ``late_by_us`` (microseconds, > 0 by construction).
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(seq_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hw = F.max(F.col(ts_col)).over(w)
+    return (
+        df.select(
+            *key_cols,
+            F.col(seq_col).alias(seq_col),
+            F.col(ts_col).alias(ts_col),
+            hw.alias("high_water_ts"),
+        )
+        .where(F.col("high_water_ts") > F.col(ts_col))
+        .withColumn(
+            "late_by_us",
+            (
+                _us(F.col("high_water_ts"))
+                - _us(F.col(ts_col))
+            ).cast("long"),
+        )
+    )
+
+
+def freshness_by_group(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    stale_factor: float = 3.0,
+) -> DataFrame:
+    """Per-group freshness/cadence verdict → ``(group_key, n_rows, min_ts,
+    max_ts, lag_behind_us, mean_gap_us, stale)``.
+
+    "Now" is the GLOBAL max timestamp (deterministic — no wall clock), so
+    ``lag_behind_us`` is how far each group trails the freshest group, in
+    exact integer microseconds. ``mean_gap_us`` is the group's mean
+    inter-arrival time ``(max - min) / (n - 1)`` (0 for singleton groups,
+    rounded to 6 places — one division, hash-portable); a group is
+    ``stale`` when its lag exceeds ``stale_factor`` mean gaps — i.e. the
+    source has been silent for longer than ``stale_factor`` of its own
+    typical cadence.
+
+    Plan: one groupBy agg over (group, ts) only, then a 1-row global-max
+    aggregate broadcast-crossJoined back — no second scan, no window.
+    """
+    ts = F.col(ts_col)
+    per = df.groupBy(F.col(group_col).alias("group_key")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(ts).alias("min_ts"),
+        F.max(ts).alias("max_ts"),
+    )
+    glob = df.agg(F.max(ts).alias("_global_max_ts"))
+    span_us = _us(F.col("max_ts")) - _us(F.col("min_ts"))
+    mean_gap = F.when(
+        F.col("n_rows") > 1,
+        span_us.cast("double") / (F.col("n_rows") - 1),
+    ).otherwise(F.lit(0.0))
+    lag_us = (
+        _us(F.col("_global_max_ts")) - _us(F.col("max_ts"))
+    ).cast("long")
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .withColumn("lag_behind_us", lag_us)
+        .withColumn("mean_gap_us", F.round(mean_gap, 6))
+        .withColumn(
+            "stale",
+            (F.col("n_rows") > 1)
+            & (
+                F.col("lag_behind_us").cast("double")
+                > F.lit(float(stale_factor)) * F.col("mean_gap_us")
+            ),
+        )
+        .drop("_global_max_ts")
+    )

@@ -1,0 +1,186 @@
+"""Sequence/ordering checks: interval overlaps (SCD2), id-gap
+completeness (bucketed == textbook global lag), out-of-order arrivals,
+freshness/cadence verdicts — brute-force equivalence + plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_data_validator_spark.operators.sequence import (
+    freshness_by_group,
+    id_gaps,
+    interval_overlaps,
+    out_of_order_rows,
+)
+
+
+def _ts(day: int, hour: int = 0, minute: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+# ---------------------------------------------------------------- intervals
+
+
+def test_interval_overlaps_catches_containment_chain(spark):
+    # key A: [1,10) swallows [2,3) and [4,5) — the adjacent-lag shortcut
+    # would clear [4,5) (its immediate predecessor [2,3) ends before it);
+    # the running max convicts both. [12,13) is clean.
+    rows = [
+        ("A", 1, _ts(1), _ts(10)),
+        ("A", 2, _ts(2), _ts(3)),
+        ("A", 3, _ts(4), _ts(5)),
+        ("A", 4, _ts(12), _ts(13)),
+        ("B", 5, _ts(2), _ts(4)),
+        ("B", 6, _ts(4), _ts(6)),  # half-open [start,end): touching is NOT overlap
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, rid int, valid_from timestamp, valid_to timestamp"
+    )
+    got = interval_overlaps(
+        df, ["k"], "valid_from", "valid_to", tiebreak=["rid"]
+    ).collect()
+    flagged = {(r.k, r.rid) for r in got}
+    assert flagged == {("A", 2), ("A", 3)}
+    by_rid = {r.rid: r for r in got}
+    # both convicted by the rid=1 interval's end
+    assert by_rid[2].prev_max_end == _ts(10)
+    assert by_rid[3].prev_max_end == _ts(10)
+    # overlap clipped to the row's own span: [2,3) fully inside -> 1 day
+    assert by_rid[2].overlap_us == 86_400_000_000
+
+
+def test_interval_overlaps_rejects_inverted_and_requires_tiebreak(spark):
+    rows = [("A", 1, _ts(5), _ts(1)), ("A", 2, _ts(6), _ts(7))]
+    df = spark.createDataFrame(
+        rows, "k string, rid int, valid_from timestamp, valid_to timestamp"
+    )
+    # the inverted rid=1 interval is excluded from the running max, so the
+    # later clean row is NOT convicted by garbage
+    assert interval_overlaps(df, ["k"], "valid_from", "valid_to", ["rid"]).count() == 0
+    with pytest.raises(ValueError, match="tiebreak"):
+        interval_overlaps(df, ["k"], "valid_from", "valid_to", [])
+
+
+def test_interval_overlaps_brute_force(spark):
+    rng = random.Random(7)
+    rows = []
+    for rid in range(200):
+        k = f"k{rng.randrange(4)}"
+        s = rng.randrange(0, 500)
+        rows.append((k, rid, _ts(1) + dt.timedelta(hours=s),
+                     _ts(1) + dt.timedelta(hours=s + rng.randrange(1, 30))))
+    df = spark.createDataFrame(
+        rows, "k string, rid int, valid_from timestamp, valid_to timestamp"
+    )
+    got = {(r.k, r.rid) for r in
+           interval_overlaps(df, ["k"], "valid_from", "valid_to", ["rid"]).collect()}
+    expect = set()
+    for k in {r[0] for r in rows}:
+        ivs = sorted([r for r in rows if r[0] == k], key=lambda r: (r[2], r[1]))
+        hi = None
+        for (_, rid, s, e) in ivs:
+            if hi is not None and s < hi:
+                expect.add((k, rid))
+            hi = e if hi is None else max(hi, e)
+    assert got == expect
+
+
+# ------------------------------------------------------------------- gaps
+
+
+def _brute_gaps(ids: list[int]) -> set[tuple[int, int, int]]:
+    u = sorted(set(ids))
+    out = set()
+    for a, b in zip(u, u[1:]):
+        if b > a + 1:
+            out.add((a + 1, b - 1, b - a - 1))
+    return out
+
+
+def test_id_gaps_matches_global_lag_brute_force(spark):
+    rng = random.Random(11)
+    ids = [i for i in range(5000) if rng.random() > 0.15] + [2500, 2500]
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    got = {(r.gap_start, r.gap_end, r.gap_len)
+           for r in id_gaps(df, "event_id", bucket=100).collect()}
+    assert got == _brute_gaps(ids)
+
+
+def test_id_gaps_whole_missing_buckets_and_partitioning_invariance(spark):
+    # ids 0-99 and 500-599 present: buckets 1-4 entirely missing -> one
+    # boundary gap 100..499 spanning them
+    ids = list(range(100)) + list(range(500, 600))
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    for d in (df, df.repartition(7)):
+        rows = id_gaps(d, "event_id", bucket=100).collect()
+        assert [(r.gap_start, r.gap_end, r.gap_len) for r in rows] == [(100, 499, 400)]
+
+
+def test_id_gaps_plan_never_globally_sorts_the_ids(spark):
+    df = spark.range(0, 100_000).withColumnRenamed("id", "event_id").where(
+        F.col("event_id") % 97 != 0
+    )
+    plan = id_gaps(df, "event_id", bucket=1000)._jdf.queryExecution().executedPlan().toString()
+    # the id-level window shuffles on the bucket key...
+    assert "hashpartitioning(_gap_bucket" in plan
+    # ...and the only SinglePartition exchange feeds the per-bucket edge
+    # aggregate (|ids|/bucket rows), never the raw ids
+    single = [seg for seg in plan.split("Exchange") if seg.startswith(" SinglePartition")]
+    assert len(single) == 1
+    with pytest.raises(ValueError, match="bucket"):
+        id_gaps(df, "event_id", bucket=1)
+
+
+# ------------------------------------------------------------ out of order
+
+
+def test_out_of_order_rows(spark):
+    rows = [
+        ("u1", 1, _ts(1, 10)),
+        ("u1", 2, _ts(1, 9)),   # behind seq-1 high water (1h)
+        ("u1", 3, _ts(1, 11)),
+        ("u1", 4, _ts(1, 10, 30)),  # behind the RUNNING max (seq 3), not seq 3's lag
+        ("u2", 5, _ts(1, 5)),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq int, ts timestamp")
+    got = {r.seq: r for r in out_of_order_rows(df, ["k"], "seq", "ts").collect()}
+    assert set(got) == {2, 4}
+    assert got[2].late_by_us == 3_600_000_000
+    assert got[2].high_water_ts == _ts(1, 10)
+    assert got[4].high_water_ts == _ts(1, 11)
+
+
+# -------------------------------------------------------------- freshness
+
+
+def test_freshness_by_group(spark):
+    rows = (
+        # "hot": 11 events, one per hour, last at day2 10:00 == global max
+        [("hot", _ts(2, h)) for h in range(11)]
+        # "stale": hourly cadence but silent since day1 06:00
+        + [("stale", _ts(1, h)) for h in range(7)]
+        # "single": one event — mean gap 0, never stale by definition
+        + [("single", _ts(1, 12))]
+    )
+    df = spark.createDataFrame(rows, "src string, ts timestamp")
+    out = {r.group_key: r for r in freshness_by_group(df, "src", "ts").collect()}
+    assert out["hot"].lag_behind_us == 0 and not out["hot"].stale
+    assert out["hot"].mean_gap_us == 3_600_000_000.0
+    # stale: lag = 28h vs mean gap 1h -> 28 > 3×1
+    assert out["stale"].lag_behind_us == 28 * 3_600_000_000
+    assert out["stale"].stale
+    assert out["single"].mean_gap_us == 0.0 and not out["single"].stale
+    assert out["single"].n_rows == 1
+
+
+def test_freshness_single_scan_plus_broadcast(spark):
+    df = spark.createDataFrame(
+        [("a", _ts(1)), ("b", _ts(2))], "src string, ts timestamp"
+    )
+    plan = freshness_by_group(df, "src", "ts")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
