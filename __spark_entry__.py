@@ -1803,16 +1803,16 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_log_weights(d, d.where(F.col("lang") == "en")).orderBy("doc_id")
 
 
-def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 cleaning battery over deterministically re-lined documents (the
-    corpus is single-line word soup, so pseudo-lines of 8 tokens are built
-    in-query with injected rule triggers: unterminated lines (%3),
-    'javascript' lines (%11), lorem-ipsum pages (%37), curly-brace pages
-    (%41)); both engines replay the construction, then the rules."""
-    from gbif_data_validator_spark.functions.cleaning import c4_clean
+def _lined_docs(df: DataFrame) -> DataFrame:
+    """Deterministic pseudo-page construction shared by the C4/funnel
+    queries: the corpus is single-line word soup, so pseudo-lines of 8
+    tokens are built in-query with injected rule triggers — unterminated
+    lines (%3), 'javascript' lines (%11), lorem-ipsum pages (%37),
+    curly-brace pages (%41). Both engines replay the construction. Input
+    needs (doc_id, text); all other columns pass through, with the raw
+    text preserved as ``raw``."""
     from gbif_data_validator_spark.functions.textstats import _ws_tokens
 
-    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     toks = _ws_tokens(F.col("text"))
     doc = F.col("doc_id")
     nl = F.floor((F.size(toks) + 7) / F.lit(8)).cast("int")
@@ -1830,7 +1830,26 @@ def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(doc % 37 == 0, F.lit("\nlorem ipsum dolor sit amet.")).otherwise(F.lit("")),
         F.when(doc % 41 == 0, F.lit("\nif (x) { return 1; }")).otherwise(F.lit("")),
     )
-    lined = d.where(F.size(toks) > 0).select("doc_id", text2.alias("text"))
+    passthrough = [c for c in df.columns if c not in ("doc_id", "text")]
+    return (
+        df.where(F.col("text").isNotNull())
+        .where(F.size(toks) > 0)
+        .select(
+            "doc_id", *passthrough,
+            F.col("text").alias("raw"), text2.alias("text"),
+        )
+    )
+
+
+def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning battery over deterministically re-lined documents (see
+    ``_lined_docs`` for the injected rule triggers); both engines replay
+    the construction, then the rules."""
+    from gbif_data_validator_spark.functions.cleaning import c4_clean
+
+    lined = _lined_docs(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    ).select("doc_id", "text")
     return (
         c4_clean(lined)
         .select(
@@ -2224,6 +2243,42 @@ def _q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("group_key")
 
 
+def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FineWeb-shape cleaning recipe as ONE auditable funnel:
+    C4 → Gopher → language → exact dedup, each doc attributed to the FIRST
+    stage that dropped it, censused into (stage, n_docs, share). Runs over
+    the re-lined pseudo-pages (``_lined_docs`` triggers) plus planted
+    clones (doc_id %% 7 → +100000, same raw text) so the dedup stage has
+    work; Gopher's stopword gate is relaxed to 0 because the synthetic
+    vocabulary contains none of the published eight stopwords (the
+    threshold exists for exactly this corpus-calibration purpose). Dedup
+    fingerprints the RAW text — clones whose re-lined variants pass the
+    filters are convicted by the surviving original."""
+    from gbif_data_validator_spark.operators.curation import (
+        curation_funnel,
+        funnel_census,
+    )
+
+    base = _docs(spark, sf_dir).select("doc_id", "lang", "text").where(
+        F.col("text").isNotNull()
+    )
+    cloned = base.unionByName(
+        base.where(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+    )
+    lined = _lined_docs(cloned).withColumn(
+        "fp", F.md5(F.coalesce(F.col("raw"), F.lit("")))
+    )
+    staged = curation_funnel(
+        lined,
+        allowed_langs=("en",),
+        fingerprint_col="fp",
+        gopher_kwargs={"min_stopword_hits": 0},
+    )
+    return funnel_census(staged).orderBy("stage")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2364,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id_gaps": _q_id_gaps,
         "out_of_order": _q_out_of_order,
         "freshness": _q_freshness,
+        "curation_funnel": _q_curation_funnel,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -4985,5 +5041,106 @@ def oracle_sql() -> dict[str, str]:
                                                  / (n_rows - 1)
                                             ELSE 0.0 END, 6) AS stale
             FROM per CROSS JOIN g ORDER BY group_key
+        """,
+        # curation_funnel: replay the clone plant + re-lining, then the C4
+        # and Gopher batteries (stopword gate relaxed to 0 as on the Spark
+        # side), first-failing-stage attribution, conditional-min dedup
+        "curation_funnel": r"""
+            WITH base AS (
+              SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL
+              UNION ALL
+              SELECT doc_id + 100000, lang, text FROM documents
+              WHERE text IS NOT NULL AND doc_id % 7 = 0
+            ),
+            w AS (
+              SELECT doc_id, lang, text AS raw,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS ws
+              FROM base
+            ),
+            nz AS (SELECT doc_id, lang, raw, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+            lined AS (
+              SELECT doc_id, lang, raw,
+                     array_to_string(
+                       list_transform(range(CAST(ceil(n / 8.0) AS BIGINT)),
+                         i -> array_to_string(ws[(i*8+1):(i*8+8)], ' ')
+                              || CASE WHEN (doc_id + i) % 11 = 0 THEN ' javascript.'
+                                      WHEN (doc_id + i) % 3 = 0 THEN ''
+                                      ELSE '.' END),
+                       chr(10))
+                     || CASE WHEN doc_id % 37 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+                     || CASE WHEN doc_id % 41 = 0 THEN chr(10) || 'if (x) { return 1; }' ELSE '' END AS text
+              FROM nz
+            ),
+            c4k AS (
+              SELECT doc_id, text,
+                     COALESCE(array_to_string(
+                       list_filter(
+                         list_filter(regexp_split_to_array(text, chr(10)),
+                                     l -> regexp_matches(l, '\S')),
+                         l -> regexp_matches(l, '[.!?"]\s*$')
+                              AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+                                                  x -> x <> '')) >= 5
+                              AND NOT contains(lower(l), 'javascript')),
+                       chr(10)), '') AS ct
+              FROM lined
+            ),
+            c4v AS (
+              SELECT doc_id,
+                     (NOT contains(lower(text), 'lorem ipsum'))
+                       AND (NOT contains(text, '{'))
+                       AND (len(regexp_extract_all(ct, '[.!?]')) >= 3) AS kept
+              FROM c4k
+            ),
+            gd AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS words,
+                     list_filter(regexp_split_to_array(text, chr(10)),
+                                 l -> regexp_matches(l, '\S')) AS lines
+              FROM lined
+            ),
+            gv AS (
+              SELECT doc_id,
+                     (len(words) >= 50 AND len(words) <= 100000)
+                       AND (CASE WHEN len(words) > 0
+                                 THEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(words)
+                                 ELSE 0.0 END BETWEEN 3.0 AND 10.0)
+                       AND (CASE WHEN len(words) > 0
+                                 THEN CAST(len(regexp_extract_all(text, '#'))
+                                           + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+                                      / len(words) <= 0.1
+                                 ELSE TRUE END)
+                       AND (CASE WHEN len(lines) > 0
+                                 THEN CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE) / len(lines)
+                                 ELSE 0.0 END) <= 0.9
+                       AND (CASE WHEN len(lines) > 0
+                                 THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) AS DOUBLE) / len(lines)
+                                 ELSE 0.0 END) <= 0.3
+                       AND (CASE WHEN len(words) > 0
+                                 THEN CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(words)
+                                 ELSE 0.0 END) >= 0.8 AS passes
+              FROM gd
+            ),
+            pre AS (
+              SELECT l.doc_id, md5(COALESCE(l.raw, '')) AS fp,
+                     CASE WHEN NOT c4v.kept THEN 'c4'
+                          WHEN NOT gv.passes THEN 'gopher'
+                          WHEN l.lang NOT IN ('en') THEN 'lang' END AS pre_stage
+              FROM lined l JOIN c4v USING (doc_id) JOIN gv USING (doc_id)
+            ),
+            ded AS (
+              SELECT doc_id,
+                     COALESCE(pre_stage,
+                              CASE WHEN doc_id <> min(CASE WHEN pre_stage IS NULL
+                                                           THEN doc_id END)
+                                                 OVER (PARTITION BY fp)
+                                   THEN 'exact_dup' END,
+                              'kept') AS stage
+              FROM pre
+            )
+            SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   round(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share
+            FROM ded GROUP BY stage ORDER BY stage
         """,
     }

@@ -40,6 +40,35 @@ def c4_keep_line(line: Column, min_line_words: int = 5) -> Column:
     )
 
 
+def c4_exprs(
+    text: Column,
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> dict[str, Column]:
+    """The C4 verdict as reusable named Column expressions over ``text``
+    (``kept`` / ``clean_text`` / ``n_lines_kept`` / ``n_lines_dropped`` /
+    ``n_sentences`` / ``has_lorem_ipsum`` / ``has_curly``) — so composers
+    like ``curation_funnel`` evaluate the battery inside ONE projection
+    instead of joining per-battery DataFrames."""
+    lines = nonblank_lines(text)
+    kept_lines = F.filter(lines, lambda l: c4_keep_line(l, min_line_words))
+    clean_text = F.array_join(kept_lines, "\n")
+    n_sentences = F.coalesce(F.regexp_count(clean_text, F.lit(r"[.!?]")), F.lit(0))
+    has_lorem = F.coalesce(
+        F.contains(F.lower(text), F.lit("lorem ipsum")), F.lit(False)
+    )
+    has_curly = F.coalesce(F.contains(text, F.lit("{")), F.lit(False))
+    return {
+        "kept": ~has_lorem & ~has_curly & (n_sentences >= min_sentences),
+        "clean_text": clean_text,
+        "n_lines_kept": F.size(kept_lines).cast("long"),
+        "n_lines_dropped": (F.size(lines) - F.size(kept_lines)).cast("long"),
+        "n_sentences": n_sentences.cast("long"),
+        "has_lorem_ipsum": has_lorem,
+        "has_curly": has_curly,
+    }
+
+
 def c4_clean(
     docs: DataFrame,
     doc_id_col: str = "doc_id",
@@ -52,24 +81,10 @@ def c4_clean(
     ``clean_text`` is the retained lines re-joined; it is materialized even
     for dropped docs so filter decisions stay auditable (the verbatim-
     sample discipline of the violations contract)."""
-    text = F.col(text_col)
-    lines = nonblank_lines(text)
-    kept_lines = F.filter(lines, lambda l: c4_keep_line(l, min_line_words))
-    clean_text = F.array_join(kept_lines, "\n")
-    n_sentences = F.coalesce(F.regexp_count(clean_text, F.lit(r"[.!?]")), F.lit(0))
-    has_lorem = F.coalesce(
-        F.contains(F.lower(text), F.lit("lorem ipsum")), F.lit(False)
-    )
-    has_curly = F.coalesce(F.contains(text, F.lit("{")), F.lit(False))
+    ex = c4_exprs(F.col(text_col), min_line_words, min_sentences)
     return docs.select(
         F.col(doc_id_col).alias("doc_id"),
-        (~has_lorem & ~has_curly & (n_sentences >= min_sentences)).alias("kept"),
-        clean_text.alias("clean_text"),
-        F.size(kept_lines).cast("long").alias("n_lines_kept"),
-        (F.size(lines) - F.size(kept_lines)).cast("long").alias("n_lines_dropped"),
-        n_sentences.cast("long").alias("n_sentences"),
-        has_lorem.alias("has_lorem_ipsum"),
-        has_curly.alias("has_curly"),
+        *[c.alias(name) for name, c in ex.items()],
     )
 
 
@@ -78,10 +93,8 @@ def c4_clean(
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def gopher_gates(
-    docs: DataFrame,
-    doc_id_col: str = "doc_id",
-    text_col: str = "text",
+def gopher_gate_exprs(
+    text: Column,
     min_words: int = 50,
     max_words: int = 100_000,
     min_mean_word_len: float = 3.0,
@@ -91,11 +104,10 @@ def gopher_gates(
     max_ellipsis_frac: float = 0.3,
     min_alpha_frac: float = 0.8,
     min_stopword_hits: int = 2,
-) -> DataFrame:
-    """Gopher quality gates → one boolean per rule plus the conjunction.
-    Token-less docs fail the word-count gate and every ratio gate holds
-    vacuously (0-denominator fractions are defined as 0)."""
-    text = F.col(text_col)
+) -> tuple[dict[str, Column], Column]:
+    """The Gopher gate battery as reusable Column expressions over
+    ``text`` → ``({gate_name: bool_col}, n_words)`` — the composition
+    surface ``curation_funnel`` evaluates in one projection."""
     words = F.filter(F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+"),
                      lambda w: w != "")
     n_words = ws_token_count(text)
@@ -139,6 +151,28 @@ def gopher_gates(
         "gate_alpha_words": alpha_frac >= min_alpha_frac,
         "gate_stopwords": sw_hits >= min_stopword_hits,
     }
+    return gates, n_words
+
+
+def gopher_passes_expr(text: Column, **thresholds) -> Column:
+    """The Gopher conjunction as a single boolean Column."""
+    gates, _ = gopher_gate_exprs(text, **thresholds)
+    passes = None
+    for g in gates.values():
+        passes = g if passes is None else (passes & g)
+    return passes
+
+
+def gopher_gates(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    **thresholds,
+) -> DataFrame:
+    """Gopher quality gates → one boolean per rule plus the conjunction.
+    Token-less docs fail the word-count gate and every ratio gate holds
+    vacuously (0-denominator fractions are defined as 0)."""
+    gates, n_words = gopher_gate_exprs(F.col(text_col), **thresholds)
     passes = None
     for g in gates.values():
         passes = g if passes is None else (passes & g)

@@ -367,3 +367,80 @@ def survivors_by_score(
         df[id_col] == F.col("_loser"),
         "left_anti",
     )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    allowed_langs: tuple[str, ...] = ("en",),
+    fingerprint_col: str | None = None,
+    c4_kwargs: dict | None = None,
+    gopher_kwargs: dict | None = None,
+) -> DataFrame:
+    """The composed corpus-cleaning recipe (C4 → Gopher → language →
+    exact dedup) with per-document drop attribution: every doc gets the
+    FIRST stage that rejected it — ``'c4'`` | ``'gopher'`` | ``'lang'`` |
+    ``'exact_dup'`` — or ``'kept'``. This is the FineWeb/RedPajama
+    pipeline shape as ONE operator, so the funnel is auditable instead of
+    four opaque chained filters.
+
+    Plan: the three filter batteries are pure Column algebra evaluated in
+    a SINGLE projection (no per-battery DataFrame joins — ``c4_exprs`` /
+    ``gopher_passes_expr`` compose at expression level, one codegen span,
+    zero shuffles). The only Exchange is the dedup stage: one window over
+    the content fingerprint whose ``min`` is CONDITIONAL on having passed
+    the earlier stages (``min(when(passing, id))``), so dropped docs never
+    contend for survivorship and no join is needed. Dedup fingerprints by
+    ``fingerprint_col`` (default: md5 of the raw text column) — dedup is
+    on original content, not the C4-rewritten text.
+    """
+    from ..functions.cleaning import c4_exprs, gopher_passes_expr
+
+    text = F.col(text_col)
+    c4_kept = c4_exprs(text, **(c4_kwargs or {}))["kept"]
+    gopher_ok = gopher_passes_expr(text, **(gopher_kwargs or {}))
+    lang_ok = F.col(lang_col).isin(*allowed_langs)
+    fp = (
+        F.col(fingerprint_col)
+        if fingerprint_col
+        else F.md5(F.coalesce(text, F.lit("")))
+    )
+    staged = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        fp.alias("_fp"),
+        F.when(~c4_kept, F.lit("c4"))
+        .when(~gopher_ok, F.lit("gopher"))
+        .when(~lang_ok, F.lit("lang"))
+        .alias("_pre_stage"),
+    )
+    w = Window.partitionBy("_fp")
+    survivor = F.min(
+        F.when(F.col("_pre_stage").isNull(), F.col("doc_id"))
+    ).over(w)
+    return staged.select(
+        "doc_id",
+        F.coalesce(
+            F.col("_pre_stage"),
+            F.when(F.col("doc_id") != survivor, F.lit("exact_dup")),
+            F.lit("kept"),
+        ).alias("stage"),
+    )
+
+
+#: funnel stage ordering for the census (pipeline order, then 'kept')
+FUNNEL_STAGES = ("c4", "gopher", "lang", "exact_dup", "kept")
+
+
+def funnel_census(staged: DataFrame) -> DataFrame:
+    """Aggregate a ``curation_funnel`` attribution into the funnel view:
+    ``(stage, n_docs, share)`` — share of the whole corpus, one groupBy
+    over the per-doc stages plus a window sum over the ≤5-row census."""
+    census = staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return census.select(
+        "stage",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / total, 6).alias("share"),
+    )

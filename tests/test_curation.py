@@ -312,3 +312,70 @@ def test_survivors_by_score_multi_cluster(spark):
         for r in survivors_by_score(df, pairs, "doc_id", F.col("score")).collect()
     )
     assert got == [2, 10, 20]
+
+
+# ------------------------------------------------------------------ funnel
+
+_GOOD = (
+    "the quick brown fox jumps over the lazy dog and that sentence is long. "
+) * 12  # one long terminal-punctuated line, >50 words, clean
+
+
+def _funnel_df(spark, rows):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame([Row(doc_id=i, text=t, lang=l) for i, t, l in rows])
+
+
+def test_curation_funnel_first_failing_stage_attribution(spark):
+    from gbif_data_validator_spark.operators.curation import curation_funnel
+
+    rows = [
+        (1, _GOOD, "en"),                       # kept
+        (2, _GOOD + " lorem ipsum", "fr"),      # fails c4 AND lang -> 'c4'
+        (3, "too short.", "en"),                # passes c4? no: <3 sentences -> c4
+        (4, _GOOD, "de"),                       # only lang fails
+        (5, _GOOD, "en"),                       # exact dup of 1 (same text)
+    ]
+    got = {
+        r.doc_id: r.stage
+        for r in curation_funnel(_funnel_df(spark, rows)).collect()
+    }
+    assert got == {1: "kept", 2: "c4", 3: "c4", 4: "lang", 5: "exact_dup"}
+
+
+def test_curation_funnel_dedup_survivorship_is_conditional(spark):
+    """A doc whose lower-id twin FAILED an earlier stage must win
+    survivorship itself — dropped docs never contend."""
+    from gbif_data_validator_spark.operators.curation import curation_funnel
+
+    rows = [
+        (1, _GOOD, "zz"),   # same text, fails lang
+        (2, _GOOD, "en"),   # must be 'kept', NOT 'exact_dup' behind doc 1
+        (3, _GOOD, "en"),   # dup of 2
+    ]
+    got = {
+        r.doc_id: r.stage
+        for r in curation_funnel(_funnel_df(spark, rows)).collect()
+    }
+    assert got == {1: "lang", 2: "kept", 3: "exact_dup"}
+
+
+def test_curation_funnel_census_and_plan(spark):
+    from gbif_data_validator_spark.operators.curation import (
+        curation_funnel,
+        funnel_census,
+    )
+
+    rows = [(i, _GOOD if i % 2 else "x.", "en") for i in range(1, 11)]
+    staged = curation_funnel(_funnel_df(spark, rows))
+    census = funnel_census(staged)
+    out = {r.stage: (r.n_docs, r.share) for r in census.collect()}
+    assert out["c4"][0] == 5 and out["kept"][0] == 1 and out["exact_dup"][0] == 4
+    assert abs(sum(s for _, s in out.values()) - 1.0) < 1e-9
+    # plan: the three filter batteries are ONE projection — no Join
+    # anywhere, and the only data-sized Exchange is the dedup window's
+    # fingerprint hash partitioning
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
