@@ -2279,6 +2279,32 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_census(staged).orderBy("stage")
 
 
+#: agg_rules battery — Deequ hasMin/hasMax/hasMean/hasSum + GE row-count +
+#: freshness envelopes, mixed pass/fail on real lineitem aggregates
+#: (sf0.01: n=60000, min qty 1, max qty 50, mean qty 25.40225,
+#: sum price 3,183,256,271.63, max shipdate 2001-11-04)
+_AGG_RULES: list[tuple[str, str, str]] = [
+    ("l_quantity", "MIN_BETWEEN", "1..1"),
+    ("l_quantity", "MAX_BETWEEN", "1..49"),            # max is 50 → fail
+    ("l_quantity", "MEAN_BETWEEN", "20..30"),
+    ("l_extendedprice", "SUM_BETWEEN", "0..2000000000"),  # 3.18e9 → fail
+    ("*", "N_ROWS_BETWEEN", "1..100000000"),
+    ("l_shipdate", "FRESH_WITHIN", "2002-01-01 00:00:00|31536000"),  # ≤1y → pass
+    ("l_shipdate", "FRESH_WITHIN", "2005-01-01 00:00:00|86400"),     # stale → fail
+]
+
+
+def _q_agg_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregate-envelope rule kinds (Deequ hasMin/hasMax/hasMean/
+    hasSum, GE row-count, freshness-vs-pinned-now) in the SAME one-scan
+    battery as the counting kinds. MEAN/SUM sums accumulate in quantized
+    DECIMAL(38,0) (the correlation_exact discipline) so the verdicts
+    hash-check across engines and partitionings."""
+    from gbif_data_validator_spark.operators.constraints import verify_constraints
+
+    return verify_constraints(_tbl(spark, sf_dir, "lineitem"), _AGG_RULES)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2420,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_of_order": _q_out_of_order,
         "freshness": _q_freshness,
         "curation_funnel": _q_curation_funnel,
+        "agg_rules": _q_agg_rules,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -5142,5 +5169,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    round(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share
             FROM ded GROUP BY stage ORDER BY stage
+        """,
+        # agg_rules: the aggregate-envelope kinds — extrema round(6),
+        # MEAN/SUM from quantized HUGEINT sums (descale, divide, round —
+        # the same fixed operation order), freshness vs the pinned now
+        "agg_rules": """
+            WITH a AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     round(min(CAST(l_quantity AS DOUBLE)), 6) AS mn,
+                     round(max(CAST(l_quantity AS DOUBLE)), 6) AS mx,
+                     round((CAST(SUM(CAST(round(CAST(l_quantity AS DOUBLE) * 1e6) AS HUGEINT)) AS DOUBLE) / 1e6)
+                           / CAST(COUNT(l_quantity) AS DOUBLE), 6) AS mean_q,
+                     round(CAST(SUM(CAST(round(CAST(l_extendedprice AS DOUBLE) * 1e6) AS HUGEINT)) AS DOUBLE) / 1e6, 6) AS sum_p,
+                     epoch_us(max(l_shipdate)) AS ship_us
+              FROM lineitem
+            )
+            SELECT * FROM (
+              SELECT 'l_quantity' AS "column", 'MIN_BETWEEN' AS "constraint",
+                     '1..1' AS detail,
+                     CAST(CASE WHEN mn IS NULL OR mn BETWEEN 1 AND 1 THEN 0 ELSE 1 END AS BIGINT) AS n_violations,
+                     mn IS NULL OR mn BETWEEN 1 AND 1 AS passed FROM a
+              UNION ALL
+              SELECT 'l_quantity', 'MAX_BETWEEN', '1..49',
+                     CAST(CASE WHEN mx IS NULL OR mx BETWEEN 1 AND 49 THEN 0 ELSE 1 END AS BIGINT),
+                     mx IS NULL OR mx BETWEEN 1 AND 49 FROM a
+              UNION ALL
+              SELECT 'l_quantity', 'MEAN_BETWEEN', '20..30',
+                     CAST(CASE WHEN mean_q IS NULL OR mean_q BETWEEN 20 AND 30 THEN 0 ELSE 1 END AS BIGINT),
+                     mean_q IS NULL OR mean_q BETWEEN 20 AND 30 FROM a
+              UNION ALL
+              SELECT 'l_extendedprice', 'SUM_BETWEEN', '0..2000000000',
+                     CAST(CASE WHEN sum_p IS NULL OR sum_p BETWEEN 0 AND 2000000000 THEN 0 ELSE 1 END AS BIGINT),
+                     sum_p IS NULL OR sum_p BETWEEN 0 AND 2000000000 FROM a
+              UNION ALL
+              SELECT '*', 'N_ROWS_BETWEEN', '1..100000000',
+                     CAST(CASE WHEN n BETWEEN 1 AND 100000000 THEN 0 ELSE 1 END AS BIGINT),
+                     n BETWEEN 1 AND 100000000 FROM a
+              UNION ALL
+              SELECT 'l_shipdate', 'FRESH_WITHIN', '2002-01-01 00:00:00|31536000',
+                     CAST(CASE WHEN ship_us IS NOT NULL
+                               AND epoch_us(TIMESTAMP '2002-01-01 00:00:00') - ship_us <= 31536000000000
+                               THEN 0 ELSE 1 END AS BIGINT),
+                     ship_us IS NOT NULL
+                       AND epoch_us(TIMESTAMP '2002-01-01 00:00:00') - ship_us <= 31536000000000 FROM a
+              UNION ALL
+              SELECT 'l_shipdate', 'FRESH_WITHIN', '2005-01-01 00:00:00|86400',
+                     CAST(CASE WHEN ship_us IS NOT NULL
+                               AND epoch_us(TIMESTAMP '2005-01-01 00:00:00') - ship_us <= 86400000000
+                               THEN 0 ELSE 1 END AS BIGINT),
+                     ship_us IS NOT NULL
+                       AND epoch_us(TIMESTAMP '2005-01-01 00:00:00') - ship_us <= 86400000000 FROM a
+            ) ORDER BY "column", "constraint", detail
         """,
     }

@@ -158,6 +158,17 @@ def iqr_outlier_rows(
     )
 
 
+def _parse_fresh(detail: str) -> tuple[int, int]:
+    """FRESH_WITHIN detail ``"NOW_ISO|max_lag_seconds"`` → (now_us,
+    max_lag_us). The ISO instant is read as UTC (the engine's session
+    timezone), so the epoch both engines compute agrees."""
+    import datetime as _dt
+
+    now_s, lag_s = detail.rsplit("|", 1)
+    now = _dt.datetime.fromisoformat(now_s).replace(tzinfo=_dt.timezone.utc)
+    return int(now.timestamp() * 1_000_000), int(float(lag_s) * 1_000_000)
+
+
 def verify_constraints(
     df: DataFrame, constraints: list[tuple[str, str, str]]
 ) -> DataFrame:
@@ -200,6 +211,23 @@ def verify_constraints(
       passes vacuously; n_violations 0 or 1. Unlike UNIQUE and
       QUANTILE_BETWEEN the state is six bounded sums, so this kind also
       rides the grouped AND streaming faces.
+    - ``MIN_BETWEEN / MAX_BETWEEN lo..hi`` — Deequ hasMin/hasMax: the
+      exact extremum (round 6) must land in the closed envelope;
+      n_violations 0 or 1, all-NULL passes vacuously. Streamable.
+    - ``MEAN_BETWEEN / SUM_BETWEEN lo..hi`` — Deequ hasMean/hasSum with
+      the ``correlation_exact`` discipline: values quantize to 10^6-grain
+      DECIMAL(38,0) so the sum is exact and order-independent (a naive
+      double SUM drifts across partitionings and wouldn't hash-check);
+      all-NULL passes vacuously. Streamable.
+    - ``N_ROWS_BETWEEN lo..hi`` — table-level row-count envelope (GE
+      expect_table_row_count_to_be_between); the column field is
+      conventionally ``"*"``. Streamable.
+    - ``FRESH_WITHIN "NOW_ISO|max_lag_seconds"`` — the newest value of a
+      timestamp column must be within the lag budget of the
+      DETERMINISTIC 'now' the caller pins (no wall clock). Unlike every
+      other envelope kind an empty/all-NULL column FAILS — silence is
+      staleness, the exact condition a freshness rule exists to catch.
+      Streamable.
 
     Plan shape: every constraint compiles to one conditional aggregate in
     a single ``df.agg`` — one scan, no joins, no shuffles beyond the final
@@ -242,6 +270,32 @@ def verify_constraints(
                         (fn * sxy - sx * sy) / (var_x * var_y) ** 0.5, 6
                     )
             passed = observed is None or lo <= observed <= hi
+            viol = 0 if passed else 1
+        elif kind in ("MIN_BETWEEN", "MAX_BETWEEN"):
+            lo, hi = (float(v) for v in detail.split("..", 1))
+            observed = row[f"_a{i}"]
+            passed = observed is None or lo <= observed <= hi
+            viol = 0 if passed else 1
+        elif kind in ("MEAN_BETWEEN", "SUM_BETWEEN"):
+            lo, hi = (float(v) for v in detail.split("..", 1))
+            s_q = row[f"_s{i}"]
+            observed = None
+            if s_q is not None:
+                s = float(s_q) / 1e6
+                observed = round(
+                    s / float(row[f"_sc{i}"]) if kind == "MEAN_BETWEEN" else s, 6
+                )
+            passed = observed is None or lo <= observed <= hi
+            viol = 0 if passed else 1
+        elif kind == "N_ROWS_BETWEEN":
+            lo, hi = (float(v) for v in detail.split("..", 1))
+            passed = lo <= n <= hi
+            viol = 0 if passed else 1
+        elif kind == "FRESH_WITHIN":
+            now_us, max_lag_us = _parse_fresh(detail)
+            mx = row[f"_f{i}"]
+            # empty/all-NULL FAILS: silence is staleness
+            passed = mx is not None and (now_us - int(mx)) <= max_lag_us
             viol = 0 if passed else 1
         else:
             passed = viol == 0
@@ -595,6 +649,43 @@ def rule_agg_exprs(
             aggs.append(F.sum(yq * yq).alias(f"_cyy{i}"))
             aggs.append(F.sum(xq * yq).alias(f"_cxy{i}"))
             expr = F.lit(0)
+        elif kind in ("MIN_BETWEEN", "MAX_BETWEEN"):
+            # Deequ hasMin/hasMax: the exact extremum must land in the
+            # closed envelope; round(6) absorbs sub-ulp engine noise.
+            # Streamable: min/max are incremental aggregates.
+            fn = F.min if kind == "MIN_BETWEEN" else F.max
+            aggs.append(F.round(fn(c.cast("double")), 6).alias(f"_a{i}"))
+            expr = F.lit(0)
+        elif kind in ("MEAN_BETWEEN", "SUM_BETWEEN"):
+            # Deequ hasMean/hasSum via the correlation_exact discipline:
+            # values quantize to 10^6-grain DECIMAL(38,0) integers so the
+            # sum is exact, order-independent, and map-side combinable —
+            # a naive double SUM drifts in the low bits across
+            # partitionings and would not hash-check. Streamable.
+            grain = F.lit(1_000_000).cast("double")
+            vq = F.when(
+                c.isNotNull(), F.round(c.cast("double") * grain)
+            ).cast("decimal(38,0)")
+            aggs.append(F.sum(vq).alias(f"_s{i}"))
+            if kind == "MEAN_BETWEEN":
+                aggs.append(F.count(c).alias(f"_sc{i}"))
+            expr = F.lit(0)
+        elif kind == "N_ROWS_BETWEEN":
+            # table-level row-count envelope (GE expect_table_row_count):
+            # reads the battery's shared _n; the column field is
+            # conventionally '*'. Streamable.
+            expr = F.lit(0)
+        elif kind == "FRESH_WITHIN":
+            # detail "NOW_ISO|max_lag_seconds": the newest timestamp must
+            # be within the lag budget of the DETERMINISTIC 'now' the
+            # caller pins (no wall clock — reruns and engines agree).
+            # Unlike the other envelope kinds an empty/all-NULL column
+            # FAILS: silence is staleness — an empty window is exactly
+            # what a freshness rule exists to catch. Streamable.
+            aggs.append(
+                F.max(F.unix_micros(c.cast("timestamp"))).alias(f"_f{i}")
+            )
+            expr = F.lit(0)
         else:
             raise ValueError(f"unknown constraint kind: {kind!r}")
         aggs.append(expr.cast("long").alias(f"_v{i}"))
@@ -641,6 +732,36 @@ def rule_verdict_structs(
             # degenerate (zero variance / <2 pairs) passes vacuously, like
             # an all-NULL QUANTILE_BETWEEN column
             passed = obs.isNull() | ((obs >= F.lit(lo)) & (obs <= F.lit(hi)))
+            viol = F.when(passed, F.lit(0)).otherwise(F.lit(1)).cast("long")
+        elif kind in ("MIN_BETWEEN", "MAX_BETWEEN"):
+            lo, hi = (float(v) for v in detail.split("..", 1))
+            obs = F.col(f"_a{i}")
+            passed = obs.isNull() | ((obs >= F.lit(lo)) & (obs <= F.lit(hi)))
+            viol = F.when(passed, F.lit(0)).otherwise(F.lit(1)).cast("long")
+        elif kind in ("MEAN_BETWEEN", "SUM_BETWEEN"):
+            lo, hi = (float(v) for v in detail.split("..", 1))
+            # fixed operation order both engines replay: descale the
+            # quantized sum by 1e6 FIRST, then (for MEAN) divide by n,
+            # then round(6)
+            s = F.col(f"_s{i}").cast("double") / F.lit(1e6)
+            obs = (
+                F.round(s / F.col(f"_sc{i}").cast("double"), 6)
+                if kind == "MEAN_BETWEEN"
+                else F.round(s, 6)
+            )
+            passed = obs.isNull() | ((obs >= F.lit(lo)) & (obs <= F.lit(hi)))
+            viol = F.when(passed, F.lit(0)).otherwise(F.lit(1)).cast("long")
+        elif kind == "N_ROWS_BETWEEN":
+            lo, hi = (float(v) for v in detail.split("..", 1))
+            n = F.col("_n").cast("double")
+            passed = (n >= F.lit(lo)) & (n <= F.lit(hi))
+            viol = F.when(passed, F.lit(0)).otherwise(F.lit(1)).cast("long")
+        elif kind == "FRESH_WITHIN":
+            now_us, max_lag_us = _parse_fresh(detail)
+            obs = F.col(f"_f{i}")
+            passed = obs.isNotNull() & (
+                (F.lit(now_us) - obs) <= F.lit(max_lag_us)
+            )
             viol = F.when(passed, F.lit(0)).otherwise(F.lit(1)).cast("long")
         else:
             passed = viol == F.lit(0)

@@ -582,3 +582,120 @@ def test_null_pattern_census_empty_cols_raises(spark):
 
     with pytest.raises(ValueError, match="at least one column"):
         null_pattern_census(spark.createDataFrame([(1,)], "a int"), [])
+
+
+# ------------------------------------------------- aggregate-envelope kinds
+
+
+def test_agg_envelope_kinds_all_semantics(spark):
+    import datetime as dt
+
+    from gbif_data_validator_spark.operators.constraints import verify_constraints
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, dt.datetime(2024, 1, 1)),
+            (2, 20.0, dt.datetime(2024, 1, 2)),
+            (3, None, dt.datetime(2024, 1, 3)),
+        ],
+        "id long, v double, ts timestamp",
+    )
+    rules = [
+        ("v", "MIN_BETWEEN", "5..15"),
+        ("v", "MAX_BETWEEN", "0..15"),                        # max 20 → fail
+        ("v", "MEAN_BETWEEN", "14..16"),                      # mean 15
+        ("v", "SUM_BETWEEN", "29..31"),                       # sum 30
+        ("*", "N_ROWS_BETWEEN", "1..2"),                      # 3 rows → fail
+        ("ts", "FRESH_WITHIN", "2024-01-03 12:00:00|43200"),  # lag == budget
+        ("ts", "FRESH_WITHIN", "2024-01-05 00:00:00|3600"),   # stale → fail
+    ]
+    got = {
+        (r.constraint, r.detail): (r.n_violations, r.passed)
+        for r in verify_constraints(df, rules).collect()
+    }
+    assert got[("MIN_BETWEEN", "5..15")] == (0, True)
+    assert got[("MAX_BETWEEN", "0..15")] == (1, False)
+    assert got[("MEAN_BETWEEN", "14..16")] == (0, True)
+    assert got[("SUM_BETWEEN", "29..31")] == (0, True)
+    assert got[("N_ROWS_BETWEEN", "1..2")] == (1, False)
+    assert got[("FRESH_WITHIN", "2024-01-03 12:00:00|43200")] == (0, True)
+    assert got[("FRESH_WITHIN", "2024-01-05 00:00:00|3600")] == (1, False)
+
+
+def test_fresh_within_empty_fails_but_other_envelopes_pass_vacuously(spark):
+    from gbif_data_validator_spark.operators.constraints import verify_constraints
+
+    e = spark.createDataFrame([], "v double, ts timestamp")
+    got = {
+        r.constraint: r.passed
+        for r in verify_constraints(
+            e,
+            [
+                ("ts", "FRESH_WITHIN", "2024-01-01 00:00:00|60"),
+                ("v", "MIN_BETWEEN", "0..1"),
+                ("v", "MEAN_BETWEEN", "0..1"),
+                ("v", "SUM_BETWEEN", "0..1"),
+            ],
+        ).collect()
+    }
+    # silence is staleness; an aggregate over nothing has no claim to test
+    assert got == {
+        "FRESH_WITHIN": False,
+        "MIN_BETWEEN": True,
+        "MEAN_BETWEEN": True,
+        "SUM_BETWEEN": True,
+    }
+
+
+def test_mean_sum_partitioning_invariance(spark):
+    """The DECIMAL(38,0) quantized sums make MEAN/SUM verdicts (and their
+    round-6 observed values) identical under any partitioning — the
+    property a naive double SUM does not have."""
+    import random
+
+    from gbif_data_validator_spark.operators.constraints import verify_constraints
+
+    rng = random.Random(3)
+    rows = [(i, rng.uniform(-1000, 1000)) for i in range(5000)]
+    rules = [("v", "MEAN_BETWEEN", "-50..50"), ("v", "SUM_BETWEEN", "-1e9..1e9")]
+    outs = []
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(rows, "id long, v double").repartition(parts)
+        outs.append(
+            sorted(map(tuple, verify_constraints(df, rules).collect()))
+        )
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_agg_envelope_kinds_grouped_and_streaming_faces(spark):
+    from gbif_data_validator_spark.operators.constraints import (
+        rule_agg_exprs,
+        verify_constraints_by,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 100.0)], "g string, v double"
+    )
+    rules = [("v", "MAX_BETWEEN", "0..50"), ("*", "N_ROWS_BETWEEN", "2..9")]
+    got = {
+        (r.g, r.constraint): r.passed
+        for r in verify_constraints_by(df, rules, ["g"]).collect()
+    }
+    assert got == {
+        ("a", "MAX_BETWEEN"): True,
+        ("a", "N_ROWS_BETWEEN"): True,
+        ("b", "MAX_BETWEEN"): False,
+        ("b", "N_ROWS_BETWEEN"): False,
+    }
+    # every envelope kind is streaming-legal (incremental aggregates)
+    rule_agg_exprs(
+        [
+            ("v", "MIN_BETWEEN", "0..1"),
+            ("v", "MAX_BETWEEN", "0..1"),
+            ("v", "MEAN_BETWEEN", "0..1"),
+            ("v", "SUM_BETWEEN", "0..1"),
+            ("*", "N_ROWS_BETWEEN", "0..1"),
+            ("ts", "FRESH_WITHIN", "2024-01-01 00:00:00|60"),
+        ],
+        streaming=True,
+    )
