@@ -2305,6 +2305,24 @@ def _q_agg_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_constraints(_tbl(spark, sf_dir, "lineitem"), _AGG_RULES)
 
 
+#: key-discovery search space over orders (10 combos at arity ≤ 2):
+#: o_orderkey is the one true minimal key; every pair containing it is a
+#: key but not minimal; nothing else reaches n_distinct == n
+_KEY_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def _q_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-column-combination discovery (Deequ KeyDiscovery / HyUCC,
+    bounded): every arity-≤2 combo's exact distinct count in ONE
+    aggregation scan, keys and MINIMAL keys flagged. The oracle replays
+    the counts and the fixed subset lattice."""
+    from gbif_data_validator_spark.operators.constraints import candidate_keys
+
+    return candidate_keys(
+        _tbl(spark, sf_dir, "orders"), list(_KEY_COLS), max_arity=2
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2447,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness": _q_freshness,
         "curation_funnel": _q_curation_funnel,
         "agg_rules": _q_agg_rules,
+        "key_discovery": _q_key_discovery,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -5220,5 +5239,52 @@ def oracle_sql() -> dict[str, str]:
                      ship_us IS NOT NULL
                        AND epoch_us(TIMESTAMP '2005-01-01 00:00:00') - ship_us <= 86400000000 FROM a
             ) ORDER BY "column", "constraint", detail
+        """,
+        # key_discovery: exact distinct per combo (struct-distinct wrapped
+        # in an any-NULL guard to mirror Spark's multi-column COUNT
+        # DISTINCT semantics) + the fixed arity-2 subset lattice
+        "key_discovery": """
+            WITH a AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     COUNT(DISTINCT o_orderkey) AS d_ok,
+                     COUNT(DISTINCT o_custkey) AS d_ck,
+                     COUNT(DISTINCT o_orderstatus) AS d_os,
+                     COUNT(DISTINCT o_orderpriority) AS d_op,
+                     COUNT(DISTINCT CASE WHEN o_orderkey IS NOT NULL AND o_custkey IS NOT NULL THEN ROW(o_orderkey, o_custkey) END) AS d_ok_ck,
+                     COUNT(DISTINCT CASE WHEN o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL THEN ROW(o_orderkey, o_orderstatus) END) AS d_ok_os,
+                     COUNT(DISTINCT CASE WHEN o_orderkey IS NOT NULL AND o_orderpriority IS NOT NULL THEN ROW(o_orderkey, o_orderpriority) END) AS d_ok_op,
+                     COUNT(DISTINCT CASE WHEN o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL THEN ROW(o_custkey, o_orderstatus) END) AS d_ck_os,
+                     COUNT(DISTINCT CASE WHEN o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL THEN ROW(o_custkey, o_orderpriority) END) AS d_ck_op,
+                     COUNT(DISTINCT CASE WHEN o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL THEN ROW(o_orderstatus, o_orderpriority) END) AS d_os_op
+              FROM orders
+            )
+            SELECT * FROM (
+              SELECT 'o_orderkey' AS combo, 1 AS arity, n AS n_rows, d_ok AS n_distinct,
+                     d_ok = n AS is_key, d_ok = n AS is_minimal_key FROM a
+              UNION ALL
+              SELECT 'o_custkey', 1, n, d_ck, d_ck = n, d_ck = n FROM a
+              UNION ALL
+              SELECT 'o_orderstatus', 1, n, d_os, d_os = n, d_os = n FROM a
+              UNION ALL
+              SELECT 'o_orderpriority', 1, n, d_op, d_op = n, d_op = n FROM a
+              UNION ALL
+              SELECT 'o_orderkey,o_custkey', 2, n, d_ok_ck, d_ok_ck = n,
+                     (d_ok_ck = n) AND NOT (d_ok = n OR d_ck = n) FROM a
+              UNION ALL
+              SELECT 'o_orderkey,o_orderstatus', 2, n, d_ok_os, d_ok_os = n,
+                     (d_ok_os = n) AND NOT (d_ok = n OR d_os = n) FROM a
+              UNION ALL
+              SELECT 'o_orderkey,o_orderpriority', 2, n, d_ok_op, d_ok_op = n,
+                     (d_ok_op = n) AND NOT (d_ok = n OR d_op = n) FROM a
+              UNION ALL
+              SELECT 'o_custkey,o_orderstatus', 2, n, d_ck_os, d_ck_os = n,
+                     (d_ck_os = n) AND NOT (d_ck = n OR d_os = n) FROM a
+              UNION ALL
+              SELECT 'o_custkey,o_orderpriority', 2, n, d_ck_op, d_ck_op = n,
+                     (d_ck_op = n) AND NOT (d_ck = n OR d_op = n) FROM a
+              UNION ALL
+              SELECT 'o_orderstatus,o_orderpriority', 2, n, d_os_op, d_os_op = n,
+                     (d_os_op = n) AND NOT (d_os = n OR d_op = n) FROM a
+            ) ORDER BY arity, combo
         """,
     }

@@ -988,3 +988,111 @@ def dtype_census(df: DataFrame, col: str) -> DataFrame:
         "n_rows", "n_null", "n_boolean", "n_integral", "n_fractional",
         "n_string", inferred.alias("inferred"),
     )
+
+
+#: refuse to enumerate more column combinations than this in one scan —
+#: C(k, ≤arity) grows fast and each exact distinct multiplies the
+#: aggregation's Expand factor; raise the cap consciously, not by accident
+MAX_KEY_COMBOS = 200
+
+
+def candidate_keys(
+    df: DataFrame,
+    cols: list[str],
+    max_arity: int = 2,
+    exact: bool = True,
+    approx_margin: float = 0.1,
+) -> DataFrame:
+    """Unique-column-combination discovery (the Deequ KeyDiscovery /
+    HyUCC problem, bounded): which combinations of ``cols`` up to
+    ``max_arity`` uniquely identify every row →
+    ``(combo, arity, n_rows, n_distinct, is_key, is_minimal_key)``.
+
+    A combo is a key when its distinct count equals the table's row count
+    under ``COUNT(DISTINCT …)`` semantics (rows with a NULL in any combo
+    column are excluded from distinctness, so a key is implicitly
+    NULL-free — uniqueness and completeness in one test, matching the
+    engine's RECORD_NOT_UNIQUELY_IDENTIFIED discipline). ``is_minimal_key``
+    prunes supersets: a key none of whose proper sub-combos (within the
+    searched set) is itself a key — the combos worth declaring.
+
+    Plan: ``exact=True`` evaluates every combo's exact ``countDistinct``
+    in ONE aggregation scan (Spark's Expand multiplies the scan by the
+    number of distinct groups — fine for tens of combos, and the oracle
+    path). ``exact=False`` is the 100 TB shape: pass 1 is one scan of
+    ``approx_count_distinct`` per combo (constant sketch state, NO
+    Expand); only combos whose estimate reaches ``(1 - approx_margin) ×
+    n_rows`` get an exact confirming ``countDistinct`` each — HLL error
+    is ~2%, so a true key survives a 10% margin with huge headroom, and
+    non-candidates never pay the exact-distinct shuffle. Both modes
+    return identical results (pytest-pinned). The combo count is capped
+    at ``MAX_KEY_COMBOS`` — loudly."""
+    from itertools import combinations
+
+    if not cols:
+        raise ValueError("candidate_keys: cols must be non-empty")
+    if max_arity < 1:
+        raise ValueError(f"candidate_keys: max_arity must be >= 1, got {max_arity}")
+    combos: list[tuple[str, ...]] = []
+    for r in range(1, min(max_arity, len(cols)) + 1):
+        combos.extend(combinations(cols, r))
+    if len(combos) > MAX_KEY_COMBOS:
+        raise ValueError(
+            f"candidate_keys: {len(combos)} combinations exceed "
+            f"MAX_KEY_COMBOS={MAX_KEY_COMBOS}; narrow cols or max_arity "
+            f"(or raise the cap consciously)"
+        )
+
+    spark: SparkSession = df.sparkSession
+    if exact:
+        row = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.countDistinct(*[F.col(c) for c in combo]).alias(f"_d{i}")
+                for i, combo in enumerate(combos)
+            ],
+        ).first()
+        n = int(row["_n"])
+        dcounts = [int(row[f"_d{i}"]) for i in range(len(combos))]
+    else:
+        row = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.approx_count_distinct(F.struct(*[F.col(c) for c in combo]))
+                .alias(f"_d{i}")
+                for i, combo in enumerate(combos)
+            ],
+        ).first()
+        n = int(row["_n"])
+        bar = (1.0 - approx_margin) * n
+        dcounts = []
+        for i, combo in enumerate(combos):
+            if int(row[f"_d{i}"]) >= bar:
+                # exact confirm, one bounded agg per surviving candidate
+                dcounts.append(
+                    int(
+                        df.agg(
+                            F.countDistinct(*[F.col(c) for c in combo])
+                        ).first()[0]
+                    )
+                )
+            else:
+                # proven non-key by the sketch's error bound; report the
+                # estimate, flagged non-key
+                dcounts.append(int(row[f"_d{i}"]))
+
+    keys = {combo for combo, d in zip(combos, dcounts) if n > 0 and d == n}
+    out = []
+    for combo, d in zip(combos, dcounts):
+        is_key = combo in keys
+        minimal = is_key and not any(
+            sub in keys
+            for r in range(1, len(combo))
+            for sub in combinations(combo, r)
+        )
+        out.append((",".join(combo), len(combo), n, d, is_key, minimal))
+    return spark.createDataFrame(
+        out,
+        "combo string, arity int, n_rows long, n_distinct long, "
+        "is_key boolean, is_minimal_key boolean",
+    ).orderBy("arity", "combo")

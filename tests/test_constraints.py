@@ -699,3 +699,88 @@ def test_agg_envelope_kinds_grouped_and_streaming_faces(spark):
         ],
         streaming=True,
     )
+
+
+# ------------------------------------------------------------ key discovery
+
+
+def test_candidate_keys_exact_and_approx_agree(spark):
+    from gbif_data_validator_spark.operators.constraints import candidate_keys
+
+    rows = [(i, i % 10, f"s{i % 3}", i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "a long, b long, c string, d long")
+    exact = sorted(map(tuple, candidate_keys(df, ["a", "b", "c", "d"]).collect()))
+    approx = sorted(
+        map(tuple, candidate_keys(df, ["a", "b", "c", "d"], exact=False).collect())
+    )
+    # keys/minimality identical; non-candidate estimates may differ from
+    # exact counts, so compare the decision columns everywhere and the
+    # counts on key rows only
+    assert [(r[0], r[1], r[2], r[4], r[5]) for r in exact] == [
+        (r[0], r[1], r[2], r[4], r[5]) for r in approx
+    ]
+    assert [r for r in exact if r[4]] == [r for r in approx if r[4]]
+    keys = {r[0] for r in exact if r[4]}
+    minimal = {r[0] for r in exact if r[5]}
+    # a and d are both keys (d == i); every pair containing one is a key
+    assert minimal == {"a", "d"}
+    assert "a,b" in keys and "b,c" not in keys
+
+
+def test_candidate_keys_null_rows_break_uniqueness(spark):
+    from gbif_data_validator_spark.operators.constraints import candidate_keys
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "a long"
+    )
+    r = candidate_keys(df, ["a"], max_arity=1).collect()[0]
+    # COUNT DISTINCT drops the NULL row: 2 < 3 -> completeness is part of
+    # being a key
+    assert (r.n_rows, r.n_distinct, r.is_key) == (3, 2, False)
+
+
+def test_candidate_keys_guards(spark):
+    import pytest as _pytest
+
+    from gbif_data_validator_spark.operators.constraints import candidate_keys
+
+    df = spark.createDataFrame([(1,)], "a long")
+    with _pytest.raises(ValueError, match="non-empty"):
+        candidate_keys(df, [])
+    with _pytest.raises(ValueError, match="max_arity"):
+        candidate_keys(df, ["a"], max_arity=0)
+    wide = spark.createDataFrame([tuple(range(25))], ", ".join(f"c{i} long" for i in range(25)))
+    with _pytest.raises(ValueError, match="MAX_KEY_COMBOS"):
+        candidate_keys(wide, [f"c{i}" for i in range(25)], max_arity=2)
+
+
+def test_candidate_keys_approx_avoids_expand(spark):
+    """The scale path's pass-1 plan must contain no Expand operator (the
+    exact multi-distinct cost multiplier)."""
+    from pyspark.sql import functions as F
+
+    from gbif_data_validator_spark.operators.constraints import candidate_keys
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b")
+    )
+    # exact mode: Expand is expected (documented); approx pass 1 must not
+    # have it. We can't introspect the internal agg directly, so assert on
+    # equivalent plans built the same way.
+    exact_plan = (
+        df.agg(F.countDistinct("a"), F.countDistinct("b"), F.countDistinct("a", "b"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    approx_plan = (
+        df.agg(
+            F.approx_count_distinct(F.struct("a")),
+            F.approx_count_distinct(F.struct("b")),
+            F.approx_count_distinct(F.struct("a", "b")),
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan and "Expand" not in approx_plan
+    # and the operator's two modes agree end-to-end on this table
+    e = sorted(map(tuple, candidate_keys(df, ["a", "b"]).collect()))
+    x = sorted(map(tuple, candidate_keys(df, ["a", "b"], exact=False).collect()))
+    assert [(r[0], r[4], r[5]) for r in e] == [(r[0], r[4], r[5]) for r in x]
