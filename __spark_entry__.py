@@ -2291,6 +2291,8 @@ _AGG_RULES: list[tuple[str, str, str]] = [
     ("*", "N_ROWS_BETWEEN", "1..100000000"),
     ("l_shipdate", "FRESH_WITHIN", "2002-01-01 00:00:00|31536000"),  # ≤1y → pass
     ("l_shipdate", "FRESH_WITHIN", "2005-01-01 00:00:00|86400"),     # stale → fail
+    ("*", "COMPLIANCE_GE", "l_discount <= 0.08|0.8"),   # 0.8527 ≥ 0.8 → pass
+    ("l_orderkey", "UNIQUE_RATIO_GE", "0.5"),           # 0.2457 < 0.5 → fail
 ]
 
 
@@ -5200,7 +5202,11 @@ def oracle_sql() -> dict[str, str]:
                      round((CAST(SUM(CAST(round(CAST(l_quantity AS DOUBLE) * 1e6) AS HUGEINT)) AS DOUBLE) / 1e6)
                            / CAST(COUNT(l_quantity) AS DOUBLE), 6) AS mean_q,
                      round(CAST(SUM(CAST(round(CAST(l_extendedprice AS DOUBLE) * 1e6) AS HUGEINT)) AS DOUBLE) / 1e6, 6) AS sum_p,
-                     epoch_us(max(l_shipdate)) AS ship_us
+                     epoch_us(max(l_shipdate)) AS ship_us,
+                     CAST(COUNT(CASE WHEN NOT COALESCE(l_discount <= 0.08, FALSE) THEN 1 END) AS BIGINT) AS disc_bad,
+                     COUNT(DISTINCT l_orderkey) AS ok_d,
+                     COUNT(l_orderkey) AS ok_nn,
+                     CAST(COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) AS BIGINT) AS ok_dups
               FROM lineitem
             )
             SELECT * FROM (
@@ -5238,6 +5244,17 @@ def oracle_sql() -> dict[str, str]:
                                THEN 0 ELSE 1 END AS BIGINT),
                      ship_us IS NOT NULL
                        AND epoch_us(TIMESTAMP '2005-01-01 00:00:00') - ship_us <= 86400000000 FROM a
+              UNION ALL
+              SELECT '*', 'COMPLIANCE_GE', 'l_discount <= 0.08|0.8',
+                     disc_bad,
+                     CASE WHEN n > 0 THEN round((n - disc_bad) / n, 6) >= 0.8
+                          ELSE TRUE END FROM a
+              UNION ALL
+              SELECT 'l_orderkey', 'UNIQUE_RATIO_GE', '0.5',
+                     ok_dups,
+                     CASE WHEN ok_nn > 0
+                          THEN round(CAST(ok_d AS DOUBLE) / ok_nn, 6) >= 0.5
+                          ELSE TRUE END FROM a
             ) ORDER BY "column", "constraint", detail
         """,
         # key_discovery: exact distinct per combo (struct-distinct wrapped

@@ -228,6 +228,14 @@ def verify_constraints(
       other envelope kind an empty/all-NULL column FAILS — silence is
       staleness, the exact condition a freshness rule exists to catch.
       Streamable.
+    - ``COMPLIANCE_GE "SQL_predicate|p"`` — Deequ Compliance: the
+      fraction of rows satisfying the predicate must reach ``p``; NULL
+      predicate results count as non-compliant; n_violations = the
+      non-compliant rows. The column field is descriptive ('*' by
+      convention). Streamable.
+    - ``UNIQUE_RATIO_GE p`` — Deequ uniqueValueRatio: distinct/non-null
+      must reach ``p``; n_violations stays the UNIQUE-style extra
+      duplicate count. NOT streamable (exact distinct).
 
     Plan shape: every constraint compiles to one conditional aggregate in
     a single ``df.agg`` — one scan, no joins, no shuffles beyond the final
@@ -297,6 +305,15 @@ def verify_constraints(
             # empty/all-NULL FAILS: silence is staleness
             passed = mx is not None and (now_us - int(mx)) <= max_lag_us
             viol = 0 if passed else 1
+        elif kind == "COMPLIANCE_GE":
+            p = float(detail.rsplit("|", 1)[1])
+            ratio = round((n - viol) / n, 6) if n else 1.0
+            passed = ratio >= p
+        elif kind == "UNIQUE_RATIO_GE":
+            p = float(detail)
+            un = int(row[f"_un{i}"])
+            ratio = round(int(row[f"_ud{i}"]) / un, 6) if un else 1.0
+            passed = ratio >= p
         else:
             passed = viol == 0
         out.append((col, kind, detail, viol, passed))
@@ -686,6 +703,28 @@ def rule_agg_exprs(
                 F.max(F.unix_micros(c.cast("timestamp"))).alias(f"_f{i}")
             )
             expr = F.lit(0)
+        elif kind == "COMPLIANCE_GE":
+            # Deequ Compliance: detail "SQL_predicate|p" — the fraction of
+            # rows satisfying the predicate must reach p; a NULL predicate
+            # result counts as non-compliant (ANSI three-valued logic
+            # collapsed the way Deequ's `where` does). The column field is
+            # descriptive only ('*' by convention). Streamable.
+            pred, _p = detail.rsplit("|", 1)
+            expr = F.count(
+                F.when(~F.coalesce(F.expr(pred), F.lit(False)), F.lit(1))
+            )
+        elif kind == "UNIQUE_RATIO_GE":
+            if streaming:
+                raise ValueError(
+                    "constraint kind 'UNIQUE_RATIO_GE' is not streamable "
+                    "(exact distinct state is unbounded per window); use "
+                    "the batch battery"
+                )
+            # Deequ uniqueValueRatio: distinct/non-null must reach p;
+            # n_violations stays the UNIQUE-style extra-duplicate count
+            aggs.append(F.countDistinct(c).alias(f"_ud{i}"))
+            aggs.append(F.count(c).alias(f"_un{i}"))
+            expr = F.count(c) - F.countDistinct(c)
         else:
             raise ValueError(f"unknown constraint kind: {kind!r}")
         aggs.append(expr.cast("long").alias(f"_v{i}"))
@@ -763,6 +802,20 @@ def rule_verdict_structs(
                 (F.lit(now_us) - obs) <= F.lit(max_lag_us)
             )
             viol = F.when(passed, F.lit(0)).otherwise(F.lit(1)).cast("long")
+        elif kind == "COMPLIANCE_GE":
+            p = float(detail.rsplit("|", 1)[1])
+            ratio = F.when(
+                F.col("_n") > 0,
+                F.round((F.col("_n") - viol) / F.col("_n"), 6),
+            ).otherwise(F.lit(1.0))
+            passed = ratio >= F.lit(p)
+        elif kind == "UNIQUE_RATIO_GE":
+            p = float(detail)
+            ratio = F.when(
+                F.col(f"_un{i}") > 0,
+                F.round(F.col(f"_ud{i}") / F.col(f"_un{i}"), 6),
+            ).otherwise(F.lit(1.0))
+            passed = ratio >= F.lit(p)
         else:
             passed = viol == F.lit(0)
         verdicts.append(

@@ -784,3 +784,45 @@ def test_candidate_keys_approx_avoids_expand(spark):
     e = sorted(map(tuple, candidate_keys(df, ["a", "b"]).collect()))
     x = sorted(map(tuple, candidate_keys(df, ["a", "b"], exact=False).collect()))
     assert [(r[0], r[4], r[5]) for r in e] == [(r[0], r[4], r[5]) for r in x]
+
+
+def test_compliance_and_unique_ratio_kinds(spark):
+    from gbif_data_validator_spark.operators.constraints import (
+        rule_agg_exprs,
+        verify_constraints,
+        verify_constraints_by,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, 5.0), (1, None)], "k long, v double"
+    )
+    rules = [
+        ("*", "COMPLIANCE_GE", "v < 10|0.5"),   # 2/4 compliant (NULL fails)
+        ("*", "COMPLIANCE_GE", "v < 10|0.6"),   # 0.5 < 0.6 → fail
+        ("k", "UNIQUE_RATIO_GE", "0.7"),        # 3 distinct / 4 = 0.75
+        ("k", "UNIQUE_RATIO_GE", "0.8"),        # fail; n_violations = dups
+    ]
+    got = {
+        (r.constraint, r.detail): (r.n_violations, r.passed)
+        for r in verify_constraints(df, rules).collect()
+    }
+    assert got[("COMPLIANCE_GE", "v < 10|0.5")] == (2, True)
+    assert got[("COMPLIANCE_GE", "v < 10|0.6")] == (2, False)
+    assert got[("UNIQUE_RATIO_GE", "0.7")] == (1, True)
+    assert got[("UNIQUE_RATIO_GE", "0.8")] == (1, False)
+    # grouped face carries both kinds; streaming accepts COMPLIANCE_GE
+    # and rejects UNIQUE_RATIO_GE like the other distinct-state kinds
+    g = {
+        (r.k2, r.constraint): r.passed
+        for r in verify_constraints_by(
+            df.withColumn("k2", df.k % 2),
+            [("*", "COMPLIANCE_GE", "v < 10|0.5")],
+            ["k2"],
+        ).collect()
+    }
+    assert set(g) == {(0, "COMPLIANCE_GE"), (1, "COMPLIANCE_GE")}
+    rule_agg_exprs([("*", "COMPLIANCE_GE", "v < 10|0.5")], streaming=True)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not streamable"):
+        rule_agg_exprs([("k", "UNIQUE_RATIO_GE", "0.5")], streaming=True)
