@@ -229,3 +229,47 @@ def test_stream_rule_verdicts_reject_unstreamable_kinds(spark, pages_stream_dir)
         vs.stream_rule_verdicts(stream, [("url", "UNIQUE", "")])
     with pytest.raises(ValueError, match="not streamable"):
         vs.stream_rule_verdicts(stream, [("warc_ts", "QUANTILE_BETWEEN", "0.5:0..1")])
+
+
+def test_stream_envelope_rule_kinds_match_batch(spark, pages_stream_dir):
+    # the round-3 aggregate-envelope kinds ride the streaming face with
+    # verdicts identical to the batch grouped battery — incl. MEAN/SUM's
+    # quantized-decimal sums and FRESH_WITHIN's pinned deterministic now
+    from gbif_data_validator_spark.operators.constraints import verify_constraints_by
+
+    rules = [
+        ("text_len", "MIN_BETWEEN", "0..10"),
+        ("text_len", "MAX_BETWEEN", "0..100000"),
+        ("text_len", "MEAN_BETWEEN", "1..10000"),
+        ("text_len", "SUM_BETWEEN", "1..1e12"),
+        ("*", "N_ROWS_BETWEEN", "1..1000000"),
+        ("warc_ts", "FRESH_WITHIN", "2020-01-01 00:00:00|864000"),
+        ("*", "COMPLIANCE_GE", "text_len >= 0|0.5"),
+    ]
+    stream = vs.read_pages_stream(
+        spark, pages_stream_dir, max_files_per_trigger=2
+    ).withColumn("text_len", F.length("text"))
+    vs.run_stream_once(
+        vs.stream_rule_verdicts(
+            stream, rules, window_duration="30 days", watermark="36500 days"
+        ),
+        "env_rule_stream",
+        output_mode="complete",
+    )
+    got = {
+        (str(r.window_start), r.constraint, r.detail): (r.n_violations, r.passed)
+        for r in spark.sql("SELECT * FROM env_rule_stream").collect()
+    }
+    batch = (
+        spark.read.parquet(pages_stream_dir)
+        .withColumn("text_len", F.length("text"))
+        .withColumn("_w", F.window(F.col("warc_ts"), "30 days")["start"])
+    )
+    expect = {
+        (str(r._w), r.constraint, r.detail): (r.n_violations, r.passed)
+        for r in verify_constraints_by(batch, rules, ["_w"]).collect()
+    }
+    assert got == expect and len(got) > 0
+    # freshness discriminates: only windows near the pinned now pass
+    fresh = [v[1] for (w, c, d), v in got.items() if c == "FRESH_WITHIN"]
+    assert any(fresh) != all(fresh) or len(fresh) == 1
