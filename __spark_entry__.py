@@ -2325,6 +2325,26 @@ def _q_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lang_script_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-language vs observed-writing-system cross-check: the
+    corpus is Latin word soup with langs assigned independently, so every
+    zh-labeled doc would mismatch; consistency is planted in-query
+    (zh docs with even doc_id get genuinely CJK-dominant text, which both
+    engines replay) so the check discriminates instead of blanket-firing."""
+    from gbif_data_validator_spark.operators.record_checks import (
+        lang_script_mismatch,
+    )
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    t2 = F.when(
+        (F.col("lang") == "zh") & (F.col("doc_id") % 2 == 0),
+        F.lit("中文网页测试 " * 40),
+    ).otherwise(F.col("text"))
+    return lang_script_mismatch(
+        d.select("doc_id", "lang", t2.alias("text")), id_cols=["doc_id"]
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2468,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": _q_curation_funnel,
         "agg_rules": _q_agg_rules,
         "key_discovery": _q_key_discovery,
+        "lang_script_check": _q_lang_script_check,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -5303,5 +5324,61 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'o_orderstatus,o_orderpriority', 2, n, d_os_op, d_os_op = n,
                      (d_os_op = n) AND NOT (d_os = n OR d_op = n) FROM a
             ) ORDER BY arity, combo
+        """,
+        # lang_script_check: same planted CJK rewrite, same
+        # strip-and-measure counts and argmax tie-break as script_census,
+        # then the LANG_SCRIPTS consistency map unrolled
+        "lang_script_check": r"""
+            WITH d AS (
+              SELECT doc_id, lang,
+                     CASE WHEN lang = 'zh' AND doc_id % 2 = 0
+                          THEN repeat('中文网页测试 ', 40)
+                          ELSE text END AS t
+              FROM documents WHERE text IS NOT NULL
+            ),
+            c AS (
+              SELECT doc_id, lang,
+              length(regexp_replace(t, '[^\x{0600}-\x{06FF}]', '', 'g')) AS n_arabic,
+              length(regexp_replace(t, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS n_cjk,
+              length(regexp_replace(t, '[^\x{0400}-\x{04FF}]', '', 'g')) AS n_cyrillic,
+              length(regexp_replace(t, '[^\x{0900}-\x{097F}]', '', 'g')) AS n_devanagari,
+              length(regexp_replace(t, '[^\x{0370}-\x{03FF}]', '', 'g')) AS n_greek,
+              length(regexp_replace(t, '[^\x{AC00}-\x{D7AF}]', '', 'g')) AS n_hangul,
+              length(regexp_replace(t, '[^\x{0590}-\x{05FF}]', '', 'g')) AS n_hebrew,
+              length(regexp_replace(t, '[^\x{3040}-\x{30FF}]', '', 'g')) AS n_kana,
+              length(regexp_replace(t, '[^A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS n_latin
+              FROM d
+            ),
+            m AS (
+              SELECT doc_id, lang,
+                     list_max([struct_pack(n := n_arabic, s := 'arabic'),
+                               struct_pack(n := n_cjk, s := 'cjk'),
+                               struct_pack(n := n_cyrillic, s := 'cyrillic'),
+                               struct_pack(n := n_devanagari, s := 'devanagari'),
+                               struct_pack(n := n_greek, s := 'greek'),
+                               struct_pack(n := n_hangul, s := 'hangul'),
+                               struct_pack(n := n_hebrew, s := 'hebrew'),
+                               struct_pack(n := n_kana, s := 'kana'),
+                               struct_pack(n := n_latin, s := 'latin')]) AS mx
+              FROM c
+            ),
+            dm AS (
+              SELECT doc_id, lang,
+                     CASE WHEN mx['n'] > 0 THEN mx['s'] ELSE 'und' END AS dominant
+              FROM m
+            )
+            SELECT doc_id, lang, dominant AS dominant_script FROM dm
+            WHERE dominant <> 'und' AND (
+                 (lang IN ('en','de','fr','es','pt','it','nl','tr') AND dominant <> 'latin')
+              OR (lang IN ('ru','uk','bg') AND dominant <> 'cyrillic')
+              OR (lang = 'zh' AND dominant <> 'cjk')
+              OR (lang = 'ja' AND dominant NOT IN ('kana','cjk'))
+              OR (lang = 'ko' AND dominant <> 'hangul')
+              OR (lang IN ('ar','fa') AND dominant <> 'arabic')
+              OR (lang = 'he' AND dominant <> 'hebrew')
+              OR (lang = 'el' AND dominant <> 'greek')
+              OR (lang = 'hi' AND dominant <> 'devanagari')
+            )
+            ORDER BY doc_id
         """,
     }

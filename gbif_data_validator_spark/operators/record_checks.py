@@ -210,3 +210,71 @@ def run_record_checks(
             "partition_id",
         )
     )
+
+
+#: ISO-639 language → writing system(s) whose dominance is CONSISTENT with
+#: the declaration. Latin-script languages share one entry; ja allows both
+#: kana and cjk (kanji-heavy pages). Languages not in the map are never
+#: flagged — no claim, no check.
+LANG_SCRIPTS: dict[str, tuple[str, ...]] = {
+    "en": ("latin",), "de": ("latin",), "fr": ("latin",), "es": ("latin",),
+    "pt": ("latin",), "it": ("latin",), "nl": ("latin",), "tr": ("latin",),
+    "ru": ("cyrillic",), "uk": ("cyrillic",), "bg": ("cyrillic",),
+    "zh": ("cjk",), "ja": ("kana", "cjk"), "ko": ("hangul",),
+    "ar": ("arabic",), "fa": ("arabic",), "he": ("hebrew",),
+    "el": ("greek",), "hi": ("devanagari",),
+}
+
+
+def lang_script_mismatch(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cross-field consistency between the DECLARED language and the
+    OBSERVED writing system: rows whose ``lang_col`` claims a language in
+    ``LANG_SCRIPTS`` while the text's dominant Unicode script is neither
+    an allowed script for that language nor ``'und'`` (no script
+    characters at all — that is a completeness finding, not a script
+    disagreement). The webtext analog of the reference's cross-field
+    record-interpretation checks (country-vs-coordinates family,
+    evaluator/record/OccurrenceInterpretationEvaluator.java) — metadata
+    that contradicts content is the finding.
+
+    Output: ``(*id_cols, lang, dominant_script)``. Pure Column algebra
+    over ``dominant_script`` (strip-and-measure regex counts + one argmax
+    over a 9-struct array) — zero shuffles, zero UDFs, whole-stage
+    codegen; linear scan at any table size."""
+    from ..functions.textstats import dominant_script
+
+    lang = F.col(lang_col)
+    dom = dominant_script(F.col(text_col))
+    checkable = lang.isin(*LANG_SCRIPTS.keys())
+    allowed = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in LANG_SCRIPTS]),
+        F.array(
+            *[
+                F.array(*[F.lit(s) for s in v])
+                for v in LANG_SCRIPTS.values()
+            ]
+        ),
+    )
+    keep = id_cols if id_cols is not None else [
+        c for c in df.columns if c not in (lang_col, text_col)
+    ]
+    return (
+        df.select(
+            *keep,
+            lang.alias("lang"),
+            dom.alias("dominant_script"),
+            checkable.alias("_chk"),
+            allowed[lang].alias("_allowed"),
+        )
+        .where(
+            F.col("_chk")
+            & (F.col("dominant_script") != "und")
+            & ~F.array_contains(F.col("_allowed"), F.col("dominant_script"))
+        )
+        .drop("_chk", "_allowed")
+    )

@@ -118,3 +118,43 @@ def test_record_checks_adversarial_inputs(spark):
     assert got["https://ok.example/4"] == {CheckId.TEXT_NOT_UTF8}
     assert got[" \t "] == {CheckId.KEY_EMPTY}
     assert got[" "] == {CheckId.URL_MALFORMED}
+
+
+# ----------------------------------------------------- lang/script crosscheck
+
+
+def test_lang_script_mismatch_semantics(spark):
+    from gbif_data_validator_spark.operators.record_checks import (
+        lang_script_mismatch,
+    )
+
+    rows = [
+        (1, "en", "plain latin words here"),          # consistent
+        (2, "zh", "plain latin words here"),          # declared zh, latin text
+        (3, "zh", "中文网页测试中文网页测试"),           # consistent cjk
+        (4, "ru", "латинские буквы нет кириллица"),   # cyrillic-dominant, ok
+        (5, "ru", "mostly latin text actually"),      # mismatch
+        (6, "xx", "whatever ??? text"),               # unmapped lang: no claim
+        (7, "en", "!!! 123 ..."),                     # no script chars: 'und'
+        (8, "ja", "カタカナのテキストです"),             # kana allowed for ja
+        (9, "ja", "中文漢字だけ"),                      # cjk also allowed for ja
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r.dominant_script
+           for r in lang_script_mismatch(df, id_cols=["doc_id"]).collect()}
+    assert got == {2: "latin", 5: "latin"}
+
+
+def test_lang_script_mismatch_plan_is_narrow(spark):
+    from gbif_data_validator_spark.operators.record_checks import (
+        lang_script_mismatch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", "x")], "doc_id long, lang string, text string"
+    )
+    plan = (
+        lang_script_mismatch(df, id_cols=["doc_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
