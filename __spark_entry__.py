@@ -2345,6 +2345,24 @@ def _q_lang_script_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between two crawls' source distributions
+    — the bounded, symmetric drift alarm that stays finite when a NEW
+    category appears (planted: the odd-doc crawl relabels every 19th doc
+    'newsrc'). Deterministic value-sorted fold, hash-exact at 6 dp."""
+    from gbif_data_validator_spark.operators.drift import js_divergence
+
+    d = _docs(spark, sf_dir)
+    a = d.where(F.col("doc_id") % 2 == 0)
+    b = d.where(F.col("doc_id") % 2 == 1).withColumn(
+        "source",
+        F.when(F.col("doc_id") % 19 == 0, F.lit("newsrc")).otherwise(
+            F.col("source")
+        ),
+    )
+    return js_divergence(a, b, "source")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2489,6 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rules": _q_agg_rules,
         "key_discovery": _q_key_discovery,
         "lang_script_check": _q_lang_script_check,
+        "js_drift": _q_js_drift,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -5380,5 +5399,48 @@ def oracle_sql() -> dict[str, str]:
               OR (lang = 'hi' AND dominant <> 'devanagari')
             )
             ORDER BY doc_id
+        """,
+        # js_drift: same planted relabel, same value-sorted deterministic
+        # fold (list_reduce has no init — the leading 0.0+x of Spark's
+        # aggregate is IEEE-identical; trailing +0.0 normalizes -0.0)
+        "js_drift": """
+            WITH a AS (
+              SELECT CAST(source AS VARCHAR) AS v, COUNT(*) AS ca
+              FROM documents WHERE doc_id % 2 = 0 AND source IS NOT NULL
+              GROUP BY 1
+            ),
+            b0 AS (
+              SELECT CASE WHEN doc_id % 19 = 0 THEN 'newsrc'
+                          ELSE CAST(source AS VARCHAR) END AS v
+              FROM documents WHERE doc_id % 2 = 1 AND source IS NOT NULL
+            ),
+            b AS (SELECT v, COUNT(*) AS cb FROM b0 GROUP BY 1),
+            j AS (
+              SELECT COALESCE(a.v, b.v) AS v,
+                     COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+              FROM a FULL OUTER JOIN b ON a.v = b.v
+            ),
+            one AS (
+              SELECT list_sort(list(struct_pack(v := v, ca := ca, cb := cb))) AS g,
+                     CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+              FROM j
+            )
+            SELECT 'source' AS "column", na AS n_a, nb AS n_b,
+                   CAST(len(g) AS BIGINT) AS n_values,
+                   round(list_reduce(list_transform(g, s ->
+                       0.5 * (CASE WHEN s.ca > 0
+                                   THEN (CAST(s.ca AS DOUBLE) / CAST(na AS DOUBLE))
+                                        * ln((CAST(s.ca AS DOUBLE) / CAST(na AS DOUBLE))
+                                             / ((CAST(s.ca AS DOUBLE) / CAST(na AS DOUBLE)
+                                                 + CAST(s.cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+                                   ELSE 0.0 END)
+                       + 0.5 * (CASE WHEN s.cb > 0
+                                     THEN (CAST(s.cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                                          * ln((CAST(s.cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                                               / ((CAST(s.ca AS DOUBLE) / CAST(na AS DOUBLE)
+                                                   + CAST(s.cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+                                     ELSE 0.0 END)),
+                       (acc, x) -> acc + x) + 0.0, 6) AS value
+            FROM one
         """,
     }

@@ -422,3 +422,71 @@ def psi_from_sketches(
         "psi": psi, "lo": float(lo), "hi": float(hi),
         "n_ref": int(n_ref), "n_cur": int(n_cur), "buckets": buckets,
     }
+
+
+def js_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """Jensen–Shannon divergence (nats) between two tables' categorical
+    distributions of ``col`` → ONE row ``(column, n_a, n_b, n_values,
+    value)``. The symmetric, bounded (≤ ln 2) companion to KS (numeric)
+    and PSI (bucket-attributable): zero-mass categories on either side
+    contribute only the other side's half-KL term, so JSD never goes
+    infinite the way raw KL does — the right single-number alarm when new
+    categories appear between crawls.
+
+    Plan: one groupBy per side (map-side combinable, bounded by category
+    cardinality, guarded like ``column_entropy``), a full-outer equi-join
+    of the two tiny count tables, then the fold runs DETERMINISTICALLY
+    over the value-sorted list in one final row (``sort_array`` +
+    explicit left fold, the ``_ordered_fold`` discipline) — so two
+    engines agree bit-exactly at 6 dp. NULLs excluded on both sides."""
+    from .constraints import _guard_cardinality, _ordered_fold
+
+    _guard_cardinality(
+        df_a.where(F.col(col).isNotNull()), F.col(col), max_groups,
+        f"js_divergence({col}) side A",
+    )
+    _guard_cardinality(
+        df_b.where(F.col(col).isNotNull()), F.col(col), max_groups,
+        f"js_divergence({col}) side B",
+    )
+
+    def counts(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.where(F.col(col).isNotNull())
+            .groupBy(F.col(col).cast("string").alias("v"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    joined = counts(df_a, "ca").join(counts(df_b, "cb"), "v", "full_outer").select(
+        "v",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    one = joined.agg(
+        F.sort_array(F.collect_list(F.struct("v", "ca", "cb"))).alias("g"),
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+
+    def term(s: F.Column) -> F.Column:
+        p = s["ca"].cast("double") / na
+        q = s["cb"].cast("double") / nb
+        m = (p + q) / F.lit(2.0)
+        lp = F.when(s["ca"] > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        lq = F.when(s["cb"] > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+        return F.lit(0.5) * lp + F.lit(0.5) * lq
+
+    return one.select(
+        F.lit(col).alias("column"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.size("g").cast("long").alias("n_values"),
+        F.round(_ordered_fold(F.transform(F.col("g"), term)), 6).alias("value"),
+    )

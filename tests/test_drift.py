@@ -167,3 +167,42 @@ def test_psi_drift_rejects_degenerate_envelope(spark):
         psi_drift(df, df, "v", lo=5.0, hi=5.0)
     with pytest.raises(ValueError, match="hi > lo"):
         psi_from_sketches((2, [1.0]), (2, [1.0]), lo=5.0, hi=2.0)
+
+
+def test_js_divergence_known_values_and_bounds(spark):
+    import math
+
+    from gbif_data_validator_spark.operators.drift import js_divergence
+
+    mk = lambda vals: spark.createDataFrame([(v,) for v in vals], "c string")
+    # identical distributions -> 0
+    same = js_divergence(mk(["a", "a", "b"]), mk(["a", "a", "b"]), "c").collect()[0]
+    assert same.value == 0.0 and same.n_values == 2
+    # disjoint supports -> ln 2 (the JSD maximum; KL would be infinite)
+    dis = js_divergence(mk(["a", "a"]), mk(["b", "b", "b"]), "c").collect()[0]
+    assert dis.value == round(math.log(2), 6)
+    assert (dis.n_a, dis.n_b, dis.n_values) == (2, 3, 2)
+    # hand-computed asymmetric case: P = {a:1}, Q = {a:.5, b:.5}
+    expect = 0.5 * math.log(1 / 0.75) + 0.5 * (
+        0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+    )
+    got = js_divergence(mk(["a", "a"]), mk(["a", "b"]), "c").collect()[0]
+    assert got.value == round(expect, 6)
+
+
+def test_js_divergence_partitioning_invariant_and_guarded(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gbif_data_validator_spark.operators.drift import js_divergence
+
+    a = spark.range(0, 2000).select((F.col("id") % 13).cast("string").alias("c"))
+    b = spark.range(0, 3000).select((F.col("id") % 17).cast("string").alias("c"))
+    v1 = js_divergence(a, b, "c").collect()[0].value
+    v2 = js_divergence(a.repartition(11), b.repartition(3), "c").collect()[0].value
+    assert v1 == v2 > 0
+    with _pytest.raises(ValueError, match="js_divergence"):
+        js_divergence(
+            spark.range(0, 1000).select(F.col("id").cast("string").alias("c")),
+            b, "c", max_groups=10,
+        )
