@@ -278,3 +278,36 @@ def lang_script_mismatch(
         )
         .drop("_chk", "_allowed")
     )
+
+
+def lang_script_custom_check(
+    lang_col: str = "lang", text_col: str = "text", blocking: bool = False
+) -> CustomCheck:
+    """``lang_script_mismatch`` packaged as a :class:`CustomCheck`, so the
+    cross-field consistency rule rides the engine's pass-1 scan as one
+    more fused detail slot — zero extra scans, violations landing in the
+    standard report/violations surface under ``LANG_SCRIPT_MISMATCH``.
+    Same semantics as the standalone operator: unmapped languages make no
+    claim, script-less text ('und') is a completeness matter."""
+    from ..functions.textstats import dominant_script
+
+    lang = F.col(lang_col)
+    dom = dominant_script(F.col(text_col))
+    allowed = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in LANG_SCRIPTS]),
+        F.array(
+            *[F.array(*[F.lit(s) for s in v]) for v in LANG_SCRIPTS.values()]
+        ),
+    )
+    violated = (
+        lang.isin(*LANG_SCRIPTS.keys())
+        & (dom != "und")
+        & ~F.array_contains(allowed[lang], dom)
+    )
+    return CustomCheck(
+        check_id="LANG_SCRIPT_MISMATCH",
+        violated=F.coalesce(violated, F.lit(False)),
+        expected="dominant script consistent with declared lang",
+        found=F.concat_ws("/", lang, dom),
+        blocking=blocking,
+    )

@@ -73,3 +73,23 @@ def test_custom_checks_default_off_keeps_goldens(spark):
         spark, EngineConfig(check_extraction=False)
     ).run(_pages(spark))
     assert "TEXT_TOO_SHORT" not in rep.issue_counts and rep.indexable
+
+
+def test_lang_script_rides_the_custom_check_surface(spark, pages):
+    """The packaged cross-field check fuses into pass 1 and agrees row-for-
+    row with the standalone operator on the same pages."""
+    from gbif_data_validator_spark.operators.record_checks import (
+        lang_script_custom_check,
+        lang_script_mismatch,
+        run_record_checks,
+    )
+
+    v = run_record_checks(
+        pages, check_extraction=False,
+        custom_checks=(lang_script_custom_check(),),
+    ).where(F.col("check_id") == "LANG_SCRIPT_MISMATCH")
+    standalone = lang_script_mismatch(pages, id_cols=["url"])
+    assert v.count() == standalone.count()
+    assert {r.url for r in v.select("url").collect()} == {
+        r.url for r in standalone.select("url").collect()
+    }
