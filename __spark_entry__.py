@@ -2363,6 +2363,47 @@ def _q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return js_divergence(a, b, "source")
 
 
+#: domain_census fixture — one url per registered-domain rule branch:
+#: multi-level public suffix (3+ labels), plain 2-label, deep subdomain,
+#: vhost collapse (two hosts, one owner), IPv4 literal, single-label
+#: intranet host, port/query/fragment noise, and a no-host malformed row
+_DOMAIN_FIXTURE: list[str] = [
+    "https://www.news.bbc.co.uk/politics/story",
+    "http://media.bbc.co.uk/img.png",
+    "https://example.com/",
+    "https://a.b.c.example.com/deep?q=1#f",
+    "http://shop.example.com:8080/cart",
+    "https://EXAMPLE.com/UPPER",
+    "http://192.168.10.20/admin",
+    "http://intranet/wiki",
+    "https://www.com.au.evil.org/phish",
+    "not a url at all",
+]
+
+
+def _q_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain (eTLD+1) census over the fixture urls →
+    (domain, n_pages, n_hosts) — the grain politeness/quota/salting
+    decisions operate at. Every suffix-rule branch is exercised; the
+    oracle replays the identical split + suffix-list algebra."""
+    from gbif_data_validator_spark.functions.url import registered_domain, url_host
+
+    df = spark.createDataFrame([(u,) for u in _DOMAIN_FIXTURE], "url string")
+    return (
+        df.select(
+            registered_domain(F.col("url")).alias("domain"),
+            F.lower(url_host(F.col("url"))).alias("host"),
+        )
+        .where(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+        .orderBy("domain")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2508,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_discovery": _q_key_discovery,
         "lang_script_check": _q_lang_script_check,
         "js_drift": _q_js_drift,
+        "domain_census": _q_domain_census,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -5442,5 +5484,49 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END)),
                        (acc, x) -> acc + x) + 0.0, 6) AS value
             FROM one
+        """,
+        # domain_census: identical host regex, suffix list, and branch
+        # order replayed over the same VALUES fixture
+        "domain_census": r"""
+            WITH u(url) AS (VALUES
+              ('https://www.news.bbc.co.uk/politics/story'),
+              ('http://media.bbc.co.uk/img.png'),
+              ('https://example.com/'),
+              ('https://a.b.c.example.com/deep?q=1#f'),
+              ('http://shop.example.com:8080/cart'),
+              ('https://EXAMPLE.com/UPPER'),
+              ('http://192.168.10.20/admin'),
+              ('http://intranet/wiki'),
+              ('https://www.com.au.evil.org/phish'),
+              ('not a url at all')
+            ),
+            h AS (
+              SELECT lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#\s]+)', 1)) AS host
+              FROM u
+            ),
+            d AS (SELECT host, string_split(host, '.') AS p FROM h),
+            r AS (
+              SELECT host,
+                     CASE WHEN host = '' THEN NULL
+                          WHEN regexp_matches(host, '^\d{1,3}(\.\d{1,3}){3}$')
+                               THEN host
+                          WHEN len(p) >= 3 AND list_contains(
+                                 ['ac.uk','co.uk','gov.uk','org.uk',
+                                  'com.au','net.au','org.au',
+                                  'co.jp','ne.jp','or.jp',
+                                  'co.nz','co.in','co.kr','co.za',
+                                  'com.ar','com.br','com.cn','com.mx',
+                                  'com.sg','com.tr','com.tw'],
+                                 p[-2] || '.' || p[-1])
+                               THEN p[-3] || '.' || p[-2] || '.' || p[-1]
+                          WHEN len(p) >= 2 THEN p[-2] || '.' || p[-1]
+                          ELSE host END AS domain
+              FROM d
+            )
+            SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   COUNT(DISTINCT host) AS n_hosts
+            FROM r WHERE domain IS NOT NULL
+            GROUP BY domain ORDER BY domain
         """,
     }

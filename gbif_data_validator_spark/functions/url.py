@@ -114,3 +114,43 @@ def url_host(col: Column) -> Column:
     """Registrable host of the url (JVM-side, for skew diagnostics and
     host-level grouping). Spark's parse_url is strict; fall back to regex."""
     return F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#\s]+)", 1)
+
+
+#: second-level public suffixes under which registrations happen one label
+#: deeper (the high-traffic subset of the Public Suffix List — a full PSL
+#: is a data file swap, not a code change; unlisted suffixes degrade to
+#: the 2-label default, never crash)
+MULTI_LEVEL_TLDS: tuple[str, ...] = (
+    "ac.uk", "co.uk", "gov.uk", "org.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "co.nz", "co.in", "co.kr", "co.za",
+    "com.ar", "com.br", "com.cn", "com.mx", "com.sg", "com.tr", "com.tw",
+)
+
+
+def registered_domain(url: Column) -> Column:
+    """eTLD+1 registrable domain of a url — the grain crawl politeness,
+    per-site quotas, and join-key salting decisions operate at (one HOST
+    can hide thousands of vhosts; one REGISTERED DOMAIN is one owner).
+    ``www.news.bbc.co.uk`` → ``bbc.co.uk``; ``sub.example.com`` →
+    ``example.com``; IPv4 literals and single-label hosts pass through;
+    no-host inputs → NULL. Pure Column algebra (split + suffix-list
+    membership), zero UDFs, codegen-fused."""
+    host = F.lower(url_host(url))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    multi = F.array(*[F.lit(t) for t in MULTI_LEVEL_TLDS])
+    return (
+        F.when(host == "", F.lit(None).cast("string"))
+        .when(is_ip, host)
+        .when((n >= 3) & F.array_contains(multi, last2), last3)
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )

@@ -64,3 +64,38 @@ def test_nfc_normalization(spark):
     assert rep[4].changed is False
     (row,) = docs.where("doc_id = 4").select(nfkc(F.col("text")).alias("k")).collect()
     assert row.k == "fine"
+
+
+def test_registered_domain_branches(spark):
+    from gbif_data_validator_spark.functions.url import registered_domain
+
+    cases = {
+        "https://www.news.bbc.co.uk/x": "bbc.co.uk",
+        "http://media.bbc.co.uk/y": "bbc.co.uk",
+        "https://sub.example.com/": "example.com",
+        "https://EXAMPLE.com/U": "example.com",
+        "http://shop.example.com:8080/cart": "example.com",
+        "http://192.168.10.20/admin": "192.168.10.20",
+        "http://intranet/wiki": "intranet",
+        # a multi-level suffix MID-host must not trigger the 3-label rule
+        "https://www.com.au.evil.org/phish": "evil.org",
+        "https://store.com.au/": "store.com.au",
+        "not a url at all": None,
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = dict(
+        df.select("url", registered_domain(F.col("url")).alias("d")).collect()
+    )
+    assert got == cases
+
+
+def test_registered_domain_plan_is_narrow(spark):
+    from gbif_data_validator_spark.functions.url import registered_domain
+
+    df = spark.createDataFrame([("https://a.example.com/x",)], "url string")
+    plan = (
+        df.select(registered_domain(F.col("url")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan \
+        and "ArrowEvalPython" not in plan
