@@ -2404,6 +2404,40 @@ def _q_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_reconcile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-vs-rollup reconciliation summary: lineitem's per-order
+    extendedprice sum against orders.o_totalprice (the synthetic tables
+    are independent, so everything present on both sides mismatches — the
+    exhibit is the DELTA census). One row: status counts + exact max/sum
+    of |delta| (decimal-summed, hash-portable)."""
+    from gbif_data_validator_spark.operators.referential import (
+        reconcile_aggregates,
+    )
+
+    rec = reconcile_aggregates(
+        _tbl(spark, sf_dir, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        ),
+        _tbl(spark, sf_dir, "orders"),
+        ["o_orderkey"],
+        "l_extendedprice",
+        "o_totalprice",
+    )
+    absd = F.abs(F.col("delta"))
+    absq = F.when(absd.isNotNull(), F.round(absd * F.lit(1e6))).cast(
+        "decimal(38,0)"
+    )
+    return rec.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.count(F.when(F.col("status") == "matched", 1)).alias("n_matched"),
+        F.count(F.when(F.col("status") == "mismatched", 1)).alias("n_mismatched"),
+        F.count(F.when(F.col("status") == "fact_only", 1)).alias("n_fact_only"),
+        F.count(F.when(F.col("status") == "rollup_only", 1)).alias("n_rollup_only"),
+        F.round(F.max(absd), 6).alias("max_abs_delta"),
+        F.round(F.sum(absq).cast("double") / F.lit(1e6), 6).alias("sum_abs_delta"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2550,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_script_check": _q_lang_script_check,
         "js_drift": _q_js_drift,
         "domain_census": _q_domain_census,
+        "reconcile_rollup": _q_reconcile_rollup,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -5528,5 +5563,39 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT host) AS n_hosts
             FROM r WHERE domain IS NOT NULL
             GROUP BY domain ORDER BY domain
+        """,
+        # reconcile_rollup: identical quantized-decimal fact sum, round-6
+        # delta, same status logic, same decimal |delta| accumulation
+        "reconcile_rollup": """
+            WITH a AS (
+              SELECT l_orderkey AS o_orderkey,
+                     round(CAST(SUM(CAST(round(CAST(l_extendedprice AS DOUBLE) * 1e6) AS HUGEINT)) AS DOUBLE) / 1e6, 6) AS actual
+              FROM lineitem GROUP BY 1
+            ),
+            e AS (
+              SELECT o_orderkey, round(CAST(o_totalprice AS DOUBLE), 6) AS expected
+              FROM orders
+            ),
+            j AS (
+              SELECT COALESCE(a.o_orderkey, e.o_orderkey) AS k, actual, expected,
+                     round(actual - expected, 6) AS delta
+              FROM a FULL OUTER JOIN e ON a.o_orderkey = e.o_orderkey
+            ),
+            s AS (
+              SELECT *,
+                     CASE WHEN actual IS NULL THEN 'rollup_only'
+                          WHEN expected IS NULL THEN 'fact_only'
+                          WHEN abs(delta) > 0.01 THEN 'mismatched'
+                          ELSE 'matched' END AS status
+              FROM j
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(COUNT(CASE WHEN status = 'matched' THEN 1 END) AS BIGINT) AS n_matched,
+                   CAST(COUNT(CASE WHEN status = 'mismatched' THEN 1 END) AS BIGINT) AS n_mismatched,
+                   CAST(COUNT(CASE WHEN status = 'fact_only' THEN 1 END) AS BIGINT) AS n_fact_only,
+                   CAST(COUNT(CASE WHEN status = 'rollup_only' THEN 1 END) AS BIGINT) AS n_rollup_only,
+                   round(max(abs(delta)), 6) AS max_abs_delta,
+                   round(CAST(SUM(CAST(round(abs(delta) * 1e6) AS HUGEINT)) AS DOUBLE) / 1e6, 6) AS sum_abs_delta
+            FROM s
         """,
     }

@@ -55,3 +55,54 @@ def referential_violations(
             "partition_id"
         ),
     )
+
+
+def reconcile_aggregates(
+    fact: DataFrame,
+    rollup: DataFrame,
+    key_cols: list[str],
+    measure_col: str,
+    expected_col: str,
+    tol: float = 0.01,
+) -> DataFrame:
+    """Fact-vs-rollup reconciliation: per key, the fact table's summed
+    measure against the rollup's stored expectation →
+    ``(*key, actual, expected, delta, status)`` with status ``matched`` |
+    ``mismatched`` (|delta| > tol) | ``fact_only`` | ``rollup_only``.
+    The referential family's AGGREGATE face: orphan checks ask "does the
+    key exist", this asks "does the MONEY add up" (the warehouse
+    invariant the reference's per-row predicates cannot express).
+
+    Determinism discipline: the fact-side sum accumulates 10^6-quantized
+    DECIMAL(38,0) integers (order-independent, map-side combinable) and
+    descends to a round-6 double only at the end, so ``actual`` and
+    ``delta`` hash-check across engines and partitionings.
+
+    Plan: one grouped aggregation on the fact side (map-side partials),
+    one full-outer equi-join against the rollup keys — both linear, AQE
+    handles skewed keys; no driver-side state."""
+    grain = F.lit(1_000_000).cast("double")
+    m = F.col(measure_col)
+    q = F.when(m.isNotNull(), F.round(m.cast("double") * grain)).cast(
+        "decimal(38,0)"
+    )
+    actual = fact.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.round(F.sum(q).cast("double") / F.lit(1e6), 6).alias("actual")
+    )
+    exp = rollup.select(
+        *[F.col(c) for c in key_cols],
+        F.round(F.col(expected_col).cast("double"), 6).alias("expected"),
+    )
+    joined = actual.join(exp, key_cols, "full_outer")
+    delta = F.round(F.col("actual") - F.col("expected"), 6)
+    return joined.select(
+        *key_cols,
+        "actual",
+        "expected",
+        delta.alias("delta"),
+        F.when(F.col("actual").isNull(), F.lit("rollup_only"))
+        .when(F.col("expected").isNull(), F.lit("fact_only"))
+        .when(F.abs(delta) > F.lit(float(tol)), F.lit("mismatched"))
+        .otherwise(F.lit("matched"))
+        .alias("status"),
+    )
