@@ -2438,6 +2438,120 @@ def _q_reconcile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_link_html(idc: F.Column) -> F.Column:
+    """Deterministic html-with-links fixture over a doc_id column (house
+    replay-over-parquet pattern, like checklist_checks): 1-4 absolute
+    anchors to a 23-host universe, a single-quoted anchor every 5th doc,
+    and a relative link on every doc that must drop out (NULL host)."""
+    link = lambda k: F.concat(  # noqa: E731 — tiny local template
+        F.lit('<a class="c" href="https://h'),
+        ((idc * 7 + k * 13) % 23).cast("string"),
+        F.lit(".example.org/p"),
+        k.cast("string"),
+        F.lit('">link</a>'),
+    )
+    links = F.array_join(
+        F.transform(F.sequence(F.lit(1).cast("long"), idc % 4 + 1), link), ""
+    )
+    squote = F.when(
+        idc % 5 == 0,
+        F.concat(
+            F.lit("<a href='https://h"),
+            ((idc * 11) % 23).cast("string"),
+            F.lit(".example.org/q'>x</a>"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("<html><body>"),
+        links,
+        squote,
+        F.lit('<a href="/local/1">r</a></body></html>'),
+    )
+
+
+def _q_outlink_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level outlink census: anchor hrefs extracted from html with
+    pure Column regexes (functions/extraction.py:outlinks/link_host) →
+    per-host link count + distinct-source count — the ingestion half of
+    the host reputation graph (operators/graph.py:outlink_census) and the
+    link-farm detector on its own. Fixture html is synthesized
+    deterministically from documents.doc_id; the oracle replays BOTH the
+    construction and the extraction with RE2 regexes."""
+    from gbif_data_validator_spark.operators.graph import outlink_census
+
+    docs = _tbl(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", _synth_link_html(F.col("doc_id")).alias("html")
+    )
+    return (
+        outlink_census(pages, html_col="html", id_col="doc_id")
+        .orderBy("host")
+    )
+
+
+def _q_noindex_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-robots directive scan (the web-native input to the reference's
+    "indexable" verdict): <meta name="robots"> parsed case-insensitively
+    in either attribute order; named-crawler metas (googlebot) are out of
+    scope by contract and must NOT flag. Returns flagged docs only."""
+    from gbif_data_validator_spark.functions.extraction import (
+        robots_directives,
+    )
+
+    idc = F.col("doc_id")
+    meta = (
+        F.when(idc % 7 == 0, F.lit('<meta name="robots" content="noindex">'))
+        .when(
+            idc % 7 == 1,
+            F.lit('<meta name="ROBOTS" content="NOINDEX, NOFOLLOW">'),
+        )
+        .when(idc % 7 == 2, F.lit('<meta content="nofollow" name="robots">'))
+        .when(idc % 7 == 3, F.lit('<meta name="googlebot" content="noindex">'))
+        .otherwise(F.lit('<meta charset="utf-8">'))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), meta, F.lit("</head><body><p>b</p></body></html>")
+    )
+    d = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", robots_directives(html).alias("d"))
+        .select("doc_id", F.col("d.noindex").alias("noindex"),
+                F.col("d.nofollow").alias("nofollow"))
+    )
+    return d.where(F.col("noindex") | F.col("nofollow")).orderBy("doc_id")
+
+
+def _q_fk_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationship-cardinality census (Deequ relationship checks):
+    customers bucketed by how many orders reference them (0 / 1 / 2-3 /
+    4+) plus a fact_orphan row counting distinct o_custkey values with no
+    customer — the contract check behind "orders→customer is N:1 and
+    total"."""
+    from gbif_data_validator_spark.operators.referential import (
+        relationship_cardinality,
+    )
+
+    return relationship_cardinality(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        "c_custkey",
+        "o_custkey",
+        bounds=(1, 2, 4),
+    ).orderBy("card_class")
+
+
+def _q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-rate control chart over events: per-day row counts flagged
+    by the robust-z (median ± k·1.4826·MAD) rule computed over the bucket
+    series itself — one input scan, stats via window passes over the tiny
+    bucket table (operators/sequence.py:rate_anomaly)."""
+    from gbif_data_validator_spark.operators.sequence import rate_anomaly
+
+    return rate_anomaly(
+        _tbl(spark, sf_dir, "events"), "ts", window="day", k=2.0
+    ).orderBy("bucket")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2585,6 +2699,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_drift": _q_js_drift,
         "domain_census": _q_domain_census,
         "reconcile_rollup": _q_reconcile_rollup,
+        "outlink_census": _q_outlink_census,
+        "noindex_pages": _q_noindex_pages,
+        "fk_cardinality": _q_fk_cardinality,
+        "rate_anomaly": _q_rate_anomaly,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -5597,5 +5715,126 @@ def oracle_sql() -> dict[str, str]:
                    round(max(abs(delta)), 6) AS max_abs_delta,
                    round(CAST(SUM(CAST(round(abs(delta) * 1e6) AS HUGEINT)) AS DOUBLE) / 1e6, 6) AS sum_abs_delta
             FROM s
+        """,
+        # outlink_census: replay the html construction AND the regex
+        # extraction (RE2 ≡ Java for these negated-class patterns)
+        "outlink_census": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     '<html><body>'
+                     || array_to_string(list_transform(
+                          range(1, (doc_id % 4 + 1) + 1),
+                          k -> '<a class="c" href="https://h'
+                               || CAST((doc_id * 7 + k * 13) % 23 AS VARCHAR)
+                               || '.example.org/p' || CAST(k AS VARCHAR)
+                               || '">link</a>'), '')
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN '<a href=''https://h'
+                               || CAST((doc_id * 11) % 23 AS VARCHAR)
+                               || '.example.org/q''>x</a>'
+                          ELSE '' END
+                     || '<a href="/local/1">r</a></body></html>' AS html
+              FROM documents
+            ),
+            x AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(
+                       html, '(?i)<a\s[^>]*href=["'']([^"'']+)["'']', 1)) AS href
+              FROM h
+            ),
+            hosts AS (
+              SELECT doc_id,
+                     lower(regexp_extract(
+                       href, '(?i)^https?://([^/?#]+)', 1)) AS host
+              FROM x
+            )
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS n_links,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_src_pages
+            FROM hosts WHERE host IS NOT NULL AND host <> ''
+            GROUP BY host ORDER BY host
+        """,
+        # noindex_pages: same two attribute-order regexes, lowercased
+        # content, googlebot meta must not flag
+        "noindex_pages": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     '<html><head>'
+                     || CASE doc_id % 7
+                          WHEN 0 THEN '<meta name="robots" content="noindex">'
+                          WHEN 1 THEN '<meta name="ROBOTS" content="NOINDEX, NOFOLLOW">'
+                          WHEN 2 THEN '<meta content="nofollow" name="robots">'
+                          WHEN 3 THEN '<meta name="googlebot" content="noindex">'
+                          ELSE '<meta charset="utf-8">' END
+                     || '</head><body><p>b</p></body></html>' AS html
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                     lower(CASE WHEN regexp_extract(html,
+                         '(?i)<meta\s[^>]*name=["'']robots["''][^>]*content=["'']([^"'']*)["'']', 1) <> ''
+                       THEN regexp_extract(html,
+                         '(?i)<meta\s[^>]*name=["'']robots["''][^>]*content=["'']([^"'']*)["'']', 1)
+                       ELSE regexp_extract(html,
+                         '(?i)<meta\s[^>]*content=["'']([^"'']*)["''][^>]*name=["'']robots["'']', 1)
+                       END) AS content
+              FROM h
+            )
+            SELECT doc_id,
+                   contains(content, 'noindex') AS noindex,
+                   contains(content, 'nofollow') AS nofollow
+            FROM r
+            WHERE contains(content, 'noindex') OR contains(content, 'nofollow')
+            ORDER BY doc_id
+        """,
+        # fk_cardinality: same class cuts; fact_orphan is a global agg so
+        # it emits a row even at count 0 (matches the Spark union branch)
+        "fk_cardinality": """
+            WITH pk AS (
+              SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1
+            ),
+            dk AS (SELECT DISTINCT c_custkey AS k FROM customer),
+            j AS (
+              SELECT dk.k AS dkk, COALESCE(pk.n, 0) AS n,
+                     dk.k IS NOT NULL AS in_dim
+              FROM dk FULL OUTER JOIN pk ON dk.k = pk.k
+            ),
+            dim_side AS (
+              SELECT CASE WHEN n < 1 THEN '0'
+                          WHEN n < 2 THEN '1'
+                          WHEN n < 4 THEN '2-3'
+                          ELSE '4+' END AS card_class,
+                     CAST(COUNT(*) AS BIGINT) AS n_keys
+              FROM j WHERE in_dim GROUP BY 1
+            ),
+            orphans AS (
+              SELECT 'fact_orphan' AS card_class,
+                     CAST(COUNT(*) AS BIGINT) AS n_keys
+              FROM j WHERE NOT in_dim
+            )
+            SELECT * FROM dim_side UNION ALL SELECT * FROM orphans
+            ORDER BY card_class
+        """,
+        # rate_anomaly: quantile_cont ≡ F.percentile; identical round-6
+        # quantization at every stage and identical multiply order
+        "rate_anomaly": """
+            WITH c AS (
+              SELECT date_trunc('day', ts) AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ),
+            m AS (
+              SELECT round(quantile_cont(CAST(n AS DOUBLE), 0.5), 6) AS center
+              FROM c
+            ),
+            s AS (
+              SELECT center,
+                     round(2.0 * 1.4826 * round(
+                       quantile_cont(abs(CAST(n AS DOUBLE) - center), 0.5), 6
+                     ), 6) AS spread
+              FROM c, m GROUP BY center
+            )
+            SELECT bucket, n, center, spread,
+                   abs(CAST(n AS DOUBLE) - center) > spread AS is_anomaly
+            FROM c, s ORDER BY bucket
         """,
     }

@@ -99,3 +99,63 @@ def _extract_md5_series(html: pd.Series) -> pd.Series:
 #: equal bytes, modulo md5 collision odds that are negligible for a
 #: validation flag). `extract_text_udf` remains the full-text surface.
 extract_text_md5_udf = F.pandas_udf(_extract_md5_series, returnType=StringType())
+
+
+# --------------------------------------------------------------------------
+# Link / directive extraction — pure Column regex algebra (JVM-side, zero
+# shuffle, zero Python). Patterns are deliberately restricted to constructs
+# Java regex and RE2 (DuckDB) interpret identically, so census operators
+# built on these hash-check against a SQL oracle replay.
+# --------------------------------------------------------------------------
+
+#: href values of anchor tags, double- or single-quoted. `(?i)` + negated
+#: char classes only — no backrefs/lookaround, portable to RE2.
+_HREF_PATTERN = r"""(?i)<a\s[^>]*href=["']([^"']+)["']"""
+
+#: host part of an absolute http(s) URL (scheme-insensitive).
+_HOST_PATTERN = r"(?i)^https?://([^/?#]+)"
+
+#: <meta name="robots" content="..."> with the two attributes in either
+#: order (two alternatives — attribute order is free in HTML).
+_ROBOTS_NAME_FIRST = (
+    r"""(?i)<meta\s[^>]*name=["']robots["'][^>]*content=["']([^"']*)["']"""
+)
+_ROBOTS_CONTENT_FIRST = (
+    r"""(?i)<meta\s[^>]*content=["']([^"']*)["'][^>]*name=["']robots["']"""
+)
+
+
+def outlinks(html: F.Column) -> F.Column:
+    """``html:string`` → ``array<string>`` of anchor hrefs, document order.
+
+    Reference analog: the crawler-facing side of the indexability verdict
+    (ValidationResultElement "indexable"); here the raw material for the
+    host link graph (``operators/graph.py:outlink_census``)."""
+    return F.regexp_extract_all(html, F.lit(_HREF_PATTERN), F.lit(1))
+
+
+def link_host(href: F.Column) -> F.Column:
+    """Absolute-URL host, or NULL for relative/other schemes. A plain
+    regex (not ``functions.url.url_host``) so SQL oracles can replay it
+    verbatim with RE2."""
+    h = F.regexp_extract(href, _HOST_PATTERN, 1)
+    return F.when(h != "", F.lower(h))
+
+
+def robots_directives(html: F.Column) -> F.Column:
+    """``html:string`` → ``struct<noindex:boolean, nofollow:boolean>``
+    from the page's ``<meta name="robots">`` tag (either attribute order,
+    any case). Only the *robots* meta counts — ``googlebot``/other named
+    crawler directives are out of scope by contract. Pages without the
+    tag yield (false, false): absence of a directive means indexable,
+    matching the reference's default-pass verdict semantics."""
+    content = F.lower(
+        F.when(
+            F.regexp_extract(html, _ROBOTS_NAME_FIRST, 1) != "",
+            F.regexp_extract(html, _ROBOTS_NAME_FIRST, 1),
+        ).otherwise(F.regexp_extract(html, _ROBOTS_CONTENT_FIRST, 1))
+    )
+    return F.struct(
+        content.contains("noindex").alias("noindex"),
+        content.contains("nofollow").alias("nofollow"),
+    )

@@ -119,3 +119,49 @@ def pagerank(
         for df in (verts, out_deg, prev_share):
             if df is not None:
                 df.unpersist()
+
+
+def outlink_census(
+    pages: DataFrame,
+    html_col: str = "html",
+    id_col: str = "url",
+    internal_host: F.Column | None = None,
+) -> DataFrame:
+    """Host-level link census from raw page html →
+    ``(host, n_links, n_src_pages)`` — the degree side of the web graph,
+    extracted with pure Column regexes (``functions/extraction.py:
+    outlinks``/``link_host``), no Python in the pipeline.
+
+    This is the ingestion half of ``pagerank``: its output keys are the
+    edge endpoints a host-graph run would consume, and on its own it is
+    the link-spam census (a host receiving links from few distinct pages
+    at huge multiplicity is a link farm).
+
+    Plan: one scan → generator explode of the per-page href array →
+    project to host → ONE hash aggregation on host (count + distinct
+    source, both map-side combinable after the per-host shuffle).
+    Relative links and non-http schemes drop out (NULL host). At 10^12
+    pages the explode is linear in total link count and the only Exchange
+    is the per-host one; hot hosts (everyone links to a CDN) are exactly
+    the AQE skew-split case, and ``n_src_pages`` stays exact because
+    count(DISTINCT) goes through Spark's two-phase Expand.
+
+    ``internal_host``: optional Column of the page's own host — when
+    given, self-links (same registered host) are excluded, the usual
+    convention for reputation graphs.
+    """
+    from ..functions.extraction import link_host, outlinks
+
+    rows = pages.select(
+        F.col(id_col).alias("_src"),
+        *( [internal_host.alias("_own")] if internal_host is not None else [] ),
+        F.explode(outlinks(F.col(html_col))).alias("_href"),
+    ).select("_src", *(["_own"] if internal_host is not None else []),
+             link_host(F.col("_href")).alias("host"))
+    rows = rows.where(F.col("host").isNotNull())
+    if internal_host is not None:
+        rows = rows.where(F.col("host") != F.col("_own"))
+    return rows.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("_src").alias("n_src_pages"),
+    )

@@ -106,3 +106,56 @@ def reconcile_aggregates(
         .otherwise(F.lit("matched"))
         .alias("status"),
     )
+
+
+def relationship_cardinality(
+    dim: DataFrame,
+    fact: DataFrame,
+    dim_key: str,
+    fact_key: str,
+    bounds: tuple[int, ...] = (1, 2, 4),
+) -> DataFrame:
+    """Deequ-style relationship-cardinality census →
+    ``(card_class, n_keys)``: how many dimension keys have 0 / 1 / 2-3 /
+    4+ matching fact rows (classes cut at ``bounds``), plus a
+    ``fact_orphan`` class counting DISTINCT fact keys that reference no
+    dimension row. ``orphan_rows`` answers *which* rows dangle; this
+    answers the cardinality-contract question (is orders→customer really
+    N:1? does every customer have at least one order?) as a bounded
+    census a verdict rule can threshold on.
+
+    Plan: fact aggregates to (key, n) first — map-side combinable, one
+    Exchange on the key — then a full-outer equi-join against the dim
+    keys (AQE broadcasts the smaller side) feeds TWO tiny aggs over
+    |keys| rows. No full fact rows ever shuffle; output is
+    ``len(bounds)+2`` rows regardless of scale.
+    """
+    per_key = fact.groupBy(F.col(fact_key).alias("_fk")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    keys = dim.select(F.col(dim_key).alias("_dk")).distinct()
+    joined = keys.join(
+        per_key, keys["_dk"] == per_key["_fk"], "full_outer"
+    ).select(
+        F.coalesce(F.col("_n"), F.lit(0)).alias("_n"),
+        F.col("_dk").isNotNull().alias("_in_dim"),
+    )
+    lo = 0
+    cls = None
+    for b in bounds:
+        label = str(lo) if b == lo + 1 else f"{lo}-{b - 1}"
+        cond = F.col("_n") < F.lit(b)
+        cls = F.when(cond, F.lit(label)) if cls is None else cls.when(cond, F.lit(label))
+        lo = b
+    cls = cls.otherwise(F.lit(f"{lo}+"))
+    dim_side = (
+        joined.where(F.col("_in_dim"))
+        .groupBy(cls.alias("card_class"))
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+    orphans = (
+        joined.where(~F.col("_in_dim"))
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .select(F.lit("fact_orphan").alias("card_class"), "n_keys")
+    )
+    return dim_side.unionByName(orphans)

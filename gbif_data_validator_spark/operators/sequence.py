@@ -243,3 +243,57 @@ def freshness_by_group(
         )
         .drop("_global_max_ts")
     )
+
+
+def rate_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    window: str = "day",
+    k: float = 3.0,
+) -> DataFrame:
+    """Arrival-rate control chart → one row per ``window`` bucket:
+    ``(bucket, n, center, spread, is_anomaly)`` where a bucket is
+    anomalous when ``|n − median| > k · 1.4826 · MAD`` over all bucket
+    counts — the robust-z recipe from ``constraints.mad_outlier_rows``
+    lifted from row values to windowed volumes. This is the "did the
+    crawler stall / double-fetch on Tuesday" check: drift operators
+    compare value *distributions* between windows, this one flags the
+    window whose row *count* breaks the series' own baseline.
+
+    Plan: ONE scan of the input aggregates to per-bucket counts
+    (date_trunc groupBy, map-side combinable; |buckets| rows ≈ days,
+    tiny). Median and MAD then run as two percentile WINDOW passes over
+    that bucket table on a single partition — deliberate: the bucket
+    table is bounded by the calendar, so a SinglePartition Exchange of
+    |days| rows is free and the input is never rescanned (unlike the
+    3-scan ``mad_outlier_rows`` shape, which must stream full rows).
+    All stats round to 1e-6 so the result hash-checks against a
+    quantile_cont SQL replay.
+    """
+    w = Window.partitionBy(F.lit(1))
+    counts = df.groupBy(
+        F.date_trunc(window, F.col(ts_col)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    centered = counts.withColumn(
+        "center",
+        F.round(F.percentile(F.col("n").cast("double"), F.lit(0.5)).over(w), 6),
+    )
+    dev = F.abs(F.col("n").cast("double") - F.col("center"))
+    spread = centered.withColumn(
+        "spread",
+        F.round(
+            F.lit(k)
+            * F.lit(1.4826)
+            * F.round(F.percentile(dev, F.lit(0.5)).over(w), 6),
+            6,
+        ),
+    )
+    return spread.select(
+        "bucket",
+        "n",
+        "center",
+        "spread",
+        (
+            F.abs(F.col("n").cast("double") - F.col("center")) > F.col("spread")
+        ).alias("is_anomaly"),
+    )
