@@ -2363,6 +2363,26 @@ def _q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return js_divergence(a, b, "source")
 
 
+def _q_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square homogeneity statistic between two crawls'
+    source distributions — the sampling-noise-aware drift alarm (grows
+    with N, compare vs the chi-square quantile at dof). Planted shift:
+    the odd-doc crawl relabels every 13th doc to 'src0', moving mass
+    toward an EXISTING category (the case js_drift's new-category plant
+    doesn't cover). Deterministic value-sorted fold, hash-exact at 6 dp."""
+    from gbif_data_validator_spark.operators.drift import chisq_drift
+
+    d = _docs(spark, sf_dir)
+    a = d.where(F.col("doc_id") % 2 == 0)
+    b = d.where(F.col("doc_id") % 2 == 1).withColumn(
+        "source",
+        F.when(F.col("doc_id") % 13 == 0, F.lit("src0")).otherwise(
+            F.col("source")
+        ),
+    )
+    return chisq_drift(a, b, "source")
+
+
 #: domain_census fixture — one url per registered-domain rule branch:
 #: multi-level public suffix (3+ labels), plain 2-label, deep subdomain,
 #: vhost collapse (two hosts, one owner), IPv4 literal, single-label
@@ -2519,6 +2539,47 @@ def _q_noindex_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("d.nofollow").alias("nofollow"))
     )
     return d.where(F.col("noindex") | F.col("nofollow")).orderBy("doc_id")
+
+
+def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for the web-graph referential queries: documents
+    get the deterministic link html (`_synth_link_html`, hosts h0..h22)
+    plus their OWN url on the smaller h0..h16 universe — so six hosts
+    (h17..h22) are linked-to but never owned, a planted crawl frontier."""
+    docs = _tbl(spark, sf_dir, "documents")
+    idc = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (idc % 17).cast("string"),
+            F.lit(".example.org/page/"), idc.cast("string"),
+        ).alias("url"),
+        _synth_link_html(idc).alias("html"),
+    )
+
+
+def _q_frontier_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dangling-outlink referential (operators/graph.py:frontier_hosts):
+    hosts the corpus links to but does not contain — outlink census
+    anti-joined against the corpus' own host dimension, both at host
+    grain. The oracle replays construction, extraction, and anti-join."""
+    from gbif_data_validator_spark.operators.graph import frontier_hosts
+
+    return frontier_hosts(
+        _linked_pages(spark, sf_dir), html_col="html", url_col="url"
+    ).orderBy("host")
+
+
+def _q_reciprocal_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal host-pair census (operators/graph.py:reciprocal_links):
+    unordered host pairs linked in BOTH directions with per-direction
+    multiplicities — the link-exchange signal, emitted once per pair via
+    host_a < host_b over a self-join of the directed host-edge agg."""
+    from gbif_data_validator_spark.operators.graph import reciprocal_links
+
+    return reciprocal_links(
+        _linked_pages(spark, sf_dir), html_col="html", url_col="url"
+    ).orderBy("host_a", "host_b")
 
 
 def _q_fk_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2697,9 +2758,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_discovery": _q_key_discovery,
         "lang_script_check": _q_lang_script_check,
         "js_drift": _q_js_drift,
+        "chisq_drift": _q_chisq_drift,
         "domain_census": _q_domain_census,
         "reconcile_rollup": _q_reconcile_rollup,
         "outlink_census": _q_outlink_census,
+        "frontier_hosts": _q_frontier_hosts,
+        "reciprocal_links": _q_reciprocal_links,
         "noindex_pages": _q_noindex_pages,
         "fk_cardinality": _q_fk_cardinality,
         "rate_anomaly": _q_rate_anomaly,
@@ -5638,6 +5702,53 @@ def oracle_sql() -> dict[str, str]:
                        (acc, x) -> acc + x) + 0.0, 6) AS value
             FROM one
         """,
+        "chisq_drift": """
+            WITH a AS (
+              SELECT CAST(source AS VARCHAR) AS v, COUNT(*) AS ca
+              FROM documents WHERE doc_id % 2 = 0 AND source IS NOT NULL
+              GROUP BY 1
+            ),
+            b0 AS (
+              SELECT CASE WHEN doc_id % 13 = 0 THEN 'src0'
+                          ELSE CAST(source AS VARCHAR) END AS v
+              FROM documents WHERE doc_id % 2 = 1 AND source IS NOT NULL
+            ),
+            b AS (SELECT v, COUNT(*) AS cb FROM b0 GROUP BY 1),
+            j AS (
+              SELECT COALESCE(a.v, b.v) AS v,
+                     COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+              FROM a FULL OUTER JOIN b ON a.v = b.v
+            ),
+            one AS (
+              SELECT list_sort(list(struct_pack(v := v, ca := ca, cb := cb))) AS g,
+                     CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+              FROM j
+            )
+            SELECT 'source' AS "column", na AS n_a, nb AS n_b,
+                   CAST(len(g) AS BIGINT) AS n_values,
+                   CAST(len(g) - 1 AS BIGINT) AS dof,
+                   CASE WHEN na > 0 AND nb > 0 THEN
+                     round(list_reduce(list_transform(g, s ->
+                         (CAST(s.ca AS DOUBLE)
+                          - CAST(na AS DOUBLE) * CAST(s.ca + s.cb AS DOUBLE)
+                            / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                         * (CAST(s.ca AS DOUBLE)
+                            - CAST(na AS DOUBLE) * CAST(s.ca + s.cb AS DOUBLE)
+                              / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                         / (CAST(na AS DOUBLE) * CAST(s.ca + s.cb AS DOUBLE)
+                            / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                         + (CAST(s.cb AS DOUBLE)
+                            - CAST(nb AS DOUBLE) * CAST(s.ca + s.cb AS DOUBLE)
+                              / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                           * (CAST(s.cb AS DOUBLE)
+                              - CAST(nb AS DOUBLE) * CAST(s.ca + s.cb AS DOUBLE)
+                                / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                           / (CAST(nb AS DOUBLE) * CAST(s.ca + s.cb AS DOUBLE)
+                              / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))),
+                       (acc, x) -> acc + x) + 0.0, 6)
+                   END AS value
+            FROM one
+        """,
         # domain_census: identical host regex, suffix list, and branch
         # order replayed over the same VALUES fixture
         "domain_census": r"""
@@ -5752,6 +5863,96 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_src_pages
             FROM hosts WHERE host IS NOT NULL AND host <> ''
             GROUP BY host ORDER BY host
+        """,
+        # frontier_hosts / reciprocal_links: replay the html+url
+        # construction, the regex extraction, and the host-grain joins
+        "frontier_hosts": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     'https://h' || CAST(doc_id % 17 AS VARCHAR)
+                     || '.example.org/page/' || CAST(doc_id AS VARCHAR) AS url,
+                     '<html><body>'
+                     || array_to_string(list_transform(
+                          range(1, (doc_id % 4 + 1) + 1),
+                          k -> '<a class="c" href="https://h'
+                               || CAST((doc_id * 7 + k * 13) % 23 AS VARCHAR)
+                               || '.example.org/p' || CAST(k AS VARCHAR)
+                               || '">link</a>'), '')
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN '<a href=''https://h'
+                               || CAST((doc_id * 11) % 23 AS VARCHAR)
+                               || '.example.org/q''>x</a>'
+                          ELSE '' END
+                     || '<a href="/local/1">r</a></body></html>' AS html
+              FROM documents
+            ),
+            x AS (
+              SELECT url,
+                     unnest(regexp_extract_all(
+                       html, '(?i)<a\s[^>]*href=["'']([^"'']+)["'']', 1)) AS href
+              FROM h
+            ),
+            census AS (
+              SELECT lower(regexp_extract(
+                       href, '(?i)^https?://([^/?#]+)', 1)) AS host,
+                     CAST(COUNT(*) AS BIGINT) AS n_links,
+                     CAST(COUNT(DISTINCT url) AS BIGINT) AS n_src_pages
+              FROM x
+              WHERE lower(regexp_extract(href, '(?i)^https?://([^/?#]+)', 1)) <> ''
+              GROUP BY 1
+            ),
+            own AS (
+              SELECT DISTINCT lower(regexp_extract(
+                       url, '(?i)^https?://([^/?#]+)', 1)) AS host
+              FROM h
+            )
+            SELECT c.host, c.n_links, c.n_src_pages
+            FROM census c
+            WHERE NOT EXISTS (SELECT 1 FROM own o WHERE o.host = c.host)
+            ORDER BY c.host
+        """,
+        "reciprocal_links": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     'https://h' || CAST(doc_id % 17 AS VARCHAR)
+                     || '.example.org/page/' || CAST(doc_id AS VARCHAR) AS url,
+                     '<html><body>'
+                     || array_to_string(list_transform(
+                          range(1, (doc_id % 4 + 1) + 1),
+                          k -> '<a class="c" href="https://h'
+                               || CAST((doc_id * 7 + k * 13) % 23 AS VARCHAR)
+                               || '.example.org/p' || CAST(k AS VARCHAR)
+                               || '">link</a>'), '')
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN '<a href=''https://h'
+                               || CAST((doc_id * 11) % 23 AS VARCHAR)
+                               || '.example.org/q''>x</a>'
+                          ELSE '' END
+                     || '<a href="/local/1">r</a></body></html>' AS html
+              FROM documents
+            ),
+            x AS (
+              SELECT lower(regexp_extract(
+                       url, '(?i)^https?://([^/?#]+)', 1)) AS src,
+                     unnest(regexp_extract_all(
+                       html, '(?i)<a\s[^>]*href=["'']([^"'']+)["'']', 1)) AS href
+              FROM h
+            ),
+            e AS (
+              SELECT src,
+                     lower(regexp_extract(
+                       href, '(?i)^https?://([^/?#]+)', 1)) AS dst,
+                     CAST(COUNT(*) AS BIGINT) AS n_links
+              FROM x
+              WHERE lower(regexp_extract(href, '(?i)^https?://([^/?#]+)', 1)) <> ''
+                AND lower(regexp_extract(href, '(?i)^https?://([^/?#]+)', 1)) <> src
+              GROUP BY 1, 2
+            )
+            SELECT a.src AS host_a, a.dst AS host_b,
+                   a.n_links AS ab_links, b.n_links AS ba_links
+            FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+            WHERE a.src < a.dst
+            ORDER BY host_a, host_b
         """,
         # noindex_pages: same two attribute-order regexes, lowercased
         # content, googlebot meta must not flag

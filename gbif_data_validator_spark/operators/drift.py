@@ -490,3 +490,86 @@ def js_divergence(
         F.size("g").cast("long").alias("n_values"),
         F.round(_ordered_fold(F.transform(F.col("g"), term)), 6).alias("value"),
     )
+
+
+def chisq_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """Pearson chi-square homogeneity statistic between two tables'
+    categorical distributions of ``col`` → ONE row ``(column, n_a, n_b,
+    n_values, dof, value)`` — the classical 2×k contingency test the
+    reference's per-window pass/fail verdicts imply and Deequ exposes as
+    its ChiSquare analyzer (there via mllib's ``ChiSquareTest``). Unlike
+    PSI (which needs a bucket scheme) and JSD (bounded but scale-free),
+    the chi-square statistic grows with N, making it the right alarm when
+    the question is "is this difference bigger than sampling noise" —
+    compare ``value`` against the chi-square quantile at ``dof = k - 1``
+    driver-side (the p-value's incomplete-gamma is deliberately NOT
+    computed in-plan; the statistic + dof are the engine-portable core).
+
+    Cells with zero mass on BOTH sides can't occur (the category exists
+    because one side counted it), and expected counts ``e = n_side *
+    col_total / N`` are strictly positive whenever both sides are
+    non-empty; an empty side yields a NULL value rather than a division
+    blow-up.
+
+    Plan: one count-groupBy per side (map-side combinable, cardinality
+    guarded), a full-outer equi-join of the two tiny count tables, then a
+    DETERMINISTIC value-sorted explicit left fold in one final row (the
+    ``_ordered_fold`` discipline) — so a SQL replay folding the
+    identically-sorted list is bit-identical at 6 dp, not merely close."""
+    from .constraints import _guard_cardinality, _ordered_fold
+
+    _guard_cardinality(
+        df_a.where(F.col(col).isNotNull()), F.col(col), max_groups,
+        f"chisq_drift({col}) side A",
+    )
+    _guard_cardinality(
+        df_b.where(F.col(col).isNotNull()), F.col(col), max_groups,
+        f"chisq_drift({col}) side B",
+    )
+
+    def counts(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.where(F.col(col).isNotNull())
+            .groupBy(F.col(col).cast("string").alias("v"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    joined = counts(df_a, "ca").join(counts(df_b, "cb"), "v", "full_outer").select(
+        "v",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    one = joined.agg(
+        F.sort_array(F.collect_list(F.struct("v", "ca", "cb"))).alias("g"),
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    n_tot = na + nb
+
+    def term(s: F.Column) -> F.Column:
+        cv = (s["ca"] + s["cb"]).cast("double")
+        ea = na * cv / n_tot
+        eb = nb * cv / n_tot
+        da = s["ca"].cast("double") - ea
+        db = s["cb"].cast("double") - eb
+        return da * da / ea + db * db / eb
+
+    stat = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        F.round(_ordered_fold(F.transform(F.col("g"), term)), 6),
+    )
+    return one.select(
+        F.lit(col).alias("column"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.size("g").cast("long").alias("n_values"),
+        (F.size("g") - 1).cast("long").alias("dof"),
+        stat.alias("value"),
+    )

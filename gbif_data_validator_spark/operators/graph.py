@@ -165,3 +165,89 @@ def outlink_census(
         F.count(F.lit(1)).alias("n_links"),
         F.countDistinct("_src").alias("n_src_pages"),
     )
+
+
+def frontier_hosts(
+    pages: DataFrame,
+    html_col: str = "html",
+    own_host: F.Column | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Dangling-outlink referential: hosts the corpus LINKS TO but does
+    not CONTAIN → ``(host, n_links, n_src_pages)`` ranked raw material
+    for crawl-frontier discovery — the web-native twin of the
+    reference's referential-integrity check (an outlink is a foreign key
+    into the corpus' host dimension; a miss is an orphan pointing at the
+    not-yet-crawled web).
+
+    ``own_host``: Column giving each page's own host (defaults to
+    extracting it from ``url_col`` with the same ``link_host`` regex the
+    outlink side uses, so both sides normalize identically — a host can
+    never be its own frontier because of a case or scheme mismatch).
+
+    Plan: the outlink census (one explode + one host-grain hash agg) and
+    the corpus host dimension (one DISTINCT, also host-grain) are both
+    aggregates ≪ |pages|; the LEFT ANTI equi-join between them runs at
+    host grain, so at 10^12 pages the only page-sized work is the single
+    extraction scan each side shares with ``outlink_census``. The anti
+    join is left to AQE: at web scale BOTH sides are ~10^8 hosts, so
+    forcing a broadcast would be wrong — this is the shuffle-join case,
+    and skew (every page linking to a CDN host) collapses at the census
+    stage before the join ever sees it."""
+    from ..functions.extraction import link_host
+
+    census = outlink_census(pages, html_col=html_col, id_col=url_col)
+    own = own_host if own_host is not None else link_host(F.col(url_col))
+    corpus = pages.select(own.alias("host")).where(
+        F.col("host").isNotNull()
+    ).distinct()
+    return census.join(corpus, "host", "left_anti")
+
+
+def reciprocal_links(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    own_host: F.Column | None = None,
+) -> DataFrame:
+    """Reciprocal host-pair detection: unordered host pairs with links in
+    BOTH directions → ``(host_a, host_b, ab_links, ba_links)`` with
+    ``host_a < host_b`` — the classic link-farm / link-exchange signal
+    (organic links are overwhelmingly one-way; mutual high-multiplicity
+    edges between small hosts are traded links).
+
+    Plan: one extraction scan → directed-edge hash agg at (src_host,
+    dst_host) grain (map-side combinable; self-links dropped) → the
+    reciprocity test is a self equi-join of that edge table against its
+    own reversal on the composite key, emitting each unordered pair once
+    via ``host_a < host_b``. The edge table is |E_host| rows (≪ raw link
+    count after the agg), so the join is aggregate-sized; no broadcast
+    is forced for the same reason as ``frontier_hosts``."""
+    from ..functions.extraction import link_host, outlinks
+
+    own = own_host if own_host is not None else link_host(F.col(url_col))
+    edges = (
+        pages.select(
+            own.alias("src"),
+            F.explode(outlinks(F.col(html_col))).alias("_href"),
+        )
+        .select("src", link_host(F.col("_href")).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+               & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.col("n_links").alias("ba_links"),
+    )
+    return (
+        edges.join(rev, ["src", "dst"])
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("host_a"),
+            F.col("dst").alias("host_b"),
+            F.col("n_links").alias("ab_links"),
+            F.col("ba_links"),
+        )
+    )

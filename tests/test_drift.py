@@ -206,3 +206,38 @@ def test_js_divergence_partitioning_invariant_and_guarded(spark):
             spark.range(0, 1000).select(F.col("id").cast("string").alias("c")),
             b, "c", max_groups=10,
         )
+
+
+def test_chisq_drift_known_value_and_dof(spark):
+    from gbif_data_validator_spark.operators.drift import chisq_drift
+
+    mk = lambda vals: spark.createDataFrame([(v,) for v in vals], "c string")
+    # identical distributions -> 0 statistic
+    same = chisq_drift(mk(["a", "a", "b"]), mk(["a", "a", "b"]), "c").collect()[0]
+    assert same.value == 0.0 and same.dof == 1
+    # hand-computed 2x2: A = {a:3, b:1}, B = {a:1, b:3}; N=8, col totals 4/4
+    # e = 2 everywhere -> chi2 = 4 * (1^2 / 2) = 2.0
+    got = chisq_drift(mk(["a"] * 3 + ["b"]), mk(["a"] + ["b"] * 3), "c").collect()[0]
+    assert (got.value, got.dof, got.n_a, got.n_b, got.n_values) == (2.0, 1, 4, 4, 2)
+
+
+def test_chisq_drift_empty_side_null_and_invariance(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gbif_data_validator_spark.operators.drift import chisq_drift
+
+    a = spark.range(0, 2000).select((F.col("id") % 13).cast("string").alias("c"))
+    b = spark.range(0, 3000).select((F.col("id") % 17).cast("string").alias("c"))
+    v1 = chisq_drift(a, b, "c").collect()[0].value
+    v2 = chisq_drift(a.repartition(11), b.repartition(3), "c").collect()[0].value
+    assert v1 == v2 > 0
+    # one side empty -> NULL statistic, no division blow-up
+    empty = spark.createDataFrame([], "c string")
+    row = chisq_drift(a, empty, "c").collect()[0]
+    assert row.value is None and row.n_b == 0
+    with _pytest.raises(ValueError, match="chisq_drift"):
+        chisq_drift(
+            spark.range(0, 1000).select(F.col("id").cast("string").alias("c")),
+            b, "c", max_groups=10,
+        )

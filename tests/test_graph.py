@@ -102,3 +102,47 @@ def test_one_action_per_iteration(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def _pages_df(spark, rows):
+    """rows: list of (url, html)"""
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_frontier_hosts_planted_gap(spark):
+    from gbif_data_validator_spark.operators.graph import frontier_hosts
+
+    pages = _pages_df(spark, [
+        ("https://a.com/1", '<a href="https://b.com/x">l</a><a href="https://gone.com/y">l</a>'),
+        ("https://b.com/1", '<a href="https://A.com/z">l</a><a href="https://gone.com/w">l</a>'),
+    ])
+    got = {r.host: (r.n_links, r.n_src_pages)
+           for r in frontier_hosts(pages).collect()}
+    # a.com/b.com are in-corpus (case-insensitively); only gone.com dangles
+    assert got == {"gone.com": (2, 2)}
+
+
+def test_frontier_hosts_relative_links_drop(spark):
+    from gbif_data_validator_spark.operators.graph import frontier_hosts
+
+    pages = _pages_df(spark, [
+        ("https://a.com/1", '<a href="/local">r</a><a href="mailto:x@y.z">m</a>'),
+    ])
+    assert frontier_hosts(pages).count() == 0
+
+
+def test_reciprocal_links_directions_and_one_way(spark):
+    from gbif_data_validator_spark.operators.graph import reciprocal_links
+
+    pages = _pages_df(spark, [
+        # a -> b twice, b -> a once (reciprocal); a -> c one-way
+        ("https://a.com/1", '<a href="https://b.com/x">l</a><a href="https://c.com/x">l</a>'),
+        ("https://a.com/2", '<a href="https://b.com/y">l</a>'),
+        ("https://b.com/1", '<a href="https://a.com/z">l</a>'),
+        # self-link must not count
+        ("https://c.com/1", '<a href="https://c.com/self">l</a>'),
+    ])
+    rows = reciprocal_links(pages).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.host_a, r.host_b, r.ab_links, r.ba_links) == ("a.com", "b.com", 2, 1)
