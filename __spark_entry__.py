@@ -900,6 +900,34 @@ def _q_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (operators/snapshot.py:apply_changeset): the Iceberg
+    MERGE INTO core on plain snapshots — deletes (every 11th key),
+    in-place upserts (every remaining 7th key patched), and inserts
+    (every 13th key re-added under a shifted id) applied in one
+    broadcast anti-join + union; the oracle replays the changeset
+    construction and the NOT EXISTS ∪ upserts algebra."""
+    from gbif_data_validator_spark.operators.snapshot import apply_changeset
+
+    d = _docs(spark, sf_dir)
+    idc = F.col("doc_id")
+    dels = d.where(idc % 11 == 0).withColumn("op", F.lit("delete"))
+    upds = (
+        d.where((idc % 11 != 0) & (idc % 7 == 0))
+        .withColumn("source", F.lit("patched"))
+        .withColumn("n_chars", F.col("n_chars") + F.lit(1))
+        .withColumn("op", F.lit("upsert"))
+    )
+    ins = (
+        d.where(idc % 13 == 0)
+        .withColumn("doc_id", idc + F.lit(100000))
+        .withColumn("source", F.lit("inserted"))
+        .withColumn("op", F.lit("upsert"))
+    )
+    changes = dels.unionByName(upds).unionByName(ins)
+    return apply_changeset(d, changes, key_col="doc_id").orderBy("doc_id")
+
+
 def _q_script_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode script census: per-doc codepoint counts across 9 major
     script blocks + dominant script — the writing-system complement to the
@@ -1122,6 +1150,20 @@ def _q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return pack_bins(
         _docs(spark, sf_dir), "doc_id", "n_chars", budget=2000, n_shards=8
+    ).orderBy("doc_id")
+
+
+def _q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered training-shard planner (operators/curation.py:shard_plan):
+    documents land in ~25 KB shards along the ascending-doc_id global
+    order via a bucketed distributed prefix sum (no global sort); the
+    oracle is the one-window SQL definition the two-phase plan must
+    equal exactly — integer div, so bit-exact, not approximately."""
+    from gbif_data_validator_spark.operators.curation import shard_plan
+
+    return shard_plan(
+        _docs(spark, sf_dir), "doc_id", "n_chars", shard_bytes=25_000,
+        n_buckets=64,
     ).orderBy("doc_id")
 
 
@@ -2657,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iqr_outliers": _q_iqr_outliers,
         "dup_spans": _q_dup_spans,
         "snapshot_churn": _q_snapshot_churn,
+        "apply_changeset": _q_apply_changeset,
         "script_census": _q_script_census,
         "entropy_mi": _q_entropy_mi,
         "weighted_sample": _q_weighted_sample,
@@ -2744,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": _q_hash_sample,
         "hash_split": _q_hash_split,
         "pack_bins": _q_pack_bins,
+        "shard_plan": _q_shard_plan,
         "contamination": _q_contamination,
         # session-3 additions (oracled; past the window by the same policy)
         "corr_exact": _q_corr_exact,
@@ -3506,6 +3550,14 @@ def oracle_sql() -> dict[str, str]:
                    n_chars AS tokens
             FROM w ORDER BY doc_id
         """,
+        "shard_plan": """
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS size,
+                   CAST((sum(CAST(n_chars AS BIGINT)) OVER
+                           (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_chars) // 25000 AS BIGINT) AS shard
+            FROM documents ORDER BY doc_id
+        """,
         "contamination": """
             WITH bench AS (
               SELECT DISTINCT unnest(list_distinct([array_to_string(words[i:i+7], ' ') for i in range(1, len(words) - 6)])) AS g
@@ -4115,6 +4167,27 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(o.n, 0) AS n_old,
                    COALESCE(n.n, 0) AS n_new
             FROM old_g o FULL OUTER JOIN new_g n ON o.key = n.key
+            ORDER BY doc_id
+        """,
+        # apply_changeset: replay the changeset construction, then the
+        # merge algebra — survivors (NOT EXISTS) ∪ upsert rows
+        "apply_changeset": """
+            WITH changes AS (
+              SELECT doc_id, text, lang, source, n_chars, 'delete' AS op
+              FROM documents WHERE doc_id % 11 = 0
+              UNION ALL
+              SELECT doc_id, text, lang, 'patched', n_chars + 1, 'upsert'
+              FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 7 = 0
+              UNION ALL
+              SELECT doc_id + 100000, text, lang, 'inserted', n_chars, 'upsert'
+              FROM documents WHERE doc_id % 13 = 0
+            )
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.doc_id = d.doc_id)
+            UNION ALL
+            SELECT doc_id, text, lang, source, n_chars
+            FROM changes WHERE op = 'upsert'
             ORDER BY doc_id
         """,
         # script_census: counts from the SAME SCRIPT_RANGES dict (rendered

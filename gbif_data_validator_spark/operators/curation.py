@@ -62,6 +62,76 @@ def pack_bins(
     )
 
 
+def shard_plan(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    shard_bytes: int,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """→ ``(id, size, shard)``: assign documents to output training
+    shards of ~``shard_bytes`` each, preserving ONE deterministic global
+    order (ascending ``id_col``) — the writer plan for "emit the corpus
+    as ordered ~1 GB files" that ``pack_bins`` (hashed shards, bins
+    within) deliberately does not give you. A document goes to shard
+    ``floor(exclusive_prefix_sum(size) / shard_bytes)``, so shard
+    boundaries fall exactly where the running byte total crosses a
+    multiple of the budget and every shard except the last holds at
+    least ``shard_bytes - max(size)`` bytes.
+
+    The global prefix sum is computed WITHOUT a global sort: (1) one
+    cheap min/max agg of ``id_col``; (2) rows map to ``n_buckets``
+    order-preserving id-range buckets; (3) one bucket-grain agg whose
+    ≤ ``n_buckets`` sums are collected, exclusive-offset-folded
+    driver-side (bounded by construction), and broadcast-joined back;
+    (4) a window cumsum WITHIN each bucket (parallel sorts of |bucket|
+    rows, never |table|). Exclusive prefix = bucket offset + in-bucket
+    cumsum − own size; all arithmetic is integer (``div``), so the plan
+    replays bit-exactly in ANSI SQL. At 10^12 rows the only shuffles are
+    the bucket agg and the bucket-partitioned window — both keyed on the
+    bounded bucket id, with AQE free to split the hot ranges of a skewed
+    id distribution.
+
+    ``id_col`` must be numeric and unique (it is the global order and
+    the tie-break); sizes must be non-negative."""
+    if shard_bytes <= 0:
+        raise ValueError("shard_plan: shard_bytes must be positive")
+    spark = df.sparkSession
+    out_schema = f"{id_col} long, size long, shard long"
+    stats = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    if stats.lo is None:
+        return spark.createDataFrame([], out_schema)
+    lo, hi = int(stats.lo), int(stats.hi)
+    span = hi - lo + 1
+    idc = F.col(id_col).cast("long")
+    bucket = F.expr(
+        f"(CAST({id_col} AS BIGINT) - {lo}) * {n_buckets} div {span}"
+    )
+    sized = df.select(
+        idc.alias(id_col),
+        F.col(size_col).cast("long").alias("size"),
+        bucket.alias("_b"),
+    )
+    per_bucket = (
+        sized.groupBy("_b").agg(F.sum("size").alias("s")).orderBy("_b").collect()
+    )
+    offsets, running = [], 0
+    for r in per_bucket:
+        offsets.append((int(r._b), running))
+        running += int(r.s)
+    off_df = spark.createDataFrame(offsets, "_b long, _off long")
+    w = Window.partitionBy("_b").orderBy(id_col)
+    cum = F.sum("size").over(w)
+    return (
+        sized.join(F.broadcast(off_df), "_b")
+        .withColumn("_excl", F.col("_off") + cum - F.col("size"))
+        .withColumn("shard", F.expr(f"_excl div {shard_bytes}"))
+        .select(id_col, "size", "shard")
+    )
+
+
 def ngram_contamination(
     docs: DataFrame,
     bench: DataFrame,

@@ -80,6 +80,69 @@ def snapshot_diff(
     )
 
 
+def apply_changeset(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str = "url",
+    op_col: str = "op",
+    broadcast_threshold: int = 10_000_000,
+) -> DataFrame:
+    """Apply a CDC changeset to a snapshot → the next snapshot, without a
+    table format's MERGE INTO: ``changes`` carries the base's schema plus
+    ``op_col`` ∈ {'upsert', 'delete'}; an upsert replaces the key's base
+    row (or inserts it), a delete drops it, keys the changeset doesn't
+    mention pass through untouched. The relational core of Iceberg/Delta
+    ``MERGE WHEN MATCHED``, usable on plain parquet snapshots — the write
+    path a recurring-crawl pipeline needs between ``snapshot_diff`` runs.
+
+    Contract: at most one change row per key (the caller collapses
+    multi-event CDC streams to final state first — e.g. max_by(event,
+    seq)); violated keys raise. Null-key change rows are rejected too:
+    silently dropping them would hide data loss.
+
+    Plan: survivors = base LEFT ANTI changes (one equi-join on the key,
+    removing both delete and to-be-replaced keys) ∪ the changeset's
+    upsert rows. The changeset is typically ≪ base (a day's crawl vs the
+    corpus): when its row count is under ``broadcast_threshold`` the anti
+    join broadcasts it — a map-side filter, zero shuffle of the 10^12-row
+    base; past the threshold it falls back to a shuffle join rather than
+    OOM the executors (the bloom module's guard discipline). The union is
+    read-time only — no rewrite of untouched data beyond the scan."""
+    ops = changes.select(F.col(op_col).alias("_op"), "*").drop(op_col)
+    # contract checks in ONE bounded agg action over the (small) changeset
+    chk = ops.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when(~F.col("_op").isin("upsert", "delete"), 1)
+        ).alias("bad_ops"),
+        F.count(F.when(F.col(key_col).isNull(), 1)).alias("null_keys"),
+        F.countDistinct(key_col).alias("n_keys"),
+    ).first()
+    if chk.bad_ops:
+        raise ValueError(
+            f"apply_changeset: {chk.bad_ops} change rows with an op other "
+            f"than upsert|delete"
+        )
+    if chk.null_keys:
+        raise ValueError(
+            f"apply_changeset: {chk.null_keys} NULL-key change rows"
+        )
+    if chk.n_keys != chk.n:
+        raise ValueError(
+            f"apply_changeset: {chk.n - chk.n_keys} duplicate-key change "
+            f"rows — collapse the CDC stream to final state per key first"
+        )
+    n_changes = chk.n
+    keys = ops.select(key_col)
+    if n_changes <= broadcast_threshold:
+        keys = F.broadcast(keys)
+    survivors = base.join(keys, key_col, "left_anti")
+    upserts = ops.where(F.col("_op") == "upsert").drop("_op").select(
+        *base.columns
+    )
+    return survivors.unionByName(upserts)
+
+
 def snapshot_diff_summary(
     old: DataFrame,
     new: DataFrame,

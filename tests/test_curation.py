@@ -379,3 +379,49 @@ def test_curation_funnel_census_and_plan(spark):
     plan = staged._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_shard_plan_matches_single_window_definition(spark):
+    from pyspark.sql import Window, functions as F
+
+    from gbif_data_validator_spark.operators.curation import shard_plan
+
+    # skewed ids (quadratic gaps) so range buckets are uneven on purpose
+    df = spark.range(0, 400).select(
+        (F.col("id") * F.col("id")).alias("doc_id"),
+        (F.col("id") % 97 + 10).alias("nbytes"),
+    ).repartition(7)
+    got = shard_plan(df, "doc_id", "nbytes", shard_bytes=500, n_buckets=16)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select(
+        "doc_id", F.col("nbytes").cast("long").alias("size"),
+        F.expr("sum(nbytes) over (order by doc_id "
+               "rows between unbounded preceding and current row)"),
+    ).withColumn(
+        "shard", F.expr("(`sum(nbytes) OVER (ORDER BY doc_id ASC NULLS FIRST "
+                        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)` "
+                        "- size) div 500")
+    ).select("doc_id", "size", "shard")
+    assert sorted(got.collect()) == sorted(want.collect())
+    # shards are contiguous along the id order and sized near the budget
+    rows = sorted(got.collect())
+    seen = [r.shard for r in rows]
+    assert seen == sorted(seen)  # monotone along id order
+
+
+def test_shard_plan_guards_and_empty(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gbif_data_validator_spark.operators.curation import shard_plan
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), F.lit(100).alias("n")
+    )
+    with _pytest.raises(ValueError, match="shard_bytes"):
+        shard_plan(df, "doc_id", "n", shard_bytes=0)
+    empty = shard_plan(df.where(F.lit(False)), "doc_id", "n", 1000)
+    assert empty.count() == 0 and empty.columns == ["doc_id", "size", "shard"]
+    # budget larger than the corpus -> everything in shard 0
+    one = shard_plan(df, "doc_id", "n", shard_bytes=10_000)
+    assert {r.shard for r in one.collect()} == {0}

@@ -80,3 +80,56 @@ def test_snapshot_diff_plan_shape(spark, tmp_path):
     # exactly one join node (full outer on the key)
     assert sum(plan.count(j) for j in
                ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")) == 1
+
+
+def test_apply_changeset_merge_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from gbif_data_validator_spark.operators.snapshot import apply_changeset
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "url int, text string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B2", "upsert"), (3, None, "delete"), (9, "new", "upsert")],
+        "url int, text string, op string",
+    )
+    got = {r.url: r.text for r in apply_changeset(base, changes, "url").collect()}
+    assert got == {1: "a", 2: "B2", 9: "new"}
+
+
+def test_apply_changeset_contract_violations_raise(spark):
+    import pytest as _pytest
+
+    from gbif_data_validator_spark.operators.snapshot import apply_changeset
+
+    base = spark.createDataFrame([(1, "a")], "url int, text string")
+    dup = spark.createDataFrame(
+        [(2, "x", "upsert"), (2, "y", "upsert")], "url int, text string, op string"
+    )
+    with _pytest.raises(ValueError, match="duplicate-key"):
+        apply_changeset(base, dup, "url")
+    nul = spark.createDataFrame(
+        [(None, "x", "upsert")], "url int, text string, op string"
+    )
+    with _pytest.raises(ValueError, match="NULL-key"):
+        apply_changeset(base, nul, "url")
+    bad = spark.createDataFrame(
+        [(2, "x", "replace")], "url int, text string, op string"
+    )
+    with _pytest.raises(ValueError, match="upsert|delete"):
+        apply_changeset(base, bad, "url")
+
+
+def test_apply_changeset_broadcast_guard_falls_back(spark):
+    from gbif_data_validator_spark.operators.snapshot import apply_changeset
+
+    base = spark.createDataFrame([(i, "t") for i in range(20)], "url int, text string")
+    changes = spark.createDataFrame(
+        [(i, "u", "delete") for i in range(5)], "url int, text string, op string"
+    )
+    # threshold below the changeset size -> shuffle-join path, same result
+    out = apply_changeset(base, changes, "url", broadcast_threshold=2)
+    assert out.count() == 15
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
