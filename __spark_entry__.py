@@ -900,6 +900,21 @@ def _q_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_host_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-majority disagreement census (operators/metrics.py:
+    group_majority_mismatch): per source, every MINORITY language with
+    its count vs the deterministic majority (max count, min-string
+    tie-break) — the corpus-level "page lang disagrees with its host"
+    consistency check; all post-agg work runs on the count table."""
+    from gbif_data_validator_spark.operators.metrics import (
+        group_majority_mismatch,
+    )
+
+    return group_majority_mismatch(
+        _docs(spark, sf_dir), "source", "lang", min_group=5
+    ).orderBy("group", "value")
+
+
 def _q_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC merge (operators/snapshot.py:apply_changeset): the Iceberg
     MERGE INTO core on plain snapshots — deletes (every 11th key),
@@ -2624,6 +2639,73 @@ def _q_reciprocal_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host_a", "host_b")
 
 
+#: robots.txt fixture — one document per grammar branch: comments + CR +
+#: empty-Disallow + non-star record (h0), multi-UA run including * (h1),
+#: no star record at all (h2), case-insensitive fields + wildcard rule
+#: (h3), empty file (h4)
+_ROBOTS_FIXTURE: list[tuple[str, str]] = [
+    (
+        "h0.example.org",
+        "# crawl policy\nUser-agent: *\r\nDisallow: /private/\n"
+        "Disallow:\n\nUser-agent: bot\nDisallow: /botonly/\n",
+    ),
+    ("h1.example.org", "User-agent: bot\nUser-agent: *\nDisallow: /secret\n"),
+    ("h2.example.org", "User-agent: bot\nDisallow: /x\n"),
+    (
+        "h3.example.org",
+        "user-AGENT:   *\nDISALLOW: /Case/\ndisallow: /wild*card\n",
+    ),
+    ("h4.example.org", ""),
+]
+
+
+def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parse (operators/robots.py:robots_rules): Disallow
+    rules from records whose user-agent set includes '*' — posexplode +
+    one host-grain window, RFC 9309 interoperable core (multi-UA runs,
+    case-insensitive fields, comment/CR strip, empty-Disallow = allow,
+    wildcards surfaced not matched). Oracle replays the whole relational
+    parse over the same VALUES fixture."""
+    from gbif_data_validator_spark.operators.robots import robots_rules
+
+    robots = spark.createDataFrame(_ROBOTS_FIXTURE, "host string, text string")
+    return robots_rules(robots).orderBy("host", "rule")
+
+
+def _q_robots_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance audit (operators/robots.py:robots_blocked):
+    corpus pages whose path a star-record Disallow rule prefix-matches —
+    the per-host politeness check beside noindex_pages' per-page one.
+    Page urls derive from documents (host = doc_id%5, path = doc_id%7
+    branch: blocked prefix / prefix-extension / case-miss / wildcard /
+    bare-root / clean); join is host-equi + in-join prefix predicate."""
+    from gbif_data_validator_spark.operators.robots import (
+        robots_blocked,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(_ROBOTS_FIXTURE, "host string, text string")
+    rules = robots_rules(robots)
+    idc = F.col("doc_id")
+    path = (
+        F.when(idc % 7 == 0, F.lit("/private/a"))
+        .when(idc % 7 == 1, F.lit("/secret-page"))
+        .when(idc % 7 == 2, F.lit("/Case/x"))
+        .when(idc % 7 == 3, F.lit("/case/x"))
+        .when(idc % 7 == 4, F.lit("/wildXcard/z"))
+        .when(idc % 7 == 5, F.lit(""))
+        .otherwise(F.lit("/ok"))
+    )
+    pages = _tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (idc % 5).cast("string"),
+            F.lit(".example.org"), path,
+        ).alias("url"),
+    )
+    return robots_blocked(pages, rules).orderBy("doc_id")
+
+
 def _q_fk_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relationship-cardinality census (Deequ relationship checks):
     customers bucketed by how many orders reference them (0 / 1 / 2-3 /
@@ -2700,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "snapshot_churn": _q_snapshot_churn,
         "apply_changeset": _q_apply_changeset,
+        "host_lang_mismatch": _q_host_lang_mismatch,
         "script_census": _q_script_census,
         "entropy_mi": _q_entropy_mi,
         "weighted_sample": _q_weighted_sample,
@@ -2809,6 +2892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_hosts": _q_frontier_hosts,
         "reciprocal_links": _q_reciprocal_links,
         "noindex_pages": _q_noindex_pages,
+        "robots_rules": _q_robots_rules,
+        "robots_blocked": _q_robots_blocked,
         "fk_cardinality": _q_fk_cardinality,
         "rate_anomaly": _q_rate_anomaly,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch)
@@ -4168,6 +4253,31 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(n.n, 0) AS n_new
             FROM old_g o FULL OUTER JOIN new_g n ON o.key = n.key
             ORDER BY doc_id
+        """,
+        # host_lang_mismatch: same count-table algebra — one (group,
+        # value) agg, window total + deterministic argmax, minority join
+        "host_lang_mismatch": """
+            WITH counts AS (
+              SELECT source AS "group", CAST(lang AS VARCHAR) AS value,
+                     COUNT(*) AS n
+              FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT *, CAST(SUM(n) OVER (PARTITION BY "group") AS BIGINT)
+                          AS n_group,
+                     ROW_NUMBER() OVER (PARTITION BY "group"
+                                        ORDER BY n DESC, value ASC) AS rn
+              FROM counts
+            ),
+            maj AS (
+              SELECT "group", value AS majority_value, n AS n_majority
+              FROM r WHERE rn = 1
+            )
+            SELECT r."group", r.value, r.n,
+                   m.majority_value, m.n_majority, r.n_group
+            FROM r JOIN maj m ON r."group" = m."group"
+            WHERE r.rn > 1 AND r.n_group >= 5
+            ORDER BY 1, 2
         """,
         # apply_changeset: replay the changeset construction, then the
         # merge algebra — survivors (NOT EXISTS) ∪ upsert rows
@@ -6026,6 +6136,126 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
             WHERE a.src < a.dst
             ORDER BY host_a, host_b
+        """,
+        # robots_rules / robots_blocked: replay the relational robots.txt
+        # parse (explode + lag/cumsum record ids) and the prefix-match
+        # audit over the same fixture
+        "robots_rules": r"""
+            WITH robots(host, txt) AS (VALUES
+              ('h0.example.org', e'# crawl policy\nUser-agent: *\r\nDisallow: /private/\nDisallow:\n\nUser-agent: bot\nDisallow: /botonly/\n'),
+              ('h1.example.org', e'User-agent: bot\nUser-agent: *\nDisallow: /secret\n'),
+              ('h2.example.org', e'User-agent: bot\nDisallow: /x\n'),
+              ('h3.example.org', e'user-AGENT:   *\nDISALLOW: /Case/\ndisallow: /wild*card\n'),
+              ('h4.example.org', '')
+            ),
+            sp AS (SELECT host, string_split(txt, chr(10)) AS l FROM robots),
+            lines AS (
+              SELECT host, i AS pos,
+                     trim(regexp_replace(regexp_replace(l[i], '\r', ''),
+                                         '#.*$', '')) AS line
+              FROM sp, UNNEST(range(1, len(l) + 1)) AS r(i)
+            ),
+            f AS (
+              SELECT host, pos,
+                     lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) AS field,
+                     trim(regexp_extract(line, '^[A-Za-z-]+\s*:\s*(.*)$', 1)) AS value
+              FROM lines
+            ),
+            m AS (
+              SELECT *, CASE WHEN field = 'user-agent' THEN 1 ELSE 0 END AS is_ua
+              FROM f
+            ),
+            m2 AS (
+              SELECT *, COALESCE(LAG(is_ua) OVER (PARTITION BY host ORDER BY pos), 0)
+                          AS prev_ua
+              FROM m
+            ),
+            m3 AS (
+              SELECT *, SUM(CASE WHEN is_ua = 1 AND prev_ua = 0 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY host ORDER BY pos) AS rec
+              FROM m2
+            ),
+            star AS (
+              SELECT DISTINCT host, rec FROM m3
+              WHERE field = 'user-agent' AND value = '*'
+            )
+            SELECT DISTINCT m3.host, m3.value AS rule,
+                   regexp_matches(m3.value, '[*$]') AS has_wildcard
+            FROM m3 JOIN star ON m3.host = star.host AND m3.rec = star.rec
+            WHERE m3.field = 'disallow' AND m3.value <> ''
+            ORDER BY 1, 2
+        """,
+        "robots_blocked": r"""
+            WITH robots(host, txt) AS (VALUES
+              ('h0.example.org', e'# crawl policy\nUser-agent: *\r\nDisallow: /private/\nDisallow:\n\nUser-agent: bot\nDisallow: /botonly/\n'),
+              ('h1.example.org', e'User-agent: bot\nUser-agent: *\nDisallow: /secret\n'),
+              ('h2.example.org', e'User-agent: bot\nDisallow: /x\n'),
+              ('h3.example.org', e'user-AGENT:   *\nDISALLOW: /Case/\ndisallow: /wild*card\n'),
+              ('h4.example.org', '')
+            ),
+            sp AS (SELECT host, string_split(txt, chr(10)) AS l FROM robots),
+            lines AS (
+              SELECT host, i AS pos,
+                     trim(regexp_replace(regexp_replace(l[i], '\r', ''),
+                                         '#.*$', '')) AS line
+              FROM sp, UNNEST(range(1, len(l) + 1)) AS r(i)
+            ),
+            f AS (
+              SELECT host, pos,
+                     lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) AS field,
+                     trim(regexp_extract(line, '^[A-Za-z-]+\s*:\s*(.*)$', 1)) AS value
+              FROM lines
+            ),
+            m AS (
+              SELECT *, CASE WHEN field = 'user-agent' THEN 1 ELSE 0 END AS is_ua
+              FROM f
+            ),
+            m2 AS (
+              SELECT *, COALESCE(LAG(is_ua) OVER (PARTITION BY host ORDER BY pos), 0)
+                          AS prev_ua
+              FROM m
+            ),
+            m3 AS (
+              SELECT *, SUM(CASE WHEN is_ua = 1 AND prev_ua = 0 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY host ORDER BY pos) AS rec
+              FROM m2
+            ),
+            star AS (
+              SELECT DISTINCT host, rec FROM m3
+              WHERE field = 'user-agent' AND value = '*'
+            ),
+            rules AS (
+              SELECT DISTINCT m3.host, m3.value AS rule,
+                     regexp_matches(m3.value, '[*$]') AS has_wildcard
+              FROM m3 JOIN star ON m3.host = star.host AND m3.rec = star.rec
+              WHERE m3.field = 'disallow' AND m3.value <> ''
+            ),
+            pages AS (
+              SELECT doc_id,
+                     'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+                     || CASE doc_id % 7
+                          WHEN 0 THEN '/private/a' WHEN 1 THEN '/secret-page'
+                          WHEN 2 THEN '/Case/x'    WHEN 3 THEN '/case/x'
+                          WHEN 4 THEN '/wildXcard/z' WHEN 5 THEN ''
+                          ELSE '/ok' END AS url
+              FROM documents
+            ),
+            p2 AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)) AS host,
+                     CASE WHEN regexp_extract(url,
+                            '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^#]*)?', 1) = ''
+                          THEN '/'
+                          ELSE regexp_extract(url,
+                            '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^#]*)?', 1) END AS path
+              FROM pages
+            )
+            SELECT p2.doc_id, p2.url, p2.host, p2.path
+            FROM p2
+            WHERE EXISTS (SELECT 1 FROM rules r
+                          WHERE NOT r.has_wildcard AND r.host = p2.host
+                            AND starts_with(p2.path, r.rule))
+            ORDER BY p2.doc_id
         """,
         # noindex_pages: same two attribute-order regexes, lowercased
         # content, googlebot meta must not flag

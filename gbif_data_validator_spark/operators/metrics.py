@@ -380,3 +380,67 @@ def exact_heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= min_count)
     )
+
+
+def group_majority_mismatch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    min_group: int = 2,
+) -> DataFrame:
+    """Minority-value census per group: for every group whose rows do
+    not all agree on ``value_col``, one row per MINORITY value →
+    ``(group, value, n, majority_value, n_majority, n_group)`` — the
+    cross-record consistency check behind "this page says lang=de but
+    its host is 95% French" (host-majority language disagreement, the
+    corpus-level complement of the per-row lang/script CustomCheck) and
+    equally usable for charset-per-domain or mime-per-path audits.
+
+    The majority is deterministic: highest count, ties broken by the
+    SMALLEST value string — so two engines (and two cluster sizes)
+    always elect the same winner. NULL values are excluded (null-ness
+    is the completeness rules' job). Groups with fewer than
+    ``min_group`` rows are skipped — a 1-page host has no meaningful
+    majority.
+
+    Plan: ONE (group, value)-grain hash agg over the table (map-side
+    combinable), then all remaining work — the per-group total, the
+    window argmax, the minority filter — runs on the count table, which
+    is ≤ |groups| × |values| rows, never |table|. Both window passes
+    share the same partitioning key, so at 10^12 rows this is one big
+    shuffle plus bounded small ones; a hot host collapses to one count
+    row per (host, lang) before any window sees it."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("group"),
+            F.col(value_col).cast("string").alias("value"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wg = Window.partitionBy("group")
+    ranked = counts.withColumn(
+        "n_group", F.sum("n").over(wg)
+    ).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("group").orderBy(
+                F.col("n").desc(), F.col("value").asc()
+            )
+        ),
+    )
+    maj = ranked.where(F.col("_rn") == 1).select(
+        "group",
+        F.col("value").alias("majority_value"),
+        F.col("n").alias("n_majority"),
+    )
+    return (
+        ranked.where((F.col("_rn") > 1) & (F.col("n_group") >= min_group))
+        .select("group", "value", "n", "n_group")
+        .join(maj, "group")
+        .select(
+            "group", "value", "n", "majority_value", "n_majority", "n_group"
+        )
+    )

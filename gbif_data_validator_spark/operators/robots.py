@@ -1,0 +1,137 @@
+"""robots.txt compliance audit: parse crawl-politeness rules, flag
+corpus pages a host's robots.txt disallows.
+
+Web-native validation the reference's "indexable" verdict implies but
+never computes (its inputs are archives, not crawls): a Common-Crawl
+style corpus SHOULD contain no page its own robots.txt snapshot
+disallows — every hit is either a crawler-politeness bug or a stale
+rules snapshot, and both are findings. The meta-robots scan
+(``functions/extraction.py:robots_directives``) covers the per-page
+opt-out; this module covers the per-host one.
+
+Grammar (deliberately the interoperable core of RFC 9309, documented
+here as the contract):
+- lines split on ``\n``; a trailing ``\r`` and ``#``-comments strip;
+  field names are case-insensitive; whitespace around ``:`` collapses.
+- a RECORD is a maximal run of consecutive ``User-agent:`` lines
+  followed by its directive lines (so ``User-agent: a\nUser-agent: *\n
+  Disallow: /x`` applies ``/x`` to both agents — the multi-UA run case
+  naive parsers drop).
+- only records naming agent ``*`` contribute; only ``Disallow`` rules
+  are extracted; an EMPTY ``Disallow:`` means allow-everything and
+  yields no rule. Path matching is prefix match (no ``*``/``$``
+  wildcards — they are extensions; rules containing them are surfaced
+  with ``has_wildcard = true`` so the caller can route them to a
+  stricter matcher instead of silently mis-applying them).
+
+Scale shape: parsing is one ``posexplode`` over robots documents (a
+per-HOST table — millions of rows where the pages table has trillions)
+plus one window over (host, line order) to assign record ids: the only
+shuffle is host-grain and tiny. The page-side audit is an equi-join on
+host with the rule table (broadcast under a guard — the global rule
+table of a 10^8-host crawl still fits in memory bucketed per host; past
+the guard it degrades to a shuffle join) and a prefix predicate that
+stays in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: refuse to force-broadcast a rule table larger than this many rows
+MAX_BROADCAST_RULES = 20_000_000
+
+
+def _norm_line(line: F.Column) -> F.Column:
+    """Strip comment + CR, collapse whitespace, lowercase the FIELD part
+    only (paths are case-sensitive per RFC 9309)."""
+    bare = F.trim(F.regexp_replace(F.regexp_replace(line, "\r", ""), "#.*$", ""))
+    return bare
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Parse robots.txt documents → ``(host, rule, has_wildcard)``, one
+    row per ``Disallow`` path in a record whose user-agent set includes
+    ``*`` (see module grammar). Deterministic pure-relational parse:
+    posexplode + ONE host-grain window pass, no Python."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+    ).select("host", "pos", _norm_line(F.col("raw")).alias("line"))
+
+    field = F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1))
+    value = F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    lines = lines.select(
+        "host", "pos", field.alias("field"), value.alias("value")
+    )
+
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("field") == "user-agent").cast("int")
+    prev_ua = F.coalesce(F.lag(is_ua).over(w), F.lit(0))
+    # record id: increments at each ua-run START (ua line not preceded
+    # by a ua line); directive lines inherit the current record id
+    rec = F.sum(F.when((is_ua == 1) & (prev_ua == 0), 1).otherwise(0)).over(w)
+    lines = lines.withColumn("rec", rec)
+
+    star = (
+        lines.where((F.col("field") == "user-agent") & (F.col("value") == "*"))
+        .select("host", "rec")
+        .distinct()
+    )
+    rules = (
+        lines.where((F.col("field") == "disallow") & (F.col("value") != ""))
+        .join(star, ["host", "rec"])
+        .select(
+            "host",
+            F.col("value").alias("rule"),
+            F.col("value").rlike(r"[*$]").alias("has_wildcard"),
+        )
+        .distinct()
+    )
+    return rules
+
+
+def robots_blocked(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    force_broadcast: bool | None = None,
+) -> DataFrame:
+    """Pages whose path a ``*``-record ``Disallow`` rule prefix-matches
+    → the input page rows + ``(host, path)``. Wildcard rules are
+    excluded by contract (see module doc); pass them to a custom
+    matcher if the corpus needs them.
+
+    The join is equi on host with the prefix predicate evaluated inside
+    the join — the rule side is broadcast when it fits (guarded by
+    ``MAX_BROADCAST_RULES``; ``force_broadcast`` overrides either way)."""
+    from ..functions.extraction import link_host
+
+    exact = rules.where(~F.col("has_wildcard")).select(
+        F.col("host").alias("_rhost"), "rule"
+    )
+    if force_broadcast is None:
+        force_broadcast = exact.count() <= MAX_BROADCAST_RULES
+    if force_broadcast:
+        exact = F.broadcast(exact)
+
+    path = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^#]*)?", 1)
+    paged = pages.withColumn("_phost", link_host(F.col(url_col))).withColumn(
+        "_path", F.when(path == "", F.lit("/")).otherwise(path)
+    )
+    hit = paged.join(
+        exact,
+        (F.col("_phost") == F.col("_rhost"))
+        & F.col("_path").startswith(F.col("rule")),
+        "left_semi",
+    )
+    return hit.select(
+        *pages.columns,
+        F.col("_phost").alias("host"),
+        F.col("_path").alias("path"),
+    )

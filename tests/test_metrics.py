@@ -173,3 +173,52 @@ def test_exact_heavy_hitters_grouped_isolation(spark):
         ).collect()
     }
     assert got == {("a", "hot", 6), ("b", "warm", 5)}
+
+
+def test_group_majority_mismatch_census_and_tiebreak(spark):
+    from pyspark.sql import functions as F
+
+    from gbif_data_validator_spark.operators.metrics import (
+        group_majority_mismatch,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # h1: en x3 majority, de x1, fr x1
+            ("h1", "en"), ("h1", "en"), ("h1", "en"), ("h1", "de"), ("h1", "fr"),
+            # h2: tie 2-2 -> 'de' wins by min-string tie-break
+            ("h2", "de"), ("h2", "de"), ("h2", "en"), ("h2", "en"),
+            # h3: unanimous -> no rows
+            ("h3", "en"), ("h3", "en"),
+            # h4: below min_group -> skipped
+            ("h4", "de"),
+            # nulls excluded
+            ("h1", None),
+        ],
+        "host string, lang string",
+    )
+    got = {
+        (r.group, r.value): (r.n, r.majority_value, r.n_majority, r.n_group)
+        for r in group_majority_mismatch(df, "host", "lang", min_group=2).collect()
+    }
+    assert got == {
+        ("h1", "de"): (1, "en", 3, 5),
+        ("h1", "fr"): (1, "en", 3, 5),
+        ("h2", "en"): (2, "de", 2, 4),
+    }
+
+
+def test_group_majority_mismatch_partitioning_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from gbif_data_validator_spark.operators.metrics import (
+        group_majority_mismatch,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 37).cast("string").alias("g"),
+        (F.col("id") % 5).cast("string").alias("v"),
+    )
+    a = sorted(group_majority_mismatch(df, "g", "v").collect())
+    b = sorted(group_majority_mismatch(df.repartition(13), "g", "v").collect())
+    assert a == b

@@ -1,0 +1,87 @@
+"""robots.txt parse + compliance-audit tests (operators/robots.py).
+
+Covers the RFC 9309 interoperable-core grammar the module documents:
+multi-UA records, case-insensitive field names, CR/comment stripping,
+empty Disallow, wildcard surfacing, and prefix-match semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gbif_data_validator_spark.operators.robots import (
+    robots_blocked,
+    robots_rules,
+)
+
+
+def _robots(spark, rows):
+    return spark.createDataFrame(rows, "host string, text string")
+
+
+def test_rules_star_record_and_comments(spark):
+    txt = (
+        "# greeting\n"
+        "User-agent: *\r\n"
+        "Disallow: /private/\n"
+        "Disallow:\n"          # empty -> allow-all, no rule
+        "\n"
+        "User-agent: bot\n"
+        "Disallow: /botonly/\n"
+    )
+    got = robots_rules(_robots(spark, [("h", txt)])).collect()
+    assert [(r.host, r.rule, r.has_wildcard) for r in got] == [
+        ("h", "/private/", False)
+    ]
+
+
+def test_rules_multi_ua_run_applies_to_star(spark):
+    txt = "User-agent: bot\nUser-agent: *\nDisallow: /secret\n"
+    got = robots_rules(_robots(spark, [("h", txt)])).collect()
+    assert [(r.rule,) for r in got] == [("/secret",)]
+
+
+def test_rules_no_star_record_yields_nothing(spark):
+    txt = "User-agent: bot\nDisallow: /x\n"
+    assert robots_rules(_robots(spark, [("h", txt)])).count() == 0
+
+
+def test_rules_case_insensitive_field_and_wildcard_flag(spark):
+    txt = "user-AGENT:   *\nDISALLOW: /wild*card\ndisallow: /plain\n"
+    got = {r.rule: r.has_wildcard for r in
+           robots_rules(_robots(spark, [("h", txt)])).collect()}
+    assert got == {"/wild*card": True, "/plain": False}
+
+
+def test_blocked_prefix_match_and_wildcard_exclusion(spark):
+    rules = robots_rules(_robots(spark, [
+        ("a.com", "User-agent: *\nDisallow: /sec\nDisallow: /w*d\n"),
+    ]))
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/sec-page",),    # prefix match (RFC semantics)
+            ("https://a.com/Sec/x",),       # case-sensitive: not blocked
+            ("https://a.com/wXd/z",),       # wildcard rule excluded
+            ("https://b.com/sec",),         # other host
+            ("https://a.com/ok",),
+        ],
+        "url string",
+    )
+    got = sorted(r.url for r in robots_blocked(pages, rules).collect())
+    assert got == ["https://a.com/sec-page"]
+
+
+def test_blocked_root_path_defaults_to_slash(spark):
+    rules = robots_rules(_robots(spark, [("a.com", "User-agent: *\nDisallow: /\n")]))
+    pages = spark.createDataFrame(
+        [("https://a.com",), ("https://a.com/x",)], "url string"
+    )
+    got = robots_blocked(pages, rules).collect()
+    assert sorted(r.path for r in got) == ["/", "/x"]
+    assert all(r.host == "a.com" for r in got)
+
+
+def test_blocked_shuffle_fallback_same_result(spark):
+    rules = robots_rules(_robots(spark, [("a.com", "User-agent: *\nDisallow: /p\n")]))
+    pages = spark.createDataFrame([("https://a.com/p1",)], "url string")
+    bc = robots_blocked(pages, rules, force_broadcast=True).collect()
+    sh = robots_blocked(pages, rules, force_broadcast=False).collect()
+    assert bc == sh and len(bc) == 1
