@@ -2706,6 +2706,104 @@ def _q_robots_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_blocked(pages, rules).orderBy("doc_id")
 
 
+def _q_canonical_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publisher-declared duplicate clusters (operators/curation.py:
+    canonical_census): pages grouped by <link rel="canonical"> target
+    with off-host syndication counts. Fixture covers both attribute
+    orders, case/quote variants, rel-first precedence, a stylesheet
+    link that must NOT match, and own-host canonicals; the oracle
+    replays construction and extraction."""
+    from gbif_data_validator_spark.operators.curation import canonical_census
+
+    idc = F.col("doc_id")
+    target = F.concat(
+        F.lit("https://c"), (idc % 9).cast("string"),
+        F.lit(".example.org/page"),
+    )
+    own = F.concat(
+        F.lit("https://s"), (idc % 4).cast("string"),
+        F.lit(".example.org/canon"),
+    )
+    meta = (
+        F.when(idc % 6 == 0, F.concat(
+            F.lit('<link rel="canonical" href="'), target, F.lit('">')))
+        .when(idc % 6 == 1, F.concat(
+            F.lit('<link href="'), target, F.lit('" rel="canonical">')))
+        .when(idc % 6 == 2, F.concat(
+            F.lit("<LINK REL='canonical' HREF='"), target, F.lit("'>")))
+        .when(idc % 6 == 3,
+              F.lit('<link rel="stylesheet" href="https://x.com/s.css">'))
+        .when(idc % 6 == 4, F.concat(
+            F.lit('<link rel="canonical" href="'), own, F.lit('">')))
+        .otherwise(F.concat(
+            F.lit('<link rel="canonical" href="'), target,
+            F.lit('"><link href="https://loser.example.org/x" rel="canonical">'),
+        ))
+    )
+    pages = _tbl(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://s"), (idc % 4).cast("string"),
+            F.lit(".example.org/p/"), idc.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><head>"), meta, F.lit("</head><body>b</body></html>")
+        ).alias("html"),
+    )
+    return canonical_census(pages).orderBy("canonical")
+
+
+#: crawl-delay fixture — star record with delay + rules (h0), delay with
+#: an unparseable duplicate that try_cast drops (h1), non-star record
+#: whose delay must NOT apply (h2), star record with no delay (h3), and
+#: a second non-star record whose bigger delay must NOT win (h4)
+_ROBOTS_DELAY_FIXTURE: list[tuple[str, str]] = [
+    ("h0.example.org", "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n"),
+    ("h1.example.org", "User-agent: *\nCrawl-delay: 2.5\nCrawl-delay: oops\n"),
+    ("h2.example.org", "User-agent: bot\nCrawl-delay: 9\n"),
+    ("h3.example.org", "User-agent: *\nDisallow: /y\n"),
+    (
+        "h4.example.org",
+        "User-agent: *\nCrawl-delay: 1\nUser-agent: zbot\nCrawl-delay: 99\n",
+    ),
+]
+
+
+def _q_crawl_delay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay politeness audit (operators/robots.py:
+    robots_crawl_delay + crawl_delay_violations): per-host declared
+    delays from star records (max wins, try_cast drops junk), then
+    fetches whose gap to the previous fetch (host-grain window,
+    (ts, url)-deterministic order) undercuts the delay. Fetch times
+    derive from events via the md5 epoch-offset construction so gaps
+    are dense; the oracle replays parse, fixture, and window."""
+    from gbif_data_validator_spark.operators.robots import (
+        crawl_delay_violations,
+        robots_crawl_delay,
+    )
+
+    robots = spark.createDataFrame(
+        _ROBOTS_DELAY_FIXTURE, "host string, text string"
+    )
+    delays = robots_crawl_delay(robots)
+    ev = _tbl(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    fetch_ts = F.timestamp_seconds(
+        F.lit(1_600_000_000)
+        + F.conv(F.substring(F.md5(eid.cast("string")), 1, 8), 16, 10)
+          .cast("long") % 50_000
+    )
+    pages = ev.select(
+        F.concat(
+            F.lit("https://h"), (F.col("user_id") % 5).cast("string"),
+            F.lit(".example.org/u/"), eid.cast("string"),
+        ).alias("url"),
+        fetch_ts.alias("warc_ts"),
+    )
+    return crawl_delay_violations(pages, delays).orderBy(
+        "host", "fetch_ts", "url"
+    )
+
+
 def _q_fk_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relationship-cardinality census (Deequ relationship checks):
     customers bucketed by how many orders reference them (0 / 1 / 2-3 /
@@ -2894,6 +2992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "noindex_pages": _q_noindex_pages,
         "robots_rules": _q_robots_rules,
         "robots_blocked": _q_robots_blocked,
+        "crawl_delay_audit": _q_crawl_delay_audit,
+        "canonical_census": _q_canonical_census,
         "fk_cardinality": _q_fk_cardinality,
         "rate_anomaly": _q_rate_anomaly,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch)
@@ -6256,6 +6356,138 @@ def oracle_sql() -> dict[str, str]:
                           WHERE NOT r.has_wildcard AND r.host = p2.host
                             AND starts_with(p2.path, r.rule))
             ORDER BY p2.doc_id
+        """,
+        # canonical_census: replay the html construction and BOTH
+        # attribute-order regexes (rel-first precedence) + the host math
+        "canonical_census": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     'https://s' || CAST(doc_id % 4 AS VARCHAR)
+                       || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     '<html><head>' ||
+                     CASE doc_id % 6
+                       WHEN 0 THEN '<link rel="canonical" href="https://c'
+                                   || CAST(doc_id % 9 AS VARCHAR)
+                                   || '.example.org/page">'
+                       WHEN 1 THEN '<link href="https://c'
+                                   || CAST(doc_id % 9 AS VARCHAR)
+                                   || '.example.org/page" rel="canonical">'
+                       WHEN 2 THEN '<LINK REL=''canonical'' HREF=''https://c'
+                                   || CAST(doc_id % 9 AS VARCHAR)
+                                   || '.example.org/page''>'
+                       WHEN 3 THEN '<link rel="stylesheet" href="https://x.com/s.css">'
+                       WHEN 4 THEN '<link rel="canonical" href="https://s'
+                                   || CAST(doc_id % 4 AS VARCHAR)
+                                   || '.example.org/canon">'
+                       ELSE '<link rel="canonical" href="https://c'
+                            || CAST(doc_id % 9 AS VARCHAR)
+                            || '.example.org/page"><link href="https://loser.example.org/x" rel="canonical">'
+                     END || '</head><body>b</body></html>' AS html
+              FROM documents
+            ),
+            x AS (
+              SELECT url, html,
+                     regexp_extract(html,
+                       '(?i)<link\s[^>]*rel=["'']canonical["''][^>]*href=["'']([^"'']+)["'']',
+                       1) AS rel_first,
+                     regexp_extract(html,
+                       '(?i)<link\s[^>]*href=["'']([^"'']+)["''][^>]*rel=["'']canonical["'']',
+                       1) AS href_first
+              FROM h
+            ),
+            c AS (
+              SELECT lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1))
+                       AS src_host,
+                     CASE WHEN rel_first <> '' THEN rel_first
+                          WHEN href_first <> '' THEN href_first END AS canonical
+              FROM x
+            )
+            SELECT canonical,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_src_hosts,
+                   CAST(COUNT(CASE WHEN
+                     lower(regexp_extract(canonical, '(?i)^https?://([^/?#]+)', 1)) <> ''
+                     AND lower(regexp_extract(canonical, '(?i)^https?://([^/?#]+)', 1))
+                         <> src_host THEN 1 END) AS BIGINT) AS n_offhost
+            FROM c WHERE canonical IS NOT NULL
+            GROUP BY canonical ORDER BY canonical
+        """,
+        # crawl_delay_audit: replay the star-record parse with try_cast,
+        # max-per-host delay, md5 fetch-time construction, and the
+        # host-grain lag window
+        "crawl_delay_audit": r"""
+            WITH robots(host, txt) AS (VALUES
+              ('h0.example.org', e'User-agent: *\nCrawl-delay: 10\nDisallow: /x\n'),
+              ('h1.example.org', e'User-agent: *\nCrawl-delay: 2.5\nCrawl-delay: oops\n'),
+              ('h2.example.org', e'User-agent: bot\nCrawl-delay: 9\n'),
+              ('h3.example.org', e'User-agent: *\nDisallow: /y\n'),
+              ('h4.example.org', e'User-agent: *\nCrawl-delay: 1\nUser-agent: zbot\nCrawl-delay: 99\n')
+            ),
+            sp AS (SELECT host, string_split(txt, chr(10)) AS l FROM robots),
+            lines AS (
+              SELECT host, i AS pos,
+                     trim(regexp_replace(regexp_replace(l[i], '\r', ''),
+                                         '#.*$', '')) AS line
+              FROM sp, UNNEST(range(1, len(l) + 1)) AS r(i)
+            ),
+            f AS (
+              SELECT host, pos,
+                     lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) AS field,
+                     trim(regexp_extract(line, '^[A-Za-z-]+\s*:\s*(.*)$', 1)) AS value
+              FROM lines
+            ),
+            m AS (
+              SELECT *, CASE WHEN field = 'user-agent' THEN 1 ELSE 0 END AS is_ua
+              FROM f
+            ),
+            m2 AS (
+              SELECT *, COALESCE(LAG(is_ua) OVER (PARTITION BY host ORDER BY pos), 0)
+                          AS prev_ua
+              FROM m
+            ),
+            m3 AS (
+              SELECT *, SUM(CASE WHEN is_ua = 1 AND prev_ua = 0 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY host ORDER BY pos) AS rec
+              FROM m2
+            ),
+            star AS (
+              SELECT DISTINCT host, rec FROM m3
+              WHERE field = 'user-agent' AND value = '*'
+            ),
+            delays AS (
+              SELECT m3.host, MAX(TRY_CAST(m3.value AS DOUBLE)) AS crawl_delay_s
+              FROM m3 JOIN star ON m3.host = star.host AND m3.rec = star.rec
+              WHERE m3.field = 'crawl-delay'
+                AND TRY_CAST(m3.value AS DOUBLE) > 0
+              GROUP BY m3.host
+            ),
+            pages AS (
+              SELECT 'https://h' || CAST(user_id % 5 AS VARCHAR)
+                       || '.example.org/u/' || CAST(event_id AS VARCHAR) AS url,
+                     make_timestamp((1600000000
+                       + CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) % 50000) * 1000000) AS fetch_ts
+              FROM events
+            ),
+            p2 AS (
+              SELECT lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)) AS host,
+                     url, fetch_ts
+              FROM pages
+            ),
+            j AS (
+              SELECT p2.host, p2.url, p2.fetch_ts, d.crawl_delay_s
+              FROM p2 JOIN delays d ON p2.host = d.host
+            ),
+            g AS (
+              SELECT *,
+                     CAST(epoch(fetch_ts) AS DOUBLE)
+                     - LAG(CAST(epoch(fetch_ts) AS DOUBLE)) OVER
+                         (PARTITION BY host ORDER BY fetch_ts, url) AS gap_s
+              FROM j
+            )
+            SELECT host, url, fetch_ts, gap_s, crawl_delay_s
+            FROM g WHERE gap_s IS NOT NULL AND gap_s < crawl_delay_s
+            ORDER BY host, fetch_ts, url
         """,
         # noindex_pages: same two attribute-order regexes, lowercased
         # content, googlebot meta must not flag

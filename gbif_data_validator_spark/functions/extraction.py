@@ -142,6 +142,27 @@ def link_host(href: F.Column) -> F.Column:
     return F.when(h != "", F.lower(h))
 
 
+_CANON_REL_FIRST = (
+    r"""(?i)<link\s[^>]*rel=["']canonical["'][^>]*href=["']([^"']+)["']"""
+)
+_CANON_HREF_FIRST = (
+    r"""(?i)<link\s[^>]*href=["']([^"']+)["'][^>]*rel=["']canonical["']"""
+)
+
+
+def canonical_href(html: F.Column) -> F.Column:
+    """``html:string`` → the page's ``<link rel="canonical">`` href
+    (either attribute order, any case; rel-first wins when both forms
+    match), or NULL when the page declares none. The publisher-declared
+    duplicate-cluster key — input to ``operators/curation.py:
+    canonical_census``."""
+    first = F.regexp_extract(html, _CANON_REL_FIRST, 1)
+    pick = F.when(first != "", first).otherwise(
+        F.regexp_extract(html, _CANON_HREF_FIRST, 1)
+    )
+    return F.when(pick != "", pick)
+
+
 def robots_directives(html: F.Column) -> F.Column:
     """``html:string`` → ``struct<noindex:boolean, nofollow:boolean>``
     from the page's ``<meta name="robots">`` tag (either attribute order,

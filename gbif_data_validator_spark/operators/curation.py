@@ -514,3 +514,41 @@ def funnel_census(staged: DataFrame) -> DataFrame:
         "n_docs",
         F.round(F.col("n_docs").cast("double") / total, 6).alias("share"),
     )
+
+
+def canonical_census(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Publisher-declared duplicate clusters: group pages by their
+    ``<link rel="canonical">`` target → ``(canonical, n_pages,
+    n_src_hosts, n_offhost)`` — the census of where publishers SAY the
+    authoritative copy lives, the complement of content-derived dedup
+    (exact/minhash): a canonical cluster of 40 pages is 39 rows a
+    curator can drop with the publisher's own blessing, and
+    ``n_offhost > 0`` (pages canonicalizing to a DIFFERENT host) is the
+    syndication / scraped-content signal.
+
+    Plan: one scan extracts the href with pure Column regexes
+    (functions/extraction.py:canonical_href) — pages declaring no
+    canonical drop out before the shuffle — then ONE canonical-grain
+    hash agg (count, distinct source hosts, off-host count). Nothing
+    but (src_host, canonical) ever shuffles; a viral canonical target
+    is exactly the AQE skew-split case."""
+    from ..functions.extraction import canonical_href, link_host
+
+    rows = pages.select(
+        link_host(F.col(url_col)).alias("_src_host"),
+        canonical_href(F.col(html_col)).alias("canonical"),
+    ).where(F.col("canonical").isNotNull())
+    can_host = link_host(F.col("canonical"))
+    return rows.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("_src_host").alias("n_src_hosts"),
+        F.count(
+            F.when(
+                can_host.isNotNull() & (can_host != F.col("_src_host")), 1
+            )
+        ).alias("n_offhost"),
+    )

@@ -50,15 +50,12 @@ def _norm_line(line: F.Column) -> F.Column:
     return bare
 
 
-def robots_rules(
-    robots: DataFrame,
-    host_col: str = "host",
-    text_col: str = "text",
+def _star_record_lines(
+    robots: DataFrame, host_col: str, text_col: str
 ) -> DataFrame:
-    """Parse robots.txt documents → ``(host, rule, has_wildcard)``, one
-    row per ``Disallow`` path in a record whose user-agent set includes
-    ``*`` (see module grammar). Deterministic pure-relational parse:
-    posexplode + ONE host-grain window pass, no Python."""
+    """Shared relational parse → directive lines ``(host, pos, field,
+    value)`` restricted to records whose user-agent set includes ``*``
+    (record ids assigned with one host-grain lag/cumsum window pass)."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
@@ -83,9 +80,21 @@ def robots_rules(
         .select("host", "rec")
         .distinct()
     )
-    rules = (
+    return lines.join(star, ["host", "rec"])
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Parse robots.txt documents → ``(host, rule, has_wildcard)``, one
+    row per ``Disallow`` path in a record whose user-agent set includes
+    ``*`` (see module grammar). Deterministic pure-relational parse:
+    posexplode + ONE host-grain window pass, no Python."""
+    lines = _star_record_lines(robots, host_col, text_col)
+    return (
         lines.where((F.col("field") == "disallow") & (F.col("value") != ""))
-        .join(star, ["host", "rec"])
         .select(
             "host",
             F.col("value").alias("rule"),
@@ -93,7 +102,76 @@ def robots_rules(
         )
         .distinct()
     )
-    return rules
+
+
+def robots_crawl_delay(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` from ``*``-records → ``(host,
+    crawl_delay_s)``. The directive is non-standard but ubiquitous;
+    when a host declares several (multiple star records), the MAXIMUM
+    wins — the audit should hold the crawler to the most conservative
+    politeness bound it was shown. Unparseable values are ignored
+    (``try_cast``): a malformed directive is the host's bug, not a
+    reason to invent a delay."""
+    lines = _star_record_lines(robots, host_col, text_col)
+    delay = F.expr("try_cast(value AS DOUBLE)")
+    return (
+        lines.where(F.col("field") == "crawl-delay")
+        .select("host", delay.alias("_d"))
+        .where(F.col("_d").isNotNull() & (F.col("_d") > 0))
+        .groupBy("host")
+        .agg(F.max("_d").alias("crawl_delay_s"))
+    )
+
+
+def crawl_delay_violations(
+    pages: DataFrame,
+    delays: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    force_broadcast: bool | None = None,
+) -> DataFrame:
+    """Fetches that violated a host's declared ``Crawl-delay`` →
+    ``(host, url, fetch_ts, gap_s, crawl_delay_s)``: within each host,
+    fetches order by ``(ts, url)`` (the url tie-break makes equal
+    timestamps deterministic) and a row is a violation when the gap to
+    the PREVIOUS fetch is below the declared delay — the crawler-side
+    politeness audit that closes the loop ``robots_crawl_delay`` opens,
+    and the per-host counterpart of the corpus-wide arrival-rate
+    control chart (``operators/sequence.py``).
+
+    Plan: the delay table is host-grain (broadcast under the same guard
+    as ``robots_blocked``); the inner join drops every host with no
+    declared delay BEFORE the window, so the per-host sort only runs
+    over audited hosts. Per-host ordering is a window over (host), the
+    same host-grain-key contract as ``asof_join`` — a single host's
+    fetch history sorts on one reducer by design."""
+    from ..functions.extraction import link_host
+
+    if force_broadcast is None:
+        force_broadcast = delays.count() <= MAX_BROADCAST_RULES
+    d = delays.select(F.col("host").alias("_dhost"), "crawl_delay_s")
+    if force_broadcast:
+        d = F.broadcast(d)
+
+    paged = pages.select(
+        link_host(F.col(url_col)).alias("host"),
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("fetch_ts"),
+    ).where(F.col("host").isNotNull())
+    joined = paged.join(d, paged.host == d._dhost).drop("_dhost")
+
+    w = Window.partitionBy("host").orderBy("fetch_ts", "url")
+    prev = F.lag(F.col("fetch_ts").cast("double")).over(w)
+    gap = F.col("fetch_ts").cast("double") - prev
+    return (
+        joined.withColumn("gap_s", gap)
+        .where(F.col("gap_s").isNotNull() & (F.col("gap_s") < F.col("crawl_delay_s")))
+        .select("host", "url", "fetch_ts", "gap_s", "crawl_delay_s")
+    )
 
 
 def robots_blocked(

@@ -425,3 +425,32 @@ def test_shard_plan_guards_and_empty(spark):
     # budget larger than the corpus -> everything in shard 0
     one = shard_plan(df, "doc_id", "n", shard_bytes=10_000)
     assert {r.shard for r in one.collect()} == {0}
+
+
+def test_canonical_census_orders_precedence_offhost(spark):
+    from gbif_data_validator_spark.operators.curation import canonical_census
+
+    pages = spark.createDataFrame(
+        [
+            # rel-first form, off-host
+            ("https://a.com/1", '<link rel="canonical" href="https://c.com/p">'),
+            # href-first form, same target, second source host
+            ("https://b.com/1", '<link href="https://c.com/p" rel="canonical">'),
+            # own-host canonical -> not off-host
+            ("https://a.com/2", "<LINK REL='canonical' HREF='https://a.com/x'>"),
+            # rel-first wins over a second href-first tag
+            ("https://a.com/3",
+             '<link rel="canonical" href="https://win.com/y">'
+             '<link href="https://lose.com/z" rel="canonical">'),
+            # stylesheet link must not match; page drops out
+            ("https://a.com/4", '<link rel="stylesheet" href="https://s.com/c.css">'),
+        ],
+        "url string, html string",
+    )
+    got = {r.canonical: (r.n_pages, r.n_src_hosts, r.n_offhost)
+           for r in canonical_census(pages).collect()}
+    assert got == {
+        "https://c.com/p": (2, 2, 2),
+        "https://a.com/x": (1, 1, 0),
+        "https://win.com/y": (1, 1, 1),
+    }

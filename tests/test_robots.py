@@ -85,3 +85,49 @@ def test_blocked_shuffle_fallback_same_result(spark):
     bc = robots_blocked(pages, rules, force_broadcast=True).collect()
     sh = robots_blocked(pages, rules, force_broadcast=False).collect()
     assert bc == sh and len(bc) == 1
+
+
+def test_crawl_delay_star_records_max_and_junk(spark):
+    from gbif_data_validator_spark.operators.robots import robots_crawl_delay
+
+    rows = [
+        ("h0", "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n"),
+        ("h1", "User-agent: *\nCrawl-delay: 2.5\nCrawl-delay: oops\n"),
+        ("h2", "User-agent: bot\nCrawl-delay: 9\n"),       # non-star
+        ("h3", "User-agent: *\nDisallow: /y\n"),           # no delay
+        # zbot's record must not leak into *'s delay
+        ("h4", "User-agent: *\nCrawl-delay: 1\nUser-agent: zbot\nCrawl-delay: 99\n"),
+        # two star records -> max wins
+        ("h5", "User-agent: *\nCrawl-delay: 3\n\nUser-agent: *\nCrawl-delay: 7\n"),
+    ]
+    got = {r.host: r.crawl_delay_s
+           for r in robots_crawl_delay(_robots(spark, rows)).collect()}
+    assert got == {"h0": 10.0, "h1": 2.5, "h4": 1.0, "h5": 7.0}
+
+
+def test_crawl_delay_violations_window_and_join(spark):
+    import datetime as dt
+
+    from gbif_data_validator_spark.operators.robots import (
+        crawl_delay_violations,
+        robots_crawl_delay,
+    )
+
+    delays = robots_crawl_delay(
+        _robots(spark, [("a.com", "User-agent: *\nCrawl-delay: 5\n")])
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/1", t0),
+            ("https://a.com/2", t0 + dt.timedelta(seconds=3)),   # gap 3 < 5
+            ("https://a.com/3", t0 + dt.timedelta(seconds=60)),  # gap 57 ok
+            ("https://b.com/1", t0),                             # no delay
+            ("https://b.com/2", t0 + dt.timedelta(seconds=1)),
+        ],
+        "url string, warc_ts timestamp",
+    )
+    got = crawl_delay_violations(pages, delays).collect()
+    assert [(r.url, r.gap_s, r.crawl_delay_s) for r in got] == [
+        ("https://a.com/2", 3.0, 5.0)
+    ]
