@@ -454,3 +454,23 @@ def test_canonical_census_orders_precedence_offhost(spark):
         "https://a.com/x": (1, 1, 0),
         "https://win.com/y": (1, 1, 1),
     }
+
+
+def test_shard_plan_plan_shape_no_global_sort(spark):
+    from pyspark.sql import functions as F
+
+    from gbif_data_validator_spark.operators.curation import shard_plan
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 50 + 1).alias("n")
+    )
+    plan = (
+        shard_plan(df, "doc_id", "n", shard_bytes=1000, n_buckets=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the global prefix sum must NOT be a global sort: no range
+    # partitioning, exactly one hash Exchange (the bucket window), and
+    # the offsets arrive by broadcast
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.lower().count("hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan

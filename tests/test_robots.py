@@ -131,3 +131,13 @@ def test_crawl_delay_violations_window_and_join(spark):
     assert [(r.url, r.gap_s, r.crawl_delay_s) for r in got] == [
         ("https://a.com/2", 3.0, 5.0)
     ]
+
+
+def test_blocked_plan_broadcasts_rules(spark):
+    rules = robots_rules(_robots(spark, [("a.com", "User-agent: *\nDisallow: /p\n")]))
+    pages = spark.createDataFrame([("https://a.com/p1",)], "url string")
+    plan = (
+        robots_blocked(pages, rules, force_broadcast=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
