@@ -900,6 +900,16 @@ def _q_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health Zipf fit (operators/metrics.py:zipf_fit): OLS slope
+    / intercept / r² on (ln rank, ln count) over the top-500 terms plus
+    vocabulary size — rank-sorted ordered folds and a fixed closed-form
+    operation order make the value hash-exact at 6 dp."""
+    from gbif_data_validator_spark.operators.metrics import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), "text", top_k=500)
+
+
 def _q_host_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-majority disagreement census (operators/metrics.py:
     group_majority_mismatch): per source, every MINORITY language with
@@ -2881,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_churn": _q_snapshot_churn,
         "apply_changeset": _q_apply_changeset,
         "host_lang_mismatch": _q_host_lang_mismatch,
+        "zipf_fit": _q_zipf_fit,
         "script_census": _q_script_census,
         "entropy_mi": _q_entropy_mi,
         "weighted_sample": _q_weighted_sample,
@@ -4353,6 +4364,58 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(n.n, 0) AS n_new
             FROM old_g o FULL OUTER JOIN new_g n ON o.key = n.key
             ORDER BY doc_id
+        """,
+        # zipf_fit: same tokenization, top-k cut, rank-sorted folds, and
+        # closed-form OLS operation order
+        "zipf_fit": r"""
+            WITH terms AS (
+              SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                       AS term
+              FROM documents
+            ),
+            t2 AS (SELECT term FROM terms WHERE term <> ''),
+            counts AS (SELECT term, COUNT(*) AS n FROM t2 GROUP BY term),
+            top AS (
+              SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 500
+            ),
+            ranked AS (
+              SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank
+              FROM top
+            ),
+            xy AS (
+              SELECT rank, ln(CAST(rank AS DOUBLE)) AS x,
+                     ln(CAST(n AS DOUBLE)) AS y
+              FROM ranked
+            ),
+            one AS (
+              SELECT list_sort(list(struct_pack(rank := rank, x := x, y := y)))
+                       AS g
+              FROM xy
+            ),
+            sums AS (
+              SELECT CAST(len(g) AS BIGINT) AS k_int,
+                     CAST(len(g) AS DOUBLE) AS k,
+                     list_reduce(list_transform(g, s -> s.x), (a, b) -> a + b) + 0.0 AS sx,
+                     list_reduce(list_transform(g, s -> s.y), (a, b) -> a + b) + 0.0 AS sy,
+                     list_reduce(list_transform(g, s -> s.x * s.y), (a, b) -> a + b) + 0.0 AS sxy,
+                     list_reduce(list_transform(g, s -> s.x * s.x), (a, b) -> a + b) + 0.0 AS sxx,
+                     list_reduce(list_transform(g, s -> s.y * s.y), (a, b) -> a + b) + 0.0 AS syy
+              FROM one
+            ),
+            vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms FROM counts)
+            SELECT v.n_terms, s.k_int AS k,
+                   CASE WHEN s.k_int >= 2 THEN
+                     round((s.k * s.sxy - s.sx * s.sy)
+                           / (s.k * s.sxx - s.sx * s.sx), 6) END AS slope,
+                   CASE WHEN s.k_int >= 2 THEN
+                     round((s.sy - ((s.k * s.sxy - s.sx * s.sy)
+                                    / (s.k * s.sxx - s.sx * s.sx)) * s.sx)
+                           / s.k, 6) END AS intercept,
+                   CASE WHEN s.k_int >= 2 THEN
+                     round(((s.k * s.sxy - s.sx * s.sy) * (s.k * s.sxy - s.sx * s.sy))
+                           / ((s.k * s.sxx - s.sx * s.sx) * (s.k * s.syy - s.sy * s.sy)),
+                           6) END AS r2
+            FROM vocab v, sums s
         """,
         # host_lang_mismatch: same count-table algebra — one (group,
         # value) agg, window total + deterministic argmax, minority join

@@ -444,3 +444,79 @@ def group_majority_mismatch(
             "group", "value", "n", "majority_value", "n_majority", "n_group"
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 1000,
+) -> DataFrame:
+    """Zipf power-law fit over the corpus term-frequency census → ONE row
+    ``(n_terms, k, slope, intercept, r2)``: OLS on (ln rank, ln count)
+    over the top-``top_k`` terms. Natural-language corpora sit near
+    slope ≈ −1 with high r²; template farms, boilerplate floods, and
+    generated spam bend the curve (flat head or collapsed tail, low r²)
+    — a one-number corpus-health alarm no per-document quality gate
+    sees, complementing lexical_diversity (per-doc) and top_ngram
+    (per-doc repetition) at the whole-corpus grain.
+
+    Determinism/exactness: the top-k cut orders (count desc, term asc);
+    ranks come from a window over that ≤ top_k-row aggregate (bounded,
+    single partition by construction); the five OLS sums fold over the
+    RANK-SORTED list with the ``_ordered_fold`` discipline and a fixed
+    operation order in the closed-form slope/intercept/r², so a SQL
+    replay is hash-identical at 6 dp. Fewer than 2 distinct terms →
+    NULL fit fields.
+
+    Plan: one term-grain hash agg over the exploded corpus (map-side
+    combinable — THE standard wordcount shuffle), a TakeOrderedAndProject
+    for the cut, and everything after runs on ≤ top_k rows; the
+    vocabulary size rides along as a 1-row agg crossJoined in (the
+    house 1-row-broadcast pattern)."""
+    from .constraints import _ordered_fold
+
+    terms = df.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term")
+    ).where(F.col("term") != "")
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("term")).limit(top_k)
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("term"))
+    xy = top.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    one = xy.agg(
+        F.sort_array(F.collect_list(F.struct("rank", "x", "y"))).alias("g")
+    )
+
+    def fold(expr):
+        return _ordered_fold(F.transform(F.col("g"), expr))
+
+    sx = fold(lambda s: s["x"])
+    sy = fold(lambda s: s["y"])
+    sxy = fold(lambda s: s["x"] * s["y"])
+    sxx = fold(lambda s: s["x"] * s["x"])
+    syy = fold(lambda s: s["y"] * s["y"])
+    k = F.size("g").cast("double")
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    intercept = (sy - slope * sx) / k
+    r2_num = (k * sxy - sx * sy) * (k * sxy - sx * sy)
+    r2_den = (k * sxx - sx * sx) * (k * syy - sy * sy)
+    r2 = r2_num / r2_den
+    ok = F.size("g") >= 2
+    fit = one.select(
+        F.size("g").cast("long").alias("k"),
+        F.when(ok, F.round(slope, 6)).alias("slope"),
+        F.when(ok, F.round(intercept, 6)).alias("intercept"),
+        F.when(ok, F.round(r2, 6)).alias("r2"),
+    )
+    vocab = counts.agg(F.count(F.lit(1)).alias("n_terms"))
+    return vocab.crossJoin(F.broadcast(fit)).select(
+        "n_terms", "k", "slope", "intercept", "r2"
+    )

@@ -1,11 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (codec libraries are not available in this
-environment): ``decode_image``/``decode_audio`` raise NotImplementedError
-unless ``fake=True``, which substitutes a deterministic content-hash-derived
-feature vector so the Spark-side plumbing — schema, batch iteration,
-partition behavior, UDF signature — is real and testable end-to-end.
+Decode support comes in two tiers:
+- REAL decoders (pure numpy/stdlib, no codec libraries) for the
+  container-free formats: binary PPM (P6), uncompressed 24-bit BMP
+  (BI_RGB, bottom-up or top-down), and RIFF/WAVE PCM (8/16-bit) —
+  byte-exact, tested against hand-built fixtures.
+- COMPRESSED codecs (JPEG/PNG/MP3/...) are not available in this
+  environment: ``decode_image``/``decode_audio`` raise
+  NotImplementedError for them unless ``fake=True``, which substitutes a
+  deterministic content-hash-derived double so the Spark-side plumbing —
+  schema, batch iteration, partition behavior, UDF signature — stays
+  real and testable end-to-end either way.
 
 Scale notes: binary payloads dominate bytes, so (a) the media column must be
 column-pruned out of any pass not touching it (same discipline as
@@ -55,28 +61,142 @@ FEATURES_SCHEMA = T.StructType(
 N_FEATURES = 16
 
 
+def sniff_media(payload: bytes | None) -> str | None:
+    """Magic-byte sniff for the formats this module decodes for real:
+    'ppm' (binary P6), 'bmp' (BM container), 'wav' (RIFF/WAVE). None for
+    anything else (compressed codecs → stub tier)."""
+    if not payload or len(payload) < 12:
+        return None
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def _decode_ppm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval ≤ 255) → HxWx3 uint8. Header grammar per
+    netpbm: 'P6', then width/height/maxval as whitespace-separated ASCII
+    ints with '#'-to-EOL comments allowed, then ONE whitespace byte, then
+    raw RGB rows."""
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("ppm: truncated header")
+        tokens.append(int(b[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("ppm: 16-bit maxval not supported")
+    need = w * h * 3
+    data = np.frombuffer(b, dtype=np.uint8, count=need, offset=pos)
+    return data.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BI_RGB) → HxWx3 uint8 (BGR→RGB,
+    4-byte-padded rows, bottom-up unless height is negative)."""
+    import struct
+
+    off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bits = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bits != 24 or comp != 0:
+        raise NotImplementedError(
+            f"bmp: only uncompressed 24-bit supported (bits={bits}, "
+            f"compression={comp})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _decode_wav(b: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM (format 1, 8- or 16-bit) → 1-D float32 in [-1, 1]
+    (channels interleaved as stored). Chunk-walks the container, so
+    extra chunks (LIST, fact) are fine."""
+    import struct
+
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt or data chunk")
+    audio_format, _ch, _rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"wav: only PCM supported (format={audio_format})")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"wav: {bits}-bit PCM not supported")
+    return samples
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload to an HxWx3 array. STUB: real codecs are not
-    available in this container; ``fake=True`` produces a deterministic
-    pseudo-decode derived from the payload bytes."""
+    """Decode an image payload to an HxWx3 uint8 array. REAL for the
+    codec-free formats (P6 PPM, uncompressed 24-bit BMP — see module
+    doc); compressed codecs raise NotImplementedError unless
+    ``fake=True`` substitutes the deterministic content-hash double."""
+    kind = sniff_media(payload)
+    if kind == "ppm":
+        return _decode_ppm(payload)
+    if kind == "bmp":
+        return _decode_bmp(payload)
     if not fake:
         raise NotImplementedError(
-            "image codecs not available in this environment; pass fake=True "
-            "for the deterministic test double"
+            "compressed image codecs (jpeg/png/...) not available in this "
+            "environment; only P6 PPM and uncompressed BMP decode for real "
+            "— pass fake=True for the deterministic test double"
         )
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
     side = 4
     return np.tile(h[: side * side * 3], 1).reshape(side, side, 3)[:side, :side, :3]
 
 
+def encode_ppm(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 → binary PPM (P6) bytes — the re-encode half of the
+    real-decode tier (round-trips byte-exactly through ``_decode_ppm``)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
 def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an audio payload to a 1-D float32 waveform in [-1, 1]. STUB:
-    real codecs are not available in this container; ``fake=True`` produces
-    a deterministic pseudo-waveform derived from the payload bytes."""
+    """Decode an audio payload to a 1-D float32 waveform in [-1, 1]. REAL
+    for RIFF/WAVE PCM (8/16-bit); compressed codecs raise
+    NotImplementedError unless ``fake=True`` substitutes the
+    deterministic double."""
+    if sniff_media(payload) == "wav":
+        return _decode_wav(payload)
     if not fake:
         raise NotImplementedError(
-            "audio codecs not available in this environment; pass fake=True "
-            "for the deterministic test double"
+            "compressed audio codecs not available in this environment; "
+            "only RIFF/WAVE PCM decodes for real — pass fake=True for the "
+            "deterministic test double"
         )
     arr = np.frombuffer(payload[:1024], dtype=np.uint8).astype(np.float32)
     return (arr - 127.5) / 127.5
@@ -120,9 +240,10 @@ def resize_images(
     streamed through mapInPandas so no task materializes a partition of
     decoded pixels. Output rows keep the media schema with updated meta
     (width/height) and the resized payload; non-image rows pass through
-    untouched. The decode/encode pair is the stubbed step (deterministic
-    fake decode, raw-RGB re-encode); the resample arithmetic and all
-    Spark-side plumbing are production-shaped."""
+    untouched. PPM/BMP payloads take the REAL decode path and re-encode
+    as P6 PPM (byte-exact round-trip); other image payloads fall back to
+    the deterministic fake decode + raw-RGB encode, so the resample
+    arithmetic and all Spark-side plumbing run identically either way."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -133,14 +254,19 @@ def resize_images(
                     and meta is not None
                     and ((meta.get("media_type") if isinstance(meta, dict) else meta["media_type"]) or "").startswith("image/")
                 ):
-                    img = decode_image(media, fake=True)  # STUB decode
+                    real = sniff_media(media) in ("ppm", "bmp")
+                    img = decode_image(media, fake=not real)
                     ys = (np.arange(height) * img.shape[0] // height).clip(0, img.shape[0] - 1)
                     xs = (np.arange(width) * img.shape[1] // width).clip(0, img.shape[1] - 1)
-                    resized = img[ys][:, xs]
-                    media = resized.astype(np.uint8).tobytes()  # raw-RGB "encode"
+                    resized = img[ys][:, xs].astype(np.uint8)
                     m = dict(meta)
                     m["width"], m["height"] = width, height
-                    m["media_type"] = "image/raw-rgb"
+                    if real:
+                        media = encode_ppm(resized)
+                        m["media_type"] = "image/x-portable-pixmap"
+                    else:
+                        media = resized.tobytes()  # raw-RGB "encode"
+                        m["media_type"] = "image/raw-rgb"
                     meta = m
                 # non-image / null-meta rows pass through UNTOUCHED — a NULL
                 # meta must stay NULL, not become a struct of null fields

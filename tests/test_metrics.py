@@ -222,3 +222,32 @@ def test_group_majority_mismatch_partitioning_invariant(spark):
     a = sorted(group_majority_mismatch(df, "g", "v").collect())
     b = sorted(group_majority_mismatch(df.repartition(13), "g", "v").collect())
     assert a == b
+
+
+def test_zipf_fit_exact_two_point_line(spark):
+    from gbif_data_validator_spark.operators.metrics import zipf_fit
+
+    # "a" x4, "b" x2: slope = (ln2 - ln4)/(ln2 - ln1) = -1, perfect fit
+    df = spark.createDataFrame([("a a a a b b",)], "text string")
+    row = zipf_fit(df, "text").collect()[0]
+    assert (row.n_terms, row.k) == (2, 2)
+    assert row.slope == -1.0 and row.r2 == 1.0
+
+
+def test_zipf_fit_degenerate_and_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from gbif_data_validator_spark.operators.metrics import zipf_fit
+
+    one = zipf_fit(spark.createDataFrame([("hello hello",)], "text string"))
+    r = one.collect()[0]
+    assert r.k == 1 and r.slope is None and r.r2 is None
+
+    df = spark.range(0, 500).select(
+        F.concat(F.lit("w"), (F.col("id") % 37).cast("string"),
+                 F.lit(" common common"), (F.col("id") % 7).cast("string")
+                 ).alias("text")
+    )
+    a = zipf_fit(df, "text", top_k=30).collect()
+    b = zipf_fit(df.repartition(9), "text", top_k=30).collect()
+    assert a == b and a[0].slope < 0
