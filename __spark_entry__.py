@@ -900,6 +900,30 @@ def _q_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability diagram (operators/classifier.py:
+    calibration_curve): per probability bin, the micro-unit-exact mean
+    prediction vs the observed positive rate. Scores and labels derive
+    from documents via the md5 hash-bucket idiom (label rate tracks the
+    score by construction, so the curve is visibly diagonal); the
+    oracle replays construction, quantization, and integer binning."""
+    from gbif_data_validator_spark.operators.classifier import (
+        calibration_curve,
+    )
+    from gbif_data_validator_spark.operators.sampling import hash_bucket
+
+    idc = F.col("doc_id")
+    b1 = hash_bucket(idc, 1000)
+    by = hash_bucket(F.concat(idc.cast("string"), F.lit("y")), 100)
+    scored = _tbl(spark, sf_dir, "documents").select(
+        (b1 / F.lit(1000.0)).alias("p"),
+        F.when(by < (b1 / F.lit(10)).cast("long"), 1).otherwise(0).alias("y"),
+    )
+    return calibration_curve(scored, "p", "y", n_bins=10, logit=False).orderBy(
+        "bin"
+    )
+
+
 def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-health Zipf fit (operators/metrics.py:zipf_fit): OLS slope
     / intercept / r² on (ln rank, ln count) over the top-500 terms plus
@@ -2814,6 +2838,44 @@ def _q_crawl_delay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap coverage audit (operators/robots.py:sitemap_coverage):
+    per host, how many of its published <loc> urls the corpus contains —
+    the inverse of frontier_hosts. Fixture: VALUES sitemaps (dup entry,
+    case/whitespace variants, a wrong-host entry, a never-crawled url,
+    a loc-free host that must emit nothing) against doc-derived corpus
+    urls; the oracle replays extraction, dedup, join, and census."""
+    from gbif_data_validator_spark.operators.robots import sitemap_coverage
+
+    sitemaps = spark.createDataFrame(
+        [
+            (
+                "h0.example.org",
+                '<?xml version="1.0"?><urlset>'
+                "<url><loc>https://h0.example.org/p/0</loc></url>"
+                "<url><LOC>  https://h0.example.org/p/4\n</LOC></url>"
+                "<url><loc>https://h0.example.org/p/9</loc></url>"
+                "<url><loc>https://h0.example.org/p/0</loc></url></urlset>",
+            ),
+            (
+                "h1.example.org",
+                "<urlset><loc>https://h1.example.org/p/1</loc>"
+                "<loc>https://h1.example.org/p/99999</loc></urlset>",
+            ),
+            ("h2.example.org", "<urlset><notloc>x</notloc></urlset>"),
+        ],
+        "host string, text string",
+    )
+    idc = F.col("doc_id")
+    pages = _tbl(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"), (idc % 4).cast("string"),
+            F.lit(".example.org/p/"), idc.cast("string"),
+        ).alias("url")
+    )
+    return sitemap_coverage(pages, sitemaps).orderBy("host")
+
+
 def _q_fk_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relationship-cardinality census (Deequ relationship checks):
     customers bucketed by how many orders reference them (0 / 1 / 2-3 /
@@ -2892,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_changeset": _q_apply_changeset,
         "host_lang_mismatch": _q_host_lang_mismatch,
         "zipf_fit": _q_zipf_fit,
+        "calibration": _q_calibration,
         "script_census": _q_script_census,
         "entropy_mi": _q_entropy_mi,
         "weighted_sample": _q_weighted_sample,
@@ -3005,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_blocked": _q_robots_blocked,
         "crawl_delay_audit": _q_crawl_delay_audit,
         "canonical_census": _q_canonical_census,
+        "sitemap_coverage": _q_sitemap_coverage,
         "fk_cardinality": _q_fk_cardinality,
         "rate_anomaly": _q_rate_anomaly,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch)
@@ -4364,6 +4428,38 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(n.n, 0) AS n_new
             FROM old_g o FULL OUTER JOIN new_g n ON o.key = n.key
             ORDER BY doc_id
+        """,
+        # calibration: replay the md5 score/label construction, the
+        # micro-unit quantization, and the integer binning
+        "calibration": """
+            WITH s AS (
+              SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 1000 AS b1,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'y'), 1, 8))
+                          AS BIGINT) % 100 AS by
+              FROM documents
+            ),
+            r AS (
+              -- DuckDB CAST(double AS BIGINT) ROUNDS; Spark's cast
+              -- truncates — replay with explicit floor
+              SELECT b1 / 1000.0 AS p,
+                     CASE WHEN by < CAST(floor(b1 / 10) AS BIGINT)
+                          THEN 1 ELSE 0 END AS y
+              FROM s
+            ),
+            q AS (
+              SELECT CAST(round(p * 1000000.0, 0) AS BIGINT) AS q, y FROM r
+            ),
+            b AS (
+              SELECT LEAST(GREATEST(CAST(floor(q * 10 / 1000000) AS BIGINT), 0), 9)
+                       AS bin, q, y
+              FROM q
+            )
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   round(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+                     AS mean_pred,
+                   round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+            FROM b GROUP BY bin ORDER BY bin
         """,
         # zipf_fit: same tokenization, top-k cut, rank-sorted folds, and
         # closed-form OLS operation order
@@ -6419,6 +6515,35 @@ def oracle_sql() -> dict[str, str]:
                           WHERE NOT r.has_wildcard AND r.host = p2.host
                             AND starts_with(p2.path, r.rule))
             ORDER BY p2.doc_id
+        """,
+        # sitemap_coverage: replay <loc> extraction, dedup, url-grain
+        # membership join, and the host census
+        "sitemap_coverage": r"""
+            WITH sm(host, txt) AS (VALUES
+              ('h0.example.org',
+               '<?xml version="1.0"?><urlset><url><loc>https://h0.example.org/p/0</loc></url><url><LOC>  https://h0.example.org/p/4' || chr(10) || '</LOC></url><url><loc>https://h0.example.org/p/9</loc></url><url><loc>https://h0.example.org/p/0</loc></url></urlset>'),
+              ('h1.example.org',
+               '<urlset><loc>https://h1.example.org/p/1</loc><loc>https://h1.example.org/p/99999</loc></urlset>'),
+              ('h2.example.org', '<urlset><notloc>x</notloc></urlset>')
+            ),
+            listed AS (
+              SELECT DISTINCT host,
+                     unnest(regexp_extract_all(txt,
+                       '(?i)<loc>\s*([^<\s]+)\s*</loc>', 1)) AS url
+              FROM sm
+            ),
+            corpus AS (
+              SELECT DISTINCT
+                     'https://h' || CAST(doc_id % 4 AS VARCHAR)
+                     || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            )
+            SELECT l.host,
+                   CAST(COUNT(*) AS BIGINT) AS n_listed,
+                   CAST(COUNT(c.url) AS BIGINT) AS n_crawled,
+                   CAST(COUNT(*) - COUNT(c.url) AS BIGINT) AS n_missing
+            FROM listed l LEFT JOIN corpus c ON l.url = c.url
+            GROUP BY l.host ORDER BY l.host
         """,
         # canonical_census: replay the html construction and BOTH
         # attribute-order regexes (rel-first precedence) + the host math

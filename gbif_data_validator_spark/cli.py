@@ -108,6 +108,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="during validation (requires --work-dir): write the "
                         "FULL offending rows to work-dir/quarantine/<run-id> "
                         "for reprocessing (report.metrics['quarantine'])")
+    p.add_argument("--robots", metavar="ROBOTS_TABLE", default=None,
+                   help="during validation: parquet/CSV table of (host, "
+                        "text) robots.txt snapshots — parse star-record "
+                        "Disallow rules and fold the blocked-page census "
+                        "into report.metrics['robots']")
+    p.add_argument("--robots-blocking", action="store_true",
+                   help="with --robots: any blocked page flips the verdict")
     p.add_argument("--history", action="store_true",
                    help="no validation: print one JSON line per run that "
                         "touched this --work-dir (newest first) and exit 0")
@@ -390,6 +397,10 @@ def main(argv: list[str] | None = None) -> int:
         kwargs["anomaly_blocking"] = args.anomaly_blocking
     if args.quarantine:
         kwargs["quarantine"] = True
+    if args.robots:
+        kwargs["robots_summary"] = True
+        kwargs["robots_table"] = read_table(spark, args.robots)
+        kwargs["robots_blocking"] = args.robots_blocking
     config = EngineConfig(**kwargs)
 
     pages = read_table(spark, args.table)

@@ -118,3 +118,88 @@ def nb_score(
         (F.sum("dlogp") + F.lit(model.prior_dlogp)).alias("log_odds"),
         ((F.sum("dlogp") + F.lit(model.prior_dlogp)) > 0).alias("pred"),
     )
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    logit: bool = True,
+) -> DataFrame:
+    """Reliability diagram for a scored corpus → one row per probability
+    bin: ``(bin, n, mean_pred, frac_pos)`` — the "does a 0.9 quality
+    score mean 90% good" audit for any classifier gate (``nb_score``'s
+    log-odds with ``logit=True``, or any [0,1] score with
+    ``logit=False``). A curator trusting an uncalibrated gate mislabels
+    at corpus scale; this census is the check.
+
+    Exactness discipline: predictions quantize to integer MICRO-UNITS
+    (round(p·1e6)) before any sum, so per-bin aggregation is exact
+    integer arithmetic — partition-order-independent and SQL-replayable
+    — and the bin id derives from the quantized value with integer
+    div, never a float comparison. ``mean_pred``/``frac_pos`` round at
+    6 dp from those integer sums.
+
+    Plan: one projection + ONE n_bins-grain hash agg (map-side
+    combinable); output is ≤ n_bins rows."""
+    s = F.col(score_col).cast("double")
+    p = (F.lit(1.0) / (F.lit(1.0) + F.exp(-s))) if logit else s
+    q = F.round(p * F.lit(1_000_000.0), 0).cast("long")
+    # integer div on the quantized value: floor(q * n_bins / 1e6) without
+    # ever comparing floats, clamped into [0, n_bins)
+    bin_id = F.least(
+        F.greatest((q * n_bins / F.lit(1_000_000)).cast("long"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    rows = df.select(
+        bin_id.alias("bin"),
+        q.alias("_q"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    return (
+        rows.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_q").alias("_sq"),
+            F.sum("_y").alias("_sy"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("_sq").cast("double") / F.col("n") / F.lit(1e6), 6)
+             .alias("mean_pred"),
+            F.round(F.col("_sy").cast("double") / F.col("n"), 6)
+             .alias("frac_pos"),
+        )
+    )
+
+
+def calibration_error(curve: DataFrame) -> DataFrame:
+    """Expected calibration error from a ``calibration_curve`` output →
+    ONE row ``(n, n_bins, ece)``: Σ (n_b / N) · |mean_pred_b −
+    frac_pos_b| — the single-number gate companion to the per-bin
+    diagram (an ECE threshold belongs in a rule battery; the curve is
+    for humans). Deterministic: the fold runs over the bin-sorted list
+    (bins are disjoint integers), inputs are the curve's already-rounded
+    6 dp values, result rounds at 6 dp.
+
+    Plan: one agg over the ≤ n_bins-row curve — nothing touches the
+    corpus again."""
+    from .constraints import _ordered_fold
+
+    one = curve.agg(
+        F.sort_array(
+            F.collect_list(F.struct("bin", "n", "mean_pred", "frac_pos"))
+        ).alias("g"),
+        F.sum("n").alias("n"),
+    )
+    term = lambda s: (  # noqa: E731
+        s["n"].cast("double") / F.col("n").cast("double")
+        * F.abs(s["mean_pred"] - s["frac_pos"])
+    )
+    return one.select(
+        F.col("n").cast("long").alias("n"),
+        F.size("g").cast("long").alias("n_bins"),
+        F.round(_ordered_fold(F.transform(F.col("g"), term)), 6).alias("ece"),
+    )

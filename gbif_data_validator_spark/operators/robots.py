@@ -174,6 +174,64 @@ def crawl_delay_violations(
     )
 
 
+def sitemap_urls(
+    sitemaps: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Parse sitemap XML documents → ``(host, url)``, one row per
+    distinct ``<loc>`` entry (case-insensitive tag, surrounding
+    whitespace stripped; CDATA wrappers and sitemap-index recursion are
+    out of scope by contract — an index's ``<loc>`` entries surface as
+    urls like any other, so the caller can feed fetched child sitemaps
+    back through). Pure Column regex extraction, RE2-portable."""
+    locs = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"(?i)<loc>\s*([^<\s]+)\s*</loc>"), F.lit(1)
+    )
+    return (
+        sitemaps.select(
+            F.col(host_col).alias("host"), F.explode(locs).alias("url")
+        )
+        .distinct()
+    )
+
+
+def sitemap_coverage(
+    pages: DataFrame,
+    sitemaps: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host sitemap coverage audit → ``(host, n_listed, n_crawled,
+    n_missing)``: of the urls a host PUBLISHES in its sitemap, how many
+    the corpus actually contains — the inverse of ``frontier_hosts``
+    (which finds what the crawl references but lacks; this finds what
+    the host advertises but the crawl lacks). ``n_missing > 0`` is a
+    crawl gap or a stale sitemap; either is a finding for the
+    completeness story the reference's line-count checks tell at file
+    grain.
+
+    Plan: the listed set is sitemap-grain (≪ corpus); membership is one
+    url-grain equi-join against the corpus' DISTINCT url projection (the
+    only page-sized work — a single narrow column through one Exchange,
+    AQE-skew-safe), then one host-grain agg of the ≤ |listed| joined
+    rows."""
+    listed = sitemap_urls(sitemaps, host_col=host_col, text_col=text_col)
+    corpus = pages.select(F.col(url_col).alias("url")).where(
+        F.col("url").isNotNull()
+    ).distinct().withColumn("_crawled", F.lit(1))
+    return (
+        listed.join(corpus, "url", "left")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_listed"),
+            F.count("_crawled").alias("n_crawled"),
+            (F.count(F.lit(1)) - F.count("_crawled")).alias("n_missing"),
+        )
+    )
+
+
 def robots_blocked(
     pages: DataFrame,
     rules: DataFrame,

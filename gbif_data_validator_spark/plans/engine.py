@@ -353,6 +353,17 @@ class EngineConfig:
     #: engine citizen; one extra key-column-only aggregation pass
     skew_summary: bool = False
     skew_summary_top_k: int = 5
+    #: robots.txt compliance summary in report.metrics["robots"]: pass a
+    #: (host, text) DataFrame of robots snapshots (``robots_table``) and
+    #: enable ``robots_summary`` — the engine parses star-record Disallow
+    #: rules (operators/robots.py) and counts corpus pages they
+    #: prefix-match, with the top offending hosts; one extra url-column
+    #: scan. ``robots_blocking`` flips indexable when any page is
+    #: blocked — politeness as a verdict input, like a blocking rule.
+    robots_summary: bool = False
+    robots_table: object = None
+    robots_blocking: bool = False
+    robots_top_k: int = 5
     work_dir: str | None = None  # enables persisted violations + checkpoint/resume
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
 
@@ -961,6 +972,10 @@ class ValidationEngine:
                 indexable = False
         if c.skew_summary:
             metrics["key_skew"] = self._skew_summary(pages)
+        if c.robots_summary:
+            metrics["robots"] = self._robots_summary(pages)
+            if c.robots_blocking and metrics["robots"]["n_blocked"]:
+                indexable = False
         if c.quarantine:
             metrics["quarantine"] = self._write_quarantine(pages, all_violations)
         return ValidationReport(
@@ -1005,6 +1020,45 @@ class ValidationEngine:
         ).parquet(path)
         n_rows = self.spark.read.parquet(path).count()  # footer metadata only
         return {"path": path, "n_urls": int(n_bad), "n_rows": int(n_rows)}
+
+    def _robots_summary(self, pages: DataFrame) -> dict:
+        """robots.txt compliance folded into the report (config:
+        ``robots_summary`` + ``robots_table``): star-record Disallow
+        rules parsed relationally from the per-host snapshots, corpus
+        pages they prefix-match counted at host grain — blocked totals
+        plus the top offending hosts, all driver collects bounded by the
+        (host-grain) rule table. One url-column scan of the corpus; the
+        parse itself touches only the robots table."""
+        from ..operators.robots import robots_blocked, robots_rules
+
+        c = self.config
+        if c.robots_table is None:
+            raise ValueError("robots_summary requires robots_table "
+                             "((host, text) robots.txt snapshots)")
+        rules = robots_rules(c.robots_table)
+        blocked = robots_blocked(
+            pages.select(F.col(c.key_col).alias("url")), rules
+        )
+        census = blocked.groupBy("host").agg(
+            F.count(F.lit(1)).alias("n")
+        ).persist()
+        try:
+            totals = census.agg(
+                F.coalesce(F.sum("n"), F.lit(0)).alias("n_blocked"),
+                F.count(F.lit(1)).alias("n_hosts"),
+            ).first()
+            top = census.orderBy(F.col("n").desc(), "host").limit(
+                c.robots_top_k
+            ).collect()
+            n_rules = rules.count()
+        finally:
+            census.unpersist()
+        return {
+            "n_rules": int(n_rules),
+            "n_blocked": int(totals.n_blocked),
+            "n_blocked_hosts": int(totals.n_hosts),
+            "top_hosts": [{"host": r.host, "n": int(r.n)} for r in top],
+        }
 
     def _anomaly_summary(self) -> dict:
         """This run's own anomaly verdict vs the work_dir's history

@@ -59,3 +59,49 @@ def test_broadcast_and_shuffle_paths_agree(spark):
     for i in a:  # join strategy changes float summation order → ulp noise
         assert a[i].n_tokens == b[i].n_tokens and a[i].pred == b[i].pred
         assert a[i].log_odds == pytest.approx(b[i].log_odds, abs=1e-9)
+
+
+def test_calibration_curve_bins_and_exact_means(spark):
+    from gbif_data_validator_spark.operators.classifier import (
+        calibration_curve,
+    )
+
+    rows = [
+        (0.05, 0), (0.05, 0), (0.05, 0), (0.05, 1),   # bin 0: mean .05, 25% pos
+        (0.95, 1), (0.95, 1), (0.95, 1), (0.95, 0),   # bin 9: mean .95, 75% pos
+        (0.55, 1), (0.55, 0),                          # bin 5
+    ]
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = {r.bin: (r.n, r.mean_pred, r.frac_pos)
+           for r in calibration_curve(df, "p", "y", logit=False).collect()}
+    assert got == {0: (4, 0.05, 0.25), 5: (2, 0.55, 0.5), 9: (4, 0.95, 0.75)}
+
+
+def test_calibration_curve_logit_and_clamps(spark):
+    from gbif_data_validator_spark.operators.classifier import (
+        calibration_curve,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0, 1), (-50.0, 0), (50.0, 1)], "s double, y int"
+    )
+    got = {r.bin: r.mean_pred
+           for r in calibration_curve(df, "s", "y", logit=True).collect()}
+    # sigmoid(0)=0.5 -> bin 5; extremes clamp into bins 0 and 9
+    assert set(got) == {0, 5, 9} and got[5] == 0.5
+    assert got[0] == 0.0 and got[9] == 1.0
+
+
+def test_calibration_error_hand_computed(spark):
+    from gbif_data_validator_spark.operators.classifier import (
+        calibration_curve,
+        calibration_error,
+    )
+
+    rows = [(0.05, 0)] * 4 + [(0.95, 1)] * 3 + [(0.95, 0)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    curve = calibration_curve(df, "p", "y", logit=False)
+    got = calibration_error(curve).collect()[0]
+    # bin0: 4/8 * |0.05 - 0| ; bin9: 4/8 * |0.95 - 0.75|
+    assert (got.n, got.n_bins) == (8, 2)
+    assert got.ece == round(0.5 * 0.05 + 0.5 * 0.2, 6)

@@ -265,3 +265,33 @@ def test_main_psi_runs_mode(spark, tmp_path, capsys):
     assert main(["--work-dir", wd, "--psi-runs", "A", "C"]) == 2
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["psi"] > 0.25 and rep["n_ref"] == 120
+
+
+def test_main_robots_mode(spark, tmp_path, capsys):
+    """--robots: blocked-page census in report.metrics['robots'];
+    --robots-blocking turns it into exit 2."""
+    import datetime as dt
+
+    from gbif_data_validator_spark.sources.synthetic import synth_pages
+
+    clean = str(tmp_path / "clean_r")
+    synth_pages(spark, 400, with_violations=False).drop(
+        "expected_issue"
+    ).write.parquet(clean)
+    robots = str(tmp_path / "robots")
+    spark.createDataFrame(
+        # hot0.example.com serves 1/15th of the synthetic corpus
+        [("hot0.example.com", "User-agent: *\nDisallow: /page/\n")],
+        "host string, text string",
+    ).write.parquet(robots)
+
+    code = main(["--table", clean, "--no-extraction", "--robots", robots])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    r = out["metrics"]["robots"]
+    assert code == 0  # census only, no gate
+    assert r["n_rules"] == 1 and r["n_blocked"] > 0
+    assert r["top_hosts"][0]["host"] == "hot0.example.com"
+
+    code = main(["--table", clean, "--no-extraction", "--robots", robots,
+                 "--robots-blocking"])
+    assert code == 2

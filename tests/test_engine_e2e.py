@@ -422,3 +422,52 @@ def test_skew_summary_in_report(spark):
     assert len(ks) == 2
     assert ks[0]["key"] == "https://hot.example/x"
     assert ks[0]["n"] == 6 and ks[0]["share"] == 0.6 and ks[0]["n_groups"] == 5
+
+
+def test_robots_summary_and_blocking(spark):
+    """robots_summary: per-host Disallow compliance folded into the
+    report; robots_blocking makes a blocked page flip the verdict."""
+    import datetime as dt
+
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    ts = dt.datetime(2024, 3, 2)
+    rows = [
+        ("https://a.example/private/1", ts, None, "t", "en"),
+        ("https://a.example/private/2", ts, None, "t", "en"),
+        ("https://a.example/ok", ts, None, "t", "en"),
+        ("https://b.example/private/1", ts, None, "t", "en"),  # no rules
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /private/\n")],
+        "host string, text string",
+    )
+    base = dict(check_extraction=False, check_drift=False, check_uniqueness=False)
+    clean = ValidationEngine(spark, EngineConfig(**base)).run(pages)
+    assert "robots" not in clean.metrics and clean.indexable
+
+    rep = ValidationEngine(
+        spark, EngineConfig(**base, robots_summary=True, robots_table=robots)
+    ).run(pages)
+    r = rep.metrics["robots"]
+    assert r == {
+        "n_rules": 1, "n_blocked": 2, "n_blocked_hosts": 1,
+        "top_hosts": [{"host": "a.example", "n": 2}],
+    }
+    assert rep.indexable  # summary alone never gates
+
+    gated = ValidationEngine(
+        spark,
+        EngineConfig(**base, robots_summary=True, robots_table=robots,
+                     robots_blocking=True),
+    ).run(pages)
+    assert not gated.indexable
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="robots_table"):
+        ValidationEngine(
+            spark, EngineConfig(**base, robots_summary=True)
+        ).run(pages)

@@ -141,3 +141,37 @@ def test_blocked_plan_broadcasts_rules(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_sitemap_urls_extraction_variants(spark):
+    from gbif_data_validator_spark.operators.robots import sitemap_urls
+
+    sm = spark.createDataFrame(
+        [("h",
+          "<urlset><loc>https://h/a</loc>"
+          "<LOC>  https://h/b\n</LOC>"
+          "<loc>https://h/a</loc>"       # dup collapses
+          "<notloc>https://h/x</notloc></urlset>")],
+        "host string, text string",
+    )
+    got = sorted(r.url for r in sitemap_urls(sm).collect())
+    assert got == ["https://h/a", "https://h/b"]
+
+
+def test_sitemap_coverage_census(spark):
+    from gbif_data_validator_spark.operators.robots import sitemap_coverage
+
+    sm = spark.createDataFrame(
+        [("a.com", "<loc>https://a.com/1</loc><loc>https://a.com/2</loc>"
+                   "<loc>https://a.com/404</loc>"),
+         ("empty.com", "<x/>")],
+        "host string, text string",
+    )
+    pages = spark.createDataFrame(
+        [("https://a.com/1",), ("https://a.com/2",), ("https://a.com/extra",)],
+        "url string",
+    )
+    rows = sitemap_coverage(pages, sm).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.host, r.n_listed, r.n_crawled, r.n_missing) == ("a.com", 3, 2, 1)
