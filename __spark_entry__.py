@@ -1989,6 +1989,37 @@ def _q_minhash_cross_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_index_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot dedup via the PERSISTED MinHash band
+    index (operators/dedup.py:write_minhash_index/dedup_vs_index): the
+    prior crawl (bucket < 50) writes its signature index once; the new
+    crawl (bucket ≥ 50) probes it with zero prior-text rescan. Same
+    fixture and threshold as minhash_cross_pairs, and the oracle is the
+    SAME cross-pairs SQL — so "the index path loses nothing vs the
+    two-corpus join" is a hash-checked fact, not a claim."""
+    import tempfile
+
+    from gbif_data_validator_spark.operators.dedup import (
+        dedup_vs_index,
+        write_minhash_index,
+    )
+    from gbif_data_validator_spark.operators.sampling import hash_bucket
+
+    d = _docs_spread(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), 100)
+    path = tempfile.mkdtemp(prefix="mh_index_")
+    write_minhash_index(d.where(b < 50), path, "doc_id", "text")
+    return (
+        dedup_vs_index(d.where(b >= 50), path, "doc_id", "text", threshold=0.5)
+        .select(
+            F.col("new_id").alias("left_id"),
+            F.col("index_id").alias("right_id"),
+            "est_jaccard",
+        )
+        .orderBy("left_id", "right_id")
+    )
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints, exploded to (doc_id, fp) rows. The hash is
     md5-prefix-based (operators/dedup._hash64_array), so the whole pipeline —
@@ -2982,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minhash_cross ~ cross_dedup_flags+minhash_pairs, strip ~ census,
         # mix_resample ~ quota/stratified, doc_chunks ~ pack_bins (r02)
         "minhash_cross_pairs": _q_minhash_cross_pairs,
+        "index_dedup_pairs": _q_index_dedup_pairs,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "lexical_diversity": _q_lexical_diversity,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
@@ -5515,6 +5547,58 @@ def oracle_sql() -> dict[str, str]:
                           AND a.side = 'L' AND b.side = 'R'
               JOIN bsz s ON s.band = a.band AND s.key = a.key
               WHERE s.c BETWEEN 2 AND 1000
+            )
+            SELECT left_id, right_id,
+                   round(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0, 6) AS est_jaccard
+            FROM cand
+            WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.5
+            ORDER BY left_id, right_id
+        """,
+        # index_dedup_pairs: the SAME cross-corpus pipeline, except the
+        # bucket cap is the INDEX path's — index-side (R) member count
+        # ≤ max_bucket, no lower bound (a 1-member index bucket still
+        # pairs with a probing new doc)
+        "index_dedup_pairs": f"""
+            WITH consts(i, a, b) AS (VALUES {mh_consts}),
+            w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws,
+                     CASE WHEN {bucket_expr} >= 50 THEN 'L' ELSE 'R' END AS side
+              FROM documents WHERE text IS NOT NULL
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, side, ws[r.i] || ' ' || ws[r.i+1] || ' ' || ws[r.i+2] AS g
+              FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) r
+              WHERE len(ws) >= 3
+            ),
+            hx AS (
+              SELECT doc_id, side,
+                     CAST(('0x' || substr(md5(g), 1, 16)) AS UBIGINT)
+                       % 2305843009213693951 AS x
+              FROM grams
+            ),
+            mh AS (
+              SELECT doc_id, side, c.i,
+                     min(CAST(((CAST(c.a AS HUGEINT) * x + c.b) % 18446744073709551616)
+                              % 2305843009213693951 AS BIGINT)) AS v
+              FROM hx CROSS JOIN consts c GROUP BY doc_id, side, c.i
+            ),
+            sig AS (SELECT doc_id, side, list(v ORDER BY i) AS sig FROM mh GROUP BY doc_id, side),
+            bands AS (
+              SELECT doc_id, side, sig, bd.band,
+                     array_to_string(sig[bd.band*4+1 : bd.band*4+4], ',') AS key
+              FROM sig, (SELECT unnest(range(0, 16)) AS band) bd
+            ),
+            bsz AS (SELECT band, key, count(*) AS c FROM bands
+                    WHERE side = 'R' GROUP BY band, key),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id,
+                              a.sig AS sa, b.sig AS sb
+              FROM bands a
+              JOIN bands b ON a.band = b.band AND a.key = b.key
+                          AND a.side = 'L' AND b.side = 'R'
+              JOIN bsz s ON s.band = a.band AND s.key = a.key
+              WHERE s.c <= 1000
             )
             SELECT left_id, right_id,
                    round(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0, 6) AS est_jaccard

@@ -448,3 +448,79 @@ def test_edit_similarity_pairs_sequence_aware(spark):
     assert (1, 3) not in got and (2, 3) not in got  # order matters
     # exact value: 1 char substitution (delta→delXa) over the 56 chars
     assert got[(1, 2)] == round(1.0 - 1 / len(base), 6)
+
+
+def _crawl_docs(spark, prefix, n, clone_of=None):
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, n).select(
+        (F.col("id") + (clone_of or 0)).alias("seed"),
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("doc_id"),
+    )
+    return base.select(
+        "doc_id",
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta token"),
+            (F.col("seed") % 7).cast("string"),
+            F.lit(" eta theta iota kappa word"),
+            F.col("seed").cast("string"),
+        ).alias("text"),
+    )
+
+
+def test_minhash_index_matches_cross_pairs(spark, tmp_path):
+    from gbif_data_validator_spark.operators.dedup import (
+        dedup_vs_index,
+        minhash_lsh_cross_pairs,
+        write_minhash_index,
+    )
+
+    old = _crawl_docs(spark, "old-", 40)
+    # new crawl: 10 exact clones of old docs + 10 fresh docs
+    new = _crawl_docs(spark, "new-", 10).unionByName(
+        _crawl_docs(spark, "newc-", 10, clone_of=100)
+    )
+    path = str(tmp_path / "idx")
+    write_minhash_index(old, path, "doc_id", "text")
+    got = sorted(
+        (r.new_id, r.index_id, r.est_jaccard)
+        for r in dedup_vs_index(new, path, "doc_id", "text").collect()
+    )
+    want = sorted(
+        (r.left_id, r.right_id, r.est_jaccard)
+        for r in minhash_lsh_cross_pairs(new, old, "doc_id", "text").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_minhash_index_append_equals_one_shot(spark, tmp_path):
+    from gbif_data_validator_spark.operators.dedup import (
+        dedup_vs_index,
+        write_minhash_index,
+    )
+    from pyspark.sql import functions as F
+
+    old = _crawl_docs(spark, "old-", 30)
+    new = _crawl_docs(spark, "new-", 8)
+
+    whole = str(tmp_path / "whole")
+    write_minhash_index(old, whole, "doc_id", "text")
+    split = str(tmp_path / "split")
+    write_minhash_index(old.where(F.col("doc_id") < "old-2"), split, "doc_id", "text")
+    write_minhash_index(old.where(F.col("doc_id") >= "old-2"), split, "doc_id", "text")
+
+    a = sorted(map(tuple, dedup_vs_index(new, whole, "doc_id", "text").collect()))
+    b = sorted(map(tuple, dedup_vs_index(new, split, "doc_id", "text").collect()))
+    assert a == b
+
+
+def test_minhash_index_param_mismatch_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from gbif_data_validator_spark.operators.dedup import write_minhash_index
+
+    old = _crawl_docs(spark, "old-", 5)
+    path = str(tmp_path / "idx2")
+    write_minhash_index(old, path, "doc_id", "text", n_bands=16)
+    with _pytest.raises(ValueError, match="refusing"):
+        write_minhash_index(old, path, "doc_id", "text", n_bands=8)
