@@ -2938,6 +2938,40 @@ def _q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+#: doc_id%7 → injected mojibake fragment (single source of truth with the
+#: DuckDB oracle, which replays the same CASE as string concat).  One class
+#: per residue: latin-1 digraph (repairable), cp1252 trigraphs (repairable),
+#: digraph + dangling lead byte (signal but malformed → NOT repairable),
+#: U+FFFD (already lost), bare C1 control, NBSP artifact (repairable);
+#: residue 6 stays clean.
+_MOJIBAKE_FRAGMENTS = [
+    " cafÃ© au lait",
+    " donâ€™t â€” ever",
+    " naÃ¯ ve Ã",
+    " bad � byte",
+    " x \x85 y",
+    " Â padded",
+]
+
+
+def _q_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang mojibake census + repairability over documents with
+    deterministically injected double-decode artifacts (the testdata corpus
+    is pure ASCII, so the corruption is added by doc_id residue — pure
+    string concat both engines replay bit-identically).  Census itself is
+    one WholeStageCodegen projection + one map-side-combinable aggregate
+    (functions/encoding.py:mojibake_census)."""
+    from gbif_data_validator_spark.functions.encoding import mojibake_census
+
+    frag = F.lit("")
+    for i, f in enumerate(_MOJIBAKE_FRAGMENTS):
+        frag = F.when(F.col("doc_id") % 7 == i, F.lit(f)).otherwise(frag)
+    docs = _docs(spark, sf_dir).select(
+        "lang", F.concat(F.col("text"), frag).alias("text")
+    )
+    return mojibake_census(docs, "text", ["lang"]).orderBy("lang")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3103,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_coverage": _q_sitemap_coverage,
         "fk_cardinality": _q_fk_cardinality,
         "rate_anomaly": _q_rate_anomaly,
+        "mojibake_census": _q_mojibake_census,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -3289,6 +3324,63 @@ def oracle_sql() -> dict[str, str]:
     bucket_expr = (
         "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
     )
+
+    # mojibake_census fragments: patterns come straight from the module
+    # (pure-ASCII \x{hex} regex syntax, valid in both Java regex and RE2);
+    # non-ASCII literal chars are rendered as chr(codepoint) concats so no
+    # raw control bytes land in the SQL text.
+    from gbif_data_validator_spark.functions import encoding as _enc
+
+    def _duck_str(s: str) -> str:
+        parts: list[str] = []
+        buf = ""
+        for ch in s:
+            if 32 <= ord(ch) < 127 and ch != "'":
+                buf += ch
+            else:
+                if buf:
+                    parts.append(f"'{buf}'")
+                    buf = ""
+                parts.append(f"chr({ord(ch)})")
+        if buf:
+            parts.append(f"'{buf}'")
+        return " || ".join(parts) or "''"
+
+    moji_frag_case = (
+        "CASE doc_id % 7 "
+        + " ".join(
+            f"WHEN {i} THEN {_duck_str(f)}"
+            for i, f in enumerate(_MOJIBAKE_FRAGMENTS)
+        )
+        + " ELSE '' END"
+    )
+    moji_sql = f"""
+            WITH corrupted AS (
+              SELECT lang, text || ({moji_frag_case}) AS t FROM documents
+            ),
+            sig AS (
+              SELECT lang,
+                len(regexp_extract_all(t, '{_enc.PAT_LATIN1_DIGRAPH}')) AS n_latin1,
+                len(regexp_extract_all(t, '{_enc.PAT_TRIGRAPH}')) AS n_tri,
+                len(regexp_extract_all(t, '{_enc.PAT_C1}')) AS n_c1,
+                len(regexp_extract_all(t, '{_enc.PAT_FFFD}')) AS n_fffd,
+                len(regexp_extract_all(t, '{_enc.PAT_NBSP_ARTIFACT}')) AS n_nbsp,
+                regexp_matches(
+                  translate(t, {_duck_str(_enc._CP1252_CHARS)}, {_duck_str(_enc._C1_CHARS)}),
+                  '{_enc.PAT_WELLFORMED_UTF8}') AS wf
+              FROM corrupted
+            )
+            SELECT lang,
+              CAST(SUM(n_latin1) AS BIGINT) AS n_latin1_digraphs,
+              CAST(SUM(n_tri) AS BIGINT) AS n_trigraphs,
+              CAST(SUM(n_c1) AS BIGINT) AS n_c1_controls,
+              CAST(SUM(n_fffd) AS BIGINT) AS n_fffd,
+              CAST(SUM(n_nbsp) AS BIGINT) AS n_nbsp_artifacts,
+              CAST(SUM(CASE WHEN n_latin1 + n_tri + n_c1 + n_fffd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_affected,
+              CAST(SUM(CASE WHEN n_latin1 + n_tri > 0 AND wf THEN 1 ELSE 0 END) AS BIGINT) AS rows_repairable,
+              CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM sig GROUP BY lang ORDER BY lang
+        """
 
     return {
         "term_frequency": """
@@ -6845,4 +6937,10 @@ def oracle_sql() -> dict[str, str]:
                    abs(CAST(n AS DOUBLE) - center) > spread AS is_anomaly
             FROM c, s ORDER BY bucket
         """,
+        # mojibake_census: identical injection CASE, identical Java∩RE2
+        # regex patterns; repairability replayed as signal ∧ UTF-8
+        # well-formedness of the cp1252→C1-translated byte stream (the
+        # guard in functions/encoding.py:fix_mojibake, which implies the
+        # strictly-shorter decode the Spark side also checks)
+        "mojibake_census": moji_sql,
     }
