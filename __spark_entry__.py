@@ -2954,6 +2954,35 @@ _MOJIBAKE_FRAGMENTS = [
 ]
 
 
+def _q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-column health (operators/vectors.py) over the
+    embeddings table with deterministically injected defects — NULL
+    vectors, truncated dimensions, all-zero vectors, trailing NaN — by
+    vec_id residue (pure list algebra both engines replay identically).
+    Norm stats aggregate as integer micro-units, so the whole battery is
+    exact despite the float math."""
+    from gbif_data_validator_spark.operators.vectors import embedding_health
+
+    e = F.col("embedding").cast("array<double>")
+    vid = F.col("vec_id")
+    corrupted = (
+        F.when(vid % 97 == 0, F.lit(None).cast("array<double>"))
+        .when(vid % 89 == 0, F.slice(e, 1, 32))
+        .when(vid % 83 == 0, F.transform(e, lambda x: F.lit(0.0)))
+        .when(
+            vid % 79 == 0,
+            F.concat(F.slice(e, 1, 63), F.array(F.lit(float("nan")))),
+        )
+        .otherwise(e)
+    )
+    df = _tbl(spark, sf_dir, "embeddings").select(
+        "label", corrupted.alias("embedding")
+    )
+    return embedding_health(
+        df, "embedding", ["label"], expected_dim=64
+    ).orderBy("label")
+
+
 def _q_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang mojibake census + repairability over documents with
     deterministically injected double-decode artifacts (the testdata corpus
@@ -3138,6 +3167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_cardinality": _q_fk_cardinality,
         "rate_anomaly": _q_rate_anomaly,
         "mojibake_census": _q_mojibake_census,
+        "embedding_health": _q_embedding_health,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch)
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
@@ -6943,4 +6973,57 @@ def oracle_sql() -> dict[str, str]:
         # guard in functions/encoding.py:fix_mojibake, which implies the
         # strictly-shorter decode the Spark side also checks)
         "mojibake_census": moji_sql,
+        # embedding_health: identical defect-injection CASE; per-row norm
+        # fold replayed with list_reduce seeded exactly like Spark's
+        # aggregate (0.0 + x1² == x1² in IEEE, so first-element reduce is
+        # identical); all aggregation in integer micro-units (corr_exact
+        # discipline)
+        "embedding_health": """
+            WITH base AS (
+              SELECT label,
+                CASE WHEN vec_id % 97 = 0 THEN NULL
+                     WHEN vec_id % 89 = 0 THEN e[1:32]
+                     WHEN vec_id % 83 = 0 THEN list_transform(e, x -> 0.0)
+                     WHEN vec_id % 79 = 0 THEN list_append(e[1:63], 'NaN'::DOUBLE)
+                     ELSE e END AS v
+              FROM (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings)
+            ),
+            rows_ AS (
+              SELECT label, v,
+                v IS NULL AS is_null,
+                CASE WHEN v IS NOT NULL THEN len(v) END AS dims,
+                CASE WHEN v IS NOT NULL
+                     THEN len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0
+                     ELSE FALSE END AS nonfin,
+                v IS NOT NULL AND len(v) != 64 AS dimbad
+              FROM base
+            ),
+            rq AS (
+              SELECT label, is_null, dims, nonfin, dimbad,
+                CASE WHEN NOT is_null AND NOT nonfin THEN
+                  CAST(round(sqrt(CASE WHEN len(dv) = 0 THEN 0.0
+                    ELSE list_reduce(list_transform(dv, x -> x * x),
+                                     (acc, x) -> acc + x) END) * 1e6) AS BIGINT)
+                END AS nq,
+                CASE WHEN NOT is_null AND NOT nonfin
+                     THEN len(list_filter(dv, x -> x != 0.0)) = 0
+                     ELSE FALSE END AS is_zero
+              FROM (SELECT *, COALESCE(v, []) AS dv FROM rows_)
+            )
+            SELECT label,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null_vec,
+              MIN(dims) AS dims_min,
+              MAX(dims) AS dims_max,
+              CAST(SUM(CASE WHEN dimbad THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_mismatch,
+              CAST(SUM(CASE WHEN nonfin THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+              CAST(SUM(CASE WHEN is_zero THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+              CAST(MIN(nq) AS DOUBLE) / 1e6 AS norm_min,
+              CAST(MAX(nq) AS DOUBLE) / 1e6 AS norm_max,
+              CASE WHEN COUNT(nq) > 0 THEN
+                round(CAST(SUM(nq) AS DOUBLE) / CAST(COUNT(nq) AS DOUBLE) / 1e6, 6)
+              END AS norm_avg
+            FROM rq GROUP BY label ORDER BY label
+        """,
     }
