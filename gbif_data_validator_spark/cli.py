@@ -115,6 +115,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "into report.metrics['robots']")
     p.add_argument("--robots-blocking", action="store_true",
                    help="with --robots: any blocked page flips the verdict")
+    p.add_argument("--check-mojibake", action="store_true",
+                   help="during validation: flag double-decode corruption "
+                        "(TEXT_MOJIBAKE) — text that decoded through the "
+                        "wrong codec; fuses into the pass-1 scan")
+    p.add_argument("--check-lang-script", action="store_true",
+                   help="during validation: flag declared-lang vs dominant-"
+                        "script disagreement (LANG_SCRIPT_MISMATCH); fuses "
+                        "into the pass-1 scan")
+    p.add_argument("--checks-blocking", action="store_true",
+                   help="with --check-*: flagged rows flip the verdict")
     p.add_argument("--history", action="store_true",
                    help="no validation: print one JSON line per run that "
                         "touched this --work-dir (newest first) and exit 0")
@@ -401,6 +411,19 @@ def main(argv: list[str] | None = None) -> int:
         kwargs["robots_summary"] = True
         kwargs["robots_table"] = read_table(spark, args.robots)
         kwargs["robots_blocking"] = args.robots_blocking
+    extra_checks = []
+    if args.check_mojibake:
+        from .operators.record_checks import mojibake_custom_check
+
+        extra_checks.append(mojibake_custom_check(blocking=args.checks_blocking))
+    if args.check_lang_script:
+        from .operators.record_checks import lang_script_custom_check
+
+        extra_checks.append(
+            lang_script_custom_check(blocking=args.checks_blocking)
+        )
+    if extra_checks:
+        kwargs["custom_checks"] = tuple(extra_checks)
     config = EngineConfig(**kwargs)
 
     pages = read_table(spark, args.table)

@@ -311,3 +311,36 @@ def lang_script_custom_check(
         found=F.concat_ws("/", lang, dom),
         blocking=blocking,
     )
+
+
+def mojibake_custom_check(
+    text_col: str = "text", blocking: bool = False
+) -> CustomCheck:
+    """Double-decode corruption (functions/encoding.py) as a
+    :class:`CustomCheck`: text that decoded *successfully* through the
+    wrong codec ("cafÃ©", "donâ€™t") — the defect the byte-level
+    TEXT_NOT_UTF8 charset sniff can never see.  Rides the engine's pass-1
+    scan as one more fused detail slot (the signals are ``regexp_count``
+    Column algebra); ``found`` carries the per-signal counts plus whether
+    the JVM round-trip repair (``fix_mojibake``) would recover the row, so
+    the violation row doubles as the reprocessing work order."""
+    from ..functions.encoding import fix_mojibake, mojibake_exprs
+
+    text = F.col(text_col)
+    sig = mojibake_exprs(text)
+    repairable = fix_mojibake(text) != F.coalesce(text, F.lit(""))
+    found = F.concat_ws(
+        " ",
+        F.concat(F.lit("latin1="), sig["n_latin1_digraphs"]),
+        F.concat(F.lit("tri="), sig["n_trigraphs"]),
+        F.concat(F.lit("c1="), sig["n_c1_controls"]),
+        F.concat(F.lit("fffd="), sig["n_fffd"]),
+        F.concat(F.lit("repairable="), repairable.cast("string")),
+    )
+    return CustomCheck(
+        check_id="TEXT_MOJIBAKE",
+        violated=F.coalesce(sig["has_mojibake"], F.lit(False)),
+        expected="text free of double-decode (mojibake) artifacts",
+        found=found,
+        blocking=blocking,
+    )

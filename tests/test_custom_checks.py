@@ -93,3 +93,49 @@ def test_lang_script_rides_the_custom_check_surface(spark, pages):
     assert {r.url for r in v.select("url").collect()} == {
         r.url for r in standalone.select("url").collect()
     }
+
+def test_mojibake_rides_the_custom_check_surface(spark):
+    """TEXT_MOJIBAKE fuses into pass 1; found carries the signal battery +
+    repairability so the violation row doubles as a repair work order."""
+    from gbif_data_validator_spark.operators.record_checks import (
+        mojibake_custom_check,
+    )
+
+    rows = [
+        ("https://ex.org/0", dt.datetime(2024, 1, 1), None, "cafÃ© au lait", "en"),
+        ("https://ex.org/1", dt.datetime(2024, 1, 2), None, "clean text", "en"),
+        ("https://ex.org/2", dt.datetime(2024, 1, 3), None, "bad � byte", "en"),
+        ("https://ex.org/3", dt.datetime(2024, 1, 4), None, None, "en"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    v = run_record_checks(
+        df, check_extraction=False, custom_checks=(mojibake_custom_check(),)
+    ).where(F.col("check_id") == "TEXT_MOJIBAKE")
+    got = {r.url: r.found for r in v.collect()}
+    assert set(got) == {"https://ex.org/0", "https://ex.org/2"}
+    assert got["https://ex.org/0"] == "latin1=1 tri=0 c1=0 fffd=0 repairable=true"
+    assert got["https://ex.org/2"] == "latin1=0 tri=0 c1=0 fffd=1 repairable=false"
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") <= 1
+    assert "Exchange" not in plan
+
+
+def test_mojibake_check_engine_e2e(spark):
+    from gbif_data_validator_spark.operators.record_checks import (
+        mojibake_custom_check,
+    )
+
+    rows = [
+        (f"https://ex.org/{i}", dt.datetime(2024, 1, 1 + i), None,
+         "donâ€™t stop" if i < 2 else "a perfectly ordinary document", "en")
+        for i in range(8)
+    ]
+    rep = ValidationEngine(
+        spark,
+        EngineConfig(
+            check_extraction=False,
+            custom_checks=(mojibake_custom_check(blocking=True),),
+        ),
+    ).run(spark.createDataFrame(rows, SCHEMA))
+    assert rep.issue_counts["TEXT_MOJIBAKE"] == 2
+    assert not rep.indexable  # blocking=True joins the verdict fold
