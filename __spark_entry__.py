@@ -3001,6 +3001,40 @@ def _q_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mojibake_census(docs, "text", ["lang"]).orderBy("lang")
 
 
+def _q_bpe_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training pass 1 — the distributed word-type frequency table
+    (operators/tokenizer.py:word_frequencies), top 20 types under the
+    deterministic (cnt DESC, word ASC) total order. One explode + one
+    partial-aggable groupBy; the shuffle carries word TYPES (bounded by
+    vocabulary), never token instances — this is the sufficient statistic
+    every real BPE trainer reduces the corpus to before its merge loop."""
+    from gbif_data_validator_spark.operators.tokenizer import word_frequencies
+
+    return (
+        word_frequencies(_docs(spark, sf_dir))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(20)
+        .select("word", F.col("cnt").cast("long").alias("cnt"))
+    )
+
+
+def _q_bpe_token_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-tokenizer token accounting: train a 64-merge BPE on the corpus
+    (driver merge loop over the bounded word-type table, deterministic
+    tie-breaks), then the per-doc census — n_tokens under the LEARNED
+    merges plus chars/token (compression) and tokens/word (fertility).
+    Rows-only by nature (the merge loop is iterative, like PageRank);
+    determinism + the Sennrich golden are pinned in tests/test_tokenizer.py."""
+    from gbif_data_validator_spark.operators.tokenizer import (
+        bpe_train,
+        token_census,
+    )
+
+    docs = _docs(spark, sf_dir)
+    model = bpe_train(docs, n_merges=64)
+    return token_census(_docs_spread(spark, sf_dir), model).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3168,7 +3202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_anomaly": _q_rate_anomaly,
         "mojibake_census": _q_mojibake_census,
         "embedding_health": _q_embedding_health,
-        # rows-only (no SQL oracle by nature: LSH/ANN/sketch)
+        "bpe_word_freq": _q_bpe_word_freq,
+        # rows-only (no SQL oracle by nature: LSH/ANN/sketch/iterative)
+        "bpe_token_census": _q_bpe_token_census,
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
         "ivf_ann": _q_ivf_ann,
         "semantic_dedup": _q_semantic_dedup,
@@ -7025,5 +7061,19 @@ def oracle_sql() -> dict[str, str]:
                 round(CAST(SUM(nq) AS DOUBLE) / CAST(COUNT(nq) AS DOUBLE) / 1e6, 6)
               END AS norm_avg
             FROM rq GROUP BY label ORDER BY label
+        """,
+        # bpe_word_freq: same ASCII-safe pre-tokenizer regex (Java and RE2
+        # agree on [A-Za-z0-9] runs and the \s class for ASCII input),
+        # same deterministic (cnt DESC, word ASC) total order
+        "bpe_word_freq": r"""
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (
+              SELECT unnest(regexp_extract_all(
+                       text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS word
+              FROM documents WHERE text IS NOT NULL
+            )
+            GROUP BY word
+            ORDER BY cnt DESC, word ASC
+            LIMIT 20
         """,
     }
