@@ -3001,6 +3001,18 @@ def _q_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mojibake_census(docs, "text", ["lang"]).orderBy("lang")
 
 
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus k-gram novelty census per lang (operators/dedup.py:
+    ngram_novelty): what fraction of 8-gram instances are verbatim
+    repeats — the snapshot-level memorization-risk summary behind
+    ExactSubstr dedup, with dup_rate in exact integer micro-units."""
+    from gbif_data_validator_spark.operators.dedup import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), "text", k=8, group_cols=["lang"]).orderBy(
+        "lang"
+    )
+
+
 def _q_bpe_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE training pass 1 — the distributed word-type frequency table
     (operators/tokenizer.py:word_frequencies), top 20 types under the
@@ -3203,6 +3215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_census": _q_mojibake_census,
         "embedding_health": _q_embedding_health,
         "bpe_word_freq": _q_bpe_word_freq,
+        "ngram_novelty": _q_ngram_novelty,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch/iterative)
         "bpe_token_census": _q_bpe_token_census,
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
@@ -7061,6 +7074,29 @@ def oracle_sql() -> dict[str, str]:
                 round(CAST(SUM(nq) AS DOUBLE) / CAST(COUNT(nq) AS DOUBLE) / 1e6, 6)
               END AS norm_avg
             FROM rq GROUP BY label ORDER BY label
+        """,
+        # ngram_novelty: same tokenizer/gram construction as dup_spans
+        # (proven Java∩RE2 parity); micro-unit floor keeps the rate integer
+        "ngram_novelty": r"""
+            WITH toks AS (
+              SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+              SELECT lang, array_to_string(w[i:i + 7], ' ') AS gram
+              FROM (
+                SELECT lang, w, unnest(range(1, len(w) - 6)) AS i
+                FROM toks WHERE len(w) >= 8
+              )
+            ),
+            pg AS (SELECT lang, gram, COUNT(*) AS cnt FROM g GROUP BY lang, gram)
+            SELECT lang,
+                   CAST(SUM(cnt) AS BIGINT) AS total_grams,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+                   CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS dup_grams,
+                   CAST(FLOOR(1e6 * (SUM(cnt) - COUNT(*)) / SUM(cnt)) AS BIGINT)
+                     AS dup_rate_ppm
+            FROM pg GROUP BY lang ORDER BY lang
         """,
         # bpe_word_freq: same ASCII-safe pre-tokenizer regex (Java and RE2
         # agree on [A-Za-z0-9] runs and the \s class for ASCII input),

@@ -1321,3 +1321,67 @@ def index_dropped_buckets(spark, path: str, max_bucket: int = 1000) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") > max_bucket)
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus k-gram novelty census
+# --------------------------------------------------------------------------
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """→ per group: ``(group…, total_grams, distinct_grams, dup_grams,
+    dup_rate_ppm)`` — how much of the corpus is VERBATIM re-occurrence at
+    the k-gram level.
+
+    The corpus-health summary behind ExactSubstr dedup (Lee et al. 2022):
+    ``dup_grams / total_grams`` is the fraction of k-gram INSTANCES that
+    are repeats of an instance seen elsewhere — the memorization-risk /
+    boilerplate-density number a curation pipeline tracks per snapshot,
+    where ``duplicated_spans`` above names the individual offending
+    windows. Same tokenizer and gram construction as ``duplicated_spans``
+    (lower, trim, ``\\s+`` split, space-joined k-grams; docs shorter than
+    k tokens contribute nothing), so the two read on the same scale.
+
+    Plan shape (100 TB): explode → ``groupBy(group…, gram)`` count (partial
+    agg map-side; the shuffle carries gram TYPES, never instances) → one
+    tiny second agg over the gram-count table. No join, no window, output
+    ≤ |groups| rows. ``dup_rate_ppm`` is ``floor(1e6·dup/total)`` — integer
+    micro-units with a fixed operation order, so the value is bit-exact
+    and partitioning-independent (same rationale as
+    ``operators/vectors.py::embedding_health``).
+    """
+    groups = list(group_cols or [])
+
+    def gen(w: Column) -> Column:
+        n = F.size(w)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(w, i, k), " "),
+        )
+        # n < k must yield [] — sequence(1, <1) generates DESCENDING
+        return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ex = df.where(F.col(text_col).isNotNull()).select(
+        *groups,
+        F.explode(F.element_at(F.transform(F.array(words), gen), 1)).alias("gram"),
+    )
+    per_gram = ex.groupBy(*groups, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt").cast("long")
+    distinct = F.count(F.lit(1)).cast("long")
+    dup = (F.sum("cnt") - F.count(F.lit(1))).cast("long")
+    return per_gram.groupBy(*groups).agg(
+        total.alias("total_grams"),
+        distinct.alias("distinct_grams"),
+        dup.alias("dup_grams"),
+        F.floor(
+            F.lit(1000000.0) * (F.sum("cnt") - F.count(F.lit(1))) / F.sum("cnt")
+        )
+        .cast("long")
+        .alias("dup_rate_ppm"),
+    )

@@ -524,3 +524,55 @@ def test_minhash_index_param_mismatch_raises(spark, tmp_path):
     write_minhash_index(old, path, "doc_id", "text", n_bands=16)
     with _pytest.raises(ValueError, match="refusing"):
         write_minhash_index(old, path, "doc_id", "text", n_bands=8)
+
+
+# -- corpus k-gram novelty census --------------------------------------------
+
+
+def test_ngram_novelty_hand_counts(spark):
+    # doc A: 10 tokens -> 3 8-grams; doc B identical -> same 3 grams again;
+    # doc C: 8 distinct tokens -> 1 unique 8-gram; doc D: 7 tokens -> none.
+    a = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    df = spark.createDataFrame(
+        [(1, a), (2, a), (3, "u1 u2 u3 u4 u5 u6 u7 u8"), (4, "v1 v2 v3 v4 v5 v6 v7")],
+        schema="doc_id long, text string",
+    )
+    row = dedup.ngram_novelty(df, "text", k=8).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r.total_grams, r.distinct_grams, r.dup_grams) == (7, 4, 3)
+    assert r.dup_rate_ppm == int(1e6 * 3 / 7)  # floor semantics
+
+
+def test_ngram_novelty_grouped_and_partition_invariant(spark):
+    a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = spark.createDataFrame(
+        [(i, a if i % 2 else a + " extra", "en" if i < 6 else "fr") for i in range(10)],
+        schema="doc_id long, text string, lang string",
+    )
+    out1 = {
+        tuple(r)
+        for r in dedup.ngram_novelty(df, "text", k=8, group_cols=["lang"]).collect()
+    }
+    out2 = {
+        tuple(r)
+        for r in dedup.ngram_novelty(
+            df.repartition(7, "doc_id"), "text", k=8, group_cols=["lang"]
+        ).collect()
+    }
+    assert out1 == out2
+    assert {r[0] for r in out1} == {"en", "fr"}
+
+
+def test_ngram_novelty_plan_two_exchanges_no_join(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h", "en")], "doc_id long, text string, lang string"
+    )
+    plan = (
+        dedup.ngram_novelty(df, "text", k=8, group_cols=["lang"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # gram agg + group agg
