@@ -3001,6 +3001,16 @@ def _q_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mojibake_census(docs, "text", ["lang"]).orderBy("lang")
 
 
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARI readability census per lang (operators/metrics.py:
+    readability_census): grade-level outliers flag OCR garbage and
+    template farms; per-doc scores floor-quantized to integer ppm
+    before aggregation so every stat is bit-exact."""
+    from gbif_data_validator_spark.operators.metrics import readability_census
+
+    return readability_census(_docs(spark, sf_dir), "text", ["lang"]).orderBy("lang")
+
+
 def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus k-gram novelty census per lang (operators/dedup.py:
     ngram_novelty): what fraction of 8-gram instances are verbatim
@@ -3216,6 +3226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_health": _q_embedding_health,
         "bpe_word_freq": _q_bpe_word_freq,
         "ngram_novelty": _q_ngram_novelty,
+        "readability": _q_readability,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch/iterative)
         "bpe_token_census": _q_bpe_token_census,
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
@@ -7074,6 +7085,36 @@ def oracle_sql() -> dict[str, str]:
                 round(CAST(SUM(nq) AS DOUBLE) / CAST(COUNT(nq) AS DOUBLE) / 1e6, 6)
               END AS norm_avg
             FROM rq GROUP BY label ORDER BY label
+        """,
+        # readability: ARI battery replayed with the same RE2∩Java regex
+        # counts and the same pinned float operation order; per-doc scores
+        # floor-quantized to ppm BEFORE aggregation
+        "readability": r"""
+            WITH pd AS (
+              SELECT lang,
+                     (text IS NOT NULL AND w >= 1 AND s >= 1) AS ok,
+                     CASE WHEN text IS NOT NULL AND w >= 1 AND s >= 1
+                          THEN CAST(FLOOR(1e6 * (4.71 * (c * 1.0 / w)
+                                 + 0.5 * (w * 1.0 / s) - 21.43)) AS BIGINT)
+                     END AS ari_ppm
+              FROM (
+                SELECT lang, text,
+                       len(regexp_extract_all(text, '[A-Za-z0-9]')) AS c,
+                       len(regexp_extract_all(text, '\S+')) AS w,
+                       len(regexp_extract_all(text, '[.!?]')) AS s
+                FROM documents
+              )
+            )
+            SELECT lang,
+                   CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_skipped,
+                   CAST(SUM(ari_ppm) AS BIGINT) AS sum_ari_ppm,
+                   CAST(MIN(ari_ppm) AS BIGINT) AS min_ari_ppm,
+                   CAST(MAX(ari_ppm) AS BIGINT) AS max_ari_ppm,
+                   CAST(FLOOR(SUM(ari_ppm) * 1.0
+                          / SUM(CASE WHEN ok THEN 1 ELSE 0 END)) AS BIGINT)
+                     AS avg_ari_ppm
+            FROM pd GROUP BY lang ORDER BY lang
         """,
         # ngram_novelty: same tokenizer/gram construction as dup_spans
         # (proven Java∩RE2 parity); micro-unit floor keeps the rate integer

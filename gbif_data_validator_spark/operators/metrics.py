@@ -520,3 +520,61 @@ def zipf_fit(
     return vocab.crossJoin(F.broadcast(fit)).select(
         "n_terms", "k", "slope", "intercept", "r2"
     )
+
+
+def readability_census(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """→ per group: ``(group…, n_docs, n_skipped, sum_ari_ppm, min_ari_ppm,
+    max_ari_ppm, avg_ari_ppm)`` — Automated Readability Index census in
+    exact integer micro-units.
+
+    ARI (Senter & Smith 1967) = ``4.71·(chars/words) + 0.5·(words/
+    sentences) − 21.43``, chosen over Flesch because it needs no syllable
+    heuristic: chars = ``[A-Za-z0-9]`` occurrences, words = ``\\S+`` runs,
+    sentences = ``[.!?]`` occurrences (the same sentence proxy as
+    ``functions/cleaning.py::c4_exprs``) — all RE2∩Java-portable regex
+    counts, so the whole battery replays in any SQL engine. Grade-level
+    outliers flag OCR garbage (ARI ≫ 20: no sentence breaks, numeric
+    soup) and template/boilerplate farms (ARI ≲ 0: word fragments).
+
+    Docs with zero words or zero sentences are counted in ``n_skipped``
+    and excluded from the ARI stats (the formula divides by both). The
+    per-doc score is floor-quantized to integer ppm BEFORE aggregation
+    with a pinned operation order, so every stat is bit-exact and
+    partitioning-independent; ``avg_ari_ppm = floor(sum/n)`` keeps the
+    mean integer too. Plan: one codegen projection + one map-side-
+    combinable agg — a single Exchange, no join, output ≤ |groups| rows.
+    """
+    groups = list(group_cols or [])
+    t = F.col(text_col)
+    chars = F.coalesce(F.regexp_count(t, F.lit(r"[A-Za-z0-9]")), F.lit(0))
+    words = F.coalesce(F.regexp_count(t, F.lit(r"\S+")), F.lit(0))
+    sents = F.coalesce(F.regexp_count(t, F.lit(r"[.!?]")), F.lit(0))
+    eligible = t.isNotNull() & (words >= 1) & (sents >= 1)
+    # pinned order: floor(1e6 * (4.71*(c/w) + 0.5*(w/s) - 21.43))
+    ari_ppm = F.floor(
+        F.lit(1000000.0)
+        * (
+            F.lit(4.71) * (chars.cast("double") / words)
+            + F.lit(0.5) * (words.cast("double") / sents)
+            - F.lit(21.43)
+        )
+    ).cast("long")
+    per_doc = df.select(
+        *groups,
+        eligible.alias("ok"),
+        F.when(eligible, ari_ppm).alias("ari_ppm"),
+    )
+    return per_doc.groupBy(*groups).agg(
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("long").alias("n_skipped"),
+        F.sum("ari_ppm").cast("long").alias("sum_ari_ppm"),
+        F.min("ari_ppm").cast("long").alias("min_ari_ppm"),
+        F.max("ari_ppm").cast("long").alias("max_ari_ppm"),
+        F.floor(F.sum("ari_ppm") / F.sum(F.when(F.col("ok"), 1).otherwise(0)))
+        .cast("long")
+        .alias("avg_ari_ppm"),
+    )

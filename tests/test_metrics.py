@@ -251,3 +251,64 @@ def test_zipf_fit_degenerate_and_invariance(spark):
     a = zipf_fit(df, "text", top_k=30).collect()
     b = zipf_fit(df.repartition(9), "text", top_k=30).collect()
     assert a == b and a[0].slope < 0
+
+
+# -- ARI readability census ---------------------------------------------------
+
+
+def test_readability_hand_computed(spark):
+    from gbif_data_validator_spark.operators.metrics import readability_census
+    import math
+
+    # "The cat sat." → chars=9, words=3, sentences=1
+    df = spark.createDataFrame([(1, "The cat sat.")], "doc_id long, text string")
+    r = readability_census(df, "text").collect()[0]
+    expected = math.floor(1e6 * (4.71 * (9 / 3) + 0.5 * (3 / 1) - 21.43))
+    assert (r.n_docs, r.n_skipped) == (1, 0)
+    assert r.sum_ari_ppm == r.min_ari_ppm == r.max_ari_ppm == expected
+    assert r.avg_ari_ppm == expected
+
+
+def test_readability_skips_and_groups(spark):
+    from gbif_data_validator_spark.operators.metrics import readability_census
+
+    df = spark.createDataFrame(
+        [
+            (1, "One full sentence here.", "en"),
+            (2, "no terminal punctuation", "en"),   # 0 sentences -> skipped
+            (3, "...", "en"),                       # 0 words?? "..." is a \S+ run -> 1 word, 3 sents
+            (4, None, "fr"),                        # null -> skipped
+            (5, "Deux. Mots.", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.lang: r for r in readability_census(df, "text", ["lang"]).collect()}
+    assert (out["en"].n_docs, out["en"].n_skipped) == (2, 1)
+    assert (out["fr"].n_docs, out["fr"].n_skipped) == (1, 1)
+    import math
+
+    # group with docs: avg = floor(sum/n)
+    assert out["en"].avg_ari_ppm == math.floor(out["en"].sum_ari_ppm / 2)
+    assert out["fr"].avg_ari_ppm == out["fr"].sum_ari_ppm
+
+
+def test_readability_partition_invariant_and_plan(spark):
+    from gbif_data_validator_spark.operators.metrics import readability_census
+
+    rows = [(i, f"Sentence number {i} is right here. Another one!", "en" if i % 2 else "fr")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = {tuple(r) for r in readability_census(df, "text", ["lang"]).collect()}
+    b = {
+        tuple(r)
+        for r in readability_census(df.repartition(7, "doc_id"), "text", ["lang"]).collect()
+    }
+    assert a == b
+    plan = (
+        readability_census(df, "text", ["lang"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
