@@ -3001,6 +3001,20 @@ def _q_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mojibake_census(docs, "text", ["lang"]).orderBy("lang")
 
 
+def _q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-association census (operators/metrics.py:term_cooccurrence):
+    top-30 co-occurring pairs over the top-100 vocabulary by rational
+    lift (PMI's argument, in exact micro-units — no bit-unportable log),
+    deterministic (lift desc, word_a, word_b) total order."""
+    from gbif_data_validator_spark.operators.metrics import term_cooccurrence
+
+    return (
+        term_cooccurrence(_docs(spark, sf_dir), "doc_id", "text", top_n=100, min_pair=2)
+        .orderBy(F.desc("lift_ppm"), F.asc("word_a"), F.asc("word_b"))
+        .limit(30)
+    )
+
+
 def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARI readability census per lang (operators/metrics.py:
     readability_census): grade-level outliers flag OCR garbage and
@@ -3227,6 +3241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_word_freq": _q_bpe_word_freq,
         "ngram_novelty": _q_ngram_novelty,
         "readability": _q_readability,
+        "term_cooccurrence": _q_term_cooccurrence,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch/iterative)
         "bpe_token_census": _q_bpe_token_census,
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
@@ -7085,6 +7100,46 @@ def oracle_sql() -> dict[str, str]:
                 round(CAST(SUM(nq) AS DOUBLE) / CAST(COUNT(nq) AS DOUBLE) / 1e6, 6)
               END AS norm_avg
             FROM rq GROUP BY label ORDER BY label
+        """,
+        # term_cooccurrence: presence/top-N/pair construction replayed
+        # whole; rational lift with the same pinned double operation order
+        "term_cooccurrence": r"""
+            WITH pres AS (
+              SELECT DISTINCT doc_id, w AS word
+              FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                FROM documents WHERE text IS NOT NULL
+              )
+              WHERE w <> ''
+            ),
+            nd AS (
+              SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL
+            ),
+            top AS (
+              SELECT word, CAST(COUNT(*) AS BIGINT) AS n_term
+              FROM pres GROUP BY word
+              ORDER BY n_term DESC, word ASC LIMIT 100
+            ),
+            pt AS (
+              SELECT p.doc_id, p.word, t.n_term
+              FROM pres p JOIN top t USING (word)
+            ),
+            pairs AS (
+              SELECT a.word AS word_a, b.word AS word_b,
+                     a.n_term AS n_a, b.n_term AS n_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_ab
+              FROM pt a JOIN pt b
+                ON a.doc_id = b.doc_id AND a.word < b.word
+              GROUP BY 1, 2, 3, 4
+              HAVING COUNT(*) >= 2
+            )
+            SELECT word_a, word_b, n_ab,
+                   CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   CAST(FLOOR((1e6 * (CAST(n_ab AS DOUBLE) * n_docs))
+                          / (CAST(n_a AS DOUBLE) * n_b)) AS BIGINT) AS lift_ppm
+            FROM pairs, nd
+            ORDER BY lift_ppm DESC, word_a, word_b LIMIT 30
         """,
         # readability: ARI battery replayed with the same RE2∩Java regex
         # counts and the same pinned float operation order; per-doc scores

@@ -578,3 +578,73 @@ def readability_census(
         .cast("long")
         .alias("avg_ari_ppm"),
     )
+
+
+def term_cooccurrence(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 100,
+    min_pair: int = 2,
+) -> DataFrame:
+    """→ ``(word_a, word_b, n_ab, n_a, n_b, lift_ppm)`` with
+    ``word_a < word_b`` — document-level term-association census over the
+    ``top_n`` most document-frequent terms.
+
+    ``lift = P(a,b) / (P(a)·P(b))`` is PMI's argument before the log:
+    > 1e6 ppm means the pair co-occurs MORE than independence predicts
+    (collocations, topic clusters, boilerplate phrases split across the
+    vocabulary), ≪ 1e6 means the terms repel (template dialects that
+    never mix). Reported as the rational ``n_ab·N / (n_a·n_b)`` in
+    floor-quantized micro-units with a pinned double operation order —
+    deliberately NOT the log: ``ln`` is not bit-portable across engines,
+    the integer-derived lift is.
+
+    Scale shape: presence (not frequency) per doc, restricted to the
+    ``top_n`` vocabulary BEFORE the pair join — so the self-join on
+    ``id_col`` fans out at most ``top_n·(top_n−1)/2`` pairs per doc and
+    the pair space is ≤ that regardless of corpus size; term totals and
+    the 1-row doc count attach as broadcasts. Tokenizer: lower, trim,
+    ``\\s+`` split, empty tokens dropped (same family as
+    ``dedup.duplicated_spans``).
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    presence = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.explode(words).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    n_docs_df = df.where(F.col(text_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    top = (
+        presence.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_term"))
+        .orderBy(F.desc("n_term"), F.asc("word"))
+        .limit(top_n)
+    )
+    pres_top = presence.join(F.broadcast(top), "word").select(
+        "doc_id", "word", "n_term"
+    )
+    a = pres_top.select(
+        "doc_id", F.col("word").alias("word_a"), F.col("n_term").alias("n_a")
+    )
+    b = pres_top.select(
+        "doc_id", F.col("word").alias("word_b"), F.col("n_term").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("word_a") < F.col("word_b"))
+        .groupBy("word_a", "word_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair)
+    )
+    # pinned order: floor((1e6 * (n_ab_d * n_docs_d)) / (n_a_d * n_b_d))
+    lift = F.floor(
+        (F.lit(1000000.0) * (F.col("n_ab").cast("double") * F.col("n_docs")))
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    ).cast("long")
+    return pairs.crossJoin(F.broadcast(n_docs_df)).select(
+        "word_a", "word_b", "n_ab", "n_a", "n_b", lift.alias("lift_ppm")
+    )

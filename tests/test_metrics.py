@@ -312,3 +312,52 @@ def test_readability_partition_invariant_and_plan(spark):
     )
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# -- term co-occurrence lift census -------------------------------------------
+
+
+def test_term_cooccurrence_hand_lift(spark):
+    from gbif_data_validator_spark.operators.metrics import term_cooccurrence
+
+    # 4 docs; "alpha beta" together in 2, alpha in 3, beta in 2
+    # lift(alpha,beta) = (2*4)/(3*2) = 4/3 -> 1333333 ppm
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta"),
+            (3, "alpha gamma"),
+            (4, "delta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.word_a, r.word_b): r
+        for r in term_cooccurrence(df, top_n=10, min_pair=2).collect()
+    }
+    r = out[("alpha", "beta")]
+    assert (r.n_ab, r.n_a, r.n_b) == (2, 3, 2)
+    assert r.lift_ppm == 1333333  # floor(1e6 * 8/6)
+    # alpha+gamma co-occur twice: lift = (2*4)/(3*3)
+    assert out[("alpha", "gamma")].lift_ppm == 888888
+    # pairs below min_pair are absent
+    assert ("beta", "gamma") not in out
+
+
+def test_term_cooccurrence_partition_invariant_and_broadcasts(spark):
+    from gbif_data_validator_spark.operators.metrics import term_cooccurrence
+
+    rows = [(i, f"common term{i % 3} filler word{i % 5} common tail") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {tuple(r) for r in term_cooccurrence(df, top_n=8).collect()}
+    b = {tuple(r) for r in term_cooccurrence(df.repartition(7, "doc_id"), top_n=8).collect()}
+    assert a == b
+    plan = (
+        term_cooccurrence(df, top_n=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # top-N vocab and the 1-row doc count attach as broadcasts, never shuffles
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan
