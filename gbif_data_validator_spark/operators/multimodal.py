@@ -2,11 +2,13 @@
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
 Decode support comes in two tiers:
-- REAL decoders (pure numpy/stdlib, no codec libraries) for the
-  container-free formats: binary PPM (P6), uncompressed 24-bit BMP
-  (BI_RGB, bottom-up or top-down), and RIFF/WAVE PCM (8/16-bit) —
-  byte-exact, tested against hand-built fixtures.
-- COMPRESSED codecs (JPEG/PNG/MP3/...) are not available in this
+- REAL decoders (pure numpy/stdlib, no codec libraries): binary PPM
+  (P6), uncompressed 24-bit BMP (BI_RGB, bottom-up or top-down),
+  RIFF/WAVE PCM (8/16-bit), GIF87a/89a (real variable-width LZW,
+  global/local palettes, interlace), and PNG (real DEFLATE via stdlib
+  zlib + full scanline unfiltering incl. Paeth; 8-bit gray/RGB/
+  palette/RGBA) — byte-exact, tested against hand-built fixtures.
+- Remaining codecs (JPEG/WebP/MP3/...) are not available in this
   environment: ``decode_image``/``decode_audio`` raise
   NotImplementedError for them unless ``fake=True``, which substitutes a
   deterministic content-hash-derived double so the Spark-side plumbing —
@@ -73,6 +75,10 @@ def sniff_media(payload: bytes | None) -> str | None:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return None
 
 
@@ -128,6 +134,196 @@ def _decode_bmp(b: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+def _gif_lzw(data: bytes, min_code_size: int) -> "list[int]":
+    """GIF variable-width LZW decompression (LSB-first bit packing,
+    code width grows to 12 bits, clear/end codes per GIF89a appendix F).
+    Returns the pixel index stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        next_code = end + 1
+
+    width = next_code = 0
+    reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+                table.append(prev + entry[:1])
+                next_code += 1
+            elif code == next_code:
+                entry = prev + prev[:1]
+                table.append(entry)
+                next_code += 1
+            else:
+                raise ValueError(f"gif: LZW code {code} out of range")
+            if prev is not None and next_code >= (1 << width) and width < 12:
+                width += 1
+            out.extend(entry)
+            prev = entry
+    return out
+
+
+def _decode_gif(b: bytes) -> np.ndarray:
+    """GIF87a/89a, first frame → HxWx3 uint8: real LZW decompression
+    (pure stdlib), global or local color table, interlaced or not;
+    extensions (GCE/comment/application) are skipped. Transparency is
+    ignored (the transparent index renders as its palette color)."""
+    import struct
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    sw, sh, packed = struct.unpack_from("<HHB", b, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks until terminator
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _, _, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos + 1)
+            pos += 10
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                palette = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if palette is None:
+                raise ValueError("gif: no color table")
+            min_code_size = b[pos]
+            pos += 1
+            chunks = []
+            while b[pos] != 0:
+                ln = b[pos]
+                chunks.append(b[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _gif_lzw(b"".join(chunks), min_code_size)
+            if len(idx) < w * h:
+                raise ValueError("gif: truncated pixel data")
+            img = np.asarray(idx[: w * h], np.uint8).reshape(h, w)
+            if ipacked & 0x40:  # Adam-style 4-pass GIF interlace
+                deinter = np.empty_like(img)
+                src = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    rows = range(start, h, step)
+                    deinter[list(rows)] = img[src : src + len(rows)]
+                    src += len(rows)
+                img = deinter
+            return palette[img].copy()
+        elif block == 0x3B:  # trailer before any image
+            break
+        else:
+            raise ValueError(f"gif: unexpected block 0x{block:02x}")
+    raise ValueError("gif: no image block")
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """PNG → HxWx3 uint8: REAL DEFLATE decompression via stdlib zlib +
+    scanline unfiltering (None/Sub/Up/Average/Paeth per the spec).
+    Supports bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
+    6 (RGBA — alpha dropped); Adam7 interlace and 16-bit depth raise
+    NotImplementedError."""
+    import struct
+    import zlib
+
+    pos = 8
+    width = height = None
+    depth = ctype = interlace = 0
+    idat = []
+    plte = None
+    while pos < len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        body = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            width, height, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+    if width is None:
+        raise ValueError("png: missing IHDR")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"png: only 8-bit non-interlaced supported (depth={depth}, "
+            f"interlace={interlace})"
+        )
+    nch = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype)
+    if nch is None:
+        raise NotImplementedError(f"png: color type {ctype} not supported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * nch
+    img = np.zeros((height, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        cur = np.zeros(stride, np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth need the in-progress row
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                bb = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + bb) // 2
+                elif f == 4:
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                else:
+                    raise ValueError(f"png: bad filter {f}")
+                cur[x] = (line[x] + pred) & 0xFF
+        img[y] = cur
+        prev = cur
+    img = img.reshape(height, width, nch)
+    if ctype == 0:
+        return np.repeat(img, 3, axis=2).copy()
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("png: palette image without PLTE")
+        return plte[img[:, :, 0]].copy()
+    return img[:, :, :3].copy()
+
+
 def _decode_wav(b: bytes) -> np.ndarray:
     """RIFF/WAVE PCM (format 1, 8- or 16-bit) → 1-D float32 in [-1, 1]
     (channels interleaved as stored). Chunk-walks the container, so
@@ -167,11 +363,16 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return _decode_ppm(payload)
     if kind == "bmp":
         return _decode_bmp(payload)
+    if kind == "gif":
+        return _decode_gif(payload)
+    if kind == "png":
+        return _decode_png(payload)
     if not fake:
         raise NotImplementedError(
-            "compressed image codecs (jpeg/png/...) not available in this "
-            "environment; only P6 PPM and uncompressed BMP decode for real "
-            "— pass fake=True for the deterministic test double"
+            "jpeg/webp/... codecs not available in this environment; "
+            "P6 PPM, uncompressed BMP, GIF (LZW), and PNG (zlib DEFLATE) "
+            "decode for real — pass fake=True for the deterministic test "
+            "double"
         )
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
     side = 4

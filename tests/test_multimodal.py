@@ -206,3 +206,199 @@ def test_resize_real_ppm_through_spark(spark):
     ys = (np.arange(2) * 4 // 2).clip(0, 3)
     xs = (np.arange(3) * 6 // 3).clip(0, 5)
     assert np.array_equal(got, img[ys][:, xs])
+
+
+# -- real GIF (LZW) and PNG (DEFLATE) decoders --------------------------------
+
+
+def _gif_lzw_encode(indices, min_code_size):
+    """Real GIF LZW encoder (variable code width, LSB-first) so the
+    decoder's dictionary growth — including the code==next_code case —
+    is exercised by a genuine compressor, not just clear-code spam."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, width = end + 1, min_code_size + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code, w):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    run = b""
+    for i in indices:
+        cand = run + bytes([i])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        run = bytes([i])
+    if run:
+        emit(table[run], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_bytes(w, h, indices, palette, interlace=False, min_code_size=2):
+    import struct
+
+    n = len(palette)
+    size_bits = max(1, (n - 1).bit_length()) - 1
+    table = b"".join(bytes(c) for c in palette) + b"\x00\x00\x00" * (
+        (2 << size_bits) - n
+    )
+    lzw = _gif_lzw_encode(indices, min_code_size)
+    subblocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | size_bits, 0, 0)
+        + table
+        + b"\x21\xfe\x05hello\x00"  # comment extension: must be skipped
+        + struct.pack(
+            "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+        )
+        + bytes([min_code_size])
+        + subblocks
+        + b"\x00\x3b"
+    )
+
+
+def test_real_gif_decode_lzw_roundtrip():
+    import numpy as np
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    # repetitive stream so the LZW dictionary actually builds multi-symbol
+    # entries (and hits the code==next_code self-reference case)
+    idx = [0, 1, 0, 1, 0, 1, 2, 2, 2, 2, 3, 0] * 4
+    img = mm.decode_image(_gif_bytes(6, 8, idx, pal))
+    assert img.shape == (8, 6, 3)
+    expect = np.array([pal[i] for i in idx], np.uint8).reshape(8, 6, 3)
+    assert (img == expect).all()
+
+
+def test_real_gif_interlace_reorders_rows():
+    import numpy as np
+
+    # 8 rows, 1 px wide, one palette color per row; pixel stream written in
+    # GIF interlace pass order (0,4 | 2,6... wait — pass1 rows 0, pass2 4,
+    # pass3 2,6, pass4 1,3,5,7)
+    pal = [(i, i, i) for i in range(8)]
+    pass_order = [0, 4, 2, 6, 1, 3, 5, 7]
+    stream = [r for r in pass_order]
+    img = mm.decode_image(_gif_bytes(1, 8, stream, pal, interlace=True, min_code_size=3))
+    assert [int(img[r, 0, 0]) for r in range(8)] == list(range(8))
+
+
+def _png_bytes(pixels, ctype=2, filters=None):
+    """Minimal PNG writer with REAL filters (applies the forward
+    transform per row) so every unfilter branch is exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, nch = pixels.shape
+    stride = w * nch
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        cur = pixels[y].reshape(stride).astype(np.int32)
+        f = filters[y]
+        line = np.zeros(stride, np.int32)
+        for x in range(stride):
+            a = int(cur[x - nch]) if x >= nch else 0
+            b = int(prev[x])
+            c = int(prev[x - nch]) if x >= nch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            line[x] = (int(cur[x]) - pred) & 0xFF
+        raw.append(f)
+        raw.extend(line.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_png_decode_all_filters():
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    pixels = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    # one row per filter type: None, Sub, Up, Average, Paeth
+    b = _png_bytes(pixels.astype(np.int32), ctype=2, filters=[0, 1, 2, 3, 4])
+    img = mm.decode_image(b)
+    assert (img == pixels).all()
+
+
+def test_real_png_rgba_and_gray():
+    import numpy as np
+
+    rgba = np.zeros((2, 2, 4), np.int32)
+    rgba[..., 0] = 10
+    rgba[..., 1] = 20
+    rgba[..., 2] = 30
+    rgba[..., 3] = 200
+    img = mm.decode_image(_png_bytes(rgba, ctype=6))
+    assert img.shape == (2, 2, 3) and (img[0, 0] == [10, 20, 30]).all()
+    gray = np.full((3, 2, 1), 77, np.int32)
+    img = mm.decode_image(_png_bytes(gray, ctype=0))
+    assert img.shape == (3, 2, 3) and (img == 77).all()
+
+
+def test_gif_png_sniffed_and_16bit_png_stubbed():
+    assert mm.sniff_media(b"GIF89a" + b"\0" * 20) == "gif"
+    assert mm.sniff_media(b"\x89PNG\r\n\x1a\n" + b"\0" * 20) == "png"
+    # 16-bit PNG stays a declared limitation
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    body = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    with pytest.raises(NotImplementedError, match="16"):
+        mm.decode_image(body)
