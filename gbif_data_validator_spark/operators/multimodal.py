@@ -248,8 +248,9 @@ def _decode_png(b: bytes) -> np.ndarray:
     """PNG → HxWx3 uint8: REAL DEFLATE decompression via stdlib zlib +
     scanline unfiltering (None/Sub/Up/Average/Paeth per the spec).
     Supports bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
-    6 (RGBA — alpha dropped); Adam7 interlace and 16-bit depth raise
-    NotImplementedError."""
+    6 (RGBA — alpha dropped), and Adam7 interlace (each of the 7
+    reduced images unfiltered independently per the spec, then
+    scattered); 16-bit depth raises NotImplementedError."""
     import struct
     import zlib
 
@@ -274,47 +275,68 @@ def _decode_png(b: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("png: missing IHDR")
-    if depth != 8 or interlace != 0:
-        raise NotImplementedError(
-            f"png: only 8-bit non-interlaced supported (depth={depth}, "
-            f"interlace={interlace})"
-        )
+    if depth != 8:
+        raise NotImplementedError(f"png: only 8-bit supported (depth={depth})")
     nch = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype)
     if nch is None:
         raise NotImplementedError(f"png: color type {ctype} not supported")
     raw = zlib.decompress(b"".join(idat))
-    stride = width * nch
-    img = np.zeros((height, stride), np.uint8)
-    prev = np.zeros(stride, np.int32)
-    for y in range(height):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, stride, y * (stride + 1) + 1
-        ).astype(np.int32)
-        cur = np.zeros(stride, np.int32)
-        if f == 0:
-            cur = line
-        elif f == 2:  # Up
-            cur = (line + prev) & 0xFF
-        else:  # Sub/Average/Paeth need the in-progress row
-            for x in range(stride):
-                a = cur[x - nch] if x >= nch else 0
-                bb = prev[x]
-                c = prev[x - nch] if x >= nch else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + bb) // 2
-                elif f == 4:
-                    p = a + bb - c
-                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
-                else:
-                    raise ValueError(f"png: bad filter {f}")
-                cur[x] = (line[x] + pred) & 0xFF
-        img[y] = cur
-        prev = cur
-    img = img.reshape(height, width, nch)
+
+    def unfilter(buf, off, w, h):
+        """Unfilter h scanlines of w pixels starting at byte off;
+        returns (h, w*nch) uint8 and the byte offset after them."""
+        stride = w * nch
+        out = np.zeros((h, stride), np.uint8)
+        prev = np.zeros(stride, np.int32)
+        for y in range(h):
+            f = buf[off]
+            line = np.frombuffer(buf, np.uint8, stride, off + 1).astype(np.int32)
+            off += stride + 1
+            cur = np.zeros(stride, np.int32)
+            if f == 0:
+                cur = line
+            elif f == 2:  # Up
+                cur = (line + prev) & 0xFF
+            else:  # Sub/Average/Paeth need the in-progress row
+                for x in range(stride):
+                    a = cur[x - nch] if x >= nch else 0
+                    bb = prev[x]
+                    c = prev[x - nch] if x >= nch else 0
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + bb) // 2
+                    elif f == 4:
+                        p = a + bb - c
+                        pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                        pred = (
+                            a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                        )
+                    else:
+                        raise ValueError(f"png: bad filter {f}")
+                    cur[x] = (line[x] + pred) & 0xFF
+            out[y] = cur
+            prev = cur
+        return out, off
+
+    if interlace == 0:
+        img, _ = unfilter(raw, 0, width, height)
+        img = img.reshape(height, width, nch)
+    elif interlace == 1:  # Adam7: 7 reduced images, each filtered alone
+        img = np.zeros((height, width, nch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = unfilter(raw, off, pw, ph)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+    else:
+        raise NotImplementedError(f"png: interlace method {interlace}")
     if ctype == 0:
         return np.repeat(img, 3, axis=2).copy()
     if ctype == 3:

@@ -402,3 +402,43 @@ def test_gif_png_sniffed_and_16bit_png_stubbed():
     )
     with pytest.raises(NotImplementedError, match="16"):
         mm.decode_image(body)
+
+
+def test_real_png_adam7_interlace():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # 5x5 RGB, value encodes (row, col) so scattering mistakes are visible
+    w = h = 5
+    pixels = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            pixels[y, x] = (y * 10 + x, y, x)
+    raw = bytearray()
+    for x0, y0, dx, dy in (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ):
+        sub = pixels[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)  # filter None per reduced-image scanline
+            raw.extend(row.tobytes())
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (mm.decode_image(png) == pixels).all()
