@@ -3001,6 +3001,26 @@ def _q_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mojibake_census(docs, "text", ["lang"]).orderBy("lang")
 
 
+def _q_continuation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-article chaining (operators/curation.py:continuation_pairs):
+    plant continuation pages (doc tail-48 becomes the new page's head)
+    for every 10th doc, then detect the tail→head pairs — the directed
+    signature near-dup detectors miss because the bodies don't overlap."""
+    from gbif_data_validator_spark.operators.curation import continuation_pairs
+
+    base = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.trim("text").alias("t"))
+    )
+    cont = base.where((F.col("doc_id") % 10 == 0) & (F.length("t") >= 200)).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(F.substring("t", -48, 48), F.substring("t", 1, 150)).alias("t"),
+    )
+    corpus = base.unionByName(cont)
+    return continuation_pairs(corpus, "doc_id", "t", k=48).orderBy("doc_a", "doc_b")
+
+
 def _q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term-association census (operators/metrics.py:term_cooccurrence):
     top-30 co-occurring pairs over the top-100 vocabulary by rational
@@ -3242,6 +3262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _q_ngram_novelty,
         "readability": _q_readability,
         "term_cooccurrence": _q_term_cooccurrence,
+        "continuation_pairs": _q_continuation_pairs,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch/iterative)
         "bpe_token_census": _q_bpe_token_census,
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
@@ -7100,6 +7121,36 @@ def oracle_sql() -> dict[str, str]:
                 round(CAST(SUM(nq) AS DOUBLE) / CAST(COUNT(nq) AS DOUBLE) / 1e6, 6)
               END AS norm_avg
             FROM rq GROUP BY label ORDER BY label
+        """,
+        # continuation_pairs: planting + trim/eligibility/cap/join replayed
+        # whole (Spark trim and DuckDB trim both strip ASCII space only)
+        "continuation_pairs": r"""
+            WITH base AS (
+              SELECT doc_id, trim(text) AS t
+              FROM documents WHERE text IS NOT NULL
+            ),
+            corpus AS (
+              SELECT doc_id, t FROM base
+              UNION ALL
+              SELECT doc_id + 10000000, right(t, 48) || substr(t, 1, 150)
+              FROM base WHERE doc_id % 10 = 0 AND length(t) >= 200
+            ),
+            el AS (
+              SELECT doc_id, trim(t) AS t FROM corpus
+              WHERE length(trim(t)) >= 96
+            ),
+            tails AS (
+              SELECT doc_id, right(t, 48) AS boundary_key FROM el
+              QUALIFY COUNT(*) OVER (PARTITION BY right(t, 48)) <= 100
+            ),
+            heads AS (
+              SELECT doc_id, substr(t, 1, 48) AS boundary_key FROM el
+              QUALIFY COUNT(*) OVER (PARTITION BY substr(t, 1, 48)) <= 100
+            )
+            SELECT ta.doc_id AS doc_a, he.doc_id AS doc_b, ta.boundary_key
+            FROM tails ta JOIN heads he USING (boundary_key)
+            WHERE ta.doc_id <> he.doc_id
+            ORDER BY doc_a, doc_b
         """,
         # term_cooccurrence: presence/top-N/pair construction replayed
         # whole; rational lift with the same pinned double operation order

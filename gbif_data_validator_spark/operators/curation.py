@@ -552,3 +552,50 @@ def canonical_census(
             )
         ).alias("n_offhost"),
     )
+
+
+def continuation_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 48,
+    max_key: int = 100,
+) -> DataFrame:
+    """→ ``(doc_a, doc_b, boundary_key)``: document pairs where the LAST
+    ``k`` characters of A equal the FIRST ``k`` characters of B — the
+    tail→head chaining signature of articles split across pages
+    ("…continued on page 2") that near-dup detectors miss because the
+    bodies DON'T overlap. Feed the pairs to ``dedup.duplicate_clusters``
+    to reassemble full chains.
+
+    Whitespace-trimmed, case-preserved; docs shorter than ``2k`` chars are
+    excluded (their head and tail overlap, which would self-chain every
+    short template page). Keys shared by more than ``max_key`` docs on
+    either side are dropped — a hot boundary key is boilerplate (a shared
+    footer start / header end), and the cap bounds the equi-join fan-out
+    exactly as the LSH family's ``max_bucket`` does. ``doc_a != doc_b``;
+    A→B and B→A are distinct rows (the chain is directed).
+
+    Plan: two narrow projections of the one input scan, per-key window
+    counts (the cap), one equi-join on the ``k``-char key. No self-join of
+    full rows; only ids + ``k``-char keys shuffle.
+    """
+    t = F.trim(F.col(text_col))
+    eligible = df.where(
+        F.col(text_col).isNotNull() & (F.length(t) >= 2 * k)
+    ).select(F.col(id_col).alias("id"), t.alias("t"))
+    tails = eligible.select("id", F.substring("t", -k, k).alias("boundary_key"))
+    heads = eligible.select("id", F.substring("t", 1, k).alias("boundary_key"))
+    wk = Window.partitionBy("boundary_key")
+    tails = tails.withColumn("n", F.count(F.lit(1)).over(wk)).where(
+        F.col("n") <= max_key
+    )
+    heads = heads.withColumn("n", F.count(F.lit(1)).over(wk)).where(
+        F.col("n") <= max_key
+    )
+    return (
+        tails.select(F.col("id").alias("doc_a"), "boundary_key")
+        .join(heads.select(F.col("id").alias("doc_b"), "boundary_key"), "boundary_key")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "boundary_key")
+    )

@@ -474,3 +474,50 @@ def test_shard_plan_plan_shape_no_global_sort(spark):
     assert "rangepartitioning" not in plan.lower()
     assert plan.lower().count("hashpartitioning") == 1
     assert "BroadcastHashJoin" in plan
+
+
+# -- continuation (tail→head) chaining ---------------------------------------
+
+
+def test_continuation_pairs_chain_and_exclusions(spark):
+    from gbif_data_validator_spark.operators.curation import continuation_pairs
+
+    k = 8
+    a_tail = "ABCDEFGH"
+    df = spark.createDataFrame(
+        [
+            (1, "p" * 20 + a_tail),              # page 1: ends with the key
+            (2, a_tail + "q" * 20),              # page 2: starts with it -> pair (1,2)
+            (3, a_tail),                         # too short (< 2k) -> excluded
+            (4, "unrelated content that is long enough to qualify"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b) for r in continuation_pairs(df, k=k).collect()}
+    assert got == {(1, 2)}
+
+
+def test_continuation_pairs_hot_key_cap(spark):
+    from gbif_data_validator_spark.operators.curation import continuation_pairs
+
+    k = 8
+    # 5 docs all END with the same boilerplate footer start; 5 all BEGIN
+    # with it -> 25 pairs uncapped, 0 with max_key=4 (the hot key drops)
+    foot = "FOOTERXX"
+    rows = [(i, "y" * 20 + foot) for i in range(5)]
+    rows += [(100 + i, foot + "z" * 20) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert continuation_pairs(df, k=k, max_key=100).count() == 25
+    assert continuation_pairs(df, k=k, max_key=4).count() == 0
+
+
+def test_continuation_pairs_directed_not_symmetric(spark):
+    from gbif_data_validator_spark.operators.curation import continuation_pairs
+
+    k = 8
+    key = "KEYKEYKE"
+    df = spark.createDataFrame(
+        [(1, "a" * 20 + key), (2, key + "b" * 20)], "doc_id long, text string"
+    )
+    got = {(r.doc_a, r.doc_b) for r in continuation_pairs(df, k=k).collect()}
+    assert got == {(1, 2)}  # no (2, 1): the chain is directed
