@@ -3001,6 +3001,35 @@ def _q_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mojibake_census(docs, "text", ["lang"]).orderBy("lang")
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-sequential signup→view→click→purchase funnel
+    (operators/sequence.py:funnel_counts): per-step surviving-user counts,
+    each step's event strictly after the previous step's completion."""
+    from gbif_data_validator_spark.operators.sequence import funnel_counts
+
+    e = _tbl(spark, sf_dir, "events")
+    return funnel_counts(
+        e, "user_id", "ts", "event_type", ["signup", "view", "click", "purchase"]
+    ).orderBy("step_idx")
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix (operators/sequence.py:cohort_retention): users by
+    first-event date cohort, counted once per day-offset active."""
+    from gbif_data_validator_spark.operators.sequence import cohort_retention
+
+    e = _tbl(spark, sf_dir, "events")
+    return (
+        cohort_retention(e, "user_id", "ts", max_offset=30)
+        .select(
+            F.col("cohort_date").cast("string").alias("cohort_date"),
+            "offset_days",
+            "n_users",
+        )
+        .orderBy("cohort_date", "offset_days")
+    )
+
+
 def _q_continuation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-article chaining (operators/curation.py:continuation_pairs):
     plant continuation pages (doc tail-48 becomes the new page's head)
@@ -3263,6 +3292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _q_readability,
         "term_cooccurrence": _q_term_cooccurrence,
         "continuation_pairs": _q_continuation_pairs,
+        "funnel": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch/iterative)
         "bpe_token_census": _q_bpe_token_census,
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
@@ -7121,6 +7152,52 @@ def oracle_sql() -> dict[str, str]:
                 round(CAST(SUM(nq) AS DOUBLE) / CAST(COUNT(nq) AS DOUBLE) / 1e6, 6)
               END AS norm_avg
             FROM rq GROUP BY label ORDER BY label
+        """,
+        # funnel: the chained min-agg/strictly-after joins replayed as CTEs
+        "funnel": """
+            WITH s0 AS (
+              SELECT user_id AS u, MIN(ts) AS t FROM events
+              WHERE event_type = 'signup' GROUP BY 1
+            ),
+            s1 AS (
+              SELECT e.user_id AS u, MIN(e.ts) AS t
+              FROM events e JOIN s0 ON e.user_id = s0.u
+              WHERE e.event_type = 'view' AND e.ts > s0.t GROUP BY 1
+            ),
+            s2 AS (
+              SELECT e.user_id AS u, MIN(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.u
+              WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+            ),
+            s3 AS (
+              SELECT e.user_id AS u, MIN(e.ts) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.u
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+            )
+            SELECT 0 AS step_idx, 'signup' AS step,
+                   CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+            UNION ALL SELECT 1, 'view', CAST(COUNT(*) AS BIGINT) FROM s1
+            UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+            UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+            ORDER BY step_idx
+        """,
+        # cohort_retention: UTC-pinned dates; distinct at (cohort,offset,user)
+        "cohort_retention": """
+            WITH ev AS (
+              SELECT user_id AS u, CAST(ts AS DATE) AS d
+              FROM events WHERE ts IS NOT NULL
+            ),
+            coh AS (SELECT u, MIN(d) AS cohort_date FROM ev GROUP BY u)
+            SELECT CAST(cohort_date AS VARCHAR) AS cohort_date, offset_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM (
+              SELECT DISTINCT ev.u, coh.cohort_date,
+                     CAST(date_diff('day', coh.cohort_date, ev.d) AS INT)
+                       AS offset_days
+              FROM ev JOIN coh ON ev.u = coh.u
+              WHERE date_diff('day', coh.cohort_date, ev.d) <= 30
+            )
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # continuation_pairs: planting + trim/eligibility/cap/join replayed
         # whole (Spark trim and DuckDB trim both strip ASCII space only)

@@ -297,3 +297,90 @@ def rate_anomaly(
             F.abs(F.col("n").cast("double") - F.col("center")) > F.col("spread")
         ).alias("is_anomaly"),
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: "list[str]",
+) -> DataFrame:
+    """→ ``(step_idx, step, n_users)`` — strictly-sequential funnel: a user
+    counts for step *i* only with an event of type ``steps[i]`` STRICTLY
+    AFTER their step *i−1* completion time (earliest valid completion is
+    carried forward, the standard greedy funnel semantics — greedy-earliest
+    is optimal here, so no backtracking is needed).
+
+    Scale shape: one filtered user-grain ``min`` aggregation per step,
+    chained by equi-joins on the user key — every join and agg shares the
+    same hash partitioning (AQE reuses the exchange), per-step state is
+    ONE row per surviving user, and events of types outside ``steps``
+    are pruned at the scan. No windows over the raw event stream, no
+    per-user event collection. Emits a row for every step (n_users=0
+    after the funnel dies), so the output is always ``len(steps)`` rows.
+    """
+    if not steps:
+        raise ValueError("funnel_counts: steps must be non-empty")
+    u = F.col(user_col).alias("u")
+    reached = None
+    rows = []
+    for i, step in enumerate(steps):
+        ev = df.where(F.col(type_col) == step).select(
+            u, F.col(ts_col).alias("ts")
+        )
+        if reached is None:
+            reached = ev.groupBy("u").agg(F.min("ts").alias("t"))
+        else:
+            reached = (
+                ev.join(reached, "u")
+                .where(F.col("ts") > F.col("t"))
+                .groupBy("u")
+                .agg(F.min("ts").alias("t"))
+            )
+        rows.append(
+            reached.agg(
+                F.lit(i).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    max_offset: int = 30,
+) -> DataFrame:
+    """→ ``(cohort_date, offset_days, n_users)`` — classic retention
+    matrix: users bucketed by their FIRST event's date, counted once per
+    (cohort, day-offset) they were active on (offset 0 = the cohort day
+    itself, so every cohort has an offset-0 row equal to its size).
+
+    Scale shape: user-grain ``min(date)`` agg → equi-join back on the
+    user key (same partitioning, exchange reused) → distinct at
+    (cohort, offset, user) grain → count. Offsets beyond ``max_offset``
+    are excluded (bounds the matrix, not the scan). All-integer output.
+    """
+    d = F.to_date(F.col(ts_col))
+    ev = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(user_col).alias("u"), d.alias("d")
+    )
+    cohorts = ev.groupBy("u").agg(F.min("d").alias("cohort_date"))
+    return (
+        ev.join(cohorts, "u")
+        .select(
+            "u",
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).alias("offset_days"),
+        )
+        .where(F.col("offset_days") <= max_offset)
+        .distinct()
+        .groupBy("cohort_date", "offset_days")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

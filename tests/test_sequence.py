@@ -184,3 +184,80 @@ def test_freshness_single_scan_plus_broadcast(spark):
     plan = freshness_by_group(df, "src", "ts")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+# -- funnel + cohort retention -------------------------------------------------
+
+
+def _ts(s):
+    from datetime import datetime
+
+    return datetime.fromisoformat(s)
+
+
+def test_funnel_strict_ordering(spark):
+    from gbif_data_validator_spark.operators.sequence import funnel_counts
+
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, _ts("2024-01-01T00:00:00"), "signup"),
+        (1, _ts("2024-01-02T00:00:00"), "view"),
+        (1, _ts("2024-01-03T00:00:00"), "purchase"),
+        # u2 views BEFORE signing up -> stops at signup
+        (2, _ts("2024-01-02T00:00:00"), "view"),
+        (2, _ts("2024-01-03T00:00:00"), "signup"),
+        # u3 same-instant view (not strictly after) -> stops at signup
+        (3, _ts("2024-01-01T00:00:00"), "signup"),
+        (3, _ts("2024-01-01T00:00:00"), "view"),
+        # u4 never signs up -> counted nowhere
+        (4, _ts("2024-01-01T00:00:00"), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r.step: r.n_users
+        for r in funnel_counts(df, "user_id", "ts", "event_type",
+                               ["signup", "view", "purchase"]).collect()
+    }
+    assert got == {"signup": 3, "view": 1, "purchase": 1}
+
+
+def test_funnel_greedy_earliest_is_optimal(spark):
+    from gbif_data_validator_spark.operators.sequence import funnel_counts
+
+    # signup at t1, view at t2, ANOTHER signup at t3: greedy anchors at t1
+    # so the t2 view counts (re-anchoring at t3 would lose it)
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), "signup"),
+        (1, _ts("2024-01-02T00:00:00"), "view"),
+        (1, _ts("2024-01-03T00:00:00"), "signup"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r.step: r.n_users
+        for r in funnel_counts(df, "user_id", "ts", "event_type",
+                               ["signup", "view"]).collect()
+    }
+    assert got == {"signup": 1, "view": 1}
+
+
+def test_cohort_retention_matrix(spark):
+    from gbif_data_validator_spark.operators.sequence import cohort_retention
+
+    rows = [
+        (1, _ts("2024-01-01T10:00:00")),  # cohort 01-01
+        (1, _ts("2024-01-03T09:00:00")),  # offset 2
+        (1, _ts("2024-01-03T23:00:00")),  # same offset, counted once
+        (2, _ts("2024-01-01T00:00:00")),  # cohort 01-01, offset 0 only
+        (3, _ts("2024-01-02T00:00:00")),  # cohort 01-02
+        (3, _ts("2024-03-01T00:00:00")),  # offset 59 > max_offset -> dropped
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort_date), r.offset_days): r.n_users
+        for r in cohort_retention(df, "user_id", "ts", max_offset=30).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }
