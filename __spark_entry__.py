@@ -3001,6 +3001,18 @@ def _q_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mojibake_census(docs, "text", ["lang"]).orderBy("lang")
 
 
+def _q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition (Markov bigram) census
+    (operators/sequence.py:transition_census), (ts, event_id, type)
+    total order so ties are deterministic."""
+    from gbif_data_validator_spark.operators.sequence import transition_census
+
+    e = _tbl(spark, sf_dir, "events")
+    return transition_census(e, "user_id", "ts", "event_type", "event_id").orderBy(
+        "from_type", "to_type"
+    )
+
+
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-sequential signup→view→click→purchase funnel
     (operators/sequence.py:funnel_counts): per-step surviving-user counts,
@@ -3293,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_cooccurrence": _q_term_cooccurrence,
         "continuation_pairs": _q_continuation_pairs,
         "funnel": _q_funnel,
+        "transitions": _q_transitions,
         "cohort_retention": _q_cohort_retention,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch/iterative)
         "bpe_token_census": _q_bpe_token_census,
@@ -7152,6 +7165,21 @@ def oracle_sql() -> dict[str, str]:
                 round(CAST(SUM(nq) AS DOUBLE) / CAST(COUNT(nq) AS DOUBLE) / 1e6, 6)
               END AS norm_avg
             FROM rq GROUP BY label ORDER BY label
+        """,
+        # transitions: same (ts, event_id, type) total order in the replay
+        "transitions": """
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+              SELECT LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id, event_type
+                     ) AS from_type,
+                     event_type AS to_type
+              FROM events
+              WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            )
+            WHERE from_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # funnel: the chained min-agg/strictly-after joins replayed as CTEs
         "funnel": """

@@ -384,3 +384,39 @@ def cohort_retention(
         .groupBy("cohort_date", "offset_days")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def transition_census(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: "str | None" = None,
+) -> DataFrame:
+    """→ ``(from_type, to_type, n)`` — per-key event-type bigram
+    (Markov transition) census: for each key's event stream in time
+    order, count consecutive type pairs. The behavioral drift input —
+    "did click→purchase transitions crater this snapshot" — and the raw
+    material for per-key sequence fingerprints.
+
+    Order is made TOTAL with ``(ts, id_col, type)`` (ties on ``ts`` are
+    real in event data; without a deterministic tie-break two runs of the
+    same job could report different matrices). One window pass per key
+    partition + one bigram-grain agg — the shuffle carries (key) then
+    (from,to) pairs, never wide rows.
+    """
+    order = [F.col(ts_col)]
+    if id_col:
+        order.append(F.col(id_col))
+    order.append(F.col(type_col))
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        df.where(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull())
+        .select(
+            F.lag(type_col).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -261,3 +261,47 @@ def test_cohort_retention_matrix(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-02", 0): 1,
     }
+
+
+def test_transition_census_bigram_and_tiebreak(spark):
+    from gbif_data_validator_spark.operators.sequence import transition_census
+
+    rows = [
+        # u1: a -> b -> a; u2: a -> a; ties on ts broken by id (3 before 4)
+        (1, 1, _ts("2024-01-01T00:00:00"), "a"),
+        (2, 1, _ts("2024-01-02T00:00:00"), "b"),
+        (3, 1, _ts("2024-01-03T00:00:00"), "z"),
+        (4, 1, _ts("2024-01-03T00:00:00"), "a"),   # same ts as id 3
+        (5, 2, _ts("2024-01-01T00:00:00"), "a"),
+        (6, 2, _ts("2024-01-02T00:00:00"), "a"),
+        (7, 3, _ts("2024-01-01T00:00:00"), "solo"),  # single event: no bigram
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in transition_census(df, "user_id", "ts", "event_type", "event_id").collect()
+    }
+    # id tie-break: 3 ("z") precedes 4 ("a") -> b->z and z->a, never b->a
+    assert got == {("a", "b"): 1, ("b", "z"): 1, ("z", "a"): 1, ("a", "a"): 1}
+
+
+def test_transition_census_partition_invariant(spark):
+    from gbif_data_validator_spark.operators.sequence import transition_census
+
+    rows = [
+        (i, i % 5, _ts(f"2024-01-{(i % 27) + 1:02d}T00:00:00"), "t" + str(i % 3))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    a = {tuple(r) for r in transition_census(df, "user_id", "ts", "event_type", "event_id").collect()}
+    b = {
+        tuple(r)
+        for r in transition_census(
+            df.repartition(7, "event_id"), "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert a == b
