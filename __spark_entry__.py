@@ -3001,6 +3001,24 @@ def _q_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mojibake_census(docs, "text", ["lang"]).orderBy("lang")
 
 
+def _q_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index keyword search (operators/search.py): build the
+    persisted term index, then answer the conjunctive query
+    ['join','merge'] — top-10 by exact rational TF-IDF micro-units.
+    The oracle recomputes the same scoring from the raw table, proving
+    index write→pruned read→score equals the from-scratch definition."""
+    import tempfile
+
+    from gbif_data_validator_spark.operators.search import (
+        build_term_index,
+        search_term_index,
+    )
+
+    path = tempfile.mkdtemp(prefix="termidx_")
+    build_term_index(_docs(spark, sf_dir), "doc_id", "text", path)
+    return search_term_index(spark, path, ["join", "merge"], k=10)
+
+
 def _q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition (Markov bigram) census
     (operators/sequence.py:transition_census), (ts, event_id, type)
@@ -3306,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "continuation_pairs": _q_continuation_pairs,
         "funnel": _q_funnel,
         "transitions": _q_transitions,
+        "term_search": _q_term_search,
         "cohort_retention": _q_cohort_retention,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch/iterative)
         "bpe_token_census": _q_bpe_token_census,
@@ -7165,6 +7184,41 @@ def oracle_sql() -> dict[str, str]:
                 round(CAST(SUM(nq) AS DOUBLE) / CAST(COUNT(nq) AS DOUBLE) / 1e6, 6)
               END AS norm_avg
             FROM rq GROUP BY label ORDER BY label
+        """,
+        # term_search: the index is just materialized postings — the oracle
+        # recomputes the identical rational scoring from the raw table
+        "term_search": r"""
+            WITH tok AS (
+              SELECT doc_id, w AS term
+              FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                FROM documents WHERE text IS NOT NULL
+              )
+              WHERE w <> ''
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, COUNT(*) AS n_doc_terms FROM tok GROUP BY 1),
+            nd AS (
+              SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL
+            ),
+            q AS (SELECT unnest(['join', 'merge']) AS term),
+            posts AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dl.n_doc_terms
+              FROM tf JOIN dl USING (doc_id) JOIN q USING (term)
+            ),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM posts GROUP BY 1),
+            contrib AS (
+              SELECT p.doc_id,
+                     CAST(FLOOR((1e6 * (CAST(p.tf AS DOUBLE) * nd.n_docs))
+                            / (CAST(p.n_doc_terms AS DOUBLE) * d.df))
+                       AS BIGINT) AS c
+              FROM posts p JOIN dfreq d USING (term), nd
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+                   CAST(SUM(c) AS BIGINT) AS score_ppm
+            FROM contrib GROUP BY doc_id HAVING COUNT(*) = 2
+            ORDER BY score_ppm DESC, doc_id ASC LIMIT 10
         """,
         # transitions: same (ts, event_id, type) total order in the replay
         "transitions": """
