@@ -3019,6 +3019,36 @@ def _q_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_term_index(spark, path, ["join", "merge"], k=10)
 
 
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search (operators/search.py): build the
+    (term, doc_id, pos) postings, then find the exact consecutive phrase
+    "table table" — a REPEATED term, so the anchor trick's
+    distinct-offset witness requirement is what the oracle checks (a
+    naive contains-both would overcount). Top-10 by occurrence count."""
+    import tempfile
+
+    from gbif_data_validator_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    path = tempfile.mkdtemp(prefix="posidx_")
+    build_positional_index(_docs(spark, sf_dir), "doc_id", "text", path)
+    return phrase_search(spark, path, ["table", "table"], k=10)
+
+
+def _q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippets (operators/search.py:kwic_snippets):
+    first case-insensitive occurrence of "merge batch" per doc with ±30
+    chars of context — zero-shuffle Column algebra (instr + substring),
+    char-position semantics identical to DuckDB strpos/substr."""
+    from gbif_data_validator_spark.operators.search import kwic_snippets
+
+    return kwic_snippets(
+        _docs(spark, sf_dir), "doc_id", "text", "merge batch", radius=30
+    ).orderBy("doc_id")
+
+
 def _q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition (Markov bigram) census
     (operators/sequence.py:transition_census), (ts, event_id, type)
@@ -3325,6 +3355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "transitions": _q_transitions,
         "term_search": _q_term_search,
+        "phrase_search": _q_phrase_search,
+        "kwic": _q_kwic,
         "cohort_retention": _q_cohort_retention,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch/iterative)
         "bpe_token_census": _q_bpe_token_census,
@@ -7219,6 +7251,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c) AS BIGINT) AS score_ppm
             FROM contrib GROUP BY doc_id HAVING COUNT(*) = 2
             ORDER BY score_ppm DESC, doc_id ASC LIMIT 10
+        """,
+        # phrase_search: anchor trick replayed relationally — a posting
+        # for phrase[i] at pos p votes for anchor p-i; an anchor holding
+        # ALL distinct offsets is one occurrence of the phrase
+        "phrase_search": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            pos AS (
+              SELECT doc_id, i.i - 1 AS pos, ws[i.i] AS term
+              FROM tok, LATERAL (SELECT unnest(range(1, len(tok.ws) + 1)) AS i) i
+            ),
+            q AS (SELECT * FROM (VALUES (0, 'table'), (1, 'table')) AS q(off, term)),
+            anchors AS (
+              SELECT p.doc_id, p.pos - q.off AS a, q.off
+              FROM pos p JOIN q USING (term)
+              WHERE p.pos - q.off >= 0
+            ),
+            occ AS (
+              SELECT doc_id, a FROM anchors
+              GROUP BY doc_id, a HAVING COUNT(DISTINCT off) = 2
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(MIN(a) AS BIGINT) AS first_pos
+            FROM occ GROUP BY doc_id
+            ORDER BY n_occurrences DESC, doc_id ASC LIMIT 10
+        """,
+        # kwic: strpos/substr char semantics match Spark instr/substring
+        "kwic": """
+            SELECT doc_id,
+                   CAST(strpos(lower(text), 'merge batch') AS BIGINT) AS match_pos,
+                   substr(text,
+                          GREATEST(1, strpos(lower(text), 'merge batch') - 30),
+                          30 + 11 + 30) AS snippet
+            FROM documents
+            WHERE text IS NOT NULL AND strpos(lower(text), 'merge batch') > 0
+            ORDER BY doc_id
         """,
         # transitions: same (ts, event_id, type) total order in the replay
         "transitions": """

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _SCHEME = "term-index-v1"
+_POS_SCHEME = "pos-index-v1"
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -91,4 +92,109 @@ def search_term_index(
         .where(F.col("n_matched") == len(q))
         .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def _positional_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, pos, term): 0-based token index over the EMPTY-FILTERED
+    whitespace tokenization (filter-before-posexplode, so a tab-led text
+    — which ``trim``'s ASCII-only strip leaves with a leading "" token —
+    still numbers its real words 0,1,2…)."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(words))
+        .toDF("doc_id", "pos", "term")
+    )
+
+
+def build_positional_index(
+    df: DataFrame, id_col: str, text_col: str, path: str, n_buckets: int = 64
+) -> None:
+    """Positional complement of :func:`build_term_index`: postings are
+    (term, doc_id, pos) — one row per token OCCURRENCE — hash-bucketed by
+    term so a phrase query's scan prunes to its terms' posting files."""
+    posts = _positional_tokens(df, id_col, text_col).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    posts.write.partitionBy("bucket").mode("errorifexists").parquet(
+        path + "/postings"
+    )
+    df.sparkSession.createDataFrame(
+        [(_POS_SCHEME,)], "scheme string"
+    ).write.mode("errorifexists").parquet(path + "/stats")
+
+
+def phrase_search(
+    spark: SparkSession, path: str, phrase: "list[str]", k: int = 10
+) -> DataFrame:
+    """→ top-``k`` ``(doc_id, n_occurrences, first_pos)`` for an exact
+    consecutive-token phrase, via the anchor trick: a posting for
+    ``phrase[i]`` at position ``p`` votes for an occurrence anchored at
+    ``p - i``; an anchor with all ``len(phrase)`` DISTINCT offsets present
+    is a match. One pruned scan + one broadcast join + one groupBy — no
+    (len-1)-way self-join chain, and repeated phrase terms (``"table
+    table"``) are exact, because each offset must be witnessed separately.
+    Ranked by occurrence count desc, doc_id asc (deterministic page)."""
+    if not phrase:
+        raise ValueError("phrase_search: empty phrase")
+    stats = spark.read.parquet(path + "/stats").collect()[0]
+    if stats.scheme != _POS_SCHEME:
+        raise ValueError(f"unknown index scheme {stats.scheme!r}")
+    terms = [t.lower() for t in phrase]
+    n = len(terms)
+    qdf = spark.createDataFrame(
+        list(enumerate(terms)), "off int, term string"
+    )
+    posts = spark.read.parquet(path + "/postings").where(
+        F.col("term").isin(sorted(set(terms)))
+    )
+    anchors = (
+        posts.join(F.broadcast(qdf), "term")
+        .select("doc_id", (F.col("pos") - F.col("off")).alias("a"), "off")
+        .where(F.col("a") >= 0)
+    )
+    occ = (
+        anchors.groupBy("doc_id", "a")
+        .agg(F.countDistinct("off").alias("n_off"))
+        .where(F.col("n_off") == n)
+    )
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("a").cast("long").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def kwic_snippets(
+    df: DataFrame, id_col: str, text_col: str, needle: str, radius: int = 30
+) -> DataFrame:
+    """Keyword-in-context: for every doc whose text contains ``needle``
+    (case-insensitive substring), → (doc_id, match_pos, snippet) where
+    ``match_pos`` is the 1-based character position of the FIRST match and
+    ``snippet`` is the surrounding ``radius`` characters each side. Pure
+    Column algebra (instr + substring), zero shuffle — the search face of
+    the verbatim-sample collector (reference:
+    validator-processor .../collector/RecordEvaluationResultCollector.java
+    keeps raw offending values; this keeps the raw surrounding context)."""
+    if not needle:
+        raise ValueError("kwic_snippets: empty needle")
+    pos = F.instr(F.lower(F.col(text_col)), needle.lower())
+    start = F.greatest(F.lit(1), pos - F.lit(radius))
+    width = F.lit(radius) + F.lit(len(needle)) + F.lit(radius)
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            pos.cast("long").alias("match_pos"),
+            F.substring(F.col(text_col), start, width).alias("snippet"),
+        )
+        .where(F.col("match_pos") > 0)
     )

@@ -125,3 +125,137 @@ def test_index_is_idempotent_write_guard(spark, tmp_path):
     build_term_index(df, "doc_id", "text", path, n_buckets=4)
     with pytest.raises(Exception):
         build_term_index(df, "doc_id", "text", path, n_buckets=4)
+
+
+# ------------------------------------------------------------ phrase search
+
+
+from gbif_data_validator_spark.operators.search import (  # noqa: E402
+    build_positional_index,
+    kwic_snippets,
+    phrase_search,
+)
+
+PDOCS = [
+    (1, "big table table key table table table end"),  # "table table" x3 (overlapping at 1,2? no: pos 1,2 / 4,5 / 5,6)
+    (2, "table key table"),                             # split — no consecutive pair
+    (3, "Table TABLE"),                                 # case fold, 1 occurrence
+    (4, "merge batch table"),                           # none
+    (5, None),
+]
+
+
+def _pindex(spark, tmp_path, docs=PDOCS):
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    path = str(tmp_path / "pidx")
+    build_positional_index(df, "doc_id", "text", path, n_buckets=8)
+    return path
+
+
+def _brute_phrase(docs, phrase, k):
+    terms = [t.lower() for t in phrase]
+    out = []
+    for doc_id, text in docs:
+        if text is None:
+            continue
+        ws = [w for w in text.strip().lower().split() if w]
+        occ = [
+            a
+            for a in range(0, max(0, len(ws) - len(terms) + 1))
+            if ws[a : a + len(terms)] == terms
+        ]
+        if occ:
+            out.append((doc_id, len(occ), occ[0]))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+def test_phrase_search_repeated_term_matches_brute(spark, tmp_path):
+    path = _pindex(spark, tmp_path)
+    got = [
+        (r.doc_id, r.n_occurrences, r.first_pos)
+        for r in phrase_search(spark, path, ["table", "table"], k=10).collect()
+    ]
+    assert got == _brute_phrase(PDOCS, ["table", "table"], 10)
+    # doc 1: anchors 1, 4, 5 (overlaps count); doc 2 has NO consecutive pair
+    assert got[0] == (1, 3, 1)
+    assert 2 not in {d for d, _, _ in got}
+    assert (3, 1, 0) in got
+
+
+def test_phrase_search_distinct_terms_and_order(spark, tmp_path):
+    path = _pindex(spark, tmp_path)
+    got = [
+        tuple(r)
+        for r in phrase_search(spark, path, ["BIG", "Table"], k=10).collect()
+    ]
+    assert got == [(1, 1, 0)]
+    # reversed phrase does not match
+    assert phrase_search(spark, path, ["table", "big"], k=10).count() == 0
+
+
+def test_phrase_longer_than_doc_is_empty(spark, tmp_path):
+    path = _pindex(spark, tmp_path, docs=[(1, "a b")])
+    assert phrase_search(spark, path, ["a", "b", "c"], k=5).count() == 0
+
+
+def test_phrase_empty_raises_and_scheme_guard(spark, tmp_path):
+    path = _pindex(spark, tmp_path)
+    with pytest.raises(ValueError, match="empty phrase"):
+        phrase_search(spark, path, [])
+    # a term-index path is NOT a positional index: scheme guard fires
+    tpath = _index(spark, tmp_path)
+    with pytest.raises(ValueError, match="unknown index scheme"):
+        phrase_search(spark, tpath, ["x"])
+
+
+def test_positional_scan_prunes_to_phrase_terms(spark, tmp_path):
+    path = _pindex(spark, tmp_path)
+    plan = (
+        phrase_search(spark, path, ["big", "table"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
+    assert "In(term" in plan or "EqualTo(term" in plan
+
+
+# -------------------------------------------------------------------- kwic
+
+
+def test_kwic_first_match_and_window_clamp(spark):
+    docs = [
+        (1, "merge batch at start"),           # match at pos 1, left clamp
+        (2, "x" * 40 + " MERGE BATCH tail"),   # case-insensitive, mid-string
+        (3, "no needle here"),
+        (4, None),
+        (5, "a merge batch b merge batch c"),  # first occurrence only
+    ]
+    spark_df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.match_pos, r.snippet)
+        for r in kwic_snippets(spark_df, "doc_id", "text", "Merge Batch", radius=5).collect()
+    }
+    assert set(got) == {1, 2, 5}
+    assert got[1] == (1, "merge batch at start"[: 5 + 11 + 5])
+    p2 = got[2][0]
+    assert p2 == 42 and got[2][1] == ("x" * 40 + " MERGE BATCH tail")[p2 - 1 - 5 : p2 - 1 - 5 + 21]
+    assert got[5][0] == 3  # 1-based first match
+
+
+def test_kwic_empty_needle_raises(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="empty needle"):
+        kwic_snippets(df, "doc_id", "text", "")
+
+
+def test_kwic_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a merge b")], "doc_id int, text string")
+    plan = (
+        kwic_snippets(df, "doc_id", "text", "merge")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
