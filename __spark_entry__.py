@@ -3049,6 +3049,26 @@ def _q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host co-citation census (operators/graph.py:cocitation_census):
+    distinct source pages linking to BOTH hosts of a pair, over the same
+    deterministic html-with-links fixture as outlink_census — top-30
+    pairs by co-source count with full (count desc, a, b) tie-break.
+    The oracle replays construction, extraction, per-source DISTINCT
+    host sets, the degree gate, and the a<b pairing."""
+    from gbif_data_validator_spark.operators.graph import cocitation_census
+
+    docs = _tbl(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", _synth_link_html(F.col("doc_id")).alias("html")
+    )
+    return (
+        cocitation_census(pages, html_col="html", id_col="doc_id")
+        .orderBy(F.desc("n_cosources"), "host_a", "host_b")
+        .limit(30)
+    )
+
+
 def _q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition (Markov bigram) census
     (operators/sequence.py:transition_census), (ts, event_id, type)
@@ -3357,6 +3377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_search": _q_term_search,
         "phrase_search": _q_phrase_search,
         "kwic": _q_kwic,
+        "cocitation": _q_cocitation,
         "cohort_retention": _q_cohort_retention,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch/iterative)
         "bpe_token_census": _q_bpe_token_census,
@@ -6702,6 +6723,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_src_pages
             FROM hosts WHERE host IS NOT NULL AND host <> ''
             GROUP BY host ORDER BY host
+        """,
+        # cocitation: replay construction + extraction + per-source
+        # DISTINCT host sets + degree gate + a<b pairing
+        "cocitation": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     '<html><body>'
+                     || array_to_string(list_transform(
+                          range(1, (doc_id % 4 + 1) + 1),
+                          k -> '<a class="c" href="https://h'
+                               || CAST((doc_id * 7 + k * 13) % 23 AS VARCHAR)
+                               || '.example.org/p' || CAST(k AS VARCHAR)
+                               || '">link</a>'), '')
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN '<a href=''https://h'
+                               || CAST((doc_id * 11) % 23 AS VARCHAR)
+                               || '.example.org/q''>x</a>'
+                          ELSE '' END
+                     || '<a href="/local/1">r</a></body></html>' AS html
+              FROM documents
+            ),
+            x AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(
+                       html, '(?i)<a\s[^>]*href=["'']([^"'']+)["'']', 1)) AS href
+              FROM h
+            ),
+            hosts AS (
+              SELECT DISTINCT doc_id,
+                     lower(regexp_extract(
+                       href, '(?i)^https?://([^/?#]+)', 1)) AS host
+              FROM x
+              WHERE regexp_extract(href, '(?i)^https?://([^/?#]+)', 1) <> ''
+            ),
+            deg AS (
+              SELECT doc_id, COUNT(*) AS c FROM hosts GROUP BY doc_id
+            ),
+            ok AS (
+              SELECT hosts.* FROM hosts JOIN deg USING (doc_id)
+              WHERE deg.c BETWEEN 2 AND 64
+            ),
+            p AS (
+              SELECT a.doc_id, a.host AS host_a, b.host AS host_b
+              FROM ok a JOIN ok b
+                ON a.doc_id = b.doc_id AND a.host < b.host
+            )
+            SELECT host_a, host_b, CAST(COUNT(*) AS BIGINT) AS n_cosources
+            FROM p GROUP BY host_a, host_b
+            ORDER BY n_cosources DESC, host_a, host_b LIMIT 30
         """,
         # frontier_hosts / reciprocal_links: replay the html+url
         # construction, the regex extraction, and the host-grain joins

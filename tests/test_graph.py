@@ -146,3 +146,64 @@ def test_reciprocal_links_directions_and_one_way(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.host_a, r.host_b, r.ab_links, r.ba_links) == ("a.com", "b.com", 2, 1)
+
+
+# --------------------------------------------------------------- cocitation
+
+
+def _page(doc_id, hosts):
+    html = "".join(f'<a href="https://{h}/p">x</a>' for h in hosts)
+    return (doc_id, f"<html><body>{html}</body></html>")
+
+
+def test_cocitation_counts_distinct_sources(spark):
+    from gbif_data_validator_spark.operators.graph import cocitation_census
+
+    pages = [
+        _page("s1", ["a.org", "b.org"]),
+        _page("s2", ["a.org", "b.org", "c.org"]),
+        _page("s3", ["b.org", "c.org"]),
+        _page("s4", ["a.org"]),          # degree 1: no pairs
+        _page("s5", ["a.org", "a.org", "b.org"]),  # dup link → ONE host
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    got = {
+        (r.host_a, r.host_b): r.n_cosources
+        for r in cocitation_census(df, "html", "url").collect()
+    }
+    assert got == {
+        ("a.org", "b.org"): 3,  # s1, s2, s5 — s5's dup counted once
+        ("a.org", "c.org"): 1,  # s2
+        ("b.org", "c.org"): 2,  # s2, s3
+    }
+
+
+def test_cocitation_degree_cap_excludes_not_truncates(spark):
+    from gbif_data_validator_spark.operators.graph import cocitation_census
+
+    pages = [
+        _page("hub", [f"h{i}.org" for i in range(10)]),  # over cap of 4
+        _page("s1", ["h0.org", "h1.org"]),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    got = {
+        (r.host_a, r.host_b): r.n_cosources
+        for r in cocitation_census(df, "html", "url", max_out_degree=4).collect()
+    }
+    # hub is dropped ENTIRELY (no pair survives from it, not even among
+    # its first 4 hosts); only s1's single pair remains
+    assert got == {("h0.org", "h1.org"): 1}
+
+
+def test_cocitation_pair_order_and_relative_links(spark):
+    from gbif_data_validator_spark.operators.graph import cocitation_census
+
+    pages = [
+        ("s1", '<a href="https://z.org/1">x</a><a href="https://a.org/2">y</a>'
+               '<a href="/rel">r</a>'),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    rows = cocitation_census(df, "html", "url").collect()
+    assert [(r.host_a, r.host_b, r.n_cosources) for r in rows] == [
+        ("a.org", "z.org", 1)  # lexicographic a<b regardless of html order
+    ]

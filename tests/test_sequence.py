@@ -189,7 +189,7 @@ def test_freshness_single_scan_plus_broadcast(spark):
 # -- funnel + cohort retention -------------------------------------------------
 
 
-def _ts(s):
+def _iso(s):
     from datetime import datetime
 
     return datetime.fromisoformat(s)
@@ -200,17 +200,17 @@ def test_funnel_strict_ordering(spark):
 
     rows = [
         # u1 completes the whole funnel in order
-        (1, _ts("2024-01-01T00:00:00"), "signup"),
-        (1, _ts("2024-01-02T00:00:00"), "view"),
-        (1, _ts("2024-01-03T00:00:00"), "purchase"),
+        (1, _iso("2024-01-01T00:00:00"), "signup"),
+        (1, _iso("2024-01-02T00:00:00"), "view"),
+        (1, _iso("2024-01-03T00:00:00"), "purchase"),
         # u2 views BEFORE signing up -> stops at signup
-        (2, _ts("2024-01-02T00:00:00"), "view"),
-        (2, _ts("2024-01-03T00:00:00"), "signup"),
+        (2, _iso("2024-01-02T00:00:00"), "view"),
+        (2, _iso("2024-01-03T00:00:00"), "signup"),
         # u3 same-instant view (not strictly after) -> stops at signup
-        (3, _ts("2024-01-01T00:00:00"), "signup"),
-        (3, _ts("2024-01-01T00:00:00"), "view"),
+        (3, _iso("2024-01-01T00:00:00"), "signup"),
+        (3, _iso("2024-01-01T00:00:00"), "view"),
         # u4 never signs up -> counted nowhere
-        (4, _ts("2024-01-01T00:00:00"), "view"),
+        (4, _iso("2024-01-01T00:00:00"), "view"),
     ]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
     got = {
@@ -227,9 +227,9 @@ def test_funnel_greedy_earliest_is_optimal(spark):
     # signup at t1, view at t2, ANOTHER signup at t3: greedy anchors at t1
     # so the t2 view counts (re-anchoring at t3 would lose it)
     rows = [
-        (1, _ts("2024-01-01T00:00:00"), "signup"),
-        (1, _ts("2024-01-02T00:00:00"), "view"),
-        (1, _ts("2024-01-03T00:00:00"), "signup"),
+        (1, _iso("2024-01-01T00:00:00"), "signup"),
+        (1, _iso("2024-01-02T00:00:00"), "view"),
+        (1, _iso("2024-01-03T00:00:00"), "signup"),
     ]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
     got = {
@@ -244,12 +244,12 @@ def test_cohort_retention_matrix(spark):
     from gbif_data_validator_spark.operators.sequence import cohort_retention
 
     rows = [
-        (1, _ts("2024-01-01T10:00:00")),  # cohort 01-01
-        (1, _ts("2024-01-03T09:00:00")),  # offset 2
-        (1, _ts("2024-01-03T23:00:00")),  # same offset, counted once
-        (2, _ts("2024-01-01T00:00:00")),  # cohort 01-01, offset 0 only
-        (3, _ts("2024-01-02T00:00:00")),  # cohort 01-02
-        (3, _ts("2024-03-01T00:00:00")),  # offset 59 > max_offset -> dropped
+        (1, _iso("2024-01-01T10:00:00")),  # cohort 01-01
+        (1, _iso("2024-01-03T09:00:00")),  # offset 2
+        (1, _iso("2024-01-03T23:00:00")),  # same offset, counted once
+        (2, _iso("2024-01-01T00:00:00")),  # cohort 01-01, offset 0 only
+        (3, _iso("2024-01-02T00:00:00")),  # cohort 01-02
+        (3, _iso("2024-03-01T00:00:00")),  # offset 59 > max_offset -> dropped
     ]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
     got = {
@@ -268,13 +268,13 @@ def test_transition_census_bigram_and_tiebreak(spark):
 
     rows = [
         # u1: a -> b -> a; u2: a -> a; ties on ts broken by id (3 before 4)
-        (1, 1, _ts("2024-01-01T00:00:00"), "a"),
-        (2, 1, _ts("2024-01-02T00:00:00"), "b"),
-        (3, 1, _ts("2024-01-03T00:00:00"), "z"),
-        (4, 1, _ts("2024-01-03T00:00:00"), "a"),   # same ts as id 3
-        (5, 2, _ts("2024-01-01T00:00:00"), "a"),
-        (6, 2, _ts("2024-01-02T00:00:00"), "a"),
-        (7, 3, _ts("2024-01-01T00:00:00"), "solo"),  # single event: no bigram
+        (1, 1, _iso("2024-01-01T00:00:00"), "a"),
+        (2, 1, _iso("2024-01-02T00:00:00"), "b"),
+        (3, 1, _iso("2024-01-03T00:00:00"), "z"),
+        (4, 1, _iso("2024-01-03T00:00:00"), "a"),   # same ts as id 3
+        (5, 2, _iso("2024-01-01T00:00:00"), "a"),
+        (6, 2, _iso("2024-01-02T00:00:00"), "a"),
+        (7, 3, _iso("2024-01-01T00:00:00"), "solo"),  # single event: no bigram
     ]
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, ts timestamp, event_type string"
@@ -291,7 +291,7 @@ def test_transition_census_partition_invariant(spark):
     from gbif_data_validator_spark.operators.sequence import transition_census
 
     rows = [
-        (i, i % 5, _ts(f"2024-01-{(i % 27) + 1:02d}T00:00:00"), "t" + str(i % 3))
+        (i, i % 5, _iso(f"2024-01-{(i % 27) + 1:02d}T00:00:00"), "t" + str(i % 3))
         for i in range(60)
     ]
     df = spark.createDataFrame(
