@@ -760,6 +760,25 @@ def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) drift between the same two half-months
+    of events.value on the same bucket grid as psi_drift — the
+    distance-weighted member of the drift family: unlike PSI/KS it grows
+    with HOW FAR the mass moved, not just how much."""
+    from gbif_data_validator_spark.operators.drift import emd_drift
+
+    ev = _tbl(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return emd_drift(
+        ev.where(F.col("ts") < cut),
+        ev.where(F.col("ts") >= cut),
+        "value",
+        lo=0.0,
+        hi=500.0,
+        n_buckets=10,
+    )
+
+
 def _q_json_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-schema JSON validation as battery rules: props must carry
     $.k as BIGINT (passes), $.missing (all 10k rows violate), and $.k as
@@ -3352,6 +3371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_script_check": _q_lang_script_check,
         "js_drift": _q_js_drift,
         "chisq_drift": _q_chisq_drift,
+        "emd_drift": _q_emd_drift,
         "domain_census": _q_domain_census,
         "reconcile_rollup": _q_reconcile_rollup,
         "outlink_census": _q_outlink_census,
@@ -5171,6 +5191,55 @@ def oracle_sql() -> dict[str, str]:
               FROM s3
             )
             SELECT bucket, n_ref, n_cur, p_ref, p_cur, term, psi
+            FROM s3, tot ORDER BY bucket
+        """,
+        # emd_drift: dense bucket spine, exact-integer window cumsums, one
+        # rounded double op per term, list_sort+list_reduce ordered fold
+        "emd_drift": """
+            WITH spine AS (
+              SELECT CAST(range AS BIGINT) AS bucket FROM range(0, 12)
+            ), rb AS (
+              SELECT CASE WHEN CAST(value AS DOUBLE) < 0.0 THEN 0
+                          WHEN CAST(value AS DOUBLE) >= 500.0 THEN 11
+                          ELSE CAST(floor(CAST(value AS DOUBLE) / 50.0) AS BIGINT) + 1 END AS bucket,
+                     count(*) AS n_ref
+              FROM events
+              WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16 00:00:00'
+              GROUP BY 1
+            ), cb AS (
+              SELECT CASE WHEN CAST(value AS DOUBLE) < 0.0 THEN 0
+                          WHEN CAST(value AS DOUBLE) >= 500.0 THEN 11
+                          ELSE CAST(floor(CAST(value AS DOUBLE) / 50.0) AS BIGINT) + 1 END AS bucket,
+                     count(*) AS n_cur
+              FROM events
+              WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+              GROUP BY 1
+            ), m AS (
+              SELECT spine.bucket,
+                     coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+              FROM spine
+              LEFT JOIN rb ON spine.bucket = rb.bucket
+              LEFT JOIN cb ON spine.bucket = cb.bucket
+            ), c AS (
+              SELECT bucket, n_ref, n_cur,
+                     CAST(sum(n_ref) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ref,
+                     CAST(sum(n_cur) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cur
+              FROM m
+            ), t AS (
+              SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+                     CAST(sum(n_cur) AS BIGINT) AS tc FROM m
+            ), s3 AS (
+              SELECT bucket, n_ref, n_cur, cum_ref, cum_cur,
+                     round(abs(CAST(cum_ref AS DOUBLE) / tr
+                               - CAST(cum_cur AS DOUBLE) / tc) * 50.0, 6) AS term
+              FROM c, t
+            ), tot AS (
+              SELECT round(list_reduce(list_sort(list(term)), (a, x) -> a + x) + 0.0, 6) AS emd
+              FROM s3
+            )
+            SELECT bucket, n_ref, n_cur, cum_ref, cum_cur, term, emd
             FROM s3, tot ORDER BY bucket
         """,
         "join_audit": """

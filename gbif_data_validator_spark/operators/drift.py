@@ -352,6 +352,103 @@ def psi_drift(
     return scored.crossJoin(F.broadcast(total)).orderBy("bucket")
 
 
+def emd_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between a reference and a
+    current sample of ``col`` on the same fixed ``[lo, hi)`` bucket grid as
+    ``psi_drift`` → one row per bucket ``(bucket, n_ref, n_cur, cum_ref,
+    cum_cur, term)`` plus the total ``emd`` repeated on every row. EMD
+    completes the drift family: KS reads the WORST single CDF gap, PSI/JS
+    read log-ratio shape change per bucket, chi-square reads sampling
+    noise — EMD is the only one that weights drift by HOW FAR the mass
+    moved (in value units), so a small shift of the whole distribution and
+    a large shift of a sliver score differently. On the bucket grid
+    W1 = Σ_b |F_ref(edge_b) − F_cur(edge_b)| · w — the per-bucket ``term``
+    says how much transport crosses each bucket edge. Under/overflow
+    buckets (0 and n_buckets+1) are kept as point masses one bucket-width
+    from the edge, so out-of-envelope mass is charged, never dropped.
+
+    Determinism contract (hash-checkable like psi_drift): a DENSE bucket
+    spine 0..n_buckets+1 (an interior bucket empty in BOTH samples still
+    carries cumulative transport — the sparse join psi uses would silently
+    skip it); cumulative counts are exact integer window sums; each term
+    is ONE division-subtract-abs-multiply from exact integers, rounded to
+    6 dp; the total is the IEEE-ordered fold over the sorted term list.
+    Plan: two bucket-key groupBys (map-combinable, ≤ n_buckets+2 state),
+    a spine join and window over that ≤ n_buckets+2-row table, a 1-row
+    fold broadcast — nothing corpus-sized ever shuffles."""
+    from pyspark.sql import Window
+
+    from .constraints import _ordered_fold  # shared IEEE-order fold
+
+    if not hi > lo:  # also catches NaN envelopes
+        raise ValueError(
+            f"emd_drift needs hi > lo (got [{lo}, {hi})) — a constant or "
+            f"all-NULL reference column has no bucketable envelope; widen "
+            f"it explicitly"
+        )
+    w = (hi - lo) / n_buckets
+
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        c = F.col(col).cast("double")
+        b = (
+            F.when(c < F.lit(lo), F.lit(0))
+            .when(c >= F.lit(hi), F.lit(n_buckets + 1))
+            .otherwise(F.floor((c - F.lit(lo)) / F.lit(w)) + F.lit(1))
+        ).cast("long")
+        return (
+            df.where(c.isNotNull())
+            .groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    spine = ref.sparkSession.range(0, n_buckets + 2).select(
+        F.col("id").alias("bucket")
+    )
+    m = (
+        spine.join(bucketed(ref, "n_ref"), "bucket", "left")
+        .join(bucketed(cur, "n_cur"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = m.agg(F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc"))
+    scored = (
+        m.withColumn("cum_ref", F.sum("n_ref").over(cum))
+        .withColumn("cum_cur", F.sum("n_cur").over(cum))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "term",
+            F.round(
+                F.abs(
+                    F.col("cum_ref") / F.col("_tr")
+                    - F.col("cum_cur") / F.col("_tc")
+                )
+                * F.lit(w),
+                6,
+            ),
+        )
+        .select("bucket", "n_ref", "n_cur", "cum_ref", "cum_cur", "term")
+    )
+    total = scored.agg(
+        F.round(
+            _ordered_fold(F.sort_array(F.collect_list("term"))), 6
+        ).alias("emd")
+    )
+    return scored.crossJoin(F.broadcast(total)).orderBy("bucket")
+
+
 def psi_from_sketches(
     ref: tuple[int, list[float] | None],
     cur: tuple[int, list[float] | None],

@@ -241,3 +241,79 @@ def test_chisq_drift_empty_side_null_and_invariance(spark):
             spark.range(0, 1000).select(F.col("id").cast("string").alias("c")),
             b, "c", max_groups=10,
         )
+
+
+def test_emd_drift_identical_distributions(spark):
+    from gbif_data_validator_spark.operators.drift import emd_drift
+
+    df = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v double")
+    rows = emd_drift(df, df, "v", lo=0.0, hi=100.0, n_buckets=10).collect()
+    assert all(r.term == 0.0 for r in rows)
+    assert all(r.emd == 0.0 for r in rows)
+    assert sum(r.n_ref for r in rows) == 1000
+
+
+def test_emd_drift_exact_transport_value(spark):
+    """0.8 mass moved 80 value-units -> W1 = 64 exactly on the grid."""
+    from gbif_data_validator_spark.operators.drift import emd_drift
+
+    ref = spark.createDataFrame([(10.0,)] * 90 + [(90.0,)] * 10, "v double")
+    cur = spark.createDataFrame([(10.0,)] * 10 + [(90.0,)] * 90, "v double")
+    rows = {r.bucket: r for r in emd_drift(ref, cur, "v", 0.0, 100.0, 10).collect()}
+    assert rows[0].emd == 64.0
+    # transport crosses every edge between bucket 2 and bucket 10
+    assert all(rows[b].term == 8.0 for b in range(2, 10))
+    assert rows[0].term == rows[1].term == rows[10].term == rows[11].term == 0.0
+
+
+def test_emd_drift_dense_spine_counts_empty_buckets(spark):
+    """Interior buckets empty in BOTH samples still carry transport — the
+    spine keeps them; a sparse join would silently skip 90% of the W1."""
+    from gbif_data_validator_spark.operators.drift import emd_drift
+
+    ref = spark.createDataFrame([(5.0,)] * 50, "v double")
+    cur = spark.createDataFrame([(95.0,)] * 50, "v double")
+    rows = sorted(emd_drift(ref, cur, "v", 0.0, 100.0, 10).collect(),
+                  key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(12))  # all 12 present
+    assert rows[0].emd == 90.0  # full mass moved 90 units
+    assert all(r.term == 10.0 for r in rows if 1 <= r.bucket <= 9)
+
+
+def test_emd_drift_distance_weighting_vs_psi(spark):
+    """The family rationale: same amount of mass moved, FARTHER -> bigger
+    EMD, while PSI can't tell the two apart (same bucket-pair log terms)."""
+    from gbif_data_validator_spark.operators.drift import emd_drift
+
+    ref = spark.createDataFrame([(5.0,)] * 100, "v double")
+    near = spark.createDataFrame([(15.0,)] * 100, "v double")
+    far = spark.createDataFrame([(95.0,)] * 100, "v double")
+    e_near = emd_drift(ref, near, "v", 0.0, 100.0, 10).collect()[0].emd
+    e_far = emd_drift(ref, far, "v", 0.0, 100.0, 10).collect()[0].emd
+    assert e_near == 10.0 and e_far == 90.0 and e_far > e_near
+
+
+def test_emd_drift_overflow_underflow_and_envelope_guard(spark):
+    import pytest as _pytest
+
+    from gbif_data_validator_spark.operators.drift import emd_drift
+
+    ref = spark.createDataFrame([(-5.0,), (50.0,), (500.0,)], "v double")
+    cur = spark.createDataFrame([(50.0,), (50.0,), (50.0,)], "v double")
+    got = {r.bucket: (r.n_ref, r.n_cur)
+           for r in emd_drift(ref, cur, "v", 0.0, 100.0, 10).collect()}
+    assert got[0] == (1, 0) and got[11] == (1, 0) and got[6] == (1, 3)
+    with _pytest.raises(ValueError, match="emd_drift"):
+        emd_drift(ref, cur, "v", lo=5.0, hi=5.0)
+
+
+def test_emd_drift_partition_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from gbif_data_validator_spark.operators.drift import emd_drift
+
+    a = spark.range(0, 5000).select((F.col("id") % 97).cast("double").alias("v"))
+    b = spark.range(0, 7000).select(((F.col("id") * 7) % 89).cast("double").alias("v"))
+    v1 = emd_drift(a, b, "v", 0.0, 100.0, 10).collect()[0].emd
+    v2 = emd_drift(a.repartition(13), b.repartition(5), "v", 0.0, 100.0, 10).collect()[0].emd
+    assert v1 == v2 > 0
