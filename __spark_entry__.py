@@ -2542,6 +2542,50 @@ _DOMAIN_FIXTURE: list[str] = [
 ]
 
 
+def _synth_param_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic URL fixture for the query-param census: every doc
+    gets an id-like param, residue classes add a low-cardinality utm
+    param, a blank-valued ref, a content param (page), a tracking token
+    (fbclid), and a bare flag (debug); every 17th doc has no query string
+    at all. The oracle replays the identical construction."""
+    idc = F.col("doc_id")
+    s = idc.cast("string")
+    host = F.concat(F.lit("h"), (idc % 37).cast("string"), F.lit(".example.com"))
+    base = F.concat(F.lit("https://"), host, F.lit("/p/"), s)
+    params = F.concat(
+        F.lit("id="), s,
+        F.when(idc % 2 == 0,
+               F.concat(F.lit("&utm_source=s"), (idc % 3).cast("string"))
+               ).otherwise(F.lit("")),
+        F.when(idc % 5 == 0, F.lit("&ref=")).otherwise(F.lit("")),
+        F.when(idc % 7 == 0,
+               F.concat(F.lit("&page="), (idc % 4).cast("string"))
+               ).otherwise(F.lit("")),
+        F.when(idc % 11 == 0, F.concat(F.lit("&fbclid=x"), s)
+               ).otherwise(F.lit("")),
+        F.when(idc % 13 == 0, F.lit("&debug")).otherwise(F.lit("")),
+    )
+    url = F.when(idc % 17 == 0, base).otherwise(
+        F.concat(base, F.lit("?"), params)
+    )
+    return _tbl(spark, sf_dir, "documents").select(url.alias("url"))
+
+
+def _q_url_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-string parameter census over the fixture URLs — the
+    evidence table behind URL canonicalization: params whose
+    distinct_ratio_micro → 1e6 across many hosts are tracking tokens to
+    strip before URL-keyed dedup (id, fbclid plant that shape); page/
+    utm_source plant the low-ratio content-param shape; ref plants the
+    blank value; debug the bare flag; every 17th doc has no query
+    string. Raw-key semantics by contract (no decode / case fold)."""
+    from gbif_data_validator_spark.operators.curation import url_param_census
+
+    return url_param_census(
+        _synth_param_urls(spark, sf_dir), "url"
+    ).orderBy("param")
+
+
 def _q_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered-domain (eTLD+1) census over the fixture urls →
     (domain, n_pages, n_hosts) — the grain politeness/quota/salting
@@ -3373,6 +3417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chisq_drift": _q_chisq_drift,
         "emd_drift": _q_emd_drift,
         "domain_census": _q_domain_census,
+        "url_params": _q_url_params,
         "reconcile_rollup": _q_reconcile_rollup,
         "outlink_census": _q_outlink_census,
         "frontier_hosts": _q_frontier_hosts,
@@ -6680,6 +6725,54 @@ def oracle_sql() -> dict[str, str]:
         """,
         # domain_census: identical host regex, suffix list, and branch
         # order replayed over the same VALUES fixture
+        # url_params: construction + extraction + pair split + grouping
+        # replayed; distinct_ratio_micro is exact integer floor division
+        "url_params": r"""
+            WITH u AS (
+              SELECT CASE WHEN doc_id % 17 = 0 THEN base
+                          ELSE base || '?' || params END AS url
+              FROM (
+                SELECT doc_id,
+                  'https://h' || CAST(doc_id % 37 AS VARCHAR)
+                    || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS base,
+                  'id=' || CAST(doc_id AS VARCHAR)
+                    || CASE WHEN doc_id % 2 = 0
+                         THEN '&utm_source=s' || CAST(doc_id % 3 AS VARCHAR)
+                         ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0 THEN '&ref=' ELSE '' END
+                    || CASE WHEN doc_id % 7 = 0
+                         THEN '&page=' || CAST(doc_id % 4 AS VARCHAR)
+                         ELSE '' END
+                    || CASE WHEN doc_id % 11 = 0
+                         THEN '&fbclid=x' || CAST(doc_id AS VARCHAR)
+                         ELSE '' END
+                    || CASE WHEN doc_id % 13 = 0 THEN '&debug' ELSE '' END
+                    AS params
+                FROM documents
+              )
+            ), p AS (
+              SELECT url,
+                     regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host,
+                     unnest(string_split(regexp_extract(url, '\?([^#]*)', 1), '&')) AS pair
+              FROM u
+            ), kv AS (
+              SELECT url, host,
+                     CASE WHEN strpos(pair, '=') > 0
+                          THEN substr(pair, 1, strpos(pair, '=') - 1)
+                          ELSE pair END AS param,
+                     CASE WHEN strpos(pair, '=') > 0
+                          THEN substr(pair, strpos(pair, '=') + 1) END AS value
+              FROM p WHERE pair <> ''
+            )
+            SELECT param,
+                   count(*) AS n_pairs,
+                   count(DISTINCT url) AS n_urls,
+                   count(DISTINCT host) AS n_hosts,
+                   count(DISTINCT value) AS n_values,
+                   count(*) FILTER (value IS NULL OR value = '') AS n_blank,
+                   (1000000 * count(DISTINCT value)) // count(*) AS distinct_ratio_micro
+            FROM kv GROUP BY param ORDER BY param
+        """,
         "domain_census": r"""
             WITH u(url) AS (VALUES
               ('https://www.news.bbc.co.uk/politics/story'),

@@ -554,6 +554,76 @@ def canonical_census(
     )
 
 
+def url_param_census(
+    pages: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Query-string parameter census → one row per raw parameter key
+    ``(param, n_pairs, n_urls, n_hosts, n_values, n_blank,
+    distinct_ratio_micro)`` — the evidence table behind URL
+    canonicalization: a param seen on many hosts whose value is almost
+    always DISTINCT per URL (``distinct_ratio_micro`` → 1e6) is a
+    tracking token (utm_*, fbclid, session ids) that must be stripped
+    before URL-keyed dedup, while a low-ratio param (page, sort) carries
+    real content addressing. Complements ``canonical_census`` (publisher
+    -declared clusters) with the mechanically-derived strip list.
+
+    Raw-key semantics, documented: no percent-decoding or case folding
+    (``?ID=`` and ``?id=`` are different keys on some servers — folding
+    is the caller's canonicalization decision, this is the census);
+    a bare flag (``?debug``) is a key with NULL value; ``?ref=`` is a
+    key with a blank value (counted in ``n_blank``, and '' is one of the
+    ``n_values`` distinct values). ``distinct_ratio_micro`` is exact
+    integer floor-division ``(1e6 · n_values) div n_pairs`` — bit-portable,
+    no float fold.
+
+    Plan: ONE scan — query string and host lift out with pure Column
+    regexes, pairs explode at ``&`` grain — then ONE param-grain agg.
+    The three count-distincts expand the shuffle ×3, but at (param,
+    url-id, value) pair grain: page content never shuffles, and a viral
+    param (``utm_source`` on half the web) is exactly the AQE skew-split
+    case."""
+    url = F.col(url_col)
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    host = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    pairs = (
+        pages.select(
+            url.alias("_url"),
+            host.alias("_host"),
+            F.explode(F.split(qs, "&")).alias("_pair"),
+        )
+        .where(F.col("_pair") != "")
+    )
+    pos = F.instr(F.col("_pair"), "=")
+    kv = pairs.select(
+        "_url",
+        "_host",
+        F.when(pos > 0, F.expr("substring(_pair, 1, instr(_pair, '=') - 1)"))
+        .otherwise(F.col("_pair"))
+        .alias("param"),
+        F.when(
+            pos > 0,
+            F.expr("substring(_pair, instr(_pair, '=') + 1, length(_pair))"),
+        ).alias("value"),
+    )
+    return (
+        kv.groupBy("param")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("_url").alias("n_urls"),
+            F.countDistinct("_host").alias("n_hosts"),
+            F.countDistinct("value").alias("n_values"),
+            F.count(
+                F.when(F.col("value").isNull() | (F.col("value") == ""), 1)
+            ).alias("n_blank"),
+        )
+        .withColumn(
+            "distinct_ratio_micro",
+            F.expr("(1000000 * n_values) div n_pairs"),
+        )
+    )
+
+
 def continuation_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

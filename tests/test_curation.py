@@ -521,3 +521,51 @@ def test_continuation_pairs_directed_not_symmetric(spark):
     )
     got = {(r.doc_a, r.doc_b) for r in continuation_pairs(df, k=k).collect()}
     assert got == {(1, 2)}  # no (2, 1): the chain is directed
+
+
+def test_url_param_census_semantics(spark):
+    """Bare flag -> NULL value; ?ref= -> blank value counted; raw keys
+    (no case fold: ID and id are different params); no-qs URLs silent."""
+    from gbif_data_validator_spark.operators.curation import url_param_census
+
+    urls = [
+        "https://a.com/x?id=1&utm=s0",
+        "https://a.com/y?id=2&utm=s0&ref=",
+        "https://b.com/z?id=3&debug",
+        "https://b.com/w?ID=3",
+        "https://c.com/noqs",
+        "https://c.com/frag?id=4#id=ignored&x=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r.param: r for r in url_param_census(df, "url").collect()}
+    assert set(got) == {"id", "utm", "ref", "debug", "ID"}
+    # id: 4 pairs (fragment param ignored), all distinct values -> ratio 1e6
+    assert got["id"].n_pairs == 4 and got["id"].n_values == 4
+    assert got["id"].distinct_ratio_micro == 1_000_000
+    assert got["id"].n_hosts == 3
+    # utm: 2 pairs, one value -> ratio 500000
+    assert got["utm"].n_values == 1 and got["utm"].distinct_ratio_micro == 500_000
+    # ref= blank: the '' value is distinct AND blank
+    assert got["ref"].n_values == 1 and got["ref"].n_blank == 1
+    # bare flag: NULL value -> 0 distinct values, blank
+    assert got["debug"].n_values == 0 and got["debug"].n_blank == 1
+    assert got["ID"].n_pairs == 1  # raw keys, no case fold
+
+
+def test_url_param_census_partition_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from gbif_data_validator_spark.operators.curation import url_param_census
+
+    df = spark.range(0, 2000).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 10).cast("string"),
+            F.lit(".com/p?k="), (F.col("id") % 7).cast("string"),
+            F.lit("&t="), F.col("id").cast("string"),
+        ).alias("url")
+    )
+    a = sorted(map(tuple, url_param_census(df, "url").collect()))
+    b = sorted(map(tuple, url_param_census(df.repartition(17), "url").collect()))
+    assert a == b
+    k = dict((r[0], r) for r in a)["k"]
+    assert k[1] == 2000 and k[4] == 7  # n_pairs, n_values
