@@ -1653,6 +1653,16 @@ def _q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fd_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-FD strength (Kivinen–Mannila g3) of source → lang —
+    fd_check lists WHICH sources break the rule; this one row says HOW
+    BROKEN it is in exact integer micro-units: the minimum fraction of
+    rows to delete so the dependency holds exactly."""
+    from gbif_data_validator_spark.operators.constraints import fd_strength
+
+    return fd_strength(_docs(spark, sf_dir), ["source"], "lang")
+
+
 def _q_mask_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format-mask census over ``events.props`` (JSON strings, so digit
     runs of varying width yield a real mask distribution): mask, row
@@ -3416,6 +3426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_drift": _q_js_drift,
         "chisq_drift": _q_chisq_drift,
         "emd_drift": _q_emd_drift,
+        "fd_strength": _q_fd_strength,
         "domain_census": _q_domain_census,
         "url_params": _q_url_params,
         "reconcile_rollup": _q_reconcile_rollup,
@@ -4732,6 +4743,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source
             HAVING COUNT(DISTINCT lang) > 1
             ORDER BY source
+        """,
+        # fd_strength: g3 = 1 - sum(per-group plurality)/n, exact integer
+        # micro-units via floor division
+        "fd_strength": """
+            WITH pair AS (
+              SELECT source, lang, count(*) AS n
+              FROM documents WHERE lang IS NOT NULL
+              GROUP BY source, lang
+            ), grp AS (
+              SELECT source, sum(n) AS rows_, max(n) AS kept,
+                     count(*) AS n_rhs
+              FROM pair GROUP BY source
+            )
+            SELECT 'source' AS lhs, 'lang' AS rhs,
+                   CAST(sum(rows_) AS BIGINT) AS n_rows,
+                   count(*) AS n_groups,
+                   count(*) FILTER (n_rhs > 1) AS n_violating_groups,
+                   CAST(sum(kept) AS BIGINT) AS n_kept,
+                   (1000000 * (CAST(sum(rows_) AS BIGINT)
+                               - CAST(sum(kept) AS BIGINT)))
+                     // CAST(sum(rows_) AS BIGINT) AS g3_micro
+            FROM grp
         """,
         # mask_profile: same 3-class regex mask (A/a/9), deterministic
         # (n DESC, mask) cut at 50

@@ -63,6 +63,52 @@ def fd_violations(
     )
 
 
+def fd_strength(
+    df: DataFrame, lhs_cols: list[str], rhs_col: str
+) -> DataFrame:
+    """How strongly the functional dependency ``lhs_cols → rhs_col``
+    holds → ONE row ``(lhs, rhs, n_rows, n_groups, n_violating_groups,
+    n_kept, g3_micro)``. ``g3`` is the standard approximate-FD measure
+    (Kivinen–Mannila): the minimum fraction of rows to DELETE so the FD
+    holds exactly — ``n_kept`` keeps each group's plurality RHS value,
+    ``g3 = (n_rows − n_kept) / n_rows``. ``fd_violations`` lists WHICH
+    groups break the rule; this says HOW BROKEN it is, the number a
+    curator thresholds ("source determines lang for 98.7% of rows — the
+    tail is mislabeled") and run-over-run drift tracks.
+
+    NULL RHS rows are excluded (COUNT-DISTINCT semantics, matching
+    ``fd_violations``); NULL LHS groups are kept. ``g3_micro`` is exact
+    integer floor division ``(1e6 · (n_rows − n_kept)) div n_rows`` —
+    bit-portable, no float fold. Plan: two hash aggs, both at GROUP
+    grain after the first map-combinable (lhs, rhs) count — full rows
+    shuffle never, and the second shuffle carries one row per (lhs,
+    rhs) pair, bounded by value combinations, not table size."""
+    pair = (
+        df.where(F.col(rhs_col).isNotNull())
+        .groupBy(*[F.col(c) for c in lhs_cols], F.col(rhs_col))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    grp = pair.groupBy(*[F.col(c) for c in lhs_cols]).agg(
+        F.sum("_n").alias("_rows"),
+        F.max("_n").alias("_kept"),
+        F.count(F.lit(1)).alias("_n_rhs"),
+    )
+    return grp.agg(
+        F.sum("_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(F.col("_n_rhs") > 1, 1)).alias("n_violating_groups"),
+        F.sum("_kept").alias("n_kept"),
+    ).select(
+        F.lit(",".join(lhs_cols)).alias("lhs"),
+        F.lit(rhs_col).alias("rhs"),
+        "n_rows",
+        "n_groups",
+        "n_violating_groups",
+        "n_kept",
+        F.expr("(1000000 * (n_rows - n_kept)) div n_rows").alias("g3_micro"),
+    )
+
+
 #: ASCII mask classes: uppercase → A, lowercase → a, digit → 9. Non-ASCII
 #: and punctuation pass through verbatim (they ARE the format).
 def mask_expr(col: F.Column) -> F.Column:

@@ -826,3 +826,52 @@ def test_compliance_and_unique_ratio_kinds(spark):
 
     with _pytest.raises(ValueError, match="not streamable"):
         rule_agg_exprs([("k", "UNIQUE_RATIO_GE", "0.5")], streaming=True)
+
+
+def test_fd_strength_hand_computed(spark):
+    """g1=[a,a,a,b] keeps 3, g2=[c] keeps 1 -> g3 = 1/5 = 200000 micro."""
+    from gbif_data_validator_spark.operators.constraints import fd_strength
+
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "c")],
+        "k string, v string",
+    )
+    r = fd_strength(df, ["k"], "v").collect()[0]
+    assert (r.lhs, r.rhs) == ("k", "v")
+    assert (r.n_rows, r.n_groups, r.n_violating_groups, r.n_kept) == (5, 2, 1, 4)
+    assert r.g3_micro == 200_000
+
+
+def test_fd_strength_null_semantics_and_perfect_fd(spark):
+    """NULL RHS rows excluded (fd_violations parity); NULL LHS group kept;
+    a perfect FD scores exactly 0."""
+    from gbif_data_validator_spark.operators.constraints import fd_strength
+
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", None), (None, "x"), (None, "y"), ("g2", "b")],
+        "k string, v string",
+    )
+    r = fd_strength(df, ["k"], "v").collect()[0]
+    # NULL-rhs row dropped; NULL-lhs group [x,y] is violating, keeps 1
+    assert (r.n_rows, r.n_groups, r.n_violating_groups, r.n_kept) == (4, 3, 1, 3)
+    assert r.g3_micro == 250_000
+    perfect = spark.createDataFrame(
+        [("g1", "a")] * 10 + [("g2", "b")] * 5, "k string, v string"
+    )
+    assert fd_strength(perfect, ["k"], "v").collect()[0].g3_micro == 0
+
+
+def test_fd_strength_partition_invariance_and_multi_lhs(spark):
+    from pyspark.sql import functions as F
+
+    from gbif_data_validator_spark.operators.constraints import fd_strength
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 7).cast("string").alias("a"),
+        (F.col("id") % 3).cast("string").alias("b"),
+        (F.col("id") % 10).cast("string").alias("v"),
+    )
+    r1 = fd_strength(df, ["a", "b"], "v").collect()[0]
+    r2 = fd_strength(df.repartition(13), ["a", "b"], "v").collect()[0]
+    assert tuple(r1) == tuple(r2)
+    assert r1.lhs == "a,b" and r1.n_groups == 21
