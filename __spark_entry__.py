@@ -1653,6 +1653,31 @@ def _q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changeset EXTRACTION (apply_changeset's inverse): two
+    deterministic snapshots derived from orders — every 11th key missing
+    from old (→ upsert/add), every 13th missing from new (→ delete),
+    every 7th price-perturbed (→ upsert/change) — and the delta that
+    turns old into new. The oracle recomputes the delta with column-wise
+    IS DISTINCT FROM, proving the md5-of-JSON fingerprint detects exactly
+    the rows whose payload differs."""
+    from gbif_data_validator_spark.operators.snapshot import extract_changeset
+
+    o = _tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.where(F.col("o_orderkey") % 11 != 0)
+    new = o.where(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return extract_changeset(old, new, "o_orderkey").orderBy(
+        "op", "o_orderkey"
+    )
+
+
 def _q_fd_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-FD strength (Kivinen–Mannila g3) of source → lang —
     fd_check lists WHICH sources break the rule; this one row says HOW
@@ -3427,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chisq_drift": _q_chisq_drift,
         "emd_drift": _q_emd_drift,
         "fd_strength": _q_fd_strength,
+        "changeset_extract": _q_changeset,
         "domain_census": _q_domain_census,
         "url_params": _q_url_params,
         "reconcile_rollup": _q_reconcile_rollup,
@@ -4743,6 +4769,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source
             HAVING COUNT(DISTINCT lang) > 1
             ORDER BY source
+        """,
+        # changeset_extract: delta recomputed with column-wise IS DISTINCT
+        # FROM — proves the md5-of-JSON fingerprint flags exactly the
+        # changed payloads
+        "changeset_extract": """
+            WITH base AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            ), old AS (
+              SELECT * FROM base WHERE o_orderkey % 11 <> 0
+            ), new AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                          ELSE o_totalprice END AS o_totalprice
+              FROM base WHERE o_orderkey % 13 <> 0
+            )
+            SELECT * FROM (
+              SELECT 'upsert' AS op, n.o_orderkey, n.o_orderstatus,
+                     n.o_totalprice
+              FROM new n LEFT JOIN old o USING (o_orderkey)
+              WHERE o.o_orderkey IS NULL
+                 OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+                 OR n.o_totalprice IS DISTINCT FROM o.o_totalprice
+              UNION ALL
+              SELECT 'delete', o.o_orderkey, CAST(NULL AS VARCHAR),
+                     CAST(NULL AS DOUBLE)
+              FROM old o LEFT JOIN new n USING (o_orderkey)
+              WHERE n.o_orderkey IS NULL
+            )
+            ORDER BY op, o_orderkey
         """,
         # fd_strength: g3 = 1 - sum(per-group plurality)/n, exact integer
         # micro-units via floor division

@@ -143,6 +143,85 @@ def apply_changeset(
     return survivors.unionByName(upserts)
 
 
+def extract_changeset(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    op_col: str = "op",
+) -> DataFrame:
+    """Derive the CDC changeset that turns snapshot ``old`` into snapshot
+    ``new`` — the inverse of ``apply_changeset``, with the roundtrip law
+    ``apply_changeset(old, extract_changeset(old, new)) ≡ new`` (tested).
+    Output: ``new``'s schema plus ``op_col`` — one ``upsert`` row (the
+    full new row) per added-or-changed key, one ``delete`` row (key +
+    NULL payload) per removed key; unchanged keys emit nothing. This is
+    what a recurring-crawl pipeline ships downstream instead of the whole
+    snapshot: consumers replay deltas, not 10^12 rows.
+
+    Change detection covers EVERY non-key column (md5 over the JSON of
+    the full payload struct), unlike ``snapshot_diff``'s single
+    ``fingerprint_col`` proxy — an extracted changeset must be exact or
+    the roundtrip silently drops edits. Contract: unique non-NULL keys
+    per snapshot (``apply_changeset``'s precondition; duplicate or NULL
+    keys raise loudly with counts, one bounded agg per side).
+
+    Plan: each snapshot collapses map-side to ``(key, fp)`` — old's
+    payload NEVER shuffles regardless of row width; one full-outer
+    equi-join of the two key-grain tables classifies keys; upsert rows
+    come from ONE equi-join of the changed/added keys back to ``new``
+    (the only place full rows move, and only the rows that actually
+    changed); deletes are synthesized key + NULL payload. Snapshots
+    bucketed by key make all three joins zero-shuffle."""
+    payload = [c for c in new.columns if c != key_col]
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"extract_changeset: snapshot schemas differ "
+            f"({sorted(old.columns)} vs {sorted(new.columns)})"
+        )
+
+    def grain(df: DataFrame, side: str) -> DataFrame:
+        chk = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col(key_col).isNull(), 1)).alias("null_keys"),
+            F.countDistinct(key_col).alias("n_keys"),
+        ).first()
+        if chk.null_keys:
+            raise ValueError(
+                f"extract_changeset: {chk.null_keys} NULL-key rows in "
+                f"{side} snapshot"
+            )
+        if chk.n_keys != chk.n:
+            raise ValueError(
+                f"extract_changeset: {chk.n - chk.n_keys} duplicate-key "
+                f"rows in {side} snapshot — apply_changeset's contract "
+                f"needs one row per key"
+            )
+        fp = (
+            F.md5(F.to_json(F.struct(*payload)))
+            if payload
+            else F.lit("")  # key-only snapshot: adds/deletes only
+        )
+        return df.select(F.col(key_col), fp.alias(f"fp_{side}"))
+
+    st = grain(old, "old").join(grain(new, "new"), key_col, "full")
+    upsert_keys = st.where(
+        F.col("fp_old").isNull()  # added
+        | (
+            F.col("fp_new").isNotNull()
+            & (F.col("fp_old") != F.col("fp_new"))  # changed
+        )
+    ).select(key_col)
+    upserts = upsert_keys.join(new, key_col, "inner").select(
+        F.lit("upsert").alias(op_col), key_col, *payload
+    )
+    deletes = st.where(F.col("fp_new").isNull()).select(
+        F.lit("delete").alias(op_col),
+        F.col(key_col),
+        *[F.lit(None).cast(new.schema[c].dataType).alias(c) for c in payload],
+    )
+    return upserts.unionByName(deletes)
+
+
 def snapshot_diff_summary(
     old: DataFrame,
     new: DataFrame,

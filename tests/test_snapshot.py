@@ -133,3 +133,57 @@ def test_apply_changeset_broadcast_guard_falls_back(spark):
     assert out.count() == 15
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan
+
+
+def test_extract_changeset_roundtrip_and_classification(spark):
+    from gbif_data_validator_spark.operators.snapshot import (
+        apply_changeset,
+        extract_changeset,
+    )
+
+    old = spark.createDataFrame(
+        [("u1", "a"), ("u2", "b"), ("u3", "c")], "url string, text string"
+    )
+    new = spark.createDataFrame(
+        [("u1", "a"), ("u2", "B2"), ("u4", "d")], "url string, text string"
+    )
+    cs = extract_changeset(old, new, "url")
+    got = _rows(cs.select("op", "url", "text"))
+    # unchanged u1 emits nothing; changed u2 + added u4 -> upserts;
+    # removed u3 -> delete with NULL payload
+    assert got == [
+        ("delete", "u3", None),
+        ("upsert", "u2", "B2"),
+        ("upsert", "u4", "d"),
+    ]
+    # roundtrip law: apply(old, extract(old, new)) == new
+    replayed = apply_changeset(old, cs, "url")
+    assert _rows(replayed) == _rows(new)
+
+
+def test_extract_changeset_contract_and_degenerate(spark):
+    import pytest as _pytest
+
+    from gbif_data_validator_spark.operators.snapshot import extract_changeset
+
+    ok = spark.createDataFrame([("u1", "a")], "url string, text string")
+    dup = spark.createDataFrame(
+        [("u1", "a"), ("u1", "b")], "url string, text string"
+    )
+    nul = spark.createDataFrame([(None, "a")], "url string, text string")
+    with _pytest.raises(ValueError, match="duplicate-key"):
+        extract_changeset(ok, dup, "url")
+    with _pytest.raises(ValueError, match="NULL-key"):
+        extract_changeset(nul, ok, "url")
+    skewed = spark.createDataFrame([("u1", "b")], "url string, other string")
+    with _pytest.raises(ValueError, match="schemas differ"):
+        extract_changeset(ok, skewed, "url")
+    # identical snapshots -> empty changeset
+    assert extract_changeset(ok, ok, "url").count() == 0
+    # key-only snapshots: adds/deletes only, no fingerprint payload
+    k_old = spark.createDataFrame([("u1",), ("u2",)], "url string")
+    k_new = spark.createDataFrame([("u2",), ("u3",)], "url string")
+    assert _rows(extract_changeset(k_old, k_new, "url")) == [
+        ("delete", "u1"),
+        ("upsert", "u3"),
+    ]
