@@ -882,6 +882,32 @@ def _q_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.orderBy(F.col("rank").desc(), "vertex").limit(25)
 
 
+def _q_hits_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS over the DIRECTED customer→supplier purchase graph —
+    pagerank_entities' mutual-reinforcement complement: suppliers score as
+    authorities (bought by well-connected customers), customers as hubs
+    (buy from authoritative suppliers). ORACLED like pagerank: the
+    L1-normalized update is pure +,/ in a pinned order, so 5 iterations
+    unroll into chained DuckDB CTEs; the top-25 cut sorts on the 8
+    dp-rounded scores so sub-ulp summation noise can't flip it."""
+    from gbif_data_validator_spark.operators.graph import hits
+
+    li = _tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    scored = hits(edges, iterations=5).select(
+        "vertex",
+        F.round("auth", 8).alias("auth"),
+        F.round("hub", 8).alias("hub"),
+    )
+    return scored.orderBy(
+        F.col("auth").desc(), F.col("hub").desc(), "vertex"
+    ).limit(25)
+
+
 def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-lite (Lee et al. 2022): maximal verbatim-duplicated
     token windows (≥16 tokens) across document pairs — k-gram seed posting
@@ -3366,6 +3392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-iteration unrolled-CTE replay makes even PageRank hashable,
         # and the flagship engine battery pins its golden VALUES counts
         "pagerank_entities": _q_pagerank_entities,
+        "hits_entities": _q_hits_entities,
         "pages_validation": _q_pages_validation,
         # family-redundant variants displaced past the driver window
         # (each family keeps an in-window or r02-green driver row; these
@@ -3583,6 +3610,71 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
         + f"""
             SELECT vertex, ROUND(rank, 8) AS rank FROM r{iterations}
             ORDER BY 2 DESC, 1 LIMIT 25
+        """
+    )
+
+
+def _hits_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled DuckDB replay of ``operators/graph.py::hits`` over the
+    directed customer→supplier graph: per iteration i, ``a{i}``/``ta{i}``
+    are the raw auth sums and their L1 total, ``A{i}`` the normalized auth
+    table; ``b{i}``/``tb{i}``/``h{i+1}`` the hub half. Every literal is
+    DOUBLE and the COALESCE-then-divide order matches the Spark side. All
+    CTEs are MATERIALIZED: inlined (DuckDB's default) each iteration
+    re-expands the whole prior chain ~4x and 5 iterations take minutes;
+    materialized, the replay is sub-second."""
+    ctes = [
+        """e AS MATERIALIZED (
+              SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                     's' || CAST(l_suppkey AS VARCHAR) AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            )""",
+        """verts AS MATERIALIZED (
+              SELECT DISTINCT vertex FROM (
+                SELECT src AS vertex FROM e
+                UNION ALL
+                SELECT dst AS vertex FROM e
+              )
+            )""",
+        "h0 AS MATERIALIZED (SELECT vertex, CAST(1.0 AS DOUBLE) AS hub FROM verts)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+              SELECT e.dst AS v, SUM(h.hub) AS s
+              FROM h{i} h JOIN e ON e.src = h.vertex GROUP BY e.dst
+            )"""
+        )
+        ctes.append(f"ta{i} AS MATERIALIZED (SELECT SUM(s) AS t FROM a{i})")
+        ctes.append(
+            f"""na{i} AS MATERIALIZED (
+              SELECT v.vertex,
+                     COALESCE(a.s, CAST(0.0 AS DOUBLE)) / (SELECT t FROM ta{i}) AS auth
+              FROM verts v LEFT JOIN a{i} a ON v.vertex = a.v
+            )"""
+        )
+        ctes.append(
+            f"""b{i} AS MATERIALIZED (
+              SELECT e.src AS v, SUM(a.auth) AS s
+              FROM na{i} a JOIN e ON e.dst = a.vertex GROUP BY e.src
+            )"""
+        )
+        ctes.append(f"tb{i} AS MATERIALIZED (SELECT SUM(s) AS t FROM b{i})")
+        ctes.append(
+            f"""h{i + 1} AS MATERIALIZED (
+              SELECT v.vertex,
+                     COALESCE(b.s, CAST(0.0 AS DOUBLE)) / (SELECT t FROM tb{i}) AS hub
+              FROM verts v LEFT JOIN b{i} b ON v.vertex = b.v
+            )"""
+        )
+    last = iterations - 1
+    return (
+        "WITH "
+        + ",\n            ".join(ctes)
+        + f"""
+            SELECT a.vertex, ROUND(a.auth, 8) AS auth, ROUND(h.hub, 8) AS hub
+            FROM na{last} a JOIN h{iterations} h ON a.vertex = h.vertex
+            ORDER BY 2 DESC, 3 DESC, 1 LIMIT 25
         """
     )
 
@@ -6289,6 +6381,9 @@ def oracle_sql() -> dict[str, str]:
         # summation-order noise is absorbed by the ROUND(.,8) before the
         # top-25 sort (ordinal ORDER BY so the alias, not r5.rank, sorts).
         "pagerank_entities": _pagerank_oracle_sql(iterations=5),
+        # hits_entities: L1-normalized mutual reinforcement unrolled into
+        # chained CTEs (same fixed-iteration trick as pagerank)
+        "hits_entities": _hits_oracle_sql(iterations=5),
         # corr_exact: identical moment algebra — quantize to 1e6-grain
         # integers (same double multiply + half-away round), sum in
         # HUGEINT (≡ Spark DECIMAL(38,0): exact, order-free), then ONE

@@ -313,3 +313,108 @@ def cocitation_census(
     return pairs.groupBy("host_a", "host_b").agg(
         F.count(F.lit(1)).alias("n_cosources")
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Kleinberg HITS → (vertex, auth, hub) after ``iterations`` mutual-
+    reinforcement updates over the directed edge list (parallel edges
+    collapse; vertices = all ids appearing on either side). PageRank's
+    single-score complement: a vertex can be a great DIRECTORY (hub —
+    links to many authorities) without being an authority itself, the
+    distinction seed-selection and link-spam triage actually need.
+
+    L1 normalization (each table sums to 1.0 every update) instead of the
+    textbook L2: same fixed point up to scale, but every operation is
+    +,/ on doubles in a pinned order, so a fixed iteration count unrolls
+    into DuckDB CTEs that replay it bit-for-bit at 8 dp — HITS joins
+    pagerank as an ORACLED iterative operator. Vertices with no in-edges
+    get auth 0.0; no out-edges, hub 0.0 (never NULL).
+
+    Scale shape (|V| = vertices, |E| = edges):
+    - TWO persisted copies of the deduped edge list, partitioned by src
+      and by dst: the auth step joins hub⋈e on src, the hub step joins
+      auth⋈e on dst — with both copies pinned, every iteration shuffles
+      only the |V|-row score table, never |E|. 2|E| memory buys zero
+      edge movement across all iterations.
+    - each normalization total is a 1-row agg over the persisted raw-sum
+      table (the pagerank persist-before-agg discipline: that agg is the
+      step's ONE action and materializes the cache the next join reads —
+      no double-eval).
+    - lineage truncates via localCheckpoint every 3 iterations.
+    The driver only ever sees 1-row totals; Python never touches a row.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e_src = (
+        e.repartition(n_partitions, "src") if n_partitions else e.repartition("src")
+    ).persist()
+    e_dst = (
+        e.repartition(n_partitions, "dst") if n_partitions else e.repartition("dst")
+    ).persist()
+    verts = (
+        e_src.select(F.col("src").alias("vertex"))
+        .union(e_src.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .persist()
+    )
+    if verts.count() == 0:
+        raise ValueError("hits: empty edge list — no vertices to score")
+    hub = verts.withColumn("hub", F.lit(1.0))
+    auth = None
+    prev_cache: list[DataFrame] = []
+    try:
+        for i in range(iterations):
+            # auth(v) = Σ hub(u) over u→v, then / Σ — raw sums persist
+            # BEFORE the total agg (one action, no double-eval)
+            a_raw = (
+                hub.join(e_src, hub.vertex == e_src.src)
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("s"))
+                .persist()
+            )
+            ta = a_raw.agg(F.sum("s")).first()[0]
+            for c in prev_cache:
+                c.unpersist()
+            prev_cache = [a_raw]
+            auth = verts.join(a_raw, verts.vertex == a_raw.dst, "left").select(
+                "vertex",
+                (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(float(ta))).alias(
+                    "auth"
+                ),
+            )
+            # hub(u) = Σ auth(v) over u→v, then / Σ
+            b_raw = (
+                auth.join(e_dst, auth.vertex == e_dst.dst)
+                .groupBy("src")
+                .agg(F.sum("auth").alias("s"))
+                .persist()
+            )
+            tb = b_raw.agg(F.sum("s")).first()[0]
+            prev_cache.append(b_raw)
+            hub = verts.join(b_raw, verts.vertex == b_raw.src, "left").select(
+                "vertex",
+                (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(float(tb))).alias(
+                    "hub"
+                ),
+            )
+            if (i + 1) % 3 == 0 and i + 1 < iterations:
+                auth = auth.localCheckpoint(eager=True)
+                hub = hub.localCheckpoint(eager=True)
+                for c in prev_cache:
+                    c.unpersist()
+                prev_cache = []
+        out = auth.join(hub, "vertex").select(
+            "vertex", "auth", "hub"
+        ).localCheckpoint(eager=True)
+        return out
+    finally:
+        for c in prev_cache:
+            c.unpersist()
+        e_src.unpersist()
+        e_dst.unpersist()
+        verts.unpersist()

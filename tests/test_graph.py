@@ -207,3 +207,56 @@ def test_cocitation_pair_order_and_relative_links(spark):
     assert [(r.host_a, r.host_b, r.n_cosources) for r in rows] == [
         ("a.org", "z.org", 1)  # lexicographic a<b regardless of html order
     ]
+
+
+def _hits(spark, edges, **kw):
+    from gbif_data_validator_spark.operators.graph import hits
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.vertex: (r.auth, r.hub) for r in hits(df, **kw).collect()}
+
+
+def test_hits_complete_bipartite_closed_form(spark):
+    # K_{2,3}: sources {a,b} → targets {x,y,z}. Symmetry fixes the answer
+    # after ONE iteration: auth = 1/3 on each target, hub = 1/2 on each
+    # source; no-in-edge sources carry auth 0, no-out-edge targets hub 0.
+    edges = [(s, t) for s in "ab" for t in "xyz"]
+    got = _hits(spark, edges, iterations=4)
+    for t in "xyz":
+        assert got[t][0] == pytest.approx(1 / 3, abs=1e-12)
+        assert got[t][1] == 0.0
+    for s in "ab":
+        assert got[s][0] == 0.0
+        assert got[s][1] == pytest.approx(1 / 2, abs=1e-12)
+
+
+def test_hits_chain_and_l1_invariant(spark):
+    # a→b→c: auth mass ends on b,c; hub mass on a,b. Both tables must sum
+    # to exactly 1.0 every run (L1 normalization is the oracle contract).
+    got = _hits(spark, [("a", "b"), ("b", "c")], iterations=5)
+    assert sum(a for a, _ in got.values()) == pytest.approx(1.0, abs=1e-12)
+    assert sum(h for _, h in got.values()) == pytest.approx(1.0, abs=1e-12)
+    assert got["a"][0] == 0.0 and got["c"][1] == 0.0
+    # b is both: positive auth (a links to it) and positive hub (links to c)
+    assert got["b"][0] > 0 and got["b"][1] > 0
+
+
+def test_hits_parallel_edges_collapse_and_checkpoint(spark):
+    # duplicate edges must not double-count; 7 iterations crosses the
+    # localCheckpoint boundary twice and must keep the L1 invariant
+    base = [("a", "b"), ("a", "b"), ("b", "a"), ("a", "c")]
+    got = _hits(spark, base, iterations=7)
+    assert sum(a for a, _ in got.values()) == pytest.approx(1.0, abs=1e-12)
+    dedup = _hits(spark, list(set(base)), iterations=7)
+    for v in got:
+        assert got[v][0] == pytest.approx(dedup[v][0], abs=1e-15)
+
+
+def test_hits_empty_edges_raises(spark):
+    import pytest as _pytest
+
+    from gbif_data_validator_spark.operators.graph import hits
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    with _pytest.raises(ValueError, match="empty edge list"):
+        hits(empty)
