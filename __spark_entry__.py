@@ -2735,6 +2735,86 @@ def _synth_link_html(idc: F.Column) -> F.Column:
     )
 
 
+def _synth_titled_html(idc: F.Column) -> F.Column:
+    """Deterministic titled-page fixture over a doc_id column: a <title>
+    on all but every 11th doc (every 13th carries tag attributes + messy
+    whitespace that must normalize away), 1-3 anchors with VARYING anchor
+    text into the 23-host universe, and a relative link that must drop."""
+    n37 = (idc % 37).cast("string")
+    title = (
+        F.when(idc % 11 == 0, F.lit(""))
+        .when(
+            idc % 13 == 0,
+            F.concat(
+                F.lit('<title data-x="1">  Title\t'), n37, F.lit("  </title>")
+            ),
+        )
+        .otherwise(F.concat(F.lit("<title>Title "), n37, F.lit("</title>")))
+    )
+    link = lambda k: F.concat(  # noqa: E731 — tiny local template
+        F.lit('<a href="https://h'),
+        ((idc * 7 + k * 13) % 23).cast("string"),
+        F.lit(".example.org/p"),
+        k.cast("string"),
+        F.lit('">Anchor  '),
+        ((idc + k) % 5).cast("string"),
+        F.lit("</a>"),
+    )
+    links = F.array_join(
+        F.transform(F.sequence(F.lit(1).cast("long"), idc % 3 + 1), link), ""
+    )
+    return F.concat(
+        F.lit("<html><head>"),
+        title,
+        F.lit("</head><body>"),
+        links,
+        F.lit('<a href="/rel">skip</a></body></html>'),
+    )
+
+
+def _titled_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idc = F.col("doc_id")
+    return _tbl(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"),
+            (idc % 23).cast("string"),
+            F.lit(".example.org/d"),
+            idc.cast("string"),
+        ).alias("url"),
+        _synth_titled_html(idc).alias("html"),
+    )
+
+
+def _q_dup_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-<title> census: the zero-model template/scrape detector
+    — titles shared by 2+ pages with page/host counts and a deterministic
+    example url. Fixture html is synthesized from doc_id (titles repeat
+    mod 37 across the 23-host universe, every 13th doc exercises the
+    attribute+whitespace normalization path); the oracle replays the
+    construction, extraction, and normalization with RE2 regexes."""
+    from gbif_data_validator_spark.operators.curation import (
+        duplicate_title_census,
+    )
+
+    return duplicate_title_census(_titled_pages(spark, sf_dir)).orderBy(
+        "title"
+    )
+
+
+def _q_anchor_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 anchor texts per target host — what the web CALLS each host,
+    the off-page description signal link-spam triage ranks on. The census
+    aggregates at (host, text) grain, then cuts with a deterministic
+    window (n_links desc, text asc); the oracle replays construction,
+    the two-capture-group extraction (list_zip alignment), normalization,
+    and the ROW_NUMBER cut."""
+    from gbif_data_validator_spark.operators.graph import anchor_text_census
+
+    return anchor_text_census(
+        _titled_pages(spark, sf_dir), top_k=3
+    ).orderBy("host", "rank")
+
+
 def _q_outlink_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level outlink census: anchor hrefs extracted from html with
     pure Column regexes (functions/extraction.py:outlinks/link_host) →
@@ -3484,6 +3564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_params": _q_url_params,
         "reconcile_rollup": _q_reconcile_rollup,
         "outlink_census": _q_outlink_census,
+        "dup_titles": _q_dup_titles,
+        "anchor_census": _q_anchor_census,
         "frontier_hosts": _q_frontier_hosts,
         "reciprocal_links": _q_reciprocal_links,
         "noindex_pages": _q_noindex_pages,
@@ -7034,6 +7116,87 @@ def oracle_sql() -> dict[str, str]:
         """,
         # outlink_census: replay the html construction AND the regex
         # extraction (RE2 ≡ Java for these negated-class patterns)
+        # dup_titles / anchor_census: replay construction (titled-page
+        # fixture), RE2 extraction, whitespace normalization, and the
+        # grain aggs; anchor pairs align via list_zip's positional structs
+        "dup_titles": r"""
+            WITH p AS (
+              SELECT 'https://h' || CAST(doc_id % 23 AS VARCHAR)
+                     || '.example.org/d' || CAST(doc_id AS VARCHAR) AS url,
+                     '<html><head>'
+                     || CASE WHEN doc_id % 11 = 0 THEN ''
+                          WHEN doc_id % 13 = 0
+                          THEN '<title data-x="1">  Title' || chr(9)
+                               || CAST(doc_id % 37 AS VARCHAR) || '  </title>'
+                          ELSE '<title>Title ' || CAST(doc_id % 37 AS VARCHAR)
+                               || '</title>' END
+                     || '</head><body></body></html>' AS html
+              FROM documents
+            ),
+            t AS (
+              SELECT url,
+                     lower(regexp_extract(
+                       url, '(?i)^https?://([^/?#]+)', 1)) AS host,
+                     NULLIF(trim(regexp_replace(
+                       regexp_extract(html,
+                         '(?i)<title[^>]*>([^<]*)</title>', 1),
+                       '\s+', ' ', 'g')), '') AS title
+              FROM p
+            )
+            SELECT title, CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+                   MIN(url) AS example_url
+            FROM t WHERE title IS NOT NULL
+            GROUP BY title HAVING COUNT(*) >= 2
+            ORDER BY title
+        """,
+        "anchor_census": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     'https://h' || CAST(doc_id % 23 AS VARCHAR)
+                     || '.example.org/d' || CAST(doc_id AS VARCHAR) AS url,
+                     '<html><head></head><body>'
+                     || array_to_string(list_transform(
+                          range(1, (doc_id % 3 + 1) + 1),
+                          k -> '<a href="https://h'
+                               || CAST((doc_id * 7 + k * 13) % 23 AS VARCHAR)
+                               || '.example.org/p' || CAST(k AS VARCHAR)
+                               || '">Anchor  '
+                               || CAST((doc_id + k) % 5 AS VARCHAR)
+                               || '</a>'), '')
+                     || '<a href="/rel">skip</a></body></html>' AS html
+              FROM documents
+            ),
+            z AS (
+              SELECT url, unnest(list_zip(
+                regexp_extract_all(html,
+                  '(?i)<a\s[^>]*href=["'']([^"'']+)["''][^>]*>([^<]*)</a>', 1),
+                regexp_extract_all(html,
+                  '(?i)<a\s[^>]*href=["'']([^"'']+)["''][^>]*>([^<]*)</a>', 2)
+              )) AS a FROM p
+            ),
+            rows_ AS (
+              SELECT lower(regexp_extract(
+                       url, '(?i)^https?://([^/?#]+)', 1)) AS src_host,
+                     NULLIF(lower(regexp_extract(
+                       a[1], '(?i)^https?://([^/?#]+)', 1)), '') AS host,
+                     trim(regexp_replace(lower(a[2]), '\s+', ' ', 'g')) AS text
+              FROM z
+            ),
+            counts AS (
+              SELECT host, text, CAST(COUNT(*) AS BIGINT) AS n_links,
+                     CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+              FROM rows_ WHERE host IS NOT NULL AND text <> ''
+              GROUP BY host, text
+            )
+            SELECT host, text, n_links, n_src_hosts, CAST(rank AS INTEGER) AS rank
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY host ORDER BY n_links DESC, text ASC) AS rank
+              FROM counts
+            ) WHERE rank <= 3
+            ORDER BY host, rank
+        """,
         "outlink_census": r"""
             WITH h AS (
               SELECT doc_id,

@@ -180,3 +180,41 @@ def robots_directives(html: F.Column) -> F.Column:
         content.contains("noindex").alias("noindex"),
         content.contains("nofollow").alias("nofollow"),
     )
+
+
+#: <title> text (any attributes on the tag, plain-text body only — a title
+#: containing markup is malformed and correctly yields no match).
+_TITLE_PATTERN = r"(?i)<title[^>]*>([^<]*)</title>"
+
+#: anchor href + plain-text body, both capture groups from ONE pattern so
+#: the two regexp_extract_all arrays align index-for-index.
+_ANCHOR_PATTERN = r"""(?i)<a\s[^>]*href=["']([^"']+)["'][^>]*>([^<]*)</a>"""
+
+
+def title_text(html: F.Column) -> F.Column:
+    """``html:string`` → the page's ``<title>`` text, inner whitespace
+    collapsed to single spaces and trimmed; NULL when absent or empty.
+    The publisher-written one-line summary — duplicated titles across
+    hosts are the cheapest template/scraped-content signal there is
+    (input to ``operators/curation.py:duplicate_title_census``)."""
+    t = F.trim(
+        F.regexp_replace(
+            F.regexp_extract(html, _TITLE_PATTERN, 1), r"\s+", " "
+        )
+    )
+    return F.when(t != "", t)
+
+
+def anchor_texts(html: F.Column) -> F.Column:
+    """``html:string`` → ``array<struct<href:string, text:string>>`` of
+    anchors with a plain-text body, document order. Both fields come from
+    ONE pattern's two capture groups, so the arrays align by construction;
+    anchors wrapping further markup (``<a><img/></a>``) yield no row —
+    they carry no anchor TEXT to aggregate."""
+    hrefs = F.regexp_extract_all(html, F.lit(_ANCHOR_PATTERN), F.lit(1))
+    texts = F.regexp_extract_all(html, F.lit(_ANCHOR_PATTERN), F.lit(2))
+    return F.zip_with(
+        hrefs,
+        texts,
+        lambda h, t: F.struct(h.alias("href"), t.alias("text")),
+    )

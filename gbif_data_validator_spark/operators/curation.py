@@ -669,3 +669,37 @@ def continuation_pairs(
         .where(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b", "boundary_key")
     )
+
+
+def duplicate_title_census(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    min_pages: int = 2,
+) -> DataFrame:
+    """Duplicated ``<title>`` census → one row per title text shared by
+    ``min_pages``+ pages: ``(title, n_pages, n_hosts, example_url)``.
+    The zero-model template/scrape detector: a title on 400 pages across
+    40 hosts is boilerplate or syndication, and ``n_hosts = 1`` vs
+    ``n_hosts ≫ 1`` separates a site's own template from cross-host
+    scraping — the publisher-metadata complement of content dedup
+    (minhash/simhash) and of `canonical_census`'s declared clusters.
+
+    Plan: ONE scan extracts + normalizes the title with pure Column
+    regexes (functions/extraction.py:title_text — JVM codegen, zero
+    Python); titleless pages drop before the shuffle; then ONE
+    title-grain hash agg (count, distinct hosts, min url as the
+    deterministic example). Only (title, host, url) ever shuffles; a
+    mega-template title is the textbook AQE skew-split case."""
+    from ..functions.extraction import link_host, title_text
+
+    rows = pages.select(
+        F.col(url_col).alias("_url"),
+        link_host(F.col(url_col)).alias("_host"),
+        title_text(F.col(html_col)).alias("title"),
+    ).where(F.col("title").isNotNull())
+    return rows.groupBy("title").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("_host").alias("n_hosts"),
+        F.min("_url").alias("example_url"),
+    ).where(F.col("n_pages") >= min_pages)

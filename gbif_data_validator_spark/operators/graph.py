@@ -30,7 +30,7 @@ AQE handles reducer skew on hot dst hosts, and the driver only ever sees
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -418,3 +418,54 @@ def hits(
         e_src.unpersist()
         e_dst.unpersist()
         verts.unpersist()
+
+
+def anchor_text_census(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    top_k: int = 3,
+) -> DataFrame:
+    """What the web CALLS each host: top-``top_k`` anchor texts pointing
+    at every target host → ``(host, text, n_links, n_src_hosts, rank)``.
+    Anchor text is the classic off-page description signal (it powers
+    link-spam triage and ranking seeds): many source hosts using the
+    same words for a target is strong evidence about the target, and a
+    host whose inbound anchors are all one commercial phrase from
+    mutually-linked sources is the link-farm shape.
+
+    Plan: ONE scan extracts aligned (href, text) pairs with pure Column
+    regexes (functions/extraction.py:anchor_texts), explodes, and keeps
+    only absolute-URL targets with non-blank normalized text; ONE
+    (host, text)-grain hash agg counts links + distinct source hosts;
+    the top-k cut is a window over the COUNT TABLE (already tiny —
+    distinct texts per host), never over link instances. Deterministic
+    order: n_links desc, text asc. Anchor rows shuffle once; a viral
+    target host is the AQE skew case, and `top_k` bounds the output."""
+    from ..functions.extraction import anchor_texts, link_host
+
+    pair = F.explode(anchor_texts(F.col(html_col))).alias("a")
+    rows = (
+        pages.select(
+            link_host(F.col(url_col)).alias("src_host"), pair
+        )
+        .select(
+            "src_host",
+            link_host(F.col("a.href")).alias("host"),
+            F.trim(
+                F.regexp_replace(F.lower(F.col("a.text")), r"\s+", " ")
+            ).alias("text"),
+        )
+        .where(F.col("host").isNotNull() & (F.col("text") != ""))
+    )
+    counts = rows.groupBy("host", "text").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("src_host").alias("n_src_hosts"),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_links").desc(), F.col("text").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )

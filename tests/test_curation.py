@@ -569,3 +569,32 @@ def test_url_param_census_partition_invariance(spark):
     assert a == b
     k = dict((r[0], r) for r in a)["k"]
     assert k[1] == 2000 and k[4] == 7  # n_pairs, n_values
+
+
+def test_duplicate_title_census_normalize_and_threshold(spark):
+    from gbif_data_validator_spark.operators.curation import (
+        duplicate_title_census,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.x/1", "<html><title>Hello   World</title></html>"),
+            ("https://b.y/2", '<title data-l="en">Hello\tWorld </title>'),
+            ("https://a.x/3", "<title>Hello World</title>"),
+            ("https://a.x/4", "<title>Unique</title>"),  # below min_pages
+            ("https://a.x/5", "<html><body>no title</body></html>"),
+            ("https://a.x/6", "<title>  </title>"),  # blank -> NULL
+        ],
+        "url string, html string",
+    )
+    got = {
+        r.title: (r.n_pages, r.n_hosts, r.example_url)
+        for r in duplicate_title_census(pages).collect()
+    }
+    assert got == {"Hello World": (3, 2, "https://a.x/1")}
+    # min_pages=1 admits the singleton; blank/missing titles never appear
+    all_rows = duplicate_title_census(pages, min_pages=1)
+    assert sorted(r.title for r in all_rows.collect()) == [
+        "Hello World",
+        "Unique",
+    ]

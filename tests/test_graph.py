@@ -260,3 +260,58 @@ def test_hits_empty_edges_raises(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     with _pytest.raises(ValueError, match="empty edge list"):
         hits(empty)
+
+
+def test_anchor_text_census_normalization_topk_and_drops(spark):
+    from gbif_data_validator_spark.operators.graph import anchor_text_census
+
+    pages = _pages_df(
+        spark,
+        [
+            # 2 links to t.x with same (case/space-variant) text, 1 other
+            (
+                "https://s1.a/p",
+                '<a href="https://t.x/1">Good  Stuff</a>'
+                '<a href="https://t.x/2">good stuff</a>'
+                '<a href="https://t.x/3">other</a>',
+            ),
+            # second source host, same text; relative + empty-text drop
+            (
+                "https://s2.b/q",
+                "<a href='https://t.x/4'>GOOD STUFF</a>"
+                '<a href="/rel">rel text</a>'
+                '<a href="https://t.x/5"></a>'
+                '<a href="https://t.x/6"><img src="i"/></a>',
+            ),
+        ],
+    )
+    got = {
+        (r.host, r.text): (r.n_links, r.n_src_hosts, r.rank)
+        for r in anchor_text_census(pages, top_k=2).collect()
+    }
+    # "good stuff": 3 links from 2 source hosts, rank 1; "other" rank 2;
+    # relative/empty/markup-body anchors contribute nothing
+    assert got == {
+        ("t.x", "good stuff"): (3, 2, 1),
+        ("t.x", "other"): (1, 1, 2),
+    }
+
+
+def test_anchor_text_census_rank_tie_break_deterministic(spark):
+    from gbif_data_validator_spark.operators.graph import anchor_text_census
+
+    pages = _pages_df(
+        spark,
+        [
+            (
+                "https://s.a/p",
+                '<a href="https://t.x/1">zeta</a><a href="https://t.x/2">alpha</a>',
+            )
+        ],
+    )
+    got = [
+        (r.text, r.rank)
+        for r in anchor_text_census(pages, top_k=1).collect()
+    ]
+    # equal counts -> text asc wins the cut
+    assert got == [("alpha", 1)]
