@@ -655,6 +655,36 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_partition_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-column advisor over the events table: per candidate
+    column the exact cardinality / null / skew evidence and a verdict —
+    the decision input behind an Iceberg PARTITIONED BY choice. One scan
+    (explode to (column, value) pairs, map-side combine), one shuffle."""
+    from gbif_data_validator_spark.operators.layout import partition_advisor
+
+    return partition_advisor(
+        _tbl(spark, sf_dir, "events"),
+        ["event_type", "user_id", "props"],
+    ).orderBy("column")
+
+
+def _q_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the DECLARED lang column and the marker-word
+    lang_id prediction — chance-corrected agreement, the one-row answer to
+    "is the heuristic actually tracking the labels or just matching the
+    majority class by luck". ONE corpus agg to the k×k confusion matrix;
+    every marginal/scalar derives from that tiny table."""
+    from gbif_data_validator_spark.functions.textstats import lang_id
+    from gbif_data_validator_spark.operators.classifier import (
+        agreement_kappa,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "lang", lang_id(F.col("text")).alias("lang_pred")
+    )
+    return agreement_kappa(d, "lang", "lang_pred")
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gbif_data_validator_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -3529,6 +3559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
+        "lang_kappa": _q_lang_kappa,
+        "partition_advice": _q_partition_advice,
         "ngram_jaccard": _q_ngram_jaccard,
         "ngram_containment": _q_ngram_containment,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
@@ -4249,6 +4281,72 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, list_sort([{lang_structs}])[-1] AS best
               FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM documents)
             ) ORDER BY doc_id
+        """,
+        # partition_advice: per-candidate group stats in exact integers,
+        # shares in micro-units via floor division, verdict precedence
+        # replayed as a CASE chain
+        "partition_advice": """
+            WITH u AS (
+              SELECT 'event_type' AS col, CAST(event_type AS VARCHAR) AS val FROM events
+              UNION ALL
+              SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+              UNION ALL
+              SELECT 'props', CAST(props AS VARCHAR) FROM events
+            ),
+            c AS (SELECT col, val, COUNT(*) AS c FROM u GROUP BY col, val),
+            st AS (
+              SELECT col,
+                     CAST(SUM(c) AS BIGINT) AS n_rows,
+                     CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN c END), 0) AS BIGINT) AS n_nulls,
+                     CAST(COUNT(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct,
+                     CAST(COALESCE(MAX(CASE WHEN val IS NOT NULL THEN c END), 0) AS BIGINT) AS max_group_rows
+              FROM c GROUP BY col
+            )
+            SELECT col AS "column", n_rows, n_nulls, n_distinct, max_group_rows,
+                   (1000000 * max_group_rows) // n_rows AS skew_micro,
+                   (1000000 * n_nulls) // n_rows AS null_micro,
+                   CASE WHEN n_distinct < 4 THEN 'too_few_values'
+                        WHEN n_distinct > 10000 THEN 'too_many_values'
+                        WHEN (1000000 * n_nulls) // n_rows > 200000 THEN 'high_null'
+                        WHEN (1000000 * max_group_rows) // n_rows > 500000 THEN 'skewed'
+                        ELSE 'good' END AS verdict
+            FROM st ORDER BY col
+        """,
+        # lang_kappa: confusion-matrix marginals in exact integers, then
+        # po/pe/kappa as DOUBLEs in the Spark operation order, rounded 6
+        "lang_kappa": f"""
+            WITH pred AS (
+              SELECT doc_id,
+                     CASE WHEN best.score > 0 THEN best.code ELSE 'und' END AS lang_pred
+              FROM (
+                SELECT doc_id, list_sort([{lang_structs}])[-1] AS best
+                FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM documents)
+              )
+            ),
+            cm AS (
+              SELECT d.lang AS a, p.lang_pred AS b, COUNT(*) AS c
+              FROM documents d JOIN pred p USING (doc_id)
+              WHERE d.lang IS NOT NULL AND p.lang_pred IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            rm AS (SELECT a, SUM(c) AS row_c FROM cm GROUP BY a),
+            colm AS (SELECT b, SUM(c) AS col_c FROM cm GROUP BY b),
+            prod AS (SELECT SUM(row_c * col_c) AS s_prod
+                     FROM rm JOIN colm ON rm.a = colm.b),
+            tot AS (SELECT SUM(c) AS n,
+                           SUM(CASE WHEN a = b THEN c END) AS n_agree
+                    FROM cm)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(COALESCE(n_agree, 0) AS BIGINT) AS n_agree,
+                   ROUND(CAST(COALESCE(n_agree, 0) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+                   ROUND(CAST(s_prod AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+                   ROUND(CASE WHEN CAST(s_prod AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) <> 1.0
+                         THEN (CAST(COALESCE(n_agree, 0) AS DOUBLE) / CAST(n AS DOUBLE)
+                               - CAST(s_prod AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                              / (CAST(1.0 AS DOUBLE)
+                                 - CAST(s_prod AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                         END, 6) AS kappa
+            FROM tot, prod
         """,
         "ngram_jaccard": """
             WITH sh AS (

@@ -203,3 +203,52 @@ def calibration_error(curve: DataFrame) -> DataFrame:
         F.size("g").cast("long").alias("n_bins"),
         F.round(_ordered_fold(F.transform(F.col("g"), term)), 6).alias("ece"),
     )
+
+
+def agreement_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cohen's kappa between two label columns → ONE row ``(n, n_agree,
+    po, pe, kappa)`` — chance-corrected inter-classifier agreement, the
+    label-QA statistic raw accuracy can't replace: two quality filters
+    that both pass 95% of documents agree 90%+ by chance alone, and
+    kappa is what's left after that chance is removed. Rows where either
+    label is NULL are excluded (no agreement question to ask).
+
+    po = Σ diag / n, pe = Σ_k row_k·col_k / n², kappa = (po−pe)/(1−pe);
+    all three computed as DOUBLEs in a pinned operation order and rounded
+    to 6 dp, so the result hash-checks against a SQL oracle (the pagerank
+    discipline). Degenerate case: pe = 1 (both classifiers constant and
+    equal) → kappa NULL rather than 0/0.
+
+    Plan: ONE corpus-sized agg to the k×k confusion matrix (labels ×
+    labels — tiny by construction), then all marginals/scalars are aggs
+    over THAT table: a second shuffle of k² rows, a 1-row result. The
+    corpus shuffles once, as (a, b) label pairs only."""
+    pairs = df.select(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    cm = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    row_m = cm.groupBy("a").agg(F.sum("c").alias("row_c"))
+    col_m = cm.groupBy("b").agg(F.sum("c").alias("col_c"))
+    prod = (
+        row_m.join(col_m, row_m.a == col_m.b)
+        .agg(F.sum(F.col("row_c") * F.col("col_c")).alias("s_prod"))
+    )
+    tot = cm.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))).alias("n_agree"),
+    )
+    nd = F.col("n").cast("double")
+    po = F.coalesce(F.col("n_agree"), F.lit(0)).cast("double") / nd
+    pe = F.col("s_prod").cast("double") / (nd * nd)
+    kappa = F.when(pe != 1.0, (po - pe) / (F.lit(1.0) - pe))
+    return tot.crossJoin(prod).select(
+        F.col("n"),
+        F.coalesce(F.col("n_agree"), F.lit(0)).alias("n_agree"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(kappa, 6).alias("kappa"),
+    )

@@ -220,3 +220,74 @@ def join_explosion_audit(
         )
         .orderBy(F.col("n_out").desc(), F.col("key"))
     )
+
+
+def partition_advisor(
+    df: DataFrame,
+    candidate_cols: list,
+    min_partitions: int = 4,
+    max_partitions: int = 10000,
+    max_skew_micro: int = 500_000,
+    max_null_micro: int = 200_000,
+) -> DataFrame:
+    """Which column should this table be partitioned by? One row per
+    candidate: ``(column, n_rows, n_nulls, n_distinct, max_group_rows,
+    skew_micro, null_micro, verdict)`` — the evidence table behind an
+    Iceberg ``PARTITIONED BY`` choice, where every failure mode is a real
+    100 TB incident: too many values → millions of tiny files; too few →
+    no pruning or write parallelism; one dominant value → one straggler
+    partition; null-heavy → a giant default partition. Verdict precedence
+    (first match): ``too_few_values`` (n_distinct < min_partitions),
+    ``too_many_values`` (> max_partitions), ``high_null`` (null share >
+    max_null_micro), ``skewed`` (max non-null group share >
+    max_skew_micro), else ``good``. Shares are exact integer micro-units
+    (floor division) so the row hash-checks against a SQL oracle.
+
+    Plan: ONE scan explodes each row into (column, value-as-string)
+    pairs — n_candidates× the rows, but partial map-side aggregation
+    collapses them to (column, value) counts before the single shuffle —
+    then one column-grain agg over the count table. Exact distincts by
+    design (they're the quantity being judged); at extreme cardinality
+    the same shape runs on a sample, or swap the count table for the HLL
+    profile sketches the engine already persists."""
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in candidate_cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.val")
+    counts = pairs.groupBy("column", "val").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.groupBy("column").agg(
+        F.sum("c").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("c"))), F.lit(0)
+        ).alias("n_nulls"),
+        F.count(F.when(F.col("val").isNotNull(), 1)).alias("n_distinct"),
+        F.coalesce(
+            F.max(F.when(F.col("val").isNotNull(), F.col("c"))), F.lit(0)
+        ).alias("max_group_rows"),
+    )
+    scored = stats.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "max_group_rows",
+        F.expr("(1000000 * max_group_rows) div n_rows").alias("skew_micro"),
+        F.expr("(1000000 * n_nulls) div n_rows").alias("null_micro"),
+    )
+    verdict = (
+        F.when(F.col("n_distinct") < min_partitions, "too_few_values")
+        .when(F.col("n_distinct") > max_partitions, "too_many_values")
+        .when(F.col("null_micro") > max_null_micro, "high_null")
+        .when(F.col("skew_micro") > max_skew_micro, "skewed")
+        .otherwise("good")
+    )
+    return scored.withColumn("verdict", verdict)

@@ -105,3 +105,36 @@ def test_calibration_error_hand_computed(spark):
     # bin0: 4/8 * |0.05 - 0| ; bin9: 4/8 * |0.95 - 0.75|
     assert (got.n, got.n_bins) == (8, 2)
     assert got.ece == round(0.5 * 0.05 + 0.5 * 0.2, 6)
+
+
+def test_agreement_kappa_hand_computed(spark):
+    from gbif_data_validator_spark.operators.classifier import agreement_kappa
+
+    # classic 2x2: a/b agree on 7 of 10; row marginals a: 6 yes 4 no,
+    # col marginals b: 5 yes 5 no -> pe = (6*5 + 4*5)/100 = 0.5,
+    # kappa = (0.7 - 0.5)/0.5 = 0.4
+    rows = (
+        [("y", "y")] * 4 + [("y", "n")] * 2 + [("n", "n")] * 3 + [("n", "y")]
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = agreement_kappa(df, "a", "b").first()
+    assert (r.n, r.n_agree) == (10, 7)
+    assert r.po == 0.7 and r.pe == 0.5 and r.kappa == 0.4
+
+
+def test_agreement_kappa_degenerate_and_nulls(spark):
+    from gbif_data_validator_spark.operators.classifier import agreement_kappa
+
+    # both constant & equal -> pe = 1 -> kappa NULL; NULL rows excluded
+    df = spark.createDataFrame(
+        [("y", "y"), ("y", "y"), (None, "y"), ("y", None)],
+        "a string, b string",
+    )
+    r = agreement_kappa(df, "a", "b").first()
+    assert r.n == 2 and r.kappa is None and r.po == 1.0
+    # zero overlap in labels -> n_agree 0, kappa negative
+    df2 = spark.createDataFrame(
+        [("y", "n"), ("n", "y")], "a string, b string"
+    )
+    r2 = agreement_kappa(df2, "a", "b").first()
+    assert r2.n_agree == 0 and r2.kappa < 0

@@ -201,3 +201,43 @@ def test_join_explosion_audit_exact_totals(spark):
     actual = left.join(right, left.k == right.rk).count()
     assert all(r.total_out == actual == 7 for r in rows)
     assert rows[0].key == "1" and rows[0].share == round(6 / 7, 6)
+
+
+def test_partition_advisor_verdicts_and_micro_units(spark):
+    from gbif_data_validator_spark.operators.layout import partition_advisor
+
+    rows = [
+        # good: 4 values, balanced, no nulls
+        ("g%d" % (i % 4), "s", None if i < 3 else "f%d" % (i % 5), i)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "good string, skew string, nullish string, wide int"
+    )
+    got = {
+        r.column: r
+        for r in partition_advisor(
+            df, ["good", "skew", "nullish", "wide"], max_partitions=8
+        ).collect()
+    }
+    g = got["good"]
+    assert (g.n_distinct, g.verdict) == (4, "good")
+    assert g.skew_micro == 1000000 * 3 // 12  # 3-row groups of 12
+    # constant column -> 1 distinct -> too few
+    assert got["skew"].verdict == "too_few_values"
+    # 3/12 nulls = 250000 micro > 200000 default -> high_null (5 distinct
+    # non-null values keeps it past the too_few gate)
+    n = got["nullish"]
+    assert (n.n_nulls, n.null_micro, n.verdict) == (3, 250000, "high_null")
+    # 12 distinct ints > max_partitions=8 -> too many
+    assert got["wide"].verdict == "too_many_values"
+
+
+def test_partition_advisor_skew_precedence(spark):
+    from gbif_data_validator_spark.operators.layout import partition_advisor
+
+    # 10 rows: one value holds 6 -> 600000 micro > 500000 -> skewed
+    rows = [("hot" if i < 6 else "c%d" % i,) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    r = partition_advisor(df, ["k"]).first()
+    assert (r.max_group_rows, r.skew_micro, r.verdict) == (6, 600000, "skewed")
