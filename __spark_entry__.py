@@ -655,6 +655,61 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle census over the deterministic 23-host link graph
+    (same edge arithmetic as the outlink fixtures) — the local-clustering
+    signal: organic neighborhoods triangulate, link farms are stars/rings.
+    Each triangle is generated exactly once (a<b<c wedge close); the
+    oracle replays canonicalization, wedge build, and close in SQL."""
+    from gbif_data_validator_spark.operators.graph import triangle_census
+
+    idc = F.col("doc_id")
+    edges = (
+        _tbl(spark, sf_dir, "documents")
+        .select(
+            idc,
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), idc % 3 + 1)
+            ).alias("k"),
+        )
+        .select(
+            F.concat(F.lit("h"), (idc % 23).cast("string")).alias("src"),
+            F.concat(
+                F.lit("h"), ((idc * 7 + F.col("k") * 13) % 23).cast("string")
+            ).alias("dst"),
+        )
+    )
+    return triangle_census(edges).orderBy("vertex")
+
+
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the 23-host link graph — one row, the
+    hubs-link-hubs-or-leaves shape fingerprint that pairs with the
+    triangle census. Integer moments are exact; r is a pinned-order
+    double rounded 6 dp, replayed verbatim by the oracle."""
+    from gbif_data_validator_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    idc = F.col("doc_id")
+    edges = (
+        _tbl(spark, sf_dir, "documents")
+        .select(
+            idc,
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), idc % 3 + 1)
+            ).alias("k"),
+        )
+        .select(
+            F.concat(F.lit("h"), (idc % 23).cast("string")).alias("src"),
+            F.concat(
+                F.lit("h"), ((idc * 7 + F.col("k") * 13) % 23).cast("string")
+            ).alias("dst"),
+        )
+    )
+    return degree_assortativity(edges)
+
+
 def _q_partition_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-column advisor over the events table: per candidate
     column the exact cardinality / null / skew evidence and a verdict —
@@ -3561,6 +3616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "lang_kappa": _q_lang_kappa,
         "partition_advice": _q_partition_advice,
+        "triangles": _q_triangles,
+        "assortativity": _q_assortativity,
         "ngram_jaccard": _q_ngram_jaccard,
         "ngram_containment": _q_ngram_containment,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
@@ -4281,6 +4338,81 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, list_sort([{lang_structs}])[-1] AS best
               FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM documents)
             ) ORDER BY doc_id
+        """,
+        # triangles: edge construction + a<b canonicalization + wedge
+        # build/close replayed relationally; each triangle counted once
+        "triangles": """
+            WITH e0 AS (
+              SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                     'h' || CAST((doc_id * 7 + k * 13) % 23 AS VARCHAR) AS dst
+              FROM (SELECT doc_id,
+                           unnest(range(1, (doc_id % 3 + 1) + 1)) AS k
+                    FROM documents)
+            ),
+            e AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM e0 WHERE src <> dst
+            ),
+            w AS (
+              SELECT x.a AS wa, x.b AS wb, y.b AS wc
+              FROM e x JOIN e y ON x.b = y.a
+            ),
+            tri AS (
+              SELECT wa, wb, wc FROM w JOIN e z ON wa = z.a AND wc = z.b
+            ),
+            corners AS (
+              SELECT unnest([wa, wb, wc]) AS vertex FROM tri
+            )
+            SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY vertex ORDER BY vertex
+        """,
+        # assortativity: exact integer moments over both orientations,
+        # then Newman's r in the Spark operation order (sqrt is IEEE
+        # correctly-rounded on both engines)
+        "assortativity": """
+            WITH e0 AS (
+              SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                     'h' || CAST((doc_id * 7 + k * 13) % 23 AS VARCHAR) AS dst
+              FROM (SELECT doc_id,
+                           unnest(range(1, (doc_id % 3 + 1) + 1)) AS k
+                    FROM documents)
+            ),
+            e AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM e0 WHERE src <> dst
+            ),
+            deg AS (
+              SELECT v, COUNT(*) AS deg FROM (
+                SELECT a AS v FROM e UNION ALL SELECT b FROM e
+              ) GROUP BY v
+            ),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+            xy AS (
+              SELECT dx.deg AS x, dy.deg AS y
+              FROM sym JOIN deg dx ON sym.a = dx.v JOIN deg dy ON sym.b = dy.v
+            ),
+            mo AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                     CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(y * y) AS BIGINT) AS syy
+              FROM xy
+            ),
+            nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices FROM deg)
+            SELECT m // 2 AS n_edges, n_vertices,
+                   ROUND(CASE WHEN (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+                               AND (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+                         THEN (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                              / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                 * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                         END, 6) AS r
+            FROM mo, nv
         """,
         # partition_advice: per-candidate group stats in exact integers,
         # shares in micro-units via floor division, verdict precedence

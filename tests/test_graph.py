@@ -315,3 +315,76 @@ def test_anchor_text_census_rank_tie_break_deterministic(spark):
     ]
     # equal counts -> text asc wins the cut
     assert got == [("alpha", 1)]
+
+
+def test_triangle_census_counts_each_triangle_once(spark):
+    from gbif_data_validator_spark.operators.graph import triangle_census
+
+    # K4 on {a,b,c,d}: C(4,3)=4 triangles, each vertex on exactly 3;
+    # directions/duplicates/self-loops must all collapse away
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"), ("d", "c"), ("a", "a"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.vertex: r.n_triangles for r in triangle_census(df).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_census_star_has_none_and_pendant_excluded(spark):
+    from gbif_data_validator_spark.operators.graph import triangle_census
+
+    # star (link-farm shape): zero triangles -> empty census; one closed
+    # wedge elsewhere appears with all three corners
+    edges = [("h", "s1"), ("h", "s2"), ("h", "s3"),
+             ("x", "y"), ("y", "z"), ("z", "x"), ("z", "p")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.vertex: r.n_triangles for r in triangle_census(df).collect()}
+    assert got == {"x": 1, "y": 1, "z": 1}
+
+
+def test_triangle_census_degree_cap_excludes_not_truncates(spark):
+    from gbif_data_validator_spark.operators.graph import (
+        triangle_census,
+        triangle_dropped_hubs,
+    )
+
+    # hub h (degree 5) closes triangles with a,b,c; cap at deg<=3 removes
+    # h ENTIRELY (its triangles vanish, the a-b-c triangle survives
+    # intact — exclusion, not truncation)
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"), ("h", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    uncapped = {r.vertex: r.n_triangles
+                for r in triangle_census(df, max_degree=None).collect()}
+    assert uncapped == {"a": 3, "b": 3, "c": 3, "h": 3}
+    capped = {r.vertex: r.n_triangles
+              for r in triangle_census(df, max_degree=3).collect()}
+    assert capped == {"a": 1, "b": 1, "c": 1}
+    dropped = {r.v: r.deg for r in triangle_dropped_hubs(df, max_degree=3).collect()}
+    assert dropped == {"h": 5}
+
+
+def test_degree_assortativity_signs_and_degenerate(spark):
+    from gbif_data_validator_spark.operators.graph import degree_assortativity
+
+    # star: hub deg 3 pairs with leaves deg 1 -> perfectly disassortative
+    star = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c")], "src string, dst string"
+    )
+    r = degree_assortativity(star).first()
+    assert (r.n_edges, r.n_vertices) == (3, 4)
+    assert r.r == -1.0
+    # cycle: every endpoint deg 2 -> zero variance -> NULL (not 0/0)
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    assert degree_assortativity(cyc).first().r is None
+    # two stars joined hub-to-hub: hubs prefer hubs relative to the star
+    # baseline is still negative overall but strictly greater than -1
+    two = spark.createDataFrame(
+        [("h1", "a"), ("h1", "b"), ("h2", "c"), ("h2", "d"), ("h1", "h2")],
+        "src string, dst string",
+    )
+    r2 = degree_assortativity(two).first().r
+    assert -1.0 < r2 < 0.0
