@@ -682,6 +682,33 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_census(edges).orderBy("vertex")
 
 
+def _q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS crawl-depth census from seeds {h0, h1} over the directed
+    23-host link graph — how many link hops every host sits from the
+    seed list. Hop counts are exact integers, so the iterative operator
+    is fully ORACLED via a bounded WITH RECURSIVE + MIN(dist) replay."""
+    from gbif_data_validator_spark.operators.graph import bfs_distances
+
+    idc = F.col("doc_id")
+    edges = (
+        _tbl(spark, sf_dir, "documents")
+        .select(
+            idc,
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), idc % 3 + 1)
+            ).alias("k"),
+        )
+        .select(
+            F.concat(F.lit("h"), (idc % 23).cast("string")).alias("src"),
+            F.concat(
+                F.lit("h"), ((idc * 7 + F.col("k") * 13) % 23).cast("string")
+            ).alias("dst"),
+        )
+    )
+    seeds = spark.createDataFrame([("h0",), ("h1",)], "vertex string")
+    return bfs_distances(edges, seeds, max_hops=6).orderBy("dist", "vertex")
+
+
 def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the 23-host link graph — one row, the
     hubs-link-hubs-or-leaves shape fingerprint that pairs with the
@@ -3618,6 +3645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_advice": _q_partition_advice,
         "triangles": _q_triangles,
         "assortativity": _q_assortativity,
+        "crawl_depth": _q_crawl_depth,
         "ngram_jaccard": _q_ngram_jaccard,
         "ngram_containment": _q_ngram_containment,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
@@ -4365,6 +4393,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_triangles
             FROM corners GROUP BY vertex ORDER BY vertex
+        """,
+        # crawl_depth: bounded BFS replayed as WITH RECURSIVE; MIN(dist)
+        # per vertex = first-reached hop, exact integers
+        "crawl_depth": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT
+                     'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                     'h' || CAST((doc_id * 7 + k * 13) % 23 AS VARCHAR) AS dst
+              FROM (SELECT doc_id,
+                           unnest(range(1, (doc_id % 3 + 1) + 1)) AS k
+                    FROM documents)
+            ),
+            d AS (
+              SELECT vertex, 0 AS dist FROM (VALUES ('h0'), ('h1')) s(vertex)
+              UNION
+              SELECT e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.vertex
+              WHERE d.dist < 6
+            )
+            SELECT vertex, CAST(MIN(dist) AS INTEGER) AS dist
+            FROM d GROUP BY vertex ORDER BY dist, vertex
         """,
         # assortativity: exact integer moments over both orientations,
         # then Newman's r in the Spark operation order (sqrt is IEEE

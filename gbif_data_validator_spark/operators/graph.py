@@ -621,3 +621,71 @@ def degree_assortativity(
         F.col("n_vertices"),
         F.round(r, 6).alias("r"),
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Breadth-first hop distance from a seed set over the DIRECTED edge
+    list → ``(vertex, dist)`` for every vertex reachable within
+    ``max_hops`` — the crawl-depth census: how many link hops each host
+    sits from the seed list, the number crawl scheduling budgets against
+    and the reachability proof for coverage audits. Unreached vertices
+    emit nothing (their absence IS the finding).
+
+    ``seeds``: DataFrame with a ``vertex`` column. Hop counts are exact
+    integers, so the fixed-bound run is fully ORACLED (DuckDB replays it
+    as a bounded WITH RECURSIVE + MIN(dist)).
+
+    Plan: frontier-style expansion — per hop, ONE join of the (shrinking)
+    frontier against the src-partitioned persisted edge list plus one
+    anti-join against the labeled set; the labeled set persists before
+    the hop's single count action (the pagerank discipline), and the
+    frontier-empty early exit makes ``max_hops`` a bound, not a cost.
+    Edges never move after the initial repartition; per hop only
+    frontier-sized rows shuffle. Lineage truncates every 3 hops."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    known = (
+        seeds.select(F.col("vertex"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .persist()
+    )
+    frontier = known
+    prev: list[DataFrame] = [known]
+    try:
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(e, frontier.vertex == e.src)
+                .select(F.col("dst").alias("vertex"))
+                .distinct()
+                .join(known.select("vertex"), "vertex", "left_anti")
+                .withColumn("dist", F.lit(hop))
+            )
+            known = known.unionByName(nxt).persist()
+            if hop % 3 == 0:
+                known = known.localCheckpoint(eager=True)
+                for c in prev:
+                    c.unpersist()
+                prev = []
+            # ONE action per hop: materializes known, measures the frontier
+            n_new = known.where(F.col("dist") == hop).count()
+            prev.append(known)
+            frontier = known.where(F.col("dist") == hop)
+            if n_new == 0:
+                break
+        out = known.localCheckpoint(eager=True)
+        return out
+    finally:
+        for c in prev:
+            c.unpersist()
+        e.unpersist()

@@ -388,3 +388,53 @@ def test_degree_assortativity_signs_and_degenerate(spark):
     )
     r2 = degree_assortativity(two).first().r
     assert -1.0 < r2 < 0.0
+
+
+def test_bfs_distances_chain_cycle_and_unreached(spark):
+    from gbif_data_validator_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        # chain s->a->b, cycle back b->s, directed-only edge x->s (x is
+        # upstream of the seed: unreachable), isolated island y->z
+        [("s", "a"), ("a", "b"), ("b", "s"), ("x", "s"), ("y", "z")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("s",)], "vertex string")
+    got = {r.vertex: r.dist for r in bfs_distances(edges, seeds).collect()}
+    assert got == {"s": 0, "a": 1, "b": 2}
+
+
+def test_bfs_distances_shortest_wins_and_hop_cap(spark):
+    from gbif_data_validator_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        # two routes to d: s->d (1 hop) and s->a->b->d (3 hops)
+        [("s", "d"), ("s", "a"), ("a", "b"), ("b", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("s",)], "vertex string")
+    got = {r.vertex: r.dist for r in bfs_distances(edges, seeds).collect()}
+    assert got == {"s": 0, "d": 1, "a": 1, "b": 2, "e": 2}
+    capped = {
+        r.vertex: r.dist
+        for r in bfs_distances(edges, seeds, max_hops=1).collect()
+    }
+    assert capped == {"s": 0, "d": 1, "a": 1}
+
+
+def test_bfs_distances_multi_seed_and_checkpoint_boundary(spark):
+    from gbif_data_validator_spark.operators.graph import bfs_distances
+
+    # 8-link chain crosses the localCheckpoint boundary twice; second
+    # seed mid-chain pulls distances down
+    chain = [(f"v{i}", f"v{i+1}") for i in range(8)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    seeds = spark.createDataFrame([("v0",), ("v5",)], "vertex string")
+    got = {
+        r.vertex: r.dist
+        for r in bfs_distances(edges, seeds, max_hops=10).collect()
+    }
+    assert got == {
+        "v0": 0, "v1": 1, "v2": 2, "v3": 3, "v4": 4,
+        "v5": 0, "v6": 1, "v7": 2, "v8": 3,
+    }
