@@ -682,6 +682,43 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_census(edges).orderBy("vertex")
 
 
+def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snapshot_as_of: reconstruct table state at a past instant from a
+    CDC log (time travel without a table format). The deterministic log
+    over orders plants same-timestamp upsert+delete collisions (keys
+    %10 == 0) so the documented op-DESC tie-break is itself oracled."""
+    from gbif_data_validator_spark.operators.snapshot import snapshot_as_of
+
+    o = _tbl(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    e1 = o.select(
+        k,
+        F.lit("2024-01-01").alias("ts"),
+        F.lit("upsert").alias("op"),
+        F.col("o_totalprice"),
+    )
+    e2 = o.where(k % 2 == 0).select(
+        k,
+        F.lit("2024-01-02").alias("ts"),
+        F.lit("upsert").alias("op"),
+        (F.col("o_totalprice") + 10).alias("o_totalprice"),
+    )
+    e3 = o.where(k % 5 == 0).select(
+        k,
+        F.lit("2024-01-02").alias("ts"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    log = (
+        e1.unionByName(e2)
+        .unionByName(e3)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    return snapshot_as_of(
+        log, "o_orderkey", "ts", "2024-01-02 23:59:59"
+    ).orderBy("o_orderkey")
+
+
 def _q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS crawl-depth census from seeds {h0, h1} over the directed
     23-host link graph — how many link hops every host sits from the
@@ -3646,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": _q_triangles,
         "assortativity": _q_assortativity,
         "crawl_depth": _q_crawl_depth,
+        "time_travel": _q_time_travel,
         "ngram_jaccard": _q_ngram_jaccard,
         "ngram_containment": _q_ngram_containment,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
@@ -4393,6 +4431,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_triangles
             FROM corners GROUP BY vertex ORDER BY vertex
+        """,
+        # time_travel: CDC log replay — latest (ts, op-DESC tie) event at
+        # or before the instant, deletes filtered after the window
+        "time_travel": """
+            WITH log AS (
+              SELECT o_orderkey, TIMESTAMP '2024-01-01' AS ts,
+                     'upsert' AS op, o_totalprice
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, TIMESTAMP '2024-01-02', 'upsert',
+                     o_totalprice + 10
+              FROM orders WHERE o_orderkey % 2 = 0
+              UNION ALL
+              SELECT o_orderkey, TIMESTAMP '2024-01-02', 'delete',
+                     CAST(NULL AS DOUBLE)
+              FROM orders WHERE o_orderkey % 5 = 0
+            ),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_orderkey ORDER BY ts DESC, op DESC) AS rn
+              FROM log WHERE ts <= TIMESTAMP '2024-01-02 23:59:59'
+            )
+            SELECT o_orderkey, o_totalprice FROM r
+            WHERE rn = 1 AND op <> 'delete' ORDER BY o_orderkey
         """,
         # crawl_depth: bounded BFS replayed as WITH RECURSIVE; MIN(dist)
         # per vertex = first-reached hop, exact integers

@@ -23,7 +23,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: classification values, in report order
@@ -240,3 +240,47 @@ def snapshot_diff_summary(
             F.sum("n_new").alias("n_rows_new"),
         )
     )
+
+
+def snapshot_as_of(
+    log: DataFrame,
+    key_col: str,
+    ts_col: str,
+    as_of,
+    op_col: str = "op",
+    delete_op: str = "delete",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Time travel without a table format: reconstruct the table state AT
+    ``as_of`` from a CDC log of ``(key, ts, op, payload...)`` rows — the
+    event-sourcing replay that closes the snapshot family
+    (`extract_changeset` derives the log, `apply_changeset` rolls it
+    forward, this reads out ANY past state). Returns the payload rows of
+    every key whose latest event at or before ``as_of`` is not a
+    ``delete_op``; keys never seen by then, or deleted, emit nothing.
+
+    Determinism under same-timestamp events: pass ``seq_col`` (a
+    monotonic sequence/LSN) and the latest (ts, seq) wins; without one,
+    ties break on ``op_col`` DESCENDING — with the default vocabulary
+    'upsert' > 'delete', so an upsert and delete carrying the same
+    timestamp resolve to the upsert, documented rather than
+    partition-dependent.
+
+    Plan: the ``ts <= as_of`` predicate is on the RAW log column, so it
+    reaches the scan (parquet row-group skip / Iceberg partition prune —
+    reading "state as of last March" never touches events after March);
+    then ONE key-grain window (row_number over the shrunken log) and a
+    filter. One shuffle total, log-partitioned by key if the log is
+    bucketed."""
+    order = [F.col(ts_col).desc()]
+    order.append(
+        F.col(seq_col).desc() if seq_col else F.col(op_col).desc()
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    latest = (
+        log.where(F.col(ts_col) <= F.lit(as_of))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    drop = ["_rn", op_col, ts_col] + ([seq_col] if seq_col else [])
+    return latest.where(F.col(op_col) != delete_op).drop(*drop)

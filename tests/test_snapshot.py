@@ -1,5 +1,7 @@
 """Snapshot-over-snapshot diff (operators/snapshot.py)."""
 
+from pyspark.sql import functions as F
+
 from gbif_data_validator_spark.operators.snapshot import (
     snapshot_diff,
     snapshot_diff_summary,
@@ -187,3 +189,47 @@ def test_extract_changeset_contract_and_degenerate(spark):
         ("delete", "u1"),
         ("upsert", "u3"),
     ]
+
+
+def test_snapshot_as_of_replays_log_states(spark):
+    from gbif_data_validator_spark.operators.snapshot import snapshot_as_of
+
+    log = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01", "upsert", "a1"),
+            ("u1", "2024-01-03", "upsert", "a2"),
+            ("u2", "2024-01-01", "upsert", "b1"),
+            ("u2", "2024-01-02", "delete", None),
+            ("u3", "2024-01-03", "upsert", "c1"),
+        ],
+        "url string, ts string, op string, text string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    def state(day):
+        df = snapshot_as_of(log, "url", "ts", f"{day} 23:59:59")
+        return {r.url: r.text for r in df.collect()}
+
+    assert state("2024-01-01") == {"u1": "a1", "u2": "b1"}
+    assert state("2024-01-02") == {"u1": "a1"}  # u2 deleted
+    assert state("2024-01-03") == {"u1": "a2", "u3": "c1"}
+    assert state("2023-12-31") == {}
+
+
+def test_snapshot_as_of_tie_breaks(spark):
+    from gbif_data_validator_spark.operators.snapshot import snapshot_as_of
+
+    # same-ts upsert + delete: op DESC -> upsert wins without seq_col
+    log = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01", "delete", None, 2),
+            ("u1", "2024-01-01", "upsert", "a", 1),
+        ],
+        "url string, ts string, op string, text string, seq int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = snapshot_as_of(log, "url", "ts", "2024-01-02").collect()
+    assert [(r.url, r.text) for r in got] == [("u1", "a")]
+    # with seq_col the LSN decides: seq 2 (the delete) is latest
+    assert (
+        snapshot_as_of(log, "url", "ts", "2024-01-02", seq_col="seq").count()
+        == 0
+    )
