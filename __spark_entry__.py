@@ -682,6 +682,123 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_census(edges).orderBy("vertex")
 
 
+#: Fellegi–Sunter field model for the record_linkage query: (m, u) per
+#: compared column — shared by the Spark query and the oracle generator so
+#: both engines consume identical driver-computed double literals.
+_LINKAGE_FIELDS = {
+    "c_name": (0.95, 0.005),
+    "c_band": (0.9, 0.01),
+    "c_mktsegment": (0.7, 0.2),
+}
+
+
+def _linkage_sides(spark: SparkSession, sf_dir: str):
+    c = _tbl(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_name",
+        (F.col("c_custkey") % 50).cast("string").alias("c_band"),
+        "c_mktsegment",
+    )
+    k = F.col("c_custkey")
+    left = c.where(k % 2 == 0)
+    right = (
+        c.where(k % 3 == 0)
+        .withColumn(
+            "c_name",
+            F.when(k % 7 == 0, F.upper("c_name")).otherwise(F.col("c_name")),
+        )
+        .withColumn(
+            "c_band",
+            F.when(
+                k % 4 == 0, F.concat(F.lit("000-"), k.cast("string"))
+            ).otherwise(F.col("c_band")),
+        )
+        .withColumn(
+            "c_mktsegment",
+            F.when(k % 9 == 0, F.lit(None).cast("string")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+    )
+    return left, right
+
+
+def _q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record linkage between two deterministic 'sources'
+    derived from customer (right side: every 7th name case-perturbed —
+    must still match under normalization; every 4th band replaced —
+    disagreement; every 9th segment nulled — no-evidence 0). Blocked on
+    nation; the log2 likelihood weights are computed driver-side and
+    enter BOTH engines as identical double literals, so scores hash."""
+    from gbif_data_validator_spark.operators.linkage import linkage_scores
+
+    left, right = _linkage_sides(spark, sf_dir)
+    return linkage_scores(
+        left,
+        right,
+        "c_nationkey",
+        _LINKAGE_FIELDS,
+        "c_custkey",
+        "c_custkey",
+        threshold=5.0,
+    ).orderBy("id_a", "id_b")
+
+
+def _linkage_oracle_sql() -> str:
+    """Replay of `_q_record_linkage`: same perturbations, same blocking
+    join, same CASE evidence chain with the SAME Python-computed weight
+    literals (CAST AS DOUBLE so DuckDB never routes through DECIMAL)."""
+    from gbif_data_validator_spark.operators.linkage import fs_weights
+
+    w = fs_weights(_LINKAGE_FIELDS)
+    n = r"trim(regexp_replace(lower({x}), '\s+', ' ', 'g'))"
+
+    def evid(f: str) -> str:
+        wa, wd = w[f]
+        a, b = f"la_{f}", f"rb_{f}"
+        return (
+            f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN CAST(0.0 AS DOUBLE) "
+            f"WHEN {a} = {b} THEN CAST({wa!r} AS DOUBLE) "
+            f"ELSE CAST({wd!r} AS DOUBLE) END"
+        )
+
+    def bit(f: str) -> str:
+        a, b = f"la_{f}", f"rb_{f}"
+        return (
+            f"CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL AND {a} = {b} "
+            f"THEN 1 ELSE 0 END"
+        )
+
+    score = " + ".join(evid(f) for f in _LINKAGE_FIELDS)
+    agree = " + ".join(bit(f) for f in _LINKAGE_FIELDS)
+    return f"""
+            WITH l AS (
+              SELECT c_nationkey, c_custkey AS id_a,
+                     {n.format(x='c_name')} AS la_c_name,
+                     {n.format(x='CAST(c_custkey % 50 AS VARCHAR)')} AS la_c_band,
+                     {n.format(x='c_mktsegment')} AS la_c_mktsegment
+              FROM customer WHERE c_custkey % 2 = 0
+            ),
+            r AS (
+              SELECT c_nationkey, c_custkey AS id_b,
+                     {n.format(x="CASE WHEN c_custkey % 7 = 0 THEN upper(c_name) ELSE c_name END")} AS rb_c_name,
+                     {n.format(x="CASE WHEN c_custkey % 4 = 0 THEN '000-' || CAST(c_custkey AS VARCHAR) ELSE CAST(c_custkey % 50 AS VARCHAR) END")} AS rb_c_band,
+                     {n.format(x="CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE c_mktsegment END")} AS rb_c_mktsegment
+              FROM customer WHERE c_custkey % 3 = 0
+            ),
+            p AS (SELECT * FROM l JOIN r USING (c_nationkey)),
+            scored AS (
+              SELECT id_a, id_b, {agree} AS n_agree, {score} AS score
+              FROM p
+            )
+            SELECT id_a, id_b, CAST(n_agree AS INTEGER) AS n_agree,
+                   ROUND(score, 6) AS score,
+                   score >= CAST(5.0 AS DOUBLE) AS is_match
+            FROM scored ORDER BY id_a, id_b
+        """
+
+
 def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """snapshot_as_of: reconstruct table state at a past instant from a
     CDC log (time travel without a table format). The deterministic log
@@ -3684,6 +3801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": _q_assortativity,
         "crawl_depth": _q_crawl_depth,
         "time_travel": _q_time_travel,
+        "record_linkage": _q_record_linkage,
         "ngram_jaccard": _q_ngram_jaccard,
         "ngram_containment": _q_ngram_containment,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
@@ -4432,6 +4550,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_triangles
             FROM corners GROUP BY vertex ORDER BY vertex
         """,
+        # record_linkage: Fellegi–Sunter evidence chain with shared
+        # driver-computed weight literals
+        "record_linkage": _linkage_oracle_sql(),
         # time_travel: CDC log replay — latest (ts, op-DESC tie) event at
         # or before the instant, deletes filtered after the window
         "time_travel": """
