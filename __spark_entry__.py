@@ -799,6 +799,17 @@ def _linkage_oracle_sql() -> str:
         """
 
 
+def _q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration datasheet row: Gini of docs across sources +
+    top-3 source share, exact integer micro-units; the global rank is a
+    bucketed prefix sum (shard_plan pattern), never a one-reducer sort."""
+    from gbif_data_validator_spark.operators.metrics import (
+        concentration_census,
+    )
+
+    return concentration_census(_docs(spark, sf_dir), "source", top_k=3)
+
+
 def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """snapshot_as_of: reconstruct table state at a past instant from a
     CDC log (time travel without a table format). The deterministic log
@@ -3802,6 +3813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_depth": _q_crawl_depth,
         "time_travel": _q_time_travel,
         "record_linkage": _q_record_linkage,
+        "concentration": _q_concentration,
         "ngram_jaccard": _q_ngram_jaccard,
         "ngram_containment": _q_ngram_containment,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
@@ -4553,6 +4565,25 @@ def oracle_sql() -> dict[str, str]:
         # record_linkage: Fellegi–Sunter evidence chain with shared
         # driver-computed weight literals
         "record_linkage": _linkage_oracle_sql(),
+        # concentration: ascending-rank Gini + top-k share, all exact
+        # integers (rank ties are ordered (x, g) but Σi·x is invariant)
+        "concentration": """
+            WITH c AS (
+              SELECT CAST(source AS VARCHAR) AS g, COUNT(*) AS x
+              FROM documents WHERE source IS NOT NULL GROUP BY source
+            ),
+            r AS (SELECT g, x, ROW_NUMBER() OVER (ORDER BY x, g) AS i FROM c),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS tot,
+                         CAST(SUM(i * x) AS BIGINT) AS s FROM r),
+            tp AS (SELECT CAST(COALESCE(SUM(x), 0) AS BIGINT) AS topk
+                   FROM r WHERE i > (SELECT n FROM t) - 3)
+            SELECT n AS n_groups, tot AS n_rows,
+                   (1000000 * (2 * s - (n + 1) * tot)) // (n * tot) AS gini_micro,
+                   topk AS topk_rows,
+                   (1000000 * topk) // tot AS topk_share_micro
+            FROM t, tp
+        """,
         # time_travel: CDC log replay — latest (ts, op-DESC tie) event at
         # or before the instant, deletes filtered after the window
         "time_travel": """

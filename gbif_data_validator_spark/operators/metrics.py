@@ -17,7 +17,7 @@ associatively, so the whole profile is one shuffle of constant-size state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.predicates import non_blank
@@ -647,4 +647,81 @@ def term_cooccurrence(
     ).cast("long")
     return pairs.crossJoin(F.broadcast(n_docs_df)).select(
         "word_a", "word_b", "n_ab", "n_a", "n_b", lift.alias("lift_ppm")
+    )
+
+
+def concentration_census(
+    df: DataFrame,
+    group_col: str,
+    top_k: int = 10,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Corpus concentration → ONE row ``(n_groups, n_rows, gini_micro,
+    topk_rows, topk_share_micro)``: the Gini coefficient of rows across
+    ``group_col`` plus the share held by the ``top_k`` heaviest groups —
+    the datasheet numbers behind "is this corpus a few mega-hosts in a
+    trench coat". All arithmetic is exact integers (Gini =
+    (2·Σi·xᵢ − (n+1)·T)/(n·T) over ascending-sorted group counts, in
+    micro-units via floor division), so the row hash-checks. NULL groups
+    are excluded (their census is `null_patterns`' job).
+
+    The global ascending rank i over the GROUP-COUNT table is computed
+    WITHOUT a global sort (the shard_plan prefix-sum pattern): count-
+    value range buckets → bucket-grain group counts folded to exclusive
+    offsets driver-side (≤ n_buckets rows collected) → in-bucket
+    row_number, ordered by (count, group) for determinism — ties in
+    count make Σi·xᵢ invariant to their order anyway. Shuffles: the
+    corpus→counts agg, the bucket window; both keyed, no
+    rangepartitioning, no single-reducer sort."""
+    spark = df.sparkSession
+    counts = (
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).cast("string").alias("g"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    stats = counts.agg(F.min("x").alias("lo"), F.max("x").alias("hi")).first()
+    schema = (
+        "n_groups long, n_rows long, gini_micro long, "
+        "topk_rows long, topk_share_micro long"
+    )
+    if stats.lo is None:
+        return spark.createDataFrame([], schema)
+    lo, hi = int(stats.lo), int(stats.hi)
+    span = hi - lo + 1
+    bucket = F.expr(f"(x - {lo}) * {n_buckets} div {span}")
+    bucketed = counts.withColumn("_b", bucket)
+    per_bucket = (
+        bucketed.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("_b")
+        .collect()
+    )
+    offsets, running = [], 0
+    for r in per_bucket:
+        offsets.append((int(r._b), running))
+        running += int(r.c)
+    n = running
+    off_df = spark.createDataFrame(offsets, "_b long, _off long")
+    w = Window.partitionBy("_b").orderBy("x", "g")
+    ranked = (
+        bucketed.join(F.broadcast(off_df), "_b")
+        .withColumn("i", F.col("_off") + F.row_number().over(w))
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("x").alias("n_rows"),
+        F.sum(F.col("i") * F.col("x")).alias("s"),
+        F.coalesce(
+            F.sum(F.when(F.col("i") > n - top_k, F.col("x"))), F.lit(0)
+        ).alias("topk_rows"),
+    )
+    return agg.select(
+        "n_groups",
+        "n_rows",
+        F.expr(
+            "(1000000 * (2 * s - (n_groups + 1) * n_rows))"
+            " div (n_groups * n_rows)"
+        ).alias("gini_micro"),
+        "topk_rows",
+        F.expr("(1000000 * topk_rows) div n_rows").alias("topk_share_micro"),
     )

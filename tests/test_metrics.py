@@ -361,3 +361,43 @@ def test_term_cooccurrence_partition_invariant_and_broadcasts(spark):
     # top-N vocab and the 1-row doc count attach as broadcasts, never shuffles
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_concentration_census_hand_computed(spark):
+    from gbif_data_validator_spark.operators.metrics import (
+        concentration_census,
+    )
+
+    # groups a:1, b:1, c:2, d:4 (n=4, T=8); ascending x -> S = 1*1 + 2*1
+    # + 3*2 + 4*4 = 25; gini = (50 - 5*8)/(4*8) = 10/32 = 0.3125
+    rows = [("a",)] + [("b",)] + [("c",)] * 2 + [("d",)] * 4 + [(None,)]
+    df = spark.createDataFrame(rows, "g string")
+    r = concentration_census(df, "g", top_k=1).first()
+    assert (r.n_groups, r.n_rows) == (4, 8)  # NULL group excluded
+    assert r.gini_micro == 1000000 * 10 // 32
+    assert (r.topk_rows, r.topk_share_micro) == (4, 500000)
+
+
+def test_concentration_census_uniform_is_zero_and_bucketing_invariant(spark):
+    from gbif_data_validator_spark.operators.metrics import (
+        concentration_census,
+    )
+
+    rows = [(f"g{i % 5}",) for i in range(20)]  # 5 groups x 4 rows
+    df = spark.createDataFrame(rows, "g string")
+    r = concentration_census(df, "g", top_k=2).first()
+    assert r.gini_micro == 0
+    assert r.topk_share_micro == 1000000 * 8 // 20
+    # the distributed rank must not depend on the bucket count
+    for nb in (1, 3, 1024):
+        r2 = concentration_census(df, "g", top_k=2, n_buckets=nb).first()
+        assert tuple(r2) == tuple(r)
+
+
+def test_concentration_census_empty(spark):
+    from gbif_data_validator_spark.operators.metrics import (
+        concentration_census,
+    )
+
+    df = spark.createDataFrame([], "g string")
+    assert concentration_census(df, "g").count() == 0
