@@ -799,6 +799,24 @@ def _linkage_oracle_sql() -> str:
         """
 
 
+def _q_join_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy advisor for lineitem ⋈ orders: exact evidence (side
+    sizes, key cardinalities, null keys, EXACT inner-join cardinality,
+    heaviest-key share) + the verdict — join_explosion_audit's decision
+    layer. Thresholds chosen so the sf-scale verdict exercises the
+    non-broadcast path."""
+    from gbif_data_validator_spark.operators.layout import join_advisor
+
+    return join_advisor(
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+        broadcast_threshold_rows=100,
+        skew_share_micro=900_000,
+    )
+
+
 def _q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-concentration datasheet row: Gini of docs across sources +
     top-3 source share, exact integer micro-units; the global rank is a
@@ -3814,6 +3832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel": _q_time_travel,
         "record_linkage": _q_record_linkage,
         "concentration": _q_concentration,
+        "join_advice": _q_join_advice,
         "ngram_jaccard": _q_ngram_jaccard,
         "ngram_containment": _q_ngram_containment,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
@@ -4565,6 +4584,49 @@ def oracle_sql() -> dict[str, str]:
         # record_linkage: Fellegi–Sunter evidence chain with shared
         # driver-computed weight literals
         "record_linkage": _linkage_oracle_sql(),
+        # join_advice: exact side/key stats + exact join cardinality from
+        # the two key histograms; verdict CASE chain with the same
+        # thresholds
+        "join_advice": """
+            WITH lc AS (
+              SELECT CAST(l_orderkey AS VARCHAR) AS key, COUNT(*) AS n_l
+              FROM lineitem GROUP BY 1
+            ),
+            rc AS (
+              SELECT CAST(o_orderkey AS VARCHAR) AS key, COUNT(*) AS n_r
+              FROM orders GROUP BY 1
+            ),
+            ls AS (
+              SELECT CAST(SUM(n_l) AS BIGINT) AS n_left,
+                     CAST(COUNT(CASE WHEN key IS NOT NULL THEN 1 END) AS BIGINT) AS n_left_keys,
+                     CAST(COALESCE(SUM(CASE WHEN key IS NULL THEN n_l END), 0) AS BIGINT) AS n_left_null_keys
+              FROM lc
+            ),
+            rs AS (
+              SELECT CAST(SUM(n_r) AS BIGINT) AS n_right,
+                     CAST(COUNT(CASE WHEN key IS NOT NULL THEN 1 END) AS BIGINT) AS n_right_keys,
+                     CAST(COALESCE(SUM(CASE WHEN key IS NULL THEN n_r END), 0) AS BIGINT) AS n_right_null_keys
+              FROM rc
+            ),
+            m AS (
+              SELECT CAST(COALESCE(SUM(n_l * n_r), 0) AS BIGINT) AS est_out_rows,
+                     CAST(COALESCE(MAX(n_l * n_r), 0) AS BIGINT) AS max_out
+              FROM lc JOIN rc USING (key)
+              WHERE key IS NOT NULL
+            )
+            SELECT n_left, n_right, n_left_keys, n_right_keys,
+                   n_left_null_keys, n_right_null_keys, est_out_rows,
+                   CASE WHEN est_out_rows > 0
+                        THEN (1000000 * max_out) // est_out_rows
+                        ELSE 0 END AS max_key_out_share_micro,
+                   CASE WHEN n_right <= 100 THEN 'broadcast_right'
+                        WHEN n_left <= 100 THEN 'broadcast_left'
+                        WHEN (CASE WHEN est_out_rows > 0
+                              THEN (1000000 * max_out) // est_out_rows
+                              ELSE 0 END) > 900000 THEN 'salted_shuffle'
+                        ELSE 'shuffle' END AS verdict
+            FROM ls, rs, m
+        """,
         # concentration: ascending-rank Gini + top-k share, all exact
         # integers (rank ties are ordered (x, g) but Σi·x is invariant)
         "concentration": """

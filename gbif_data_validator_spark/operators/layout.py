@@ -291,3 +291,90 @@ def partition_advisor(
         .otherwise("good")
     )
     return scored.withColumn("verdict", verdict)
+
+
+def join_advisor(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str | None = None,
+    broadcast_threshold_rows: int = 1_000_000,
+    skew_share_micro: int = 200_000,
+) -> DataFrame:
+    """Which physical strategy should ``left ⋈ right`` use? ONE row of
+    exact evidence + a verdict — the decision layer over
+    `join_explosion_audit`'s per-key table: ``(n_left, n_right,
+    n_left_keys, n_right_keys, n_left_null_keys, n_right_null_keys,
+    est_out_rows, max_key_out_share_micro, verdict)``. ``est_out_rows``
+    is the EXACT inner-join cardinality (Σ nl·nr over matched keys);
+    the share is the heaviest key's fraction of it in integer
+    micro-units. Verdict precedence: ``broadcast_right`` (right fits
+    under ``broadcast_threshold_rows``), ``broadcast_left``,
+    ``salted_shuffle`` (heaviest key exceeds ``skew_share_micro``),
+    else ``shuffle``. Null keys never match (SQL semantics) and are
+    reported — a null-heavy key column silently shrinks the join.
+
+    Plan: one key-grain groupBy per side (NULL keys kept as a group so
+    side stats need no second scan), one equi-join of the two count
+    tables, two 1-row aggs. The inputs themselves are never joined."""
+    right_on = right_on or left_on
+
+    def side(df: DataFrame, key: str, tag: str) -> DataFrame:
+        return df.groupBy(F.col(key).cast("string").alias("key")).agg(
+            F.count(F.lit(1)).alias(f"n_{tag}")
+        )
+
+    lc = side(left, left_on, "l")
+    rc = side(right, right_on, "r")
+    ls = lc.agg(
+        F.sum("n_l").alias("n_left"),
+        F.count(F.when(F.col("key").isNotNull(), 1)).alias("n_left_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("key").isNull(), F.col("n_l"))), F.lit(0)
+        ).alias("n_left_null_keys"),
+    )
+    rs = rc.agg(
+        F.sum("n_r").alias("n_right"),
+        F.count(F.when(F.col("key").isNotNull(), 1)).alias("n_right_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("key").isNull(), F.col("n_r"))), F.lit(0)
+        ).alias("n_right_null_keys"),
+    )
+    matched = (
+        lc.where(F.col("key").isNotNull())
+        .join(rc.where(F.col("key").isNotNull()), "key")
+        .select((F.col("n_l") * F.col("n_r")).alias("n_out"))
+    )
+    out = matched.agg(
+        F.coalesce(F.sum("n_out"), F.lit(0)).alias("est_out_rows"),
+        F.coalesce(F.max("n_out"), F.lit(0)).alias("_max_out"),
+    )
+    row = ls.crossJoin(rs).crossJoin(out).withColumn(
+        "max_key_out_share_micro",
+        F.when(
+            F.col("est_out_rows") > 0,
+            F.expr("(1000000 * _max_out) div est_out_rows"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    verdict = (
+        F.when(
+            F.col("n_right") <= broadcast_threshold_rows, "broadcast_right"
+        )
+        .when(F.col("n_left") <= broadcast_threshold_rows, "broadcast_left")
+        .when(
+            F.col("max_key_out_share_micro") > skew_share_micro,
+            "salted_shuffle",
+        )
+        .otherwise("shuffle")
+    )
+    return row.select(
+        "n_left",
+        "n_right",
+        "n_left_keys",
+        "n_right_keys",
+        "n_left_null_keys",
+        "n_right_null_keys",
+        "est_out_rows",
+        "max_key_out_share_micro",
+        verdict.alias("verdict"),
+    )

@@ -241,3 +241,42 @@ def test_partition_advisor_skew_precedence(spark):
     df = spark.createDataFrame(rows, "k string")
     r = partition_advisor(df, ["k"]).first()
     assert (r.max_group_rows, r.skew_micro, r.verdict) == (6, 600000, "skewed")
+
+
+def test_join_advisor_verdict_precedence_and_exact_cardinality(spark):
+    from gbif_data_validator_spark.operators.layout import join_advisor
+
+    left = spark.createDataFrame(
+        [("k1",)] * 3 + [("k2",)] * 2 + [(None,)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("k1",)] * 4 + [("k3",)] + [(None,)] * 2, "k string"
+    )
+    r = join_advisor(left, right, "k").first()
+    assert (r.n_left, r.n_right) == (6, 7)
+    assert (r.n_left_keys, r.n_right_keys) == (2, 2)
+    assert (r.n_left_null_keys, r.n_right_null_keys) == (1, 2)
+    assert r.est_out_rows == 12  # only k1 matches: 3*4
+    assert r.max_key_out_share_micro == 1000000
+    assert r.verdict == "broadcast_right"
+    # force past both broadcast gates -> the 100% hot key trips salting
+    r2 = join_advisor(left, right, "k", broadcast_threshold_rows=1).first()
+    assert r2.verdict == "salted_shuffle"
+    # balanced keys under the skew bar -> plain shuffle
+    bal_l = spark.createDataFrame([(f"k{i}",) for i in range(10)], "k string")
+    bal_r = spark.createDataFrame([(f"k{i}",) for i in range(10)], "k string")
+    r3 = join_advisor(
+        bal_l, bal_r, "k", broadcast_threshold_rows=1,
+        skew_share_micro=200_000,
+    ).first()
+    assert (r3.est_out_rows, r3.verdict) == (10, "shuffle")
+    # disjoint keys: est 0, share 0, no div-by-zero
+    dis = join_advisor(
+        bal_l,
+        spark.createDataFrame([("zz",)], "k string"),
+        "k",
+        broadcast_threshold_rows=0,
+    ).first()
+    assert (dis.est_out_rows, dis.max_key_out_share_micro, dis.verdict) == (
+        0, 0, "shuffle",
+    )
