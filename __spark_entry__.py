@@ -706,7 +706,9 @@ def _linkage_sides(spark: SparkSession, sf_dir: str):
         c.where(k % 3 == 0)
         .withColumn(
             "c_name",
-            F.when(k % 7 == 0, F.upper("c_name")).otherwise(F.col("c_name")),
+            F.when(k % 7 == 0, F.upper("c_name"))
+            .when(k % 11 == 0, F.concat(F.col("c_name"), F.lit("x")))
+            .otherwise(F.col("c_name")),
         )
         .withColumn(
             "c_band",
@@ -727,10 +729,14 @@ def _linkage_sides(spark: SparkSession, sf_dir: str):
 def _q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi–Sunter record linkage between two deterministic 'sources'
     derived from customer (right side: every 7th name case-perturbed —
-    must still match under normalization; every 4th band replaced —
-    disagreement; every 9th segment nulled — no-evidence 0). Blocked on
-    nation; the log2 likelihood weights are computed driver-side and
-    enter BOTH engines as identical double literals, so scores hash."""
+    must still match under normalization; every 11th name typo'd with one
+    appended char — only the FUZZY levenshtein<=1 tier keeps it matching;
+    every 4th band replaced — disagreement; every 9th segment nulled —
+    no-evidence 0). Blocked on nation; the log2 likelihood weights are
+    computed driver-side and enter BOTH engines as identical double
+    literals, so scores hash. Fixture is ASCII by construction: Spark's
+    levenshtein counts CHARS, DuckDB's counts BYTES — they agree exactly
+    on ASCII, documented in the operator."""
     from gbif_data_validator_spark.operators.linkage import linkage_scores
 
     left, right = _linkage_sides(spark, sf_dir)
@@ -742,6 +748,7 @@ def _q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_custkey",
         threshold=5.0,
+        fuzzy={"c_name": 1},
     ).orderBy("id_a", "id_b")
 
 
@@ -754,19 +761,27 @@ def _linkage_oracle_sql() -> str:
     w = fs_weights(_LINKAGE_FIELDS)
     n = r"trim(regexp_replace(lower({x}), '\s+', ' ', 'g'))"
 
+    def eq(f: str) -> str:
+        a, b = f"la_{f}", f"rb_{f}"
+        # c_name carries the fuzzy levenshtein<=1 tier (ASCII fixture:
+        # Spark counts chars, DuckDB bytes — identical on ASCII)
+        if f == "c_name":
+            return f"levenshtein({a}, {b}) <= 1"
+        return f"{a} = {b}"
+
     def evid(f: str) -> str:
         wa, wd = w[f]
         a, b = f"la_{f}", f"rb_{f}"
         return (
             f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN CAST(0.0 AS DOUBLE) "
-            f"WHEN {a} = {b} THEN CAST({wa!r} AS DOUBLE) "
+            f"WHEN {eq(f)} THEN CAST({wa!r} AS DOUBLE) "
             f"ELSE CAST({wd!r} AS DOUBLE) END"
         )
 
     def bit(f: str) -> str:
         a, b = f"la_{f}", f"rb_{f}"
         return (
-            f"CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL AND {a} = {b} "
+            f"CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL AND {eq(f)} "
             f"THEN 1 ELSE 0 END"
         )
 
@@ -782,7 +797,7 @@ def _linkage_oracle_sql() -> str:
             ),
             r AS (
               SELECT c_nationkey, c_custkey AS id_b,
-                     {n.format(x="CASE WHEN c_custkey % 7 = 0 THEN upper(c_name) ELSE c_name END")} AS rb_c_name,
+                     {n.format(x="CASE WHEN c_custkey % 7 = 0 THEN upper(c_name) WHEN c_custkey % 11 = 0 THEN c_name || 'x' ELSE c_name END")} AS rb_c_name,
                      {n.format(x="CASE WHEN c_custkey % 4 = 0 THEN '000-' || CAST(c_custkey AS VARCHAR) ELSE CAST(c_custkey % 50 AS VARCHAR) END")} AS rb_c_band,
                      {n.format(x="CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE c_mktsegment END")} AS rb_c_mktsegment
               FROM customer WHERE c_custkey % 3 = 0

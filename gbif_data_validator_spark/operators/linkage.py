@@ -63,16 +63,22 @@ def linkage_scores(
     id_right: str,
     threshold: float = 0.0,
     max_block_pairs: int = 1_000_000,
+    fuzzy: dict | None = None,
 ) -> DataFrame:
     """Score all blocked candidate pairs → ``(id_a, id_b, n_agree, score,
     is_match)``. ``fields``: ``{column: (m, u)}`` — the column must exist
     on both sides; comparison is null-safe normalized equality
-    (lower/trim): both null or either null contributes 0 (no evidence),
-    agreement adds ``log2(m/u)``, disagreement adds
-    ``log2((1-m)/(1-u))``. ``is_match`` is ``score >= threshold`` on the
-    raw (unrounded) sum — deterministic because both engines add the same
-    literals in the same field order; the reported ``score`` rounds to
-    6 dp for hashing.
+    (lower/trim/space-collapse): both null or either null contributes 0
+    (no evidence), agreement adds ``log2(m/u)``, disagreement adds
+    ``log2((1-m)/(1-u))``. ``fuzzy={column: max_dist}`` relaxes that
+    column's agreement to ``levenshtein(a, b) <= max_dist`` — typo
+    tolerance with EXACT integer distances. Oracle caveat: Spark's
+    levenshtein counts CHARACTERS, DuckDB's counts BYTES — identical on
+    ASCII, divergent on multi-byte codepoints; keep oracled fixtures
+    ASCII (the operator itself uses Spark char semantics). ``is_match``
+    is ``score >= threshold`` on the raw (unrounded) sum — deterministic
+    because both engines add the same literals in the same field order;
+    the reported ``score`` rounds to 6 dp for hashing.
 
     Blocks whose ``n_left × n_right`` exceeds ``max_block_pairs`` are
     EXCLUDED from pairing (a degenerate blocking value — empty string,
@@ -99,10 +105,14 @@ def linkage_scores(
     pairs = lf.join(rf, block_col)
     score = F.lit(0.0)
     agree_bits = []
+    fuzzy = fuzzy or {}
     for f, (wa, wd) in w.items():
         a, b = F.col(f"_la_{f}"), F.col(f"_rb_{f}")
-        agree = a.isNotNull() & b.isNotNull() & (a == b)
         known = a.isNotNull() & b.isNotNull()
+        if f in fuzzy:
+            agree = known & (F.levenshtein(a, b) <= int(fuzzy[f]))
+        else:
+            agree = known & (a == b)
         score = score + F.when(~known, F.lit(0.0)).when(
             agree, F.lit(wa)
         ).otherwise(F.lit(wd))

@@ -68,3 +68,31 @@ def test_linkage_block_cap_excludes_and_reports(spark):
     assert [(r.blk, r.n_left, r.n_right, r.n_pairs) for r in dropped] == [
         ("hot", 4, 4, 16)
     ]
+
+
+def test_linkage_fuzzy_levenshtein_tier(spark):
+    left = spark.createDataFrame(
+        [("b1", "L1", "jonathan smith", "x")],
+        "blk string, id string, name string, seg string",
+    )
+    right = spark.createDataFrame(
+        [("b1", "R1", "Jonathon  Smith", "x"), ("b1", "R2", "Bob Jones", "x")],
+        "blk string, id string, name string, seg string",
+    )
+    fields = {"name": (0.9, 0.1), "seg": (0.7, 0.2)}
+    strict = {
+        r.id_b: r.n_agree
+        for r in linkage_scores(
+            left, right, "blk", fields, "id", "id"
+        ).collect()
+    }
+    fuzz = {
+        r.id_b: r.n_agree
+        for r in linkage_scores(
+            left, right, "blk", fields, "id", "id", fuzzy={"name": 2}
+        ).collect()
+    }
+    # jonathan/jonathon: 1 edit after normalization — fuzzy admits it,
+    # strict does not; Bob Jones stays a disagreement either way
+    assert strict == {"R1": 1, "R2": 1}
+    assert fuzz == {"R1": 2, "R2": 1}
