@@ -3452,6 +3452,19 @@ def _q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def _q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detector over per-day event volumes: exact
+    integer ``S_k = n_buckets·cum_k − k·total`` per bucket, change point
+    at the deterministic argmax, side means in integer micro-units — the
+    sustained-shift counterpart of the rate_anomaly single-window flag
+    (operators/sequence.py:cusum_changepoint)."""
+    from gbif_data_validator_spark.operators.sequence import cusum_changepoint
+
+    return cusum_changepoint(
+        _tbl(spark, sf_dir, "events"), "ts", window="day"
+    ).orderBy("bucket")
+
+
 #: doc_id%7 → injected mojibake fragment (single source of truth with the
 #: DuckDB oracle, which replays the same CASE as string concat).  One class
 #: per residue: latin-1 digraph (repairable), cp1252 trigraphs (repairable),
@@ -3895,6 +3908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_coverage": _q_sitemap_coverage,
         "fk_cardinality": _q_fk_cardinality,
         "rate_anomaly": _q_rate_anomaly,
+        "cusum_shift": _q_cusum_shift,
         "mojibake_census": _q_mojibake_census,
         "embedding_health": _q_embedding_health,
         "bpe_word_freq": _q_bpe_word_freq,
@@ -8304,6 +8318,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, n, center, spread,
                    abs(CAST(n AS DOUBLE) - center) > spread AS is_anomaly
             FROM c, s ORDER BY bucket
+        """,
+        # cusum_shift: all-BIGINT CUSUM (S_k scaled ×n_buckets so no float
+        # forms); integer div (//) replays Spark's `div`; argmax rank order
+        # (abs desc, bucket asc) identical in both engines
+        "cusum_shift": """
+            WITH c AS (
+              SELECT date_trunc('day', ts) AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ),
+            s AS (
+              SELECT bucket, n,
+                     CAST(ROW_NUMBER() OVER (ORDER BY bucket) AS BIGINT) AS k,
+                     CAST(SUM(n) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                     CAST(SUM(n) OVER () AS BIGINT) AS total,
+                     CAST(COUNT(*) OVER () AS BIGINT) AS n_buckets
+              FROM c
+            ),
+            t AS (
+              SELECT bucket, k, n,
+                     n_buckets * cum - k * total AS cusum_scaled,
+                     (1000000 * cum) // k AS mean_before_micro,
+                     CASE WHEN k < n_buckets
+                          THEN (1000000 * (total - cum)) // (n_buckets - k)
+                     END AS mean_after_micro
+              FROM s
+            )
+            SELECT bucket, k, n, cusum_scaled,
+                   mean_before_micro, mean_after_micro,
+                   ROW_NUMBER() OVER (ORDER BY abs(cusum_scaled) DESC, bucket ASC) = 1
+                     AS is_change_point
+            FROM t ORDER BY bucket
         """,
         # mojibake_census: identical injection CASE, identical Java∩RE2
         # regex patterns; repairability replayed as signal ∧ UTF-8

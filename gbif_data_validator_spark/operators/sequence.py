@@ -36,6 +36,7 @@ __all__ = [
     "id_gaps",
     "out_of_order_rows",
     "freshness_by_group",
+    "cusum_changepoint",
 ]
 
 
@@ -419,4 +420,83 @@ def transition_census(
         .where(F.col("from_type").isNotNull())
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str,
+    window: str = "day",
+) -> DataFrame:
+    """CUSUM level-shift detector over windowed arrival volumes → one row
+    per ``window`` bucket: ``(bucket, k, n, cusum_scaled,
+    mean_before_micro, mean_after_micro, is_change_point)``.
+
+    ``rate_anomaly`` flags the SINGLE window whose count breaks the
+    series' own robust baseline; this operator answers the other
+    monitoring question — "did the crawl volume shift to a NEW level,
+    and when" (Page 1954): a fetcher fleet losing a datacenter halves
+    every subsequent day without any one day being a MAD outlier.
+
+    Exact-integer discipline (the ``correlation_exact`` house rule): the
+    textbook CUSUM ``S_k = Σ_{i≤k}(n_i − mean)`` is kept in BIGINT by
+    scaling ×n_buckets — ``cusum_scaled = n_buckets·cum_k − k·total`` —
+    so no float ever forms and the argmax is bit-reproducible. The
+    change point is the row maximizing ``|cusum_scaled|`` (earliest
+    bucket on ties — a constant series deterministically reports its
+    first bucket with delta 0). Level means on each side are exact
+    integer micro-units: ``mean_before_micro = (10^6·cum_k) div k``,
+    ``mean_after_micro = (10^6·(total−cum_k)) div (n_buckets−k)`` (NULL
+    on the last row, where the "after" side is empty).
+
+    Plan: ONE scan of the input aggregates to per-bucket counts; every
+    window pass after that runs over the tiny bucket table (|buckets| ≈
+    days — bounded by the calendar, so its SinglePartition Exchange is
+    free, the same deliberate shape as ``rate_anomaly``). Overflow
+    headroom: 10^12 input rows × 10^4 buckets ≈ 10^16 < 2^63.
+    """
+    counts = df.groupBy(
+        F.date_trunc(window, F.col(ts_col)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    w_all = Window.partitionBy(F.lit(1))
+    w_ord = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = counts.select(
+        "bucket",
+        "n",
+        F.row_number()
+        .over(Window.partitionBy(F.lit(1)).orderBy("bucket"))
+        .cast("long")
+        .alias("k"),
+        F.sum("n").over(w_ord).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n_buckets"),
+    ).select(
+        "bucket",
+        "k",
+        "n",
+        (F.col("n_buckets") * F.col("cum") - F.col("k") * F.col("total")).alias(
+            "cusum_scaled"
+        ),
+        F.expr("(1000000 * cum) div k").alias("mean_before_micro"),
+        F.when(
+            F.col("k") < F.col("n_buckets"),
+            F.expr("(1000000 * (total - cum)) div (n_buckets - k)"),
+        ).alias("mean_after_micro"),
+    )
+    w_rank = Window.partitionBy(F.lit(1)).orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("bucket").asc()
+    )
+    return staged.select(
+        "bucket",
+        "k",
+        "n",
+        "cusum_scaled",
+        "mean_before_micro",
+        "mean_after_micro",
+        (F.row_number().over(w_rank) == F.lit(1)).alias("is_change_point"),
     )

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from gbif_data_validator_spark.operators.sequence import (
+    cusum_changepoint,
     freshness_by_group,
     id_gaps,
     interval_overlaps,
@@ -305,3 +306,77 @@ def test_transition_census_partition_invariant(spark):
         ).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------- cusum
+
+
+def _volume_rows(day_counts: list[int]) -> list[tuple]:
+    """day i (1-based) gets day_counts[i-1] rows, spread within the day."""
+    rows = []
+    for i, n in enumerate(day_counts, start=1):
+        for j in range(n):
+            rows.append((f"e{i}_{j}", _ts(i, hour=j % 24, minute=j % 60)))
+    return rows
+
+
+def test_cusum_finds_injected_level_shift(spark):
+    # 10 days at ~20/day, then 10 days at ~60/day: the shift lands after
+    # day 10, no single day is an outlier vs its own level.
+    counts = [20, 21, 19, 20, 22, 18, 20, 21, 19, 20,
+              60, 61, 59, 60, 62, 58, 60, 61, 59, 60]
+    df = spark.createDataFrame(_volume_rows(counts), ["id", "ts"])
+    out = cusum_changepoint(df, "ts", window="day").orderBy("bucket").collect()
+    assert len(out) == 20
+    change = [r for r in out if r.is_change_point]
+    assert len(change) == 1
+    # |S_k| peaks at the last pre-shift bucket (k=10, day 10)
+    assert change[0].k == 10
+    assert change[0].bucket.day == 10
+    # exact integer level means: before = 20.0/day, after = 60.0/day
+    assert change[0].mean_before_micro == 20_000_000
+    assert change[0].mean_after_micro == 60_000_000
+
+
+def test_cusum_matches_integer_brute_force(spark):
+    random.seed(7)
+    counts = [random.randint(1, 30) for _ in range(15)]
+    df = spark.createDataFrame(_volume_rows(counts), ["id", "ts"])
+    out = {r.k: r for r in cusum_changepoint(df, "ts", "day").collect()}
+    total, n_b = sum(counts), len(counts)
+    cum = 0
+    best = None  # (abs_s, k) with earliest-k tie-break
+    for k, n in enumerate(counts, start=1):
+        cum += n
+        s = n_b * cum - k * total
+        assert out[k].n == n
+        assert out[k].cusum_scaled == s
+        assert out[k].mean_before_micro == (1_000_000 * cum) // k
+        if k < n_b:
+            assert out[k].mean_after_micro == (1_000_000 * (total - cum)) // (n_b - k)
+        else:
+            assert out[k].mean_after_micro is None
+        if best is None or (abs(s), k) < best:
+            # python tuple order == (abs desc, bucket asc) rank inverted
+            pass
+        cand = (-abs(s), k)
+        if best is None or cand < best:
+            best = cand
+    for k, r in out.items():
+        assert r.is_change_point == ((-abs(r.cusum_scaled), k) == best)
+
+
+def test_cusum_constant_series_reports_first_bucket_zero_delta(spark):
+    df = spark.createDataFrame(_volume_rows([5] * 8), ["id", "ts"])
+    out = cusum_changepoint(df, "ts", "day").orderBy("bucket").collect()
+    assert all(r.cusum_scaled == 0 for r in out)
+    change = [r for r in out if r.is_change_point]
+    assert len(change) == 1 and change[0].k == 1
+    assert change[0].mean_before_micro == change[0].mean_after_micro == 5_000_000
+
+
+def test_cusum_one_input_scan(spark):
+    df = spark.createDataFrame(_volume_rows([3, 4, 5]), ["id", "ts"])
+    plan = cusum_changepoint(df, "ts", "day")._jdf.queryExecution().executedPlan().toString()
+    # all window passes run over the bucket table: exactly one scan of df
+    assert plan.count("Scan ExistingRDD") <= 1
