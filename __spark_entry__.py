@@ -3465,6 +3465,39 @@ def _q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def _q_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend + Mann–Kendall direction over per-day event
+    volumes: lower-median pairwise slope in exact integer micro-units,
+    Sen intercept, and the S statistic — "is the crawl drifting, and how
+    fast", completing the rate_anomaly / cusum_shift monitoring triad
+    (operators/sequence.py:theil_sen_trend)."""
+    from gbif_data_validator_spark.operators.sequence import theil_sen_trend
+
+    return theil_sen_trend(_tbl(spark, sf_dir, "events"), "ts", window="day")
+
+
+def _q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly (ISO weekday × hour) arrival-rhythm fingerprint with exact
+    integer per-weekday shares and deterministic peak-hour flags — the
+    scheduler-bug / replayed-batch detector
+    (operators/sequence.py:seasonality_profile)."""
+    from gbif_data_validator_spark.operators.sequence import seasonality_profile
+
+    return seasonality_profile(_tbl(spark, sf_dir, "events"), "ts").orderBy(
+        "dow", "hour"
+    )
+
+
+def _q_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-of-dispersion of hourly arrival counts — Poisson-ness of the
+    arrival process as one exact micro-unit scalar, DECIMAL(38,0)/HUGEINT
+    numerator with a division-exact quotient so both engines agree bit-for-
+    bit (operators/sequence.py:dispersion_census)."""
+    from gbif_data_validator_spark.operators.sequence import dispersion_census
+
+    return dispersion_census(_tbl(spark, sf_dir, "events"), "ts", window="hour")
+
+
 #: doc_id%7 → injected mojibake fragment (single source of truth with the
 #: DuckDB oracle, which replays the same CASE as string concat).  One class
 #: per residue: latin-1 digraph (repairable), cp1252 trigraphs (repairable),
@@ -3909,6 +3942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_cardinality": _q_fk_cardinality,
         "rate_anomaly": _q_rate_anomaly,
         "cusum_shift": _q_cusum_shift,
+        "volume_trend": _q_volume_trend,
+        "seasonality_profile": _q_seasonality_profile,
+        "dispersion": _q_dispersion,
         "mojibake_census": _q_mojibake_census,
         "embedding_health": _q_embedding_health,
         "bpe_word_freq": _q_bpe_word_freq,
@@ -8351,6 +8387,119 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY abs(cusum_scaled) DESC, bucket ASC) = 1
                      AS is_change_point
             FROM t ORDER BY bucket
+        """,
+        # volume_trend: pairwise slopes in integer micro-units (DuckDB //
+        # == Spark div, both truncate toward zero incl. negatives); lower
+        # median under (slope, ka, kb); Sen intercept = lower median of
+        # residuals at the chosen slope; Mann-Kendall S as an exact CASE
+        # sum — no float ever forms in either engine
+        "volume_trend": """
+            WITH c AS (
+              SELECT date_trunc('day', ts) AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ),
+            s AS (
+              SELECT bucket, n,
+                     CAST(ROW_NUMBER() OVER (ORDER BY bucket) AS BIGINT) AS k
+              FROM c
+            ),
+            p AS (
+              SELECT a.k AS ka, b.k AS kb,
+                     (1000000 * (b.n - a.n)) // (b.k - a.k) AS slope_micro,
+                     CAST(CASE WHEN b.n > a.n THEN 1
+                               WHEN b.n < a.n THEN -1 ELSE 0 END AS BIGINT) AS sgn
+              FROM s a JOIN s b ON b.k > a.k
+            ),
+            pr AS (
+              SELECT slope_micro, sgn,
+                     CAST(ROW_NUMBER() OVER
+                       (ORDER BY slope_micro, ka, kb) AS BIGINT) AS r,
+                     CAST(COUNT(*) OVER () AS BIGINT) AS n_pairs
+              FROM p
+            ),
+            sl AS (
+              SELECT MAX(n_pairs) AS n_pairs,
+                     MAX(CASE WHEN r = (n_pairs + 1) // 2
+                              THEN slope_micro END) AS slope_micro,
+                     CAST(SUM(sgn) AS BIGINT) AS mk_s
+              FROM pr
+            ),
+            resid AS (
+              SELECT sl.n_pairs, sl.slope_micro, sl.mk_s,
+                     1000000 * s.n - sl.slope_micro * s.k AS resid_micro,
+                     s.k,
+                     CAST(ROW_NUMBER() OVER
+                       (ORDER BY 1000000 * s.n - sl.slope_micro * s.k, s.k)
+                       AS BIGINT) AS r,
+                     CAST(COUNT(*) OVER () AS BIGINT) AS n_buckets
+              FROM s CROSS JOIN sl
+            )
+            SELECT MAX(n_buckets) AS n_buckets,
+                   MAX(n_pairs) AS n_pairs,
+                   MAX(slope_micro) AS slope_micro,
+                   MAX(CASE WHEN r = (n_buckets + 1) // 2
+                            THEN resid_micro END) AS intercept_micro,
+                   MAX(mk_s) AS mk_s,
+                   CASE WHEN MAX(mk_s) > 0 THEN 'increasing'
+                        WHEN MAX(mk_s) < 0 THEN 'decreasing'
+                        ELSE 'flat' END AS trend
+            FROM resid
+        """,
+        # seasonality_profile: DuckDB isodow (Mon=1..Sun=7) == Spark
+        # weekday()+1; integer micro shares; peak rank (n desc, hour asc)
+        "seasonality_profile": """
+            WITH cells AS (
+              SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                     CAST(hour(ts) AS BIGINT) AS hour,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            t AS (
+              SELECT dow, hour, n,
+                     CAST(SUM(n) OVER (PARTITION BY dow) AS BIGINT) AS dow_total
+              FROM cells
+            )
+            SELECT dow, hour, n, dow_total,
+                   (1000000 * n) // dow_total AS share_micro,
+                   ROW_NUMBER() OVER
+                     (PARTITION BY dow ORDER BY n DESC, hour ASC) = 1
+                     AS is_peak_hour
+            FROM t ORDER BY dow, hour
+        """,
+        # dispersion: numerator in HUGEINT (exact, mirrors Spark's
+        # DECIMAL(38,0)); quotient made division-exact via num - num%den
+        # before // so no rounding mode can disagree
+        "dispersion": """
+            WITH c AS (
+              SELECT date_trunc('hour', ts) AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ),
+            f AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                     CAST(SUM(n) AS BIGINT) AS total,
+                     SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS sum_sq
+              FROM c
+            ),
+            g AS (
+              SELECT n_buckets, total,
+                     (1000000 * total) // n_buckets AS mean_micro,
+                     CAST(1000000 AS HUGEINT)
+                       * (CAST(n_buckets AS HUGEINT) * sum_sq
+                          - CAST(total AS HUGEINT) * CAST(total AS HUGEINT))
+                       AS num,
+                     CAST(n_buckets AS HUGEINT) * CAST(total AS HUGEINT) AS den
+              FROM f
+            )
+            SELECT n_buckets, total, mean_micro,
+                   CAST((num - num % den) // den AS BIGINT) AS dispersion_micro,
+                   CASE WHEN CAST((num - num % den) // den AS BIGINT) > 1500000
+                          THEN 'overdispersed'
+                        WHEN CAST((num - num % den) // den AS BIGINT) < 500000
+                          THEN 'underdispersed'
+                        ELSE 'poisson-like' END AS regime
+            FROM g
         """,
         # mojibake_census: identical injection CASE, identical Java∩RE2
         # regex patterns; repairability replayed as signal ∧ UTF-8

@@ -37,6 +37,9 @@ __all__ = [
     "out_of_order_rows",
     "freshness_by_group",
     "cusum_changepoint",
+    "theil_sen_trend",
+    "seasonality_profile",
+    "dispersion_census",
 ]
 
 
@@ -499,4 +502,246 @@ def cusum_changepoint(
         "mean_before_micro",
         "mean_after_micro",
         (F.row_number().over(w_rank) == F.lit(1)).alias("is_change_point"),
+    )
+
+
+def _bucket_counts(df: DataFrame, ts_col: str, window: str) -> DataFrame:
+    """ONE scan of the input → per-``window`` arrival counts with a dense
+    time rank ``k`` (1-based, bucket order). Every trend/monitoring pass
+    downstream runs over this tiny table (|buckets| bounded by the
+    calendar), the same deliberate shape as ``cusum_changepoint``."""
+    counts = df.groupBy(
+        F.date_trunc(window, F.col(ts_col)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "bucket",
+        "n",
+        F.row_number()
+        .over(Window.partitionBy(F.lit(1)).orderBy("bucket"))
+        .cast("long")
+        .alias("k"),
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    ts_col: str,
+    window: str = "day",
+) -> DataFrame:
+    """Theil–Sen robust trend + Mann–Kendall direction test over windowed
+    arrival volumes → ONE row ``(n_buckets, n_pairs, slope_micro,
+    intercept_micro, mk_s, trend)``.
+
+    Completes the volume-monitoring triad: ``rate_anomaly`` flags a single
+    broken window, ``cusum_changepoint`` locates a sustained level shift,
+    this answers "is the crawl drifting, and how fast" — the Theil–Sen
+    estimator (median of all pairwise slopes, Sen 1968) is insensitive to
+    ~29% outliers, so a fetcher hiccup day doesn't fake a trend the way it
+    would under least squares.
+
+    Exact-integer discipline: for every bucket pair ``i<j``,
+    ``slope_micro = (10^6·(n_j−n_i)) div (k_j−k_i)`` (BIGINT, truncation
+    toward zero — Spark ``div`` and DuckDB ``//`` agree on negatives); the
+    reported slope is the LOWER median under the total order
+    ``(slope_micro, k_i, k_j)`` — deterministic, no float forms.
+    ``intercept_micro`` is the lower median of ``10^6·n_k −
+    slope_micro·k`` (Sen's intercept) under ``(value, k)``. ``mk_s`` is
+    the Mann–Kendall S statistic ``Σ_{i<j} sign(n_j − n_i)`` (exact
+    integer); ``trend`` is its sign: increasing / decreasing / flat.
+
+    Plan: one corpus scan → bucket counts; the pair self-join and both
+    median windows run over the bucket table only (B buckets → B(B−1)/2
+    pair rows; day grain bounds B by the calendar — at 30 years daily
+    B≈11k, pairs≈6·10^7, still executor-trivial; corpus rows never
+    self-join). The bucket table is PERSISTED (the self-join's two
+    branches plus the residual pass would otherwise each re-scan the
+    corpus — the pagerank/hits persist discipline; the cache is B rows).
+    Overflow headroom: |10^6·Δn| ≤ 10^6·10^12 = 10^18 < 2^63.
+    """
+    staged = _bucket_counts(df, ts_col, window).persist()
+    a = staged.select(
+        F.col("k").alias("ka"), F.col("n").alias("na")
+    )
+    b = staged.select(
+        F.col("k").alias("kb"), F.col("n").alias("nb")
+    )
+    pairs = a.join(b, F.col("kb") > F.col("ka")).select(
+        "ka",
+        "kb",
+        F.expr("(1000000 * (nb - na)) div (kb - ka)").alias("slope_micro"),
+        F.when(F.col("nb") > F.col("na"), F.lit(1))
+        .when(F.col("nb") < F.col("na"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("sgn"),
+    )
+    w_slope = Window.partitionBy(F.lit(1)).orderBy("slope_micro", "ka", "kb")
+    ranked = pairs.select(
+        "slope_micro",
+        "sgn",
+        F.row_number().over(w_slope).cast("long").alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n_pairs"),
+    )
+    slope_row = ranked.groupBy().agg(
+        F.coalesce(F.max("n_pairs"), F.lit(0).cast("long")).alias("n_pairs"),
+        F.max(
+            F.when(
+                F.col("r") == F.expr("(n_pairs + 1) div 2"),
+                F.col("slope_micro"),
+            ).otherwise(F.lit(None))
+        ).alias("slope_micro"),
+        F.coalesce(F.sum("sgn"), F.lit(0).cast("long")).alias("mk_s"),
+    )
+    # Sen intercept: lower median of residuals at the chosen slope — the
+    # 1-row slope broadcasts back onto the bucket table
+    resid = staged.crossJoin(F.broadcast(slope_row)).select(
+        "n_pairs",
+        "slope_micro",
+        "mk_s",
+        (F.lit(1000000) * F.col("n") - F.col("slope_micro") * F.col("k")).alias(
+            "resid_micro"
+        ),
+        F.col("k"),
+    )
+    w_resid = Window.partitionBy(F.lit(1)).orderBy("resid_micro", "k")
+    return (
+        resid.select(
+            "n_pairs",
+            "slope_micro",
+            "mk_s",
+            "resid_micro",
+            F.row_number().over(w_resid).cast("long").alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n_buckets"),
+        )
+        .groupBy()
+        .agg(
+            F.max("n_buckets").alias("n_buckets"),
+            F.max("n_pairs").alias("n_pairs"),
+            F.max("slope_micro").alias("slope_micro"),
+            F.max(
+                F.when(
+                    F.col("r") == F.expr("(n_buckets + 1) div 2"),
+                    F.col("resid_micro"),
+                ).otherwise(F.lit(None))
+            ).alias("intercept_micro"),
+            F.max("mk_s").alias("mk_s"),
+        )
+        .select(
+            "n_buckets",
+            "n_pairs",
+            "slope_micro",
+            "intercept_micro",
+            "mk_s",
+            F.when(F.col("mk_s") > 0, F.lit("increasing"))
+            .when(F.col("mk_s") < 0, F.lit("decreasing"))
+            .otherwise(F.lit("flat"))
+            .alias("trend"),
+        )
+    )
+
+
+def seasonality_profile(df: DataFrame, ts_col: str) -> DataFrame:
+    """Weekly seasonality fingerprint: one row per observed (ISO weekday,
+    hour-of-day) cell — ``(dow, hour, n, dow_total, share_micro,
+    is_peak_hour)``.
+
+    A healthy steady crawl has a stable weekly rhythm; a fetcher stuck in
+    one timezone, a scheduler bug firing everything at 00:00, or a
+    replayed batch all show up as a distorted profile long before totals
+    move. ``share_micro = (10^6·n) div dow_total`` is the hour's exact
+    integer share of its weekday; ``is_peak_hour`` marks each weekday's
+    busiest hour (largest n, earliest hour on ties — deterministic).
+
+    Cross-engine note: ``dow`` is ISO (Monday=1 … Sunday=7) — Spark's
+    ``weekday()+1`` equals DuckDB's ``isodow`` (Spark's ``dayofweek`` is
+    Sunday=1 and would silently disagree).
+
+    Plan: one scan → ≤168-key agg (map-side combinable); the dow rollup
+    and peak window run over the 168-row cell table. Overflow: 10^6·n ≤
+    10^18 < 2^63 at 10^12 input rows.
+    """
+    cells = df.groupBy(
+        (F.weekday(F.col(ts_col)) + 1).cast("long").alias("dow"),
+        F.hour(F.col(ts_col)).cast("long").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_dow = Window.partitionBy("dow")
+    w_peak = Window.partitionBy("dow").orderBy(F.col("n").desc(), F.col("hour").asc())
+    return cells.select(
+        "dow",
+        "hour",
+        "n",
+        F.sum("n").over(w_dow).alias("dow_total"),
+    ).select(
+        "dow",
+        "hour",
+        "n",
+        "dow_total",
+        F.expr("(1000000 * n) div dow_total").alias("share_micro"),
+        (F.row_number().over(w_peak) == F.lit(1)).alias("is_peak_hour"),
+    )
+
+
+def dispersion_census(
+    df: DataFrame,
+    ts_col: str,
+    window: str = "hour",
+) -> DataFrame:
+    """Index-of-dispersion (variance-to-mean ratio) of windowed arrival
+    counts → ONE row ``(n_buckets, total, mean_micro, dispersion_micro,
+    regime)``.
+
+    A Poisson arrival process has dispersion ≈ 1; batch replays / thundering
+    herds push it ≫ 1 (overdispersed), a rate-limiter or metronome
+    scheduler pulls it ≪ 1 (underdispersed). One scalar, read against 1.0,
+    that characterizes the arrival process independent of its level — the
+    distribution-shape companion to the rate/level/trend monitors.
+
+    Exact arithmetic at 10^12-row scale: ``D = Var/mean =
+    (B·Σn² − total²)/(B·total)`` needs Σn² ≈ 10^20 — past BIGINT — so the
+    numerator is computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB
+    oracle), both exact integer arithmetic. The final micro-unit quotient
+    is made division-exact before casting down:
+    ``q = (num − num % den) / den`` — num, den ≥ 0, den = B·total ≤ 10^16
+    fits BIGINT, and the division is exact by construction so no decimal
+    rounding mode can disagree across engines. ``mean_micro =
+    (10^6·total) div B`` stays in BIGINT.
+
+    Plan: one scan → bucket counts; everything after is a 2-stage fold of
+    the tiny bucket table (Σn² partial-aggregates map-side).
+    """
+    counts = df.groupBy(
+        F.date_trunc(window, F.col(ts_col)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    folded = counts.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n").alias("total"),
+        F.sum(
+            F.col("n").cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sum_sq"),
+    )
+    num = (
+        F.lit(1000000).cast("decimal(38,0)")
+        * (
+            F.col("n_buckets").cast("decimal(38,0)") * F.col("sum_sq")
+            - F.col("total").cast("decimal(38,0)")
+            * F.col("total").cast("decimal(38,0)")
+        )
+    )
+    den = (F.col("n_buckets") * F.col("total")).cast("decimal(38,0)")
+    return folded.select(
+        "n_buckets",
+        "total",
+        F.expr("(1000000 * total) div n_buckets").alias("mean_micro"),
+        ((num - num % den) / den).cast("long").alias("dispersion_micro"),
+    ).select(
+        "n_buckets",
+        "total",
+        "mean_micro",
+        "dispersion_micro",
+        F.when(F.col("dispersion_micro") > 1500000, F.lit("overdispersed"))
+        .when(F.col("dispersion_micro") < 500000, F.lit("underdispersed"))
+        .otherwise(F.lit("poisson-like"))
+        .alias("regime"),
     )

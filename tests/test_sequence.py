@@ -12,10 +12,13 @@ from pyspark.sql import functions as F
 
 from gbif_data_validator_spark.operators.sequence import (
     cusum_changepoint,
+    dispersion_census,
     freshness_by_group,
     id_gaps,
     interval_overlaps,
     out_of_order_rows,
+    seasonality_profile,
+    theil_sen_trend,
 )
 
 
@@ -380,3 +383,151 @@ def test_cusum_one_input_scan(spark):
     plan = cusum_changepoint(df, "ts", "day")._jdf.queryExecution().executedPlan().toString()
     # all window passes run over the bucket table: exactly one scan of df
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+# ------------------------------------------------------- theil-sen trend
+
+
+def test_theil_sen_matches_integer_brute_force(spark):
+    random.seed(11)
+    counts = [random.randint(1, 40) for _ in range(14)]
+    df = spark.createDataFrame(_volume_rows(counts), ["id", "ts"])
+    row = theil_sen_trend(df, "ts", "day").collect()[0]
+
+    B = len(counts)
+    pairs = []
+    mk_s = 0
+    for i in range(B):
+        for j in range(i + 1, B):
+            d = counts[j] - counts[i]
+            g = j - i
+            q = abs(1_000_000 * d) // g  # truncation toward zero
+            pairs.append((-q if d < 0 else q, i + 1, j + 1))
+            mk_s += (d > 0) - (d < 0)
+    pairs.sort()
+    n_pairs = len(pairs)
+    slope = pairs[(n_pairs + 1) // 2 - 1][0]  # lower median, 1-based rank
+    resid = sorted(
+        (1_000_000 * counts[k - 1] - slope * k, k) for k in range(1, B + 1)
+    )
+    intercept = resid[(B + 1) // 2 - 1][0]
+
+    assert row.n_buckets == B
+    assert row.n_pairs == n_pairs
+    assert row.slope_micro == slope
+    assert row.intercept_micro == intercept
+    assert row.mk_s == mk_s
+    want = "increasing" if mk_s > 0 else "decreasing" if mk_s < 0 else "flat"
+    assert row.trend == want
+
+
+def test_theil_sen_robust_to_outlier_day(spark):
+    # clean +3/day trend with one 10x spike: least squares would bend,
+    # the pairwise median must not — slope stays exactly 3.0/day
+    counts = [10 + 3 * i for i in range(11)]
+    counts[5] = 400
+    df = spark.createDataFrame(_volume_rows(counts), ["id", "ts"])
+    row = theil_sen_trend(df, "ts", "day").collect()[0]
+    assert row.slope_micro == 3_000_000
+    assert row.trend == "increasing"
+
+
+def test_theil_sen_single_bucket_degenerate(spark):
+    df = spark.createDataFrame(_volume_rows([7]), ["id", "ts"])
+    row = theil_sen_trend(df, "ts", "day").collect()[0]
+    assert row.n_buckets == 1
+    assert row.n_pairs == 0
+    assert row.slope_micro is None
+    assert row.mk_s == 0
+    assert row.trend == "flat"
+
+
+def test_theil_sen_one_input_scan(spark):
+    df = spark.createDataFrame(_volume_rows([3, 4, 5]), ["id", "ts"])
+    out = theil_sen_trend(df, "ts", "day")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the bucket table persists, so the self-join branches and the
+    # residual pass all read the cache instead of re-scanning the corpus
+    assert plan.count("InMemoryTableScan") >= 3
+    assert out.collect()[0].n_buckets == 3
+
+
+# -------------------------------------------------- seasonality profile
+
+
+def test_seasonality_profile_exact_counts_and_peaks(spark):
+    # day 1..7 of June 2024: 2024-06-01 is a Saturday (isodow 6)
+    rows = []
+    for day in range(1, 8):
+        for h, reps in ((3, 2), (12, 5), (20, 1)):
+            for r in range(reps):
+                rows.append((f"{day}_{h}_{r}", _ts(day, hour=h, minute=r)))
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    out = seasonality_profile(df, "ts").collect()
+    assert len(out) == 21  # 7 dows x 3 hours
+    by_cell = {(r.dow, r.hour): r for r in out}
+    assert set(r.dow for r in out) == set(range(1, 8))
+    for (dow, hour), r in by_cell.items():
+        assert r.dow_total == 8
+        assert r.n == {3: 2, 12: 5, 20: 1}[hour]
+        assert r.share_micro == (1_000_000 * r.n) // 8
+        assert r.is_peak_hour == (hour == 12)
+
+
+def test_seasonality_peak_tie_breaks_to_earliest_hour(spark):
+    rows = [("a", _ts(3, hour=5)), ("b", _ts(3, hour=9))]
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    out = {r.hour: r.is_peak_hour for r in seasonality_profile(df, "ts").collect()}
+    assert out == {5: True, 9: False}
+
+
+# ------------------------------------------------------ dispersion census
+
+
+def test_dispersion_exact_micro_value(spark):
+    # hours with counts [2, 4, 6]: mean=4, Var=8/3, D=2/3 -> 666666 micro
+    rows = []
+    for h, n in ((0, 2), (1, 4), (2, 6)):
+        for j in range(n):
+            rows.append((f"{h}_{j}", _ts(1, hour=h, minute=j)))
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    row = dispersion_census(df, "ts", "hour").collect()[0]
+    assert row.n_buckets == 3
+    assert row.total == 12
+    assert row.mean_micro == 4_000_000
+    # exact: (10^6 * (3*56 - 144)) // (3*12) with division-exact trick
+    num = 1_000_000 * (3 * 56 - 144)
+    den = 3 * 12
+    assert row.dispersion_micro == (num - num % den) // den == 666_666
+    # D = 2/3 sits inside the [0.5, 1.5] poisson-like band
+    assert row.regime == "poisson-like"
+
+
+def test_dispersion_constant_series_is_zero(spark):
+    rows = [(f"{h}_{j}", _ts(1, hour=h, minute=j)) for h in range(6) for j in range(5)]
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    row = dispersion_census(df, "ts", "hour").collect()[0]
+    assert row.dispersion_micro == 0
+    assert row.regime == "underdispersed"
+
+
+def test_dispersion_overdispersed_bursts(spark):
+    # alternating 1 / 19 per hour: mean=10, Var=81, D=8.1
+    rows = []
+    for h in range(10):
+        n = 1 if h % 2 == 0 else 19
+        for j in range(n):
+            rows.append((f"{h}_{j}", _ts(2, hour=h, minute=j)))
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    row = dispersion_census(df, "ts", "hour").collect()[0]
+    assert row.dispersion_micro == 8_100_000
+    assert row.regime == "overdispersed"
+
+
+def test_dispersion_partition_invariant(spark):
+    random.seed(3)
+    rows = [(f"r{i}", _ts(1 + i % 9, hour=i % 24, minute=i % 60)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    a = dispersion_census(df.repartition(1), "ts", "hour").collect()[0]
+    b = dispersion_census(df.repartition(13), "ts", "hour").collect()[0]
+    assert a == b
