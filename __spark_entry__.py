@@ -3465,6 +3465,32 @@ def _q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-crawl overlap census at the content-fingerprint grain:
+    hash-bucket halves with a deliberate 20-bucket overlap play two
+    monthly crawls; one fingerprint-grain shuffle + 1-row fold yields the
+    Jaccard/containment numbers that decide whether a full cross-corpus
+    dedup join is worth running (operators/overlap.py:corpus_overlap)."""
+    from gbif_data_validator_spark.operators.overlap import corpus_overlap
+    from gbif_data_validator_spark.operators.sampling import hash_bucket
+
+    d = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), 100)
+    return corpus_overlap(d.where(b < 60), d.where(b >= 40), "text")
+
+
+def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketch estimate of the same census — fixed k·8 bytes
+    per side instead of a fingerprint-grain shuffle; tolerance +
+    mergeability pinned in pytest (operators/overlap.py:kmv_overlap)."""
+    from gbif_data_validator_spark.operators.overlap import kmv_overlap
+    from gbif_data_validator_spark.operators.sampling import hash_bucket
+
+    d = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), 100)
+    return kmv_overlap(d.where(b < 60), d.where(b >= 40), "text", k=256)
+
+
 def _q_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust trend + Mann–Kendall direction over per-day event
     volumes: lower-median pairwise slope in exact integer micro-units,
@@ -3945,6 +3971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_trend": _q_volume_trend,
         "seasonality_profile": _q_seasonality_profile,
         "dispersion": _q_dispersion,
+        "corpus_overlap": _q_corpus_overlap,
+        "kmv_overlap": _q_kmv_overlap,
         "mojibake_census": _q_mojibake_census,
         "embedding_health": _q_embedding_health,
         "bpe_word_freq": _q_bpe_word_freq,
@@ -8387,6 +8415,43 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY abs(cusum_scaled) DESC, bucket ASC) = 1
                      AS is_change_point
             FROM t ORDER BY bucket
+        """,
+        # corpus_overlap: identical fingerprint (md5 of normalized text),
+        # identical hash_bucket replay, same tag->union->membership->fold
+        # algebra; micro ratios guarded on 0 denominators
+        "corpus_overlap": """
+            WITH tagged AS (
+              SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f,
+                     1 AS in_a, 0 AS in_b
+              FROM documents
+              WHERE text IS NOT NULL
+                AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 60
+              UNION ALL
+              SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                     0, 1
+              FROM documents
+              WHERE text IS NOT NULL
+                AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 >= 40
+            ),
+            m AS (
+              SELECT f, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+              FROM tagged GROUP BY f
+            ),
+            folded AS (
+              SELECT CAST(COALESCE(SUM(in_a), 0) AS BIGINT) AS n_a,
+                     CAST(COALESCE(SUM(in_b), 0) AS BIGINT) AS n_b,
+                     CAST(COALESCE(SUM(in_a * in_b), 0) AS BIGINT) AS n_common,
+                     CAST(COUNT(*) AS BIGINT) AS n_union
+              FROM m
+            )
+            SELECT n_a, n_b, n_common, n_union,
+                   CASE WHEN n_union > 0
+                        THEN (1000000 * n_common) // n_union END AS jaccard_micro,
+                   CASE WHEN n_a > 0
+                        THEN (1000000 * n_common) // n_a END AS containment_a_micro,
+                   CASE WHEN n_b > 0
+                        THEN (1000000 * n_common) // n_b END AS containment_b_micro
+            FROM folded
         """,
         # volume_trend: pairwise slopes in integer micro-units (DuckDB //
         # == Spark div, both truncate toward zero incl. negatives); lower
