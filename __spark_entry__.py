@@ -3465,6 +3465,110 @@ def _q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the deterministic host graph with two
+    pendant tiers (p-/q-hosts) grafted on so the peel cascades ~7 rounds
+    before the 23-host core stabilizes — organic-core vs peripheral-chaff
+    separation, per-node peel depth included
+    (operators/graph.py:kcore_membership). Oracle: the identical 10
+    synchronous peel rounds unrolled as chained CTEs."""
+    from gbif_data_validator_spark.operators.graph import kcore_membership
+
+    idc = F.col("doc_id")
+    docs = _tbl(spark, sf_dir, "documents")
+    h_edges = docs.select(
+        idc,
+        F.explode(F.sequence(F.lit(1).cast("long"), idc % 3 + 1)).alias("k"),
+    ).select(
+        F.concat(F.lit("h"), (idc % 23).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((idc * 7 + F.col("k") * 13) % 23).cast("string")).alias(
+            "dst"
+        ),
+    )
+    p_edges = docs.where(idc % 5 == 0).select(
+        F.concat(F.lit("p"), (idc % 97).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (idc % 23).cast("string")).alias("dst"),
+    )
+    q_edges = docs.where(idc % 3 == 0).select(
+        F.concat(F.lit("q"), (idc % 53).cast("string")).alias("src"),
+        F.concat(F.lit("p"), (idc % 97).cast("string")).alias("dst"),
+    )
+    edges = h_edges.unionByName(p_edges).unionByName(q_edges)
+    return kcore_membership(edges, k=3, max_rounds=10).orderBy("node")
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 10) -> str:
+    """Unrolled synchronous-peel replay: round r recomputes alive-degrees
+    from the incidence list restricted to a_{r-1} and peels everything
+    under k — identical semantics to kcore_membership's bounded loop (an
+    early-converged round peels nothing, so bounded == converged)."""
+    parts = [
+        """
+            WITH e0 AS MATERIALIZED (
+              SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                     'h' || CAST((doc_id * 7 + kk * 13) % 23 AS VARCHAR) AS dst
+              FROM (SELECT doc_id,
+                           unnest(range(1, (doc_id % 3 + 1) + 1)) AS kk
+                    FROM documents)
+              UNION ALL
+              SELECT 'p' || CAST(doc_id % 97 AS VARCHAR),
+                     'h' || CAST(doc_id % 23 AS VARCHAR)
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT 'q' || CAST(doc_id % 53 AS VARCHAR),
+                     'p' || CAST(doc_id % 97 AS VARCHAR)
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            e AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM e0 WHERE src <> dst
+            ),
+            inc AS MATERIALIZED (
+              SELECT a AS node, b AS nbr FROM e
+              UNION ALL
+              SELECT b, a FROM e
+            ),
+            a0 AS MATERIALIZED (SELECT DISTINCT node FROM inc)"""
+    ]
+    # every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    # a{r} referencing a{r-1} three times would plan 3^rounds copies
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+            deg{r} AS MATERIALIZED (
+              SELECT i.node, COUNT(*) AS deg
+              FROM inc i
+              JOIN a{r - 1} x ON i.node = x.node
+              JOIN a{r - 1} y ON i.nbr = y.node
+              GROUP BY i.node
+            ),
+            rem{r} AS MATERIALIZED (
+              SELECT a.node, {r} AS r
+              FROM a{r - 1} a LEFT JOIN deg{r} d ON a.node = d.node
+              WHERE COALESCE(d.deg, 0) < {k}
+            ),
+            a{r} AS MATERIALIZED (
+              SELECT node FROM a{r - 1} EXCEPT SELECT node FROM rem{r}
+            )"""
+        )
+    removed = "\n              UNION ALL\n              ".join(
+        f"SELECT node, r FROM rem{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(
+        f""",
+            removed AS (
+              {removed}
+            )
+            SELECT node, CAST(r AS BIGINT) AS removed_round,
+                   FALSE AS in_kcore
+            FROM removed
+            UNION ALL
+            SELECT node, CAST(NULL AS BIGINT), TRUE FROM a{rounds}
+            ORDER BY node"""
+    )
+    return "".join(parts)
+
+
 def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cross-crawl overlap census at the content-fingerprint grain:
     hash-bucket halves with a deliberate 20-bucket overlap play two
@@ -3973,6 +4077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion": _q_dispersion,
         "corpus_overlap": _q_corpus_overlap,
         "kmv_overlap": _q_kmv_overlap,
+        "kcore": _q_kcore,
         "mojibake_census": _q_mojibake_census,
         "embedding_health": _q_embedding_health,
         "bpe_word_freq": _q_bpe_word_freq,
@@ -8416,6 +8521,10 @@ def oracle_sql() -> dict[str, str]:
                      AS is_change_point
             FROM t ORDER BY bucket
         """,
+        # kcore: 10 identical synchronous peel rounds unrolled as CTEs
+        # (generator above); bounded == converged because an empty round
+        # is a fixpoint
+        "kcore": _kcore_oracle_sql(k=3, rounds=10),
         # corpus_overlap: identical fingerprint (md5 of normalized text),
         # identical hash_bucket replay, same tag->union->membership->fold
         # algebra; micro ratios guarded on 0 denominators

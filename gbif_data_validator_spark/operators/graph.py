@@ -689,3 +689,100 @@ def bfs_distances(
         for c in prev:
             c.unpersist()
         e.unpersist()
+
+
+def kcore_membership(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983, the
+    Matula–Beck peel) over the UNDIRECTED canonical edge list →
+    ``(node, removed_round, in_kcore)`` for every incident vertex.
+
+    The k-core — the maximal subgraph where every vertex keeps degree ≥ k
+    — separates organically embedded hosts from peripheral chaff: link
+    farms and orphan clusters peel away in early rounds, while genuinely
+    interlinked neighborhoods survive. ``removed_round`` (1-based, NULL
+    for core members) is the peel depth — how many rounds of neighbor
+    loss a vertex withstood — the same "coreness ladder" signal crawl
+    prioritizers rank by.
+
+    Semantics are EXACTLY ``max_rounds`` peel rounds: each round removes
+    every alive vertex whose alive-degree < k, simultaneously (no
+    within-round cascade — the textbook synchronous peel, which is what
+    an unrolled SQL replay can express; the DuckDB oracle runs the
+    identical rounds). An early empty round is a fixpoint — extra rounds
+    change nothing — so bounded and converged runs agree; pick
+    ``max_rounds`` ≥ the expected peel depth and verify with
+    ``in_kcore=false`` counts per round.
+
+    Plan: incidence list (2|E| rows) persists once, partitioned by node;
+    per round ONE degree agg over alive incidence (two semi-shaped equi-
+    joins against the alive set) + one anti-join, with the pagerank/bfs
+    persist-then-single-count-action discipline. Only vertex-grain rows
+    shuffle per round; edges never move after the initial partition.
+    """
+    if k < 1:
+        raise ValueError(f"kcore_membership: k must be >= 1, got {k}")
+    e = _canonical_edges(edges, src, dst)
+    inc = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .repartition("node")
+        .persist()
+    )
+    alive = inc.select("node").distinct().persist()
+    # empty seed inherits the caller's node type
+    removed = alive.limit(0).select(
+        "node", F.lit(0).cast("long").alias("removed_round")
+    )
+    caches: list[DataFrame] = [alive]
+    try:
+        for r in range(1, max_rounds + 1):
+            deg = (
+                inc.join(alive.select(F.col("node").alias("_x")), inc.node == F.col("_x"))
+                .join(alive.select(F.col("node").alias("_y")), inc.nbr == F.col("_y"))
+                .groupBy(inc.node)
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            rem = (
+                alive.join(deg, "node", "left")
+                .where(F.coalesce(F.col("deg"), F.lit(0)) < k)
+                .select("node", F.lit(r).cast("long").alias("removed_round"))
+                .persist()
+            )
+            caches.append(rem)
+            n_rem = rem.count()  # ONE action per round
+            if n_rem == 0:
+                break
+            removed = removed.unionByName(rem)
+            alive = alive.join(rem.select("node"), "node", "left_anti").persist()
+            caches.append(alive)
+            if r % 3 == 0:
+                # lineage truncation (the bfs discipline): without it the
+                # per-round anti-join tree nests and the plan string alone
+                # OOMs by round ~8
+                alive = alive.localCheckpoint(eager=True)
+                removed = removed.localCheckpoint(eager=True)
+                for c in caches:
+                    c.unpersist()
+                caches = []
+        out = (
+            alive.select(
+                "node",
+                F.lit(None).cast("long").alias("removed_round"),
+                F.lit(True).alias("in_kcore"),
+            )
+            .unionByName(
+                removed.select("node", "removed_round", F.lit(False).alias("in_kcore"))
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        for c in caches:
+            c.unpersist()
+        inc.unpersist()

@@ -438,3 +438,73 @@ def test_bfs_distances_multi_seed_and_checkpoint_boundary(spark):
         "v0": 0, "v1": 1, "v2": 2, "v3": 3, "v4": 4,
         "v5": 0, "v6": 1, "v7": 2, "v8": 3,
     }
+
+
+# ----------------------------------------------------------------- k-core
+
+
+def _kcore_fixture(spark):
+    # K4 clique {a,b,c,d} + pendant chain e-f-g hooked at g-a:
+    # k=2 peels e (round 1), then f (round 2), then g (round 3); the
+    # clique survives every round
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ("e", "f"), ("f", "g"), ("g", "a"),
+    ]
+    return spark.createDataFrame(edges, "src string, dst string")
+
+
+def test_kcore_peel_rounds_exact(spark):
+    from gbif_data_validator_spark.operators.graph import kcore_membership
+
+    out = {r.node: r for r in kcore_membership(_kcore_fixture(spark), k=2).collect()}
+    assert len(out) == 7
+    assert all(out[n].in_kcore for n in "abcd")
+    assert all(out[n].removed_round is None for n in "abcd")
+    assert (out["e"].removed_round, out["f"].removed_round, out["g"].removed_round) == (1, 2, 3)
+    assert not any(out[n].in_kcore for n in "efg")
+
+
+def test_kcore_whole_graph_peels_when_k_exceeds_degrees(spark):
+    from gbif_data_validator_spark.operators.graph import kcore_membership
+
+    out = {r.node: r for r in kcore_membership(_kcore_fixture(spark), k=4).collect()}
+    assert len(out) == 7
+    assert not any(r.in_kcore for r in out.values())
+    # synchronous peel: degrees are a:4, b/c/d:3, e:1, f:2, g:2 — round 1
+    # removes everyone but a; a is then isolated and peels in round 2
+    assert out["a"].removed_round == 2
+    assert all(out[n].removed_round == 1 for n in "bcdefg")
+
+
+def test_kcore_direction_and_duplicates_collapse(spark):
+    from gbif_data_validator_spark.operators.graph import kcore_membership
+
+    # reversed + duplicated edges and a self-loop must not change degrees
+    extra = spark.createDataFrame(
+        [("b", "a"), ("a", "b"), ("a", "a")], "src string, dst string"
+    )
+    base = _kcore_fixture(spark)
+    out1 = {(r.node, r.removed_round, r.in_kcore)
+            for r in kcore_membership(base, k=2).collect()}
+    out2 = {(r.node, r.removed_round, r.in_kcore)
+            for r in kcore_membership(base.unionByName(extra), k=2).collect()}
+    assert out1 == out2
+
+
+def test_kcore_partition_invariant(spark):
+    from gbif_data_validator_spark.operators.graph import kcore_membership
+
+    base = _kcore_fixture(spark)
+    a = {(r.node, r.removed_round, r.in_kcore)
+         for r in kcore_membership(base.repartition(1), k=2).collect()}
+    b = {(r.node, r.removed_round, r.in_kcore)
+         for r in kcore_membership(base.repartition(9), k=2).collect()}
+    assert a == b
+
+
+def test_kcore_rejects_bad_k(spark):
+    from gbif_data_validator_spark.operators.graph import kcore_membership
+
+    with pytest.raises(ValueError):
+        kcore_membership(_kcore_fixture(spark), k=0)
