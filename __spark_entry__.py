@@ -3465,6 +3465,33 @@ def _q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def _q_compression_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate-compressibility quality gate per document: exact micro-unit
+    zlib ratio + band verdict (too_repetitive / keep / too_random) — the
+    cheap information-density filter Gopher-family pipelines run before
+    anything model-based. Rows-only (DuckDB has no deflate); the exact
+    ratio arithmetic and band ordering are pinned in pytest
+    (functions/textstats.py:compression_ratio_micro)."""
+    from gbif_data_validator_spark.functions.textstats import (
+        compression_ratio_micro,
+    )
+
+    r = compression_ratio_micro(F.col("text"))
+    return (
+        _docs_spread(spark, sf_dir)
+        .select(
+            "doc_id",
+            r.alias("ratio_micro"),
+            F.when(r.isNull(), F.lit("empty"))
+            .when(r < 200_000, F.lit("too_repetitive"))
+            .when(r > 650_000, F.lit("too_random"))
+            .otherwise(F.lit("keep"))
+            .alias("band"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (k=3) of the deterministic host graph with two
     pendant tiers (p-/q-hosts) grafted on so the peel cascades ~7 rounds
@@ -4078,6 +4105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": _q_corpus_overlap,
         "kmv_overlap": _q_kmv_overlap,
         "kcore": _q_kcore,
+        "compression_gate": _q_compression_gate,
         "mojibake_census": _q_mojibake_census,
         "embedding_health": _q_embedding_health,
         "bpe_word_freq": _q_bpe_word_freq,

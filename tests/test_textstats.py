@@ -187,3 +187,57 @@ def test_dominant_script(spark):
     assert _one(spark, "123 !!!", ts.dominant_script(F.col("text"))) == "und"
     assert _one(spark, None, ts.dominant_script(F.col("text"))) == "und"
     assert _one(spark, "ab ва", ts.dominant_script(F.col("text"))) == "latin"
+
+
+# ------------------------------------------------- compression ratio gate
+
+
+def test_compression_ratio_separates_repetition_from_prose(spark):
+    from gbif_data_validator_spark.functions.textstats import (
+        compression_ratio_micro,
+    )
+
+    rows = [
+        (1, "spam " * 2000),                           # highly repetitive
+        (2, " ".join(f"organic word{i} flows here with varied phrasing {i*7}"
+                      for i in range(200))),            # prose-ish
+        (3, "".join(f"{i*2654435761 % 2**32:08x}" for i in range(2000))),  # high entropy
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.ratio
+        for r in df.select(
+            "doc_id", compression_ratio_micro(F.col("text")).alias("ratio")
+        ).collect()
+    }
+    assert out[1] < 20_000            # boilerplate: < 2%
+    assert 20_000 < out[2] < 400_000  # prose band
+    assert out[3] > 400_000           # entropy soup
+    assert out[4] is None and out[5] is None
+    # band ordering is the gate's whole contract
+    assert out[1] < out[2] < out[3]
+
+
+def test_compression_ratio_exact_and_partition_invariant(spark):
+    import zlib
+
+    from gbif_data_validator_spark.functions.textstats import (
+        compression_ratio_micro,
+    )
+
+    texts = [(i, f"document body {i} " * (10 + i % 17)) for i in range(100)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    expect = {
+        i: (1_000_000 * len(zlib.compress(t.encode(), 6))) // len(t.encode())
+        for i, t in texts
+    }
+    for parts in (1, 7):
+        got = {
+            r.doc_id: r.ratio
+            for r in df.repartition(parts)
+            .select("doc_id", compression_ratio_micro(F.col("text")).alias("ratio"))
+            .collect()
+        }
+        assert got == expect
