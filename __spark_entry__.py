@@ -3465,6 +3465,51 @@ def _q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def _q_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish pre-tokens per whitespace
+    word in exact micro-units — the per-language token-budget multiplier
+    training-mix planners need (a corpus 'balanced by words' can be 2-3x
+    skewed in tokens). One conditional-agg scan at lang grain
+    (functions/textstats.py:bpe_token_count / ws_token_count)."""
+    from gbif_data_validator_spark.functions.textstats import (
+        bpe_token_count,
+        ws_token_count,
+    )
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(ws_token_count(F.col("text"))).cast("long").alias("ws_tokens"),
+            F.sum(bpe_token_count(F.col("text"))).cast("long").alias("bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            F.when(
+                F.col("ws_tokens") > 0,
+                F.expr("(1000000 * bpe_tokens) div ws_tokens"),
+            ).alias("fertility_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_style_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows-Delta stylometric distance between sources: L1 distance of
+    exact micro-unit relative-frequency profiles over the global top-50
+    vocabulary — the mirror-network / same-generator detector content
+    dedup misses (operators/metrics.py:style_distance_census)."""
+    from gbif_data_validator_spark.operators.metrics import style_distance_census
+
+    return style_distance_census(
+        _docs_spread(spark, sf_dir), "source", "text", vocab_k=50
+    ).orderBy("group_a", "group_b")
+
+
 def _q_compression_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deflate-compressibility quality gate per document: exact micro-unit
     zlib ratio + band verdict (too_repetitive / keep / too_random) — the
@@ -4106,6 +4151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": _q_kmv_overlap,
         "kcore": _q_kcore,
         "compression_gate": _q_compression_gate,
+        "style_distance": _q_style_distance,
+        "fertility_by_lang": _q_fertility_by_lang,
         "mojibake_census": _q_mojibake_census,
         "embedding_health": _q_embedding_health,
         "bpe_word_freq": _q_bpe_word_freq,
@@ -8548,6 +8595,65 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY abs(cusum_scaled) DESC, bucket ASC) = 1
                      AS is_change_point
             FROM t ORDER BY bucket
+        """,
+        # fertility_by_lang: ws token count replayed as non-blank split
+        # length, bpe count as the shared ASCII-safe regex (Java/RE2
+        # agree); integer micro quotient
+        "fertility_by_lang": r"""
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                            END) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(len(regexp_extract_all(
+                       text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+                     AS bpe_tokens,
+                   CASE WHEN CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                                  END) AS BIGINT) > 0
+                        THEN (1000000 * CAST(SUM(len(regexp_extract_all(
+                               text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT))
+                             // CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                                  END) AS BIGINT)
+                   END AS fertility_micro
+            FROM documents WHERE text IS NOT NULL
+            GROUP BY lang ORDER BY lang
+        """,
+        # style_distance: identical tokenization (lower + \s+ split, empty
+        # dropped), identical top-50 vocabulary tie-break (count desc,
+        # word asc), integer micro profiles, L1 fold — HUGEINT sums cast
+        # down
+        "style_distance": """
+            WITH c AS (
+              SELECT grp, word, CAST(COUNT(*) AS BIGINT) AS n
+              FROM (SELECT source AS grp,
+                           unnest(list_filter(
+                             regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '')) AS word
+                    FROM documents WHERE text IS NOT NULL)
+              GROUP BY 1, 2
+            ),
+            t AS (SELECT grp, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY grp),
+            v AS (
+              SELECT word FROM (
+                SELECT word,
+                       ROW_NUMBER() OVER (ORDER BY SUM(n) DESC, word ASC) AS rk
+                FROM c GROUP BY word
+              ) WHERE rk <= 50
+            ),
+            g AS (SELECT t.grp, t.total, v.word FROM t CROSS JOIN v),
+            p AS (
+              SELECT g.grp, g.word,
+                     (1000000 * COALESCE(c.n, 0)) // g.total AS f
+              FROM g LEFT JOIN c ON c.grp = g.grp AND c.word = g.word
+            )
+            SELECT a.grp AS group_a, b.grp AS group_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(ABS(a.f - b.f)) AS BIGINT) AS delta_micro
+            FROM p a JOIN p b ON a.word = b.word AND a.grp < b.grp
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         # kcore: 10 identical synchronous peel rounds unrolled as CTEs
         # (generator above); bounded == converged because an empty round

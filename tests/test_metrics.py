@@ -401,3 +401,82 @@ def test_concentration_census_empty(spark):
 
     df = spark.createDataFrame([], "g string")
     assert concentration_census(df, "g").count() == 0
+
+
+# ------------------------------------------------ stylometric distance
+
+
+def test_style_distance_matches_brute_force(spark):
+    from gbif_data_validator_spark.operators.metrics import style_distance_census
+
+    rows = [
+        ("s1", "the cat and the dog and the bird"),
+        ("s1", "the fish"),
+        ("s2", "the cat the cat the cat dog"),
+        ("s3", "entirely unrelated words appear here nothing shared at all"),
+        ("s3", None),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r.group_a, r.group_b): r
+        for r in style_distance_census(df, "source", "text", vocab_k=4).collect()
+    }
+    # brute force
+    import collections
+
+    toks = collections.defaultdict(list)
+    for s, t in rows:
+        if t is not None:
+            toks[s].extend(w for w in t.lower().split() if w)
+    counts = {s: collections.Counter(ws) for s, ws in toks.items()}
+    g = collections.Counter()
+    for c in counts.values():
+        g.update(c)
+    vocab = sorted(g.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    vocab = [w for w, _ in vocab]
+    prof = {
+        s: {w: (1_000_000 * c.get(w, 0)) // sum(c.values()) for w in vocab}
+        for s, c in counts.items()
+    }
+    srcs = sorted(prof)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            want = sum(abs(prof[a][w] - prof[b][w]) for w in vocab)
+            assert out[(a, b)].delta_micro == want, (a, b)
+            assert out[(a, b)].n_words == 4
+    assert len(out) == 3
+
+
+def test_style_distance_identical_templates_zero(spark):
+    from gbif_data_validator_spark.operators.metrics import style_distance_census
+
+    # same generator behind two "domains": identical word distribution,
+    # different multiplicities — relative profiles match exactly
+    rows = [
+        ("a.com", "buy now cheap deals buy now"),
+        ("b.net", "buy now cheap deals buy now " * 3),
+        ("c.org", "longform essay about something else entirely with flowing prose"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r.group_a, r.group_b): r.delta_micro
+        for r in style_distance_census(df, "source", "text", vocab_k=10).collect()
+    }
+    assert out[("a.com", "b.net")] == 0
+    assert out[("a.com", "c.org")] > 0
+
+
+def test_style_distance_partition_invariant_one_scan(spark):
+    from gbif_data_validator_spark.operators.metrics import style_distance_census
+
+    rows = [(f"s{i % 5}", f"word{i % 23} common tokens here {i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    a = {
+        (r.group_a, r.group_b): (r.n_words, r.delta_micro)
+        for r in style_distance_census(df.repartition(1), "source", "text").collect()
+    }
+    b = {
+        (r.group_a, r.group_b): (r.n_words, r.delta_micro)
+        for r in style_distance_census(df.repartition(11), "source", "text").collect()
+    }
+    assert a == b and len(a) == 10
