@@ -254,6 +254,7 @@ def rate_anomaly(
     ts_col: str,
     window: str = "day",
     k: float = 3.0,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Arrival-rate control chart → one row per ``window`` bucket:
     ``(bucket, n, center, spread, is_anomaly)`` where a bucket is
@@ -275,9 +276,7 @@ def rate_anomaly(
     quantile_cont SQL replay.
     """
     w = Window.partitionBy(F.lit(1))
-    counts = df.groupBy(
-        F.date_trunc(window, F.col(ts_col)).alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    counts = _resolve_counts(df, ts_col, window, counts)
     centered = counts.withColumn(
         "center",
         F.round(F.percentile(F.col("n").cast("double"), F.lit(0.5)).over(w), 6),
@@ -430,6 +429,7 @@ def cusum_changepoint(
     df: DataFrame,
     ts_col: str,
     window: str = "day",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """CUSUM level-shift detector over windowed arrival volumes → one row
     per ``window`` bucket: ``(bucket, k, n, cusum_scaled,
@@ -458,9 +458,7 @@ def cusum_changepoint(
     free, the same deliberate shape as ``rate_anomaly``). Overflow
     headroom: 10^12 input rows × 10^4 buckets ≈ 10^16 < 2^63.
     """
-    counts = df.groupBy(
-        F.date_trunc(window, F.col(ts_col)).alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    counts = _resolve_counts(df, ts_col, window, counts)
 
     w_all = Window.partitionBy(F.lit(1))
     w_ord = (
@@ -505,15 +503,35 @@ def cusum_changepoint(
     )
 
 
-def _bucket_counts(df: DataFrame, ts_col: str, window: str) -> DataFrame:
+def _resolve_counts(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    counts: DataFrame | None,
+) -> DataFrame:
+    """Shared entry of the volume-monitor family: per-``window`` arrival
+    counts ``(bucket, n)`` — either aggregated here (ONE scan of the
+    input) or passed in pre-counted (``counts``), so a caller running the
+    whole battery (the engine's ``volume_monitor`` face) pays ONE corpus
+    scan for all four monitors instead of four."""
+    if counts is not None:
+        return counts.select("bucket", "n")
+    return df.groupBy(
+        F.date_trunc(window, F.col(ts_col)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _bucket_counts(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    counts: DataFrame | None = None,
+) -> DataFrame:
     """ONE scan of the input → per-``window`` arrival counts with a dense
     time rank ``k`` (1-based, bucket order). Every trend/monitoring pass
     downstream runs over this tiny table (|buckets| bounded by the
     calendar), the same deliberate shape as ``cusum_changepoint``."""
-    counts = df.groupBy(
-        F.date_trunc(window, F.col(ts_col)).alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    return counts.select(
+    return _resolve_counts(df, ts_col, window, counts).select(
         "bucket",
         "n",
         F.row_number()
@@ -527,6 +545,7 @@ def theil_sen_trend(
     df: DataFrame,
     ts_col: str,
     window: str = "day",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Theil–Sen robust trend + Mann–Kendall direction test over windowed
     arrival volumes → ONE row ``(n_buckets, n_pairs, slope_micro,
@@ -558,7 +577,7 @@ def theil_sen_trend(
     corpus — the pagerank/hits persist discipline; the cache is B rows).
     Overflow headroom: |10^6·Δn| ≤ 10^6·10^12 = 10^18 < 2^63.
     """
-    staged = _bucket_counts(df, ts_col, window).persist()
+    staged = _bucket_counts(df, ts_col, window, counts).persist()
     a = staged.select(
         F.col("k").alias("ka"), F.col("n").alias("na")
     )
@@ -685,6 +704,7 @@ def dispersion_census(
     df: DataFrame,
     ts_col: str,
     window: str = "hour",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Index-of-dispersion (variance-to-mean ratio) of windowed arrival
     counts → ONE row ``(n_buckets, total, mean_micro, dispersion_micro,
@@ -709,9 +729,7 @@ def dispersion_census(
     Plan: one scan → bucket counts; everything after is a 2-stage fold of
     the tiny bucket table (Σn² partial-aggregates map-side).
     """
-    counts = df.groupBy(
-        F.date_trunc(window, F.col(ts_col)).alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    counts = _resolve_counts(df, ts_col, window, counts)
     folded = counts.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
         F.sum("n").alias("total"),

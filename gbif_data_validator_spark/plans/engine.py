@@ -364,6 +364,17 @@ class EngineConfig:
     robots_table: object = None
     robots_blocking: bool = False
     robots_top_k: int = 5
+    #: arrival-volume monitor battery in report.metrics["volume"]: the
+    #: rate_anomaly control chart, CUSUM change point, Theil–Sen trend +
+    #: Mann–Kendall direction, and the dispersion index, all computed from
+    #: ONE shared (bucket, n) count table built by a single narrow
+    #: warc_ts-column scan (the operators' ``counts`` fast path) — every
+    #: pass after that is calendar-bounded. Answers "did volume break,
+    #: shift, drift, or change arrival character this run" inside the
+    #: validation report itself.
+    volume_monitor: bool = False
+    volume_window: str = "day"
+    volume_top_k: int = 5
     work_dir: str | None = None  # enables persisted violations + checkpoint/resume
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
 
@@ -976,6 +987,8 @@ class ValidationEngine:
             metrics["robots"] = self._robots_summary(pages)
             if c.robots_blocking and metrics["robots"]["n_blocked"]:
                 indexable = False
+        if c.volume_monitor:
+            metrics["volume"] = self._volume_summary(pages)
         if c.quarantine:
             metrics["quarantine"] = self._write_quarantine(pages, all_violations)
         return ValidationReport(
@@ -1058,6 +1071,79 @@ class ValidationEngine:
             "n_blocked": int(totals.n_blocked),
             "n_blocked_hosts": int(totals.n_hosts),
             "top_hosts": [{"host": r.host, "n": int(r.n)} for r in top],
+        }
+
+    def _volume_summary(self, pages: DataFrame) -> dict:
+        """Arrival-volume monitor battery folded into the report (config:
+        ``volume_monitor``): ONE narrow warc_ts scan builds the shared
+        (bucket, n) count table (persisted); rate_anomaly / CUSUM /
+        Theil–Sen / dispersion then all run over it via their ``counts``
+        fast path — four monitors, one corpus scan, every driver collect
+        bounded by the calendar (+ top_k)."""
+        from ..operators.sequence import (
+            cusum_changepoint,
+            dispersion_census,
+            rate_anomaly,
+            theil_sen_trend,
+        )
+
+        c = self.config
+        counts = (
+            pages.where(F.col("warc_ts").isNotNull())
+            .groupBy(F.date_trunc(c.volume_window, F.col("warc_ts")).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .persist()
+        )
+        try:
+            n_buckets = counts.count()  # materializes the shared table
+            if n_buckets == 0:
+                return {"window": c.volume_window, "n_buckets": 0}
+            anomalies = (
+                rate_anomaly(pages, "warc_ts", c.volume_window, counts=counts)
+                .where(F.col("is_anomaly"))
+                .orderBy(F.col("n").desc(), "bucket")
+                .limit(c.volume_top_k)
+                .collect()
+            )
+            cp = (
+                cusum_changepoint(pages, "warc_ts", c.volume_window, counts=counts)
+                .where(F.col("is_change_point"))
+                .collect()[0]
+            )
+            tr = theil_sen_trend(
+                pages, "warc_ts", c.volume_window, counts=counts
+            ).collect()[0]
+            disp = dispersion_census(
+                pages, "warc_ts", c.volume_window, counts=counts
+            ).collect()[0]
+        finally:
+            counts.unpersist()
+        return {
+            "window": c.volume_window,
+            "n_buckets": int(n_buckets),
+            "anomalous_buckets": [
+                {"bucket": str(r.bucket), "n": int(r.n)} for r in anomalies
+            ],
+            "change_point": {
+                "bucket": str(cp.bucket),
+                "k": int(cp.k),
+                "cusum_scaled": int(cp.cusum_scaled),
+                "mean_before_micro": int(cp.mean_before_micro),
+                "mean_after_micro": (
+                    int(cp.mean_after_micro)
+                    if cp.mean_after_micro is not None
+                    else None
+                ),
+            },
+            "trend": {
+                "slope_micro": (
+                    int(tr.slope_micro) if tr.slope_micro is not None else None
+                ),
+                "mk_s": int(tr.mk_s),
+                "direction": tr.trend,
+            },
+            "dispersion_micro": int(disp.dispersion_micro),
+            "mean_micro": int(disp.mean_micro),
         }
 
     def _anomaly_summary(self) -> dict:

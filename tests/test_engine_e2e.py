@@ -471,3 +471,31 @@ def test_robots_summary_and_blocking(spark):
         ValidationEngine(
             spark, EngineConfig(**base, robots_summary=True)
         ).run(pages)
+
+
+def test_volume_monitor_face(spark, tmp_path):
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+    from gbif_data_validator_spark.sources.synthetic import synth_pages
+
+    pages = synth_pages(spark, 600, with_violations=True).drop("expected_issue")
+    rep = ValidationEngine(
+        spark,
+        EngineConfig(
+            work_dir=str(tmp_path / "w"), run_id="vol", volume_monitor=True
+        ),
+    ).run(pages)
+    vol = rep.metrics["volume"]
+    assert vol["window"] == "day"
+    assert vol["n_buckets"] > 0
+    cp = vol["change_point"]
+    assert 1 <= cp["k"] <= vol["n_buckets"]
+    assert isinstance(cp["cusum_scaled"], int)
+    assert vol["trend"]["direction"] in ("increasing", "decreasing", "flat")
+    assert vol["dispersion_micro"] >= 0 and vol["mean_micro"] > 0
+    # the battery must not disturb the validation verdicts themselves
+    rep2 = ValidationEngine(
+        spark,
+        EngineConfig(work_dir=str(tmp_path / "w2"), run_id="novol"),
+    ).run(pages)
+    assert rep.issue_counts == rep2.issue_counts
+    assert rep.indexable == rep2.indexable

@@ -531,3 +531,20 @@ def test_dispersion_partition_invariant(spark):
     a = dispersion_census(df.repartition(1), "ts", "hour").collect()[0]
     b = dispersion_census(df.repartition(13), "ts", "hour").collect()[0]
     assert a == b
+
+
+def test_monitors_counts_fast_path_parity(spark):
+    """The engine's volume_monitor face feeds all four monitors one shared
+    pre-counted bucket table — results must be identical to the raw path."""
+    random.seed(5)
+    day_counts = [random.randint(5, 40) for _ in range(12)]
+    df = spark.createDataFrame(_volume_rows(day_counts), ["id", "ts"])
+    counts = df.groupBy(F.date_trunc("day", F.col("ts")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from gbif_data_validator_spark.operators.sequence import rate_anomaly
+
+    for op in (rate_anomaly, cusum_changepoint, theil_sen_trend, dispersion_census):
+        raw = sorted(map(tuple, op(df, "ts", "day").collect()))
+        fast = sorted(map(tuple, op(df, "ts", "day", counts=counts).collect()))
+        assert raw == fast, op.__name__
