@@ -3465,6 +3465,19 @@ def _q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def _q_group_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM level shifts: which series shifted to a new
+    volume level and when — the grouped face of cusum_shift (a host whose
+    volume halved is invisible in the global series when another doubled);
+    all windows partition by key, no SinglePartition pass
+    (operators/sequence.py:group_cusum_shifts)."""
+    from gbif_data_validator_spark.operators.sequence import group_cusum_shifts
+
+    return group_cusum_shifts(
+        _tbl(spark, sf_dir, "events"), "event_type", "ts", window="day"
+    ).orderBy("key")
+
+
 def _q_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language: BPE-ish pre-tokens per whitespace
     word in exact micro-units — the per-language token-budget multiplier
@@ -4153,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_gate": _q_compression_gate,
         "style_distance": _q_style_distance,
         "fertility_by_lang": _q_fertility_by_lang,
+        "group_cusum": _q_group_cusum,
         "mojibake_census": _q_mojibake_census,
         "embedding_health": _q_embedding_health,
         "bpe_word_freq": _q_bpe_word_freq,
@@ -8595,6 +8609,45 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY abs(cusum_scaled) DESC, bucket ASC) = 1
                      AS is_change_point
             FROM t ORDER BY bucket
+        """,
+        # group_cusum: the cusum_shift algebra partitioned by key; same
+        # integer scaling, same (abs desc, bucket asc) per-key argmax
+        "group_cusum": """
+            WITH c AS (
+              SELECT event_type AS key, date_trunc('day', ts) AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            s AS (
+              SELECT key, bucket, n,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY bucket)
+                       AS BIGINT) AS k,
+                     CAST(SUM(n) OVER (PARTITION BY key ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum,
+                     CAST(SUM(n) OVER (PARTITION BY key) AS BIGINT) AS total,
+                     CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT)
+                       AS n_buckets
+              FROM c
+            ),
+            t AS (
+              SELECT key, bucket, k, n_buckets,
+                     n_buckets * cum - k * total AS cusum_scaled,
+                     (1000000 * cum) // k AS mean_before_micro,
+                     CASE WHEN k < n_buckets
+                          THEN (1000000 * (total - cum)) // (n_buckets - k)
+                     END AS mean_after_micro
+              FROM s WHERE n_buckets >= 4
+            )
+            SELECT key, n_buckets, bucket, k, cusum_scaled,
+                   mean_before_micro, mean_after_micro,
+                   mean_after_micro - mean_before_micro AS shift_micro
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY key ORDER BY abs(cusum_scaled) DESC, bucket ASC
+              ) AS rk FROM t
+            ) WHERE rk = 1
+            ORDER BY key
         """,
         # fertility_by_lang: ws token count replayed as non-blank split
         # length, bpe count as the shared ASCII-safe regex (Java/RE2

@@ -115,6 +115,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "into report.metrics['robots']")
     p.add_argument("--robots-blocking", action="store_true",
                    help="with --robots: any blocked page flips the verdict")
+    p.add_argument("--volume", action="store_true",
+                   help="fold the arrival-volume monitor battery "
+                        "(rate anomaly, CUSUM change point, Theil-Sen "
+                        "trend, dispersion) into report.metrics['volume'] "
+                        "— one extra narrow warc_ts scan")
+    p.add_argument("--volume-window", default="day",
+                   help="date_trunc grain for --volume buckets "
+                        "(default: day)")
     p.add_argument("--check-mojibake", action="store_true",
                    help="during validation: flag double-decode corruption "
                         "(TEXT_MOJIBAKE) — text that decoded through the "
@@ -411,6 +419,9 @@ def main(argv: list[str] | None = None) -> int:
         kwargs["robots_summary"] = True
         kwargs["robots_table"] = read_table(spark, args.robots)
         kwargs["robots_blocking"] = args.robots_blocking
+    if args.volume:
+        kwargs["volume_monitor"] = True
+        kwargs["volume_window"] = args.volume_window
     extra_checks = []
     if args.check_mojibake:
         from .operators.record_checks import mojibake_custom_check

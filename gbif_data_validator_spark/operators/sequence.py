@@ -40,6 +40,7 @@ __all__ = [
     "theil_sen_trend",
     "seasonality_profile",
     "dispersion_census",
+    "group_cusum_shifts",
 ]
 
 
@@ -762,4 +763,89 @@ def dispersion_census(
         .when(F.col("dispersion_micro") < 500000, F.lit("underdispersed"))
         .otherwise(F.lit("poisson-like"))
         .alias("regime"),
+    )
+
+
+def group_cusum_shifts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window: str = "day",
+    min_buckets: int = 4,
+) -> DataFrame:
+    """Per-key CUSUM level shift: for every key (host/source) with at
+    least ``min_buckets`` observed windows, the single change-point row
+    of its own volume series → ``(key, n_buckets, bucket, k,
+    cusum_scaled, mean_before_micro, mean_after_micro, shift_micro)``.
+
+    The global ``cusum_changepoint`` answers "did THE CRAWL shift"; this
+    answers "WHICH hosts shifted" — a host whose volume halved is
+    invisible in the global series when another host doubled. Same
+    exact-integer algebra per key (``S_k = B_key·cum_k − k·total_key``,
+    argmax |S|, earliest bucket on ties); ``shift_micro =
+    mean_after_micro − mean_before_micro`` at the change point (signed —
+    negative = lost volume; NULL when the change point is the last
+    bucket). Keys with fewer than ``min_buckets`` buckets are excluded
+    (a 1-bucket key "shifts" meaninglessly).
+
+    Plan: ONE scan → (key, bucket) counts (map-side combinable); all
+    window passes partition BY KEY over that count table — the shuffle
+    carries (key, bucket) rows (≤ keys·calendar), never corpus rows, and
+    no single partition ever holds more than one key's calendar.
+    """
+    counts = df.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc(window, F.col(ts_col)).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    w_key = Window.partitionBy("key")
+    w_ord = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = counts.select(
+        "key",
+        "bucket",
+        "n",
+        F.row_number()
+        .over(Window.partitionBy("key").orderBy("bucket"))
+        .cast("long")
+        .alias("k"),
+        F.sum("n").over(w_ord).alias("cum"),
+        F.sum("n").over(w_key).alias("total"),
+        F.count(F.lit(1)).over(w_key).alias("n_buckets"),
+    ).where(F.col("n_buckets") >= min_buckets)
+    scored = staged.select(
+        "key",
+        "bucket",
+        "k",
+        "n_buckets",
+        (F.col("n_buckets") * F.col("cum") - F.col("k") * F.col("total")).alias(
+            "cusum_scaled"
+        ),
+        F.expr("(1000000 * cum) div k").alias("mean_before_micro"),
+        F.when(
+            F.col("k") < F.col("n_buckets"),
+            F.expr("(1000000 * (total - cum)) div (n_buckets - k)"),
+        ).alias("mean_after_micro"),
+    )
+    w_rank = Window.partitionBy("key").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("bucket").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w_rank))
+        .where(F.col("_rk") == 1)
+        .select(
+            "key",
+            "n_buckets",
+            "bucket",
+            "k",
+            "cusum_scaled",
+            "mean_before_micro",
+            "mean_after_micro",
+            (F.col("mean_after_micro") - F.col("mean_before_micro")).alias(
+                "shift_micro"
+            ),
+        )
     )

@@ -295,3 +295,22 @@ def test_main_robots_mode(spark, tmp_path, capsys):
     code = main(["--table", clean, "--no-extraction", "--robots", robots,
                  "--robots-blocking"])
     assert code == 2
+
+
+def test_main_volume_monitor_mode(spark, tmp_path, capsys):
+    """--volume: the arrival-volume battery lands in
+    report.metrics['volume'] without touching the verdict."""
+    from gbif_data_validator_spark.sources.synthetic import synth_pages
+
+    clean = str(tmp_path / "clean_v")
+    synth_pages(spark, 400, with_violations=False).drop(
+        "expected_issue"
+    ).write.parquet(clean)
+
+    code = main(["--table", clean, "--no-extraction", "--volume"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert code == 0
+    vol = out["metrics"]["volume"]
+    assert vol["window"] == "day" and vol["n_buckets"] > 0
+    assert vol["trend"]["direction"] in ("increasing", "decreasing", "flat")
+    assert 1 <= vol["change_point"]["k"] <= vol["n_buckets"]

@@ -548,3 +548,77 @@ def test_monitors_counts_fast_path_parity(spark):
         raw = sorted(map(tuple, op(df, "ts", "day").collect()))
         fast = sorted(map(tuple, op(df, "ts", "day", counts=counts).collect()))
         assert raw == fast, op.__name__
+
+
+# ------------------------------------------------------- grouped cusum
+
+
+def _keyed_volume_rows(series: dict) -> list[tuple]:
+    rows = []
+    for key, day_counts in series.items():
+        for i, n in enumerate(day_counts, start=1):
+            for j in range(n):
+                rows.append((key, f"{key}_{i}_{j}", _ts(i, hour=j % 24, minute=j % 60)))
+    return rows
+
+
+def test_group_cusum_finds_per_key_shifts(spark):
+    from gbif_data_validator_spark.operators.sequence import group_cusum_shifts
+
+    series = {
+        "lost":  [30, 31, 29, 30, 10, 11, 9, 10],   # halves after day 4
+        "gained": [5, 5, 6, 5, 20, 21, 19, 20],      # quadruples after day 4
+        "flat":  [12, 12, 12, 12, 12, 12, 12, 12],
+        "tiny":  [3, 4],                              # < min_buckets: excluded
+    }
+    df = spark.createDataFrame(_keyed_volume_rows(series), ["key", "id", "ts"])
+    out = {r.key: r for r in group_cusum_shifts(df, "key", "ts", "day").collect()}
+    assert set(out) == {"lost", "gained", "flat"}
+    assert out["lost"].k == 4 and out["lost"].shift_micro < 0
+    assert out["gained"].k == 4 and out["gained"].shift_micro > 0
+    # exact side means
+    assert out["lost"].mean_before_micro == 30_000_000
+    assert out["lost"].mean_after_micro == 10_000_000
+    assert out["lost"].shift_micro == -20_000_000
+    # constant series: argmax |S|=0 everywhere -> earliest bucket, shift 0... 
+    # (k=1: mean_before == n_1, mean_after == mean of rest, both 12)
+    assert out["flat"].cusum_scaled == 0
+    assert out["flat"].k == 1
+    assert out["flat"].shift_micro == 0
+
+
+def test_group_cusum_matches_global_on_single_key(spark):
+    from gbif_data_validator_spark.operators.sequence import group_cusum_shifts
+
+    counts = [20, 21, 19, 20, 60, 61, 59, 60]
+    df = spark.createDataFrame(_volume_rows(counts), ["id", "ts"]).withColumn(
+        "key", F.lit("all")
+    )
+    grp = group_cusum_shifts(df, "key", "ts", "day").collect()[0]
+    glob = [
+        r
+        for r in cusum_changepoint(df, "ts", "day").collect()
+        if r.is_change_point
+    ][0]
+    assert (grp.bucket, grp.k, grp.cusum_scaled) == (
+        glob.bucket, glob.k, glob.cusum_scaled
+    )
+    assert grp.mean_before_micro == glob.mean_before_micro
+    assert grp.mean_after_micro == glob.mean_after_micro
+
+
+def test_group_cusum_partition_invariant_no_single_partition_window(spark):
+    from gbif_data_validator_spark.operators.sequence import group_cusum_shifts
+
+    series = {f"h{i}": [10 + i, 11, 9, 30 + i, 31, 29] for i in range(6)}
+    df = spark.createDataFrame(_keyed_volume_rows(series), ["key", "id", "ts"])
+    a = sorted(map(tuple, group_cusum_shifts(df.repartition(1), "key", "ts").collect()))
+    b = sorted(map(tuple, group_cusum_shifts(df.repartition(13), "key", "ts").collect()))
+    assert a == b and len(a) == 6
+    plan = (
+        group_cusum_shifts(df, "key", "ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # every window partitions by key: the plan must not contain a
+    # SinglePartition exchange (the non-scalable global-window shape)
+    assert "SinglePartition" not in plan
