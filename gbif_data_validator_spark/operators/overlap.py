@@ -35,7 +35,12 @@ from pyspark.sql import functions as F
 
 from ..functions.textstats import content_fingerprint
 
-__all__ = ["corpus_overlap", "kmv_overlap"]
+__all__ = [
+    "corpus_overlap",
+    "kmv_overlap",
+    "write_kmv_sketch",
+    "kmv_overlap_vs_sketch",
+]
 
 
 def corpus_overlap(
@@ -131,13 +136,20 @@ def kmv_overlap(
     """
     if k < 2:
         raise ValueError(f"kmv_overlap: k must be >= 2, got {k}")
-    fp = content_fingerprint(F.col(text_col))
-    hash_of = lambda d: d.select(  # noqa: E731
-        F.xxhash64(fp).alias("h")
-    ).where(fp.isNotNull())
-    sk_a = _bottom_k(hash_of(df_a), k)
-    sk_b = _bottom_k(hash_of(df_b), k)
+    sk_a = _bottom_k(_hashes(df_a, text_col), k)
+    sk_b = _bottom_k(_hashes(df_b, text_col), k)
+    return _kmv_estimates(sk_a, sk_b, k)
 
+
+def _hashes(df: DataFrame, text_col: str) -> DataFrame:
+    """Uniform 64-bit hash per non-null content fingerprint (column ``h``)."""
+    fp = content_fingerprint(F.col(text_col))
+    return df.select(F.xxhash64(fp).alias("h")).where(fp.isNotNull())
+
+
+def _kmv_estimates(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
+    """The estimator core over two bottom-k sketch frames (column ``h``)
+    — shared by the two-corpus face and the persisted-sketch face."""
     # (0,1) position of a signed-64 hash; (k-1)/u_k is the KMV estimator
     u = lambda c: (c.cast("double") / F.lit(2.0**64)) + F.lit(0.5)  # noqa: E731
 
@@ -196,3 +208,66 @@ def kmv_overlap(
             j_micro.alias("est_jaccard_micro"),
         )
     )
+
+
+#: params sidecar for persisted sketches (the minhash-index scheme guard)
+_SKETCH_PARAMS_FILE = "_kmv_params.json"
+
+
+def write_kmv_sketch(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    k: int = 1024,
+    mode: str = "error",
+) -> None:
+    """Persist a corpus's bottom-k sketch (k rows of ``h``) + a params
+    sidecar — the incremental face: last month's crawl sketches ONCE,
+    and every later overlap census reads k·8 bytes instead of rescanning
+    its text (the minhash-band-index discipline, applied to distinct-set
+    cardinality). ``mode="append"`` adds another shard's sketch; KMV
+    merge = bottom-k of the union, so the reader re-limits and the
+    result equals the sketch of the combined corpus (pinned by test).
+    A k mismatch against the sidecar refuses loudly — mixed-k sketches
+    silently bias the estimator."""
+    import json
+    import os
+
+    if k < 2:
+        raise ValueError(f"write_kmv_sketch: k must be >= 2, got {k}")
+    params = {"k": k, "scheme": "kmv-xxhash64-md5norm-v1"}
+    pfile = os.path.join(path, _SKETCH_PARAMS_FILE)
+    if os.path.exists(pfile):
+        with open(pfile) as fh:
+            existing = json.load(fh)
+        if existing != params:
+            raise ValueError(
+                f"kmv sketch at {path} was built with {existing}; "
+                f"refusing to {mode} with {params}"
+            )
+    _bottom_k(_hashes(df, text_col), k).write.mode(mode).parquet(path)
+    if not os.path.exists(pfile):
+        os.makedirs(path, exist_ok=True)
+        with open(pfile, "w") as fh:
+            json.dump(params, fh)
+
+
+def kmv_overlap_vs_sketch(
+    df_new: DataFrame,
+    path: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """The kmv_overlap census with side A read from a persisted sketch:
+    byte-identical to ``kmv_overlap(old, new, k)`` (pinned by test)
+    without any scan of the old corpus. Appended shards merge by
+    re-limiting to bottom-k at read."""
+    import json
+    import os
+
+    spark = df_new.sparkSession
+    with open(os.path.join(path, _SKETCH_PARAMS_FILE)) as fh:
+        params = json.load(fh)
+    k = int(params["k"])
+    sk_a = _bottom_k(spark.read.parquet(path), k)
+    sk_b = _bottom_k(_hashes(df_new, text_col), k)
+    return _kmv_estimates(sk_a, sk_b, k)

@@ -113,3 +113,46 @@ def test_kmv_rejects_tiny_k(spark, overlapping):
     a, b = overlapping
     with pytest.raises(ValueError):
         kmv_overlap(a, b, k=1)
+
+
+def test_kmv_sketch_roundtrip_parity(spark, tmp_path):
+    from gbif_data_validator_spark.operators.overlap import (
+        kmv_overlap_vs_sketch,
+        write_kmv_sketch,
+    )
+
+    a = _docs(spark, range(0, 3000))
+    b = _docs(spark, range(2000, 5000))
+    path = str(tmp_path / "sk_a")
+    write_kmv_sketch(a, path, k=256)
+    direct = kmv_overlap(a, b, k=256).collect()[0]
+    via = kmv_overlap_vs_sketch(b, path).collect()[0]
+    assert tuple(via) == tuple(direct)
+
+
+def test_kmv_sketch_append_merges(spark, tmp_path):
+    from gbif_data_validator_spark.operators.overlap import (
+        kmv_overlap_vs_sketch,
+        write_kmv_sketch,
+    )
+
+    shard1 = _docs(spark, range(0, 1500))
+    shard2 = _docs(spark, range(1500, 3000))
+    whole = _docs(spark, range(0, 3000))
+    b = _docs(spark, range(2000, 5000))
+    path = str(tmp_path / "sk_m")
+    write_kmv_sketch(shard1, path, k=256)
+    write_kmv_sketch(shard2, path, k=256, mode="append")
+    merged = kmv_overlap_vs_sketch(b, path).collect()[0]
+    direct = kmv_overlap(whole, b, k=256).collect()[0]
+    assert tuple(merged) == tuple(direct)
+
+
+def test_kmv_sketch_k_mismatch_refused(spark, tmp_path):
+    from gbif_data_validator_spark.operators.overlap import write_kmv_sketch
+
+    a = _docs(spark, range(0, 100))
+    path = str(tmp_path / "sk_g")
+    write_kmv_sketch(a, path, k=128)
+    with pytest.raises(ValueError, match="refusing"):
+        write_kmv_sketch(a, path, k=256, mode="append")
