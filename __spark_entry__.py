@@ -3465,6 +3465,32 @@ def _q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def _q_evolving_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution-aware union: two synthetic crawl months with
+    drifted schemas (int→long key, int→double measure, a column added
+    later) read as ONE table under deterministic widening rules — the
+    Iceberg-native behavior emulated over raw parquet, plan-level only
+    (sources/evolution.py:evolving_union; no Exchange by test)."""
+    from gbif_data_validator_spark.operators.sampling import hash_bucket
+    from gbif_data_validator_spark.sources.evolution import evolving_union
+
+    d = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), 100)
+    month1 = d.where(b < 50).select(
+        F.col("doc_id").cast("int").alias("doc_id"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "lang",
+    )
+    month2 = d.where(b >= 50).select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        "lang",
+        "source",
+    )
+    out, _findings = evolving_union([month1, month2])
+    return out.orderBy("doc_id")
+
+
 def _q_group_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type CUSUM level shifts: which series shifted to a new
     volume level and when — the grouped face of cusum_shift (a host whose
@@ -4167,6 +4193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "style_distance": _q_style_distance,
         "fertility_by_lang": _q_fertility_by_lang,
         "group_cusum": _q_group_cusum,
+        "evolving_union": _q_evolving_union,
         "mojibake_census": _q_mojibake_census,
         "embedding_health": _q_embedding_health,
         "bpe_word_freq": _q_bpe_word_freq,
@@ -8609,6 +8636,22 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY abs(cusum_scaled) DESC, bucket ASC) = 1
                      AS is_change_point
             FROM t ORDER BY bucket
+        """,
+        # evolving_union: the widening rules replayed as explicit casts +
+        # NULL fill in a UNION ALL (doc_id int+long->BIGINT, n_chars
+        # int+double->DOUBLE, source added later -> NULL for month 1)
+        "evolving_union": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS DOUBLE) AS n_chars,
+                   lang,
+                   CAST(NULL AS VARCHAR) AS source
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+            UNION ALL
+            SELECT doc_id, CAST(n_chars AS DOUBLE), lang, source
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 >= 50
+            ORDER BY doc_id
         """,
         # group_cusum: the cusum_shift algebra partitioned by key; same
         # integer scaling, same (abs desc, bucket asc) per-key argmax

@@ -105,3 +105,65 @@ def test_jsonl_source_corrupt_record_capture(spark, tmp_path):
     assert len(v) == 2
     assert {r.check_id for r in v} == {CheckId.RECORD_MALFORMED}
     assert any("not json" in r.found for r in v)
+
+
+# ------------------------------------------------- schema-evolution union
+
+
+def test_evolving_union_widens_and_fills(spark):
+    from gbif_data_validator_spark.sources.evolution import evolving_union
+
+    month1 = spark.createDataFrame(
+        [(1, 10, "en")], "url int, n int, lang string"
+    )
+    month2 = spark.createDataFrame(
+        [(2_000_000_000_000, 2.5, "fr", True)],
+        "url long, n double, lang string, fetched boolean",
+    )
+    out, findings = evolving_union([month1, month2])
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "double", "string", "boolean"
+    ]
+    rows = sorted(out.collect(), key=lambda r: r.url)
+    assert rows[0].url == 1 and rows[0].n == 10.0 and rows[0].fetched is None
+    assert rows[1].url == 2_000_000_000_000 and rows[1].fetched is True
+    kinds = {(f["column"], f["kind"]) for f in findings}
+    assert ("url", "TYPE_WIDENED") in kinds
+    assert ("n", "TYPE_WIDENED") in kinds
+    assert ("fetched", "ADDED_LATER") in kinds
+    assert ("fetched", "MISSING_IN_INPUT") in kinds
+
+
+def test_evolving_union_string_conflict_gated(spark):
+    import pytest as _pytest
+
+    from gbif_data_validator_spark.sources.evolution import evolving_union
+
+    a = spark.createDataFrame([(1,)], "v int")
+    b = spark.createDataFrame([("x",)], "v string")
+    with _pytest.raises(ValueError, match="allow_stringify"):
+        evolving_union([a, b])
+    out, findings = evolving_union([a, b], allow_stringify=True)
+    assert out.schema.fields[0].dataType.simpleString() == "string"
+    assert sorted(r.v for r in out.collect()) == ["1", "x"]
+
+
+def test_evolving_union_irreconcilable_raises(spark):
+    import pytest as _pytest
+
+    from gbif_data_validator_spark.sources.evolution import evolving_union
+
+    a = spark.createDataFrame([(1, [1, 2])], "id int, v array<int>")
+    b = spark.createDataFrame([(2, 3)], "id int, v long")
+    with _pytest.raises(ValueError, match="irreconcilable"):
+        evolving_union([a, b])
+
+
+def test_evolving_union_no_shuffle(spark):
+    from gbif_data_validator_spark.sources.evolution import evolving_union
+
+    a = spark.createDataFrame([(1, 2)], "x int, y int")
+    b = spark.createDataFrame([(3,)], "x long")
+    out, _ = evolving_union([a, b])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
