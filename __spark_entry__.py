@@ -3465,6 +3465,18 @@ def _q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def _q_neyman_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal sample allocation across sources for estimating
+    mean document length: budget ∝ N_h·σ_h (exact DECIMAL moments, one
+    IEEE sqrt per stratum), largest-remainder rounding sums to the budget
+    EXACTLY (operators/sampling.py:neyman_allocation)."""
+    from gbif_data_validator_spark.operators.sampling import neyman_allocation
+
+    return neyman_allocation(
+        _docs(spark, sf_dir), "source", "n_chars", total_n=100
+    ).orderBy("stratum")
+
+
 def _q_evolving_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution-aware union: two synthetic crawl months with
     drifted schemas (int→long key, int→double measure, a column added
@@ -4194,6 +4206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fertility_by_lang": _q_fertility_by_lang,
         "group_cusum": _q_group_cusum,
         "evolving_union": _q_evolving_union,
+        "neyman_plan": _q_neyman_plan,
         "mojibake_census": _q_mojibake_census,
         "embedding_health": _q_embedding_health,
         "bpe_word_freq": _q_bpe_word_freq,
@@ -8636,6 +8649,69 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY abs(cusum_scaled) DESC, bucket ASC) = 1
                      AS is_change_point
             FROM t ORDER BY bucket
+        """,
+        # neyman_plan: exact HUGEINT moments (v_micro = n_chars*10^6, no
+        # rounding ambiguity on an int column), one IEEE sqrt per
+        # stratum, stratum-ordered list_reduce fold for the share
+        # denominator (Spark's aggregate+0.0 discipline), floor + largest
+        # remainder with (frac desc, stratum asc) ties; weight/quota
+        # deliberately UNROUNDED (round(x,6) boundary behavior differs
+        # across engines; the raw IEEE doubles are identical)
+        "neyman_plan": """
+            WITH s AS (
+              SELECT source AS stratum,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     SUM(CAST(n_chars AS HUGEINT) * 1000000) AS s1,
+                     SUM((CAST(n_chars AS HUGEINT) * 1000000)
+                         * (CAST(n_chars AS HUGEINT) * 1000000)) AS s2,
+                     CAST(COUNT(n_chars) AS BIGINT) AS n_vals
+              FROM documents GROUP BY 1
+            ),
+            w AS (
+              SELECT stratum, n_rows,
+                     sqrt(greatest(0.0,
+                       CAST(CAST(n_vals AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)))
+                       AS weight
+              FROM s
+            ),
+            ft AS (
+              SELECT list(weight ORDER BY stratum) AS ws,
+                     list(n_rows ORDER BY stratum) AS ns
+              FROM w
+            ),
+            tot AS (
+              SELECT list_reduce(list_prepend(0.0, ws), (a, x) -> a + x)
+                       + 0.0 AS w_total,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT), ns),
+                                 (a, x) -> a + x) AS n_total
+              FROM ft
+            ),
+            q AS (
+              SELECT w.stratum, w.n_rows, w.weight,
+                     100 * (CASE WHEN t.w_total > 0
+                                 THEN w.weight / t.w_total
+                                 ELSE CAST(w.n_rows AS DOUBLE)
+                                      / CAST(t.n_total AS DOUBLE) END)
+                       AS quota_raw
+              FROM w CROSS JOIN tot t
+            ),
+            b AS (
+              SELECT stratum, n_rows, weight,
+                     quota_raw AS quota,
+                     CAST(floor(quota_raw) AS BIGINT) AS base,
+                     quota_raw - floor(quota_raw) AS frac
+              FROM q
+            )
+            SELECT stratum, n_rows, weight, quota,
+                   base + CASE WHEN ROW_NUMBER() OVER
+                       (ORDER BY frac DESC, stratum ASC)
+                       <= 100 - SUM(base) OVER () THEN 1 ELSE 0 END
+                     AS alloc_n,
+                   (base + CASE WHEN ROW_NUMBER() OVER
+                       (ORDER BY frac DESC, stratum ASC)
+                       <= 100 - SUM(base) OVER () THEN 1 ELSE 0 END)
+                     > n_rows AS over_allocated
+            FROM b ORDER BY stratum
         """,
         # evolving_union: the widening rules replayed as explicit casts +
         # NULL fill in a UNION ALL (doc_id int+long->BIGINT, n_chars

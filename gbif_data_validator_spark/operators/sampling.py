@@ -197,3 +197,141 @@ def weighted_sample(
         .orderBy(F.col("sample_key").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934): split a
+    ``total_n``-row sample budget across strata proportionally to
+    ``N_h·σ_h`` — minimum-variance for estimating the mean of
+    ``value_col`` — → one row per stratum ``(stratum, n_rows, weight,
+    quota, alloc_n, over_allocated)`` with ``Σ alloc_n == total_n``
+    EXACTLY (largest-remainder rounding, deterministic ties).
+
+    Proportional sampling oversamples boring homogeneous strata; the
+    Neyman weight spends budget where the measure actually varies — the
+    principled upgrade of `stratified_sample`'s equal/proportional modes
+    for profile-estimation jobs ("estimate mean doc quality to ±ε").
+
+    Exactness discipline: values quantize to micro-units
+    (``round(v·10^6)`` BIGINT — the calibration_curve rule), moments
+    accumulate in DECIMAL(38,0), and the per-stratum weight is
+    ``sqrt(N_h·Σv² − (Σv)²)`` ( = N_h·σ_h up to the common 10^6 factor,
+    which cancels in the shares) — ONE correctly-rounded IEEE sqrt per
+    stratum of an exact integer, identical in every engine. The share
+    denominator folds over the STRATUM-SORTED weight list
+    (``_ordered_fold`` discipline), quotas floor to a base, and the
+    ``total_n − Σbase`` leftovers go to the largest fractional parts
+    (stratum-asc tie-break). All-zero-variance corpora fall back to
+    allocation ∝ N_h (documented; weight column still reports 0).
+    ``over_allocated`` flags strata whose quota exceeds their row count
+    (a finding — capping + redistribution is the caller's policy call).
+
+    Plan: ONE scan → per-stratum moment agg (map-side combinable); the
+    fold, rounding, and rank all run over the |strata|-row table (one
+    bounded collect_list — strata are host/source-grain by contract).
+    NULL values are excluded from moments but still counted in ``n_rows``
+    (they can be SAMPLED, they just carry no variance evidence).
+    """
+    if total_n < 0:
+        raise ValueError(f"neyman_allocation: total_n must be >= 0, got {total_n}")
+    from .constraints import _ordered_fold
+
+    v_micro = F.round(F.col(value_col).cast("double") * 1_000_000).cast("long")
+    strata = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(v_micro.cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")
+        ).alias("s1"),
+        F.coalesce(
+            F.sum(v_micro.cast("decimal(19,0)") * v_micro.cast("decimal(19,0)"))
+            .cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("s2"),
+        F.count(v_micro).cast("long").alias("n_vals"),
+    )
+    weighted = strata.select(
+        "stratum",
+        "n_rows",
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                (
+                    F.col("n_vals").cast("decimal(38,0)") * F.col("s2")
+                    - F.col("s1") * F.col("s1")
+                ).cast("double"),
+            )
+        ).alias("weight"),
+    )
+    one = weighted.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct("stratum", "n_rows", "weight"))
+        ).alias("g")
+    )
+    w_total = _ordered_fold(F.transform(F.col("g"), lambda s: s["weight"]))
+    n_total = F.aggregate(
+        F.transform(F.col("g"), lambda s: s["n_rows"]),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    # zero-variance fallback: allocate proportionally to stratum size
+    share = lambda s: F.when(  # noqa: E731
+        w_total > 0, s["weight"] / w_total
+    ).otherwise(s["n_rows"].cast("double") / n_total.cast("double"))
+    staged = one.select(
+        F.explode(
+            F.transform(
+                F.col("g"),
+                lambda s: F.struct(
+                    s["stratum"].alias("stratum"),
+                    s["n_rows"].alias("n_rows"),
+                    s["weight"].alias("weight"),
+                    (F.lit(float(total_n)) * share(s)).alias("quota"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    based = staged.select(
+        "stratum",
+        "n_rows",
+        # weight/quota stay UNROUNDED: sqrt and the share ops are
+        # correctly-rounded IEEE on both engines, so the exact doubles
+        # hash-match — while round(x, 6) itself differs between Java
+        # HALF_UP and DuckDB's scaled-multiply at boundary values
+        "weight",
+        "quota",
+        F.floor("quota").cast("long").alias("base"),
+        (F.col("quota") - F.floor("quota")).alias("frac"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_rank = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("frac").desc(), F.col("stratum").asc()
+    )
+    return (
+        based.select(
+            "stratum",
+            "n_rows",
+            "weight",
+            "quota",
+            "base",
+            F.row_number().over(w_rank).cast("long").alias("_rk"),
+            F.sum("base").over(w_all).alias("_base_sum"),
+        )
+        .select(
+            "stratum",
+            "n_rows",
+            "weight",
+            "quota",
+            (
+                F.col("base")
+                + F.when(
+                    F.col("_rk") <= F.lit(total_n) - F.col("_base_sum"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("alloc_n"),
+        )
+        .withColumn("over_allocated", F.col("alloc_n") > F.col("n_rows"))
+    )

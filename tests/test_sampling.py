@@ -170,3 +170,68 @@ def test_weighted_sample(spark):
     # keys are valid (0, 1] powers, descending
     keys = [r.sample_key for r in out]
     assert keys == sorted(keys, reverse=True) and all(0 < x <= 1 for x in keys)
+
+
+# --------------------------------------------------- neyman allocation
+
+
+def test_neyman_allocation_budget_exact_and_variance_weighted(spark):
+    import math
+    import random
+
+    from gbif_data_validator_spark.operators.sampling import neyman_allocation
+
+    random.seed(13)
+    rows = []
+    # "wild": high variance; "calm": near-constant; "mid": moderate
+    for i in range(200):
+        rows.append(("wild", float(random.randint(0, 1000))))
+    for i in range(400):
+        rows.append(("calm", 50.0 + (i % 2) * 0.001))
+    for i in range(300):
+        rows.append(("mid", float(random.randint(40, 60))))
+    df = spark.createDataFrame(rows, "stratum string, v double")
+    out = {r.stratum: r for r in neyman_allocation(df, "stratum", "v", 100).collect()}
+    assert sum(r.alloc_n for r in out.values()) == 100
+    # Neyman: the wild stratum dominates despite being the smallest
+    assert out["wild"].alloc_n > out["mid"].alloc_n > out["calm"].alloc_n
+    assert out["calm"].alloc_n < 5
+    # exact-arithmetic weight: sqrt(n*sum(v_micro^2) - sum(v_micro)^2)
+    vs = [int(round(v * 1_000_000)) for s, v in rows if s == "wild"]
+    want = math.sqrt(len(vs) * sum(x * x for x in vs) - sum(vs) ** 2)
+    assert out["wild"].weight == want
+    assert not any(r.over_allocated for r in out.values())
+
+
+def test_neyman_zero_variance_falls_back_to_proportional(spark):
+    from gbif_data_validator_spark.operators.sampling import neyman_allocation
+
+    rows = [("a", 5.0)] * 30 + [("b", 7.0)] * 70
+    df = spark.createDataFrame(rows, "stratum string, v double")
+    out = {r.stratum: r for r in neyman_allocation(df, "stratum", "v", 10).collect()}
+    assert out["a"].weight == 0.0 and out["b"].weight == 0.0
+    assert (out["a"].alloc_n, out["b"].alloc_n) == (3, 7)
+
+
+def test_neyman_largest_remainder_and_overalloc_flag(spark):
+    from gbif_data_validator_spark.operators.sampling import neyman_allocation
+
+    # stratum "a": 2 rows, ALL the variance; "b": 100 constant rows
+    # (weight 0) — the whole 50-row budget lands on a (N_a*sigma_a is the
+    # only nonzero weight), which must be flagged over_allocated
+    rows = [("a", 0.0), ("a", 100.0)] + [("b", 42.0)] * 100
+    df = spark.createDataFrame(rows, "stratum string, v double")
+    out = {r.stratum: r for r in neyman_allocation(df, "stratum", "v", 50).collect()}
+    assert sum(r.alloc_n for r in out.values()) == 50
+    assert out["a"].alloc_n == 50 and out["a"].over_allocated
+    assert out["b"].alloc_n == 0 and not out["b"].over_allocated
+
+
+def test_neyman_partition_invariant(spark):
+    from gbif_data_validator_spark.operators.sampling import neyman_allocation
+
+    rows = [(f"s{i % 4}", float((i * 37) % 101)) for i in range(500)]
+    df = spark.createDataFrame(rows, "stratum string, v double")
+    a = sorted(map(tuple, neyman_allocation(df.repartition(1), "stratum", "v", 33).collect()))
+    b = sorted(map(tuple, neyman_allocation(df.repartition(17), "stratum", "v", 33).collect()))
+    assert a == b
