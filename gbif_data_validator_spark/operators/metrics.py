@@ -749,12 +749,15 @@ def style_distance_census(
     (count desc, word asc).
 
     Plan: ONE corpus scan → (group, word) counts, persisted (totals,
-    vocabulary, and profiles all derive from it — the theil_sen persist
-    discipline); the top-k vocabulary window runs at word grain; profiles
-    are |groups|·k rows, so the dense grid, the profile join, and the
-    pair self-join are broadcast-sized. Pair output is |groups|²/2 rows —
-    source/host-grain inputs only (the linkage-block contract: group by
-    host, not by page). Overflow: freq ≤ 10^6, Σ|diff| ≤ 2·10^6·k.
+    vocabulary, and profiles all derive from it); the top-k vocabulary
+    window runs at word grain; profiles are |groups|·k rows, so the dense
+    grid, the profile join, and the pair self-join are broadcast-sized.
+    Pair output is |groups|²/2 rows — source/host-grain inputs only (the
+    linkage-block contract: group by host, not by page). The counts
+    cache is corpus-vocabulary-sized, so the (tiny) pair result is
+    materialized EAGERLY and the cache released before returning — the
+    kcore persist/finally discipline, not a leaked cache. Overflow:
+    freq ≤ 10^6, Σ|diff| ≤ 2·10^6·k.
     """
     if vocab_k < 1:
         raise ValueError(f"style_distance_census: vocab_k must be >= 1, got {vocab_k}")
@@ -799,12 +802,18 @@ def style_distance_census(
         F.col("word").alias("word"),
         F.col("freq_micro").alias("fb"),
     )
-    return (
-        a.join(b, "word")
-        .where(F.col("group_a") < F.col("group_b"))
-        .groupBy("group_a", "group_b")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum(F.abs(F.col("fa") - F.col("fb"))).cast("long").alias("delta_micro"),
+    try:
+        return (
+            a.join(b, "word")
+            .where(F.col("group_a") < F.col("group_b"))
+            .groupBy("group_a", "group_b")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum(F.abs(F.col("fa") - F.col("fb")))
+                .cast("long")
+                .alias("delta_micro"),
+            )
+            .localCheckpoint(eager=True)
         )
-    )
+    finally:
+        counts.unpersist()

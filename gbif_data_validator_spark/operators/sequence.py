@@ -573,12 +573,16 @@ def theil_sen_trend(
     median windows run over the bucket table only (B buckets → B(B−1)/2
     pair rows; day grain bounds B by the calendar — at 30 years daily
     B≈11k, pairs≈6·10^7, still executor-trivial; corpus rows never
-    self-join). The bucket table is PERSISTED (the self-join's two
-    branches plus the residual pass would otherwise each re-scan the
-    corpus — the pagerank/hits persist discipline; the cache is B rows).
+    self-join). The bucket table LOCAL-CHECKPOINTS eagerly (the
+    self-join's two branches plus the residual pass would otherwise each
+    re-scan the corpus); unlike ``persist`` this leaves no cache-manager
+    entry behind — the B-row blocks free with the RDD, so a long-lived
+    server calling the monitor per run can't accumulate leaked caches.
     Overflow headroom: |10^6·Δn| ≤ 10^6·10^12 = 10^18 < 2^63.
     """
-    staged = _bucket_counts(df, ts_col, window, counts).persist()
+    staged = _bucket_counts(df, ts_col, window, counts).localCheckpoint(
+        eager=True
+    )
     a = staged.select(
         F.col("k").alias("ka"), F.col("n").alias("na")
     )

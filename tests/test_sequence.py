@@ -446,9 +446,12 @@ def test_theil_sen_one_input_scan(spark):
     df = spark.createDataFrame(_volume_rows([3, 4, 5]), ["id", "ts"])
     out = theil_sen_trend(df, "ts", "day")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # the bucket table persists, so the self-join branches and the
-    # residual pass all read the cache instead of re-scanning the corpus
-    assert plan.count("InMemoryTableScan") >= 3
+    # the bucket table local-checkpoints eagerly: every scan in the
+    # result plan reads the checkpointed (bucket, n, k) blocks — the
+    # corpus columns never reappear (no re-scan), and no cache-manager
+    # entry is left behind
+    assert "Scan ExistingRDD[id" not in plan
+    assert plan.count("Scan ExistingRDD[bucket") >= 3
     assert out.collect()[0].n_buckets == 3
 
 
