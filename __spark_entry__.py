@@ -973,6 +973,18 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def _q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (tf-weighted) Jaccard near-dup pairs — repetition-aware
+    similarity where set Jaccard saturates on template-heavy pages. Exact
+    at this scale (max_df ≫ corpus df); the oracle recomputes the gram
+    multisets and Σmin/Σmax algebra in SQL."""
+    from gbif_data_validator_spark.operators.dedup import weighted_jaccard_pairs
+
+    return weighted_jaccard_pairs(
+        _docs_spread(spark, sf_dir), "doc_id", "text", k=3, threshold=0.4
+    ).orderBy("doc_a", "doc_b")
+
+
 def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AllPairs/PPJoin prefix-filtered exact Jaccard — same parameters and
     (by the prefix-filtering lemma) bit-identical output to ngram_jaccard,
@@ -3620,6 +3632,99 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_membership(edges, k=3, max_rounds=10).orderBy("node")
 
 
+def _q_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (RAK, deterministic
+    max-label tie-break) after exactly 4 rounds over the same
+    deterministic host graph as the kcore query — the mirror-network /
+    link-farm partitioner between PageRank (ranks) and connected
+    components (glues everything reachable)
+    (operators/graph.py:label_propagation). Oracle: the identical 4
+    synchronous rounds unrolled as chained window-CTEs."""
+    from gbif_data_validator_spark.operators.graph import label_propagation
+
+    idc = F.col("doc_id")
+    docs = _tbl(spark, sf_dir, "documents")
+    h_edges = docs.select(
+        idc,
+        F.explode(F.sequence(F.lit(1).cast("long"), idc % 3 + 1)).alias("k"),
+    ).select(
+        F.concat(F.lit("h"), (idc % 23).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((idc * 7 + F.col("k") * 13) % 23).cast("string")).alias(
+            "dst"
+        ),
+    )
+    p_edges = docs.where(idc % 5 == 0).select(
+        F.concat(F.lit("p"), (idc % 97).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (idc % 23).cast("string")).alias("dst"),
+    )
+    q_edges = docs.where(idc % 3 == 0).select(
+        F.concat(F.lit("q"), (idc % 53).cast("string")).alias("src"),
+        F.concat(F.lit("p"), (idc % 97).cast("string")).alias("dst"),
+    )
+    edges = h_edges.unionByName(p_edges).unionByName(q_edges)
+    return label_propagation(edges, rounds=4).orderBy("node")
+
+
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled synchronous label-propagation replay: round r counts
+    neighbor labels from l_{r-1} and every node takes the (max count, then
+    max label) winner — identical semantics to label_propagation's bounded
+    loop."""
+    parts = [
+        """
+            WITH e0 AS MATERIALIZED (
+              SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                     'h' || CAST((doc_id * 7 + kk * 13) % 23 AS VARCHAR) AS dst
+              FROM (SELECT doc_id,
+                           unnest(range(1, (doc_id % 3 + 1) + 1)) AS kk
+                    FROM documents)
+              UNION ALL
+              SELECT 'p' || CAST(doc_id % 97 AS VARCHAR),
+                     'h' || CAST(doc_id % 23 AS VARCHAR)
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT 'q' || CAST(doc_id % 53 AS VARCHAR),
+                     'p' || CAST(doc_id % 97 AS VARCHAR)
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            e AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM e0 WHERE src <> dst
+            ),
+            inc AS MATERIALIZED (
+              SELECT a AS node, b AS nbr FROM e
+              UNION ALL
+              SELECT b, a FROM e
+            ),
+            l0 AS MATERIALIZED (
+              SELECT DISTINCT node, node AS label FROM inc
+            )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+            cnt{r} AS MATERIALIZED (
+              SELECT i.node, l.label, COUNT(*) AS cnt
+              FROM inc i JOIN l{r - 1} l ON i.nbr = l.node
+              GROUP BY 1, 2
+            ),
+            l{r} AS MATERIALIZED (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY node ORDER BY cnt DESC, label DESC
+                       ) AS rn
+                FROM cnt{r})
+              WHERE rn = 1
+            )"""
+        )
+    parts.append(
+        f"""
+            SELECT node, label FROM l{rounds} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
 def _kcore_oracle_sql(k: int = 3, rounds: int = 10) -> str:
     """Unrolled synchronous-peel replay: round r recomputes alive-degrees
     from the incidence list restricted to a_{r-1} and peels everything
@@ -4148,6 +4253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concentration": _q_concentration,
         "join_advice": _q_join_advice,
         "ngram_jaccard": _q_ngram_jaccard,
+        "weighted_jaccard": _q_weighted_jaccard,
         "ngram_containment": _q_ngram_containment,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "dedup_survivors": _q_dedup_survivors,
@@ -4201,6 +4307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": _q_corpus_overlap,
         "kmv_overlap": _q_kmv_overlap,
         "kcore": _q_kcore,
+        "label_communities": _q_label_communities,
         "compression_gate": _q_compression_gate,
         "style_distance": _q_style_distance,
         "fertility_by_lang": _q_fertility_by_lang,
@@ -5150,6 +5257,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = doc_a
             JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = doc_b
             WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "weighted_jaccard": """
+            WITH g AS (
+              SELECT doc_id,
+                     [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)] AS grams
+              FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM documents)
+              WHERE len(words) >= 3
+            ), tf AS (
+              SELECT doc_id, gram, count(*) AS tf
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+              GROUP BY 1, 2
+            ), tot AS (
+              SELECT doc_id, SUM(tf) AS tot FROM tf GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     SUM(LEAST(a.tf, b.tf)) AS s_min
+              FROM tf a JOIN tf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(s_min AS DOUBLE) / (ta.tot + tb.tot - s_min), 6) AS wjaccard
+            FROM inter
+            JOIN tot ta ON ta.doc_id = doc_a
+            JOIN tot tb ON tb.doc_id = doc_b
+            WHERE CAST(s_min AS DOUBLE) / (ta.tot + tb.tot - s_min) >= 0.4
             ORDER BY doc_a, doc_b
         """,
         # prefix_jaccard: intentionally the SAME exact all-pairs SQL as
@@ -8831,6 +8964,7 @@ def oracle_sql() -> dict[str, str]:
         # (generator above); bounded == converged because an empty round
         # is a fixpoint
         "kcore": _kcore_oracle_sql(k=3, rounds=10),
+        "label_communities": _lpa_oracle_sql(rounds=4),
         # corpus_overlap: identical fingerprint (md5 of normalized text),
         # identical hash_bucket replay, same tag->union->membership->fold
         # algebra; micro ratios guarded on 0 denominators

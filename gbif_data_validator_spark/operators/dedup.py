@@ -1385,3 +1385,133 @@ def ngram_novelty(
         .cast("long")
         .alias("dup_rate_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted (multiset) Jaccard
+# --------------------------------------------------------------------------
+
+
+def shingle_tf(text: Column, k: int = 3) -> Column:
+    """Word k-gram term frequencies as ``array<struct<g:string, tf:int>>``
+    — the MULTISET of shingles, run-length encoded entirely JVM-side.
+
+    Plan shape: generate the (non-distinct) gram list exactly like
+    ``shingles`` (let-bound words, one regex split per row), ``array_sort``
+    it, then RLE: run starts are positions where the sorted value changes,
+    and each run's tf is the gap to the next start. All higher-order
+    functions over one row's array — zero extra shuffles vs the set
+    version, no (doc, gram) pre-aggregation pass."""
+
+    def gen(words: Column) -> Column:
+        n = F.size(words)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        )
+        # n < k must yield [] — sequence(1, <1) generates DESCENDING
+        return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+    def rle(s: Column) -> Column:
+        n = F.size(s)
+        # 1-based positions where a new run starts. element_at(s, 0) would
+        # RAISE (SQL arrays are 1-based), so the i == 1 branch must
+        # short-circuit via when() — CaseWhen evaluates branches lazily.
+        starts = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(i == 1, F.lit(True)).otherwise(
+                F.element_at(s, i) != F.element_at(s, i - 1)
+            ),
+        )
+        return F.transform(
+            starts,
+            lambda p, j: F.struct(
+                F.element_at(s, p).alias("g"),
+                (F.coalesce(F.try_element_at(starts, j + 2), n + 1) - p)
+                .cast("int")
+                .alias("tf"),
+            ),
+        )
+
+    def tf_of(words: Column) -> Column:
+        s = F.array_sort(gen(words))
+        empty = F.array().cast("array<struct<g:string,tf:int>>")
+        return F.when(F.size(s) >= 1, rle(s)).otherwise(empty)
+
+    return F.element_at(
+        F.transform(F.array(F.split(F.lower(F.trim(text)), r"\s+")), tf_of), 1
+    )
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """→ (doc_a, doc_b, wjaccard) for pairs with WEIGHTED Jaccard ≥
+    threshold, doc_a < doc_b, where
+
+        J_w(A, B) = Σ_t min(tf_A(t), tf_B(t)) / Σ_t max(tf_A(t), tf_B(t)).
+
+    The multiset twin of ``ngram_jaccard_pairs``: set Jaccard saturates on
+    template-heavy web pages (a boilerplate shingle counts once no matter
+    how often it repeats), while weighted Jaccard keeps repetition
+    structure — two pages that repeat the same nav block 40× vs 2× are NOT
+    the same document under J_w. This is the similarity SpotSigs/weighted
+    MinHash approximate; here it is computed exactly.
+
+    Plan: identical posting-list shape to ``_ngram_pair_counts`` — explode
+    the RLE'd (gram, tf) structs carrying each doc's total gram count,
+    groupBy(gram) → in-list pair generation → Σ min(tf_a, tf_b) per pair.
+    Two shuffles, no self-join. Σ max needs no extra pass:
+    Σ max = tot_a + tot_b − Σ min (totals include non-shared grams, whose
+    min contribution is 0). ``max_df`` stop-shingle pruning bounds
+    candidate fan-out and per-reducer skew exactly as in the set version;
+    at a max_df large vs corpus df the result is exact (all test/oracle
+    scales here).
+    """
+    tf = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_tf(F.col(text_col), k).alias("tfs"),
+    ).where(F.size("tfs") > 0)
+    tot = F.aggregate(F.col("tfs"), F.lit(0), lambda acc, x: acc + x["tf"])
+    ex = tf.select(
+        F.explode("tfs").alias("t"), F.col("doc_id"), tot.alias("tot")
+    ).select(
+        F.col("t.g").alias("g"),
+        F.struct(
+            F.col("doc_id").alias("id"),
+            F.col("t.tf").alias("tf"),
+            F.col("tot").alias("tot"),
+        ).alias("d"),
+    )
+    posts = (
+        ex.groupBy("g")
+        .agg(F.collect_list("d").alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+    )
+    pairs = (
+        posts.select(
+            F.explode(_in_list_pairs(F.col("ds"), ["id", "tf", "tot"])).alias("p")
+        )
+        .select(
+            F.col("p.id_a").alias("doc_a"),
+            F.col("p.id_b").alias("doc_b"),
+            F.col("p.tot_a").alias("tot_a"),
+            F.col("p.tot_b").alias("tot_b"),
+            F.least("p.tf_a", "p.tf_b").alias("m"),
+        )
+        .groupBy("doc_a", "doc_b", "tot_a", "tot_b")
+        .agg(F.sum("m").alias("s_min"))
+    )
+    wj = F.col("s_min") / (F.col("tot_a") + F.col("tot_b") - F.col("s_min")).cast(
+        "double"
+    )
+    return (
+        pairs.withColumn("wjaccard", wj)
+        .where(F.col("wjaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("wjaccard", 6).alias("wjaccard"))
+    )

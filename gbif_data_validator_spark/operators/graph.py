@@ -786,3 +786,69 @@ def kcore_membership(
         for c in caches:
             c.unpersist()
         inc.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007, the RAK algorithm) over the undirected canonical edge list →
+    ``(node, label)`` after EXACTLY ``rounds`` simultaneous update rounds.
+
+    Communities answer the question duplicate CLUSTERS can't: which hosts
+    form one interlinked neighborhood (a mirror network, a link farm, one
+    site spread over vanity domains) even when no two pages are near-dups.
+    PageRank ranks, k-core peels, connected components glue everything
+    reachable — LPA is the partitioner in between.
+
+    Determinism (the property sync LPA is usually missing, and the reason
+    it can be oracled): every node starts labeled with its own id; each
+    round every node simultaneously adopts the most frequent label among
+    its neighbors, ties broken by MAX label. No randomized visit order, no
+    asynchronous cascade — bounded synchronous rounds are exactly what an
+    unrolled SQL replay expresses, and oscillation (the classic sync-LPA
+    failure on bipartite structure) is bounded by the fixed round count
+    rather than waited out.
+
+    Plan: incidence list (2|E| rows) persists once partitioned by ``nbr``
+    — each round's label join shuffles only the |V|-row label table to it.
+    Per round: join → count(node, label) → one max(struct(cnt, label))
+    agg. Vertex-grain rows through the exchanges, edges never move after
+    the initial partition; same localCheckpoint-every-3-rounds lineage
+    truncation as kcore/bfs (the plan tree, not the data, is what OOMs
+    unrolled iteration)."""
+    if rounds < 1:
+        raise ValueError(f"label_propagation: rounds must be >= 1, got {rounds}")
+    e = _canonical_edges(edges, src, dst)
+    inc = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .repartition("nbr")
+        .persist()
+    )
+    labels = inc.select("node").distinct().withColumn("label", F.col("node"))
+    caches: list[DataFrame] = [inc]
+    try:
+        for r in range(1, rounds + 1):
+            nbr_labels = labels.select(
+                F.col("node").alias("nbr"), F.col("label")
+            )
+            cnt = (
+                inc.join(nbr_labels, "nbr")
+                .groupBy("node", "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            labels = cnt.groupBy("node").agg(
+                F.max(
+                    F.struct(F.col("cnt").alias("cnt"), F.col("label").alias("label"))
+                )["label"].alias("label")
+            )
+            if r % 3 == 0:
+                labels = labels.localCheckpoint(eager=True)
+        return labels.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()

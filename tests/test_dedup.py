@@ -576,3 +576,84 @@ def test_ngram_novelty_plan_two_exchanges_no_join(spark):
     )
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 2  # gram agg + group agg
+
+
+# --------------------------------------------------------------------------
+# Weighted (multiset) Jaccard
+# --------------------------------------------------------------------------
+
+
+def test_shingle_tf_run_length_counts(spark):
+    """tf map matches a hand count, including a repeated shingle."""
+    df = spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string")
+    row = df.select(dedup.shingle_tf(F.col("text"), k=2).alias("tfs")).first()
+    got = {t["g"]: t["tf"] for t in row.tfs}
+    # bigrams: ab ba ab ba ab → {"a b": 3, "b a": 2}
+    assert got == {"a b": 3, "b a": 2}
+
+
+def test_shingle_tf_short_text_empty(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    row = df.select(dedup.shingle_tf(F.col("text"), k=3).alias("tfs")).first()
+    assert row.tfs == []
+
+
+def test_weighted_jaccard_exact_value(spark):
+    """Hand-computed multiset Jaccard: repetition changes the score where
+    set Jaccard saturates at 1.0."""
+    df = spark.createDataFrame(
+        [(1, "x y " * 6), (2, "x y " * 2)], "doc_id long, text string"
+    )
+    # k=2 grams doc1: xy*6? words: x y x y ... bigrams "x y"×6 "y x"×5 (11 total)
+    # doc2: "x y"×2 "y x"×1 (3 total). s_min = min(6,2)+min(5,1) = 3
+    # wj = 3 / (11 + 3 - 3) = 3/11
+    rows = dedup.weighted_jaccard_pairs(df, "doc_id", "text", k=2, threshold=0.1).collect()
+    assert len(rows) == 1
+    assert rows[0].wjaccard == round(3 / 11, 6)
+    # set Jaccard would be 1.0 — identical shingle SETS
+    set_rows = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=2, threshold=0.9).collect()
+    assert len(set_rows) == 1 and set_rows[0].jaccard == 1.0
+
+
+def test_weighted_jaccard_matches_python_reference(spark, corpus):
+    import collections
+    import re
+
+    got = {
+        (r.doc_a, r.doc_b): r.wjaccard
+        for r in dedup.weighted_jaccard_pairs(
+            corpus, "doc_id", "text", k=3, threshold=0.05
+        ).collect()
+    }
+
+    def tf(text, k=3):
+        w = re.split(r"\s+", text.strip().lower())
+        return collections.Counter(
+            " ".join(w[i : i + k]) for i in range(len(w) - k + 1)
+        )
+
+    docs = {r.doc_id: tf(r.text) for r in corpus.collect()}
+    ids = sorted(docs)
+    exp = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ta, tb = docs[a], docs[b]
+            s_min = sum(min(ta[g], tb[g]) for g in ta.keys() & tb.keys())
+            if not s_min:
+                continue
+            j = s_min / (sum(ta.values()) + sum(tb.values()) - s_min)
+            if j >= 0.05:
+                exp[(a, b)] = round(j, 6)
+    assert got == exp
+
+
+def test_weighted_jaccard_max_df_prunes(spark):
+    """A shingle present in > max_df docs posts nothing — the skew cap."""
+    rows = [(i, "common gram here") for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert (
+        dedup.weighted_jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=0.1, max_df=3
+        ).count()
+        == 0
+    )

@@ -508,3 +508,98 @@ def test_kcore_rejects_bad_k(spark):
 
     with pytest.raises(ValueError):
         kcore_membership(_kcore_fixture(spark), k=0)
+
+
+# --------------------------------------------------------------------------
+# label propagation
+# --------------------------------------------------------------------------
+
+
+def _lpa_python(edges, rounds):
+    """Reference sync-LPA with the operator's exact spec: init label=id,
+    each round all nodes simultaneously adopt the most frequent neighbor
+    label, ties -> MAX label."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n in adj:
+            c = Counter(labels[m] for m in adj[n])
+            best = max(c.items(), key=lambda kv: (kv[1], kv[0]))
+            new[n] = best[0]
+        labels = new
+    return labels
+
+
+def test_lpa_two_triangles_bridge(spark):
+    """Two triangles joined by one bridge edge settle into (at most) two
+    communities that each contain a whole triangle — the partition CC
+    cannot produce (CC glues everything into one component)."""
+    from gbif_data_validator_spark.operators.graph import label_propagation
+
+    edges = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+             ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+             ("a3", "b1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.label for r in label_propagation(df, rounds=4).collect()}
+    assert got == _lpa_python(edges, 4)
+    assert len(got) == 6
+    # each triangle is label-uniform
+    assert got["a1"] == got["a2"] == got["a3"]
+    assert got["b1"] == got["b2"] == got["b3"]
+
+
+def test_lpa_matches_python_reference_on_host_graph(spark):
+    """Same deterministic doc-derived host graph shape as the kcore query,
+    at tiny scale, vs the pure-python replica — every round, every node."""
+    from gbif_data_validator_spark.operators.graph import label_propagation
+
+    edges = []
+    for doc_id in range(60):
+        for k in range(1, doc_id % 3 + 2):
+            edges.append((f"h{doc_id % 23}", f"h{(doc_id * 7 + k * 13) % 23}"))
+        if doc_id % 5 == 0:
+            edges.append((f"p{doc_id % 97}", f"h{doc_id % 23}"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for rounds in (1, 3, 5):
+        got = {
+            r.node: r.label
+            for r in label_propagation(df, rounds=rounds).collect()
+        }
+        assert got == _lpa_python(edges, rounds), f"rounds={rounds}"
+
+
+def test_lpa_tie_breaks_to_max_label(spark):
+    """A path a-b-c: b sees one 'a' and one 'c' -> max label 'c' wins."""
+    from gbif_data_validator_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {r.node: r.label for r in label_propagation(df, rounds=1).collect()}
+    assert got == {"a": "b", "b": "c", "c": "b"}
+
+
+def test_lpa_partition_invariant(spark):
+    from gbif_data_validator_spark.operators.graph import label_propagation
+
+    edges = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"), ("a3", "b1"),
+             ("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = {(r.node, r.label) for r in label_propagation(df.repartition(1), rounds=4).collect()}
+    b = {(r.node, r.label) for r in label_propagation(df.repartition(9), rounds=4).collect()}
+    assert a == b
+
+
+def test_lpa_rejects_bad_rounds(spark):
+    from gbif_data_validator_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        label_propagation(df, rounds=0)
