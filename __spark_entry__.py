@@ -1527,6 +1527,28 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs).orderBy("doc_id")
 
 
+def _q_incr_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components: the Jaccard pair list split into
+    two deterministic batches; batch 1 is clustered, then batch 2 is
+    MERGED into that labeling via the star-edge identity
+    (operators/dedup.py:merge_clusters) — never re-reading batch 1's
+    pairs. Oracle: the SAME recursive-CTE SQL as dedup_clusters, which is
+    exactly the claim — incremental merge ≡ full recompute, hash-checked."""
+    from gbif_data_validator_spark.operators.dedup import (
+        duplicate_clusters,
+        merge_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _docs_spread(spark, sf_dir), "doc_id", "text", k=3, threshold=0.5
+    ).localCheckpoint(eager=True)
+    batch1 = pairs.where((F.col("doc_a") + F.col("doc_b")) % 2 == 0)
+    batch2 = pairs.where((F.col("doc_a") + F.col("doc_b")) % 2 != 0)
+    labels1 = duplicate_clusters(batch1)
+    return merge_clusters(labels1, batch2).orderBy("doc_id")
+
+
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% sample by md5-prefix hash bucket of the key —
     membership is a pure function of doc_id (reproducible across runs,
@@ -4262,6 +4284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "winnow_pairs": _q_winnow_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "incr_clusters": _q_incr_clusters,
         "hash_sample": _q_hash_sample,
         "hash_split": _q_hash_split,
         "pack_bins": _q_pack_bins,
@@ -4638,7 +4661,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sig GROUP BY lang ORDER BY lang
         """
 
-    return {
+    out = {
         "term_frequency": """
             SELECT
               count(CASE WHEN doc_id IS NOT NULL AND regexp_matches(CAST(doc_id AS VARCHAR),'\\S') THEN 1 END) AS doc_id,
@@ -9448,3 +9471,9 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
     }
+    # incr_clusters: intentionally the SAME recursive-CTE SQL as
+    # dedup_clusters — the incremental star-edge merge is exact by the
+    # identity in merge_clusters' docstring, and this row is the
+    # hash-exact proof of that claim on real data
+    out["incr_clusters"] = out["dedup_clusters"]
+    return out

@@ -1515,3 +1515,34 @@ def weighted_jaccard_pairs(
         .where(F.col("wjaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("wjaccard", 6).alias("wjaccard"))
     )
+
+
+def merge_clusters(
+    labels: DataFrame, new_pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Incremental connected components: fold a NEW near-dup pair batch
+    into an existing ``(doc_id, cluster_id)`` labeling (a prior
+    ``duplicate_clusters`` output, e.g. read back from the work dir)
+    without touching the pairs that produced it → the same schema, with
+    min-id labels over the UNION graph.
+
+    Key identity: a min-id labeling is a star subgraph (every member →
+    its component's hub) that connects exactly the same components as the
+    original pair list. So merging = running connected components over
+    star-edges ∪ new-pairs — |labels| + |new batch| edge rows, NOT the
+    full historical pair list. On a monthly crawl cadence this is the
+    difference between re-clustering 10^12 accumulated pairs and
+    clustering this month's delta against a compact |docs|-row state.
+
+    Exactness: merged output is bit-identical to ``duplicate_clusters``
+    over the full pair list (the `incr_clusters` query hash-checks this
+    against the SAME recursive-CTE oracle as `dedup_clusters`). Hub rows
+    (doc_id == cluster_id) are dropped from the star edges — a hub still
+    appears as the target of every other member's edge, and components
+    are ≥ 2 docs by construction, so no vertex is lost."""
+    star = labels.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b")
+    )
+    return duplicate_clusters(
+        star.unionByName(new_pairs.select("doc_a", "doc_b")), max_iter=max_iter
+    )

@@ -657,3 +657,52 @@ def test_weighted_jaccard_max_df_prunes(spark):
         ).count()
         == 0
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental connected components
+# --------------------------------------------------------------------------
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def test_merge_clusters_equals_full_recompute(spark):
+    """Batch 2 merges two previously separate clusters AND introduces a
+    brand-new one; merged labeling == clustering the union from scratch."""
+    batch1 = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    batch2 = [(3, 10), (30, 31), (31, 32)]
+    labels1 = dedup.duplicate_clusters(_pairs_df(spark, batch1))
+    merged = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.merge_clusters(labels1, _pairs_df(spark, batch2)).collect()
+    }
+    full = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.duplicate_clusters(_pairs_df(spark, batch1 + batch2)).collect()
+    }
+    assert merged == full
+    # the bridged component is labeled by the GLOBAL min id
+    assert (11, 1) in merged and (30, 30) in merged and (32, 30) in merged
+
+
+def test_merge_clusters_new_min_relabels_hub(spark):
+    """A new doc with a SMALLER id than an existing hub takes over the
+    label — the case a naive 'attach to old label' merge gets wrong."""
+    labels1 = dedup.duplicate_clusters(_pairs_df(spark, [(5, 6)]))
+    merged = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.merge_clusters(labels1, _pairs_df(spark, [(1, 6)])).collect()
+    }
+    assert merged == {(1, 1), (5, 1), (6, 1)}
+
+
+def test_merge_clusters_empty_batch_is_identity(spark):
+    labels1 = dedup.duplicate_clusters(_pairs_df(spark, [(1, 2), (3, 4)]))
+    empty = _pairs_df(spark, []).limit(0)
+    merged = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.merge_clusters(labels1, empty).collect()
+    }
+    assert merged == {(1, 1), (2, 1), (3, 3), (4, 3)}
