@@ -647,6 +647,82 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: mixture_plan weights (parts-per-million): src19 deliberately ABSENT
+#: (→ weight-0 "drop" row) and 'books_extra' deliberately NOT in the
+#: corpus (→ available-0 oversubscribed row); src0 weight forces repeats.
+MIXTURE_WEIGHTS_PPM = {
+    "src0": 400_000,
+    "src1": 250_000,
+    "src2": 150_000,
+    "src3": 100_000,
+    "books_extra": 50_000,
+    **{f"src{i}": 3_125 for i in range(4, 19)},
+}
+MIXTURE_BUDGET = 10_000_000
+
+
+def _mixture_plan_oracle_sql() -> str:
+    """Integer-ppm mixture plan replayed in SQL: same weights literal
+    (VALUES list), same integer-division arithmetic (DuckDB // on BIGINT
+    ≡ the Spark side's DECIMAL floor-divides)."""
+    values = ",\n                     ".join(
+        f"('{s}', {p})" for s, p in sorted(MIXTURE_WEIGHTS_PPM.items())
+    )
+    b = MIXTURE_BUDGET
+    return f"""
+            WITH avail AS (
+              SELECT source, CAST(SUM(n_chars) AS BIGINT) AS available_tokens
+              FROM documents GROUP BY 1
+            ),
+            w(source, weight_ppm) AS (
+              VALUES {values}
+            ),
+            j AS (
+              SELECT COALESCE(a.source, w.source) AS source,
+                     COALESCE(a.available_tokens, 0) AS available_tokens,
+                     CAST(COALESCE(w.weight_ppm, 0) AS BIGINT) AS weight_ppm
+              FROM avail a FULL OUTER JOIN w ON a.source = w.source
+            )
+            SELECT source, available_tokens, weight_ppm,
+                   CAST(({b} * weight_ppm) // 1000000 AS BIGINT) AS target_tokens,
+                   CASE WHEN available_tokens > 0
+                        THEN CAST((({b} * weight_ppm) // 1000000) * 1000000
+                                  // available_tokens AS BIGINT)
+                   END AS epochs_micro,
+                   ({b} * weight_ppm) // 1000000 > available_tokens
+                     AS oversubscribed
+            FROM j ORDER BY source
+        """
+
+
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planner: integer-ppm weights × budget → exact
+    per-source targets, µ-epoch repeat factors, and loud oversubscription
+    flags (operators/curation.py:mixture_token_plan). One agg + a
+    |weights|-row outer join; all arithmetic integer/decimal so the plan
+    is bit-identical across engines."""
+    from gbif_data_validator_spark.operators.curation import mixture_token_plan
+
+    return mixture_token_plan(
+        _docs(spark, sf_dir), "source", "n_chars", MIXTURE_WEIGHTS_PPM,
+        MIXTURE_BUDGET,
+    ).orderBy("source")
+
+
+def _q_quality_rank_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile normalization of the quality score — 'top 40%
+    of EACH source' as one threshold on one column; ties broken by doc_id
+    so the rank is a pure function of the data
+    (operators/curation.py:rank_normalize)."""
+    from gbif_data_validator_spark.functions import textstats as ts
+    from gbif_data_validator_spark.operators.curation import rank_normalize
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.round(ts.quality_score(F.col("text")), 4).alias("quality")
+    )
+    return rank_normalize(d, "source", "quality", "doc_id").orderBy("doc_id")
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gbif_data_validator_spark.functions.textstats import lang_id
 
@@ -4264,6 +4340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dupes": _q_paragraph_dupes,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality_scores,
+        "quality_rank_norm": _q_quality_rank_norm,
+        "mixture_plan": _q_mixture_plan,
         "lang_id": _q_lang_id,
         "lang_kappa": _q_lang_kappa,
         "partition_advice": _q_partition_advice,
@@ -5003,6 +5081,17 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": f"""
             SELECT doc_id, {quality} AS quality FROM documents ORDER BY doc_id
         """,
+        "quality_rank_norm": f"""
+            WITH q AS (
+              SELECT doc_id, source, {quality} AS quality FROM documents
+            )
+            SELECT doc_id, source, quality,
+                   percent_rank() OVER (
+                     PARTITION BY source ORDER BY quality, doc_id
+                   ) AS quality_rank
+            FROM q ORDER BY doc_id
+        """,
+        "mixture_plan": _mixture_plan_oracle_sql(),
         "lang_id": f"""
             SELECT doc_id,
                    CASE WHEN best.score > 0 THEN best.code ELSE 'und' END AS lang_pred

@@ -703,3 +703,101 @@ def duplicate_title_census(
         F.countDistinct("_host").alias("n_hosts"),
         F.min("_url").alias("example_url"),
     ).where(F.col("n_pages") >= min_pages)
+
+
+def mixture_token_plan(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    weights_ppm: dict[str, int],
+    budget_tokens: int,
+) -> DataFrame:
+    """Token-budget mixture planner → one row per source:
+    ``(source, available_tokens, weight_ppm, target_tokens, epochs_micro,
+    oversubscribed)``.
+
+    The static planning step every mixture-weighted pretraining corpus
+    needs (The-Pile/DoReMi-style): given target mixture weights and a
+    total token budget, how many tokens to draw from each source, what
+    sampling rate / repeat factor that implies against what the source
+    actually has, and which sources are OVERSUBSCRIBED (target > available
+    — the pipeline will repeat data, a decision that should be loud, not
+    emergent).
+
+    Exactness: weights are parts-per-million INTEGERS and all derived
+    quantities are integer/decimal arithmetic — ``target_tokens =
+    ⌊budget · ppm / 10^6⌋``, ``epochs_micro = ⌊10^6 · target /
+    available⌋`` (µ-epochs; 1_000_000 = exactly one pass) — so the plan is
+    bit-identical across engines and runs (the float-weight formulation
+    would tie the plan to IEEE rounding of someone's YAML). DECIMAL(38,0)
+    intermediates keep the products exact past 2^53.
+
+    Plan shape: ONE partial-agg sum per source (the only corpus-sized
+    work), then a full outer join against the |weights|-row literal dim —
+    sources in the corpus but not the plan get weight 0 (target 0: an
+    explicit "drop" row, not a silent omission); sources in the plan but
+    not the corpus surface with available 0 and oversubscribed=true."""
+    if budget_tokens < 0:
+        raise ValueError(f"mixture_token_plan: negative budget {budget_tokens}")
+    for s, ppm in weights_ppm.items():
+        if ppm < 0:
+            raise ValueError(f"mixture_token_plan: negative weight for {s!r}")
+    spark = df.sparkSession
+    avail = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.col(token_col)).cast("long").alias("available_tokens")
+    )
+    dim = spark.createDataFrame(
+        [(s, int(p)) for s, p in sorted(weights_ppm.items())],
+        "source string, weight_ppm long",
+    )
+    j = avail.join(dim, "source", "full_outer").select(
+        "source",
+        F.coalesce("available_tokens", F.lit(0)).alias("available_tokens"),
+        F.coalesce("weight_ppm", F.lit(0)).alias("weight_ppm"),
+    )
+    dec = "decimal(38,0)"
+    target = F.floor(
+        (F.lit(int(budget_tokens)).cast(dec) * F.col("weight_ppm").cast(dec))
+        / F.lit(1_000_000).cast(dec)
+    ).cast("long")
+    j = j.withColumn("target_tokens", target)
+    epochs = F.when(
+        F.col("available_tokens") > 0,
+        F.floor(
+            (F.col("target_tokens").cast(dec) * F.lit(1_000_000).cast(dec))
+            / F.col("available_tokens").cast(dec)
+        ).cast("long"),
+    )
+    return j.select(
+        "source",
+        "available_tokens",
+        "weight_ppm",
+        "target_tokens",
+        epochs.alias("epochs_micro"),
+        (F.col("target_tokens") > F.col("available_tokens")).alias("oversubscribed"),
+    )
+
+
+def rank_normalize(
+    df: DataFrame, group_col: str, score_col: str, id_col: str
+) -> DataFrame:
+    """Per-group percentile normalization of a score column → the input
+    plus ``<score>_rank ∈ [0, 1]`` (percent_rank within ``group_col``).
+
+    Quality scores are not comparable across sources — a '0.7' from a
+    curated-news source and a '0.7' from a forum dump sit at wildly
+    different percentiles of their own distributions, so one global
+    threshold over-prunes one source and under-prunes the other. Rank
+    normalization makes 'keep the top 40% of EACH source' a single
+    threshold on one column.
+
+    Determinism: ties in the score are broken by ``id_col``, making the
+    rank a pure function of the data (and SQL-replicable); the rank is
+    the raw (rank−1)/(n−1) IEEE double, unrounded, both engines computing
+    the identical division. ONE Exchange on ``group_col`` (the window);
+    groups are source-grain (thousands at most), and a skewed giant
+    source is one sorted partition — acceptable because the window needs
+    no frame, only rank order; for a pathological single-source corpus
+    use a global sort instead."""
+    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    return df.withColumn(f"{score_col}_rank", F.percent_rank().over(w))

@@ -598,3 +598,70 @@ def test_duplicate_title_census_normalize_and_threshold(spark):
         "Hello World",
         "Unique",
     ]
+
+
+# --------------------------------------------------------------------------
+# mixture planner + rank normalization
+# --------------------------------------------------------------------------
+
+
+def test_mixture_plan_exact_arithmetic(spark):
+    from gbif_data_validator_spark.operators.curation import mixture_token_plan
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("b", 1000), ("c", 50)],
+        "source string, tokens long",
+    )
+    plan = {
+        r.source: r
+        for r in mixture_token_plan(
+            df, "source", "tokens", {"a": 500_000, "b": 250_000, "d": 250_000}, 1000
+        ).collect()
+    }
+    # a: avail 200, target 500 -> oversubscribed, 2.5 epochs
+    assert plan["a"].target_tokens == 500 and plan["a"].oversubscribed
+    assert plan["a"].epochs_micro == 2_500_000
+    # b: avail 1000, target 250 -> 0.25 epochs
+    assert plan["b"].target_tokens == 250 and not plan["b"].oversubscribed
+    assert plan["b"].epochs_micro == 250_000
+    # c in corpus, not in plan: explicit weight-0 drop row
+    assert plan["c"].weight_ppm == 0 and plan["c"].target_tokens == 0
+    assert plan["c"].epochs_micro == 0 and not plan["c"].oversubscribed
+    # d in plan, not in corpus: available 0, oversubscribed, null epochs
+    assert plan["d"].available_tokens == 0 and plan["d"].oversubscribed
+    assert plan["d"].epochs_micro is None
+
+
+def test_mixture_plan_exact_past_double_precision(spark):
+    """budget · ppm beyond 2^53 still lands exactly (DECIMAL path)."""
+    from gbif_data_validator_spark.operators.curation import mixture_token_plan
+
+    df = spark.createDataFrame([("a", 3)], "source string, tokens long")
+    budget = 10**13 + 1  # budget*ppm = (1e13+1)*333_333 > 2^53
+    row = mixture_token_plan(df, "source", "tokens", {"a": 333_333}, budget).first()
+    assert row.target_tokens == (budget * 333_333) // 1_000_000
+
+
+def test_mixture_plan_rejects_negatives(spark):
+    import pytest as _pytest
+
+    from gbif_data_validator_spark.operators.curation import mixture_token_plan
+
+    df = spark.createDataFrame([("a", 1)], "source string, tokens long")
+    with _pytest.raises(ValueError):
+        mixture_token_plan(df, "source", "tokens", {"a": -1}, 10)
+    with _pytest.raises(ValueError):
+        mixture_token_plan(df, "source", "tokens", {"a": 1}, -10)
+
+
+def test_rank_normalize_percentiles(spark):
+    from gbif_data_validator_spark.operators.curation import rank_normalize
+
+    df = spark.createDataFrame(
+        [(1, "s", 0.1), (2, "s", 0.5), (3, "s", 0.9), (4, "t", 0.2), (5, "t", 0.2)],
+        "doc_id long, source string, q double",
+    )
+    got = {r.doc_id: r.q_rank for r in rank_normalize(df, "source", "q", "doc_id").collect()}
+    assert got[1] == 0.0 and got[2] == 0.5 and got[3] == 1.0
+    # tie broken by doc_id: deterministic distinct ranks
+    assert got[4] == 0.0 and got[5] == 1.0
