@@ -1603,6 +1603,18 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs).orderBy("doc_id")
 
 
+def _q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning census: pair/doc counts for a whole grid of
+    Jaccard thresholds from ONE posting-list pass — integer-percent grid
+    keys and pure-integer threshold comparisons, so the sweep is exact
+    (operators/dedup.py:dedup_threshold_sweep)."""
+    from gbif_data_validator_spark.operators.dedup import dedup_threshold_sweep
+
+    return dedup_threshold_sweep(
+        _docs_spread(spark, sf_dir), "doc_id", "text", k=3
+    ).orderBy("threshold_pct")
+
+
 def _q_incr_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental connected components: the Jaccard pair list split into
     two deterministic batches; batch 1 is clustered, then batch 2 is
@@ -4363,6 +4375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _q_winnow_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "incr_clusters": _q_incr_clusters,
+        "threshold_sweep": _q_threshold_sweep,
         "hash_sample": _q_hash_sample,
         "hash_split": _q_hash_split,
         "pack_bins": _q_pack_bins,
@@ -5396,6 +5409,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN tot tb ON tb.doc_id = doc_b
             WHERE CAST(s_min AS DOUBLE) / (ta.tot + tb.tot - s_min) >= 0.4
             ORDER BY doc_a, doc_b
+        """,
+        "threshold_sweep": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]) AS s
+              FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM documents)
+              WHERE len(words) >= 3
+            ), ex AS (
+              SELECT doc_id, unnest(s) AS g FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), p AS (
+              SELECT doc_a, doc_b, n_inter,
+                     sa.n + sb.n - n_inter AS u
+              FROM inter
+              JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = doc_a
+              JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = doc_b
+            ), grid(threshold_pct) AS (
+              VALUES (30), (40), (50), (60), (70), (80), (90)
+            ), cleared AS (
+              SELECT g.threshold_pct, p.doc_a, p.doc_b
+              FROM p JOIN grid g ON p.n_inter * 100 >= g.threshold_pct * p.u
+            )
+            SELECT g.threshold_pct,
+                   CAST(COALESCE(c.n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(d.n_docs, 0) AS BIGINT) AS n_docs
+            FROM grid g
+            LEFT JOIN (SELECT threshold_pct, COUNT(*) AS n_pairs
+                       FROM cleared GROUP BY 1) c USING (threshold_pct)
+            LEFT JOIN (SELECT threshold_pct, COUNT(DISTINCT doc) AS n_docs
+                       FROM (SELECT threshold_pct, doc_a AS doc FROM cleared
+                             UNION ALL
+                             SELECT threshold_pct, doc_b FROM cleared)
+                       GROUP BY 1) d USING (threshold_pct)
+            ORDER BY threshold_pct
         """,
         # prefix_jaccard: intentionally the SAME exact all-pairs SQL as
         # ngram_jaccard — the prefix filter is lossless by theorem, and this

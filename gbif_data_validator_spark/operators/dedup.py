@@ -1546,3 +1546,59 @@ def merge_clusters(
     return duplicate_clusters(
         star.unionByName(new_pairs.select("doc_a", "doc_b")), max_iter=max_iter
     )
+
+
+def dedup_threshold_sweep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    thresholds_pct: tuple = (30, 40, 50, 60, 70, 80, 90),
+    max_df: int = 1000,
+) -> DataFrame:
+    """→ (threshold_pct, n_pairs, n_docs) — how many near-dup pairs and
+    how many distinct documents a Jaccard threshold would flag, for a
+    whole grid of thresholds in ONE pass over the pair list.
+
+    The tuning census that precedes every dedup rollout: the
+    threshold is a corpus-size/quality trade-off, and sweeping it by
+    re-running the pipeline per candidate is |grid|× the cost of this.
+    Thresholds are integer PERCENT (exact grid keys across engines; a
+    0.7 float key would hash-drift).
+
+    Plan: the exact posting-list pair counts (two shuffles, shared with
+    ngram_jaccard_pairs) computed ONCE, each pair exploded into the grid
+    rows it clears, then one count + distinct-doc agg per threshold —
+    pair-grain × |grid| rows through the final exchange, never the
+    corpus."""
+    counts = _ngram_pair_counts(df, id_col, text_col, k, max_df)
+    grid = F.array(*[F.lit(int(t)) for t in thresholds_pct])
+    # jaccard >= t/100  ⟺  100·n_inter >= t·(n_a + n_b − n_inter): pure
+    # integer comparison — no IEEE boundary semantics at exact-ratio pairs
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    pairs = counts.select(
+        "doc_a",
+        "doc_b",
+        F.explode(
+            F.filter(grid, lambda t: F.col("n_inter") * 100 >= t * union_sz)
+        ).alias("threshold_pct"),
+    )
+    per_pair = pairs.groupBy("threshold_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    docs = (
+        pairs.select("threshold_pct", F.col("doc_a").alias("d"))
+        .unionByName(pairs.select("threshold_pct", F.col("doc_b").alias("d")))
+        .groupBy("threshold_pct")
+        .agg(F.count_distinct("d").cast("long").alias("n_docs"))
+    )
+    base = df.sparkSession.createDataFrame(
+        [(int(t),) for t in sorted(thresholds_pct)], "threshold_pct int"
+    )
+    return base.join(per_pair, "threshold_pct", "left").join(
+        docs, "threshold_pct", "left"
+    ).select(
+        "threshold_pct",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+    )

@@ -706,3 +706,33 @@ def test_merge_clusters_empty_batch_is_identity(spark):
         for r in dedup.merge_clusters(labels1, empty).collect()
     }
     assert merged == {(1, 1), (2, 1), (3, 3), (4, 3)}
+
+
+def test_threshold_sweep_hand_counts(spark):
+    """Two docs at jaccard exactly 0.5, one pair at 1.0: grid rows land
+    exactly (integer comparison, no IEEE boundary)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.threshold_pct: (r.n_pairs, r.n_docs)
+        for r in dedup.dedup_threshold_sweep(
+            df, "doc_id", "text", k=2, thresholds_pct=(40, 50, 60, 100)
+        ).collect()
+    }
+    # pairs: (1,3) j=1.0; (1,2) j=0.5; (2,3) j=0.5
+    assert got[40] == (3, 3)
+    assert got[50] == (3, 3)   # >= 0.5 exactly clears 50
+    assert got[60] == (1, 2)
+    assert got[100] == (1, 2)
+
+
+def test_threshold_sweep_empty_grid_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z w"), (2, "p q r s")], "doc_id long, text string"
+    )
+    rows = dedup.dedup_threshold_sweep(
+        df, "doc_id", "text", k=2, thresholds_pct=(50,)
+    ).collect()
+    assert [(r.threshold_pct, r.n_pairs, r.n_docs) for r in rows] == [(50, 0, 0)]
