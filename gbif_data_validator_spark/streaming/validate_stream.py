@@ -409,3 +409,108 @@ def stream_rule_verdicts(
         F.col("window.end").alias("window_end"),
         F.explode(F.array(*rule_verdict_structs(constraints))).alias("_r"),
     ).select("window_start", "window_end", "_r.*")
+
+
+def stream_dedup_clusters(
+    pages_stream: DataFrame,
+    state_dir: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    available_now: bool = True,
+):
+    """Continuous near-dup CLUSTER state over a crawl stream: every
+    micro-batch (1) finds its in-batch LSH pairs, (2) probes the persisted
+    MinHash band index for pairs against EVERY prior batch without
+    re-reading any prior text, (3) folds both into the persisted
+    ``(doc_id, cluster_id)`` labeling via the star-edge merge
+    (operators/dedup.py:merge_clusters), and (4) appends its own band rows
+    to the index. Per-batch cost is |batch| signatures + |batch|-vs-index
+    probe + |labels|+|delta| clustering — never the accumulated corpus.
+
+    Equivalence law (pinned by test): after draining the stream, the
+    cluster state equals ``duplicate_clusters(minhash_lsh_pairs(whole
+    corpus))`` — a colliding pair either shares a batch (step 1) or spans
+    batches (step 2, the index holds all prior band rows), and estimated
+    Jaccard is a pure signature function, so the streamed decomposition
+    loses nothing (cap semantics differ per-bucket-population; identical
+    when no bucket caps, the non-degenerate case).
+
+    Replay tolerance: a re-run batch re-appends its band rows (duplicate
+    index rows collapse in the probe's ``distinct()``), re-finds the same
+    pairs, and re-merges them — cluster state is MONOTONE under pair
+    re-delivery, so at-least-once delivery yields exactly-once state.
+
+    State layout: ``{state_dir}/minhash_index`` (the dedup_vs_index
+    contract, params sidecar included), ``{state_dir}/clusters`` parquet,
+    ``{state_dir}/_stream_checkpoint`` for source offsets."""
+    import os
+
+    from ..operators.dedup import (
+        dedup_vs_index,
+        duplicate_clusters,
+        merge_clusters,
+        minhash_lsh_pairs,
+        write_minhash_index,
+        _INDEX_PARAMS_FILE,
+    )
+
+    index_path = os.path.join(state_dir, "minhash_index")
+    clusters_path = os.path.join(state_dir, "clusters")
+    stream_cp = os.path.join(state_dir, "_stream_checkpoint")
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = (
+            batch_df.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+            .where(F.col("text").isNotNull())
+            .persist()
+        )
+        try:
+            if batch.rdd.isEmpty():
+                return
+            pairs = minhash_lsh_pairs(
+                batch, "doc_id", "text", k=k, n_hashes=n_hashes,
+                n_bands=n_bands, threshold=threshold, seed=seed,
+                max_bucket=max_bucket,
+            ).select("doc_a", "doc_b")
+            if os.path.exists(os.path.join(index_path, _INDEX_PARAMS_FILE)):
+                cross = dedup_vs_index(
+                    batch, index_path, "doc_id", "text",
+                    threshold=threshold, max_bucket=max_bucket,
+                ).select(
+                    F.col("new_id").alias("doc_a"),
+                    F.col("index_id").alias("doc_b"),
+                )
+                pairs = pairs.unionByName(cross)
+            if os.path.isdir(clusters_path):
+                old = spark.read.parquet(clusters_path)
+                labels = merge_clusters(old, pairs)
+            else:
+                labels = duplicate_clusters(pairs)
+            # materialize BEFORE overwriting the parquet the lineage reads
+            labels = labels.localCheckpoint(eager=True)
+            labels.write.mode("overwrite").parquet(clusters_path)
+            # append band rows LAST: a probe never sees its own batch
+            write_minhash_index(
+                batch, index_path, "doc_id", "text", k=k,
+                n_hashes=n_hashes, n_bands=n_bands, seed=seed, mode="append",
+            )
+        finally:
+            batch.unpersist()
+
+    writer = pages_stream.writeStream.foreachBatch(do_batch).option(
+        "checkpointLocation", stream_cp
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -273,3 +273,86 @@ def test_stream_envelope_rule_kinds_match_batch(spark, pages_stream_dir):
     # freshness discriminates: only windows near the pinned now pass
     fresh = [v[1] for (w, c, d), v in got.items() if c == "FRESH_WITHIN"]
     assert any(fresh) != all(fresh) or len(fresh) == 1
+
+
+# --------------------------------------------------------------------------
+# continuous dedup cluster state
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dup_docs_dir(spark, tmp_path_factory):
+    """Documents with planted near-dup groups that SPAN batch files: three
+    files, duplicates of the same base text land in different files."""
+    base1 = "the quick brown fox jumps over the lazy dog near the river bank today " * 3
+    base2 = "spark executors shuffle data between stages during wide transformations " * 3
+    rows = []
+    for i in range(24):
+        if i % 8 == 0:
+            text = base1
+        elif i % 8 == 1:
+            text = base2
+        else:
+            text = f"unique document number {i} " + " ".join(
+                f"tok{i}_{j}" for j in range(40)
+            )
+        rows.append((f"doc{i:03d}", text))
+    df = spark.createDataFrame(rows, "url string, text string")
+    d = str(tmp_path_factory.mktemp("dupstream") / "docs")
+    # partition BY file so dups cross micro-batches (i%8==0 docs: 0,8,16)
+    df.repartition(3, "url").write.parquet(d)
+    return d
+
+
+def test_stream_dedup_clusters_equals_batch(spark, dup_docs_dir, tmp_path):
+    """The equivalence law: drained stream state == whole-corpus LSH
+    clustering, even though no batch ever saw the whole corpus."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from gbif_data_validator_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+    )
+
+    schema = StructType(
+        [StructField("url", StringType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dup_docs_dir)
+    )
+    state = str(tmp_path / "dedup_state")
+    vs.stream_dedup_clusters(stream, state, id_col="url", text_col="text")
+
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in spark.read.parquet(f"{state}/clusters").collect()
+    }
+    corpus = spark.read.parquet(dup_docs_dir)
+    pairs = minhash_lsh_pairs(corpus, "url", "text")
+    expect = {
+        (r.doc_id, r.cluster_id) for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == expect
+    assert len(got) >= 6  # both planted groups fully clustered
+
+
+def test_stream_dedup_clusters_index_accumulates(spark, dup_docs_dir, tmp_path):
+    """The band index holds every streamed doc afterwards (the substrate
+    for the NEXT crawl's probe)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("url", StringType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dup_docs_dir)
+    )
+    state = str(tmp_path / "dedup_state2")
+    vs.stream_dedup_clusters(stream, state, id_col="url", text_col="text")
+    idx = spark.read.parquet(f"{state}/minhash_index")
+    n_docs = idx.select("id").distinct().count()
+    assert n_docs == 24
