@@ -1049,6 +1049,19 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def _q_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-MinHash LSH pairs (tf-expanded multiset signatures): the
+    scale path for weighted_jaccard. Deterministic md5-based hash family →
+    the oracle replays signatures, banding, caps, and estimation in SQL
+    over the SAME expanded multisets (operators/dedup.py:
+    weighted_minhash_lsh_pairs)."""
+    from gbif_data_validator_spark.operators.dedup import weighted_minhash_lsh_pairs
+
+    return weighted_minhash_lsh_pairs(
+        _docs_spread(spark, sf_dir), "doc_id", "text", k=3, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
 def _q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset (tf-weighted) Jaccard near-dup pairs — repetition-aware
     similarity where set Jaccard saturates on template-heavy pages. Exact
@@ -4366,6 +4379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_advice": _q_join_advice,
         "ngram_jaccard": _q_ngram_jaccard,
         "weighted_jaccard": _q_weighted_jaccard,
+        "weighted_minhash": _q_weighted_minhash,
         "ngram_containment": _q_ngram_containment,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "dedup_survivors": _q_dedup_survivors,
@@ -7491,6 +7505,60 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.5
             ORDER BY left_id, right_id
+        """,
+        # weighted_minhash: the minhash_pairs replay over tf-EXPANDED gram
+        # multisets — gram g with tf c contributes g||chr(0)||0..c-1, the
+        # reduction that makes set resemblance equal weighted Jaccard
+        "weighted_minhash": f"""
+            WITH consts(i, a, b) AS (VALUES {mh_consts}),
+            w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            tf AS (
+              SELECT doc_id, g, count(*) AS tf FROM (
+                SELECT doc_id, ws[r.i] || ' ' || ws[r.i+1] || ' ' || ws[r.i+2] AS g
+                FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) r
+                WHERE len(ws) >= 3
+              ) GROUP BY doc_id, g
+            ),
+            grams AS (
+              SELECT doc_id, g || chr(0) || CAST(r.j AS VARCHAR) AS ge
+              FROM tf, LATERAL (SELECT unnest(range(0, tf)) AS j) r
+            ),
+            hx AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(ge), 1, 16)) AS UBIGINT)
+                       % 2305843009213693951 AS x
+              FROM grams
+            ),
+            mh AS (
+              SELECT doc_id, c.i,
+                     min(CAST(((CAST(c.a AS HUGEINT) * x + c.b) % 18446744073709551616)
+                              % 2305843009213693951 AS BIGINT)) AS v
+              FROM hx CROSS JOIN consts c GROUP BY doc_id, c.i
+            ),
+            sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, sig, bd.band,
+                     array_to_string(sig[bd.band*4+1 : bd.band*4+4], ',') AS key
+              FROM sig, (SELECT unnest(range(0, 16)) AS band) bd
+            ),
+            bsz AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.sig AS sa, b.sig AS sb
+              FROM bands a
+              JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+              JOIN bsz s ON s.band = a.band AND s.key = a.key
+              WHERE s.c BETWEEN 2 AND 1000
+            )
+            SELECT doc_a, doc_b,
+                   round(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0, 6) AS est_wjaccard
+            FROM cand
+            WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.5
+            ORDER BY doc_a, doc_b
         """,
         "minhash_pairs": f"""
             WITH consts(i, a, b) AS (VALUES {mh_consts}),

@@ -252,12 +252,21 @@ def minhash_constants(n_hashes: int = 64, seed: int = 42) -> "tuple[list[int], l
     return [int(v) for v in a], [int(v) for v in b]
 
 
-def _minhash_series(texts: pd.Series, k: int, n_hashes: int, seed: int) -> pd.Series:
+def _minhash_series(
+    texts: pd.Series, k: int, n_hashes: int, seed: int, weighted: bool = False
+) -> pd.Series:
     """numpy minhash signatures over Arrow batches: h_i(x) = (a_i*x + b_i)
     mod p, min over the doc's shingle hashes. Shingling happens here in
     Python (same k-gram definition as ``shingles``): min over permutation
     hashes is order- and duplicate-invariant, and keeping it in the UDF
-    avoids shipping shingle arrays through Arrow."""
+    avoids shipping shingle arrays through Arrow.
+
+    ``weighted=True`` hashes the EXPANDED multiset instead — gram g with
+    tf c contributes elements (g,1)..(g,c) — the classic reduction: set
+    Jaccard of expanded multisets EQUALS weighted Jaccard Σmin/Σmax of
+    the originals, so the same banding/estimation machinery estimates
+    J_w. Cost grows from distinct grams to TOTAL grams (= doc length),
+    the same order as shingling itself."""
     import numpy as np
 
     aa, bb = minhash_constants(n_hashes, seed)
@@ -271,7 +280,15 @@ def _minhash_series(texts: pd.Series, k: int, n_hashes: int, seed: int) -> pd.Se
         m = len(words) - k + 1
         if m <= 0:
             return None
-        grams = {" ".join(words[i : i + k]) for i in range(m)}
+        if weighted:
+            from collections import Counter
+
+            cnt = Counter(" ".join(words[i : i + k]) for i in range(m))
+            grams = [
+                f"{g}\x00{j}" for g, c in cnt.items() for j in range(c)
+            ]
+        else:
+            grams = {" ".join(words[i : i + k]) for i in range(m)}
         # stable 64-bit hash of each shingle string
         xs = _hash64_array(list(grams)) % np.uint64(_MERSENNE)  # (n_shingles,)
         # (n_hashes, n_shingles) permutation hashes, min over shingles
@@ -288,11 +305,12 @@ def minhash_signatures(
     k: int = 3,
     n_hashes: int = 64,
     seed: int = 42,
+    weighted: bool = False,
 ) -> DataFrame:
     """→ (doc_id, sig array<long>[n_hashes]); docs with no k-shingle → null
     sig (dropped by callers)."""
     udf = F.pandas_udf(
-        lambda s: _minhash_series(s, k, n_hashes, seed),
+        lambda s: _minhash_series(s, k, n_hashes, seed, weighted),
         returnType=ArrayType(LongType()),
     )
     return df.select(
@@ -317,12 +335,13 @@ def _minhash_band_posts(
     n_hashes: int,
     n_bands: int,
     seed: int,
+    weighted: bool = False,
 ) -> DataFrame:
     """(band, bucket, ds) posting lists: signatures banded into n_bands
     xxhash64 bucket keys, docs grouped per (band, bucket). The groupBy here
     is the family's single corpus-sized shuffle."""
     rows_per_band = n_hashes // n_bands
-    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes, seed)
+    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes, seed, weighted)
     bands = sigs.select(
         F.struct(F.col("doc_id").alias("id"), F.col("sig").alias("sig")).alias("d"),
         F.posexplode(
@@ -1172,12 +1191,13 @@ def _band_rows(
     n_hashes: int,
     n_bands: int,
     seed: int,
+    weighted: bool = False,
 ) -> DataFrame:
     """(band, bucket, id, sig) rows — the flat (appendable) form of the
     banded signatures; `_minhash_band_posts` is this plus the posting
     groupBy."""
     rows_per_band = n_hashes // n_bands
-    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes, seed)
+    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes, seed, weighted)
     return sigs.select(
         F.col("doc_id").alias("id"),
         "sig",
@@ -1601,4 +1621,75 @@ def dedup_threshold_sweep(
         "threshold_pct",
         F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
         F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+    )
+
+
+def weighted_minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs under WEIGHTED Jaccard → (doc_a, doc_b,
+    est_wjaccard ≥ threshold) — the scale path for
+    ``weighted_jaccard_pairs``, exactly as ``minhash_lsh_pairs`` is the
+    scale path for ``ngram_jaccard_pairs``.
+
+    Reduction: signatures hash the tf-EXPANDED multiset (gram g × c →
+    elements (g,1)..(g,c)); set resemblance of expansions equals Σmin/Σmax
+    of the originals, so banding, bucket caps, and in-bucket signature-
+    agreement estimation carry over UNCHANGED. The discriminating case:
+    two pages repeating the same boilerplate block 40× vs 2× share all
+    their shingle TYPES (set LSH pairs them at est≈1.0) but little of
+    their multiset mass — weighted LSH correctly scores them apart.
+
+    Same plan as the set family: one posting-list groupBy(band, bucket) is
+    the only corpus-sized shuffle; ``max_bucket`` + the dropped-bucket
+    audit below are the skew contract."""
+    posts = _minhash_band_posts(
+        df, id_col, text_col, k, n_hashes, n_bands, seed, weighted=True
+    ).where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
+    est = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("p.sig_a"), F.col("p.sig_b"), lambda x, y: (x == y).cast("int")
+            ),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(n_hashes))
+    return (
+        posts.select(F.explode(_in_list_pairs(F.col("ds"), ["id", "sig"])).alias("p"))
+        .select(
+            F.col("p.id_a").alias("doc_a"),
+            F.col("p.id_b").alias("doc_b"),
+            F.round(est, 6).alias("est_wjaccard"),
+        )
+        .where(F.col("est_wjaccard") >= threshold)
+        .distinct()
+    )
+
+
+def weighted_minhash_dropped_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(band, bucket, n_docs) the weighted probe's cap would skip — the
+    family's no-silent-caps audit, weighted-signature flavored."""
+    return _dropped_buckets(
+        _minhash_band_posts(
+            df, id_col, text_col, k, n_hashes, n_bands, seed, weighted=True
+        ),
+        ["band", "bucket"],
+        max_bucket,
     )

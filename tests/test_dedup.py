@@ -736,3 +736,53 @@ def test_threshold_sweep_empty_grid_rows(spark):
         df, "doc_id", "text", k=2, thresholds_pct=(50,)
     ).collect()
     assert [(r.threshold_pct, r.n_pairs, r.n_docs) for r in rows] == [(50, 0, 0)]
+
+
+# --------------------------------------------------------------------------
+# Weighted MinHash LSH
+# --------------------------------------------------------------------------
+
+
+def test_weighted_minhash_discriminates_repetition(spark):
+    """Identical shingle SETS, very different multiset mass: set LSH pairs
+    them at est 1.0; weighted LSH scores them near the true J_w ≈ 0.27."""
+    df = spark.createDataFrame(
+        [(1, "x y " * 40), (2, "x y " * 4)], "doc_id long, text string"
+    )
+    set_pairs = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", k=2, threshold=0.9
+    ).collect()
+    assert len(set_pairs) == 1 and set_pairs[0].est_jaccard == 1.0
+    w_pairs = dedup.weighted_minhash_lsh_pairs(
+        df, "doc_id", "text", k=2, threshold=0.5
+    ).collect()
+    assert w_pairs == []  # J_w ≈ (7+6)/(79+78-13) ≈ 0.09 — far below 0.5
+
+
+def test_weighted_minhash_estimates_weighted_jaccard(spark):
+    """Near-identical multisets: estimate lands within MinHash tolerance
+    of the exact weighted Jaccard from weighted_jaccard_pairs."""
+    base = "alpha beta gamma delta " * 20
+    df = spark.createDataFrame(
+        [(1, base), (2, base + "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    exact = dedup.weighted_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.1
+    ).first()
+    est = dedup.weighted_minhash_lsh_pairs(
+        df, "doc_id", "text", k=3, n_hashes=128, n_bands=32, threshold=0.1
+    ).first()
+    assert est is not None
+    assert abs(est.est_wjaccard - exact.wjaccard) < 0.15
+
+
+def test_weighted_minhash_exact_dup_is_certain(spark):
+    df = spark.createDataFrame(
+        [(1, "p q r s t u " * 10), (2, "p q r s t u " * 10)],
+        "doc_id long, text string",
+    )
+    rows = dedup.weighted_minhash_lsh_pairs(
+        df, "doc_id", "text", k=3, threshold=0.9
+    ).collect()
+    assert len(rows) == 1 and rows[0].est_wjaccard == 1.0
