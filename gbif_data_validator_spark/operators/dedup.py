@@ -1228,6 +1228,8 @@ def write_minhash_index(
     n_bands: int = 16,
     seed: int = 42,
     mode: str = "append",
+    storage_buckets: int | None = None,
+    table: str | None = None,
 ) -> None:
     """Persist a corpus' banded MinHash signatures to ``path`` — the
     INCREMENTAL dedup substrate: crawl N writes its signatures once;
@@ -1241,13 +1243,29 @@ def write_minhash_index(
     posting lists to merge); a params sidecar pins (k, n_hashes,
     n_bands, seed) and every append/read validates against it, because
     an index mixing signature parameters silently finds nothing.
-    Upgrade path: write the same rows with
-    ``sources/bucketed.write_bucketed`` on ``bucket`` and the per-run
-    probe join drops its index-side Exchange entirely."""
+    Bucketed upgrade (``storage_buckets`` + ``table``): persist CLUSTERED
+    BY (band, bucket) instead — the posting-list groupBy AND the probe
+    join then read co-located data and the index-side Exchange disappears
+    (plan-asserted in tests). At a monthly-probed 10^12-doc index that
+    Exchange is the probe's dominant cost; appends stay pure file drops
+    (saveAsTable append). The flat layout remains the default: it needs
+    no metastore and streaming state dirs use it."""
     import json
     import os
 
     params = {"k": k, "n_hashes": n_hashes, "n_bands": n_bands, "seed": seed}
+    if storage_buckets is not None:
+        # the bucketed upgrade (docstring): persist CLUSTERED BY (bucket) so
+        # every later probe's index side is already partitioned — the
+        # posting-list groupBy and the probe join read co-located data and
+        # Catalyst elides the index-side Exchange (asserted by plan test).
+        # Requires a table name: only spark.table() retains bucket metadata.
+        if table is None:
+            raise ValueError(
+                "write_minhash_index: storage_buckets requires a table name"
+            )
+        params["table"] = table
+        params["storage_buckets"] = int(storage_buckets)
     pfile = os.path.join(path, _INDEX_PARAMS_FILE)
     if os.path.exists(pfile):
         with open(pfile) as fh:
@@ -1258,7 +1276,16 @@ def write_minhash_index(
                 f"refusing to {mode} with {params}"
             )
     rows = _band_rows(df, id_col, text_col, k, n_hashes, n_bands, seed)
-    rows.write.mode(mode).partitionBy("band").parquet(path)
+    if storage_buckets is not None:
+        (
+            rows.write.mode(mode)
+            .option("path", os.path.join(path, "data"))
+            .bucketBy(int(storage_buckets), "band", "bucket")
+            .sortBy("band", "bucket")
+            .saveAsTable(table)
+        )
+    else:
+        rows.write.mode(mode).partitionBy("band").parquet(path)
     if not os.path.exists(pfile):
         os.makedirs(path, exist_ok=True)
         with open(pfile, "w") as fh:
@@ -1272,6 +1299,10 @@ def _read_index(spark, path: str) -> "tuple[DataFrame, dict]":
     pfile = os.path.join(path, _INDEX_PARAMS_FILE)
     with open(pfile) as fh:
         params = json.load(fh)
+    if "table" in params:
+        # bucketed layout: ONLY spark.table() retains the bucket metadata
+        # that lets the probe skip the index-side Exchange
+        return spark.table(params["table"]), params
     return spark.read.parquet(path), params
 
 

@@ -786,3 +786,70 @@ def test_weighted_minhash_exact_dup_is_certain(spark):
         df, "doc_id", "text", k=3, threshold=0.9
     ).collect()
     assert len(rows) == 1 and rows[0].est_wjaccard == 1.0
+
+
+def test_bucketed_minhash_index_drops_index_exchange(spark, tmp_path):
+    """The bucketed-layout upgrade the index docstring promises: same
+    probe results as the flat layout, with the index-side Exchange gone
+    (its groupBy and the probe join read co-located buckets)."""
+    from gbif_data_validator_spark.operators.dedup import (
+        dedup_vs_index,
+        write_minhash_index,
+    )
+
+    old = _crawl_docs(spark, "old-", 40)
+    new = _crawl_docs(spark, "new-", 10).unionByName(
+        _crawl_docs(spark, "newc-", 10, clone_of=100)
+    )
+    flat = str(tmp_path / "flat")
+    write_minhash_index(old, flat, "doc_id", "text")
+    bucketed = str(tmp_path / "bucketed")
+    spark.sql("DROP TABLE IF EXISTS mh_idx_test")
+    write_minhash_index(
+        old, bucketed, "doc_id", "text",
+        storage_buckets=8, table="mh_idx_test", mode="overwrite",
+    )
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q_flat = dedup_vs_index(new, flat, "doc_id", "text")
+        q_bkt = dedup_vs_index(new, bucketed, "doc_id", "text")
+        p_flat = q_flat._jdf.queryExecution().executedPlan().toString()
+        p_bkt = q_bkt._jdf.queryExecution().executedPlan().toString()
+        assert p_bkt.count("Exchange") == p_flat.count("Exchange") - 1, (
+            p_flat, p_bkt,
+        )
+        got_flat = sorted(map(tuple, q_flat.collect()))
+        got_bkt = sorted(map(tuple, q_bkt.collect()))
+        assert got_flat == got_bkt and len(got_bkt) > 0
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS mh_idx_test")
+
+
+def test_bucketed_minhash_index_append_accumulates(spark, tmp_path):
+    from gbif_data_validator_spark.operators.dedup import (
+        dedup_vs_index,
+        write_minhash_index,
+    )
+
+    old = _crawl_docs(spark, "old-", 40)
+    new = _crawl_docs(spark, "newc-", 10, clone_of=100)
+    path = str(tmp_path / "bidx")
+    spark.sql("DROP TABLE IF EXISTS mh_idx_append")
+    write_minhash_index(
+        old.where(F.col("doc_id") < "old-2"), path, "doc_id", "text",
+        storage_buckets=8, table="mh_idx_append",
+    )
+    write_minhash_index(
+        old.where(F.col("doc_id") >= "old-2"), path, "doc_id", "text",
+        storage_buckets=8, table="mh_idx_append",
+    )
+    flat = str(tmp_path / "fidx")
+    write_minhash_index(old, flat, "doc_id", "text")
+    a = sorted(map(tuple, dedup_vs_index(new, path, "doc_id", "text").collect()))
+    b = sorted(map(tuple, dedup_vs_index(new, flat, "doc_id", "text").collect()))
+    assert a == b and len(a) > 0
+    spark.sql("DROP TABLE IF EXISTS mh_idx_append")
