@@ -1049,6 +1049,19 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def _q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH quality pin: recall of minhash_lsh_pairs against exact
+    ngram Jaccard at the same threshold, as ONE integer-exact row —
+    deterministic hash family end to end, so the whole measurement (both
+    pair pipelines + the semi-join + µ-recall) replays in SQL
+    (operators/dedup.py:lsh_recall_vs_exact)."""
+    from gbif_data_validator_spark.operators.dedup import lsh_recall_vs_exact
+
+    return lsh_recall_vs_exact(
+        _docs_spread(spark, sf_dir), "doc_id", "text", k=3, threshold=0.5
+    )
+
+
 def _q_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-MinHash LSH pairs (tf-expanded multiset signatures): the
     scale path for weighted_jaccard. Deterministic md5-based hash family →
@@ -4380,6 +4393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "weighted_jaccard": _q_weighted_jaccard,
         "weighted_minhash": _q_weighted_minhash,
+        "lsh_recall": _q_lsh_recall,
         "ngram_containment": _q_ngram_containment,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "dedup_survivors": _q_dedup_survivors,
@@ -7505,6 +7519,79 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.5
             ORDER BY left_id, right_id
+        """,
+        # lsh_recall: BOTH pair pipelines replayed (exact all-pairs Jaccard
+        # + the md5-family minhash/banding/cap/estimate) and folded to the
+        # 1-row µ-recall — the approximate family's quality, hash-pinned
+        "lsh_recall": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]) AS s
+              FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM documents)
+              WHERE len(words) >= 3
+            ), ex AS (
+              SELECT doc_id, unnest(s) AS g FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), exact AS (
+              SELECT doc_a, doc_b
+              FROM inter
+              JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = doc_a
+              JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = doc_b
+              WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+            ),
+            consts(i, a, b) AS (VALUES {mh_consts}),
+            w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, ws[r.i] || ' ' || ws[r.i+1] || ' ' || ws[r.i+2] AS g
+              FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) r
+              WHERE len(ws) >= 3
+            ),
+            hx AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(g), 1, 16)) AS UBIGINT)
+                       % 2305843009213693951 AS x
+              FROM grams
+            ),
+            mh AS (
+              SELECT doc_id, c.i,
+                     min(CAST(((CAST(c.a AS HUGEINT) * x + c.b) % 18446744073709551616)
+                              % 2305843009213693951 AS BIGINT)) AS v
+              FROM hx CROSS JOIN consts c GROUP BY doc_id, c.i
+            ),
+            sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, sig, bd.band,
+                     array_to_string(sig[bd.band*4+1 : bd.band*4+4], ',') AS key
+              FROM sig, (SELECT unnest(range(0, 16)) AS band) bd
+            ),
+            bsz AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
+            lsh AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a
+              JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+              JOIN bsz s ON s.band = a.band AND s.key = a.key
+              WHERE s.c BETWEEN 2 AND 1000
+                AND len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) / 64.0 >= 0.5
+            ),
+            ne AS (SELECT count(*) AS n_exact FROM exact),
+            nf AS (
+              SELECT count(*) AS n_found
+              FROM exact e SEMI JOIN lsh l
+                ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+            )
+            SELECT CAST(n_exact AS BIGINT) AS n_exact,
+                   CAST(n_found AS BIGINT) AS n_found,
+                   CASE WHEN n_exact > 0
+                        THEN CAST((n_found * 1000000) // n_exact AS BIGINT)
+                   END AS recall_micro
+            FROM ne, nf
         """,
         # weighted_minhash: the minhash_pairs replay over tf-EXPANDED gram
         # multisets — gram g with tf c contributes g||chr(0)||0..c-1, the

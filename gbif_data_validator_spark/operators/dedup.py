@@ -1724,3 +1724,52 @@ def weighted_minhash_dropped_buckets(
         ["band", "bucket"],
         max_bucket,
     )
+
+
+def lsh_recall_vs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    seed: int = 42,
+    max_df: int = 1000,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """ONE row: ``(n_exact, n_found, recall_micro)`` — how many of the
+    exact-Jaccard-≥-threshold pairs the MinHash-LSH probe (same
+    threshold, over its ESTIMATE) recovers.
+
+    The quality pin for the approximate family: LSH trades recall for
+    never materializing all pairs, and that trade should be a measured
+    number per corpus/parameterization, not a belief. Deterministic end
+    to end (fixed hash family, no sampling), so the whole measurement is
+    SQL-replayable — recall_micro is ⌊10^6·found/exact⌋ in integer
+    arithmetic, hash-exact across engines.
+
+    Plan: the two pair pipelines (each two shuffles, posting-list shape)
+    + one pair-grain left-semi join + a 1-row fold. Pair tables are tiny
+    relative to the corpus by construction (that is the point of
+    thresholds)."""
+    exact = ngram_jaccard_pairs(
+        df, id_col, text_col, k=k, threshold=threshold, max_df=max_df
+    ).select("doc_a", "doc_b")
+    lsh = minhash_lsh_pairs(
+        df, id_col, text_col, k=k, n_hashes=n_hashes, n_bands=n_bands,
+        threshold=threshold, seed=seed, max_bucket=max_bucket,
+    ).select("doc_a", "doc_b")
+    found = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
+    agg = exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        found.agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    return agg.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_found").cast("long").alias("n_found"),
+        F.when(F.col("n_exact") > 0,
+               F.floor(F.col("n_found") * 1_000_000 / F.col("n_exact")))
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("recall_micro"),
+    )

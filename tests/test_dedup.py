@@ -853,3 +853,19 @@ def test_bucketed_minhash_index_append_accumulates(spark, tmp_path):
     b = sorted(map(tuple, dedup_vs_index(new, flat, "doc_id", "text").collect()))
     assert a == b and len(a) > 0
     spark.sql("DROP TABLE IF EXISTS mh_idx_append")
+
+
+def test_lsh_recall_pin(spark, corpus):
+    """Recall measured on the crafted corpus: the clone triangle (1,2,3)
+    plus each clone × the near-dup 4 → 6 exact pairs at ≥0.5; the LSH
+    probe finds the clones certainly."""
+    row = dedup.lsh_recall_vs_exact(corpus, "doc_id", "text", k=3, threshold=0.5).first()
+    assert row.n_exact == 6
+    assert 0 < row.n_found <= row.n_exact
+    assert row.recall_micro == (row.n_found * 1_000_000) // row.n_exact
+
+
+def test_lsh_recall_empty_corpus_null_recall(spark):
+    df = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
+    row = dedup.lsh_recall_vs_exact(df, "doc_id", "text", k=3).first()
+    assert row.n_exact == 0 and row.n_found == 0 and row.recall_micro is None
