@@ -1663,6 +1663,23 @@ def _q_incr_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_clusters(labels1, batch2).orderBy("doc_id")
 
 
+def _q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (SlimPajama-style loss reweighting): every cluster
+    member kept at weight ⌊10^6/|cluster|⌋ instead of dropped
+    (operators/dedup.py:dedup_weights). Oracle: the dedup_clusters
+    recursive CTE + a cluster-size join + integer µ-weights."""
+    from gbif_data_validator_spark.operators.dedup import (
+        dedup_weights,
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _docs_spread(spark, sf_dir), "doc_id", "text", k=3, threshold=0.5
+    )
+    return dedup_weights(duplicate_clusters(pairs)).orderBy("doc_id")
+
+
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% sample by md5-prefix hash bucket of the key —
     membership is a pure function of doc_id (reproducible across runs,
@@ -4403,6 +4420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _q_winnow_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "incr_clusters": _q_incr_clusters,
+        "dedup_weights": _q_dedup_weights,
         "threshold_sweep": _q_threshold_sweep,
         "hash_sample": _q_hash_sample,
         "hash_split": _q_hash_split,
@@ -9770,4 +9788,21 @@ def oracle_sql() -> dict[str, str]:
     # identity in merge_clusters' docstring, and this row is the
     # hash-exact proof of that claim on real data
     out["incr_clusters"] = out["dedup_clusters"]
+    # dedup_weights: the same clustering + cluster-size µ-weights; built
+    # from the dedup_clusters body (strip its trailing ORDER BY) so the
+    # two stay pinned to one clustering definition
+    out["dedup_weights"] = (
+        "WITH labels AS ("
+        + out["dedup_clusters"].replace("ORDER BY doc_id", "")
+        + """),
+        sizes AS (
+          SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+          FROM labels GROUP BY cluster_id
+        )
+        SELECT l.doc_id, l.cluster_id, s.n_members,
+               CAST(1000000 // s.n_members AS BIGINT) AS weight_micro
+        FROM labels l JOIN sizes s USING (cluster_id)
+        ORDER BY l.doc_id
+        """
+    )
     return out

@@ -1773,3 +1773,32 @@ def lsh_recall_vs_exact(
         .cast("long")
         .alias("recall_micro"),
     )
+
+
+def dedup_weights(labels: DataFrame) -> DataFrame:
+    """Soft dedup: ``(doc_id, cluster_id, n_members, weight_micro)`` where
+    ``weight_micro = ⌊10^6 / n_members⌋`` — keep EVERY near-dup cluster
+    member but down-weight each to 1/|cluster| so the cluster contributes
+    one document's worth of training signal in aggregate.
+
+    The alternative to survivor selection when duplicates carry
+    complementary value (different crawl dates, different boilerplate
+    trims of the same article): hard dedup throws away all but one;
+    soft dedup preserves variants and fixes the LOSS instead. Integer
+    µ-weights keep the table hash-exact across engines; consumers
+    multiply into their sampling/loss pipeline as weight_micro / 10^6.
+
+    Plan: one count agg over the labels table (cluster grain) + one
+    label-grain broadcast-or-shuffle join back — |labels| rows, never
+    the corpus."""
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_members",
+        F.floor(F.lit(1_000_000) / F.col("n_members")).cast("long").alias(
+            "weight_micro"
+        ),
+    )

@@ -869,3 +869,18 @@ def test_lsh_recall_empty_corpus_null_recall(spark):
     df = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
     row = dedup.lsh_recall_vs_exact(df, "doc_id", "text", k=3).first()
     assert row.n_exact == 0 and row.n_found == 0 and row.recall_micro is None
+
+
+def test_dedup_weights_integer_exact(spark):
+    labels = dedup.duplicate_clusters(
+        _pairs_df(spark, [(1, 2), (2, 3), (10, 11)])
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.n_members, r.weight_micro)
+        for r in dedup.dedup_weights(labels).collect()
+    }
+    assert got[1] == (1, 3, 333_333) and got[2] == (1, 3, 333_333)
+    assert got[3] == (1, 3, 333_333)
+    assert got[10] == (10, 2, 500_000) and got[11] == (10, 2, 500_000)
+    # total weight per cluster ≈ one document's worth (floor'd)
+    assert sum(v[2] for v in got.values() if v[0] == 1) == 999_999
