@@ -2334,6 +2334,24 @@ def _q_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdx_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-JSON crawl-index source: the committed cdxj fixture shards
+    parsed into the typed capture table — pure Column algebra, zero
+    Exchange, every malformed line an ERROR ROW (sources/cdx.py).
+    Deterministic fixtures (scripts/make_cdx_fixtures.py) → VALUES
+    oracle."""
+    import os
+
+    from gbif_data_validator_spark.sources.cdx import read_cdx_files
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "cdx"
+    )
+    return read_cdx_files(spark, fixtures).orderBy(
+        "src_file", "error", "surt", "capture_ts"
+    )
+
+
 def _q_checklist_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checklist-graph evaluator (ChecklistEvaluator.java:74-130 reimagined
     relationally): a 3-level taxonomy is built from region→nation→customer
@@ -4303,6 +4321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "nb_quality": _q_nb_quality,
         "warc_pages": _q_warc_pages,
+        "cdx_scan": _q_cdx_scan,
         "url_filter": _q_url_filter,
         "doc_line_dedup": _q_doc_line_dedup,
         "nfc_report": _q_nfc_report,
@@ -7060,6 +7079,19 @@ def oracle_sql() -> dict[str, str]:
               ('https://warc.example/c', TIMESTAMP '2024-03-04 05:06:07', '<p>gamma</p>', CAST(12 AS BIGINT))
             ) AS t(url, warc_ts, html_text, n_bytes)
             ORDER BY url
+        """,
+        "cdx_scan": """
+            SELECT * FROM (VALUES
+              ('index-00.cdxj', 'com,example)/', TIMESTAMP '2024-01-02 03:04:05', 'https://example.com/', 'text/html', CAST(200 AS INTEGER), 'AAAABBBB', CAST(1234 AS BIGINT), CAST(0 AS BIGINT), 'crawl-00.warc.gz', CAST(NULL AS VARCHAR)),
+              ('index-00.cdxj', 'com,example)/about', TIMESTAMP '2024-01-02 03:04:06', 'https://example.com/about', 'text/html', CAST(301 AS INTEGER), 'CCCCDDDD', CAST(321 AS BIGINT), CAST(1234 AS BIGINT), 'crawl-00.warc.gz', CAST(NULL AS VARCHAR)),
+              ('index-00.cdxj', CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 'CDX_LINE_SHORT'),
+              ('index-00.cdxj', CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 'CDX_TS_INVALID'),
+              ('index-01.cdxj', 'net,cdn)/asset', TIMESTAMP '2024-02-15 12:00:03', 'https://cdn.net/asset', 'image/png', CAST(200 AS INTEGER), '11112222', CAST(204800 AS BIGINT), CAST(4096 AS BIGINT), 'crawl-01.warc.gz', CAST(NULL AS VARCHAR)),
+              ('index-01.cdxj', 'org,wiki)/page', TIMESTAMP '2024-02-15 12:00:00', 'https://wiki.org/page', 'text/plain', CAST(200 AS INTEGER), 'FFFF0000', CAST(77 AS BIGINT), CAST(99 AS BIGINT), 'crawl-01.warc.gz', CAST(NULL AS VARCHAR)),
+              ('index-01.cdxj', CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 'CDX_JSON_INVALID'),
+              ('index-01.cdxj', CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 'CDX_URL_MISSING')
+            ) AS t(src_file, surt, capture_ts, url, mime, status, digest, length, "offset", filename, error)
+            ORDER BY src_file, error, surt, capture_ts
         """,
         "spreadsheet_pages": """
             SELECT * FROM (VALUES

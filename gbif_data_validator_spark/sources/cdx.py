@@ -1,0 +1,109 @@
+"""CDX-JSON crawl-index source: the Common-Crawl-convention index format
+(`cdxj`: one line per capture — SURT key, 14-digit timestamp, JSON
+payload) parsed into a typed capture table with pure Column algebra.
+
+Reference analog: the reference's tabular record sources declare a schema
+and convert malformed cells into findings (DwC-A/CSV readers,
+validator-processor source package); this is the same contract over the
+index format that fronts every web-scale crawl corpus: the CDX table is
+what a pipeline PLANS from (which WARC files to fetch, which offsets to
+range-read) before it touches a byte of page payload.
+
+Scale design: parsing is one narrow projection over `spark.read.text`
+lines — regex/split/from_json Column ops end to end: no UDF, no shuffle,
+whole-stage-codegen'd, and the scan parallelizes by line ranges exactly
+like any text source. A malformed line is an ERROR ROW ("a finding,
+never a crash"), so one corrupt index shard cannot kill a 10^12-capture
+planning job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: string-typed JSON payload per the CDX-JSON convention (all scalar
+#: values are JSON strings; numerics are re-typed after extraction)
+_PAYLOAD_SCHEMA = (
+    "url string, mime string, status string, digest string, "
+    "length string, offset string, filename string, _corrupt string"
+)
+
+CDX_COLUMNS = [
+    "surt",
+    "capture_ts",
+    "url",
+    "mime",
+    "status",
+    "digest",
+    "length",
+    "offset",
+    "filename",
+    "error",
+]
+
+
+def cdx_lines_to_table(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    """``(surt, capture_ts, url, mime, status, digest, length, offset,
+    filename, error)`` from raw cdxj lines.
+
+    Line grammar: ``<surt> <ts14> <json>`` (two single-space separators;
+    the JSON may itself contain spaces, so the split is limit-3). Errors
+    — short line, unparseable timestamp, undecodable JSON, payload
+    without a url — surface as rows with ``error`` set and all capture
+    fields NULL, preserving input cardinality: every index line is
+    accounted for, parsed or explained."""
+    line = F.col(line_col)
+    parts = F.split(line, " ", 3)
+    surt = F.element_at(parts, 1)
+    ts_raw = F.try_element_at(parts, F.lit(2))
+    payload_raw = F.try_element_at(parts, F.lit(3))
+    ts = F.try_to_timestamp(ts_raw, F.lit("yyyyMMddHHmmss"))
+    payload = F.from_json(
+        payload_raw,
+        _PAYLOAD_SCHEMA,
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+
+    error = (
+        F.when(F.size(parts) < 3, F.lit("CDX_LINE_SHORT"))
+        .when((F.length(ts_raw) != 14) | ts.isNull(), F.lit("CDX_TS_INVALID"))
+        .when(
+            payload.isNull() | payload["_corrupt"].isNotNull(),
+            F.lit("CDX_JSON_INVALID"),
+        )
+        .when(payload["url"].isNull(), F.lit("CDX_URL_MISSING"))
+    )
+    ok = error.isNull()
+
+    def field(c):
+        return F.when(ok, c)
+
+    passthrough = [c for c in lines.columns if c != line_col]
+    return lines.select(
+        *passthrough,
+        field(surt).alias("surt"),
+        field(ts).alias("capture_ts"),
+        field(payload["url"]).alias("url"),
+        field(payload["mime"]).alias("mime"),
+        field(payload["status"].try_cast("int")).alias("status"),
+        field(payload["digest"]).alias("digest"),
+        field(payload["length"].try_cast("long")).alias("length"),
+        field(payload["offset"].try_cast("long")).alias("offset"),
+        field(payload["filename"]).alias("filename"),
+        error.alias("error"),
+    )
+
+
+def read_cdx_files(spark: SparkSession, path: str) -> DataFrame:
+    """cdxj shard files/glob → the typed capture table (plus ``src_file``).
+    Blank lines are dropped (trailing-newline artifacts, not captures)."""
+    lines = (
+        spark.read.text(path)
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("src_file"),
+            F.col("value"),
+        )
+        .where(F.length(F.trim(F.col("value"))) > 0)
+    )
+    return cdx_lines_to_table(lines)

@@ -167,3 +167,51 @@ def test_evolving_union_no_shuffle(spark):
     out, _ = evolving_union([a, b])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --------------------------------------------------------------------------
+# CDX crawl-index source
+# --------------------------------------------------------------------------
+
+
+def test_cdx_scan_typed_rows_and_errors(spark):
+    from gbif_data_validator_spark.sources.cdx import read_cdx_files
+
+    df = read_cdx_files(spark, "tests/fixtures/cdx")
+    rows = {(r.src_file, r.surt, r.error) for r in df.collect()}
+    assert ("index-00.cdxj", "com,example)/", None) in rows
+    errs = sorted(e for _, _, e in rows if e)
+    assert errs == [
+        "CDX_JSON_INVALID", "CDX_LINE_SHORT", "CDX_TS_INVALID",
+        "CDX_URL_MISSING",
+    ]
+    ok = df.where("error IS NULL").collect()
+    assert all(r.url and r.capture_ts is not None for r in ok)
+    # numerics re-typed from the string-valued JSON convention
+    asset = next(r for r in ok if r.surt == "net,cdn)/asset")
+    assert asset.length == 204800 and asset.offset == 4096 and asset.status == 200
+
+
+def test_cdx_parse_is_shuffle_free(spark):
+    """The whole parse is one narrow projection — no UDF, no Exchange."""
+    from gbif_data_validator_spark.sources.cdx import read_cdx_files
+
+    plan = (
+        read_cdx_files(spark, "tests/fixtures/cdx")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_cdx_error_rows_preserve_cardinality(spark):
+    """Every non-blank input line is exactly one output row."""
+    from gbif_data_validator_spark.sources.cdx import read_cdx_files
+
+    n_lines = sum(
+        1
+        for f in ("index-00.cdxj", "index-01.cdxj")
+        for line in open(f"tests/fixtures/cdx/{f}")
+        if line.strip()
+    )
+    assert read_cdx_files(spark, "tests/fixtures/cdx").count() == n_lines
