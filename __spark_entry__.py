@@ -2352,6 +2352,24 @@ def _q_cdx_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coalesced WARC range-read plan from the CDX fixture captures
+    (max_gap 1000 B exercises both merge and split): the request-
+    coalescing step between index and bytes (sources/cdx.py:fetch_plan).
+    Oracle: the same gap-break running sum as a window over the capture
+    VALUES."""
+    import os
+
+    from gbif_data_validator_spark.sources.cdx import fetch_plan, read_cdx_files
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "cdx"
+    )
+    return fetch_plan(read_cdx_files(spark, fixtures), max_gap_bytes=1000).orderBy(
+        "filename", "range_start"
+    )
+
+
 def _q_checklist_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checklist-graph evaluator (ChecklistEvaluator.java:74-130 reimagined
     relationally): a 3-level taxonomy is built from region→nation→customer
@@ -4322,6 +4340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality": _q_nb_quality,
         "warc_pages": _q_warc_pages,
         "cdx_scan": _q_cdx_scan,
+        "fetch_plan": _q_fetch_plan,
         "url_filter": _q_url_filter,
         "doc_line_dedup": _q_doc_line_dedup,
         "nfc_report": _q_nfc_report,
@@ -7092,6 +7111,35 @@ def oracle_sql() -> dict[str, str]:
               ('index-01.cdxj', CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 'CDX_URL_MISSING')
             ) AS t(src_file, surt, capture_ts, url, mime, status, digest, length, "offset", filename, error)
             ORDER BY src_file, error, surt, capture_ts
+        """,
+        "fetch_plan": """
+            WITH cap(filename, off, len) AS (VALUES
+              ('crawl-00.warc.gz', CAST(0 AS BIGINT), CAST(1234 AS BIGINT)),
+              ('crawl-00.warc.gz', CAST(1234 AS BIGINT), CAST(321 AS BIGINT)),
+              ('crawl-01.warc.gz', CAST(99 AS BIGINT), CAST(77 AS BIGINT)),
+              ('crawl-01.warc.gz', CAST(4096 AS BIGINT), CAST(204800 AS BIGINT))
+            ),
+            w AS (
+              SELECT filename, off, len,
+                     CASE WHEN lag(off + len) OVER
+                              (PARTITION BY filename ORDER BY off, len) IS NULL
+                            OR off > lag(off + len) OVER
+                              (PARTITION BY filename ORDER BY off, len) + 1000
+                          THEN 1 ELSE 0 END AS brk
+              FROM cap
+            ),
+            r AS (
+              SELECT filename, off, len,
+                     SUM(brk) OVER (PARTITION BY filename ORDER BY off, len) AS rid
+              FROM w
+            )
+            SELECT filename,
+                   MIN(off) AS range_start,
+                   MAX(off + len) AS range_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_captures,
+                   MAX(off + len) - MIN(off) AS range_bytes
+            FROM r GROUP BY filename, rid
+            ORDER BY filename, range_start
         """,
         "spreadsheet_pages": """
             SELECT * FROM (VALUES

@@ -718,7 +718,11 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     shuffles over the EDGE list (|pairs| rows — already a tiny fraction of
     the corpus), never the corpus. Convergence is checked with a
     limit(1)-style changed-count action per round; iteration stops early
-    the first round nothing moves."""
+    the first round nothing moves. Lineage is truncated with an eager
+    localCheckpoint every 3 rounds AND on the returned labels (the
+    kcore/bfs discipline): without it the per-round join tree nests, and
+    rendering the plan string alone OOMs once clusterings feed other
+    iterative operators (merge_clusters, engine summaries)."""
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = (
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -731,7 +735,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("id"))
         .persist()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # 1) neighbor propagation: each node adopts min(label of neighbors)
         prop = edges.join(labels, edges.a == labels.id).select(
             F.col("b").alias("id"), F.col("label")
@@ -748,8 +752,11 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         new_labels = (
             new_labels.join(lab2, new_labels.label == lab2._lid, "left")
             .select("id", F.coalesce("_llabel", "label").alias("label"))
-            .persist()
         )
+        if (it + 1) % 3 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -762,7 +769,9 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).localCheckpoint(eager=True)
 
 
 def embedding_lsh_dropped_buckets(

@@ -19,7 +19,7 @@ planning job.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 #: string-typed JSON payload per the CDX-JSON convention (all scalar
@@ -107,3 +107,55 @@ def read_cdx_files(spark: SparkSession, path: str) -> DataFrame:
         .where(F.length(F.trim(F.col("value"))) > 0)
     )
     return cdx_lines_to_table(lines)
+
+
+def fetch_plan(
+    cdx: DataFrame,
+    max_gap_bytes: int = 65536,
+    min_captures: int = 1,
+) -> DataFrame:
+    """Coalesced WARC range-read plan from a CDX capture table →
+    ``(filename, range_start, range_end, n_captures, range_bytes)``.
+
+    The planning step between the index and the bytes: issuing one ranged
+    GET per capture at 10^12 captures is 10^12 round trips; reading whole
+    shards re-downloads everything between wanted records. The planner
+    sorts each shard's captures by offset and merges neighbors whose gap
+    is ≤ ``max_gap_bytes`` (cheaper to over-read a small gap than to open
+    a new connection) into one contiguous range — the classic
+    request-coalescing trade, made explicit and deterministic.
+
+    Plan shape: ONE window partitioned by filename (ordered by offset —
+    range membership is a running sum over gap breaks, the sessionize
+    pattern) + one (filename, range) agg. Shard grain bounds the window:
+    a WARC shard is ~1 GB / ~50k captures, so no partition is ever large;
+    error rows and rows without offsets are excluded (they cannot be
+    fetched — surface them via the ``error`` column upstream)."""
+    w = Window.partitionBy("filename").orderBy("offset", "length")
+    rows = cdx.where(
+        F.col("error").isNull()
+        & F.col("filename").isNotNull()
+        & F.col("offset").isNotNull()
+        & F.col("length").isNotNull()
+    )
+    prev_end = F.lag(F.col("offset") + F.col("length")).over(w)
+    new_range = (
+        prev_end.isNull() | (F.col("offset") > prev_end + F.lit(max_gap_bytes))
+    ).cast("long")
+    ranged = rows.withColumn("_rid", F.sum(new_range).over(w))
+    return (
+        ranged.groupBy("filename", "_rid")
+        .agg(
+            F.min("offset").alias("range_start"),
+            F.max(F.col("offset") + F.col("length")).alias("range_end"),
+            F.count(F.lit(1)).cast("long").alias("n_captures"),
+        )
+        .where(F.col("n_captures") >= min_captures)
+        .select(
+            "filename",
+            "range_start",
+            "range_end",
+            "n_captures",
+            (F.col("range_end") - F.col("range_start")).alias("range_bytes"),
+        )
+    )

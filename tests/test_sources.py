@@ -215,3 +215,49 @@ def test_cdx_error_rows_preserve_cardinality(spark):
         if line.strip()
     )
     assert read_cdx_files(spark, "tests/fixtures/cdx").count() == n_lines
+
+
+def test_fetch_plan_coalesces_and_splits(spark):
+    from gbif_data_validator_spark.sources.cdx import fetch_plan
+
+    rows = [
+        # one shard: 0..100, 150..250 (gap 50), 10000..10100 (gap far)
+        ("a.warc.gz", 0, 100), ("a.warc.gz", 150, 100), ("a.warc.gz", 10000, 100),
+        # second shard: single capture
+        ("b.warc.gz", 5, 10),
+    ]
+    cdx = spark.createDataFrame(
+        [(f, o, l, None) for f, o, l in rows],
+        "filename string, offset long, length long, error string",
+    )
+    got = {
+        (r.filename, r.range_start, r.range_end, r.n_captures, r.range_bytes)
+        for r in fetch_plan(cdx, max_gap_bytes=64).collect()
+    }
+    assert got == {
+        ("a.warc.gz", 0, 250, 2, 250),      # gap 50 <= 64: merged
+        ("a.warc.gz", 10000, 10100, 1, 100),  # far capture: own range
+        ("b.warc.gz", 5, 15, 1, 10),
+    }
+
+
+def test_fetch_plan_zero_gap_never_merges_across_files(spark):
+    from gbif_data_validator_spark.sources.cdx import fetch_plan
+
+    cdx = spark.createDataFrame(
+        [("x.warc.gz", 0, 10, None), ("y.warc.gz", 10, 10, None)],
+        "filename string, offset long, length long, error string",
+    )
+    assert fetch_plan(cdx, max_gap_bytes=10**9).count() == 2
+
+
+def test_fetch_plan_excludes_error_and_offsetless_rows(spark):
+    from gbif_data_validator_spark.sources.cdx import fetch_plan
+
+    cdx = spark.createDataFrame(
+        [("x.warc.gz", 0, 10, None), ("x.warc.gz", None, None, "CDX_TS_INVALID"),
+         ("x.warc.gz", None, None, None)],
+        "filename string, offset long, length long, error string",
+    )
+    rows = fetch_plan(cdx).collect()
+    assert len(rows) == 1 and rows[0].n_captures == 1
