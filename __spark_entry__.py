@@ -2370,6 +2370,32 @@ def _q_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_best_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-side URL dedup before fetching (sources/cdx.py:
+    best_captures): one capture per url under the deterministic policy
+    (status-200 first, then latest, then min (filename, offset)) over a
+    doc-derived capture table with ~13 recrawls per url and planted 404s.
+    Oracle: the same construction + QUALIFY window."""
+    from gbif_data_validator_spark.sources.cdx import best_captures
+
+    idc = F.col("doc_id")
+    cdx = _tbl(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://ex.org/p"), (idc % 37).cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + idc * 3600).alias("capture_ts"),
+        F.when(idc % 7 == 0, F.lit(404)).otherwise(F.lit(200)).cast("int").alias(
+            "status"
+        ),
+        F.concat(F.lit("crawl-"), (idc % 3).cast("string"), F.lit(".warc.gz")).alias(
+            "filename"
+        ),
+        (idc * 100).cast("long").alias("offset"),
+        F.lit(None).cast("string").alias("error"),
+    )
+    return best_captures(cdx).select(
+        "url", "capture_ts", "status", "filename", "offset"
+    ).orderBy("url")
+
+
 def _q_checklist_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checklist-graph evaluator (ChecklistEvaluator.java:74-130 reimagined
     relationally): a 3-level taxonomy is built from region→nation→customer
@@ -4341,6 +4367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_pages": _q_warc_pages,
         "cdx_scan": _q_cdx_scan,
         "fetch_plan": _q_fetch_plan,
+        "best_captures": _q_best_captures,
         "url_filter": _q_url_filter,
         "doc_line_dedup": _q_doc_line_dedup,
         "nfc_report": _q_nfc_report,
@@ -7140,6 +7167,24 @@ def oracle_sql() -> dict[str, str]:
                    MAX(off + len) - MIN(off) AS range_bytes
             FROM r GROUP BY filename, rid
             ORDER BY filename, range_start
+        """,
+        "best_captures": """
+            WITH cdx AS (
+              SELECT 'https://ex.org/p' || CAST(doc_id % 37 AS VARCHAR) AS url,
+                     make_timestamp((1700000000 + doc_id * 3600) * 1000000) AS capture_ts,
+                     CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status,
+                     'crawl-' || CAST(doc_id % 3 AS VARCHAR) || '.warc.gz' AS filename,
+                     CAST(doc_id * 100 AS BIGINT) AS "offset"
+              FROM documents
+            )
+            SELECT url, capture_ts, status, filename, "offset"
+            FROM cdx
+            QUALIFY row_number() OVER (
+              PARTITION BY url
+              ORDER BY CASE WHEN status = 200 THEN 0 ELSE 1 END,
+                       capture_ts DESC, filename, "offset"
+            ) = 1
+            ORDER BY url
         """,
         "spreadsheet_pages": """
             SELECT * FROM (VALUES

@@ -159,3 +159,31 @@ def fetch_plan(
             (F.col("range_end") - F.col("range_start")).alias("range_bytes"),
         )
     )
+
+
+def best_captures(cdx: DataFrame) -> DataFrame:
+    """One capture per URL from a CDX table — the index-side dedup that
+    runs BEFORE ``fetch_plan``: fetching every historical capture of a
+    url multiplies the byte bill by the recrawl count for no new content.
+
+    Policy (deterministic, totally ordered): prefer status 200 over
+    everything else, then the LATEST capture_ts (freshest content), then
+    the smallest (filename, offset) as the final tie-break so re-runs and
+    engines agree. Error rows and rows without a url are excluded — they
+    have nothing to fetch.
+
+    Plan: ONE window partitioned by url (rank order only, no frame).
+    URL grain is the natural partition key — no hot keys (a url's capture
+    count is the recrawl cadence, bounded), no skew guard needed."""
+    w = Window.partitionBy("url").orderBy(
+        F.when(F.col("status") == 200, 0).otherwise(1).asc(),
+        F.col("capture_ts").desc(),
+        F.col("filename").asc(),
+        F.col("offset").asc(),
+    )
+    return (
+        cdx.where(F.col("error").isNull() & F.col("url").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -261,3 +261,37 @@ def test_fetch_plan_excludes_error_and_offsetless_rows(spark):
     )
     rows = fetch_plan(cdx).collect()
     assert len(rows) == 1 and rows[0].n_captures == 1
+
+
+def test_best_captures_policy(spark):
+    """200 beats 404 regardless of recency; among 200s the latest wins;
+    exact ties break by (filename, offset)."""
+    import datetime as dt
+
+    from gbif_data_validator_spark.sources.cdx import best_captures
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    rows = [
+        # u1: newer 404 must lose to older 200
+        ("u1", t("2024-03-01T00:00:00"), 404, "b.warc.gz", 5, None),
+        ("u1", t("2024-01-01T00:00:00"), 200, "a.warc.gz", 9, None),
+        # u2: two 200s -> latest
+        ("u2", t("2024-01-01T00:00:00"), 200, "a.warc.gz", 1, None),
+        ("u2", t("2024-02-01T00:00:00"), 200, "a.warc.gz", 2, None),
+        # u3: exact tie -> min (filename, offset)
+        ("u3", t("2024-01-01T00:00:00"), 200, "b.warc.gz", 7, None),
+        ("u3", t("2024-01-01T00:00:00"), 200, "a.warc.gz", 8, None),
+        # error row excluded entirely
+        (None, None, None, None, None, "CDX_TS_INVALID"),
+    ]
+    cdx = spark.createDataFrame(
+        rows,
+        "url string, capture_ts timestamp, status int, filename string, "
+        "offset long, error string",
+    )
+    got = {(r.url, r.status, r.filename, r.offset) for r in best_captures(cdx).collect()}
+    assert got == {
+        ("u1", 200, "a.warc.gz", 9),
+        ("u2", 200, "a.warc.gz", 2),
+        ("u3", 200, "a.warc.gz", 8),
+    }
