@@ -2370,6 +2370,23 @@ def _q_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdx_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The record-structure pass for the INDEX itself (sources/cdx.py:
+    cdx_checks): parse errors forwarded + SURT-recompute / status /
+    digest-base32 / length / ts-epoch checks over the fixture shards —
+    2 planted digest violations, 4 parse errors, zero false positives
+    on the SURT recomputation. VALUES oracle (byte-deterministic
+    fixtures)."""
+    import os
+
+    from gbif_data_validator_spark.sources.cdx import cdx_checks, read_cdx_files
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "cdx"
+    )
+    return cdx_checks(read_cdx_files(spark, fixtures)).orderBy("check_id", "surt")
+
+
 def _q_best_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-side URL dedup before fetching (sources/cdx.py:
     best_captures): one capture per url under the deterministic policy
@@ -4368,6 +4385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_scan": _q_cdx_scan,
         "fetch_plan": _q_fetch_plan,
         "best_captures": _q_best_captures,
+        "cdx_violations": _q_cdx_violations,
         "url_filter": _q_url_filter,
         "doc_line_dedup": _q_doc_line_dedup,
         "nfc_report": _q_nfc_report,
@@ -7167,6 +7185,17 @@ def oracle_sql() -> dict[str, str]:
                    MAX(off + len) - MIN(off) AS range_bytes
             FROM r GROUP BY filename, rid
             ORDER BY filename, range_start
+        """,
+        "cdx_violations": """
+            SELECT * FROM (VALUES
+              (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'CDX_JSON_INVALID', CAST(NULL AS VARCHAR)),
+              (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'CDX_LINE_SHORT', CAST(NULL AS VARCHAR)),
+              (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'CDX_TS_INVALID', CAST(NULL AS VARCHAR)),
+              (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'CDX_URL_MISSING', CAST(NULL AS VARCHAR)),
+              ('net,cdn)/asset', 'https://cdn.net/asset', 'DIGEST_MALFORMED', '11112222'),
+              ('org,wiki)/page', 'https://wiki.org/page', 'DIGEST_MALFORMED', 'FFFF0000')
+            ) AS t(surt, url, check_id, found)
+            ORDER BY check_id, surt
         """,
         "best_captures": """
             WITH cdx AS (

@@ -187,3 +187,88 @@ def best_captures(cdx: DataFrame) -> DataFrame:
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+#: RFC-4648 base32 alphabet — the WARC-Payload-Digest convention
+_DIGEST_RE = r"^[A-Z2-7]{8,40}$"
+
+
+def cdx_checks(cdx: DataFrame) -> DataFrame:
+    """Validation battery over a CDX capture table →
+    ``(surt, url, check_id, found)`` — the record-structure pass for the
+    INDEX itself. A crawl pipeline trusts the index to plan fetches;
+    validating it is 10^4× cheaper than discovering a corrupt shard
+    mid-fetch.
+
+    Checks (each one more nullable slot in ONE projection — the engine's
+    pass-1 discipline, zero shuffles):
+      - CDX_* parse errors forwarded as findings (line grammar already
+        typed them),
+      - SURT_URL_MISMATCH: the SURT key recomputed from the url
+        (reversed-host + ')' + path, the standard transform) must match —
+        a mismatch means the index was built against a different
+        canonicalizer than the reader assumes,
+      - STATUS_INVALID: HTTP status outside 100..599,
+      - DIGEST_MALFORMED: payload digest not base32 (RFC 4648, the
+        WARC-Payload-Digest convention),
+      - LENGTH_NONPOSITIVE: record length ≤ 0 (unfetchable range),
+      - CAPTURE_TS_UNLIKELY: before the 1996 web-archive epoch or after
+        2035 (clock damage)."""
+    host = F.regexp_extract(F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    path = F.regexp_extract(F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    surt_expected = F.concat(
+        F.array_join(F.reverse(F.split(F.lower(host), r"\.")), ","),
+        F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(F.lower(path)),
+    )
+    checks = [
+        (
+            "SURT_URL_MISMATCH",
+            F.col("surt").isNotNull() & (F.col("surt") != surt_expected),
+            surt_expected,
+        ),
+        (
+            "STATUS_INVALID",
+            F.col("status").isNotNull()
+            & ((F.col("status") < 100) | (F.col("status") > 599)),
+            F.col("status").cast("string"),
+        ),
+        (
+            "DIGEST_MALFORMED",
+            F.col("digest").isNotNull() & ~F.col("digest").rlike(_DIGEST_RE),
+            F.col("digest"),
+        ),
+        (
+            "LENGTH_NONPOSITIVE",
+            F.col("length").isNotNull() & (F.col("length") <= 0),
+            F.col("length").cast("string"),
+        ),
+        (
+            "CAPTURE_TS_UNLIKELY",
+            F.col("capture_ts").isNotNull()
+            & (
+                (F.col("capture_ts") < F.lit("1996-01-01").cast("timestamp"))
+                | (F.col("capture_ts") >= F.lit("2036-01-01").cast("timestamp"))
+            ),
+            F.col("capture_ts").cast("string"),
+        ),
+    ]
+    findings = F.array(
+        *[
+            F.when(cond, F.struct(F.lit(cid).alias("check_id"), found.alias("found")))
+            for cid, cond, found in checks
+        ]
+    )
+    field_rows = (
+        cdx.where(F.col("error").isNull())
+        .select(
+            "surt",
+            "url",
+            F.explode(F.filter(findings, lambda x: x.isNotNull())).alias("f"),
+        )
+        .select("surt", "url", F.col("f.check_id").alias("check_id"), F.col("f.found").alias("found"))
+    )
+    error_rows = cdx.where(F.col("error").isNotNull()).select(
+        "surt", "url", F.col("error").alias("check_id"), F.lit(None).cast("string").alias("found")
+    )
+    return field_rows.unionByName(error_rows)

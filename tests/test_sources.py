@@ -295,3 +295,63 @@ def test_best_captures_policy(spark):
         ("u2", 200, "a.warc.gz", 2),
         ("u3", 200, "a.warc.gz", 8),
     }
+
+
+def test_cdx_checks_fixture_findings(spark):
+    from gbif_data_validator_spark.sources.cdx import cdx_checks, read_cdx_files
+
+    got = {
+        (r.check_id, r.surt)
+        for r in cdx_checks(read_cdx_files(spark, "tests/fixtures/cdx")).collect()
+    }
+    assert ("DIGEST_MALFORMED", "net,cdn)/asset") in got
+    assert ("DIGEST_MALFORMED", "org,wiki)/page") in got
+    # the 4 parse-error classes forwarded; SURT recompute: no false positives
+    assert sum(1 for c, _ in got if c.startswith("CDX_")) == 4
+    assert not any(c == "SURT_URL_MISMATCH" for c, _ in got)
+
+
+def test_cdx_checks_planted_field_violations(spark):
+    import datetime as dt
+
+    from gbif_data_validator_spark.sources.cdx import cdx_checks
+
+    rows = [
+        # SURT built with the WRONG transform (host NOT reversed)
+        ("example,com)/x", "https://example.com/x", dt.datetime(2024, 1, 1),
+         200, "ABCDEFGH", 10, 0, "f.warc.gz", None),
+        # status out of range + non-positive length + pre-epoch ts
+        ("com,ok)/", "https://ok.com/", dt.datetime(1990, 1, 1),
+         999, "ABCDEFGH", 0, 0, "f.warc.gz", None),
+    ]
+    cdx = spark.createDataFrame(
+        rows,
+        "surt string, url string, capture_ts timestamp, status int, "
+        "digest string, length long, offset long, filename string, error string",
+    )
+    got = {(r.surt, r.check_id) for r in cdx_checks(cdx).collect()}
+    assert ("example,com)/x", "SURT_URL_MISMATCH") in got
+    assert ("com,ok)/", "STATUS_INVALID") in got
+    assert ("com,ok)/", "LENGTH_NONPOSITIVE") in got
+    assert ("com,ok)/", "CAPTURE_TS_UNLIKELY") in got
+
+
+def test_cdx_checks_surt_recompute_matches_convention(spark):
+    """Well-formed captures produce zero SURT findings: query strings are
+    excluded from the path component, host case-folds."""
+    import datetime as dt
+
+    from gbif_data_validator_spark.sources.cdx import cdx_checks
+
+    rows = [
+        ("org,sub,deep)/a/b", "https://Deep.Sub.Org/a/b?id=1",
+         dt.datetime(2024, 1, 1), 200, "ABCDEFGH", 5, 0, "f.warc.gz", None),
+        ("com,e)/", "https://e.com/", dt.datetime(2024, 1, 1),
+         200, "ABCDEFGH", 5, 0, "f.warc.gz", None),
+    ]
+    cdx = spark.createDataFrame(
+        rows,
+        "surt string, url string, capture_ts timestamp, status int, "
+        "digest string, length long, offset long, filename string, error string",
+    )
+    assert cdx_checks(cdx).count() == 0
