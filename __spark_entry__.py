@@ -1836,6 +1836,20 @@ def _q_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_rep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE Gopher n-gram repetition battery per document
+    (operators/metrics.py:dup_ngram_stats): top-{2,3,4}-gram char coverage,
+    duplicated-{5..10}-gram char coverage, one gate per signal at the
+    published thresholds, and the conjunction — integer occurrence counts
+    and a fixed INT×INT / DOUBLE round-6 formula make every fraction
+    hash-exact vs SQL."""
+    from gbif_data_validator_spark.operators.metrics import dup_ngram_stats
+
+    return dup_ngram_stats(_docs_spread(spark, sf_dir), "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
 #: per-source sampling rates for the stratified-sample query: even-numbered
 #: sources downsampled to 10%, odd kept at 30% (the oracle SQL CASE is
 #: generated from this same dict)
@@ -4571,6 +4585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic": _q_kwic,
         "cocitation": _q_cocitation,
         "cohort_retention": _q_cohort_retention,
+        # session-12 additions
+        "rep_signals": _q_rep_signals,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch/iterative)
         "bpe_token_census": _q_bpe_token_census,
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
@@ -9935,6 +9951,93 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY cnt DESC, word ASC
             LIMIT 20
+        """,
+        # rep_signals: the same single tagged gram generation for every n,
+        # the same (doc, n, gram) integer counts, the same min-over-
+        # (-cnt, gram) deterministic top pick, and the identical
+        # INT×INT / DOUBLE round-6 fraction formula
+        "rep_signals": r"""
+            WITH toks AS (
+              SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            grams AS (
+              SELECT t.doc_id, t.n_chars, n.n AS n,
+                     UNNEST(list_transform(
+                       range(1, len(t.ws) - n.n + 2),
+                       i -> array_to_string(t.ws[i : i + n.n - 1], ' ')
+                     )) AS gram
+              FROM toks t
+              CROSS JOIN (SELECT UNNEST([2,3,4,5,6,7,8,9,10]) AS n) n
+              WHERE len(t.ws) >= n.n
+            ),
+            counts AS (
+              SELECT doc_id, n_chars, n, gram, COUNT(*) AS cnt
+              FROM grams GROUP BY ALL
+            ),
+            per AS (
+              SELECT doc_id, n_chars, n,
+                     min(struct_pack(negc := -cnt, gram := gram)) AS top,
+                     SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) END)
+                       AS dup_chars
+              FROM counts GROUP BY doc_id, n_chars, n
+            ),
+            fr AS (
+              SELECT doc_id, n,
+                     round(least(CAST(1.0 AS DOUBLE),
+                       CAST((-top.negc) * length(top.gram) AS DOUBLE)
+                         / n_chars), 6) AS top_frac,
+                     round(least(CAST(1.0 AS DOUBLE),
+                       CAST(COALESCE(dup_chars, 0) AS DOUBLE) / n_chars), 6)
+                       AS dup_frac
+              FROM per
+            ),
+            wide AS (
+              SELECT d.doc_id,
+                COALESCE(MAX(CASE WHEN fr.n = 2 THEN fr.top_frac END), 0.0)
+                  AS top_2gram_char_frac,
+                COALESCE(MAX(CASE WHEN fr.n = 3 THEN fr.top_frac END), 0.0)
+                  AS top_3gram_char_frac,
+                COALESCE(MAX(CASE WHEN fr.n = 4 THEN fr.top_frac END), 0.0)
+                  AS top_4gram_char_frac,
+                COALESCE(MAX(CASE WHEN fr.n = 5 THEN fr.dup_frac END), 0.0)
+                  AS dup_5gram_char_frac,
+                COALESCE(MAX(CASE WHEN fr.n = 6 THEN fr.dup_frac END), 0.0)
+                  AS dup_6gram_char_frac,
+                COALESCE(MAX(CASE WHEN fr.n = 7 THEN fr.dup_frac END), 0.0)
+                  AS dup_7gram_char_frac,
+                COALESCE(MAX(CASE WHEN fr.n = 8 THEN fr.dup_frac END), 0.0)
+                  AS dup_8gram_char_frac,
+                COALESCE(MAX(CASE WHEN fr.n = 9 THEN fr.dup_frac END), 0.0)
+                  AS dup_9gram_char_frac,
+                COALESCE(MAX(CASE WHEN fr.n = 10 THEN fr.dup_frac END), 0.0)
+                  AS dup_10gram_char_frac
+              FROM documents d LEFT JOIN fr ON fr.doc_id = d.doc_id
+              GROUP BY d.doc_id
+            )
+            SELECT doc_id,
+                   top_2gram_char_frac, top_3gram_char_frac,
+                   top_4gram_char_frac, dup_5gram_char_frac,
+                   dup_6gram_char_frac, dup_7gram_char_frac,
+                   dup_8gram_char_frac, dup_9gram_char_frac,
+                   dup_10gram_char_frac,
+                   (top_2gram_char_frac <= 0.20) AS gate_top_2gram,
+                   (top_3gram_char_frac <= 0.18) AS gate_top_3gram,
+                   (top_4gram_char_frac <= 0.16) AS gate_top_4gram,
+                   (dup_5gram_char_frac <= 0.15) AS gate_dup_5gram,
+                   (dup_6gram_char_frac <= 0.14) AS gate_dup_6gram,
+                   (dup_7gram_char_frac <= 0.13) AS gate_dup_7gram,
+                   (dup_8gram_char_frac <= 0.12) AS gate_dup_8gram,
+                   (dup_9gram_char_frac <= 0.11) AS gate_dup_9gram,
+                   (dup_10gram_char_frac <= 0.10) AS gate_dup_10gram,
+                   ((top_2gram_char_frac <= 0.20) AND (top_3gram_char_frac <= 0.18)
+                    AND (top_4gram_char_frac <= 0.16) AND (dup_5gram_char_frac <= 0.15)
+                    AND (dup_6gram_char_frac <= 0.14) AND (dup_7gram_char_frac <= 0.13)
+                    AND (dup_8gram_char_frac <= 0.12) AND (dup_9gram_char_frac <= 0.11)
+                    AND (dup_10gram_char_frac <= 0.10)) AS rep_passes
+            FROM wide ORDER BY doc_id
         """,
     }
     # incr_clusters: intentionally the SAME recursive-CTE SQL as

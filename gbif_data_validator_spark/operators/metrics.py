@@ -260,6 +260,142 @@ def top_ngram_stats(
     )
 
 
+#: Gopher repetition thresholds (Rae et al. 2021, table A1): a document
+#: FAILS the battery when any fraction exceeds its bound. top-n-gram
+#: bounds cover n=2..4; duplicated-n-gram bounds cover n=5..10.
+GOPHER_REP_THRESHOLDS: dict[str, float] = {
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """The COMPLETE Gopher n-gram repetition battery per document (the
+    other half of ``gopher_gates`` — reference analog: the record-level
+    quality gates of RecordEvaluationResult, re-aimed at crawl text):
+
+    - ``top_{n}gram_char_frac`` for n in ``top_ns`` — chars covered by the
+      MOST FREQUENT word n-gram (count × chars(gram), capped at 1.0 of the
+      document's char length; overlapping occurrences double-count, hence
+      the cap — the standard published formulation counts coverage the
+      same way).
+    - ``dup_{n}gram_char_frac`` for n in ``dup_ns`` — chars covered by ALL
+      n-grams occurring ≥ 2 times (sum of count × chars(gram), same cap).
+    - one ``gate_*`` boolean per fraction (≤ its Gopher threshold) and the
+      conjunction ``rep_passes``.
+
+    Documents with fewer than min(n) tokens have no n-grams: every
+    fraction is 0.0 and every gate passes (a 3-word page is not
+    "repetitive"). All occurrence counts are integers and each fraction is
+    one INT×INT product over a DOUBLE division rounded to 6 dp, so a SQL
+    replay is hash-identical.
+
+    Plan (scale shape): ONE tokenize feeds a single tagged explode for ALL
+    n at once (each token row fans out ~|ns| gram rows — the honest cost
+    of the signal), then ONE corpus-sized (doc, n, gram) hash agg with
+    map-side partial aggregation (the wordcount shuffle), a (doc, n) agg
+    computing the deterministic top gram (min over (−count, gram) structs
+    — count desc, gram asc tie) and the duplicated-char sum TOGETHER, and
+    a per-doc conditional pivot. No window over corpus-sized input, no
+    join back to the text, nothing all-pairs."""
+    thresholds = dict(GOPHER_REP_THRESHOLDS if thresholds is None else thresholds)
+    ns = sorted(set(top_ns) | set(dup_ns))
+    ws = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    empty = F.array().cast("array<struct<n:int,gram:string>>")
+
+    def _tagged_grams(n: int) -> F.Column:
+        # single-parameter lambda on purpose: a 2-arg lambda would make
+        # F.transform pass (element, index) and shadow the closed-over n
+        return F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - n),
+                lambda i: F.struct(
+                    F.lit(n).cast("int").alias("n"),
+                    F.array_join(F.slice(ws, i + 1, n), " ").alias("gram"),
+                ),
+            ),
+        ).otherwise(empty)
+
+    parts = [_tagged_grams(n) for n in ns]
+    g = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.length(text_col).alias("n_chars_doc"),
+            F.explode(F.flatten(F.array(*parts))).alias("t"),
+        )
+        .select(
+            "doc_id",
+            "n_chars_doc",
+            F.col("t.n").alias("n"),
+            F.col("t.gram").alias("gram"),
+        )
+    )
+    counts = g.groupBy("doc_id", "n_chars_doc", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per = counts.groupBy("doc_id", "n_chars_doc", "n").agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("negc"), F.col("gram").alias("gram"))
+        ).alias("top"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram"))
+        ).alias("dup_chars"),
+    )
+    top_frac = F.round(
+        F.least(
+            F.lit(1.0),
+            ((-F.col("top.negc")) * F.length(F.col("top.gram"))).cast("double")
+            / F.col("n_chars_doc"),
+        ),
+        6,
+    )
+    dup_frac = F.round(
+        F.least(
+            F.lit(1.0),
+            F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
+            / F.col("n_chars_doc"),
+        ),
+        6,
+    )
+    frac_cols = [(f"top_{n}gram_char_frac", n, top_frac) for n in top_ns] + [
+        (f"dup_{n}gram_char_frac", n, dup_frac) for n in dup_ns
+    ]
+    wide = per.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, frac)).alias(name)
+            for name, n, frac in frac_cols
+        ]
+    )
+    out = df.select(F.col(id_col).alias("doc_id")).join(wide, "doc_id", "left")
+    for name, _, _ in frac_cols:
+        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0.0)))
+    gate_names = []
+    for name, _, _ in frac_cols:
+        gname = "gate_" + name.replace("_char_frac", "")
+        gate_names.append(gname)
+        out = out.withColumn(gname, F.col(name) <= F.lit(float(thresholds[name])))
+    passes = None
+    for gname in gate_names:
+        passes = F.col(gname) if passes is None else (passes & F.col(gname))
+    return out.withColumn("rep_passes", passes)
+
+
 def issue_counts(violations: DataFrame) -> DataFrame:
     """count by check_id — RecordEvaluationResultCollector counter map
     (collector/RecordEvaluationResultCollector.java:50-71). Partial+final

@@ -480,3 +480,40 @@ def test_style_distance_partition_invariant_one_scan(spark):
         for r in style_distance_census(df.repartition(11), "source", "text").collect()
     }
     assert a == b and len(a) == 10
+
+
+def test_dup_ngram_stats_hand_computed(spark):
+    from gbif_data_validator_spark.operators.metrics import dup_ngram_stats
+
+    # "ab ab ab ab" (11 chars): four tokens, top 2-gram "ab ab" occurs 3×
+    # (overlapping), covering 3*5=15 chars -> capped at 1.0; dup 5..10-grams
+    # don't exist (only 4 tokens) -> 0.0 and all dup gates pass.
+    # "one two three four five six seven" has no repeats: all fracs from
+    # duplication are 0; top 2-gram ties at cnt=1 -> deterministic pick is
+    # the lexicographically smallest gram "five six" (8 chars) / 33.
+    df = spark.createDataFrame(
+        [(1, "ab ab ab ab"), (2, "one two three four five six seven"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in dup_ngram_stats(df).collect()}
+    assert out[1].top_2gram_char_frac == 1.0
+    assert out[1].dup_5gram_char_frac == 0.0
+    assert not out[1].gate_top_2gram and not out[1].rep_passes
+    assert out[2].top_2gram_char_frac == round(8 / 33, 6)
+    assert out[2].dup_10gram_char_frac == 0.0
+    # 8/33 ≈ 0.242 > 0.20 threshold: a single occurrence can still trip the
+    # top-gram gate on a tiny doc — the published formulation, kept as-is
+    assert not out[2].gate_top_2gram
+    # null text: every fraction 0.0, every gate passes
+    assert out[3].top_4gram_char_frac == 0.0 and out[3].rep_passes
+
+
+def test_dup_ngram_stats_partition_invariant(spark):
+    from gbif_data_validator_spark.operators.metrics import dup_ngram_stats
+
+    rows = [(i, " ".join(f"w{j % (3 + i % 5)}" for j in range(30))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    canon = lambda d: sorted(map(tuple, d.collect()))
+    assert canon(dup_ngram_stats(df.repartition(1))) == canon(
+        dup_ngram_stats(df.repartition(13))
+    )
