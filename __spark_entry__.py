@@ -1344,6 +1344,28 @@ def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b", "start_a", "start_b")
 
 
+def _q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of ExactSubstr dedup: duplicated spans stripped
+    from all but their first-by-id occurrence, text reassembled from the
+    same normalized token stream the detector used and pinned by md5 so
+    the whole surgery is hash-checked. Ranges are edge-sized; the rebuild
+    is per-row array algebra (zero UDFs, no corpus window)."""
+    from gbif_data_validator_spark.operators.dedup import strip_dup_spans
+
+    return (
+        strip_dup_spans(
+            _docs_spread(spark, sf_dir), "doc_id", "text", k=8, min_tokens=16
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_removed",
+            F.md5(F.col("text_clean").cast("binary")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl snapshot-over-snapshot churn: per-key added/changed/removed/
     unchanged classification between two snapshots of the documents table.
@@ -4411,6 +4433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_check": _q_benford,
         "iqr_outliers": _q_iqr_outliers,
         "dup_spans": _q_dup_spans,
+        "strip_spans": _q_strip_spans,
         "snapshot_churn": _q_snapshot_churn,
         "apply_changeset": _q_apply_changeset,
         "host_lang_mismatch": _q_host_lang_mismatch,
@@ -6408,6 +6431,96 @@ def oracle_sql() -> dict[str, str]:
             FROM runs GROUP BY doc_a, doc_b, diag, island
             HAVING COUNT(*) + 7 >= 16
             ORDER BY doc_a, doc_b, start_a, start_b
+        """,
+        # strip_spans: the removal half replayed end-to-end -- the same
+        # span CTEs as dup_spans, then interval-union per doc_b (prev-hi
+        # island trick, identical to the Spark window), positional token
+        # rebuild via unnest + anti-semijoin on range membership, md5 over
+        # the space-rejoined survivors
+        "strip_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+              FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+              SELECT doc_id, CAST(i AS INT) AS pos,
+                     array_to_string(w[i:i + 7], ' ') AS gram
+              FROM (
+                SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+                FROM toks WHERE len(w) >= 8
+              )
+            ),
+            eligible AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING COUNT(*) >= 2 AND COUNT(*) <= 1000
+            ),
+            ge AS (SELECT g.* FROM g JOIN eligible USING (gram)),
+            seeds AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.pos AS pos_a, b.pos AS pos_b
+              FROM ge a JOIN ge b USING (gram)
+              WHERE a.doc_id < b.doc_id
+            ),
+            runs AS (
+              SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+                     pos_a - ROW_NUMBER() OVER (
+                       PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+                     ) AS island
+              FROM seeds
+            ),
+            spans AS (
+              SELECT doc_b, MIN(pos_b) AS start_b, COUNT(*) + 7 AS n_tok
+              FROM runs GROUP BY doc_a, doc_b, diag, island
+              HAVING COUNT(*) + 7 >= 16
+            ),
+            rm0 AS (
+              SELECT doc_b AS doc_id, start_b AS lo,
+                     start_b + n_tok - 1 AS hi
+              FROM spans
+            ),
+            isl AS (
+              SELECT doc_id, lo, hi,
+                     SUM(CASE WHEN prev_hi IS NULL OR lo > prev_hi
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY lo, hi
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+              FROM (
+                SELECT doc_id, lo, hi,
+                       MAX(hi) OVER (PARTITION BY doc_id ORDER BY lo, hi
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prev_hi
+                FROM rm0
+              )
+            ),
+            ranges AS (
+              SELECT doc_id, MIN(lo) AS lo, MAX(hi) AS hi
+              FROM isl GROUP BY doc_id, island
+            ),
+            pos AS (
+              SELECT doc_id, w[i] AS tok, i
+              FROM (
+                SELECT doc_id, w,
+                       CAST(unnest(range(1, len(w) + 1)) AS BIGINT) AS i
+                FROM toks
+              )
+            ),
+            kept AS (
+              SELECT p.doc_id, p.i, p.tok
+              FROM pos p
+              WHERE NOT EXISTS (
+                SELECT 1 FROM ranges r
+                WHERE r.doc_id = p.doc_id AND p.i BETWEEN r.lo AND r.hi
+              )
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.w) AS INT) AS n_tokens,
+                   CAST(len(t.w) - COUNT(k.i) AS INT) AS n_removed,
+                   md5(COALESCE(string_agg(k.tok, ' ' ORDER BY k.i), ''))
+                     AS clean_md5
+            FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+            GROUP BY t.doc_id, len(t.w)
+            ORDER BY t.doc_id
         """,
         # snapshot_churn: identical grain->full-outer-join algebra -- each
         # snapshot collapses to (key, MIN(md5(text)), COUNT(*)), the "new"

@@ -1040,6 +1040,94 @@ def duplicated_spans(
     )
 
 
+def strip_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_tokens: int = 16,
+    max_df: int = 1000,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """The REMOVAL half of ExactSubstr dedup (Lee et al. 2022): strip every
+    duplicated span found by :func:`duplicated_spans` from all but its
+    first-by-id occurrence and reassemble the text.
+
+    Policy (deterministic keep-first): a span shared by ``doc_a < doc_b``
+    is removed from ``doc_b`` only, so in a chain of N copies exactly the
+    lowest-id document keeps the span. Removal operates on the SAME
+    normalized token stream the detector used (``split(lower(trim(text)),
+    '\\s+')``) so start offsets line up exactly; the output text is that
+    token stream minus removed positions, space-joined. Documents with
+    null text are excluded (they have no tokens to strip).
+
+    → ``(doc_id, n_tokens, n_removed, text_clean)`` for every non-null-text
+    document, including untouched ones (``n_removed = 0``).
+
+    Plan (scale shape): span detection is the bounded posting-list plan of
+    ``duplicated_spans``; removal ranges are EDGE-sized, never corpus-sized
+    — the interval-union window partitions by doc over ranges only, then
+    one ``groupBy(doc)`` collects each doc's merged ranges (bounded by the
+    ``max_df`` candidate cap), and ONE equi-join brings them back to the
+    corpus where the rebuild is pure per-row array algebra (``filter`` /
+    ``transform`` / ``array_join`` — zero UDFs, zero explodes, no window
+    over corpus rows).
+
+    Reference analog: the reference only *flags* duplicates
+    (RECORD_NOT_UNIQUELY_IDENTIFIED, evaluator/UniquenessEvaluator.java:46-74);
+    this is the corrective action a training-data pipeline takes.
+    """
+    from pyspark.sql import Window
+
+    if spans is None:
+        spans = duplicated_spans(
+            df, id_col, text_col, k=k, min_tokens=min_tokens, max_df=max_df
+        )
+    rm0 = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("lo"),
+        (F.col("start_b") + F.col("n_tokens") - 1).alias("hi"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("lo", "hi")
+    prev_hi = F.max("hi").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = rm0.withColumn(
+        "island",
+        F.sum(
+            F.when(prev_hi.isNull() | (F.col("lo") > prev_hi), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ranges = (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("lo").alias("lo"), F.col("hi").alias("hi"))
+            ).alias("rm")
+        )
+    )
+    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    docs = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), ws.alias("ws")
+    )
+    joined = docs.join(ranges, "doc_id", "left")
+    kept_pos = F.filter(
+        F.sequence(F.lit(1), F.size("ws")),
+        lambda i: F.col("rm").isNull()
+        | ~F.exists(
+            F.col("rm"), lambda r: (i >= r["lo"]) & (i <= r["hi"])
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("ws").alias("n_tokens"),
+        (F.size("ws") - F.size(kept_pos)).alias("n_removed"),
+        F.array_join(
+            F.transform(kept_pos, lambda i: F.element_at(F.col("ws"), i)), " "
+        ).alias("text_clean"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Prefix-filtered exact Jaccard (AllPairs / PPJoin-style)
 # --------------------------------------------------------------------------

@@ -389,6 +389,60 @@ def test_duplicated_spans_stop_gram_cap(spark):
     )
 
 
+def test_strip_dup_spans_planted_window(spark):
+    # same corpus as the detector test: doc2 carries tokens 11..30 of doc1
+    # (20 tokens) — keep-first strips them from doc2 ONLY; doc1/3/4 are
+    # untouched; the null-text doc is excluded entirely
+    w = [f"w{i}" for i in range(50)]
+    doc1 = " ".join(w)
+    pre = [f"x{i}" for i in range(10)]
+    post = [f"y{i}" for i in range(10)]
+    doc2 = " ".join(pre + w[10:30] + post)
+    doc3 = " ".join([f"z{i}" for i in range(5)] + w[40:50])
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3), (4, "short text"), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.strip_dup_spans(df, "doc_id", "text", k=8, min_tokens=16)
+        .withColumn("clean", F.col("text_clean"))
+        .collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1].n_tokens, out[1].n_removed) == (50, 0)
+    assert out[1].clean == doc1
+    assert (out[2].n_tokens, out[2].n_removed) == (40, 20)
+    assert out[2].clean == " ".join(pre + post)
+    assert out[3].n_removed == 0 and out[4].n_removed == 0
+
+
+def test_strip_dup_spans_overlap_union_and_chain(spark):
+    # doc3 duplicates doc1 at positions 1..25 and doc2 at 16..40: the two
+    # removal ranges MERGE (union, not double-count) → 40 removed, tail
+    # s40..s49 survives. doc1↔doc2 share only 10 tokens (< min) → doc2 whole.
+    s = [f"s{i}" for i in range(50)]
+    df = spark.createDataFrame(
+        [(1, " ".join(s[0:25])), (2, " ".join(s[15:40])), (3, " ".join(s))],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.strip_dup_spans(df, "doc_id", "text").collect()}
+    assert (out[1].n_removed, out[2].n_removed) == (0, 0)
+    assert (out[3].n_tokens, out[3].n_removed) == (50, 40)
+    assert out[3].text_clean == " ".join(s[40:50])
+
+
+def test_strip_dup_spans_identical_clique_keeps_lowest(spark):
+    # N identical docs: exactly the lowest id keeps its text; the others
+    # strip to empty (ranges from multiple doc_a's collapse to one union)
+    text = " ".join(f"t{i}" for i in range(20))
+    df = spark.createDataFrame([(i, text) for i in (7, 3, 9)], "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.strip_dup_spans(df, "doc_id", "text").collect()}
+    assert out[3].n_removed == 0 and out[3].text_clean == text
+    for i in (7, 9):
+        assert out[i].n_removed == 20 and out[i].text_clean == ""
+
+
 def test_prefix_jaccard_equals_all_token_plan(spark, corpus):
     # the prefix-filtering lemma, empirically: bit-identical output to the
     # all-token posting-list plan at several thresholds (incl. ones where
