@@ -4091,6 +4091,36 @@ def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap(d.where(b < 60), d.where(b >= 40), "text", k=256)
 
 
+def _q_cms_point_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch point estimates beside exact truth for the 50 most
+    frequent tokens: the sketch is built with md5-derived cell hashing so
+    every cell count and MIN-over-rows estimate is one canonical integer —
+    DuckDB replays the entire construction bit-for-bit, pinning both the
+    estimator and its one-sided error (est >= exact always)
+    (operators/cms.py:cms_build/cms_query)."""
+    from gbif_data_validator_spark.operators.cms import cms_build, cms_query
+
+    toks = (
+        _docs_spread(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "term"
+            )
+        )
+        .where(F.col("term") != "")
+    )
+    sketch = cms_build(toks, "term", width=1024, depth=4)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "term").limit(50)
+    est = cms_query(sketch, top.select("term"), "term", width=1024, depth=4)
+    return (
+        top.join(est, "term")
+        .select("term", "exact_cnt", "cms_est")
+        .orderBy("term")
+    )
+
+
 def _q_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust trend + Mann–Kendall direction over per-day event
     volumes: lower-median pairwise slope in exact integer micro-units,
@@ -4586,6 +4616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion": _q_dispersion,
         "corpus_overlap": _q_corpus_overlap,
         "kmv_overlap": _q_kmv_overlap,
+        "cms_point_est": _q_cms_point_est,
         "kcore": _q_kcore,
         "label_communities": _q_label_communities,
         "compression_gate": _q_compression_gate,
@@ -9619,6 +9650,53 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_b > 0
                         THEN (1000000 * n_common) // n_b END AS containment_b_micro
             FROM folded
+        """,
+        # cms_point_est: the ENTIRE sketch construction replayed -- same
+        # tokenizer, same md5(term || ':' || row) 60-bit cell hash mod
+        # width, same cell groupBy, same MIN-over-rows estimator; the
+        # top-50 cut uses the identical (cnt DESC, term) tie-break
+        "cms_point_est": """
+            WITH toks AS (
+              SELECT term FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS term
+                FROM documents WHERE text IS NOT NULL
+              ) WHERE term <> ''
+            ),
+            tf AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+              FROM toks GROUP BY term
+            ),
+            top AS (
+              SELECT term, exact_cnt FROM tf
+              ORDER BY exact_cnt DESC, term LIMIT 50
+            ),
+            rows_j AS (SELECT unnest([0, 1, 2, 3]) AS j),
+            cells AS (
+              SELECT j AS row_idx,
+                     CAST(('0x' || substr(md5(term || ':' || j), 1, 15))
+                          AS BIGINT) % 1024 AS col_idx
+              FROM toks, rows_j
+            ),
+            sk AS (
+              SELECT row_idx, col_idx, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM cells GROUP BY row_idx, col_idx
+            ),
+            probe AS (
+              SELECT t.term, j AS row_idx,
+                     CAST(('0x' || substr(md5(t.term || ':' || j), 1, 15))
+                          AS BIGINT) % 1024 AS col_idx
+              FROM top t, rows_j
+            ),
+            est AS (
+              SELECT p.term,
+                     MIN(COALESCE(sk.cnt, 0)) AS cms_est
+              FROM probe p LEFT JOIN sk USING (row_idx, col_idx)
+              GROUP BY p.term
+            )
+            SELECT top.term, top.exact_cnt, est.cms_est
+            FROM top JOIN est USING (term)
+            ORDER BY term
         """,
         # volume_trend: pairwise slopes in integer micro-units (DuckDB //
         # == Spark div, both truncate toward zero incl. negatives); lower
