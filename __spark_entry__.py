@@ -2235,6 +2235,31 @@ def _q_mask_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mask_profile(ev, "props", max_masks=50)
 
 
+def _q_k_anon_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity equivalence classes over customer with quasi-identifiers
+    (c_nationkey, c_mktsegment) and sensitive column c_acctbal: one row per
+    class with its size, l-diversity, and the risky/homogeneous flags.
+    Exact integer counts — SQL-replayable bit-for-bit."""
+    from gbif_data_validator_spark.operators.privacy import k_anonymity_classes
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return k_anonymity_classes(
+        cust, ["c_nationkey", "c_mktsegment"], k=5, sensitive_col="c_acctbal"
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+def _q_k_anon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release-gate face of the same audit: ONE row (n_rows, n_classes,
+    min_k = the table's k-anonymity, rows_below_k, exact micro-ratio,
+    min_l, rows_homogeneous)."""
+    from gbif_data_validator_spark.operators.privacy import k_anonymity_summary
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return k_anonymity_summary(
+        cust, ["c_nationkey", "c_mktsegment"], k=5, sensitive_col="c_acctbal"
+    )
+
+
 def _q_suggest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style constraint suggestion over ``nation``: expects
     NOT_NULL everywhere, UNIQUE on key+name, RANGE on the int columns,
@@ -4457,6 +4482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_report": _q_nfc_report,
         "fd_check": _q_fd_check,
         "mask_profile": _q_mask_profile,
+        "k_anon_classes": _q_k_anon_classes,
+        "k_anon_gate": _q_k_anon_gate,
         "suggest_constraints": _q_suggest_constraints,
         "verify_constraints": _q_verify_constraints,
         "url_canonical": _q_url_canonical,
@@ -6383,6 +6410,43 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY n_rows DESC, mask
             LIMIT 50
+        """,
+        # k_anon_classes: the audit IS a GROUP BY — replay it verbatim
+        "k_anon_classes": """
+            SELECT c_nationkey, c_mktsegment,
+                   COUNT(*) AS class_size,
+                   COUNT(DISTINCT c_acctbal) AS l_diversity,
+                   COUNT(*) < 5 AS risky,
+                   COUNT(DISTINCT c_acctbal) <= 1 AS homogeneous
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+            ORDER BY c_nationkey, c_mktsegment
+        """,
+        # k_anon_gate: fold the class table to the one-row release gate;
+        # micro ratio is exact integer floor division
+        "k_anon_gate": """
+            WITH cls AS (
+              SELECT COUNT(*) AS class_size,
+                     COUNT(DISTINCT c_acctbal) AS l_diversity
+              FROM customer
+              GROUP BY c_nationkey, c_mktsegment
+            )
+            SELECT CAST(COALESCE(SUM(class_size), 0) AS BIGINT) AS n_rows,
+                   COUNT(*) AS n_classes,
+                   MIN(class_size) AS min_k,
+                   CAST(COALESCE(SUM(CASE WHEN class_size < 5
+                                          THEN class_size ELSE 0 END), 0)
+                        AS BIGINT) AS rows_below_k,
+                   MIN(l_diversity) AS min_l,
+                   CAST(COALESCE(SUM(CASE WHEN l_diversity <= 1
+                                          THEN class_size ELSE 0 END), 0)
+                        AS BIGINT) AS rows_homogeneous,
+                   CASE WHEN CAST(COALESCE(SUM(class_size), 0) AS BIGINT) > 0
+                        THEN (1000000 * CAST(COALESCE(SUM(CASE WHEN class_size < 5
+                                   THEN class_size ELSE 0 END), 0) AS BIGINT))
+                             // CAST(SUM(class_size) AS BIGINT)
+                   END AS pct_below_k_micro
+            FROM cls
         """,
         # suggest_constraints: replay the suggestion rules per column
         # (NOT_NULL / COMPLETENESS_GE / UNIQUE / RANGE / IN_SET) from one
