@@ -4482,7 +4482,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_report": _q_nfc_report,
         "fd_check": _q_fd_check,
         "mask_profile": _q_mask_profile,
-        "k_anon_classes": _q_k_anon_classes,
         "k_anon_gate": _q_k_anon_gate,
         "suggest_constraints": _q_suggest_constraints,
         "verify_constraints": _q_verify_constraints,
@@ -4505,6 +4504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_constraints": _q_grouped_constraints,
         "salted_join_rollup": _q_salted_join_rollup,
         "quality_survivors": _q_quality_survivors,
+        "k_anon_classes": _q_k_anon_classes,
         "edit_dup_pairs": _q_edit_dup_pairs,
         "join_audit": _q_join_audit,
         "psi_drift": _q_psi_drift,
