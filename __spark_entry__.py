@@ -2260,6 +2260,41 @@ def _q_k_anon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-counting agreement (precision/recall/dice/Rand, exact integer
+    micro-units) between EXACT dedup (md5 of raw text) and
+    NORMALIZATION-INSENSITIVE dedup (md5 of lowercased,
+    whitespace-collapsed text) over documents. Disagreement is planted
+    in-query so the statistic discriminates: every 50th doc gains an
+    upper-cased double-spaced variant (same normalized cluster, new exact
+    cluster) and every 97th an exact clone (same cluster under both)."""
+    from gbif_data_validator_spark.operators.classifier import (
+        cluster_pair_agreement,
+    )
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    variants = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.concat(F.upper("text"), F.lit("  ")).alias("text")
+    )
+    clones = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    lab = (
+        docs.select("text")
+        .unionByName(variants)
+        .unionByName(clones)
+        .select(
+            F.md5("text").alias("a"),
+            F.md5(
+                F.lower(F.trim(F.regexp_replace("text", "[ \t\n\r]+", " ")))
+            ).alias("b"),
+        )
+    )
+    return cluster_pair_agreement(lab, "a", "b")
+
+
 def _q_suggest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style constraint suggestion over ``nation``: expects
     NOT_NULL everywhere, UNIQUE on key+name, RANGE on the int columns,
@@ -4501,10 +4536,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs_det": _q_cosine_dup_pairs_det,
         "heavy_hitters": _q_heavy_hitters,
         "prefix_jaccard": _q_prefix_jaccard,
-        "grouped_constraints": _q_grouped_constraints,
+        "dedup_agreement": _q_dedup_agreement,
         "salted_join_rollup": _q_salted_join_rollup,
         "quality_survivors": _q_quality_survivors,
         "k_anon_classes": _q_k_anon_classes,
+        "grouped_constraints": _q_grouped_constraints,
         "edit_dup_pairs": _q_edit_dup_pairs,
         "join_audit": _q_join_audit,
         "psi_drift": _q_psi_drift,
@@ -6410,6 +6446,49 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY n_rows DESC, mask
             LIMIT 50
+        """,
+        # dedup_agreement: pair-counting replay — same planted variants,
+        # same md5 labels, C(x,2) in HUGEINT, floor micro-quotients
+        "dedup_agreement": """
+            WITH lab AS (
+              SELECT md5(text) AS a,
+                     md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS b
+              FROM (
+                SELECT text FROM documents WHERE text IS NOT NULL
+                UNION ALL
+                SELECT upper(text) || '  ' FROM documents
+                WHERE text IS NOT NULL AND doc_id % 50 = 0
+                UNION ALL
+                SELECT text FROM documents
+                WHERE text IS NOT NULL AND doc_id % 97 = 0
+              )
+            ), cells AS (
+              SELECT a, b, COUNT(*) AS n FROM lab GROUP BY a, b
+            ), sa AS (SELECT a, SUM(n) AS s FROM cells GROUP BY a),
+               sb AS (SELECT b, SUM(n) AS s FROM cells GROUP BY b),
+               f AS (
+              SELECT (SELECT CAST(COALESCE(SUM(n), 0) AS HUGEINT) FROM cells) AS total,
+                     (SELECT COUNT(*) FROM cells) AS n_cells,
+                     (SELECT COUNT(*) FROM sa) AS ka,
+                     (SELECT COUNT(*) FROM sb) AS kb,
+                     (SELECT CAST(COALESCE(SUM(CAST(s AS HUGEINT) * (s - 1) // 2), 0) AS HUGEINT) FROM sa) AS pa,
+                     (SELECT CAST(COALESCE(SUM(CAST(s AS HUGEINT) * (s - 1) // 2), 0) AS HUGEINT) FROM sb) AS pb,
+                     (SELECT CAST(COALESCE(SUM(CAST(n AS HUGEINT) * (n - 1) // 2), 0) AS HUGEINT) FROM cells) AS pboth
+            )
+            SELECT CAST(total AS BIGINT) AS n_items,
+                   CAST(n_cells AS BIGINT) AS n_cells,
+                   CAST(ka AS BIGINT) AS n_clusters_a,
+                   CAST(kb AS BIGINT) AS n_clusters_b,
+                   CAST(pa AS BIGINT) AS pairs_a,
+                   CAST(pb AS BIGINT) AS pairs_b,
+                   CAST(pboth AS BIGINT) AS pairs_both,
+                   CASE WHEN pb > 0 THEN CAST(1000000 * pboth // pb AS BIGINT) END AS precision_micro,
+                   CASE WHEN pa > 0 THEN CAST(1000000 * pboth // pa AS BIGINT) END AS recall_micro,
+                   CASE WHEN pa + pb > 0 THEN CAST(2000000 * pboth // (pa + pb) AS BIGINT) END AS dice_micro,
+                   CASE WHEN total >= 2 THEN CAST(
+                     1000000 * (total * (total - 1) // 2 - pa - pb + 2 * pboth)
+                     // (total * (total - 1) // 2) AS BIGINT) END AS rand_micro
+            FROM f
         """,
         # k_anon_classes: the audit IS a GROUP BY — replay it verbatim
         "k_anon_classes": """

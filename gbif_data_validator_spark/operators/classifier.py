@@ -252,3 +252,112 @@ def agreement_kappa(
         F.round(pe, 6).alias("pe"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+def cluster_pair_agreement(
+    df: DataFrame, label_a: str, label_b: str
+) -> DataFrame:
+    """Pair-counting agreement between two clusterings of the same rows →
+    ONE row ``(n_items, n_cells, n_clusters_a, n_clusters_b, pairs_a,
+    pairs_b, pairs_both, precision_micro, recall_micro, dice_micro,
+    rand_micro)``.
+
+    The dedup-quality evaluator the kappa statistic can't be (kappa
+    compares per-ROW labels; clusterings have no label alignment): treat
+    clustering A as truth and B as prediction and count ITEM PAIRS —
+    ``pairs_a`` co-clustered in A, ``pairs_b`` in B, ``pairs_both`` in
+    both. ``precision = both/b``, ``recall = both/a``, ``dice`` (the
+    pair-F1) ``= 2·both/(a+b)``, and the Rand index ``= (C(n,2) − a − b
+    + 2·both) / C(n,2)`` — all emitted in exact integer micro-units
+    (floor), NULL when the denominator is 0 (engines disagree on 0/0).
+    This is how you answer "how much does normalization-insensitive /
+    LSH / semantic dedup AGREE with exact dedup" as one hard number per
+    pair of policies.
+
+    Exact arithmetic at 10^12 rows: pair counts reach ~n²/2 ≈ 5·10^23 —
+    past BIGINT — so they accumulate as DECIMAL(38,0) products of cell
+    counts, and each micro-quotient is made division-exact before the
+    cast down (``(num − num % den) / den``; the quotient itself is
+    ≤ 2·10^6 so the final cast to BIGINT never truncates). The raw
+    ``pairs_*`` columns are surfaced via try_cast — exact whenever they
+    fit BIGINT (any feasible test scale), NULL past 2^63 rather than
+    silently wrong.
+
+    Rows where EITHER label is NULL are excluded: a NULL cluster id is
+    "unclustered", and an unclustered row asserts no pair under either
+    policy.
+
+    Plan shape (ONE linear pipeline, no self-joins, no persist): corpus
+    → ONE map-combinable (a,b)-cell groupBy (the only corpus-sized
+    shuffle; cell count ≤ n_items) → two window passes AT CELL GRAIN
+    (partitionBy a, then b: marginal sizes + one designated row per
+    cluster) → a 1-row fold. The driver sees one row at any scale.
+    """
+    dec = "decimal(38,0)"
+    from pyspark.sql import Window
+
+    lab = df.where(F.col(label_a).isNotNull() & F.col(label_b).isNotNull())
+    cells = lab.groupBy(
+        F.col(label_a).alias("_a"), F.col(label_b).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    w_a, w_b = Window.partitionBy("_a"), Window.partitionBy("_b")
+    sized = (
+        cells.withColumn("size_a", F.sum("n").over(w_a))
+        .withColumn("rn_a", F.row_number().over(w_a.orderBy("_b")))
+        .withColumn("size_b", F.sum("n").over(w_b))
+        .withColumn("rn_b", F.row_number().over(w_b.orderBy("_a")))
+    )
+
+    def _c2(col):  # C(x,2) in DECIMAL(38,0); x·(x−1) is even so /2 is exact
+        x = col.cast(dec)
+        return ((x * (x - F.lit(1).cast(dec))) / F.lit(2).cast(dec)).cast(dec)
+
+    folded = sized.groupBy().agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_items"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.coalesce(F.sum(F.when(F.col("rn_a") == 1, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_clusters_a"),
+        F.coalesce(F.sum(F.when(F.col("rn_b") == 1, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_clusters_b"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn_a") == 1, _c2(F.col("size_a")))),
+            F.lit(0),
+        )
+        .cast(dec)
+        .alias("_pa"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn_b") == 1, _c2(F.col("size_b")))),
+            F.lit(0),
+        )
+        .cast(dec)
+        .alias("_pb"),
+        F.coalesce(F.sum(_c2(F.col("n"))), F.lit(0)).cast(dec).alias("_pboth"),
+    )
+
+    def _micro(num, den):  # ⌊10^6·num/den⌋, exact (num,den ≥ 0), NULL at den=0
+        n6 = (num * F.lit(1_000_000).cast(dec)).cast(dec)
+        return F.when(
+            den > F.lit(0).cast(dec), ((n6 - n6 % den) / den).cast("long")
+        )
+
+    pa, pb, pboth = F.col("_pa"), F.col("_pb"), F.col("_pboth")
+    total_pairs = _c2(F.col("n_items"))
+    agree = (total_pairs - pa - pb + F.lit(2).cast(dec) * pboth).cast(dec)
+    return folded.select(
+        "n_items",
+        "n_cells",
+        "n_clusters_a",
+        "n_clusters_b",
+        pa.try_cast("long").alias("pairs_a"),
+        pb.try_cast("long").alias("pairs_b"),
+        pboth.try_cast("long").alias("pairs_both"),
+        _micro(pboth, pb).alias("precision_micro"),
+        _micro(pboth, pa).alias("recall_micro"),
+        _micro(F.lit(2).cast(dec) * pboth, (pa + pb).cast(dec)).alias(
+            "dice_micro"
+        ),
+        _micro(agree, total_pairs).alias("rand_micro"),
+    )

@@ -138,3 +138,81 @@ def test_agreement_kappa_degenerate_and_nulls(spark):
     )
     r2 = agreement_kappa(df2, "a", "b").first()
     assert r2.n_agree == 0 and r2.kappa < 0
+
+
+# --- cluster_pair_agreement -------------------------------------------------
+
+
+def test_pair_agreement_hand_computed(spark):
+    from gbif_data_validator_spark.operators.classifier import (
+        cluster_pair_agreement,
+    )
+
+    # A: {1,2},{3},{4}; B: {1,2,3},{4}
+    df = spark.createDataFrame(
+        [("x", "p"), ("x", "p"), ("y", "p"), ("z", "q")], "a string, b string"
+    )
+    r = cluster_pair_agreement(df, "a", "b").first()
+    assert (r.n_items, r.n_cells, r.n_clusters_a, r.n_clusters_b) == (4, 3, 3, 2)
+    assert (r.pairs_a, r.pairs_b, r.pairs_both) == (1, 3, 1)
+    assert r.precision_micro == 333333  # 1/3, floor
+    assert r.recall_micro == 1_000_000
+    assert r.dice_micro == 500_000  # 2·1/(1+3)
+    assert r.rand_micro == 666_666  # (6−1−3+2)/6, floor
+
+
+def test_pair_agreement_identical_and_singletons(spark):
+    from gbif_data_validator_spark.operators.classifier import (
+        cluster_pair_agreement,
+    )
+
+    same = spark.createDataFrame(
+        [("x", "x"), ("x", "x"), ("y", "y")], "a string, b string"
+    )
+    r = cluster_pair_agreement(same, "a", "b").first()
+    assert r.precision_micro == r.recall_micro == r.dice_micro == 1_000_000
+    assert r.rand_micro == 1_000_000
+
+    # all singletons under both → no pairs anywhere → ratio NULLs, rand=1
+    single = spark.createDataFrame(
+        [("1", "a"), ("2", "b"), ("3", "c")], "a string, b string"
+    )
+    r2 = cluster_pair_agreement(single, "a", "b").first()
+    assert (r2.pairs_a, r2.pairs_b, r2.pairs_both) == (0, 0, 0)
+    assert r2.precision_micro is None and r2.dice_micro is None
+    assert r2.rand_micro == 1_000_000  # everything correctly apart
+
+
+def test_pair_agreement_null_labels_excluded(spark):
+    from gbif_data_validator_spark.operators.classifier import (
+        cluster_pair_agreement,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "p"), ("x", "p"), (None, "p"), ("x", None)],
+        "a string, b string",
+    )
+    r = cluster_pair_agreement(df, "a", "b").first()
+    assert r.n_items == 2 and r.pairs_both == 1
+
+
+def test_pair_agreement_plan_no_join_one_corpus_exchange(spark):
+    """Linear pipeline contract: no Join node anywhere; exactly one
+    Exchange BELOW the first window (the corpus→cell groupBy) — the two
+    window repartitions operate on the cell table only."""
+    from gbif_data_validator_spark.operators.classifier import (
+        cluster_pair_agreement,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("a"),
+        (F.col("id") % 11).cast("string").alias("b"),
+    )
+    plan = (
+        cluster_pair_agreement(df, "a", "b")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
