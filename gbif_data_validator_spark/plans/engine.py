@@ -375,6 +375,19 @@ class EngineConfig:
     volume_monitor: bool = False
     volume_window: str = "day"
     volume_top_k: int = 5
+    #: k-anonymity release gate in report.metrics["k_anonymity"]
+    #: (operators/privacy.py::k_anonymity_summary): declare the
+    #: quasi-identifier columns an attacker could know and the engine
+    #: folds the equivalence-class census to its one-row summary (min_k,
+    #: rows_below_k, exact µ-ratio, plus l-diversity when
+    #: ``privacy_sensitive_col`` is set). One extra quasi-column-only
+    #: groupBy; ``privacy_blocking`` flips indexable when min_k <
+    #: privacy_k — "don't publish a re-identifiable table" as a verdict
+    #: input, the TABLE-level complement of the PII row redaction.
+    privacy_quasi_cols: tuple = ()
+    privacy_sensitive_col: str | None = None
+    privacy_k: int = 5
+    privacy_blocking: bool = False
     work_dir: str | None = None  # enables persisted violations + checkpoint/resume
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
 
@@ -989,6 +1002,14 @@ class ValidationEngine:
                 indexable = False
         if c.volume_monitor:
             metrics["volume"] = self._volume_summary(pages)
+        if c.privacy_quasi_cols:
+            metrics["k_anonymity"] = self._privacy_summary(pages)
+            if (
+                c.privacy_blocking
+                and metrics["k_anonymity"]["n_rows"]
+                and metrics["k_anonymity"]["min_k"] < c.privacy_k
+            ):
+                indexable = False
         if c.quarantine:
             metrics["quarantine"] = self._write_quarantine(pages, all_violations)
         return ValidationReport(
@@ -1280,6 +1301,37 @@ class ValidationEngine:
             "max_cluster": int(row["max_cluster"]),
             "dup_rate": (n_docs - int(row["n_distinct"])) / n_docs if n_docs else 0.0,
         }
+
+    def _privacy_summary(self, pages: DataFrame) -> dict:
+        """k-anonymity release gate (config: ``privacy_quasi_cols``) —
+        operators/privacy.py's one-row summary as engine scalars. One
+        quasi-column-only groupBy + fold; the driver sees ≤7 scalars."""
+        from ..operators.privacy import k_anonymity_summary
+
+        c = self.config
+        row = k_anonymity_summary(
+            pages,
+            list(c.privacy_quasi_cols),
+            k=c.privacy_k,
+            sensitive_col=c.privacy_sensitive_col,
+        ).first()
+        out = {
+            "quasi_cols": list(c.privacy_quasi_cols),
+            "k": c.privacy_k,
+            "n_rows": int(row["n_rows"]),
+            "n_classes": int(row["n_classes"]),
+            "min_k": int(row["min_k"]) if row["min_k"] is not None else None,
+            "rows_below_k": int(row["rows_below_k"]),
+            "pct_below_k_micro": (
+                int(row["pct_below_k_micro"])
+                if row["pct_below_k_micro"] is not None
+                else None
+            ),
+        }
+        if c.privacy_sensitive_col is not None:
+            out["min_l"] = int(row["min_l"]) if row["min_l"] is not None else None
+            out["rows_homogeneous"] = int(row["rows_homogeneous"])
+        return out
 
     def _graph_summary(self, pages: DataFrame) -> dict:
         """Host-level link-reputation summary (config: ``graph_summary``) —

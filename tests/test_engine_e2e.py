@@ -499,3 +499,56 @@ def test_volume_monitor_face(spark, tmp_path):
     ).run(pages)
     assert rep.issue_counts == rep2.issue_counts
     assert rep.indexable == rep2.indexable
+
+
+def test_privacy_summary_and_blocking(spark):
+    """privacy_quasi_cols: the k-anonymity release gate lands in the
+    report; privacy_blocking flips the verdict when min_k < k."""
+    import datetime as dt
+
+    from gbif_data_validator_spark.plans.engine import EngineConfig, ValidationEngine
+
+    ts = dt.datetime(2024, 3, 2)
+    # (lang) classes: "en" ×5 (safe at k=5), "fr" ×1 (risky) — 6 rows
+    rows = [
+        (f"https://a.example/{i}", ts, None, f"t{i}", "en") for i in range(5)
+    ] + [("https://b.example/1", ts, None, "t9", "fr")]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    base = dict(check_extraction=False, check_drift=False, check_uniqueness=False)
+    off = ValidationEngine(spark, EngineConfig(**base)).run(pages)
+    assert "k_anonymity" not in off.metrics
+
+    rep = ValidationEngine(
+        spark,
+        EngineConfig(
+            **base, privacy_quasi_cols=("lang",), privacy_sensitive_col="url"
+        ),
+    ).run(pages)
+    ka = rep.metrics["k_anonymity"]
+    assert ka["n_rows"] == 6 and ka["n_classes"] == 2
+    assert ka["min_k"] == 1 and ka["rows_below_k"] == 1
+    assert ka["pct_below_k_micro"] == 1_000_000 // 6
+    assert ka["min_l"] == 1  # the fr class maps to one url
+    assert rep.indexable  # gate reports, doesn't block by default
+
+    blocked = ValidationEngine(
+        spark,
+        EngineConfig(**base, privacy_quasi_cols=("lang",), privacy_blocking=True),
+    ).run(pages)
+    assert blocked.metrics["k_anonymity"]["min_k"] == 1
+    assert not blocked.indexable
+
+    # all classes >= k -> blocking leaves the verdict alone
+    safe = ValidationEngine(
+        spark,
+        EngineConfig(
+            **base,
+            privacy_quasi_cols=("lang",),
+            privacy_k=5,
+            privacy_blocking=True,
+        ),
+    ).run(pages.where("lang = 'en'"))
+    assert safe.metrics["k_anonymity"]["min_k"] == 5
+    assert safe.indexable
