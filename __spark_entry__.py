@@ -3239,6 +3239,43 @@ def _q_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: multi-level public suffix (3+ labels), plain 2-label, deep subdomain,
 #: vhost collapse (two hosts, one owner), IPv4 literal, single-label
 #: intranet host, port/query/fragment noise, and a no-host malformed row
+#: IDN/homoglyph spoof fixture — every detection branch exercised:
+#: punycode at ^ and mid-host, xn-- NOT at a label start (must NOT flag),
+#: Latin+Cyrillic and Latin+Greek mixed labels, a pure-Cyrillic label
+#: (legitimate IDN: non_ascii only), benign ASCII, and a non-url.
+_SPOOF_FIXTURE: list[str] = [
+    "https://good.example.com/a",
+    "https://good.example.com/b",
+    "https://xn--pypal-4ve.example.com/x",
+    "https://sub.xn--80ak6aa92e.com/y",
+    "https://axn--fake.example.com/z",
+    "https://pаypal.example.com/login",
+    "https://πshop.example.org/",
+    "https://кириллица.example.ru/",
+    "http://plain.example.net/q",
+    "not a url at all",
+]
+
+#: the same confusable class / mixed-label regex functions/url.py compiles,
+#: spelled for the DuckDB replay (RE2 and Java read these constructs
+#: identically — literal chars, [.], alternation)
+_SPOOF_CONF = "Ѐ-ӿͰ-Ͽ"
+_SPOOF_MIXED_RE = (
+    "(^|[.])[^.]*([a-z][^.]*[" + _SPOOF_CONF + "]|[" + _SPOOF_CONF + "][^.]*[a-z])"
+)
+
+
+def _q_host_spoof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN/homoglyph host spoof census over the planted url fixture —
+    (host, n_pages, punycode, mixed_script, non_ascii), flagged hosts
+    only; the oracle replays host extraction AND all three detection
+    regexes over the same VALUES fixture."""
+    from gbif_data_validator_spark.operators.curation import idn_spoof_census
+
+    df = spark.createDataFrame([(u,) for u in _SPOOF_FIXTURE], "url string")
+    return idn_spoof_census(df, "url")
+
+
 _DOMAIN_FIXTURE: list[str] = [
     "https://www.news.bbc.co.uk/politics/story",
     "http://media.bbc.co.uk/img.png",
@@ -4541,6 +4578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_survivors": _q_quality_survivors,
         "k_anon_classes": _q_k_anon_classes,
         "grouped_constraints": _q_grouped_constraints,
+        "host_spoof": _q_host_spoof,
         "edit_dup_pairs": _q_edit_dup_pairs,
         "join_audit": _q_join_audit,
         "psi_drift": _q_psi_drift,
@@ -6489,6 +6527,36 @@ def oracle_sql() -> dict[str, str]:
                      1000000 * (total * (total - 1) // 2 - pa - pb + 2 * pboth)
                      // (total * (total - 1) // 2) AS BIGINT) END AS rand_micro
             FROM f
+        """,
+        # host_spoof: host extraction + all three detection regexes
+        # replayed over the same VALUES fixture (patterns restricted to
+        # Java/RE2-identical constructs)
+        "host_spoof": """
+            WITH u AS (
+              SELECT * FROM (VALUES
+                """
+        + ",\n                ".join(f"('{u}')" for u in _SPOOF_FIXTURE)
+        + """
+              ) t(url)
+            ), h AS (
+              SELECT lower(regexp_extract(url,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#\\s]+)', 1)) AS host
+              FROM u
+            ), g AS (
+              SELECT host, COUNT(*) AS n_pages FROM h
+              WHERE host <> '' GROUP BY host
+            ), f AS (
+              SELECT host, n_pages,
+                     regexp_matches(host, '(^|[.])xn--') AS punycode,
+                     regexp_matches(host, '"""
+        + _SPOOF_MIXED_RE
+        + """') AS mixed_script,
+                     regexp_matches(host, '[^\\x00-\\x7f]') AS non_ascii
+              FROM g
+            )
+            SELECT * FROM f
+            WHERE punycode OR mixed_script OR non_ascii
+            ORDER BY host
         """,
         # k_anon_classes: the audit IS a GROUP BY — replay it verbatim
         "k_anon_classes": """

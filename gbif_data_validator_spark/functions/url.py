@@ -154,3 +154,43 @@ def registered_domain(url: Column) -> Column:
         .when(n >= 2, last2)
         .otherwise(host)
     )
+
+
+# --- IDN / homoglyph spoof flags -------------------------------------------
+# Regex constructs restricted to what Java regex and RE2 read identically
+# (literal UTF-8 chars, [.], alternation — the outlink-extraction
+# discipline), so the DuckDB oracle replays the DETECTION, not a fixture.
+
+#: Cyrillic (U+0400–U+04FF) + Greek-and-Coptic (U+0370–U+03FF) — the two
+#: blocks carrying the classic Latin-lookalike homoglyphs (а е о р с х,
+#: ο ν α ...). A full Unicode-confusables table is a data swap, not a
+#: code change.
+_CONFUSABLE_CLASS = "Ѐ-ӿͰ-Ͽ"
+
+#: a DNS label that MIXES basic-Latin letters with confusable-block
+#: letters — one label, both scripts, either order (pure-Cyrillic labels
+#: are legitimate IDNs and do NOT match)
+_MIXED_LABEL_RE = (
+    "(^|[.])[^.]*("
+    f"[a-z][^.]*[{_CONFUSABLE_CLASS}]|[{_CONFUSABLE_CLASS}][^.]*[a-z]"
+    ")"
+)
+
+
+def host_punycode(host: Column) -> Column:
+    """True when any DNS label is an ACE/punycode label (starts with
+    ``xn--`` AT the label boundary — ``axn--b`` does not count)."""
+    return host.rlike("(^|[.])xn--")
+
+
+def host_mixed_script(host: Column) -> Column:
+    """True when one label mixes Latin letters with Cyrillic/Greek
+    confusables — the paypаl-with-Cyrillic-а spoof shape. Lowercase the
+    host first (both engines agree on the basic-plane 1:1 mappings)."""
+    return host.rlike(_MIXED_LABEL_RE)
+
+
+def host_non_ascii(host: Column) -> Column:
+    """True when the host carries ANY non-ASCII byte — the broad reviewer
+    feed (legitimate IDNs included), vs the targeted mixed-script flag."""
+    return host.rlike("[^\\x00-\\x7f]")

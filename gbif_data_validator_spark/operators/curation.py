@@ -801,3 +801,48 @@ def rank_normalize(
     use a global sort instead."""
     w = Window.partitionBy(group_col).orderBy(score_col, id_col)
     return df.withColumn(f"{score_col}_rank", F.percent_rank().over(w))
+
+
+def idn_spoof_census(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """IDN / homoglyph spoof census → one row per FLAGGED host:
+    ``(host, n_pages, punycode, mixed_script, non_ascii)``.
+
+    The URL battery's adversarial face: `URL_MALFORMED` catches broken
+    urls, this catches urls built to LOOK right — punycode (``xn--``)
+    labels hiding an IDN from ASCII-only review, labels mixing Latin
+    with Cyrillic/Greek confusables (``paypаl``), and the broad
+    any-non-ASCII feed. Pure-Cyrillic/Greek labels are legitimate IDNs:
+    non_ascii=true, mixed_script=false — the flags separate "foreign"
+    from "spoof-shaped". No reference analog (its urls are occurrence
+    fields, not an attack surface); detection regexes live in
+    functions/url.py restricted to Java/RE2-identical constructs so the
+    oracle replays them.
+
+    Plan: one url-column scan → host projection → ONE host-grain groupBy
+    (map-side combinable); the three flags are recomputed FROM the host
+    key after grouping (host-deterministic, so flag-then-group and
+    group-then-flag agree — the latter keeps the pre-shuffle row narrow).
+    Output is host-grain, bounded by distinct flagged hosts.
+    """
+    from ..functions.url import (
+        host_mixed_script,
+        host_non_ascii,
+        host_punycode,
+        url_host,
+    )
+
+    host = F.lower(url_host(F.col(url_col)))
+    grouped = (
+        df.select(host.alias("host"))
+        .where(F.col("host") != "")
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    h = F.col("host")
+    return (
+        grouped.withColumn("punycode", host_punycode(h))
+        .withColumn("mixed_script", host_mixed_script(h))
+        .withColumn("non_ascii", host_non_ascii(h))
+        .where(F.col("punycode") | F.col("mixed_script") | F.col("non_ascii"))
+        .orderBy("host")
+    )

@@ -216,3 +216,45 @@ def test_pair_agreement_plan_no_join_one_corpus_exchange(spark):
     )
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_pair_agreement_matches_bruteforce_on_random_clusterings(spark):
+    """Seeded-random clusterings vs an O(n²) pure-Python pair enumeration
+    — the whole statistic, not just the hand-computed case."""
+    import itertools
+    import random
+
+    from gbif_data_validator_spark.operators.classifier import (
+        cluster_pair_agreement,
+    )
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = rng.randint(2, 60)
+        rows = [
+            (str(rng.randint(0, 8)), str(rng.randint(0, 5))) for _ in range(n)
+        ]
+        got = cluster_pair_agreement(
+            spark.createDataFrame(rows, "a string, b string"), "a", "b"
+        ).first()
+
+        pa = pb = pboth = 0
+        for (a1, b1), (a2, b2) in itertools.combinations(rows, 2):
+            sa, sb = a1 == a2, b1 == b2
+            pa += sa
+            pb += sb
+            pboth += sa and sb
+        tot = n * (n - 1) // 2
+        assert (got.n_items, got.pairs_a, got.pairs_b, got.pairs_both) == (
+            n,
+            pa,
+            pb,
+            pboth,
+        ), seed
+        assert got.precision_micro == (
+            1_000_000 * pboth // pb if pb else None
+        ), seed
+        assert got.recall_micro == (
+            1_000_000 * pboth // pa if pa else None
+        ), seed
+        assert got.rand_micro == 1_000_000 * (tot - pa - pb + 2 * pboth) // tot

@@ -665,3 +665,64 @@ def test_rank_normalize_percentiles(spark):
     assert got[1] == 0.0 and got[2] == 0.5 and got[3] == 1.0
     # tie broken by doc_id: deterministic distinct ranks
     assert got[4] == 0.0 and got[5] == 1.0
+
+
+def test_idn_spoof_census_flag_matrix(spark):
+    """Every detection branch: punycode at ^ and mid-host, xn-- not at a
+    label start (benign), Latin+Cyrillic and Latin+Greek mixed labels,
+    pure-Cyrillic label (non_ascii only), ASCII benign, non-url."""
+    from gbif_data_validator_spark.operators.curation import idn_spoof_census
+
+    urls = [
+        "https://good.example.com/a",
+        "https://good.example.com/b",
+        "https://xn--pypal-4ve.example.com/x",
+        "https://sub.xn--80ak6aa92e.com/y",
+        "https://axn--fake.example.com/z",
+        "https://pаypal.example.com/login",
+        "https://πshop.example.org/",
+        "https://кириллица.example.ru/",
+        "http://plain.example.net/q",
+        "not a url at all",
+        "https://XN--UPPER.example.com/c",  # case-insensitive via lower()
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["host"]: (r["punycode"], r["mixed_script"], r["non_ascii"], r["n_pages"])
+        for r in idn_spoof_census(df).collect()
+    }
+    assert set(got) == {
+        "xn--pypal-4ve.example.com",
+        "sub.xn--80ak6aa92e.com",
+        "pаypal.example.com",
+        "πshop.example.org",
+        "кириллица.example.ru",
+        "xn--upper.example.com",
+    }
+    assert got["xn--pypal-4ve.example.com"] == (True, False, False, 1)
+    assert got["xn--upper.example.com"] == (True, False, False, 1)
+    assert got["pаypal.example.com"] == (False, True, True, 1)
+    assert got["πshop.example.org"] == (False, True, True, 1)
+    # legitimate pure-Cyrillic IDN: broad flag only, never "spoof-shaped"
+    assert got[
+        "кириллица.example.ru"
+    ] == (False, False, True, 1)
+
+
+def test_idn_spoof_census_plan_one_exchange(spark):
+    """One host-grain groupBy is the only shuffle; flags are computed on
+    the grouped key, so the pre-shuffle row is (host) alone."""
+    from pyspark.sql import functions as F
+
+    from gbif_data_validator_spark.operators.curation import idn_spoof_census
+
+    df = spark.range(100).select(
+        F.concat(F.lit("https://h"), F.col("id") % 7, F.lit(".example.com/p")).alias(
+            "url"
+        )
+    )
+    plan = (
+        idn_spoof_census(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

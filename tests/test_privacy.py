@@ -131,3 +131,53 @@ def test_sql_parity(spark, people):
         ).collect()
     }
     assert got == want
+
+
+def test_k_anonymity_matches_pandas_on_random_tables(spark):
+    """Seeded-random quasi/sensitive tables vs a pure-pandas groupby
+    replay of both faces (classes and the one-row gate)."""
+    import random
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        n = rng.randint(5, 80)
+        rows = [
+            (
+                rng.choice(["a", "b", "c", None]),
+                rng.choice(["x", "y", None]),
+                rng.choice([1.0, 2.0, 3.0, None]),
+            )
+            for _ in range(n)
+        ]
+        df = spark.createDataFrame(rows, "q1 string, q2 string, s double")
+        k = rng.randint(2, 5)
+        got = {
+            (r["q1"], r["q2"]): r
+            for r in k_anonymity_classes(
+                df, ["q1", "q2"], k=k, sensitive_col="s"
+            ).collect()
+        }
+        # pure-python replay (NULLs group together; l counts non-null s)
+        want: dict = {}
+        for q1, q2, s in rows:
+            cs, vals = want.setdefault((q1, q2), [0, set()])
+            want[(q1, q2)][0] += 1
+            if s is not None:
+                vals.add(s)
+        assert len(got) == len(want), seed
+        for key, (cs, vals) in want.items():
+            r = got[key]
+            assert (r["class_size"], r["l_diversity"]) == (cs, len(vals)), (
+                seed,
+                key,
+            )
+            assert r["risky"] == (cs < k) and r["homogeneous"] == (
+                len(vals) <= 1
+            ), (seed, key)
+
+        gate = k_anonymity_summary(df, ["q1", "q2"], k=k, sensitive_col="s").first()
+        sizes = [cs for cs, _ in want.values()]
+        below = sum(cs for cs, _ in want.values() if cs < k)
+        assert gate["n_rows"] == n and gate["n_classes"] == len(want)
+        assert gate["min_k"] == min(sizes) and gate["rows_below_k"] == below
+        assert gate["pct_below_k_micro"] == 1_000_000 * below // n
