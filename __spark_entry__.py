@@ -4513,6 +4513,64 @@ def _q_bpe_token_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_census(_docs_spread(spark, sf_dir), model).orderBy("doc_id")
 
 
+#: BM25 session-13 fixture: one term per frequency band (sorted, so tf_i
+#: column order is stable between engines)
+BM25_TERMS = ["hash", "slow", "vector"]
+BM25_K = 20
+
+#: token blocklist for the C4-style gate: two present terms + one absent
+#: ('spill' never appears in the synthetic vocabulary — the census must
+#: NOT emit a zero row for it)
+BLOCKED_TERMS = ["dup", "slow", "spill"]
+
+
+def _q_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a 3-term disjunctive query over documents —
+    (doc_id, n_matched, score_micro). The oracle replays tf/dl/df/avgdl
+    and the saturation formula with the identical fixed op order; idf's
+    ln runs on C libm on BOTH sides (driver-side Python here, DuckDB
+    there — never the JVM's non-portable Math.log intrinsic)."""
+    from gbif_data_validator_spark.operators.search import bm25_topk
+
+    return bm25_topk(_docs_spread(spark, sf_dir), BM25_TERMS, k=BM25_K)
+
+
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade census per document in
+    exact micro-units, with the integer word/sentence/syllable counts the
+    formulas consume (vowel-group syllable estimator; punctuation-run
+    sentence counter with a floor of 1 — this corpus is word salad, so
+    the floor branch is the live one; pytest covers real sentences)."""
+    from gbif_data_validator_spark.functions.textstats import readability_exprs
+
+    ex = readability_exprs(F.col("text"))
+    return (
+        _docs_spread(spark, sf_dir)
+        .select("doc_id", *[v.alias(k) for k, v in ex.items()])
+        .orderBy("doc_id")
+    )
+
+
+def _q_blocklist_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style token-blocklist gate per document: occurrence and
+    distinct-term counts against BLOCKED_TERMS plus the keep decision —
+    exact whole-token matching on the house tokenization, zero-shuffle."""
+    from gbif_data_validator_spark.operators.curation import term_blocklist_flags
+
+    return term_blocklist_flags(_docs_spread(spark, sf_dir), BLOCKED_TERMS).orderBy(
+        "doc_id"
+    )
+
+
+def _q_blocklist_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reviewer's view of the blocklist gate: per blocked term, how many
+    documents and occurrences it would condemn (present terms only — the
+    planted never-occurring term must not produce a zero row)."""
+    from gbif_data_validator_spark.operators.curation import term_blocklist_census
+
+    return term_blocklist_census(_docs_spread(spark, sf_dir), BLOCKED_TERMS)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4742,6 +4800,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         # session-12 additions
         "rep_signals": _q_rep_signals,
+        # session-13 additions
+        "bm25_docs": _q_bm25_docs,
+        "readability": _q_readability,
+        "blocklist_flags": _q_blocklist_flags,
+        "blocklist_census": _q_blocklist_census,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch/iterative)
         "bpe_token_census": _q_bpe_token_census,
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
@@ -10464,4 +10527,117 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY l.doc_id
         """
     )
+    # bm25_docs: full replay of operators/search.bm25_topk — tf/dl in one
+    # doc-grain GROUP BY, corpus stats folded, then the saturation formula
+    # with the IDENTICAL left-assoc float-op order; idf's ln runs on C libm
+    # on both sides (driver-side math.log there, DuckDB ln here), never the
+    # JVM's non-portable Math.log. Constants are the repr() of the Python
+    # doubles the operator injects (k1=1.2, b=0.75 → k1+1=2.2, 1-b=0.25).
+    _bq = sorted(set(t.lower() for t in BM25_TERMS))
+    _tf = ", ".join(
+        f"count(*) FILTER (term = '{t}') AS tf_{i}" for i, t in enumerate(_bq)
+    )
+    _df = ", ".join(
+        f"count(*) FILTER (tf_{i} > 0) AS df_{i}" for i in range(len(_bq))
+    )
+    _contrib = " + ".join(
+        f"(ln((s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1.0)"
+        f" * (CAST(p.tf_{i} AS DOUBLE) * 2.2)"
+        f" / (CAST(p.tf_{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 *"
+        f" CAST(p.dl AS DOUBLE) / (CAST(s.total AS DOUBLE) / CAST(s.n AS DOUBLE)))))"
+        for i in range(len(_bq))
+    )
+    _matched = " + ".join(f"CAST(p.tf_{i} > 0 AS INT)" for i in range(len(_bq)))
+    out["bm25_docs"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                        '\\s+'), x -> x <> '')) AS term
+          FROM documents WHERE text IS NOT NULL
+        ), p AS (
+          SELECT doc_id, count(*) AS dl, {_tf}
+          FROM toks GROUP BY doc_id
+        ), s AS (
+          SELECT count(*) AS n, sum(dl) AS total, {_df} FROM p
+        )
+        SELECT p.doc_id,
+               CAST({_matched} AS BIGINT) AS n_matched,
+               CAST(floor(1000000.0 * ({_contrib})) AS BIGINT) AS score_micro
+        FROM p, s
+        WHERE {_matched} > 0
+        ORDER BY score_micro DESC, p.doc_id
+        LIMIT {BM25_K}
+    """
+    # readability: integer word/sentence/syllable counts replayed with the
+    # same regexes, then the Flesch formulas in the same fixed op order
+    # (division/multiply/subtract only — correctly-rounded IEEE, no ln)
+    out["readability"] = """
+        WITH c AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS ws,
+                 len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vg,
+                 len(regexp_extract_all(text, '[.!?]+')) AS pr
+          FROM documents
+        ), m AS (
+          SELECT doc_id, text,
+                 CAST(len(ws) AS BIGINT) AS w,
+                 CAST(greatest(1, pr) AS BIGINT) AS s,
+                 CAST(vg + len(list_filter(ws,
+                      x -> regexp_matches(x, '^[^aeiouy]*$'))) AS BIGINT) AS syl
+          FROM c
+        )
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN NULL ELSE w END AS n_words,
+               CASE WHEN text IS NULL THEN NULL ELSE s END AS n_sentences,
+               CASE WHEN text IS NULL THEN NULL ELSE syl END AS n_syllables,
+               CASE WHEN text IS NULL OR w = 0 THEN NULL ELSE
+                 CAST(floor(1000000.0 * (206.835
+                   - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                   - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))))
+                 AS BIGINT) END AS fre_micro,
+               CASE WHEN text IS NULL OR w = 0 THEN NULL ELSE
+                 CAST(floor(1000000.0 * (0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                   + 11.8 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)) - 15.59))
+                 AS BIGINT) END AS fkgl_micro
+        FROM m ORDER BY doc_id
+    """
+    # blocklist_flags / blocklist_census: the C4 bad-words gate replayed
+    # with list_contains/list_intersect over the same sorted literal list
+    _bl = "[" + ", ".join(
+        f"'{t}'" for t in sorted(set(t.lower() for t in BLOCKED_TERMS))
+    ) + "]"
+    out["blocklist_flags"] = f"""
+        WITH c AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE CAST(len(ws) AS BIGINT) END AS n_tokens,
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE CAST(len(list_filter(ws, x -> list_contains({_bl}, x)))
+                         AS BIGINT) END AS blocked_hits,
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE CAST(len(list_intersect(list_distinct(ws), {_bl}))
+                         AS BIGINT) END AS blocked_distinct,
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE len(list_filter(ws, x -> list_contains({_bl}, x))) = 0
+                    END AS allowed
+        FROM c ORDER BY doc_id
+    """
+    out["blocklist_census"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                        x -> x <> '' AND list_contains({_bl}, x))) AS term
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT term,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM toks GROUP BY term ORDER BY term
+    """
     return out

@@ -349,3 +349,55 @@ def compression_ratio_micro(text: Column) -> Column:
     for a fixed level and library, pinned by property tests (no SQL
     oracle — DuckDB has no deflate)."""
     return F.pandas_udf(_compression_ratio_series, returnType=LongType())(text)
+
+
+# --------------------------------------------------------------------------
+# Readability (Flesch reading ease / Flesch-Kincaid grade)
+# --------------------------------------------------------------------------
+
+#: a vowel GROUP approximates one syllable nucleus ('readable' → ea|a|e →
+#: 3); 'y' counts as a vowel ('syzygy' → 3). The estimator is the classic
+#: cheap one — deterministic and regex-replayable, not a dictionary.
+_VOWEL_GROUP_RE = "[aeiouy]+"
+#: a sentence boundary is a run of terminal punctuation; texts with none
+#: (headlines, word salad) floor at 1 sentence rather than dividing by 0
+_SENT_BOUND_RE = "[.!?]+"
+
+
+def readability_exprs(text: Column) -> "dict[str, Column]":
+    """Flesch reading ease + Flesch-Kincaid grade level in exact
+    micro-units: ``n_words``, ``n_sentences``, ``n_syllables``,
+    ``fre_micro``, ``fkgl_micro``.
+
+    Syllables = vowel-group count over the lowercased text PLUS the count
+    of vowel-free tokens (per-word ``max(1, groups)`` — groups never span
+    whitespace, so the global count equals the per-word sum). Sentences =
+    ``greatest(1, terminal-punctuation runs)``. Both formulas are then
+    fixed-order IEEE double arithmetic over exact integer ratios —
+    division/multiply/subtract are all correctly rounded, so DuckDB
+    replays the micro values bit-exactly (the same discipline as the
+    round-6 fractions elsewhere in this module; no ``ln`` anywhere).
+    Zero-shuffle Column algebra; NULL/wordless text → NULL scores.
+    """
+    low = F.lower(text)
+    toks = F.filter(F.split(low, r"\s+"), lambda t: t != "")
+    n_words = F.size(toks).cast("long")
+    vowel_groups = F.size(F.regexp_extract_all(low, F.lit(_VOWEL_GROUP_RE), 0))
+    no_vowel = F.size(F.filter(toks, lambda t: t.rlike("^[^aeiouy]*$")))
+    n_syll = (vowel_groups + no_vowel).cast("long")
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(text, F.lit(_SENT_BOUND_RE), 0))
+    ).cast("long")
+    w = n_words.cast("double")
+    wps = w / n_sent.cast("double")
+    spw = n_syll.cast("double") / w
+    fre = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fkgl = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    guard = text.isNotNull() & (n_words > 0)
+    return {
+        "n_words": F.when(text.isNotNull(), n_words),
+        "n_sentences": F.when(text.isNotNull(), n_sent),
+        "n_syllables": F.when(text.isNotNull(), n_syll),
+        "fre_micro": F.when(guard, F.floor(F.lit(1e6) * fre).cast("long")),
+        "fkgl_micro": F.when(guard, F.floor(F.lit(1e6) * fkgl).cast("long")),
+    }

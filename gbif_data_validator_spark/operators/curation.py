@@ -846,3 +846,81 @@ def idn_spoof_census(df: DataFrame, url_col: str = "url") -> DataFrame:
         .where(F.col("punycode") | F.col("mixed_script") | F.col("non_ascii"))
         .orderBy("host")
     )
+
+
+def term_blocklist_flags(
+    df: DataFrame,
+    blocked_terms: "list[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-level blocklist gate (the text-side complement of
+    `url_blocklist_flags` — C4 drops any page containing a "bad words"
+    list token; Raffel et al. 2020 §2.2): every input row →
+    ``(id, n_tokens, blocked_hits, blocked_distinct, allowed)`` where
+    ``blocked_hits`` counts OCCURRENCES of blocked tokens,
+    ``blocked_distinct`` counts distinct blocked terms present, and
+    ``allowed`` is the C4 keep decision (zero hits).
+
+    Exact whole-token matching on the whitespace tokenization (the
+    house tokenizer) — no substring matches, so 'class' never trips
+    'ass'-style lists. The blocklist is a tiny in-plan literal array
+    (hundreds of terms), NOT a join dimension: the whole gate is
+    zero-shuffle Column algebra over one scan, the plan you want when
+    the corpus is 10^12 rows and the list is 10^2.
+    """
+    if not blocked_terms:
+        raise ValueError("term_blocklist_flags: empty blocklist")
+    blocked = F.array(
+        *[F.lit(t.lower()) for t in sorted(set(t.lower() for t in blocked_terms))]
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(blocked, t)))
+    distinct = F.size(F.array_intersect(F.array_distinct(toks), blocked))
+    has_text = F.col(text_col).isNotNull()
+    return df.select(
+        id_col,
+        F.when(has_text, F.size(toks).cast("long")).alias("n_tokens"),
+        F.when(has_text, hits.cast("long")).alias("blocked_hits"),
+        F.when(has_text, distinct.cast("long")).alias("blocked_distinct"),
+        F.when(has_text, hits == 0).alias("allowed"),
+    )
+
+
+def term_blocklist_census(
+    df: DataFrame,
+    blocked_terms: "list[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-blocked-term corpus census → ``(term, n_docs, n_occurrences)``,
+    blocked terms actually present only. The reviewer's view of the gate:
+    which list entries do the damage, before committing to the drop.
+
+    Plan: tokens are filtered to the blocklist BEFORE the explode (the
+    literal-array membership test runs inside the scan's codegen), so
+    only blocked-token rows exist post-explode; then ONE term-grain
+    groupBy — output bounded by the blocklist length, shuffle input
+    bounded by blocked-token occurrences, never corpus token count.
+    """
+    if not blocked_terms:
+        raise ValueError("term_blocklist_census: empty blocklist")
+    blocked = F.array(
+        *[F.lit(t.lower()) for t in sorted(set(t.lower() for t in blocked_terms))]
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: (t != "") & F.array_contains(blocked, t),
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count_distinct("_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy("term")
+    )

@@ -198,3 +198,96 @@ def kwic_snippets(
         )
         .where(F.col("match_pos") > 0)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: "list[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 (Robertson/Sparck Jones) top-``k`` over the corpus →
+    ``(doc_id, n_matched, score_micro)``, disjunctive (any query term),
+    ranked ``(score desc, doc_id)`` so the page is deterministic.
+
+    Exactness contract: the corpus-sized math — tf, doclen, df, avgdl,
+    saturation ``tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` — is integer
+    counts and fixed-order IEEE double ops (div/mul/add, all correctly
+    rounded → bit-identical in any engine that parses the same literals).
+    The ONE non-portable op, ``ln`` in idf, never touches the JVM (whose
+    ``Math.log`` intrinsic is ≤1-ulp, not bit-portable): idf for the
+    |terms| query words is computed ONCE on the driver with C libm —
+    the same library DuckDB's ``ln`` binds — and injected as literals.
+    Scores floor at micro precision, so even a foreign libm's last-ulp
+    wobble would need a value within ~1e-16 of a micro boundary to show.
+
+    Plan shape: one token explode → ONE doc-grain groupBy producing
+    ``(dl, tf_per_query_term…)`` (map-combinable count + |terms|
+    conditional sums — doclen and tfs in the same shuffle);
+    ``localCheckpoint`` pins that doc-grain table because it feeds TWO
+    actions (a 1-row stats fold the driver needs for avgdl/df, then the
+    scoring pass); scoring is zero-shuffle column algebra and top-k is
+    ``orderBy().limit()`` → TakeOrdered, never a global sort. Driver
+    traffic: |terms|+2 scalars. At 10^12 docs the only corpus-sized
+    shuffle is the one doc-grain aggregation.
+    """
+    import math
+
+    if not terms:
+        raise ValueError("bm25_topk: empty query")
+    q = sorted(set(t.lower() for t in terms))
+    toks = _tokens(df, id_col, text_col)
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum((F.col("term") == t).cast("long")).alias(f"tf_{i}")
+                for i, t in enumerate(q)
+            ],
+        )
+        .localCheckpoint(eager=False)  # reused: stats fold + scoring pass
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(q))
+        ],
+    ).first()
+    n_docs = int(stats["n_docs"])
+    if n_docs == 0:
+        raise ValueError("bm25_topk: corpus has no tokenized documents")
+    avgdl = float(stats["total_tokens"]) / float(n_docs)
+    one_minus_b = 1.0 - b
+    k1p1 = k1 + 1.0
+    dl_d = F.col("dl").cast("double")
+    score = F.lit(0.0)
+    matched = F.lit(0)
+    for i in range(len(q)):
+        idf = math.log(
+            (n_docs - int(stats[f"df_{i}"]) + 0.5) / (int(stats[f"df_{i}"]) + 0.5)
+            + 1.0
+        )
+        tf_d = F.col(f"tf_{i}").cast("double")
+        contrib = (
+            F.lit(idf)
+            * (tf_d * F.lit(k1p1))
+            / (tf_d + F.lit(k1) * (F.lit(one_minus_b) + F.lit(b) * dl_d / F.lit(avgdl)))
+        )
+        score = score + contrib
+        matched = matched + (F.col(f"tf_{i}") > 0).cast("int")
+    return (
+        per_doc.select(
+            "doc_id",
+            matched.cast("long").alias("n_matched"),
+            F.floor(F.lit(1e6) * score).cast("long").alias("score_micro"),
+        )
+        .where(F.col("n_matched") > 0)
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -726,3 +726,85 @@ def test_idn_spoof_census_plan_one_exchange(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_term_blocklist_flags_semantics(spark):
+    """Case-folding, occurrence vs distinct counts, whole-token matching
+    ('Slow.' keeps its period → no match), NULL text → NULL row."""
+    from gbif_data_validator_spark.operators.curation import term_blocklist_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, "the slow DUP dup fox"),
+            (2, "clean text here"),
+            (3, None),
+            (4, "Slow."),
+            (5, ""),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.blocked_hits, r.blocked_distinct, r.allowed)
+        for r in term_blocklist_flags(df, ["SLOW", "dup", "slow"]).collect()
+    }
+    assert got[1] == (5, 3, 2, False)
+    assert got[2] == (3, 0, 0, True)
+    assert got[3] == (None, None, None, None)
+    assert got[4] == (1, 0, 0, True)  # exact whole-token: 'slow.' != 'slow'
+    assert got[5] == (0, 0, 0, True)
+
+
+def test_term_blocklist_census_and_empty_list(spark):
+    import pytest
+
+    from gbif_data_validator_spark.operators.curation import (
+        term_blocklist_census,
+        term_blocklist_flags,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "slow dup slow"), (2, "dup x"), (3, None)],
+        "doc_id int, text string",
+    )
+    got = {
+        r.term: (r.n_docs, r.n_occurrences)
+        for r in term_blocklist_census(df, ["slow", "dup", "absent"]).collect()
+    }
+    # present terms only — no zero row for 'absent'
+    assert got == {"slow": (1, 2), "dup": (2, 2)}
+    with pytest.raises(ValueError, match="empty blocklist"):
+        term_blocklist_flags(df, [])
+    with pytest.raises(ValueError, match="empty blocklist"):
+        term_blocklist_census(df, [])
+
+
+def test_term_blocklist_plan_shapes(spark):
+    """Flags: zero-shuffle Column algebra. Census: the blocklist filter
+    runs BEFORE the explode, then one term-grain groupBy (the distinct
+    doc count may add its Expand exchange, never a Join)."""
+    from pyspark.sql import functions as F
+
+    from gbif_data_validator_spark.operators.curation import (
+        term_blocklist_census,
+        term_blocklist_flags,
+    )
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), F.col("id") % 5).alias("text"),
+    )
+    flags_plan = (
+        term_blocklist_flags(df, ["tok1"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in flags_plan and "Join" not in flags_plan
+    census_plan = (
+        term_blocklist_census(df, ["tok1"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in census_plan
+    assert census_plan.count("Exchange hashpartitioning") <= 2

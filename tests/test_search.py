@@ -259,3 +259,86 @@ def test_kwic_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# --------------------------------------------------------------------------
+# BM25
+# --------------------------------------------------------------------------
+
+
+def test_bm25_matches_pure_python_replay(spark):
+    """Hand corpus vs a pure-Python replay with the operator's exact
+    float-op order (each IEEE op is correctly rounded, so same order +
+    same inputs == same bits == same micro floor)."""
+    from gbif_data_validator_spark.operators.search import bm25_topk
+
+    docs = [(1, "cat cat dog"), (2, "cat mouse"), (3, "bird bird bird bird"), (4, None)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_matched, r.score_micro)
+        for r in bm25_topk(df, ["cat", "bird"], k=10).collect()
+    }
+
+    corpus = {1: "cat cat dog".split(), 2: "cat mouse".split(),
+              3: "bird bird bird bird".split()}
+    n, total = len(corpus), sum(len(w) for w in corpus.values())
+    avgdl = float(total) / float(n)
+    q = sorted({"cat", "bird"})
+    dfreq = {t: sum(1 for ws in corpus.values() if t in ws) for t in q}
+    exp = {}
+    for d, ws in corpus.items():
+        dl, score, m = float(len(ws)), 0.0, 0
+        for t in q:
+            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            tf = float(ws.count(t))
+            score = score + idf * (tf * 2.2) / (
+                tf + 1.2 * (0.25 + 0.75 * dl / avgdl)
+            )
+            m += t in ws
+        if m:
+            exp[d] = (m, math.floor(1e6 * score))
+    assert got == exp
+    # saturation sanity: doc3 (tf=4 of a rarer term) must outrank doc2 (tf=1)
+    assert got[3][1] > got[2][1]
+
+
+def test_bm25_page_is_deterministic_and_k_bounded(spark):
+    from gbif_data_validator_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, "x y") for i in range(10)], "doc_id int, text string"
+    )
+    # identical docs → identical scores → page ordered by doc_id
+    got = [r.doc_id for r in bm25_topk(df, ["x"], k=4).collect()]
+    assert got == [0, 1, 2, 3]
+
+
+def test_bm25_empty_query_and_empty_corpus_raise(spark):
+    from gbif_data_validator_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_topk(df, [])
+    empty = spark.createDataFrame([(1, None)], "doc_id int, text string")
+    with pytest.raises(ValueError, match="no tokenized documents"):
+        bm25_topk(empty, ["a"])
+
+
+def test_bm25_scoring_plan_is_post_shuffle_free(spark):
+    """The one corpus-sized shuffle (the doc-grain tf/dl groupBy) runs
+    inside the stats job against the localCheckpoint; the RETURNED plan is
+    checkpoint-scan → column algebra → TakeOrdered — no Exchange, no Join."""
+    from gbif_data_validator_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(20)], "doc_id int, text string"
+    )
+    plan = (
+        bm25_topk(df, ["a", "b"], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -241,3 +241,36 @@ def test_compression_ratio_exact_and_partition_invariant(spark):
             .collect()
         }
         assert got == expect
+
+
+def test_readability_hand_computed(spark):
+    """w=9, s=3, syl=9 for the planted sentence; the micro scores equal a
+    pure-Python replay with the operator's exact float-op order."""
+    import math
+
+    text = "The quick brown fox jumps. It runs fast! Why?"
+    df = spark.createDataFrame([(text,)], "text string")
+    ex = ts.readability_exprs(F.col("text"))
+    r = df.select(*[v.alias(k) for k, v in ex.items()]).collect()[0]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (9, 3, 9)
+    w, s, syl = 9.0, 3.0, 9.0
+    fre = 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
+    fkgl = 0.39 * (w / s) + 11.8 * (syl / w) - 15.59
+    assert r.fre_micro == math.floor(1e6 * fre)
+    assert r.fkgl_micro == math.floor(1e6 * fkgl)
+
+
+def test_readability_edge_branches(spark):
+    """Sentence floor (no terminal punctuation → 1), vowel-free tokens
+    (one syllable each), NULL text → NULLs, wordless text → NULL scores."""
+    ex = ts.readability_exprs(F.col("text"))
+    rows = spark.createDataFrame(
+        [("word salad no punctuation",), ("pfft tsk",), (None,), ("",)],
+        "text string",
+    ).select(*[v.alias(k) for k, v in ex.items()]).collect()
+    salad, novowel, null, empty = rows
+    assert salad.n_sentences == 1 and salad.n_words == 4
+    # 'pfft' and 'tsk' have no [aeiouy] group → 1 syllable each
+    assert (novowel.n_words, novowel.n_syllables) == (2, 2)
+    assert all(v is None for v in null.asDict().values())
+    assert empty.n_words == 0 and empty.fre_micro is None and empty.fkgl_micro is None
