@@ -344,3 +344,65 @@ def mojibake_custom_check(
         found=found,
         blocking=blocking,
     )
+
+
+def blocklist_custom_check(
+    blocked_terms: "list[str]", text_col: str = "text", blocking: bool = False
+) -> CustomCheck:
+    """The C4 bad-words gate (operators/curation.term_blocklist_flags) as
+    a :class:`CustomCheck`: any exact whole-token blocklist hit violates.
+    The blocklist is an in-plan literal array, so the membership test
+    fuses into the engine's pass-1 scan like every other detail slot —
+    zero extra scans at 10^12 rows. ``found`` carries the hit count plus
+    the (sorted) distinct blocked terms present, so the violation row is
+    reviewable without re-reading the document."""
+    if not blocked_terms:
+        raise ValueError("blocklist_custom_check: empty blocklist")
+    blocked = F.array(
+        *[F.lit(t.lower()) for t in sorted(set(t.lower() for t in blocked_terms))]
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(blocked, t)))
+    present = F.array_join(
+        F.array_sort(F.array_intersect(F.array_distinct(toks), blocked)), ","
+    )
+    return CustomCheck(
+        check_id="TEXT_BLOCKLISTED",
+        violated=F.coalesce(hits > 0, F.lit(False)),
+        expected="no blocklisted tokens",
+        found=F.concat(F.lit("hits="), hits.cast("string"), F.lit(" terms="), present),
+        blocking=blocking,
+    )
+
+
+def readability_custom_check(
+    min_fre_micro: int,
+    max_fre_micro: int,
+    text_col: str = "text",
+    blocking: bool = False,
+) -> CustomCheck:
+    """Flesch reading-ease band gate (functions/textstats.readability_exprs)
+    as a :class:`CustomCheck`: text whose FRE falls outside
+    ``[min_fre_micro, max_fre_micro]`` violates — the caller picks the
+    band (e.g. ``< 0`` flags keyword-stuffed/garbage density; the
+    one-syllable-per-word ceiling is ~121.2e6, so anything above it is
+    punctuation-run-dominated fragments, not prose). NULL/wordless text never
+    violates here (TEXT_EMPTY owns that finding). Pure Column algebra →
+    one more fused pass-1 slot."""
+    if min_fre_micro > max_fre_micro:
+        raise ValueError("readability_custom_check: min > max")
+    from ..functions.textstats import readability_exprs
+
+    fre = readability_exprs(F.col(text_col))["fre_micro"]
+    violated = fre.isNotNull() & (
+        (fre < F.lit(min_fre_micro)) | (fre > F.lit(max_fre_micro))
+    )
+    return CustomCheck(
+        check_id="TEXT_READABILITY_OUT_OF_BAND",
+        violated=F.coalesce(violated, F.lit(False)),
+        expected=f"fre_micro in [{min_fre_micro}, {max_fre_micro}]",
+        found=fre.cast("string"),
+        blocking=blocking,
+    )

@@ -139,3 +139,65 @@ def test_mojibake_check_engine_e2e(spark):
     ).run(spark.createDataFrame(rows, SCHEMA))
     assert rep.issue_counts["TEXT_MOJIBAKE"] == 2
     assert not rep.indexable  # blocking=True joins the verdict fold
+
+
+def test_blocklist_check_rides_pass1(spark):
+    """Planted blocked token → violation rows with reviewable found=;
+    blocking=True flips the verdict; clean pages stay indexable."""
+    import pytest
+
+    from gbif_data_validator_spark.operators.record_checks import (
+        blocklist_custom_check,
+    )
+
+    rows = [
+        ("https://ex.org/0", dt.datetime(2024, 1, 1), None, "nice clean prose", "en"),
+        ("https://ex.org/1", dt.datetime(2024, 1, 2), None, "the SLOW slow dup page", "en"),
+        ("https://ex.org/2", dt.datetime(2024, 1, 3), None, "slow. is not a hit", "en"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    v = run_record_checks(
+        df,
+        check_extraction=False,
+        custom_checks=(blocklist_custom_check(["slow", "dup"]),),
+    ).where(F.col("check_id") == "TEXT_BLOCKLISTED")
+    got = {r.url: r.found for r in v.collect()}
+    assert got == {"https://ex.org/1": "hits=3 terms=dup,slow"}
+    rep = ValidationEngine(
+        spark,
+        EngineConfig(
+            check_extraction=False,
+            custom_checks=(blocklist_custom_check(["slow", "dup"], blocking=True),),
+        ),
+    ).run(df)
+    assert rep.issue_counts["TEXT_BLOCKLISTED"] == 1 and not rep.indexable
+    with pytest.raises(ValueError, match="empty blocklist"):
+        blocklist_custom_check([])
+
+
+def test_readability_band_check(spark):
+    """Out-of-band FRE violates; NULL/wordless text never does; the band
+    arguments validate."""
+    import pytest
+
+    from gbif_data_validator_spark.operators.record_checks import (
+        readability_custom_check,
+    )
+
+    rows = [
+        # dense polysyllabic run → syllables/word ≈ 7 → FRE deep below 0
+        ("https://ex.org/0", dt.datetime(2024, 1, 1), None,
+         "incomprehensible antidisestablishmentarianism extraordinarily unconstitutionally", "en"),
+        ("https://ex.org/1", dt.datetime(2024, 1, 2), None,
+         "The quick brown fox jumps. It runs fast! Why?", "en"),
+        ("https://ex.org/2", dt.datetime(2024, 1, 3), None, None, "en"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    v = run_record_checks(
+        df,
+        check_extraction=False,
+        custom_checks=(readability_custom_check(0, 130_000_000),),
+    ).where(F.col("check_id") == "TEXT_READABILITY_OUT_OF_BAND")
+    assert [r.url for r in v.collect()] == ["https://ex.org/0"]
+    with pytest.raises(ValueError, match="min > max"):
+        readability_custom_check(1, 0)
