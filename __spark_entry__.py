@@ -176,7 +176,12 @@ def _q_ref_orphans_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents-shaped pass-1 battery → violations (doc_id, check_id, found)."""
-    d = _docs(spark, sf_dir)
+    return _doc_battery(_docs(spark, sf_dir))
+
+
+def _doc_battery(d: DataFrame) -> DataFrame:
+    """The same battery over ANY documents-shaped DataFrame (the sampled
+    estimator runs it over a hash sample)."""
     lang_arr = F.array(*[F.lit(x) for x in KNOWN_LANGS])
     src_arr = F.array(*[F.lit(x) for x in KNOWN_SOURCES])
     checks = [
@@ -4562,6 +4567,32 @@ def _q_blocklist_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the four battery checks, declared so zero-violation checks still get an
+#: estimate row (the upper bound is the informative part)
+DOC_CHECK_IDS = [
+    "LANG_UNKNOWN",
+    "N_CHARS_MISMATCH",
+    "SOURCE_UNKNOWN",
+    "TEXT_EMPTY",
+]
+
+
+def _q_sampled_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate validation: the documents battery over a deterministic
+    30% hash sample, per-check violation-rate estimates with Wilson 95%
+    bounds in exact micro-units — the triage mode that decides which
+    checks merit the full 100-TB pass. The oracle replays the md5-bucket
+    sample, the battery, and the interval formula (sqrt is IEEE-correct,
+    so even it is bit-portable)."""
+    from gbif_data_validator_spark.operators.sampling import (
+        sampled_violation_estimate,
+    )
+
+    return sampled_violation_estimate(
+        _docs(spark, sf_dir), _doc_battery, DOC_CHECK_IDS, pct=30
+    )
+
+
 def _q_blocklist_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reviewer's view of the blocklist gate: per blocked term, how many
     documents and occurrences it would condemn (present terms only — the
@@ -4805,6 +4836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _q_readability,
         "blocklist_flags": _q_blocklist_flags,
         "blocklist_census": _q_blocklist_census,
+        "sampled_violations": _q_sampled_violations,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch/iterative)
         "bpe_token_census": _q_bpe_token_census,
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
@@ -10627,6 +10659,51 @@ def oracle_sql() -> dict[str, str]:
                     ELSE len(list_filter(ws, x -> list_contains({_bl}, x))) = 0
                     END AS allowed
         FROM c ORDER BY doc_id
+    """
+    # sampled_violations: md5-bucket sample → battery → per-check Wilson
+    # interval. Every float op (div/mul/add/sub and sqrt) is IEEE
+    # correctly-rounded, and the expression structure mirrors the
+    # operator's exactly, so the micro values are bit-exact. z²=1.96² is
+    # the repr() of the Python double the operator injects.
+    _z2 = repr(1.96 * 1.96)
+    out["sampled_violations"] = f"""
+        WITH sample AS (
+          SELECT * FROM documents
+          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 < 30
+        ), viol AS ({doc_viol.replace("FROM documents", "FROM sample")}),
+        counts AS (
+          SELECT check_id, count(*) AS v FROM viol GROUP BY check_id
+        ), n AS (SELECT count(*) AS sample_n FROM sample),
+        checks AS (SELECT * FROM (VALUES ('LANG_UNKNOWN'), ('N_CHARS_MISMATCH'),
+                   ('SOURCE_UNKNOWN'), ('TEXT_EMPTY')) t(check_id)),
+        j AS (
+          SELECT c.check_id, n.sample_n, COALESCE(ct.v, 0) AS violations
+          FROM checks c LEFT JOIN counts ct USING (check_id), n
+        ), m AS (
+          SELECT check_id, sample_n, violations,
+                 CAST(violations AS DOUBLE) / CAST(sample_n AS DOUBLE) AS phat,
+                 CAST(sample_n AS DOUBLE) AS nd
+          FROM j
+        ), wi AS (
+          SELECT check_id, sample_n, violations, phat,
+                 (phat + {_z2} / (2.0 * nd)) / (1.0 + {_z2} / nd) AS center,
+                 (1.96 * sqrt((phat * (1.0 - phat)) / nd
+                   + {_z2} / (4.0 * (nd * nd)))) / (1.0 + {_z2} / nd) AS half
+          FROM m
+        )
+        SELECT check_id,
+               CAST(sample_n AS BIGINT) AS sample_n,
+               CAST(violations AS BIGINT) AS violations,
+               CASE WHEN sample_n > 0 THEN CAST(floor(1000000.0 * phat) AS BIGINT)
+                    END AS rate_micro,
+               CASE WHEN sample_n > 0 THEN CAST(floor(1000000.0 *
+                    greatest(0.0, center - half)) AS BIGINT)
+                    END AS wilson_lo_micro,
+               CASE WHEN sample_n > 0 THEN CAST(floor(1000000.0 *
+                    least(1.0, center + half)) AS BIGINT)
+                    END AS wilson_hi_micro
+        FROM wi ORDER BY check_id
     """
     out["blocklist_census"] = f"""
         WITH toks AS (

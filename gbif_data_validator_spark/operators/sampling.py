@@ -335,3 +335,82 @@ def neyman_allocation(
         )
         .withColumn("over_allocated", F.col("alloc_n") > F.col("n_rows"))
     )
+
+
+def sampled_violation_estimate(
+    df: DataFrame,
+    violations_fn,
+    check_ids: "list[str]",
+    id_col: str = "doc_id",
+    pct: int = 10,
+    n_buckets: int = 100,
+    z: float = 1.96,
+) -> DataFrame:
+    """Approximate validation: run a check battery on a deterministic
+    ``pct``/``n_buckets`` hash sample and estimate the FULL-corpus
+    per-check violation rate with a Wilson score interval →
+    ``(check_id, sample_n, violations, rate_micro, wilson_lo_micro,
+    wilson_hi_micro)``, one row per declared check (zero-violation checks
+    included — their upper bound is the informative part).
+
+    This is the 100-TB triage mode: a 1% sample bounds every check's rate
+    to ±z·√(p(1−p)/n) at 1% of the scan cost, deciding which checks merit
+    the full pass. Membership follows `hash_bucket` (md5-prefix), so the
+    sample — and therefore the estimate — is reproducible across runs,
+    engines, and cluster sizes; no ``rand()`` anywhere.
+
+    Exactness: the interval is fixed-order IEEE double arithmetic
+    (div/mul/add/sqrt — ALL correctly rounded per IEEE-754, including
+    sqrt) over exact integer counts, so a SQL engine replays the micro
+    values bit-for-bit. Bounds clamp to [0, 1] (``greatest``/``least``)
+    because ``center − half`` may round a hair below zero at v=0.
+
+    ``violations_fn`` maps the sampled DataFrame → violation rows with a
+    ``check_id`` column (e.g. a pass-1 battery). Plan: sample filter is a
+    narrow pushed predicate; one check-grain groupBy (output bounded by
+    |check_ids|); the 1-row sample count broadcast-crossJoins on (the
+    house 1-row-stats pattern). Driver sees |check_ids| rows.
+    """
+    if not check_ids:
+        raise ValueError("sampled_violation_estimate: no check_ids declared")
+    if not 0 < pct <= n_buckets:
+        raise ValueError("sampled_violation_estimate: pct outside (0, n_buckets]")
+    sample = deterministic_sample(df, id_col, pct, n_buckets)
+    counts = violations_fn(sample).groupBy("check_id").agg(
+        F.count(F.lit(1)).alias("violations")
+    )
+    checks = df.sparkSession.createDataFrame(
+        [(c,) for c in sorted(set(check_ids))], "check_id string"
+    )
+    n1 = sample.agg(F.count(F.lit(1)).alias("sample_n"))
+    out = (
+        checks.join(counts, "check_id", "left")
+        .na.fill({"violations": 0})
+        .crossJoin(F.broadcast(n1))
+    )
+    z2 = z * z
+    n_d = F.col("sample_n").cast("double")
+    v_d = F.col("violations").cast("double")
+    phat = v_d / n_d
+    denom = F.lit(1.0) + F.lit(z2) / n_d
+    center = (phat + F.lit(z2) / (F.lit(2.0) * n_d)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(
+            (phat * (F.lit(1.0) - phat)) / n_d
+            + F.lit(z2) / (F.lit(4.0) * (n_d * n_d))
+        )
+    ) / denom
+    ok = F.col("sample_n") > 0
+    return out.select(
+        "check_id",
+        F.col("sample_n").cast("long").alias("sample_n"),
+        F.col("violations").cast("long").alias("violations"),
+        F.when(ok, F.floor(F.lit(1e6) * phat)).cast("long").alias("rate_micro"),
+        F.when(ok, F.floor(F.lit(1e6) * F.greatest(F.lit(0.0), center - half)))
+        .cast("long")
+        .alias("wilson_lo_micro"),
+        F.when(ok, F.floor(F.lit(1e6) * F.least(F.lit(1.0), center + half)))
+        .cast("long")
+        .alias("wilson_hi_micro"),
+    ).orderBy("check_id")

@@ -235,3 +235,87 @@ def test_neyman_partition_invariant(spark):
     a = sorted(map(tuple, neyman_allocation(df.repartition(1), "stratum", "v", 33).collect()))
     b = sorted(map(tuple, neyman_allocation(df.repartition(17), "stratum", "v", 33).collect()))
     assert a == b
+
+
+def test_sampled_violation_estimate_matches_python_replay(spark):
+    """pct=100 (whole corpus as the 'sample') with a trivial battery vs a
+    pure-Python Wilson replay in the operator's exact float-op order;
+    zero-violation checks still get a row with the informative bound."""
+    import math
+
+    from gbif_data_validator_spark.operators.sampling import (
+        sampled_violation_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "" if i < 3 else "ok") for i in range(10)], "doc_id int, text string"
+    )
+
+    def battery(d):
+        return d.where(F.col("text") == "").select(
+            "doc_id", F.lit("TEXT_EMPTY").alias("check_id")
+        )
+
+    got = {
+        r.check_id: r.asDict()
+        for r in sampled_violation_estimate(
+            df, battery, ["TEXT_EMPTY", "NEVER_FIRES"], pct=100
+        ).collect()
+    }
+
+    def wilson(v, n, z=1.96):
+        z2 = z * z
+        nd, vd = float(n), float(v)
+        phat = vd / nd
+        denom = 1.0 + z2 / nd
+        center = (phat + z2 / (2.0 * nd)) / denom
+        half = (z * math.sqrt((phat * (1.0 - phat)) / nd + z2 / (4.0 * (nd * nd)))) / denom
+        return (
+            math.floor(1e6 * phat),
+            math.floor(1e6 * max(0.0, center - half)),
+            math.floor(1e6 * min(1.0, center + half)),
+        )
+
+    assert set(got) == {"TEXT_EMPTY", "NEVER_FIRES"}
+    r = got["TEXT_EMPTY"]
+    assert (r["sample_n"], r["violations"]) == (10, 3)
+    assert (r["rate_micro"], r["wilson_lo_micro"], r["wilson_hi_micro"]) == wilson(3, 10)
+    z = got["NEVER_FIRES"]
+    assert (z["violations"], z["rate_micro"]) == (0, 0)
+    # v=0 still bounds the rate away from "anything is possible"
+    assert (z["rate_micro"], z["wilson_lo_micro"], z["wilson_hi_micro"]) == wilson(0, 10)
+    assert 0 < z["wilson_hi_micro"] < 1_000_000
+
+
+def test_sampled_violation_estimate_sample_follows_hash_bucket(spark):
+    """The estimate's sample_n equals the deterministic_sample row count —
+    membership follows the md5 bucket, never rand()."""
+    from gbif_data_validator_spark.operators.sampling import (
+        deterministic_sample,
+        sampled_violation_estimate,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id int")
+    expected_n = deterministic_sample(df, "doc_id", 10).count()
+
+    def battery(d):
+        return d.select("doc_id", F.lit("X").alias("check_id")).limit(0)
+
+    r = sampled_violation_estimate(df, battery, ["X"], pct=10).first()
+    assert r.sample_n == expected_n > 0
+
+
+def test_sampled_violation_estimate_arg_validation(spark):
+    import pytest
+
+    from gbif_data_validator_spark.operators.sampling import (
+        sampled_violation_estimate,
+    )
+
+    df = spark.createDataFrame([(1,)], "doc_id int")
+    with pytest.raises(ValueError, match="no check_ids"):
+        sampled_violation_estimate(df, lambda d: d, [])
+    with pytest.raises(ValueError, match="pct outside"):
+        sampled_violation_estimate(df, lambda d: d, ["X"], pct=0)
+    with pytest.raises(ValueError, match="pct outside"):
+        sampled_violation_estimate(df, lambda d: d, ["X"], pct=101)
