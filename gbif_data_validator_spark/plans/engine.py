@@ -388,6 +388,16 @@ class EngineConfig:
     privacy_sensitive_col: str | None = None
     privacy_k: int = 5
     privacy_blocking: bool = False
+    #: triage mode: validate only the deterministic md5-bucket hash sample
+    #: of pages (operators/sampling.hash_bucket on key_col — so duplicate
+    #: keys CO-SAMPLE and the uniqueness rate stays unbiased) and fold
+    #: Wilson 95% full-corpus violation-rate estimates per check into
+    #: report.metrics["sampling"]. Counts/samples/verdicts in the report
+    #: are then sample-scoped; the estimates are the full-corpus claim —
+    #: the 100-TB "which checks merit the full pass" mode at pct% of the
+    #: scan cost. Incompatible with work_dir: a triage run's checkpoint
+    #: lineage would poison full-run resume/incremental semantics.
+    sample_pct: int | None = None
     work_dir: str | None = None  # enables persisted violations + checkpoint/resume
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
 
@@ -652,6 +662,21 @@ class ValidationEngine:
         findings = preflight(pages, key_col=c.key_col)
         if any(f.blocking for f in findings):
             return self._blocked_report(findings)
+
+        if c.sample_pct is not None:
+            if not 0 < c.sample_pct <= 100:
+                raise ValueError(
+                    f"sample_pct must be in (0, 100], got {c.sample_pct}"
+                )
+            if c.work_dir:
+                raise ValueError(
+                    "sample_pct is incompatible with work_dir: a triage "
+                    "run's sample-scoped checkpoints would poison "
+                    "full-run resume/incremental lineage"
+                )
+            from ..operators.sampling import deterministic_sample
+
+            pages = deterministic_sample(pages, c.key_col, c.sample_pct)
 
         pages = pages.withColumn(
             "_partition_id",
@@ -1012,6 +1037,8 @@ class ValidationEngine:
                 indexable = False
         if c.quarantine:
             metrics["quarantine"] = self._write_quarantine(pages, all_violations)
+        if c.sample_pct is not None:
+            metrics["sampling"] = self._sampling_estimates(issue_counts, n_rows)
         return ValidationReport(
             run_id=c.run_id,
             indexable=indexable,
@@ -1332,6 +1359,44 @@ class ValidationEngine:
             out["min_l"] = int(row["min_l"]) if row["min_l"] is not None else None
             out["rows_homogeneous"] = int(row["rows_homogeneous"])
         return out
+
+    def _sampling_estimates(self, issue_counts: dict, sample_n: int) -> dict:
+        """Triage-mode estimates (config: ``sample_pct``): Wilson 95%
+        full-corpus violation-rate interval per check, computed PURELY
+        driver-side from the already-collected counts — the sample filter
+        was the only extra plan cost. Each sampled row is treated as one
+        Bernoulli trial per check (exact for the at-most-once pass-1
+        battery; uniqueness/global rows are per offending key, so their
+        rate reads as "offending keys per sampled row"). Rates clamp to
+        [0, 1] before the interval so multi-hit counts stay meaningful."""
+        import math
+
+        z = 1.96
+        z2 = z * z
+        estimates = {}
+        for check, v in sorted(issue_counts.items()):
+            if sample_n <= 0:
+                estimates[check] = None
+                continue
+            nd = float(sample_n)
+            phat = min(1.0, float(v) / nd)
+            denom = 1.0 + z2 / nd
+            center = (phat + z2 / (2.0 * nd)) / denom
+            half = (
+                z * math.sqrt((phat * (1.0 - phat)) / nd + z2 / (4.0 * (nd * nd)))
+            ) / denom
+            estimates[check] = {
+                "violations": int(v),
+                "rate_micro": math.floor(1e6 * phat),
+                "wilson_lo_micro": math.floor(1e6 * max(0.0, center - half)),
+                "wilson_hi_micro": math.floor(1e6 * min(1.0, center + half)),
+            }
+        return {
+            "pct": self.config.sample_pct,
+            "n_buckets": 100,
+            "sample_n": int(sample_n),
+            "estimates": estimates,
+        }
 
     def _graph_summary(self, pages: DataFrame) -> dict:
         """Host-level link-reputation summary (config: ``graph_summary``) —
