@@ -131,8 +131,19 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="during validation: flag declared-lang vs dominant-"
                         "script disagreement (LANG_SCRIPT_MISMATCH); fuses "
                         "into the pass-1 scan")
+    p.add_argument("--check-blocklist", metavar="TERMS_FILE", default=None,
+                   help="during validation: flag pages containing any "
+                        "blocklisted token (TEXT_BLOCKLISTED; C4 bad-words "
+                        "gate) — TERMS_FILE has one term per line; fuses "
+                        "into the pass-1 scan")
     p.add_argument("--checks-blocking", action="store_true",
                    help="with --check-*: flagged rows flip the verdict")
+    p.add_argument("--sample-pct", type=int, default=None,
+                   help="triage mode: validate only this deterministic "
+                        "hash-sample percentage of pages and report Wilson "
+                        "95%% full-corpus rate estimates per check "
+                        "(report.metrics['sampling']); incompatible with "
+                        "--work-dir")
     p.add_argument("--history", action="store_true",
                    help="no validation: print one JSON line per run that "
                         "touched this --work-dir (newest first) and exit 0")
@@ -433,8 +444,21 @@ def main(argv: list[str] | None = None) -> int:
         extra_checks.append(
             lang_script_custom_check(blocking=args.checks_blocking)
         )
+    if args.check_blocklist:
+        from .operators.record_checks import blocklist_custom_check
+
+        with open(args.check_blocklist) as fh:
+            terms = [ln.strip() for ln in fh if ln.strip()]
+        extra_checks.append(
+            blocklist_custom_check(terms, blocking=args.checks_blocking)
+        )
     if extra_checks:
         kwargs["custom_checks"] = tuple(extra_checks)
+    if args.sample_pct is not None:
+        if args.work_dir:
+            parser.error("--sample-pct is incompatible with --work-dir "
+                         "(triage runs don't checkpoint)")
+        kwargs["sample_pct"] = args.sample_pct
     config = EngineConfig(**kwargs)
 
     pages = read_table(spark, args.table)

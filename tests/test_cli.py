@@ -314,3 +314,39 @@ def test_main_volume_monitor_mode(spark, tmp_path, capsys):
     assert vol["window"] == "day" and vol["n_buckets"] > 0
     assert vol["trend"]["direction"] in ("increasing", "decreasing", "flat")
     assert 1 <= vol["change_point"]["k"] <= vol["n_buckets"]
+
+
+def test_main_triage_and_blocklist_flags(spark, tmp_path, capsys):
+    """--sample-pct folds the Wilson estimates into the printed report;
+    --check-blocklist flags planted tokens from a terms file; the
+    work-dir combination is rejected at the parser."""
+    import pytest
+
+    from gbif_data_validator_spark.sources.synthetic import synth_pages
+
+    src = str(tmp_path / "pages")
+    synth_pages(spark, 400, with_violations=True).drop(
+        "expected_issue"
+    ).write.parquet(src)
+
+    code = main(["--table", src, "--no-extraction", "--sample-pct", "100"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert code == 2
+    s = rep["metrics"]["sampling"]
+    assert s["pct"] == 100 and s["sample_n"] == 400
+    assert all(
+        e["wilson_lo_micro"] <= e["rate_micro"] <= e["wilson_hi_micro"]
+        for e in s["estimates"].values()
+    )
+
+    terms = tmp_path / "blocked.txt"
+    terms.write_text("tok000\n\n")  # synth text contains the token 'tok000'
+    code = main(["--table", src, "--no-extraction",
+                 "--check-blocklist", str(terms)])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert code == 2 and rep["issue_counts"].get("TEXT_BLOCKLISTED", 0) > 0
+
+    with pytest.raises(SystemExit):
+        main(["--table", src, "--sample-pct", "10",
+              "--work-dir", str(tmp_path / "w")])
+    capsys.readouterr()
