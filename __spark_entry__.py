@@ -4627,8 +4627,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_audit": _q_skew_audit,
         "minhash_pairs": _q_minhash_pairs,
         "boilerplate_lines": _q_boilerplate_lines,
-        "source_quota": _q_source_quota,
-        "stratified_sample": _q_stratified_sample,
+        # session-13 flagships (sampling/cosine variants displaced past the
+        # window — their families keep r02-green rows via hash_sample /
+        # hash_split / pack_bins / cosine_dup_pairs)
+        "sampled_violations": _q_sampled_violations,
+        "bm25_docs": _q_bm25_docs,
+        "readability": _q_readability,
+        "blocklist_flags": _q_blocklist_flags,
         "top_ngram": _q_top_ngram,
         # round-3 additions (uncovered in r02)
         "ann_recall": _q_ann_recall,
@@ -4658,8 +4663,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": _q_calibration,
         "script_census": _q_script_census,
         "entropy_mi": _q_entropy_mi,
-        "weighted_sample": _q_weighted_sample,
-        "cosine_dup_pairs_det": _q_cosine_dup_pairs_det,
         "heavy_hitters": _q_heavy_hitters,
         "prefix_jaccard": _q_prefix_jaccard,
         "dedup_agreement": _q_dedup_agreement,
@@ -4668,6 +4671,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anon_classes": _q_k_anon_classes,
         "grouped_constraints": _q_grouped_constraints,
         "host_spoof": _q_host_spoof,
+        # displaced from the window by the session-13 flagships; families
+        # keep r02-green driver rows (sampling: hash_sample/hash_split/
+        # pack_bins; cosine: cosine_dup_pairs) + local bit-exact checks
+        "source_quota": _q_source_quota,
+        "stratified_sample": _q_stratified_sample,
+        "weighted_sample": _q_weighted_sample,
+        "cosine_dup_pairs_det": _q_cosine_dup_pairs_det,
+        "blocklist_census": _q_blocklist_census,
         "edit_dup_pairs": _q_edit_dup_pairs,
         "join_audit": _q_join_audit,
         "psi_drift": _q_psi_drift,
@@ -4831,12 +4842,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         # session-12 additions
         "rep_signals": _q_rep_signals,
-        # session-13 additions
-        "bm25_docs": _q_bm25_docs,
-        "readability": _q_readability,
-        "blocklist_flags": _q_blocklist_flags,
-        "blocklist_census": _q_blocklist_census,
-        "sampled_violations": _q_sampled_violations,
         # rows-only (no SQL oracle by nature: LSH/ANN/sketch/iterative)
         "bpe_token_census": _q_bpe_token_census,
         "cosine_dup_pairs_lsh": _q_cosine_dup_pairs_lsh,
