@@ -4593,6 +4593,37 @@ def _q_sampled_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: mirror-census fixture: a.com/b.com true mirrors (two shared texts, one
+#: with case/whitespace noise the normalizer must fold), c.com a subset
+#: mirror, d.com unrelated, and an 'error 404' boilerplate fp on ALL four
+#: hosts — past the max_hosts_per_fp=3 cap, so it must NOT create pairs
+_MIRROR_FIXTURE: "list[tuple[str, str]]" = [
+    ("https://a.com/1", "the original article text"),
+    ("https://b.com/1", "The  ORIGINAL article   text"),
+    ("https://a.com/2", "second shared piece"),
+    ("https://b.com/2", "second shared piece"),
+    ("https://c.com/1", "second shared piece"),
+    ("https://a.com/3", "content only a has"),
+    ("https://d.com/1", "entirely unrelated content"),
+    ("https://a.com/err", "error 404"),
+    ("https://b.com/err", "error 404"),
+    ("https://c.com/err", "error 404"),
+    ("https://d.com/err", "error 404"),
+]
+
+
+def _q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site census over the planted fixture: host pairs sharing
+    exact normalized content, overlap coefficient in exact micro-units;
+    the 4-host 'error 404' boilerplate fp sits past max_hosts_per_fp=3
+    and must contribute nothing. Oracle replays host extraction, the md5
+    normalization fingerprint, the cap, and the pair algebra."""
+    from gbif_data_validator_spark.operators.curation import mirror_census
+
+    df = spark.createDataFrame(_MIRROR_FIXTURE, "url string, text string")
+    return mirror_census(df, min_shared=1, max_hosts_per_fp=3)
+
+
 def _q_blocklist_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reviewer's view of the blocklist gate: per blocked term, how many
     documents and occurrences it would condemn (present terms only — the
@@ -4679,6 +4710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "cosine_dup_pairs_det": _q_cosine_dup_pairs_det,
         "blocklist_census": _q_blocklist_census,
+        "mirror_hosts": _q_mirror_hosts,
         "edit_dup_pairs": _q_edit_dup_pairs,
         "join_audit": _q_join_audit,
         "psi_drift": _q_psi_drift,
@@ -10709,6 +10741,51 @@ def oracle_sql() -> dict[str, str]:
                     least(1.0, center + half)) AS BIGINT)
                     END AS wilson_hi_micro
         FROM wi ORDER BY check_id
+    """
+    # mirror_hosts: full replay over the same VALUES fixture — host
+    # extraction (the host_spoof regex), md5 normalization fingerprint,
+    # distinct (fp, host), the 2..cap size gate, within-fp self-join,
+    # per-host totals, exact-integer overlap coefficient
+    _mfix = ",\n                ".join(
+        f"('{u}', '{t}')" for u, t in _MIRROR_FIXTURE
+    )
+    out["mirror_hosts"] = f"""
+        WITH pages AS (
+          SELECT * FROM (VALUES
+            {_mfix}
+          ) t(url, text)
+        ), posts AS (
+          SELECT DISTINCT
+                 lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#\\s]+)', 1)) AS host,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM pages WHERE text IS NOT NULL
+        ), posts_h AS (
+          SELECT * FROM posts WHERE host <> ''
+        ), per_host AS (
+          SELECT host, count(*) AS n_fps FROM posts_h GROUP BY host
+        ), eligible AS (
+          SELECT fp FROM posts_h GROUP BY fp
+          HAVING count(*) >= 2 AND count(*) <= 3
+        ), shared AS (
+          SELECT p.fp, p.host FROM posts_h p JOIN eligible e USING (fp)
+        ), pairs AS (
+          SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_shared
+          FROM shared a JOIN shared b
+            ON a.fp = b.fp AND a.host < b.host
+          GROUP BY 1, 2
+          HAVING count(*) >= 1
+        )
+        SELECT p.host_a, p.host_b,
+               CAST(p.n_shared AS BIGINT) AS n_shared,
+               CAST(na.n_fps AS BIGINT) AS n_a,
+               CAST(nb.n_fps AS BIGINT) AS n_b,
+               CAST((1000000 * p.n_shared) // least(na.n_fps, nb.n_fps)
+                    AS BIGINT) AS overlap_micro
+        FROM pairs p
+        JOIN per_host na ON na.host = p.host_a
+        JOIN per_host nb ON nb.host = p.host_b
+        ORDER BY host_a, host_b
     """
     out["blocklist_census"] = f"""
         WITH toks AS (

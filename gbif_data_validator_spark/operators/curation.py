@@ -924,3 +924,114 @@ def term_blocklist_census(
         )
         .orderBy("term")
     )
+
+
+def _mirror_posts(df: DataFrame, url_col: str, text_col: str) -> DataFrame:
+    """Distinct (fp, host) posting rows for the mirror census — md5
+    normalization fingerprint (functions/textstats.content_fingerprint)
+    per page, host extracted + lowercased, one row per distinct pair."""
+    from ..functions.textstats import content_fingerprint
+    from ..functions.url import url_host
+
+    host = F.lower(url_host(F.col(url_col)))
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            host.alias("host"),
+            content_fingerprint(F.col(text_col)).alias("fp"),
+        )
+        .where(F.col("host") != "")
+        .distinct()
+    )
+
+
+def mirror_census(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_shared: int = 2,
+    max_hosts_per_fp: int = 50,
+) -> DataFrame:
+    """Mirror-site census → one row per host pair sharing exact content:
+    ``(host_a, host_b, n_shared, n_a, n_b, overlap_micro)`` with
+    ``host_a < host_b``, ``n_shared >= min_shared``.
+
+    The exact-content complement of `metrics.style_distance_census`
+    (style catches same-template-different-words; this catches the
+    mirrors, scrapers, and CDN aliases that serve the SAME text from
+    different hosts — the crawl-curation signal that decides which host
+    to keep before page-level dedup throws darts). ``overlap_micro`` is
+    the exact-integer overlap coefficient ``(10^6·n_shared) div
+    min(n_a, n_b)`` — 10^6 means one host's distinct content is a subset
+    of the other's.
+
+    Plan (the dedup posting-list discipline): distinct (fp, host) rows →
+    fingerprint-grain size census keeps only fps on 2..``max_hosts_per_fp``
+    hosts (hotter fps are boilerplate — empty pages, error templates —
+    and would explode the pair space quadratically; account for them with
+    `mirror_census_dropped`, never silently) → within-fp equi-self-join
+    fans out ≤ cap²/2 pairs per fp → ONE pair-grain groupBy → two
+    host-grain joins attach the per-host distinct-fp totals. No
+    all-pairs anywhere; every join is an equi-join.
+    """
+    if min_shared < 1:
+        raise ValueError(f"mirror_census: min_shared must be >= 1, got {min_shared}")
+    posts = _mirror_posts(df, url_col, text_col)
+    per_host = posts.groupBy("host").agg(F.count(F.lit(1)).alias("n_fps"))
+    eligible = (
+        posts.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_hosts"))
+        .where((F.col("n_hosts") >= 2) & (F.col("n_hosts") <= max_hosts_per_fp))
+        .select("fp")
+    )
+    shared = posts.join(eligible, "fp")
+    a = shared.select("fp", F.col("host").alias("host_a"))
+    b = shared.select("fp", F.col("host").alias("host_b"))
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    na = per_host.select(
+        F.col("host").alias("host_a"), F.col("n_fps").alias("n_a")
+    )
+    nb = per_host.select(
+        F.col("host").alias("host_b"), F.col("n_fps").alias("n_b")
+    )
+    return (
+        pairs.join(na, "host_a")
+        .join(nb, "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "n_shared",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("(1000000 * n_shared) div least(n_a, n_b)")
+            .cast("long")
+            .alias("overlap_micro"),
+        )
+        .orderBy("host_a", "host_b")
+    )
+
+
+def mirror_census_dropped(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    max_hosts_per_fp: int = 50,
+) -> DataFrame:
+    """Fingerprints `mirror_census`'s cap dropped, with their host counts
+    (``(fp, n_hosts)``) — the no-silent-caps report: a fp on more hosts
+    than the cap is boilerplate by construction, but the CALLER decides
+    that after seeing the census, not the operator by omission."""
+    return (
+        _mirror_posts(df, url_col, text_col)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_hosts"))
+        .where(F.col("n_hosts") > max_hosts_per_fp)
+        .select("fp", F.col("n_hosts").cast("long").alias("n_hosts"))
+        .orderBy("fp")
+    )

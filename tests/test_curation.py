@@ -808,3 +808,64 @@ def test_term_blocklist_plan_shapes(spark):
     )
     assert "Join" not in census_plan
     assert census_plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_mirror_census_semantics(spark):
+    """Normalization folds case/whitespace into one fp; subset host →
+    overlap 10^6; the over-cap boilerplate fp creates no pairs but shows
+    up in the dropped report; min_shared filters."""
+    from gbif_data_validator_spark.operators.curation import (
+        mirror_census,
+        mirror_census_dropped,
+    )
+
+    rows = [
+        ("https://a.com/1", "the original article text"),
+        ("https://b.com/1", "The  ORIGINAL article   text"),
+        ("https://a.com/2", "second shared piece"),
+        ("https://b.com/2", "second shared piece"),
+        ("https://c.com/1", "second shared piece"),
+        ("https://a.com/3", "content only a has"),
+        ("https://a.com/err", "error 404"),
+        ("https://b.com/err", "error 404"),
+        ("https://c.com/err", "error 404"),
+        ("https://d.com/err", "error 404"),
+        ("https://e.com/null", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {
+        (r.host_a, r.host_b): (r.n_shared, r.n_a, r.n_b, r.overlap_micro)
+        for r in mirror_census(df, min_shared=1, max_hosts_per_fp=3).collect()
+    }
+    # the 4-host 'error 404' fp is capped out; d.com/e.com appear nowhere
+    assert set(got) == {("a.com", "b.com"), ("a.com", "c.com"), ("b.com", "c.com")}
+    assert got[("a.com", "b.com")] == (2, 4, 3, 666666)
+    assert got[("a.com", "c.com")] == (1, 4, 2, 500000)
+    assert got[("b.com", "c.com")] == (1, 3, 2, 500000)
+    # min_shared=2 keeps only the true mirror pair
+    only = mirror_census(df, min_shared=2, max_hosts_per_fp=3).collect()
+    assert [(r.host_a, r.host_b) for r in only] == [("a.com", "b.com")]
+    dropped = mirror_census_dropped(df, max_hosts_per_fp=3).collect()
+    assert len(dropped) == 1 and dropped[0].n_hosts == 4
+    import pytest
+
+    with pytest.raises(ValueError, match="min_shared"):
+        mirror_census(df, min_shared=0)
+
+
+def test_mirror_census_plan_all_equi_joins(spark):
+    """No cartesian/nested-loop anywhere — the fp self-join and the two
+    total joins are all equi-joins."""
+    from pyspark.sql import functions as F
+
+    from gbif_data_validator_spark.operators.curation import mirror_census
+
+    df = spark.range(100).select(
+        F.concat(F.lit("https://h"), F.col("id") % 7, F.lit(".com/p"), F.col("id")).alias("url"),
+        F.concat(F.lit("text "), F.col("id") % 13).alias("text"),
+    )
+    plan = (
+        mirror_census(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
