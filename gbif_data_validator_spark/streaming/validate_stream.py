@@ -34,9 +34,19 @@ def read_pages_stream(
     )
 
 
-def stream_violations(pages_stream: DataFrame, check_extraction: bool = True) -> DataFrame:
-    """Pass-1 checks per micro-batch (stateless, append-safe)."""
-    return run_record_checks(pages_stream, check_extraction=check_extraction)
+def stream_violations(
+    pages_stream: DataFrame,
+    check_extraction: bool = True,
+    custom_checks: tuple = (),
+) -> DataFrame:
+    """Pass-1 checks per micro-batch (stateless, append-safe). User
+    CustomChecks (the engine's extension surface) fuse in unchanged —
+    Column algebra is trigger-agnostic."""
+    return run_record_checks(
+        pages_stream,
+        check_extraction=check_extraction,
+        custom_checks=custom_checks,
+    )
 
 
 def stream_issue_rates(
@@ -44,6 +54,7 @@ def stream_issue_rates(
     window: str = "1 hour",
     watermark: str = "2 hours",
     check_extraction: bool = False,
+    custom_checks: tuple = (),
 ) -> DataFrame:
     """Watermarked windowed issue counts: (window, check_id, n). Late rows
     beyond the watermark are dropped from state — bounded state at any
@@ -51,6 +62,7 @@ def stream_issue_rates(
     v = run_record_checks(
         pages_stream.withWatermark("warc_ts", watermark),
         check_extraction=check_extraction,
+        custom_checks=custom_checks,
     )
     # the violations carry partition_id but the event time lives upstream;
     # re-derive window from the related_data ts (kept as string) is lossy —
@@ -196,6 +208,7 @@ def stream_validate_to_work_dir(
     available_now: bool = True,
     n_buckets: int = 1,
     key_col: str = "url",
+    custom_checks: tuple = (),
 ):
     """Streaming ingestion into the SAME durable layout as the batch engine:
     each micro-batch's pass-1 violations are appended to
@@ -263,6 +276,7 @@ def stream_validate_to_work_dir(
                 check_extraction=check_extraction,
                 n_buckets=n_buckets,
                 key_col=key_col,
+                custom_checks=custom_checks,
             ).persist()
             # _run_id stamp: the batch engine's read filter treats unstamped
             # rows as trusted legacy — streamed rows must be attributable

@@ -356,3 +356,39 @@ def test_stream_dedup_clusters_index_accumulates(spark, dup_docs_dir, tmp_path):
     idx = spark.read.parquet(f"{state}/minhash_index")
     n_docs = idx.select("id").distinct().count()
     assert n_docs == 24
+
+
+def test_stream_custom_checks_flow_through(spark, pages_stream_dir):
+    """The engine's CustomCheck extension surface works unchanged in the
+    streaming pass-1: the blocklist gate fires per micro-batch and its
+    streamed counts equal the batch run with the same check."""
+    from gbif_data_validator_spark.operators.record_checks import (
+        blocklist_custom_check,
+    )
+
+    # synth page text tokens: 'page' appears in every page body
+    checks = (blocklist_custom_check(["page"]),)
+    stream = vs.read_pages_stream(spark, pages_stream_dir, max_files_per_trigger=2)
+    q = vs.run_stream_once(
+        vs.stream_violations(stream, check_extraction=False, custom_checks=checks),
+        "v_custom_stream",
+    )
+    got = {
+        (r.check_id, r.n)
+        for r in spark.sql(
+            "SELECT check_id, count(*) AS n FROM v_custom_stream GROUP BY check_id"
+        ).collect()
+    }
+    q.stop()
+    batch = spark.read.parquet(pages_stream_dir)
+    expect = {
+        (r.check_id, r.n)
+        for r in run_record_checks(
+            batch, check_extraction=False, custom_checks=checks
+        )
+        .groupBy("check_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expect
+    assert any(c == "TEXT_BLOCKLISTED" and n > 0 for c, n in got)
