@@ -4633,6 +4633,28 @@ def _q_blocklist_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_blocklist_census(_docs_spread(spark, sf_dir), BLOCKED_TERMS)
 
 
+def _q_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (dHash + the simhash pigeonhole core) over
+    the synthetic media table with two planted duplicate payloads — the
+    planted pairs must surface at hamming 0. Rows-only by nature (the
+    signature needs the decoder); recall/determinism pinned in
+    tests/test_multimodal.py."""
+    from gbif_data_validator_spark.operators.multimodal import (
+        image_dhash_pairs,
+        synth_media,
+    )
+
+    media = synth_media(spark, 200)
+    images = media.where(F.col("meta.media_type").startswith("image/"))
+    planted = images.orderBy("doc_id").limit(2).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "media", "meta"
+    )
+    return (
+        image_dhash_pairs(images.unionByName(planted), max_hamming=4)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4884,6 +4906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": _q_lsh_ann,
         "pq_ann": _q_pq_ann,
         "drift_events": _q_drift_events,
+        "image_dup_pairs": _q_image_dup_pairs,
     }
 
 

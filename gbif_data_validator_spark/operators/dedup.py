@@ -466,24 +466,21 @@ def _simhash_series(texts: pd.Series) -> pd.Series:
 simhash_udf = F.pandas_udf(_simhash_series, returnType=LongType())
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
-    max_bucket: int = 1000,
+def hamming_sig_pairs(
+    sigs: DataFrame, max_hamming: int = 3, max_bucket: int = 1000
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via the pigeonhole
-    principle: split 64 bits into (max_hamming+1) chunks; any qualifying pair
-    collides exactly on ≥1 chunk → posting-list groupBy(chunk_idx, chunk_val),
-    exact Hamming verified in-bucket with bit_count (JVM-side). One shuffle
-    over the (doc, chunk) postings; no self-join, no persist — the
-    pandas-UDF signature pass runs exactly once. ``max_bucket`` caps a chunk
-    bucket's posting list (the per-reducer skew bound, same role as
-    ngram_jaccard's max_df); empty/blank docs have NULL signatures and are
-    excluded (they'd otherwise all pair as hamming-0 duplicates)."""
+    """The pigeonhole Hamming-pair core over any ``(doc_id, sig)`` table
+    of 64-bit signatures — shared by text `simhash_pairs` and the image
+    dHash pairing (operators/multimodal.py::image_dhash_pairs): split 64
+    bits into (max_hamming+1) chunks; any qualifying pair collides
+    exactly on ≥1 chunk → posting-list groupBy(chunk_idx, chunk_val),
+    exact Hamming verified in-bucket with bit_count (JVM-side). One
+    shuffle over the (doc, chunk) postings; no self-join, no persist.
+    ``max_bucket`` caps a chunk bucket's posting list (the per-reducer
+    skew bound)."""
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sig")
-    ).where(F.col("sig").isNotNull())
+    sigs = sigs.where(F.col("sig").isNotNull())
     # shift amounts must be Python ints (static per chunk), so the chunk
     # array is built with a driver-side loop of literal shifts
     chunk_cols = [
@@ -512,6 +509,21 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming — the text face
+    of `hamming_sig_pairs` (see there for the pigeonhole plan shape);
+    empty/blank docs have NULL signatures and are excluded (they'd
+    otherwise all pair as hamming-0 duplicates). The pandas-UDF signature
+    pass runs exactly once."""
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sig")
+    )
+    return hamming_sig_pairs(sigs, max_hamming=max_hamming, max_bucket=max_bucket)
 
 
 def paragraph_duplicate_groups(

@@ -544,3 +544,74 @@ def synth_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
     return df.select(
         F.col("id").alias("doc_id"), payload.alias("media"), meta.alias("meta")
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual image dedup (dHash)
+# --------------------------------------------------------------------------
+
+
+def _dhash_from_bytes(payload: "bytes | None", fake: bool = False) -> "int | None":
+    """64-bit difference hash: decode → grayscale → nearest-neighbor
+    downsample to 9×8 (the module's resample arithmetic) → bit r*8+c set
+    when g[r,c] > g[r,c+1]. Deterministic integer/float ops end to end;
+    packed as a SIGNED 64-bit value (Spark LongType two's complement)."""
+    if payload is None or len(payload) == 0:
+        return None
+    img = decode_image(payload, fake=fake or sniff_media(payload) is None)
+    g = img.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    ys = (np.arange(8) * h // 8).clip(0, h - 1)
+    xs = (np.arange(9) * w // 9).clip(0, w - 1)
+    small = g[ys][:, xs]
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            if small[r, c] > small[r, c + 1]:
+                bits |= 1 << (r * 8 + c)
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def image_dhash(media_df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """media table → ``(doc_id, sig)`` 64-bit perceptual dHash per IMAGE
+    row (meta.media_type image/*; other modalities and NULL payloads are
+    excluded). PPM/BMP/GIF/PNG payloads take the REAL decode path; other
+    image bytes fall back to the deterministic fake decode, so plumbing
+    and hash arithmetic run identically either way. Arrow-batched
+    mapInPandas — no task materializes a partition of decoded pixels."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, media, meta in zip(pdf["doc_id"], pdf["media"], pdf["meta"]):
+                mt = (
+                    (meta.get("media_type") if isinstance(meta, dict) else meta["media_type"])
+                    if meta is not None
+                    else None
+                )
+                if media is None or not (mt or "").startswith("image/"):
+                    continue
+                ids.append(doc_id)
+                sigs.append(_dhash_from_bytes(bytes(media)))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "sig": pd.Series(sigs, dtype="Int64")})
+
+    return media_df.mapInPandas(process, schema="doc_id long, sig long")
+
+
+def image_dhash_pairs(
+    media_df: DataFrame, max_hamming: int = 6, max_bucket: int = 1000
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: Hamming(dHash) ≤ ``max_hamming`` via
+    the same pigeonhole posting-list core as text simhash
+    (operators/dedup.py::hamming_sig_pairs — one shuffle, no self-join,
+    capped buckets). Extends the dedup family to the multimodal column:
+    re-encoded/resized copies of an image keep a near-identical dHash
+    while byte-level fingerprints see different blobs. Rows-only by
+    nature (the signature needs the decoder); determinism and the
+    planted-duplicate recall are pinned in tests/test_multimodal.py."""
+    from .dedup import hamming_sig_pairs
+
+    return hamming_sig_pairs(
+        image_dhash(media_df), max_hamming=max_hamming, max_bucket=max_bucket
+    )

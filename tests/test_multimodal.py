@@ -2,6 +2,7 @@
 frame-sampling plan — the Spark-side contract is real; codecs are stubbed."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from gbif_data_validator_spark.operators import multimodal as mm
 
@@ -442,3 +443,59 @@ def test_real_png_adam7_interlace():
         + chunk(b"IEND", b"")
     )
     assert (mm.decode_image(png) == pixels).all()
+
+
+def test_image_dhash_pairs_find_planted_duplicates(spark):
+    """Identical + slightly-perturbed PPMs pair (real decode path);
+    an unrelated image does not; non-images and NULL payloads are
+    excluded; fake-decode images still hash deterministically."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        encode_ppm,
+        image_dhash,
+        image_dhash_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+    near = base.copy()
+    near[:3, :5] = np.clip(near[:3, :5].astype(int) + 90, 0, 255).astype(np.uint8)
+    far = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_ppm(base)), {"media_type": "image/x-portable-pixmap"}),
+        (2, bytearray(encode_ppm(near)), {"media_type": "image/x-portable-pixmap"}),
+        (3, bytearray(encode_ppm(far)), {"media_type": "image/x-portable-pixmap"}),
+        (4, bytearray(b"\x01\x02fakebytes" * 50), {"media_type": "image/jpeg"}),
+        (5, None, {"media_type": "image/png"}),
+        (6, bytearray(b"RIFFxxxxWAVE"), {"media_type": "audio/wav"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media binary, meta map<string,string>"
+    )
+    sigs = {r.doc_id: r.sig for r in image_dhash(df).collect()}
+    # image rows only (audio + NULL payload excluded); fake path hashed too
+    assert set(sigs) == {1, 2, 3, 4}
+    got = {
+        tuple(sorted((r.doc_a, r.doc_b))): r.hamming
+        for r in image_dhash_pairs(df, max_hamming=8).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] <= 8
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_image_dhash_deterministic_across_partitioning(spark):
+    from gbif_data_validator_spark.operators.multimodal import (
+        image_dhash,
+        synth_media,
+    )
+
+    media = synth_media(spark, 60).withColumn(
+        "meta",
+        F.map_from_arrays(
+            F.array(F.lit("media_type")), F.array(F.lit("image/raw"))
+        ),
+    )
+    a = sorted(map(tuple, image_dhash(media.repartition(1)).collect()))
+    b = sorted(map(tuple, image_dhash(media.repartition(13)).collect()))
+    assert a == b and len(a) == 60
