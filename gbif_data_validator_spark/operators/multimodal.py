@@ -615,3 +615,72 @@ def image_dhash_pairs(
     return hamming_sig_pairs(
         image_dhash(media_df), max_hamming=max_hamming, max_bucket=max_bucket
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual audio dedup (energy-envelope hash)
+# --------------------------------------------------------------------------
+
+
+def _audio_hash_from_bytes(payload: "bytes | None") -> "int | None":
+    """64-bit energy-envelope hash: decode → |waveform| → mean energy in
+    65 equal-width windows → bit i set when env[i] > env[i+1] (the dHash
+    idea on the time axis). Volume-scale sensitive only through ties —
+    comparisons survive uniform gain; re-encoded/truncated-tail copies
+    keep most bits. Deterministic float64 ops; signed 64-bit pack."""
+    if payload is None or len(payload) == 0:
+        return None
+    wave = decode_audio(bytes(payload), fake=sniff_media(bytes(payload)) != "wav")
+    n = wave.shape[0]
+    if n < 65:
+        wave = np.pad(wave, (0, 65 - n))
+        n = 65
+    env = np.abs(wave.astype(np.float64))
+    edges = (np.arange(66) * n) // 65
+    means = np.add.reduceat(env, edges[:-1]) / np.diff(edges)
+    bits = 0
+    for i in range(64):
+        if means[i] > means[i + 1]:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def audio_hash(media_df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """media table → ``(doc_id, sig)`` 64-bit envelope hash per AUDIO row
+    (meta.media_type audio/*; other modalities and NULL payloads are
+    excluded). RIFF/WAVE PCM takes the REAL decode path; other audio
+    bytes fall back to the deterministic fake decode. Arrow-batched
+    mapInPandas, same contract as `image_dhash`."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, media, meta in zip(pdf["doc_id"], pdf["media"], pdf["meta"]):
+                mt = (
+                    (meta.get("media_type") if isinstance(meta, dict) else meta["media_type"])
+                    if meta is not None
+                    else None
+                )
+                if media is None or not (mt or "").startswith("audio/"):
+                    continue
+                ids.append(doc_id)
+                sigs.append(_audio_hash_from_bytes(bytes(media)))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "sig": pd.Series(sigs, dtype="Int64")})
+
+    return media_df.mapInPandas(process, schema="doc_id long, sig long")
+
+
+def audio_hash_pairs(
+    media_df: DataFrame, max_hamming: int = 6, max_bucket: int = 1000
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs: Hamming(envelope hash) ≤ ``max_hamming``
+    through the shared pigeonhole core (operators/dedup.py::
+    hamming_sig_pairs) — the audio face of the multimodal dedup family.
+    Rows-only by nature (decoder-dependent); recall/determinism pinned in
+    tests/test_multimodal.py."""
+    from .dedup import hamming_sig_pairs
+
+    return hamming_sig_pairs(
+        audio_hash(media_df), max_hamming=max_hamming, max_bucket=max_bucket
+    )

@@ -499,3 +499,53 @@ def test_image_dhash_deterministic_across_partitioning(spark):
     a = sorted(map(tuple, image_dhash(media.repartition(1)).collect()))
     b = sorted(map(tuple, image_dhash(media.repartition(13)).collect()))
     assert a == b and len(a) == 60
+
+
+def _wav_bytes(samples):
+    """Minimal 16-bit PCM mono RIFF/WAVE encoder for the fixtures."""
+    import struct
+
+    import numpy as np
+
+    pcm = (np.clip(np.asarray(samples, dtype=np.float64), -1, 1) * 32767).astype(
+        "<i2"
+    ).tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+
+
+def test_audio_hash_pairs_find_planted_duplicates(spark):
+    """Identical + gain-scaled WAVs pair (envelope comparisons survive
+    uniform gain); an unrelated waveform does not; non-audio rows and
+    NULL payloads are excluded."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        audio_hash,
+        audio_hash_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    t = np.linspace(0, 1, 8000)
+    tone = np.sin(2 * np.pi * 440 * t) * np.exp(-3 * t) * rng.uniform(0.5, 1.0, 8000)
+    noise = rng.uniform(-0.9, 0.9, 8000)
+    rows = [
+        (1, bytearray(_wav_bytes(tone)), {"media_type": "audio/wav"}),
+        (2, bytearray(_wav_bytes(tone * 0.5)), {"media_type": "audio/wav"}),
+        (3, bytearray(_wav_bytes(noise)), {"media_type": "audio/wav"}),
+        (4, bytearray(b"\x01fakeaudio" * 40), {"media_type": "audio/mpeg"}),
+        (5, None, {"media_type": "audio/wav"}),
+        (6, bytearray(b"not audio"), {"media_type": "image/png"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media binary, meta map<string,string>"
+    )
+    sigs = {r.doc_id: r.sig for r in audio_hash(df).collect()}
+    assert set(sigs) == {1, 2, 3, 4}
+    got = {
+        tuple(sorted((r.doc_a, r.doc_b))): r.hamming
+        for r in audio_hash_pairs(df, max_hamming=6).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] <= 6
+    assert (1, 3) not in got and (2, 3) not in got
