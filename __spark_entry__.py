@@ -4633,6 +4633,44 @@ def _q_blocklist_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_blocklist_census(_docs_spread(spark, sf_dir), BLOCKED_TERMS)
 
 
+def _q_media_meta_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-content media battery over a planted fixture: dims
+    mismatch (real PPM decode), declared-type vs sniffed-family mismatch,
+    empty payload, truncated-container decode error; clean and
+    unsniffable rows silent. Rows-only by nature (decoder-dependent);
+    branch coverage pinned in tests/test_multimodal.py."""
+    import struct
+
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        encode_ppm,
+        media_meta_checks,
+    )
+
+    img = np.zeros((8, 6, 3), dtype=np.uint8)
+    pcm = (np.zeros(100) * 32767).astype("<i2").tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    rows = [
+        (1, bytearray(encode_ppm(img)),
+         {"media_type": "image/x-portable-pixmap", "width": "6", "height": "8"}),
+        (2, bytearray(encode_ppm(img)),
+         {"media_type": "image/x-portable-pixmap", "width": "640", "height": "480"}),
+        (3, bytearray(wav), {"media_type": "image/png"}),
+        (4, None, {"media_type": "image/png"}),
+        (5, bytearray(wav[:20]), {"media_type": "audio/wav"}),
+        (6, bytearray(b"\xff\xd8unknowncodec"), {"media_type": "image/jpeg"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media binary, meta map<string,string>"
+    )
+    return media_meta_checks(df).orderBy("doc_id", "check_id")
+
+
 def _q_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup (dHash + the simhash pigeonhole core) over
     the synthetic media table with two planted duplicate payloads — the
@@ -4907,6 +4945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann": _q_pq_ann,
         "drift_events": _q_drift_events,
         "image_dup_pairs": _q_image_dup_pairs,
+        "media_meta_violations": _q_media_meta_violations,
     }
 
 

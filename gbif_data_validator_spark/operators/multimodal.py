@@ -684,3 +684,87 @@ def audio_hash_pairs(
     return hamming_sig_pairs(
         audio_hash(media_df), max_hamming=max_hamming, max_bucket=max_bucket
     )
+
+
+# --------------------------------------------------------------------------
+# Metadata-vs-content validation
+# --------------------------------------------------------------------------
+
+#: sniffed kind → canonical media_type prefix family for the declared-type
+#: check ('image/...' rows whose bytes sniff as WAV are mislabeled)
+_KIND_FAMILY = {"ppm": "image/", "bmp": "image/", "gif": "image/",
+                "png": "image/", "wav": "audio/"}
+
+
+def media_meta_checks(media_df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """Metadata-vs-content validation for the media column → violation
+    rows ``(doc_id, check_id, expected, found)``:
+
+    - ``MEDIA_TYPE_MISMATCH``: the payload's magic bytes sniff to a
+      different modality family than ``meta.media_type`` declares (an
+      'image/png' that is really a WAV).
+    - ``MEDIA_DIMS_MISMATCH``: REAL-decodable image whose pixel dims
+      disagree with ``meta.width``/``meta.height``.
+    - ``MEDIA_PAYLOAD_EMPTY``: declared media row with NULL/empty bytes.
+    - ``MEDIA_DECODE_ERROR``: sniffed-decodable payload whose decode
+      raises (truncated/corrupt container) — a finding, never a crash.
+
+    The multimodal face of the engine's record-structure pass: the
+    reference validates that a resource's declared structure matches its
+    bytes (format sniffing, Tika-analog `plans/preflight.py`); this does
+    the same for binary media. Only sniffable-format rows get dims
+    checks (compressed codecs would need the stubbed decoders); every
+    skip is type-visible, nothing silently passes. Arrow-batched
+    mapInPandas; violations-only output (bounded by bad rows).
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, media, meta in zip(pdf["doc_id"], pdf["media"], pdf["meta"]):
+                if meta is None:
+                    continue
+                mt = (
+                    meta.get("media_type") if isinstance(meta, dict) else meta["media_type"]
+                ) or ""
+                if media is None or len(media) == 0:
+                    out.append((doc_id, "MEDIA_PAYLOAD_EMPTY",
+                                "non-empty payload", "0 bytes"))
+                    continue
+                payload = bytes(media)
+                kind = sniff_media(payload)
+                if kind is None:
+                    continue  # unsniffable codec: dims check not claimable
+                fam = _KIND_FAMILY[kind]
+                if not mt.startswith(fam):
+                    out.append((doc_id, "MEDIA_TYPE_MISMATCH",
+                                f"{fam}* (sniffed {kind})", mt))
+                    continue
+                try:
+                    if fam == "image/":
+                        img = decode_image(payload)
+                        w = meta.get("width") if isinstance(meta, dict) else meta["width"]
+                        h = meta.get("height") if isinstance(meta, dict) else meta["height"]
+                        if w is not None and h is not None and (
+                            int(img.shape[1]) != int(w) or int(img.shape[0]) != int(h)
+                        ):
+                            out.append((doc_id, "MEDIA_DIMS_MISMATCH",
+                                        f"{int(w)}x{int(h)}",
+                                        f"{img.shape[1]}x{img.shape[0]}"))
+                    else:
+                        decode_audio(payload)
+                except Exception as exc:  # noqa: BLE001 — finding, not crash
+                    out.append((doc_id, "MEDIA_DECODE_ERROR",
+                                f"decodable {kind}", str(exc)[:120]))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "check_id", "expected", "found"]
+            ) if out else pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "check_id": pd.Series([], dtype="str"),
+                 "expected": pd.Series([], dtype="str"),
+                 "found": pd.Series([], dtype="str")}
+            )
+
+    return media_df.mapInPandas(
+        process, schema="doc_id long, check_id string, expected string, found string"
+    )

@@ -18,7 +18,7 @@ def test_query_names_are_stable_identifiers():
 def test_contract_counts():
     """Keep an explicit floor so a refactor can't silently drop coverage."""
     qs, oracles = entry.queries(), entry.oracle_sql()
-    assert len(qs) >= 218, len(qs)
+    assert len(qs) >= 219, len(qs)
     assert len(oracles) >= 206, len(oracles)
 
 

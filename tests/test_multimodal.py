@@ -549,3 +549,38 @@ def test_audio_hash_pairs_find_planted_duplicates(spark):
     }
     assert (1, 2) in got and got[(1, 2)] <= 6
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_media_meta_checks_battery(spark):
+    """Every branch: dims mismatch (real PPM decode), type mismatch
+    (WAV bytes declared image), empty payload, truncated decode error,
+    clean row silent, unsniffable codec skipped (not claimable)."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        encode_ppm,
+        media_meta_checks,
+    )
+
+    img = np.zeros((8, 6, 3), dtype=np.uint8)
+    good_meta = {"media_type": "image/x-portable-pixmap", "width": "6", "height": "8"}
+    bad_meta = {"media_type": "image/x-portable-pixmap", "width": "640", "height": "480"}
+    wav = _wav_bytes([0.0] * 100)
+    rows = [
+        (1, bytearray(encode_ppm(img)), good_meta),
+        (2, bytearray(encode_ppm(img)), bad_meta),
+        (3, bytearray(wav), {"media_type": "image/png"}),
+        (4, None, {"media_type": "image/png"}),
+        (5, bytearray(wav[:20]), {"media_type": "audio/wav"}),  # truncated
+        (6, bytearray(b"\xff\xd8unknowncodec"), {"media_type": "image/jpeg"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media binary, meta map<string,string>"
+    )
+    got = {r.doc_id: (r.check_id, r.expected, r.found)
+           for r in media_meta_checks(df).collect()}
+    assert 1 not in got and 6 not in got
+    assert got[2] == ("MEDIA_DIMS_MISMATCH", "640x480", "6x8")
+    assert got[3][0] == "MEDIA_TYPE_MISMATCH" and "wav" in got[3][1]
+    assert got[4][0] == "MEDIA_PAYLOAD_EMPTY"
+    assert got[5][0] == "MEDIA_DECODE_ERROR"
