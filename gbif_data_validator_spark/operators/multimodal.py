@@ -555,10 +555,16 @@ def _dhash_from_bytes(payload: "bytes | None", fake: bool = False) -> "int | Non
     """64-bit difference hash: decode → grayscale → nearest-neighbor
     downsample to 9×8 (the module's resample arithmetic) → bit r*8+c set
     when g[r,c] > g[r,c+1]. Deterministic integer/float ops end to end;
-    packed as a SIGNED 64-bit value (Spark LongType two's complement)."""
+    packed as a SIGNED 64-bit value (Spark LongType two's complement).
+    A corrupt-but-sniffable payload (truncated PPM, bad LZW stream)
+    hashes to None — excluded from pairing, never a task crash;
+    `media_meta_checks` owns surfacing it as MEDIA_DECODE_ERROR."""
     if payload is None or len(payload) == 0:
         return None
-    img = decode_image(payload, fake=fake or sniff_media(payload) is None)
+    try:
+        img = decode_image(payload, fake=fake or sniff_media(payload) is None)
+    except Exception:  # noqa: BLE001 — corrupt container → no signature
+        return None
     g = img.astype(np.float64).mean(axis=2)
     h, w = g.shape
     ys = (np.arange(8) * h // 8).clip(0, h - 1)
@@ -627,10 +633,17 @@ def _audio_hash_from_bytes(payload: "bytes | None") -> "int | None":
     65 equal-width windows → bit i set when env[i] > env[i+1] (the dHash
     idea on the time axis). Volume-scale sensitive only through ties —
     comparisons survive uniform gain; re-encoded/truncated-tail copies
-    keep most bits. Deterministic float64 ops; signed 64-bit pack."""
+    keep most bits. Deterministic float64 ops; signed 64-bit pack.
+    Corrupt-but-sniffable payloads hash to None (no task crash —
+    `media_meta_checks` owns the MEDIA_DECODE_ERROR finding)."""
     if payload is None or len(payload) == 0:
         return None
-    wave = decode_audio(bytes(payload), fake=sniff_media(bytes(payload)) != "wav")
+    try:
+        wave = decode_audio(
+            bytes(payload), fake=sniff_media(bytes(payload)) != "wav"
+        )
+    except Exception:  # noqa: BLE001 — corrupt container → no signature
+        return None
     n = wave.shape[0]
     if n < 65:
         wave = np.pad(wave, (0, 65 - n))

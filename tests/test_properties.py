@@ -158,3 +158,60 @@ def test_canonicalize_idempotent_and_fragment_free(parts):
         assert ":" not in c.split("//")[1].split("/")[0]
     else:
         assert port in c
+
+
+# --------------------------------------------------------------------------
+# Perceptual media hashes (session 13): total, deterministic, crash-free
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_dhash_total_deterministic_in_range(b):
+    """Arbitrary bytes — including prefixes that SNIFF as PPM/BMP/GIF/PNG
+    but are corrupt — never raise; result is None or a signed-64 int,
+    and repeated calls agree."""
+    from gbif_data_validator_spark.operators.multimodal import _dhash_from_bytes
+
+    a = _dhash_from_bytes(b)
+    assert a == _dhash_from_bytes(b)
+    if a is not None:
+        assert -(1 << 63) <= a < (1 << 63)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_audio_hash_total_deterministic_in_range(b):
+    from gbif_data_validator_spark.operators.multimodal import (
+        _audio_hash_from_bytes,
+    )
+
+    a = _audio_hash_from_bytes(b)
+    assert a == _audio_hash_from_bytes(b)
+    if a is not None:
+        assert -(1 << 63) <= a < (1 << 63)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_dhash_ppm_reencode_invariant(h, w, seed):
+    """decode→re-encode of a real PPM is byte-exact, so the dHash must be
+    identical — the re-encoded-copy dedup property the operator claims."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        _decode_ppm,
+        _dhash_from_bytes,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    ppm = encode_ppm(img)
+    again = encode_ppm(_decode_ppm(ppm))
+    assert ppm == again
+    assert _dhash_from_bytes(ppm) == _dhash_from_bytes(again)
