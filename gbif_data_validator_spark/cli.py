@@ -68,6 +68,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "(html column is then never scanned)")
     p.add_argument("--report-json", default=None,
                    help="directory to write {run_id}.json into (S9 sink)")
+    p.add_argument("--report-html", default=None,
+                   help="directory to write a self-contained {run_id}.html "
+                        "report into (the reference's web-UI face as a "
+                        "static artifact)")
     p.add_argument("--audit-layout", action="store_true",
                    help="no validation: print the --table's physical-layout "
                         "audit (per-file census, small-file flags) as JSON "
@@ -465,6 +469,8 @@ def main(argv: list[str] | None = None) -> int:
     report = ValidationEngine(spark, config).run(pages)
     if args.report_json:
         report.write_json(args.report_json)
+    if args.report_html:
+        report.write_html(args.report_html)
     print(json.dumps(report.to_dict(), default=str))
     if report.error_code is not None:
         return 1

