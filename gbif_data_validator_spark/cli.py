@@ -72,6 +72,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="directory to write a self-contained {run_id}.html "
                         "report into (the reference's web-UI face as a "
                         "static artifact)")
+    p.add_argument("--profile", action="store_true",
+                   help="no validation: print the --table's one-row column "
+                        "profile (non-blank/null/approx-distinct per column, "
+                        "length quantiles for text) as JSON and exit 0 — the "
+                        "Deequ-profiler face, one scan")
     p.add_argument("--audit-layout", action="store_true",
                    help="no validation: print the --table's physical-layout "
                         "audit (per-file census, small-file flags) as JSON "
@@ -378,6 +383,14 @@ def main(argv: list[str] | None = None) -> int:
         out = [r.asDict() for r in rows]
         print(json.dumps(out, default=str))
         return 0 if all(r["passed"] for r in out) else 2
+
+    if args.profile:
+        from .operators.metrics import column_profile
+        from .sources.tables import read_table as _rt
+
+        row = column_profile(_rt(spark, args.table)).first()
+        print(json.dumps(row.asDict(), default=str))
+        return 0
 
     if args.audit_layout:
         from .operators.layout import layout_audit

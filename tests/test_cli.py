@@ -388,3 +388,19 @@ def test_report_html_escapes_injected_markup():
     assert "<script>" not in doc and "&lt;script&gt;" in doc
     assert "<b>" not in doc.split("<body>")[1].replace("<body>", "") or True
     assert "&lt;b&gt;" in doc
+
+
+def test_main_profile_mode(spark, tmp_path, capsys):
+    """--profile: one JSON line with per-column counts + text length
+    quantiles, no validation run, exit 0."""
+    from gbif_data_validator_spark.sources.synthetic import synth_pages
+
+    src = str(tmp_path / "ppages")
+    synth_pages(spark, 300, with_violations=False).drop(
+        "expected_issue"
+    ).write.parquet(src)
+    assert main(["--table", src, "--profile"]) == 0
+    prof = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert prof["n_rows"] == 300
+    assert prof["url_nulls"] == 0 and prof["url_non_blank"] == 300
+    assert "text_len_quantiles" in prof and "html" not in "".join(prof)
