@@ -77,6 +77,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "profile (non-blank/null/approx-distinct per column, "
                         "length quantiles for text) as JSON and exit 0 — the "
                         "Deequ-profiler face, one scan")
+    p.add_argument("--dataset-card", action="store_true",
+                   help="no validation: print the --table's dataset card "
+                        "(docs/chars/tokens, time range, exact-dup rate, "
+                        "language mix, column profile) as one JSON line and "
+                        "exit 0; with --card-md DIR also write "
+                        "{basename}.md")
+    p.add_argument("--card-md", default=None,
+                   help="with --dataset-card: directory for the markdown "
+                        "rendering")
     p.add_argument("--audit-layout", action="store_true",
                    help="no validation: print the --table's physical-layout "
                         "audit (per-file census, small-file flags) as JSON "
@@ -390,6 +399,21 @@ def main(argv: list[str] | None = None) -> int:
 
         row = column_profile(_rt(spark, args.table)).first()
         print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.dataset_card:
+        import os
+
+        from .plans.card import dataset_card, render_card_markdown
+        from .sources.tables import read_table as _rt
+
+        card = dataset_card(_rt(spark, args.table))
+        print(json.dumps(card, default=str))
+        if args.card_md:
+            os.makedirs(args.card_md, exist_ok=True)
+            name = os.path.basename(os.path.normpath(args.table)) or "table"
+            with open(os.path.join(args.card_md, f"{name}.md"), "w") as fh:
+                fh.write(render_card_markdown(card))
         return 0
 
     if args.audit_layout:
