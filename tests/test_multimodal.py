@@ -501,7 +501,7 @@ def test_image_dhash_deterministic_across_partitioning(spark):
     assert a == b and len(a) == 60
 
 
-def _wav_bytes(samples):
+def _wav_from_floats(samples):
     """Minimal 16-bit PCM mono RIFF/WAVE encoder for the fixtures."""
     import struct
 
@@ -531,9 +531,9 @@ def test_audio_hash_pairs_find_planted_duplicates(spark):
     tone = np.sin(2 * np.pi * 440 * t) * np.exp(-3 * t) * rng.uniform(0.5, 1.0, 8000)
     noise = rng.uniform(-0.9, 0.9, 8000)
     rows = [
-        (1, bytearray(_wav_bytes(tone)), {"media_type": "audio/wav"}),
-        (2, bytearray(_wav_bytes(tone * 0.5)), {"media_type": "audio/wav"}),
-        (3, bytearray(_wav_bytes(noise)), {"media_type": "audio/wav"}),
+        (1, bytearray(_wav_from_floats(tone)), {"media_type": "audio/wav"}),
+        (2, bytearray(_wav_from_floats(tone * 0.5)), {"media_type": "audio/wav"}),
+        (3, bytearray(_wav_from_floats(noise)), {"media_type": "audio/wav"}),
         (4, bytearray(b"\x01fakeaudio" * 40), {"media_type": "audio/mpeg"}),
         (5, None, {"media_type": "audio/wav"}),
         (6, bytearray(b"not audio"), {"media_type": "image/png"}),
@@ -565,7 +565,7 @@ def test_media_meta_checks_battery(spark):
     img = np.zeros((8, 6, 3), dtype=np.uint8)
     good_meta = {"media_type": "image/x-portable-pixmap", "width": "6", "height": "8"}
     bad_meta = {"media_type": "image/x-portable-pixmap", "width": "640", "height": "480"}
-    wav = _wav_bytes([0.0] * 100)
+    wav = _wav_from_floats([0.0] * 100)
     rows = [
         (1, bytearray(encode_ppm(img)), good_meta),
         (2, bytearray(encode_ppm(img)), bad_meta),
