@@ -4301,6 +4301,35 @@ def _q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
+def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-SPACE drift between consecutive vec_id windows
+    (operators/vectors.py:embedding_drift) with a deterministically
+    injected encoder swap over the second half of the id range
+    (``x -> 0.8*x + 0.05`` — pure list algebra both engines replay
+    identically): scalar marginals barely move, centroid alignment
+    drops at the swap boundary.  The whole battery is integer-exact:
+    milli-quantized elements, floor-divided centroids, one rounded
+    double expression per cosine."""
+    from gbif_data_validator_spark.operators.vectors import embedding_drift
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    b = emb.agg(F.max("vec_id").alias("_mx"))
+    swapped = (
+        emb.crossJoin(F.broadcast(b))
+        .select(
+            "vec_id",
+            F.when(
+                F.col("vec_id") > F.col("_mx") / F.lit(2),
+                F.transform(e, lambda x: x * F.lit(0.8) + F.lit(0.05)),
+            )
+            .otherwise(e)
+            .alias("embedding"),
+        )
+    )
+    return embedding_drift(swapped, "vec_id", "embedding", n_windows=5)
+
+
 def _q_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang mojibake census + repairability over documents with
     deterministically injected double-decode artifacts (the testdata corpus
@@ -4757,6 +4786,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "prefix_jaccard": _q_prefix_jaccard,
         "dedup_agreement": _q_dedup_agreement,
+        # round-3 session-14: vector-modality drift (its family —
+        # vectors.py — has no driver row yet; displaces
+        # salted_join_rollup, whose salted-join family is r02-green via
+        # uniqueness_lineitem)
+        "embedding_drift": _q_embedding_drift,
         "salted_join_rollup": _q_salted_join_rollup,
         "quality_survivors": _q_quality_survivors,
         "k_anon_classes": _q_k_anon_classes,
@@ -10274,6 +10308,75 @@ def oracle_sql() -> dict[str, str]:
                 round(CAST(SUM(nq) AS DOUBLE) / CAST(COUNT(nq) AS DOUBLE) / 1e6, 6)
               END AS norm_avg
             FROM rq GROUP BY label ORDER BY label
+        """,
+        # embedding_drift: exploded integer sums replay the Spark plan
+        # cell-for-cell; every float op is the same IEEE expression on
+        # the same exact integers (dot/sq sums are order-free HUGEINTs)
+        "embedding_drift": """
+            WITH b AS (
+              SELECT max(vec_id) AS mx,
+                     CAST(ceil((max(vec_id) + 1) / 5) AS BIGINT) AS w
+              FROM embeddings
+            ),
+            src AS (
+              SELECT vec_id,
+                CASE WHEN vec_id > mx / 2
+                     THEN list_transform(e, x -> x * 0.8 + 0.05)
+                     ELSE e END AS v
+              FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings), b
+            ),
+            f AS (
+              SELECT CAST(floor(vec_id / w) AS BIGINT) AS win,
+                list_transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS q,
+                CAST(round(sqrt(list_reduce(
+                    list_transform(v, x -> x * x), (acc, x) -> acc + x))
+                  * 1e6) AS BIGINT) AS nq
+              FROM src, b
+              WHERE v IS NOT NULL AND len(v) > 0
+                AND len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0
+            ),
+            cells AS (
+              SELECT win, pos, SUM(val) AS s, COUNT(*) AS n
+              FROM (SELECT win, generate_subscripts(q, 1) - 1 AS pos,
+                           unnest(q) AS val FROM f)
+              GROUP BY win, pos
+            ),
+            cent AS (
+              SELECT win, pos,
+                CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+                  AS c
+              FROM cells
+            ),
+            sq AS (SELECT win, SUM(c * c) AS s2 FROM cent GROUP BY win),
+            dots AS (
+              SELECT x.win AS win, SUM(x.c * y.c) AS dot
+              FROM cent x JOIN cent y
+                ON y.win = x.win - 1 AND y.pos = x.pos
+              GROUP BY x.win
+            ),
+            norms AS (
+              SELECT win, COUNT(*) AS n,
+                CAST(floor(CAST(SUM(nq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                  AS BIGINT) AS mean_norm_micro
+              FROM f GROUP BY win
+            )
+            SELECT cn.win AS win,
+              CAST(pn.n AS BIGINT) AS n_prev,
+              CAST(cn.n AS BIGINT) AS n_cur,
+              CASE WHEN csq.s2 > 0 AND psq.s2 > 0 THEN
+                CAST(round(CAST(d.dot AS DOUBLE)
+                  / sqrt(CAST(csq.s2 AS DOUBLE) * CAST(psq.s2 AS DOUBLE))
+                  * 1e6) AS BIGINT)
+              END AS centroid_cos_micro,
+              pn.mean_norm_micro AS mean_norm_prev_micro,
+              cn.mean_norm_micro AS mean_norm_cur_micro
+            FROM norms cn
+            JOIN norms pn ON cn.win = pn.win + 1
+            JOIN sq csq ON csq.win = cn.win
+            JOIN sq psq ON psq.win = pn.win
+            JOIN dots d ON d.win = cn.win
+            ORDER BY win
         """,
         # term_search: the index is just materialized postings — the oracle
         # recomputes the identical rational scoring from the raw table

@@ -99,3 +99,152 @@ def embedding_health(
     if group_cols:
         return proj.groupBy(*group_cols).agg(*aggs)
     return proj.agg(*aggs)
+
+
+def embedding_drift(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_windows: int = 5,
+    quant: int = 1000,
+) -> DataFrame:
+    """Embedding-SPACE drift between consecutive id windows: does the
+    encoder's output distribution move over ingestion order?  Scalar
+    drift (KS/PSI/JSD/EMD, operators/drift.py) sees one column at a
+    time; a re-trained or silently-swapped encoder checkpoint shifts the
+    whole vector distribution while every scalar marginal looks stable.
+    The detector the modality needs is centroid geometry: per-window
+    mean vector, then cosine alignment + mean-norm delta between
+    consecutive windows (alignment ≪ 1 ⟹ the space rotated/shifted).
+
+    Reference analog: the distribution-expectation side of the
+    validator's metrics collectors (``collector/``), extended to the
+    vector modality the way `embedding_health` extends its null/shape
+    profiling.
+
+    Output: one row per consecutive window pair, ordered —
+    ``win`` (current window index), ``n_prev``/``n_cur`` (finite-vector
+    counts), ``centroid_cos_micro`` (cosine of the two window centroids
+    in integer micro-units), ``mean_norm_prev_micro``/
+    ``mean_norm_cur_micro`` (per-window mean L2 norm, micro-units).
+
+    Exactness protocol (bit-identical to the DuckDB oracle, independent
+    of partitioning):
+    - elements quantized to ``quant`` integer units per row (same-input
+      IEEE double ops, then integer sums — order-free);
+    - per-window centroid element = ``floor(sum / n)`` — one
+      deterministic double division per (window, dim) cell;
+    - cosine computed over the tiny integer centroid vectors with an
+      ordered ``zip_with``/``aggregate`` fold, one final rounded double
+      expression.
+
+    Scale design (100 TB):
+    - one projection + ``posexplode`` → ONE map-side-combinable
+      ``groupBy(win, pos)``: raw vectors never cross the shuffle, only
+      |windows|·dim partial integer sums;
+    - row-level stats (count, norm sum) ride the ``pos == 0`` rows of
+      the same exploded pass — no second scan;
+    - the pairing join runs on |windows| rows (driver-bounded input,
+      broadcast-trivial); nothing downstream of the first agg grows
+      with |rows|;
+    - integer headroom: centroid elements are ~``quant``·max|x|
+      regardless of n (the floor-division normalizes before any
+      product), so the cosine fold never overflows a long at any corpus
+      size.
+    """
+    e = F.col(vec_col).cast("array<double>")
+    finite = (
+        e.isNotNull() & (F.size(e) > 0) & ~F.exists(e, _is_nonfinite)
+    )
+    # try_cast, not cast: the optimizer may evaluate this projection
+    # below the finiteness filter (e.g. pushed through a round-robin
+    # Exchange), and an ANSI cast of a NaN row that the filter is about
+    # to drop would abort the job
+    q = F.transform(
+        e, lambda x: F.round(x * F.lit(float(quant))).try_cast("long")
+    )
+    norm_q = F.round(
+        F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x))
+        * F.lit(1e6)
+    ).try_cast("long")
+
+    # window width from the id range: one 1-row agg, broadcast crossJoin
+    # (house pattern — no driver action, SQL-replayable)
+    bounds = df.agg(F.max(F.col(id_col)).alias("_max_id"))
+    win = F.floor(
+        F.col(id_col)
+        / F.ceil((F.col("_max_id") + F.lit(1)) / F.lit(int(n_windows)))
+    ).cast("long")
+
+    rows = (
+        df.where(finite)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            win.alias("win"), q.alias("_q"), norm_q.alias("_nq")
+        )
+        .select("win", "_nq", F.posexplode("_q").alias("pos", "val"))
+    )
+    cells = rows.groupBy("win", "pos").agg(
+        F.sum("val").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        # row-grain norm sum rides pos==0 so one exploded pass covers
+        # both grains
+        F.sum(F.when(F.col("pos") == 0, F.col("_nq"))).alias("ns0"),
+    )
+    wins = (
+        cells.select(
+            "win",
+            "pos",
+            F.floor(F.col("s").cast("double") / F.col("n").cast("double"))
+            .cast("long")
+            .alias("c"),
+            "n",
+            "ns0",
+        )
+        .groupBy("win")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("_cv"),
+            F.max("n").alias("n"),
+            F.max("ns0").alias("_norm_sum"),
+        )
+        .select(
+            "win",
+            F.transform("_cv", lambda st: st["c"]).alias("cvec"),
+            "n",
+            F.floor(
+                F.col("_norm_sum").cast("double") / F.col("n").cast("double")
+            )
+            .cast("long")
+            .alias("mean_norm_micro"),
+        )
+    )
+    cur, prev = wins.alias("cur"), wins.alias("prev")
+    dot = F.aggregate(
+        F.zip_with(F.col("cur.cvec"), F.col("prev.cvec"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda side: F.aggregate(  # noqa: E731
+        F.col(side + ".cvec"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x * x,
+    )
+    return (
+        cur.join(prev, F.col("cur.win") == F.col("prev.win") + 1)
+        .select(
+            F.col("cur.win").alias("win"),
+            F.col("prev.n").alias("n_prev"),
+            F.col("cur.n").alias("n_cur"),
+            F.when(
+                (sq("cur") > 0) & (sq("prev") > 0),
+                F.round(
+                    dot.cast("double")
+                    / F.sqrt(sq("cur").cast("double") * sq("prev").cast("double"))
+                    * F.lit(1e6)
+                ).cast("long"),
+            ).alias("centroid_cos_micro"),
+            F.col("prev.mean_norm_micro").alias("mean_norm_prev_micro"),
+            F.col("cur.mean_norm_micro").alias("mean_norm_cur_micro"),
+        )
+        .orderBy("win")
+    )

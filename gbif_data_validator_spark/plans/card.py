@@ -98,7 +98,7 @@ def render_card_markdown(card: "dict[str, Any]") -> str:
     prof = card["columns"]
     n = prof.get("n_rows", 0)
     for c in sorted(
-        {k.rsplit("_", 2)[0] for k in prof if k.endswith("_nulls")}
+        {k[: -len("_nulls")] for k in prof if k.endswith("_nulls")}
     ):
         lines.append(
             f"- `{c}`: {prof.get(c + '_nulls', 0):,} null / {n:,}; "

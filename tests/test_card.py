@@ -43,6 +43,10 @@ def test_dataset_card_exact_numbers(spark):
     md = render_card_markdown(card)
     assert "documents: 4" in md and "| en | 2 |" in md
     assert "exact-duplicate rate: 33.33%" in md
+    # underscore columns keep their FULL name in the column section
+    # (regression: rsplit("_", 2) rendered warc_ts as a bogus `warc`
+    # row with zeroed stats)
+    assert "- `warc_ts`:" in md and "`warc`:" not in md.replace("`warc_ts`", "")
 
 
 def test_dataset_card_cli_mode(spark, tmp_path, capsys):

