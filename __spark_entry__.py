@@ -4330,6 +4330,30 @@ def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_drift(swapped, "vec_id", "embedding", n_windows=5)
 
 
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers (operators/vectors.py:
+    embedding_outliers) with deterministically injected mislabeled
+    points — every ``vec_id % 101 == 0`` vector scaled ×5, pushing it
+    far from its label centroid (pure list algebra both engines replay
+    identically).  Distances, group stats, and the 3σ threshold are all
+    exact micro-unit arithmetic."""
+    from gbif_data_validator_spark.operators.vectors import embedding_outliers
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    corrupted = emb.select(
+        "vec_id",
+        "label",
+        F.when(
+            F.col("vec_id") % 101 == 0,
+            F.transform(e, lambda x: x * F.lit(5.0)),
+        )
+        .otherwise(e)
+        .alias("embedding"),
+    )
+    return embedding_outliers(corrupted, "vec_id", "embedding", "label")
+
+
 def _q_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang mojibake census + repairability over documents with
     deterministically injected double-decode artifacts (the testdata corpus
@@ -4791,6 +4815,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # salted_join_rollup, whose salted-join family is r02-green via
         # uniqueness_lineitem)
         "embedding_drift": _q_embedding_drift,
+        # slot 51 — first past the window: same family as
+        # embedding_drift (which carries the family's driver row);
+        # bit-exact locally via scripts/check_oracles
+        "embedding_outliers": _q_embedding_outliers,
         "salted_join_rollup": _q_salted_join_rollup,
         "quality_survivors": _q_quality_survivors,
         "k_anon_classes": _q_k_anon_classes,
@@ -10377,6 +10405,63 @@ def oracle_sql() -> dict[str, str]:
             JOIN sq psq ON psq.win = pn.win
             JOIN dots d ON d.win = cn.win
             ORDER BY win
+        """,
+        # embedding_outliers: same quantize/floor-centroid replay as
+        # embedding_drift; distances join exploded cells relationally
+        # (integer sums are order-free, so the SQL SUM equals Spark's
+        # ordered zip_with fold)
+        "embedding_outliers": """
+            WITH src AS (
+              SELECT vec_id, label,
+                CASE WHEN vec_id % 101 = 0
+                     THEN list_transform(e, x -> x * 5.0)
+                     ELSE e END AS v
+              FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings)
+            ),
+            f AS (
+              SELECT vec_id, label,
+                list_transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+              FROM src
+              WHERE v IS NOT NULL AND len(v) > 0 AND label IS NOT NULL
+                AND len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0
+            ),
+            ex AS (
+              SELECT vec_id, label, generate_subscripts(q, 1) - 1 AS pos,
+                     unnest(q) AS val
+              FROM f
+            ),
+            cent AS (
+              SELECT label, pos,
+                CAST(floor(CAST(SUM(val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                  AS BIGINT) AS c
+              FROM ex GROUP BY label, pos
+            ),
+            dist AS (
+              SELECT ex.label AS label, ex.vec_id AS id,
+                CAST(round(sqrt(CAST(SUM((ex.val - cent.c) * (ex.val - cent.c))
+                  AS DOUBLE)) / 1000 * 1e6) AS BIGINT) AS dist_micro
+              FROM ex JOIN cent ON cent.label = ex.label AND cent.pos = ex.pos
+              GROUP BY ex.label, ex.vec_id
+            ),
+            stats AS (
+              SELECT label, COUNT(*) AS n_group,
+                CAST(SUM(dist_micro) AS DOUBLE) / COUNT(*) AS mean_,
+                greatest(
+                  CAST(SUM(dist_micro * dist_micro) AS DOUBLE) / COUNT(*)
+                    - (CAST(SUM(dist_micro) AS DOUBLE) / COUNT(*))
+                      * (CAST(SUM(dist_micro) AS DOUBLE) / COUNT(*)),
+                  0.0) AS var_
+              FROM dist GROUP BY label
+            )
+            SELECT d.label AS "group", d.id AS id, d.dist_micro,
+              CAST(round(s.mean_) AS BIGINT) AS mean_micro,
+              CAST(round(sqrt(s.var_)) AS BIGINT) AS std_micro,
+              CAST(s.n_group AS BIGINT) AS n_group
+            FROM dist d JOIN stats s ON s.label = d.label
+            WHERE d.dist_micro >
+              CAST(round(s.mean_ + 3000000.0 / 1e6 * sqrt(s.var_)) AS BIGINT)
+            ORDER BY d.label, d.id
         """,
         # term_search: the index is just materialized postings — the oracle
         # recomputes the identical rational scoring from the raw table

@@ -101,6 +101,17 @@ def embedding_health(
     return proj.agg(*aggs)
 
 
+def _quantized(e: Column, quant: int) -> Column:
+    """Element-wise integer quantization. try_cast, not cast: the
+    optimizer may evaluate this projection below the caller's finiteness
+    filter (e.g. pushed through a round-robin Exchange), and an ANSI
+    cast of a NaN row that the filter is about to drop would abort the
+    job."""
+    return F.transform(
+        e, lambda x: F.round(x * F.lit(float(quant))).try_cast("long")
+    )
+
+
 def embedding_drift(
     df: DataFrame,
     id_col: str,
@@ -156,13 +167,7 @@ def embedding_drift(
     finite = (
         e.isNotNull() & (F.size(e) > 0) & ~F.exists(e, _is_nonfinite)
     )
-    # try_cast, not cast: the optimizer may evaluate this projection
-    # below the finiteness filter (e.g. pushed through a round-robin
-    # Exchange), and an ANSI cast of a NaN row that the filter is about
-    # to drop would abort the job
-    q = F.transform(
-        e, lambda x: F.round(x * F.lit(float(quant))).try_cast("long")
-    )
+    q = _quantized(e, quant)
     norm_q = F.round(
         F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x))
         * F.lit(1e6)
@@ -247,4 +252,123 @@ def embedding_drift(
             F.col("cur.mean_norm_micro").alias("mean_norm_cur_micro"),
         )
         .orderBy("win")
+    )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_col: str,
+    quant: int = 1000,
+    z_micro: int = 3_000_000,
+) -> DataFrame:
+    """Per-group embedding outliers: rows whose distance to their
+    group's centroid exceeds ``mean + z·stddev`` of that group's
+    distance distribution — the vector-modality analog of the scalar
+    ``iqr_outliers``/``mad_outliers`` battery, and the check that
+    catches MISLABELED cluster members (a row whose scalar columns all
+    validate but whose embedding sits in another label's region).
+
+    ``z_micro`` is the z threshold in integer micro-units (3σ =
+    3_000_000) so the contract stays exact-arithmetic end to end.
+
+    Output (flagged rows only, ordered): ``group``, ``id``,
+    ``dist_micro`` (distance to own-group centroid, micro-units),
+    ``mean_micro``/``std_micro`` (that group's distance stats),
+    ``n_group`` (finite rows in the group).
+
+    Exactness protocol (bit-identical to the DuckDB oracle): the same
+    milli-quantized elements and floor-divided integer centroids as
+    `embedding_drift`; per-row squared distance is an ordered integer
+    fold over (q - c)²; distances quantize to integer micro-units
+    before the group-stat sums (long / decimal(38,0) — order-free);
+    mean/std/threshold are single IEEE double expressions over those
+    exact sums.
+
+    Scale design (100 TB): three passes over the vector column, each
+    the minimal plan for its grain — (1) centroid: posexplode →
+    map-side-combinable ``groupBy(group, pos)`` (only groups×dim
+    integer sums shuffle); (2) distance stats: row scan ⋈ broadcast
+    centroids (|groups| rows) → map-side-combinable group agg (three
+    numbers per group); (3) flag: row scan ⋈ broadcast centroids ⋈
+    broadcast stats → filter. No row-grain shuffle anywhere; an exact
+    z-score needs the centroid before the stats and the stats before
+    the flag, so two of the scans are inherent — callers that already
+    know the threshold can precompute and filter in one.
+    """
+    e = F.col(vec_col).cast("array<double>")
+    finite = e.isNotNull() & (F.size(e) > 0) & ~F.exists(e, _is_nonfinite)
+    rows = df.where(finite & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("id"),
+        _quantized(e, quant).alias("_q"),
+    )
+
+    cells = (
+        rows.select("group", F.posexplode("_q").alias("pos", "val"))
+        .groupBy("group", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    centroids = (
+        cells.select(
+            "group",
+            "pos",
+            F.floor(F.col("s").cast("double") / F.col("n").cast("double"))
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("group")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("_cv"))
+        .select(
+            "group", F.transform("_cv", lambda st: st["c"]).alias("cvec")
+        )
+    )
+
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_q"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dist_micro = F.round(
+        F.sqrt(d2.cast("double")) / F.lit(float(quant)) * F.lit(1e6)
+    ).cast("long")
+    with_dist = rows.join(F.broadcast(centroids), "group").select(
+        "group", "id", dist_micro.alias("dist_micro")
+    )
+
+    stats = with_dist.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_group"),
+        # decimal(38,0): micro-unit distances summed over billions of
+        # rows exceed a long; exact on both engines (DuckDB HUGEINT)
+        F.sum(F.col("dist_micro").cast("decimal(38,0)")).alias("_sd"),
+        F.sum(
+            (F.col("dist_micro") * F.col("dist_micro")).cast("decimal(38,0)")
+        ).alias("_sd2"),
+    )
+    n = F.col("n_group").cast("double")
+    mean = F.col("_sd").cast("double") / n
+    var = F.greatest(
+        F.col("_sd2").cast("double") / n - mean * mean, F.lit(0.0)
+    )
+    stats = stats.select(
+        "group",
+        "n_group",
+        F.round(mean).cast("long").alias("mean_micro"),
+        F.round(F.sqrt(var)).cast("long").alias("std_micro"),
+        # threshold in exact micro-units from the same double expression
+        # both engines evaluate on identical exact sums
+        F.round(mean + F.lit(float(z_micro)) / F.lit(1e6) * F.sqrt(var))
+        .cast("long")
+        .alias("_thr"),
+    )
+    return (
+        with_dist.join(F.broadcast(stats), "group")
+        .where(F.col("dist_micro") > F.col("_thr"))
+        .select(
+            "group", "id", "dist_micro", "mean_micro", "std_micro", "n_group"
+        )
+        .orderBy("group", "id")
     )

@@ -135,3 +135,54 @@ def test_plan_single_exchange(vec_df):
     )
     assert plan.count("Exchange") <= 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_outliers_flags_far_point(spark):
+    """9 points at [1,0] + 1 at [11,0]: centroid [2,0], distances 1.0
+    (x9) and 9.0; mean 1.8, std 2.4 — z=2 threshold 6.6 flags only the
+    far point, exact micro-unit arithmetic throughout."""
+    from gbif_data_validator_spark.operators.vectors import embedding_outliers
+
+    rows = [(i, "a", [1.0, 0.0]) for i in range(9)] + [(9, "a", [11.0, 0.0])]
+    df = spark.createDataFrame(rows, "id long, g string, v array<double>")
+    out = embedding_outliers(df, "id", "v", "g", z_micro=2_000_000).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.group, r.id, r.n_group) == ("a", 9, 10)
+    assert r.dist_micro == 9_000_000
+    assert r.mean_micro == 1_800_000
+    assert r.std_micro == 2_400_000
+
+
+def test_embedding_outliers_group_isolation_and_bad_rows(spark):
+    """A tight second group contributes no flags; NULL-group and
+    non-finite rows are excluded from counts and stats."""
+    from gbif_data_validator_spark.operators.vectors import embedding_outliers
+
+    rows = (
+        [(i, "a", [1.0, 0.0]) for i in range(9)]
+        + [(9, "a", [11.0, 0.0])]
+        + [(100 + i, "b", [5.0, 5.0]) for i in range(5)]
+        + [(200, None, [99.0, 99.0]), (201, "a", [NAN, 0.0]), (202, "a", None)]
+    )
+    df = spark.createDataFrame(rows, "id long, g string, v array<double>")
+    out = embedding_outliers(df, "id", "v", "g", z_micro=2_000_000).collect()
+    assert [(r.group, r.id) for r in out] == [("a", 9)]
+    assert out[0].n_group == 10  # NaN/null rows never entered the group
+    a = embedding_outliers(
+        df.repartition(5), "id", "v", "g", z_micro=2_000_000
+    ).collect()
+    assert a == out
+
+
+def test_embedding_outliers_no_python_plan(spark):
+    from gbif_data_validator_spark.operators.vectors import embedding_outliers
+
+    df = spark.createDataFrame(
+        [(i, "a", [1.0, 2.0]) for i in range(8)], "id long, g string, v array<double>"
+    )
+    plan = (
+        embedding_outliers(df, "id", "v", "g")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
