@@ -4354,6 +4354,35 @@ def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_outliers(corrupted, "vec_id", "embedding", "label")
 
 
+def _q_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-manifest integrity (operators/layout.py:manifest_audit)
+    over the lineitem table: the manifest is derived from the actual
+    file census with a deterministic drift (+7 rows declared for
+    even-length basenames) plus a ghost entry, exercising the
+    FILE_MISSING and ROWCOUNT_MISMATCH classes; FILE_ORPHAN is pinned
+    by pytest (needs a multi-file table). The actual side is one narrow
+    input_file_name() count — no data columns read."""
+    from gbif_data_validator_spark.operators.layout import (
+        file_rowcounts,
+        manifest_audit,
+    )
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    fc = file_rowcounts(li)
+    manifest = fc.select(
+        "file",
+        (
+            F.col("n_rows")
+            + F.when(F.length("file") % 2 == 0, F.lit(7)).otherwise(F.lit(0))
+        ).alias("n_rows"),
+    ).unionByName(
+        spark.createDataFrame(
+            [("ghost-000.parquet", 123)], "file string, n_rows long"
+        )
+    )
+    return manifest_audit(li, manifest)
+
+
 def _q_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang mojibake census + repairability over documents with
     deterministically injected double-decode artifacts (the testdata corpus
@@ -4819,6 +4848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding_drift (which carries the family's driver row);
         # bit-exact locally via scripts/check_oracles
         "embedding_outliers": _q_embedding_outliers,
+        "manifest_audit": _q_manifest_audit,
         "salted_join_rollup": _q_salted_join_rollup,
         "quality_survivors": _q_quality_survivors,
         "k_anon_classes": _q_k_anon_classes,
@@ -10462,6 +10492,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.dist_micro >
               CAST(round(s.mean_ + 3000000.0 / 1e6 * sqrt(s.var_)) AS BIGINT)
             ORDER BY d.label, d.id
+        """,
+        # manifest_audit: exploits the one-file-per-table testdata layout
+        # (same convention as the file_audit oracle) — the actual side is
+        # the table count under its known basename
+        "manifest_audit": """
+            WITH actual AS (
+              SELECT 'lineitem.parquet' AS file,
+                     CAST(count(*) AS BIGINT) AS n_rows_actual
+              FROM lineitem
+            ),
+            mani AS (
+              SELECT file,
+                n_rows_actual + CASE WHEN length(file) % 2 = 0
+                                     THEN 7 ELSE 0 END AS n_rows_declared
+              FROM actual
+              UNION ALL
+              SELECT 'ghost-000.parquet', CAST(123 AS BIGINT)
+            )
+            SELECT COALESCE(m.file, a.file) AS file,
+              CASE WHEN a.file IS NULL THEN 'FILE_MISSING'
+                   WHEN m.file IS NULL THEN 'FILE_ORPHAN'
+                   WHEN m.n_rows_declared != a.n_rows_actual
+                     THEN 'ROWCOUNT_MISMATCH' END AS finding,
+              m.n_rows_declared, a.n_rows_actual
+            FROM mani m FULL OUTER JOIN actual a ON a.file = m.file
+            WHERE (CASE WHEN a.file IS NULL THEN 'FILE_MISSING'
+                        WHEN m.file IS NULL THEN 'FILE_ORPHAN'
+                        WHEN m.n_rows_declared != a.n_rows_actual
+                          THEN 'ROWCOUNT_MISMATCH' END) IS NOT NULL
+            ORDER BY COALESCE(m.file, a.file)
         """,
         # term_search: the index is just materialized postings — the oracle
         # recomputes the identical rational scoring from the raw table

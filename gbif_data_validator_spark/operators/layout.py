@@ -378,3 +378,56 @@ def join_advisor(
         "max_key_out_share_micro",
         verdict.alias("verdict"),
     )
+
+
+def manifest_audit(
+    df: DataFrame, manifest: DataFrame, file_col: str = "file"
+) -> DataFrame:
+    """Snapshot-manifest integrity: reconcile the files a table's
+    manifest DECLARES against the files its scan ACTUALLY yields — the
+    table-format trust check (an Iceberg/Delta snapshot is only as good
+    as its manifest; a retention bug or a partial copy silently serves
+    wrong data until something reconciles declared vs actual).
+
+    Reference analog: the resource-structure preflight
+    (``validator-processor/.../evaluator/ResourceStructureEvaluator``
+    contracts — "does the declared resource match what's on disk")
+    lifted from one file to a file SET.
+
+    ``manifest`` columns: ``file`` (basename) + ``n_rows`` (declared).
+    Output (ordered, findings only): ``file``, ``finding`` ∈
+    {``FILE_MISSING`` (declared, not scanned), ``FILE_ORPHAN``
+    (scanned, not declared), ``ROWCOUNT_MISMATCH``}, ``n_rows_declared``,
+    ``n_rows_actual``.
+
+    Scale design (100 TB): the actual side is `file_rowcounts` — ONE
+    narrow scan counting over the ``input_file_name()`` virtual column
+    (no data columns read); both join sides are O(#files) rows, so the
+    full-outer reconcile join is trivia after the scan. Declared-side
+    row counts come from the manifest, never from re-reading data.
+    """
+    actual = file_rowcounts(df, file_col).select(
+        F.col(file_col), F.col("n_rows").alias("n_rows_actual")
+    )
+    declared = manifest.select(
+        F.col(file_col), F.col("n_rows").cast("long").alias("n_rows_declared")
+    )
+    j = declared.join(actual, file_col, "full_outer")
+    finding = (
+        F.when(F.col("n_rows_actual").isNull(), F.lit("FILE_MISSING"))
+        .when(F.col("n_rows_declared").isNull(), F.lit("FILE_ORPHAN"))
+        .when(
+            F.col("n_rows_declared") != F.col("n_rows_actual"),
+            F.lit("ROWCOUNT_MISMATCH"),
+        )
+    )
+    return (
+        j.select(
+            file_col,
+            finding.alias("finding"),
+            "n_rows_declared",
+            "n_rows_actual",
+        )
+        .where(F.col("finding").isNotNull())
+        .orderBy(file_col)
+    )

@@ -280,3 +280,54 @@ def test_join_advisor_verdict_precedence_and_exact_cardinality(spark):
     assert (dis.est_out_rows, dis.max_key_out_share_micro, dis.verdict) == (
         0, 0, "shuffle",
     )
+
+
+def test_manifest_audit_three_finding_classes(spark, tmp_path):
+    """Declared-but-missing, scanned-but-undeclared, and count-drifted
+    files each get their finding; agreeing files produce no row."""
+    from gbif_data_validator_spark.operators.layout import manifest_audit
+
+    p = str(tmp_path / "t")
+    spark.range(100).withColumn("part", F.col("id") % 4).repartition(
+        4, "part"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    from gbif_data_validator_spark.operators.layout import file_rowcounts
+
+    actual = {r.file: r.n_rows for r in file_rowcounts(df).collect()}
+    files = sorted(actual)
+    assert len(files) >= 3  # repartition(4) → 4 data files
+    manifest_rows = (
+        # files[0]: declared correctly → no finding
+        [(files[0], actual[files[0]])]
+        # files[1]: declared with a drifted count → ROWCOUNT_MISMATCH
+        + [(files[1], actual[files[1]] + 7)]
+        # files[2:]: undeclared → FILE_ORPHAN
+        # ghost: declared but absent → FILE_MISSING
+        + [("ghost-000.parquet", 123)]
+    )
+    manifest = spark.createDataFrame(manifest_rows, "file string, n_rows long")
+    out = manifest_audit(df, manifest).collect()
+    by_file = {r.file: r for r in out}
+    assert by_file["ghost-000.parquet"].finding == "FILE_MISSING"
+    assert by_file["ghost-000.parquet"].n_rows_actual is None
+    assert by_file[files[1]].finding == "ROWCOUNT_MISMATCH"
+    assert by_file[files[1]].n_rows_declared == actual[files[1]] + 7
+    for f in files[2:]:
+        assert by_file[f].finding == "FILE_ORPHAN"
+        assert by_file[f].n_rows_declared is None
+    assert files[0] not in by_file
+    assert len(out) == 2 + len(files[2:])
+
+
+def test_manifest_audit_clean_manifest_empty(spark, tmp_path):
+    from gbif_data_validator_spark.operators.layout import (
+        file_rowcounts,
+        manifest_audit,
+    )
+
+    p = str(tmp_path / "t2")
+    spark.range(50).write.parquet(p)
+    df = spark.read.parquet(p)
+    manifest = file_rowcounts(df)
+    assert manifest_audit(df, manifest).count() == 0
