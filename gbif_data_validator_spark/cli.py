@@ -133,6 +133,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "into report.metrics['robots']")
     p.add_argument("--robots-blocking", action="store_true",
                    help="with --robots: any blocked page flips the verdict")
+    p.add_argument("--manifest", metavar="MANIFEST_TABLE", default=None,
+                   help="during validation: parquet/CSV table of (file, "
+                        "n_rows) declaring the snapshot's expected file "
+                        "set — reconciled against the actual scan "
+                        "(FILE_MISSING / FILE_ORPHAN / ROWCOUNT_MISMATCH) "
+                        "into report.metrics['manifest']")
+    p.add_argument("--manifest-blocking", action="store_true",
+                   help="with --manifest: any finding short-circuits the "
+                        "run with error_code=MANIFEST_MISMATCH (exit 1 — "
+                        "the run FAILED at the preflight grain)")
     p.add_argument("--volume", action="store_true",
                    help="fold the arrival-volume monitor battery "
                         "(rate anomaly, CUSUM change point, Theil-Sen "
@@ -471,6 +481,9 @@ def main(argv: list[str] | None = None) -> int:
         kwargs["robots_summary"] = True
         kwargs["robots_table"] = read_table(spark, args.robots)
         kwargs["robots_blocking"] = args.robots_blocking
+    if args.manifest:
+        kwargs["manifest_table"] = read_table(spark, args.manifest)
+        kwargs["manifest_blocking"] = args.manifest_blocking
     if args.volume:
         kwargs["volume_monitor"] = True
         kwargs["volume_window"] = args.volume_window

@@ -38,6 +38,7 @@ class CheckId:
     UNKNOWN_TERM = "UNKNOWN_TERM"                          # UNKNOWN_TERM
     COLUMN_TYPE_MISMATCH = "COLUMN_TYPE_MISMATCH"          # meta.xml schema check
     RECORD_IDENTIFIER_NOT_FOUND = "RECORD_IDENTIFIER_NOT_FOUND"  # same in ref
+    MANIFEST_MISMATCH = "MANIFEST_MISMATCH"  # snapshot manifest vs actual file set (operators/layout.py::manifest_audit)
 
     # --- record structure / interpretation (pass 1; narrow) ------------
     KEY_EMPTY = "KEY_EMPTY"                    # empty-id scan, ReferentialIntegrityEvaluator.java:74-86

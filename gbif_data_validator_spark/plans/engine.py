@@ -388,6 +388,19 @@ class EngineConfig:
     privacy_sensitive_col: str | None = None
     privacy_k: int = 5
     privacy_blocking: bool = False
+    #: snapshot-manifest integrity gate: a ``(file, n_rows)`` DataFrame
+    #: declaring the table's expected file set, reconciled against the
+    #: pages scan's ACTUAL file census (operators/layout.py::
+    #: manifest_audit) right after preflight; the bounded summary
+    #: (per-class counts + capped examples) lands in
+    #: report.metrics["manifest"]. ``manifest_blocking`` short-circuits
+    #: the run with error_code=MANIFEST_MISMATCH before any validation
+    #: pass — validating rows inside a snapshot whose file set is
+    #: already wrong wastes the whole 100-TB scan. Costs one extra
+    #: narrow scan (input_file_name() count, zero data columns).
+    manifest_table: object = None
+    manifest_blocking: bool = False
+    manifest_max_examples: int = 10
     #: triage mode: validate only the deterministic md5-bucket hash sample
     #: of pages (operators/sampling.hash_bucket on key_col — so duplicate
     #: keys CO-SAMPLE and the uniqueness rate stays unbiased) and fold
@@ -662,6 +675,32 @@ class ValidationEngine:
         findings = preflight(pages, key_col=c.key_col)
         if any(f.blocking for f in findings):
             return self._blocked_report(findings)
+
+        # Snapshot-manifest gate (pass 0.5): declared vs actual file set,
+        # BEFORE any validation pass — a wrong file set invalidates
+        # everything downstream.
+        manifest_summary: dict | None = None
+        if c.manifest_table is not None:
+            manifest_summary = self._manifest_summary(pages)
+            if c.manifest_blocking and manifest_summary["n_findings"]:
+                return ValidationReport(
+                    run_id=c.run_id,
+                    indexable=False,
+                    n_rows=0,
+                    n_violations=manifest_summary["n_findings"],
+                    issue_counts={
+                        CheckId.MANIFEST_MISMATCH: manifest_summary[
+                            "n_findings"
+                        ]
+                    },
+                    samples={
+                        CheckId.MANIFEST_MISMATCH: manifest_summary[
+                            "examples"
+                        ]
+                    },
+                    metrics={"manifest": manifest_summary},
+                    error_code=CheckId.MANIFEST_MISMATCH,
+                )
 
         if c.sample_pct is not None:
             if not 0 < c.sample_pct <= 100:
@@ -1000,6 +1039,8 @@ class ValidationEngine:
             metrics["dup_clusters"] = self._cluster_summary(pages)
         if c.graph_summary and "html" in pages.columns:
             metrics["host_graph"] = self._graph_summary(pages)
+        if manifest_summary is not None:
+            metrics["manifest"] = manifest_summary
         if c.table_rules:
             metrics["table_rules"] = self._table_rules_summary(pages)
             if c.table_rules_blocking and any(
@@ -1242,6 +1283,43 @@ class ValidationEngine:
     #: grouped_rules failure list cap — the report stays bounded even if
     #: every (window, rule) verdict fails; the counts are always complete
     _GROUPED_RULES_MAX_FAILURES = 100
+
+    def _manifest_summary(self, pages: DataFrame) -> dict:
+        """Snapshot-manifest reconcile (config: ``manifest_table``):
+        per-class finding counts (one 3-row agg over the O(#files)
+        reconcile) + capped examples — bounded driver state at any
+        table size."""
+        from ..operators.layout import manifest_audit
+
+        audit = manifest_audit(pages, self.config.manifest_table)
+        counts = {
+            r["finding"]: int(r["n"])
+            for r in audit.groupBy("finding")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        examples = [
+            {
+                "file": r["file"],
+                "finding": r["finding"],
+                "n_rows_declared": (
+                    int(r["n_rows_declared"])
+                    if r["n_rows_declared"] is not None
+                    else None
+                ),
+                "n_rows_actual": (
+                    int(r["n_rows_actual"])
+                    if r["n_rows_actual"] is not None
+                    else None
+                ),
+            }
+            for r in audit.limit(self.config.manifest_max_examples).collect()
+        ]
+        return {
+            "n_findings": sum(counts.values()),
+            "counts": counts,
+            "examples": examples,
+        }
 
     def _skew_summary(self, pages: DataFrame) -> list[dict]:
         """Top-k hot keys of the record key column (config: ``skew_summary``)

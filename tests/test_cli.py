@@ -404,3 +404,33 @@ def test_main_profile_mode(spark, tmp_path, capsys):
     assert prof["n_rows"] == 300
     assert prof["url_nulls"] == 0 and prof["url_non_blank"] == 300
     assert "text_len_quantiles" in prof and "html" not in "".join(prof)
+
+
+def test_main_manifest_mode(spark, tmp_path, capsys):
+    """--manifest: declared-vs-actual file census in
+    report.metrics['manifest']; --manifest-blocking short-circuits with
+    MANIFEST_MISMATCH (exit 2)."""
+    from gbif_data_validator_spark.operators.layout import file_rowcounts
+    from gbif_data_validator_spark.sources.synthetic import synth_pages
+
+    clean = str(tmp_path / "clean_m")
+    synth_pages(spark, 300, with_violations=False).drop(
+        "expected_issue"
+    ).write.parquet(clean)
+    good = str(tmp_path / "manifest_good")
+    file_rowcounts(spark.read.parquet(clean)).write.parquet(good)
+
+    code = main(["--table", clean, "--no-extraction", "--manifest", good])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert code == 0
+    assert out["metrics"]["manifest"]["n_findings"] == 0
+
+    bad = str(tmp_path / "manifest_bad")
+    spark.createDataFrame(
+        [("ghost.parquet", 1)], "file string, n_rows long"
+    ).write.parquet(bad)
+    code = main(["--table", clean, "--no-extraction", "--manifest", bad,
+                 "--manifest-blocking"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert code == 1
+    assert out["error_code"] == "MANIFEST_MISMATCH"

@@ -552,3 +552,53 @@ def test_privacy_summary_and_blocking(spark):
     ).run(pages.where("lang = 'en'"))
     assert safe.metrics["k_anonymity"]["min_k"] == 5
     assert safe.indexable
+
+
+def test_manifest_gate_clean_blocking_and_summary(spark, tmp_path):
+    """Engine manifest gate: a correct manifest passes with a zero
+    summary; a drifted+ghosted one blocks with MANIFEST_MISMATCH before
+    any validation pass; non-blocking mode completes and reports."""
+    from gbif_data_validator_spark.operators.layout import file_rowcounts
+    from gbif_data_validator_spark.sources.synthetic import synth_pages
+
+    p = str(tmp_path / "mpages")
+    synth_pages(spark, 800, with_violations=False).drop(
+        "expected_issue"
+    ).write.parquet(p)
+    pages = spark.read.parquet(p)
+    good = file_rowcounts(pages)
+
+    rep = ValidationEngine(
+        spark,
+        EngineConfig(
+            check_extraction=False, manifest_table=good, manifest_blocking=True
+        ),
+    ).run(pages)
+    assert rep.indexable and rep.metrics["manifest"]["n_findings"] == 0
+
+    bad = good.select(
+        "file", (F.col("n_rows") + 1).alias("n_rows")
+    ).unionByName(
+        spark.createDataFrame([("ghost.parquet", 9)], "file string, n_rows long")
+    )
+    blocked = ValidationEngine(
+        spark,
+        EngineConfig(
+            check_extraction=False, manifest_table=bad, manifest_blocking=True
+        ),
+    ).run(pages)
+    assert blocked.error_code == CheckId.MANIFEST_MISMATCH
+    assert not blocked.indexable and blocked.n_rows == 0
+    counts = blocked.metrics["manifest"]["counts"]
+    assert counts["FILE_MISSING"] == 1
+    assert counts["ROWCOUNT_MISMATCH"] >= 1
+    assert blocked.issue_counts[CheckId.MANIFEST_MISMATCH] == sum(counts.values())
+
+    warned = ValidationEngine(
+        spark,
+        EngineConfig(
+            check_extraction=False, manifest_table=bad, manifest_blocking=False
+        ),
+    ).run(pages)
+    assert warned.indexable and warned.n_rows == 800
+    assert warned.metrics["manifest"]["counts"]["FILE_MISSING"] == 1
