@@ -3620,6 +3620,55 @@ _ROBOTS_FIXTURE: list[tuple[str, str]] = [
 ]
 
 
+#: Allow/Disallow interplay fixture for the RFC 9309 precedence query
+_ROBOTS_RFC_FIXTURE: list[tuple[str, str]] = [
+    (
+        "a0.example.org",
+        "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"
+        "Disallow: /private/pub/sec\n",
+    ),
+    ("a1.example.org", "User-agent: *\nAllow: /\nDisallow: /tmp\n"),
+    ("a2.example.org", "User-agent: *\nDisallow: /a\nAllow: /a\n"),
+]
+
+
+def _q_robots_rfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 group-member precedence
+    (operators/robots.py:robots_blocked_rfc): longest matching rule
+    wins, Allow beats Disallow on equal length — ``Disallow: /private/``
+    + ``Allow: /private/pub/`` + ``Disallow: /private/pub/sec`` layer
+    three levels deep, and the ``/a`` allow/disallow tie resolves to
+    allowed. Page urls derive from documents (host = doc_id%3, path =
+    doc_id%6 branch). Oracle replays the whole relational parse AND the
+    precedence window."""
+    from gbif_data_validator_spark.operators.robots import (
+        robots_blocked_rfc,
+        robots_rules_full,
+    )
+
+    robots = spark.createDataFrame(
+        _ROBOTS_RFC_FIXTURE, "host string, text string"
+    )
+    rules = robots_rules_full(robots)
+    idc = F.col("doc_id")
+    path = (
+        F.when(idc % 6 == 0, F.lit("/private/x"))
+        .when(idc % 6 == 1, F.lit("/private/pub/x"))
+        .when(idc % 6 == 2, F.lit("/private/pub/secret"))
+        .when(idc % 6 == 3, F.lit("/tmp/x"))
+        .when(idc % 6 == 4, F.lit("/a/z"))
+        .otherwise(F.lit("/ok"))
+    )
+    pages = _tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://a"), (idc % 3).cast("string"),
+            F.lit(".example.org"), path,
+        ).alias("url"),
+    )
+    return robots_blocked_rfc(pages, rules).orderBy("doc_id")
+
+
 def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parse (operators/robots.py:robots_rules): Disallow
     rules from records whose user-agent set includes '*' — posexplode +
@@ -4990,6 +5039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "noindex_pages": _q_noindex_pages,
         "robots_rules": _q_robots_rules,
         "robots_blocked": _q_robots_blocked,
+        "robots_rfc": _q_robots_rfc,
         "crawl_delay_audit": _q_crawl_delay_audit,
         "canonical_census": _q_canonical_census,
         "sitemap_coverage": _q_sitemap_coverage,
@@ -10492,6 +10542,93 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.dist_micro >
               CAST(round(s.mean_ + 3000000.0 / 1e6 * sqrt(s.var_)) AS BIGINT)
             ORDER BY d.label, d.id
+        """,
+        # robots_rfc: full parse replay (same CTE chain as robots_blocked,
+        # extended to Allow) + the precedence argmax as a window — longest
+        # rule DESC, allow DESC, rule DESC mirrors Spark's struct
+        # array_max on (length, allow, rule)
+        "robots_rfc": r"""
+            WITH robots(host, txt) AS (VALUES
+              ('a0.example.org',
+               e'User-agent: *\nDisallow: /private/\nAllow: /private/pub/\nDisallow: /private/pub/sec\n'),
+              ('a1.example.org', e'User-agent: *\nAllow: /\nDisallow: /tmp\n'),
+              ('a2.example.org', e'User-agent: *\nDisallow: /a\nAllow: /a\n')
+            ),
+            sp AS (SELECT host, string_split(txt, chr(10)) AS l FROM robots),
+            lines AS (
+              SELECT host, i AS pos,
+                     trim(regexp_replace(regexp_replace(l[i], '\r', ''),
+                                         '#.*$', '')) AS line
+              FROM sp, UNNEST(range(1, len(l) + 1)) AS r(i)
+            ),
+            f AS (
+              SELECT host, pos,
+                     lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) AS field,
+                     trim(regexp_extract(line, '^[A-Za-z-]+\s*:\s*(.*)$', 1)) AS value
+              FROM lines
+            ),
+            m AS (
+              SELECT *, CASE WHEN field = 'user-agent' THEN 1 ELSE 0 END AS is_ua
+              FROM f
+            ),
+            m2 AS (
+              SELECT *, COALESCE(LAG(is_ua) OVER (PARTITION BY host ORDER BY pos), 0)
+                          AS prev_ua
+              FROM m
+            ),
+            m3 AS (
+              SELECT *, SUM(CASE WHEN is_ua = 1 AND prev_ua = 0 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY host ORDER BY pos) AS rec
+              FROM m2
+            ),
+            star AS (
+              SELECT DISTINCT host, rec FROM m3
+              WHERE field = 'user-agent' AND value = '*'
+            ),
+            rules AS (
+              SELECT DISTINCT m3.host, m3.value AS rule,
+                     m3.field = 'allow' AS allow,
+                     regexp_matches(m3.value, '[*$]') AS has_wildcard
+              FROM m3 JOIN star ON m3.host = star.host AND m3.rec = star.rec
+              WHERE m3.field IN ('allow', 'disallow') AND m3.value <> ''
+            ),
+            pages AS (
+              SELECT doc_id,
+                     'https://a' || CAST(doc_id % 3 AS VARCHAR) || '.example.org'
+                     || CASE doc_id % 6
+                          WHEN 0 THEN '/private/x'
+                          WHEN 1 THEN '/private/pub/x'
+                          WHEN 2 THEN '/private/pub/secret'
+                          WHEN 3 THEN '/tmp/x'
+                          WHEN 4 THEN '/a/z'
+                          ELSE '/ok' END AS url
+              FROM documents
+            ),
+            p2 AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)) AS host,
+                     CASE WHEN regexp_extract(url,
+                            '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^#]*)?', 1) = ''
+                          THEN '/'
+                          ELSE regexp_extract(url,
+                            '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^#]*)?', 1) END AS path
+              FROM pages
+            ),
+            cand AS (
+              SELECT p2.doc_id, p2.url, p2.host, p2.path, r.rule, r.allow
+              FROM p2 JOIN rules r
+                ON r.host = p2.host AND NOT r.has_wildcard
+               AND starts_with(p2.path, r.rule)
+            ),
+            win AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY length(rule) DESC, allow DESC, rule DESC) AS rn
+              FROM cand
+            )
+            SELECT doc_id, url, host, path, rule
+            FROM win WHERE rn = 1 AND NOT allow
+            ORDER BY doc_id
         """,
         # manifest_audit: exploits the one-file-per-table testdata layout
         # (same convention as the file_audit oracle) — the actual side is

@@ -133,6 +133,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "into report.metrics['robots']")
     p.add_argument("--robots-blocking", action="store_true",
                    help="with --robots: any blocked page flips the verdict")
+    p.add_argument("--robots-rfc", action="store_true",
+                   help="with --robots: apply full RFC 9309 precedence "
+                        "(Allow + Disallow, longest match wins) instead of "
+                        "the raw Disallow-prefix census")
     p.add_argument("--manifest", metavar="MANIFEST_TABLE", default=None,
                    help="during validation: parquet/CSV table of (file, "
                         "n_rows) declaring the snapshot's expected file "
@@ -481,6 +485,7 @@ def main(argv: list[str] | None = None) -> int:
         kwargs["robots_summary"] = True
         kwargs["robots_table"] = read_table(spark, args.robots)
         kwargs["robots_blocking"] = args.robots_blocking
+        kwargs["robots_rfc"] = args.robots_rfc
     if args.manifest:
         kwargs["manifest_table"] = read_table(spark, args.manifest)
         kwargs["manifest_blocking"] = args.manifest_blocking

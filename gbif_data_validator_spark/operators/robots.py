@@ -271,3 +271,104 @@ def robots_blocked(
         F.col("_phost").alias("host"),
         F.col("_path").alias("path"),
     )
+
+
+def robots_rules_full(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Parse robots.txt documents → ``(host, rule, allow,
+    has_wildcard)``: BOTH ``Allow`` and ``Disallow`` paths from records
+    whose user-agent set includes ``*`` — the input `robots_verdict`
+    needs for RFC 9309 longest-match precedence (`robots_rules` keeps
+    its Disallow-only contract for the prefix-census callers). Empty
+    values yield no rule either way (an empty Disallow means
+    allow-everything; an empty Allow is vacuous). Same deterministic
+    pure-relational parse: posexplode + ONE host-grain window pass."""
+    lines = _star_record_lines(robots, host_col, text_col)
+    return (
+        lines.where(
+            F.col("field").isin("allow", "disallow") & (F.col("value") != "")
+        )
+        .select(
+            "host",
+            F.col("value").alias("rule"),
+            (F.col("field") == "allow").alias("allow"),
+            F.col("value").rlike(r"[*$]").alias("has_wildcard"),
+        )
+        .distinct()
+    )
+
+
+def robots_blocked_rfc(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    force_broadcast: bool | None = None,
+) -> DataFrame:
+    """Pages BLOCKED under RFC 9309 group-member precedence: among all
+    ``*``-record rules whose path prefix-matches the page, the LONGEST
+    rule wins, ``Allow`` beating ``Disallow`` on equal length; no match
+    (or an Allow winner) means the page is fine. This is the
+    precedence-aware sibling of `robots_blocked` (which censuses raw
+    Disallow prefix hits): ``Disallow: /private`` + ``Allow:
+    /private/pub`` blocks ``/private/a`` but not ``/private/pub/x``.
+
+    Output: the input page rows + ``(host, path, rule)`` (the winning
+    Disallow). Wildcard rules are excluded by the module contract.
+
+    Scale design: rules aggregate to ONE array per host (host-grain
+    shuffle over the tiny rule table), broadcast under the
+    ``MAX_BROADCAST_RULES`` guard; the page side is a single broadcast
+    equi-join on host with the match-filter + argmax evaluated as
+    higher-order Column functions inside codegen — no page-grain
+    shuffle, no per-rule row explosion (a page matching k rules never
+    materializes k rows).
+    """
+    from ..functions.extraction import link_host
+
+    exact = rules.where(~F.col("has_wildcard")).select(
+        F.col("host").alias("_rhost"), "rule", "allow"
+    )
+    if force_broadcast is None:
+        force_broadcast = exact.count() <= MAX_BROADCAST_RULES
+    per_host = exact.groupBy("_rhost").agg(
+        F.collect_list(F.struct("rule", "allow")).alias("_rules")
+    )
+    if force_broadcast:
+        per_host = F.broadcast(per_host)
+
+    path = F.regexp_extract(
+        F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^#]*)?", 1
+    )
+    paged = pages.withColumn("_phost", link_host(F.col(url_col))).withColumn(
+        "_path", F.when(path == "", F.lit("/")).otherwise(path)
+    )
+    matches = F.filter(
+        F.col("_rules"), lambda r: F.col("_path").startswith(r["rule"])
+    )
+    # argmax by (length, allow, rule): longest rule wins, Allow beats
+    # Disallow on equal length, rule text breaks full ties
+    # deterministically
+    winner = F.array_max(
+        F.transform(
+            matches,
+            lambda r: F.struct(
+                F.length(r["rule"]).alias("l"),
+                r["allow"].cast("int").alias("a"),
+                r["rule"].alias("rule"),
+            ),
+        )
+    )
+    return (
+        paged.join(per_host, F.col("_phost") == F.col("_rhost"))
+        .withColumn("_w", winner)
+        .where(F.col("_w").isNotNull() & (F.col("_w.a") == 0))
+        .select(
+            *pages.columns,
+            F.col("_phost").alias("host"),
+            F.col("_path").alias("path"),
+            F.col("_w.rule").alias("rule"),
+        )
+    )

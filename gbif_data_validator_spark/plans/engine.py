@@ -364,6 +364,12 @@ class EngineConfig:
     robots_table: object = None
     robots_blocking: bool = False
     robots_top_k: int = 5
+    #: with robots_summary: count pages blocked under full RFC 9309
+    #: group-member precedence (Allow + Disallow, longest match wins)
+    #: instead of the raw Disallow-prefix census — an Allow carve-out
+    #: (`Allow: /private/pub/` under `Disallow: /private/`) then stops
+    #: counting its pages as violations
+    robots_rfc: bool = False
     #: arrival-volume monitor battery in report.metrics["volume"]: the
     #: rate_anomaly control chart, CUSUM change point, Theil–Sen trend +
     #: Mann–Kendall direction, and the dispersion index, all computed from
@@ -1131,16 +1137,24 @@ class ValidationEngine:
         plus the top offending hosts, all driver collects bounded by the
         (host-grain) rule table. One url-column scan of the corpus; the
         parse itself touches only the robots table."""
-        from ..operators.robots import robots_blocked, robots_rules
+        from ..operators.robots import (
+            robots_blocked,
+            robots_blocked_rfc,
+            robots_rules,
+            robots_rules_full,
+        )
 
         c = self.config
         if c.robots_table is None:
             raise ValueError("robots_summary requires robots_table "
                              "((host, text) robots.txt snapshots)")
-        rules = robots_rules(c.robots_table)
-        blocked = robots_blocked(
-            pages.select(F.col(c.key_col).alias("url")), rules
-        )
+        urls = pages.select(F.col(c.key_col).alias("url"))
+        if c.robots_rfc:
+            rules = robots_rules_full(c.robots_table)
+            blocked = robots_blocked_rfc(urls, rules)
+        else:
+            rules = robots_rules(c.robots_table)
+            blocked = robots_blocked(urls, rules)
         census = blocked.groupBy("host").agg(
             F.count(F.lit(1)).alias("n")
         ).persist()

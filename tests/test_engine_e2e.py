@@ -602,3 +602,27 @@ def test_manifest_gate_clean_blocking_and_summary(spark, tmp_path):
     ).run(pages)
     assert warned.indexable and warned.n_rows == 800
     assert warned.metrics["manifest"]["counts"]["FILE_MISSING"] == 1
+
+
+def test_robots_rfc_allow_carveout_in_engine(spark):
+    """robots_rfc toggle: an Allow carve-out under a Disallow prefix
+    stops counting as blocked; the census mode still counts it."""
+    from gbif_data_validator_spark.sources.synthetic import synth_pages
+
+    clean = synth_pages(spark, 300, with_violations=False).drop(
+        "expected_issue"
+    )
+    # every synthetic url is https://hostN.example.com/page/<id>; carve
+    # /page/1 back out of a full /page/ disallow
+    robots = spark.createDataFrame(
+        [("hot0.example.com", "User-agent: *\nDisallow: /page/\nAllow: /page/1\n")],
+        "host string, text string",
+    )
+    base = dict(check_extraction=False, robots_summary=True, robots_table=robots)
+    census = ValidationEngine(spark, EngineConfig(**base)).run(clean)
+    rfc = ValidationEngine(
+        spark, EngineConfig(**base, robots_rfc=True)
+    ).run(clean)
+    n_census = census.metrics["robots"]["n_blocked"]
+    n_rfc = rfc.metrics["robots"]["n_blocked"]
+    assert n_census > n_rfc > 0  # carve-out released some pages only

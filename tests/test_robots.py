@@ -175,3 +175,78 @@ def test_sitemap_coverage_census(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.host, r.n_listed, r.n_crawled, r.n_missing) == ("a.com", 3, 2, 1)
+
+
+def test_rfc_precedence_longest_match_and_allow_tie(spark):
+    """RFC 9309 group-member precedence: longest rule wins; Allow beats
+    Disallow at equal length; no-match and Allow-winner pages pass."""
+    from gbif_data_validator_spark.operators.robots import (
+        robots_blocked_rfc,
+        robots_rules_full,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "h.example.org",
+                "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"
+                "Disallow: /private/pub/sec\n",
+            ),
+            ("t.example.org", "User-agent: *\nDisallow: /a\nAllow: /a\n"),
+        ],
+        "host string, text string",
+    )
+    rules = robots_rules_full(robots)
+    assert {
+        (r.host, r.rule, r.allow) for r in rules.collect()
+    } == {
+        ("h.example.org", "/private/", False),
+        ("h.example.org", "/private/pub/", True),
+        ("h.example.org", "/private/pub/sec", False),
+        ("t.example.org", "/a", False),
+        ("t.example.org", "/a", True),
+    }
+    pages = spark.createDataFrame(
+        [
+            (0, "https://h.example.org/private/x"),        # blocked
+            (1, "https://h.example.org/private/pub/x"),    # allow wins (longer)
+            (2, "https://h.example.org/private/pub/secret"),  # deepest disallow
+            (3, "https://h.example.org/ok"),               # no match
+            (4, "https://t.example.org/a/z"),              # tie -> allow
+            (5, "https://u.example.org/private/x"),        # host without rules
+        ],
+        "id long, url string",
+    )
+    out = robots_blocked_rfc(pages, rules).orderBy("id").collect()
+    assert [(r.id, r.rule) for r in out] == [
+        (0, "/private/"),
+        (2, "/private/pub/sec"),
+    ]
+
+
+def test_rfc_no_row_explosion_and_no_python(spark):
+    """A page matching k rules yields at most one output row; the whole
+    match/argmax runs as Column algebra (no Python eval)."""
+    from gbif_data_validator_spark.operators.robots import (
+        robots_blocked_rfc,
+        robots_rules_full,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "h.example.org",
+                "User-agent: *\nDisallow: /p\nDisallow: /pr\nDisallow: /pri\n",
+            )
+        ],
+        "host string, text string",
+    )
+    rules = robots_rules_full(robots)
+    pages = spark.createDataFrame(
+        [(0, "https://h.example.org/private/x")], "id long, url string"
+    )
+    df = robots_blocked_rfc(pages, rules)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].rule == "/pri"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
