@@ -65,8 +65,9 @@ N_FEATURES = 16
 
 def sniff_media(payload: bytes | None) -> str | None:
     """Magic-byte sniff for the formats this module decodes for real:
-    'ppm' (binary P6), 'bmp' (BM container), 'wav' (RIFF/WAVE). None for
-    anything else (compressed codecs → stub tier)."""
+    'ppm' (binary P6), 'bmp' (BM container), 'gif', 'png', 'jpeg'
+    (FFD8FF), 'wav' (RIFF/WAVE). None for anything else (remaining
+    compressed codecs → stub tier)."""
     if not payload or len(payload) < 12:
         return None
     if payload[:2] == b"P6":
@@ -79,6 +80,8 @@ def sniff_media(payload: bytes | None) -> str | None:
         return "gif"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -375,6 +378,276 @@ def _decode_wav(b: bytes) -> np.ndarray:
     return samples
 
 
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT, Huffman) — from scratch
+# --------------------------------------------------------------------------
+
+#: zigzag scan order: k-th entropy-coded coefficient -> linear index in
+#: the natural (row-major) 8x8 block
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+#: 8x8 IDCT basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16); the 2-D
+#: inverse transform is A.T @ F @ A
+_IDCT_A = np.array([
+    [(np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+     * np.cos((2 * x + 1) * u * np.pi / 16.0) for x in range(8)]
+    for u in range(8)
+])
+
+
+class _JpegBits:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    byte-unstuffing; restart markers surface via `at_restart` +
+    `sync_restart` (byte-aligned, per the spec)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d, self.p, self.cur, self.cnt = data, pos, 0, 0
+
+    def _load(self) -> None:
+        if self.p >= len(self.d):
+            raise ValueError("jpeg: truncated entropy segment")
+        byte = self.d[self.p]
+        if byte == 0xFF:
+            nxt = self.d[self.p + 1] if self.p + 1 < len(self.d) else None
+            if nxt == 0x00:
+                self.p += 2
+            else:
+                raise ValueError("jpeg: marker inside entropy segment")
+        else:
+            self.p += 1
+        self.cur, self.cnt = byte, 8
+
+    def bit(self) -> int:
+        if self.cnt == 0:
+            self._load()
+        self.cnt -= 1
+        return (self.cur >> self.cnt) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def at_marker(self) -> "int | None":
+        """The marker byte ahead (reader byte-aligned first), or None."""
+        if self.p + 1 < len(self.d) and self.d[self.p] == 0xFF and self.d[
+            self.p + 1
+        ] != 0x00:
+            return self.d[self.p + 1]
+        return None
+
+    def sync_restart(self, n: int) -> None:
+        """Consume the expected RSTn marker and re-align."""
+        self.cnt = 0
+        m = self.at_marker()
+        if m != 0xD0 + (n & 7):
+            raise ValueError(f"jpeg: expected RST{n & 7}, found {m}")
+        self.p += 2
+
+
+def _jpeg_huff_table(counts: "list[int]", symbols: bytes) -> dict:
+    """Canonical Huffman (T.81 annex C): (length, code) -> symbol."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_decode_sym(r: _JpegBits, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | r.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _jpeg_block(r: _JpegBits, dc: dict, ac: dict, pred: int):
+    """One 8x8 block -> (natural-order float coefficient block, new DC
+    predictor); coefficients still pre-dequantization."""
+    t = _jpeg_decode_sym(r, dc)
+    pred += _jpeg_extend(r.bits(t), t) if t else 0
+    zz = np.zeros(64)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = _jpeg_decode_sym(r, ac)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("jpeg: AC run past block end")
+        zz[k] = _jpeg_extend(r.bits(size), size)
+        k += 1
+    return zz, pred
+
+
+def _decode_jpeg(b: bytes) -> np.ndarray:
+    """Baseline JPEG (SOF0/SOF1, 8-bit, Huffman, 1 or 3 components, any
+    sampling factors, DRI restarts) -> HxWx3 uint8 — from-scratch T.81:
+    canonical Huffman decode, dequantize, de-zigzag, float IDCT,
+    nearest-neighbor chroma upsample, JFIF YCbCr->RGB. Progressive
+    (SOF2), arithmetic coding, 12-bit precision, and CMYK raise
+    NotImplementedError (declared limits, same tier policy as PNG
+    16-bit)."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple, dict] = {}
+    frame = None
+    restart = 0
+    while pos + 1 < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 2 > len(b):
+            raise ValueError("jpeg: truncated segment header")
+        seglen = int.from_bytes(b[pos:pos + 2], "big")
+        seg = b[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                qt[tq] = np.frombuffer(
+                    seg[i + 1:i + 65], dtype=np.uint8
+                ).astype(np.float64)
+                i += 65
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if seg[0] != 8:
+                raise NotImplementedError("jpeg: only 8-bit precision")
+            ih = int.from_bytes(seg[1:3], "big")
+            iw = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"jpeg: {ncomp}-component (CMYK?) not supported"
+                )
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
+                )
+            frame = {"h": ih, "w": iw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "jpeg: only baseline/extended-sequential Huffman supported"
+            )
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                counts = list(seg[i + 1:i + 17])
+                nsym = sum(counts)
+                huff[(tc, th)] = _jpeg_huff_table(
+                    counts, seg[i + 17:i + 17 + nsym]
+                )
+                i += 17 + nsym
+        elif marker == 0xDD:
+            restart = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — decode the scan and finish
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for si in range(ns):
+                cid, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                scan[cid] = (tt >> 4, tt & 0x0F)
+            return _jpeg_scan(b, pos + seglen, frame, scan, qt, huff, restart)
+        elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
+            pass  # APPn / COM
+        else:
+            raise ValueError(f"jpeg: unexpected marker 0x{marker:02x}")
+        pos += seglen
+    raise ValueError("jpeg: no scan data")
+
+
+def _jpeg_scan(b, pos, frame, scan, qt, huff, restart) -> np.ndarray:
+    comps = frame["comps"]
+    ih, iw = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-iw // (8 * hmax))
+    mcuy = -(-ih // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+        for c in comps
+    }
+    r = _JpegBits(b, pos)
+    preds = {c["id"]: 0 for c in comps}
+    nrst = 0
+    for m in range(mcuy * mcux):
+        if restart and m and m % restart == 0:
+            r.sync_restart(nrst)
+            nrst = (nrst + 1) & 7
+            preds = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcux)
+        for c in comps:
+            td, ta = scan[c["id"]]
+            q = qt[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz, preds[c["id"]] = _jpeg_block(
+                        r, huff[(0, td)], huff[(1, ta)], preds[c["id"]]
+                    )
+                    blk = np.zeros(64)
+                    blk[_JPEG_ZIGZAG] = zz * q
+                    px = _IDCT_A.T @ blk.reshape(8, 8) @ _IDCT_A + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = px
+    out_planes = []
+    for c in comps:
+        pl = np.repeat(
+            np.repeat(planes[c["id"]], vmax // c["v"], axis=0),
+            hmax // c["h"],
+            axis=1,
+        )[:ih, :iw]
+        out_planes.append(pl)
+    if len(out_planes) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    y, cb, cr = out_planes
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array. REAL for the
     codec-free formats (P6 PPM, uncompressed 24-bit BMP — see module
@@ -389,12 +662,14 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return _decode_gif(payload)
     if kind == "png":
         return _decode_png(payload)
+    if kind == "jpeg":
+        return _decode_jpeg(payload)
     if not fake:
         raise NotImplementedError(
-            "jpeg/webp/... codecs not available in this environment; "
-            "P6 PPM, uncompressed BMP, GIF (LZW), and PNG (zlib DEFLATE) "
-            "decode for real — pass fake=True for the deterministic test "
-            "double"
+            "webp/avif/... codecs not available in this environment; "
+            "P6 PPM, uncompressed BMP, GIF (LZW), PNG (zlib DEFLATE), and "
+            "baseline JPEG (from-scratch T.81) decode for real — pass "
+            "fake=True for the deterministic test double"
         )
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
     side = 4
@@ -706,7 +981,7 @@ def audio_hash_pairs(
 #: sniffed kind → canonical media_type prefix family for the declared-type
 #: check ('image/...' rows whose bytes sniff as WAV are mislabeled)
 _KIND_FAMILY = {"ppm": "image/", "bmp": "image/", "gif": "image/",
-                "png": "image/", "wav": "audio/"}
+                "png": "image/", "jpeg": "image/", "wav": "audio/"}
 
 
 def media_meta_checks(media_df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
