@@ -4432,6 +4432,47 @@ def _q_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_audit(li, manifest)
 
 
+def _q_media_checks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-content media validation
+    (operators/multimodal.py:media_meta_checks) made HASH-CHECKABLE: the
+    payloads are deterministically CONSTRUCTED Column-algebra PPM bytes
+    (valid 2x2 / truncated-header / empty / unsniffable by doc_id
+    residue), so the real decode path runs end-to-end and every finding
+    string — including the decoder's own error message — is pinned by
+    the oracle. Converts the family's rows-only `media_meta_violations`
+    into a hard correctness row."""
+    from gbif_data_validator_spark.operators.multimodal import (
+        media_meta_checks,
+    )
+
+    k = F.col("doc_id") % 6
+    ppm = F.concat(
+        F.encode(F.lit("P6\n2 2\n255\n"), "UTF-8"),
+        F.unhex(F.lit("102030405060708090A0B0C0")),
+    )
+    payload = (
+        F.when(k == 3, F.unhex(F.lit("")))
+        # 14 bytes (past sniff's minimum) but the maxval token never
+        # arrives (comment runs to EOF) -> the decoder's own header guard
+        .when(k == 4, F.encode(F.lit("P6\n2 2\n#aaaaaa"), "UTF-8"))
+        .when(k == 5, F.encode(F.lit("zzzzzzzzzzzz"), "UTF-8"))
+        .otherwise(ppm)
+    )
+    meta = F.struct(
+        F.when(k == 2, F.lit("audio/wav"))
+        .when(k == 5, F.lit("image/jpeg"))
+        .otherwise(F.lit("image/ppm"))
+        .alias("media_type"),
+        F.when(k == 1, F.lit(3)).otherwise(F.lit(2)).cast("int").alias("width"),
+        F.lit(2).cast("int").alias("height"),
+        F.lit(0).cast("int").alias("duration_ms"),
+    )
+    media = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", payload.alias("media"), meta.alias("meta")
+    )
+    return media_meta_checks(media).orderBy("doc_id")
+
+
 def _q_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang mojibake census + repairability over documents with
     deterministically injected double-decode artifacts (the testdata corpus
@@ -4898,6 +4939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bit-exact locally via scripts/check_oracles
         "embedding_outliers": _q_embedding_outliers,
         "manifest_audit": _q_manifest_audit,
+        "media_checks_exact": _q_media_checks_exact,
         "salted_join_rollup": _q_salted_join_rollup,
         "quality_survivors": _q_quality_survivors,
         "k_anon_classes": _q_k_anon_classes,
@@ -10628,6 +10670,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, url, host, path, rule
             FROM win WHERE rn = 1 AND NOT allow
+            ORDER BY doc_id
+        """,
+        # media_checks_exact: the payloads are constructed per residue
+        # class, so the expected finding per class — including the
+        # decoder's own error string — is a pure CASE over doc_id; any
+        # drift in the decode path or check logic breaks the hash
+        "media_checks_exact": """
+            SELECT doc_id,
+              CASE doc_id % 6
+                WHEN 1 THEN 'MEDIA_DIMS_MISMATCH'
+                WHEN 2 THEN 'MEDIA_TYPE_MISMATCH'
+                WHEN 3 THEN 'MEDIA_PAYLOAD_EMPTY'
+                WHEN 4 THEN 'MEDIA_DECODE_ERROR'
+              END AS check_id,
+              CASE doc_id % 6
+                WHEN 1 THEN '3x2'
+                WHEN 2 THEN 'image/* (sniffed ppm)'
+                WHEN 3 THEN 'non-empty payload'
+                WHEN 4 THEN 'decodable ppm'
+              END AS expected,
+              CASE doc_id % 6
+                WHEN 1 THEN '2x2'
+                WHEN 2 THEN 'audio/wav'
+                WHEN 3 THEN '0 bytes'
+                WHEN 4 THEN 'ppm: truncated header'
+              END AS found
+            FROM documents
+            WHERE doc_id % 6 IN (1, 2, 3, 4)
             ORDER BY doc_id
         """,
         # manifest_audit: exploits the one-file-per-table testdata layout

@@ -738,10 +738,11 @@ def resize_images(
     streamed through mapInPandas so no task materializes a partition of
     decoded pixels. Output rows keep the media schema with updated meta
     (width/height) and the resized payload; non-image rows pass through
-    untouched. PPM/BMP payloads take the REAL decode path and re-encode
-    as P6 PPM (byte-exact round-trip); other image payloads fall back to
-    the deterministic fake decode + raw-RGB encode, so the resample
-    arithmetic and all Spark-side plumbing run identically either way."""
+    untouched. Every sniffable format (PPM/BMP/GIF/PNG/JPEG) takes the
+    REAL decode path and re-encodes as P6 PPM; the remaining codecs fall
+    back to the deterministic fake decode + raw-RGB encode, so the
+    resample arithmetic and all Spark-side plumbing run identically
+    either way."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -752,7 +753,9 @@ def resize_images(
                     and meta is not None
                     and ((meta.get("media_type") if isinstance(meta, dict) else meta["media_type"]) or "").startswith("image/")
                 ):
-                    real = sniff_media(media) in ("ppm", "bmp")
+                    real = sniff_media(media) in (
+                        "ppm", "bmp", "gif", "png", "jpeg"
+                    )
                     img = decode_image(media, fake=not real)
                     ys = (np.arange(height) * img.shape[0] // height).clip(0, img.shape[0] - 1)
                     xs = (np.arange(width) * img.shape[1] // width).clip(0, img.shape[1] - 1)

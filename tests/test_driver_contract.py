@@ -18,8 +18,8 @@ def test_query_names_are_stable_identifiers():
 def test_contract_counts():
     """Keep an explicit floor so a refactor can't silently drop coverage."""
     qs, oracles = entry.queries(), entry.oracle_sql()
-    assert len(qs) >= 223, len(qs)
-    assert len(oracles) >= 210, len(oracles)
+    assert len(qs) >= 224, len(qs)
+    assert len(oracles) >= 211, len(oracles)
 
 
 def test_driver_window_fully_oracled():

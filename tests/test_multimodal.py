@@ -726,3 +726,31 @@ def test_jpeg_ac_coefficients_roundtrip():
     # cosine basis: strictly decreasing across the first half-row
     assert col[0] > col[1] > col[2] > col[3]
     assert col[0] > 128 > col[7]
+
+
+def test_jpeg_through_dhash_and_resize(spark):
+    """Integration: a real JPEG payload flows through the Spark-side
+    dHash signature and resize operators (decode path, not the stub)."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        image_dhash,
+        resize_images,
+    )
+
+    jpeg = _jpeg_gray_dc()
+    meta = {"media_type": "image/jpeg", "width": 8, "height": 8,
+            "duration_ms": 0}
+    df = spark.createDataFrame(
+        [(1, bytearray(jpeg), meta), (2, bytearray(jpeg), meta)],
+        "doc_id long, media binary, meta struct<media_type string, "
+        "width int, height int, duration_ms int>",
+    )
+    sigs = image_dhash(df).collect()
+    # flat image -> all-zero gradient signature, identical across rows
+    assert len(sigs) == 2 and sigs[0][1] == sigs[1][1]
+    out = resize_images(df, width=4, height=4).collect()
+    from gbif_data_validator_spark.operators.multimodal import _decode_ppm
+
+    img = _decode_ppm(bytes(out[0].media))
+    assert img.shape == (4, 4, 3) and (img == 138).all()
