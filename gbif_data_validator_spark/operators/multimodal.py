@@ -648,6 +648,162 @@ def _jpeg_scan(b, pos, frame, scan, qt, huff, restart) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+#: Annex K luminance quantization table (natural order), quality-scaled
+_JPEG_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+
+
+def _jpeg_emit_table(counts: "list[int]", symbols: "bytes") -> dict:
+    """Canonical Huffman ENCODE table: symbol -> (code, length)."""
+    enc, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            enc[symbols[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
+    """Grayscale baseline JPEG ENCODER (ITU-T T.81): forward DCT,
+    Annex K luminance table scaled by the libjpeg quality formula,
+    zigzag, canonical DC/AC Huffman with tables derived from the
+    actually-emitted symbol histogram (two-pass). Accepts HxW or HxWx3
+    uint8 (RGB averages to luma with the JFIF weights); dimensions must
+    be multiples of 8 (callers pad). Round-trips through `_decode_jpeg`
+    within quantization error — the symmetric half that lets pipelines
+    synthesize REAL compressed fixtures without any codec library."""
+    if img.ndim == 3:
+        img = np.round(
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        )
+    ih, iw = img.shape
+    if ih % 8 or iw % 8:
+        raise ValueError("encode_jpeg_gray: dimensions must be multiples of 8")
+    if not 1 <= quality <= 100:
+        raise ValueError(f"encode_jpeg_gray: quality {quality} outside 1..100")
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    q = np.clip(np.floor((_JPEG_QL * scale + 50) / 100), 1, 255)
+
+    blocks = []
+    pred = 0
+    for by in range(ih // 8):
+        for bx in range(iw // 8):
+            px = img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8].astype(
+                np.float64
+            ) - 128.0
+            coef = _IDCT_A @ px @ _IDCT_A.T  # forward DCT (A orthonormal)
+            # zz[k] = natural[_JPEG_ZIGZAG[k]] — same permutation the
+            # decoder inverts with blk[_JPEG_ZIGZAG] = zz
+            zz = np.round(coef.reshape(64) / q)[_JPEG_ZIGZAG]
+            zz = zz.astype(np.int64)
+            blocks.append((int(zz[0]) - pred, zz[1:]))
+            pred = int(zz[0])
+
+    def cat(v: int) -> int:
+        return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+    # pass 1: symbol histograms -> canonical tables (1 count per length
+    # bucketed greedily: all symbols at length ceil(log2(rank+2)) would
+    # need a package-merge; a flat 8-bit table is simpler and spec-legal)
+    dc_syms = sorted({cat(d) for d, _ in blocks})
+    ac_syms = set()
+    for _, ac in blocks:
+        run = 0
+        for v in ac:
+            if v == 0:
+                run += 1
+                if run == 16:
+                    ac_syms.add(0xF0)
+                    run = 0
+            else:
+                ac_syms.add((run << 4) | cat(int(v)))
+                run = 0
+        ac_syms.add(0x00)
+    ac_syms = sorted(ac_syms)
+    # flat 8-bit codes for every symbol (canonical, all length 8 —
+    # valid for up to 255 symbols (8-bit codes must not be all-ones
+    # prefix-free set; T.81 requires no code of all 1-bits at max
+    # length, satisfied because we never assign 2^8 symbols)
+    dc_counts = [0] * 16
+    dc_counts[7] = len(dc_syms)
+    ac_counts = [0] * 16
+    ac_counts[7] = len(ac_syms)
+    dc_enc = _jpeg_emit_table(dc_counts, bytes(dc_syms))
+    ac_enc = _jpeg_emit_table(ac_counts, bytes(ac_syms))
+
+    w = _JpegBitWriter()
+    for diff, ac in blocks:
+        t = cat(diff)
+        w.put(*dc_enc[t])
+        if t:
+            w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = np.nonzero(ac)[0]
+        last = last_nz[-1] if len(last_nz) else -1
+        for i in range(last + 1):
+            v = int(ac[i])
+            if v == 0:
+                run += 1
+                if run == 16:
+                    w.put(*ac_enc[0xF0])
+                    run = 0
+            else:
+                t = cat(v)
+                w.put(*ac_enc[(run << 4) | t])
+                w.put(v if v >= 0 else v + (1 << t) - 1, t)
+                run = 0
+        if last < 62:
+            w.put(*ac_enc[0x00])  # EOB
+    data = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(
+            2, "big"
+        ) + payload
+
+    # DQT is stored in ZIGZAG order per the spec
+    dqt = seg(0xDB, b"\x00" + bytes(int(v) for v in q[_JPEG_ZIGZAG]))
+    sof = seg(
+        0xC0,
+        b"\x08" + ih.to_bytes(2, "big") + iw.to_bytes(2, "big")
+        + b"\x01" + b"\x01\x11\x00",
+    )
+    dht = seg(0xC4, b"\x00" + bytes(dc_counts) + bytes(dc_syms)) + seg(
+        0xC4, b"\x10" + bytes(ac_counts) + bytes(ac_syms)
+    )
+    sos = seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + data + b"\xff\xd9"
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array. REAL for the
     codec-free formats (P6 PPM, uncompressed 24-bit BMP — see module

@@ -754,3 +754,57 @@ def test_jpeg_through_dhash_and_resize(spark):
 
     img = _decode_ppm(bytes(out[0].media))
     assert img.shape == (4, 4, 3) and (img == 138).all()
+
+
+def test_jpeg_encoder_roundtrip():
+    """encode_jpeg_gray -> _decode_jpeg closes the loop: exact at
+    quality 100 on a smooth ramp, within small quant error below."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        decode_image,
+        encode_jpeg_gray,
+    )
+
+    y, x = np.mgrid[0:16, 0:16]
+    img = (y * 8 + x * 4).astype(np.uint8)
+    exact = decode_image(encode_jpeg_gray(img, quality=100))
+    assert (exact[:, :, 0] == img).all()
+    lossy = decode_image(encode_jpeg_gray(img, quality=50))
+    assert np.abs(lossy[:, :, 0].astype(int) - img.astype(int)).max() <= 4
+    # rgb input collapses through the JFIF luma weights
+    rgb = np.stack([img, img, img], axis=-1)
+    assert (decode_image(encode_jpeg_gray(rgb, quality=100))[:, :, 0]
+            == img).all()
+
+
+def test_jpeg_encoder_guards():
+    import numpy as np
+    import pytest as _pytest
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        encode_jpeg_gray,
+    )
+
+    with _pytest.raises(ValueError, match="multiples of 8"):
+        encode_jpeg_gray(np.zeros((10, 8), np.uint8))
+    with _pytest.raises(ValueError, match="quality"):
+        encode_jpeg_gray(np.zeros((8, 8), np.uint8), quality=0)
+
+
+def test_jpeg_encoder_zrl_long_zero_runs():
+    """A block whose only AC survivor sits past coefficient 16 forces a
+    ZRL (16-zero-run) symbol through the writer and back."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        decode_image,
+        encode_jpeg_gray,
+    )
+
+    # one high-frequency checkerboard: most zigzag slots zero
+    img = np.zeros((8, 8), np.uint8)
+    img[::2, ::2] = 200
+    img[1::2, 1::2] = 200
+    out = decode_image(encode_jpeg_gray(img, quality=100))
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 1
