@@ -578,6 +578,14 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # legal baseline files may carry per-component scans
+                # (ns < ncomp); only single interleaved scans are in the
+                # declared tier — fail with the documented limit error,
+                # not a KeyError deep in _jpeg_scan
+                raise NotImplementedError(
+                    "jpeg: non-interleaved (multi-scan) baseline not supported"
+                )
             scan = {}
             for si in range(ns):
                 cid, tt = seg[1 + 2 * si], seg[2 + 2 * si]
@@ -827,6 +835,14 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             "baseline JPEG (from-scratch T.81) decode for real — pass "
             "fake=True for the deterministic test double"
         )
+    return _fake_decode_image(payload)
+
+
+def _fake_decode_image(payload: bytes) -> np.ndarray:
+    """The deterministic content-hash test double: a 4x4 RGB image whose
+    pixels are the payload's first bytes — stable across runs and
+    partitionings, used wherever a codec is unavailable or a sniffable
+    payload turns out undecodable (finding-not-crash fallback)."""
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
     side = 4
     return np.tile(h[: side * side * 3], 1).reshape(side, side, 3)[:side, :side, :3]
@@ -912,7 +928,17 @@ def resize_images(
                     real = sniff_media(media) in (
                         "ppm", "bmp", "gif", "png", "jpeg"
                     )
-                    img = decode_image(media, fake=not real)
+                    try:
+                        img = decode_image(media, fake=not real)
+                    except (NotImplementedError, ValueError):
+                        # sniffable but undecodable (progressive JPEG,
+                        # truncated/corrupt payload): finding-not-crash —
+                        # media_meta_checks owns the MEDIA_DECODE_ERROR
+                        # row; the resize pass falls back to the
+                        # deterministic fake decode instead of failing
+                        # the whole Spark job
+                        real = False
+                        img = _fake_decode_image(media)
                     ys = (np.arange(height) * img.shape[0] // height).clip(0, img.shape[0] - 1)
                     xs = (np.arange(width) * img.shape[1] // width).clip(0, img.shape[1] - 1)
                     resized = img[ys][:, xs].astype(np.uint8)

@@ -344,8 +344,13 @@ def embedding_outliers(
         # decimal(38,0): micro-unit distances summed over billions of
         # rows exceed a long; exact on both engines (DuckDB HUGEINT)
         F.sum(F.col("dist_micro").cast("decimal(38,0)")).alias("_sd"),
+        # cast each factor BEFORE multiplying: long*long wraps silently
+        # under non-ANSI semantics once dist_micro exceeds ~3.0e9
+        # (plausible for large-magnitude high-dim vectors); decimal*decimal
+        # is exact at any corpus scale
         F.sum(
-            (F.col("dist_micro") * F.col("dist_micro")).cast("decimal(38,0)")
+            F.col("dist_micro").cast("decimal(38,0)")
+            * F.col("dist_micro").cast("decimal(38,0)")
         ).alias("_sd2"),
     )
     n = F.col("n_group").cast("double")

@@ -808,3 +808,50 @@ def test_jpeg_encoder_zrl_long_zero_runs():
     img[1::2, 1::2] = 200
     out = decode_image(encode_jpeg_gray(img, quality=100))
     assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_multiscan_declared_limit():
+    """A baseline file with per-component (non-interleaved) scans —
+    ns < ncomp at SOS — must fail with the declared-limit
+    NotImplementedError, not a KeyError deep in _jpeg_scan."""
+    from gbif_data_validator_spark.operators.multimodal import decode_image
+
+    dqt = _seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = _seg(0xC0, b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+               + b"\x03" + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00")
+    dc = _dht(0, 0, [1] + [0] * 15, bytes([7]))
+    ac = _dht(1, 0, [1] + [0] * 15, bytes([0x00]))
+    sos = _seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")  # 1 of 3 comps
+    payload = (b"\xff\xd8" + dqt + sof + dc + ac + sos
+               + _pack_bits("0" + "1010000" + "0") + b"\xff\xd9")
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_image(payload)
+
+
+def test_resize_images_undecodable_falls_back_not_crash(spark):
+    """Progressive JPEG (sniffs as jpeg, declared NotImplementedError) and
+    a corrupt payload (ValueError) must NOT fail the Spark job inside
+    resize_images — they fall back to the deterministic fake decode,
+    mirroring media_meta_checks' finding-not-crash policy."""
+    from gbif_data_validator_spark.operators.multimodal import resize_images
+
+    progressive = _jpeg_gray_dc().replace(b"\xff\xc0", b"\xff\xc2", 1)
+    corrupt = b"\xff\xd8\xff" + b"x" * 100
+    good = _jpeg_gray_dc()
+    meta = {"media_type": "image/jpeg", "width": 8, "height": 8,
+            "duration_ms": 0}
+    df = spark.createDataFrame(
+        [(1, bytearray(progressive), meta), (2, bytearray(corrupt), meta),
+         (3, bytearray(good), meta)],
+        "doc_id long, media binary, meta struct<media_type string, "
+        "width int, height int, duration_ms int>",
+    )
+    out = {r.doc_id: r for r in resize_images(df, width=4, height=4).collect()}
+    assert len(out) == 3
+    # undecodable rows took the fake path (raw-RGB re-encode, 4*4*3 bytes)
+    for i in (1, 2):
+        assert out[i].meta["media_type"] == "image/raw-rgb"
+        assert len(out[i].media) == 4 * 4 * 3
+        assert out[i].meta["width"] == 4 and out[i].meta["height"] == 4
+    # the decodable row still takes the REAL path
+    assert out[3].meta["media_type"] == "image/x-portable-pixmap"

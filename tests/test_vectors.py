@@ -186,3 +186,21 @@ def test_embedding_outliers_no_python_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_outliers_no_long_wrap_on_large_distances(spark):
+    """dist_micro beyond ~3.0e9 (raw centroid distance > ~3037 units at
+    quant=1000) must square exactly: the sum-of-squares is decimal all
+    the way, so the variance cannot be silently floored to 0 by long
+    wraparound. Fixture: 1-D group (0, 0, 9000) → dist_micro
+    (3e9, 3e9, 6e9); the 6e9² term alone exceeds long max. True
+    std ≈ 1.414e9, so z=2 excludes every point; the wrapped sum would
+    zero the std and wrongly flag the far point."""
+    from gbif_data_validator_spark.operators.vectors import embedding_outliers
+
+    df = spark.createDataFrame(
+        [(1, [0.0], "a"), (2, [0.0], "a"), (3, [9000.0], "a")],
+        "id long, v array<double>, g string",
+    )
+    out = embedding_outliers(df, "id", "v", "g", z_micro=2_000_000).collect()
+    assert out == []
