@@ -610,10 +610,19 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped listing face: doc_ids are rank-filtered to max_ids BEFORE the
+    aggregation (bounded reducer state at any group size) and the clip is
+    reported, not silent — ids_json + ids_truncated are part of the oracle
+    contract."""
     from gbif_data_validator_spark.operators.dedup import exact_duplicate_groups
 
-    return exact_duplicate_groups(_docs(spark, sf_dir), "doc_id", "text").select(
-        "fingerprint", "n_docs"
+    return exact_duplicate_groups(
+        _docs(spark, sf_dir), "doc_id", "text", max_ids=3
+    ).select(
+        "fingerprint",
+        "n_docs",
+        F.to_json("doc_ids").alias("ids_json"),
+        "ids_truncated",
     )
 
 
@@ -625,9 +634,15 @@ def _q_paragraph_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         paragraph_duplicate_groups(
-            _docs(spark, sf_dir), "doc_id", "text", min_chars=40, sep_regex=r"\. "
+            _docs(spark, sf_dir), "doc_id", "text", min_chars=40,
+            sep_regex=r"\. ", max_ids=3,
         )
-        .select("fingerprint", "n_docs")
+        .select(
+            "fingerprint",
+            "n_docs",
+            F.to_json("doc_ids").alias("ids_json"),
+            "ids_truncated",
+        )
         .orderBy("fingerprint")
     )
 
@@ -5748,7 +5763,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact_groups": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
-                   count(*) AS n_docs
+                   count(*) AS n_docs,
+                   CAST(to_json(list_slice(list_sort(list(doc_id)), 1, 3)) AS VARCHAR) AS ids_json,
+                   count(*) > 3 AS ids_truncated
             FROM documents GROUP BY 1 HAVING count(*) > 1
         """,
         "paragraph_dupes": """
@@ -5759,7 +5776,9 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents)
               WHERE length(trim(s)) >= 40
             ), d AS (SELECT DISTINCT doc_id, fingerprint FROM p)
-            SELECT fingerprint, count(*) AS n_docs
+            SELECT fingerprint, count(*) AS n_docs,
+                   CAST(to_json(list_slice(list_sort(list(doc_id)), 1, 3)) AS VARCHAR) AS ids_json,
+                   count(*) > 3 AS ids_truncated
             FROM d GROUP BY fingerprint HAVING count(*) > 1
             ORDER BY fingerprint
         """,

@@ -42,18 +42,41 @@ from ..functions.textstats import content_fingerprint
 # --------------------------------------------------------------------------
 
 
-def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """→ (fingerprint, n_docs, doc_ids sorted) for content appearing >1 time.
-    Normalization: lowercase + whitespace-collapse (content_fingerprint)."""
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str, text_col: str, max_ids: int = 100
+) -> DataFrame:
+    """→ (fingerprint, n_docs, doc_ids, ids_truncated) for content appearing
+    >1 time. Normalization: lowercase + whitespace-collapse
+    (content_fingerprint).
+
+    Bounded reducer state: ids are rank-filtered BEFORE the aggregation
+    (``row_number() <= max_ids`` over each fingerprint), so a fingerprint
+    shared by 10^8 docs — an empty page or a site template — puts at most
+    ``max_ids`` elements in any aggregation buffer instead of one
+    corpus-sized array on a single reducer. Same no-silent-caps discipline
+    as ``_dropped_buckets``: ``n_docs`` stays the TRUE group size and
+    ``ids_truncated`` marks clipped groups, so 'first max_ids ids' can't be
+    misread as 'all ids'. The window sort spills via the external sorter;
+    running rank is streaming, so per-task memory stays flat at any group
+    size."""
+    from pyspark.sql import Window
+
     fp = content_fingerprint(F.col(text_col))
+    win = Window.partitionBy("fingerprint").orderBy("doc_id")
     return (
         df.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+        .withColumn("_rn", F.row_number().over(win))
         .groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= max_ids, F.col("doc_id"))
+                )
+            ).alias("doc_ids"),
         )
         .where(F.col("n_docs") > 1)
+        .withColumn("ids_truncated", F.col("n_docs") > F.lit(max_ids))
     )
 
 
@@ -532,6 +555,7 @@ def paragraph_duplicate_groups(
     text_col: str,
     min_chars: int = 40,
     sep_regex: str = r"\n\s*\n",
+    max_ids: int = 100,
 ) -> DataFrame:
     """Paragraph-level exact dedup: split documents on blank lines, hash
     each (normalized) paragraph, and report paragraphs appearing in more
@@ -543,19 +567,31 @@ def paragraph_duplicate_groups(
     Scale shape: explode paragraphs (narrow) → hash → one groupBy(hash)
     shuffle carrying (16-byte digest, doc_id); output cardinality is the
     number of SHARED paragraphs, not total paragraphs."""
+    from pyspark.sql import Window
+
     para = F.explode(F.split(F.col(text_col), sep_regex)).alias("para")
     norm = F.regexp_replace(F.lower(F.trim(F.col("para"))), r"\s+", " ")
+    win = Window.partitionBy("fingerprint").orderBy("doc_id")
     return (
         df.select(F.col(id_col).alias("doc_id"), para)
         .where(F.length(F.trim(F.col("para"))) >= min_chars)
         .select("doc_id", F.md5(norm).alias("fingerprint"))
         .distinct()  # a paragraph repeated WITHIN one doc counts once
+        # rank-filter BEFORE the agg (see exact_duplicate_groups): a
+        # boilerplate footer shared by 10^8 docs must not put a
+        # corpus-sized id array on one reducer
+        .withColumn("_rn", F.row_number().over(win))
         .groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= max_ids, F.col("doc_id"))
+                )
+            ).alias("doc_ids"),
         )
         .where(F.col("n_docs") > 1)
+        .withColumn("ids_truncated", F.col("n_docs") > F.lit(max_ids))
     )
 
 

@@ -938,3 +938,42 @@ def test_dedup_weights_integer_exact(spark):
     assert got[10] == (10, 2, 500_000) and got[11] == (10, 2, 500_000)
     # total weight per cluster ≈ one document's worth (floor'd)
     assert sum(v[2] for v in got.values() if v[0] == 1) == 999_999
+
+
+def test_listing_faces_bounded_ids_hot_fingerprint(spark):
+    """The capped listing discipline: a fingerprint shared by many docs
+    keeps only the first max_ids (sorted) ids in the output array while
+    n_docs stays the TRUE count and ids_truncated flags the clip — and
+    the clip happens BEFORE the aggregation (rank filter), so reducer
+    state is bounded at any group size."""
+    hot = "the exact same boilerplate page content repeated across the whole site"
+    rows = [(i, hot) for i in range(1, 51)] + [(100, "one unique document here")]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = dedup.exact_duplicate_groups(df, "doc_id", "text", max_ids=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs == 50 and r.ids_truncated is True
+    assert r.doc_ids == [1, 2, 3, 4, 5]
+    # under the cap: full list, not truncated
+    out2 = dedup.exact_duplicate_groups(df, "doc_id", "text", max_ids=100).collect()
+    assert out2[0].n_docs == 50 and out2[0].ids_truncated is False
+    assert out2[0].doc_ids == list(range(1, 51))
+    # the plan clips pre-agg: the collect_list input is the rank-gated
+    # conditional, so no unconditional corpus-sized array aggregate exists
+    plan = dedup.exact_duplicate_groups(
+        df, "doc_id", "text", max_ids=5
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan
+
+
+def test_paragraph_census_bounded_ids(spark):
+    from gbif_data_validator_spark.operators.dedup import paragraph_duplicate_groups
+
+    boiler = "subscribe to our newsletter for the latest updates and exclusive offers"
+    rows = [(i, f"unique intro {i}\n\n{boiler}\n\nbody {i} padded to be long enough indeed")
+            for i in range(1, 11)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = paragraph_duplicate_groups(df, "doc_id", "text", min_chars=40, max_ids=4).collect()
+    shared = [r for r in out if r.n_docs == 10]
+    assert len(shared) == 1
+    assert shared[0].doc_ids == [1, 2, 3, 4] and shared[0].ids_truncated is True
