@@ -1,0 +1,123 @@
+"""Deterministic DwC-A zip fixtures for the archive source tests and the
+``dwca_star_check`` oracle. Byte-stable: fixed member order, fixed
+timestamps, no compression (stored) — re-running produces identical zips.
+
+The integrity archive mirrors the REFERENCE'S test semantics (orphan
+extension id "ZZ", case-sensitive id pairs, duplicate core ids, an
+empty coreid row — cf. ReferentialIntegrityEvaluatorTest golden ids) over
+synthetic occurrence data of our own.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "dwca",
+)
+
+META_XML = """<archive xmlns="http://rs.tdwg.org/dwc/text/" metadata="eml.xml">
+  <core encoding="UTF-8" fieldsTerminatedBy="\\t" linesTerminatedBy="\\n" fieldsEnclosedBy="" ignoreHeaderLines="1" rowType="http://rs.tdwg.org/dwc/terms/Occurrence">
+    <files><location>occurrence.txt</location></files>
+    <id index="0" />
+    <field index="1" term="http://rs.tdwg.org/dwc/terms/occurrenceID"/>
+    <field index="2" term="http://rs.tdwg.org/dwc/terms/scientificName"/>
+    <field index="3" term="http://rs.tdwg.org/dwc/terms/country"/>
+    <field term="http://rs.tdwg.org/dwc/terms/basisOfRecord" default="HumanObservation"/>
+  </core>
+  <extension encoding="UTF-8" fieldsTerminatedBy="\\t" linesTerminatedBy="\\n" fieldsEnclosedBy="" ignoreHeaderLines="1" rowType="http://rs.tdwg.org/dwc/terms/Identification">
+    <files><location>identification.txt</location></files>
+    <coreid index="0" />
+    <field index="1" term="http://rs.tdwg.org/dwc/terms/identificationID"/>
+    <field index="2" term="http://rs.tdwg.org/dwc/terms/identifiedBy"/>
+  </extension>
+  <extension encoding="UTF-8" fieldsTerminatedBy="\\t" linesTerminatedBy="\\n" fieldsEnclosedBy="" ignoreHeaderLines="1" rowType="http://rs.gbif.org/terms/1.0/Identifier">
+    <files><location>identifier.txt</location></files>
+    <coreid index="0" />
+    <field index="1" term="http://purl.org/dc/terms/identifier"/>
+  </extension>
+</archive>
+"""
+
+EML_XML = """<eml:eml xmlns:eml="eml://ecospace.org/eml-2.1.1" packageId="fixture.1" system="fixture">
+  <dataset>
+    <title>Integrity fixture dataset</title>
+    <abstract><para>Synthetic occurrences for star-referential tests.</para></abstract>
+    <intellectualRights><para>CC0</para></intellectualRights>
+  </dataset>
+</eml:eml>
+"""
+
+# core: ids o1..o8 + case pair O7 + duplicate o5
+OCCURRENCE = "id\toccurrenceID\tscientificName\tcountry\n" + "".join(
+    f"{i}\t{i}-occ\tSpecies {n}\tDK\n"
+    for n, i in enumerate(
+        ["o1", "o2", "o3", "o4", "o5", "o5", "o6", "o7", "O7", "o8"]
+    )
+)
+
+# extension rows: all core ids linked, PLUS orphan ZZ, PLUS an empty coreid
+IDENTIFICATION = "coreid\tidentificationID\tidentifiedBy\n" + "".join(
+    f"{c}\tident-{n}\tchecker\n"
+    for n, c in enumerate(
+        ["o1", "o2", "o3", "o4", "o5", "o6", "o7", "O7", "o8", "ZZ", ""]
+    )
+)
+
+# second extension: numeric ids that never match the core (all orphans)
+IDENTIFIER = "coreid\tidentifier\n1\talt-1\n2\talt-2\no3\talt-3\n"
+
+
+def _write_zip(path: str, members: dict[str, str]) -> None:
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+        for name in sorted(members):
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(info, members[name])
+
+
+def main() -> None:
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    _write_zip(
+        os.path.join(FIXTURE_DIR, "integrity.zip"),
+        {
+            "meta.xml": META_XML,
+            "eml.xml": EML_XML,
+            "occurrence.txt": OCCURRENCE,
+            "identification.txt": IDENTIFICATION,
+            "identifier.txt": IDENTIFIER,
+        },
+    )
+    # structural-issues archive: unknown rowtype ext, duplicated + unknown
+    # terms in the core, Occurrence without occurrenceID or full triple
+    meta_bad = META_XML.replace(
+        '<field index="1" term="http://rs.tdwg.org/dwc/terms/occurrenceID"/>',
+        '<field index="1" term="http://rs.tdwg.org/dwc/terms/country"/>',
+    ).replace(
+        '<field index="2" term="http://rs.tdwg.org/dwc/terms/scientificName"/>',
+        '<field index="2" term="http://example.org/terms/madeUpTerm"/>',
+    ).replace(
+        'rowType="http://rs.gbif.org/terms/1.0/Identifier"',
+        'rowType="http://example.org/terms/MysteryRows"',
+    )
+    _write_zip(
+        os.path.join(FIXTURE_DIR, "structure-issues.zip"),
+        {
+            "meta.xml": meta_bad,
+            "eml.xml": EML_XML,
+            "occurrence.txt": OCCURRENCE,
+            "identification.txt": IDENTIFICATION,
+            "identifier.txt": IDENTIFIER,
+        },
+    )
+    # no meta.xml at all
+    _write_zip(
+        os.path.join(FIXTURE_DIR, "no-meta.zip"),
+        {"eml.xml": EML_XML, "occurrence.txt": OCCURRENCE},
+    )
+    print(f"wrote fixtures to {FIXTURE_DIR}")
+
+
+if __name__ == "__main__":
+    main()

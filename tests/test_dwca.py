@@ -1,0 +1,182 @@
+"""DwC-A archive source: meta.xml descriptor parse, zip guards, native CSV
+scan with Term aliasing, structural findings battery, and the star-schema
+e2e with the reference's golden ids (orphan "ZZ", empty coreid —
+ReferentialIntegrityEvaluatorTest semantics)."""
+
+import os
+import zipfile
+
+import pytest
+
+from gbif_data_validator_spark.sources import dwca
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "dwca")
+
+
+def test_parse_meta_xml_descriptor():
+    with zipfile.ZipFile(os.path.join(FIX, "integrity.zip")) as zf:
+        desc = dwca.parse_meta_xml(zf.read("meta.xml"))
+    assert desc.core.rowtype == dwca.OCCURRENCE_ROWTYPE
+    assert desc.core.locations == ("occurrence.txt",)
+    assert desc.core.id_index == 0 and desc.core.id_term is None
+    assert desc.core.delimiter == "\t" and desc.core.ignore_header_lines == 1
+    assert desc.core.encoding == "UTF-8" and desc.core.quote is None
+    # constant default-value field has no index
+    consts = [f for f in desc.core.fields if f.index is None]
+    assert len(consts) == 1 and consts[0].default == "HumanObservation"
+    assert [dwca.term_local(e.rowtype) for e in desc.extensions] == [
+        "Identification", "Identifier",
+    ]
+    assert desc.metadata == "eml.xml"
+
+
+def test_parse_meta_xml_structural_errors():
+    with pytest.raises(dwca.DwcaError, match="exactly 1 core"):
+        dwca.parse_meta_xml(b"<archive xmlns='http://rs.tdwg.org/dwc/text/'/>")
+    with pytest.raises(dwca.DwcaError, match="not well-formed"):
+        dwca.parse_meta_xml(b"<archive><core>")
+    with pytest.raises(dwca.DwcaError, match="doctype/entity"):
+        dwca.parse_meta_xml(b"<!DOCTYPE archive []><archive/>")
+    # extension must carry <coreid>
+    bad = b"""<archive xmlns="http://rs.tdwg.org/dwc/text/">
+      <core rowType="http://rs.tdwg.org/dwc/terms/Occurrence">
+        <files><location>a.txt</location></files><id index="0"/>
+      </core>
+      <extension rowType="http://rs.tdwg.org/dwc/terms/Identification">
+        <files><location>b.txt</location></files>
+        <field index="1" term="http://rs.tdwg.org/dwc/terms/identifiedBy"/>
+      </extension></archive>"""
+    with pytest.raises(dwca.DwcaError, match="without <coreid>"):
+        dwca.parse_meta_xml(bad)
+
+
+def test_extract_archive_guards(tmp_path):
+    # path traversal
+    evil = tmp_path / "evil.zip"
+    with zipfile.ZipFile(evil, "w") as zf:
+        zf.writestr("../outside.txt", "x")
+    with pytest.raises(dwca.DwcaError, match="unsafe member path"):
+        dwca.extract_archive(str(evil), str(tmp_path / "out1"))
+    # not a zip
+    notzip = tmp_path / "not.zip"
+    notzip.write_bytes(b"plainly not a zip file")
+    with pytest.raises(dwca.DwcaError, match="not a zip"):
+        dwca.extract_archive(str(notzip), str(tmp_path / "out2"))
+    # missing meta.xml → FileNotFoundError tier
+    with pytest.raises(FileNotFoundError):
+        dwca.extract_archive(
+            os.path.join(FIX, "no-meta.zip"), str(tmp_path / "out3")
+        )
+
+
+def test_extract_accepts_unpacked_directory(tmp_path):
+    dest = tmp_path / "unzipped"
+    dwca.extract_archive(os.path.join(FIX, "integrity.zip"), str(dest))
+    # a bare directory is a valid archive too (spec allows unpacked)
+    desc, src = dwca.extract_archive(str(dest), str(tmp_path / "ignored"))
+    assert desc.core.rowtype == dwca.OCCURRENCE_ROWTYPE and src == str(dest)
+
+
+def test_structure_findings_batteries(tmp_path):
+    clean = dwca.structure_findings(
+        os.path.join(FIX, "integrity.zip"), str(tmp_path / "a")
+    )
+    assert clean == []
+    issues = dwca.structure_findings(
+        os.path.join(FIX, "structure-issues.zip"), str(tmp_path / "b")
+    )
+    types = sorted(f["evaluation_type"] for f in issues)
+    assert types == [
+        "DUPLICATED_TERM", "REQUIRED_TERM_MISSING", "UNKNOWN_ROWTYPE",
+        "UNKNOWN_TERM",
+    ]
+    by_type = {f["evaluation_type"]: f for f in issues}
+    assert by_type["DUPLICATED_TERM"]["term"].endswith("/country")
+    assert by_type["REQUIRED_TERM_MISSING"]["term"] == "occurrenceID"
+    assert by_type["UNKNOWN_TERM"]["term"].endswith("madeUpTerm")
+    assert by_type["UNKNOWN_ROWTYPE"]["rowtype"].endswith("MysteryRows")
+    missing = dwca.structure_findings(
+        os.path.join(FIX, "no-meta.zip"), str(tmp_path / "c")
+    )
+    assert [f["evaluation_type"] for f in missing] == ["DWCA_META_XML_NOT_FOUND"]
+    garbage = tmp_path / "garbage.zip"
+    garbage.write_bytes(b"NOT A ZIP AT ALL")
+    broken = dwca.structure_findings(str(garbage), str(tmp_path / "d"))
+    assert [f["evaluation_type"] for f in broken] == ["DWCA_UNREADABLE"]
+
+
+def test_read_dwca_columns_and_defaults(spark, tmp_path):
+    desc, core, exts = dwca.read_dwca(
+        spark, os.path.join(FIX, "integrity.zip"), str(tmp_path / "scan")
+    )
+    assert core.columns == [
+        "id", "occurrenceID", "scientificName", "country", "basisOfRecord"
+    ]
+    rows = {r.id: r for r in core.collect()}
+    assert len(core.collect()) == 10  # dup o5 kept (data rows, not keys)
+    assert rows["o1"].occurrenceID == "o1-occ"
+    # constant default column imputed declaratively (P4 analog)
+    assert all(r.basisOfRecord == "HumanObservation" for r in rows.values())
+    assert set(exts) == {"Identification", "Identifier"}
+    ident, key = exts["Identification"]
+    assert key == "id" and ident.columns == [
+        "id", "identificationID", "identifiedBy"
+    ]
+
+
+def test_dwca_star_golden_ids(spark, tmp_path):
+    """The reference's referential-integrity goldens over our own fixture:
+    orphan extension coreid "ZZ" → RECORD_REFERENTIAL_INTEGRITY_VIOLATION,
+    empty coreid → KEY_EMPTY, case-sensitive ids do NOT cross-link."""
+    from gbif_data_validator_spark.plans.star import validate_star
+
+    desc, core, exts = dwca.read_dwca(
+        spark, os.path.join(FIX, "integrity.zip"), str(tmp_path / "scan")
+    )
+    v = validate_star(core, exts, core_key=dwca.core_id_column(desc)).collect()
+    ri = sorted(
+        r.url for r in v
+        if r.check_id == "RECORD_REFERENTIAL_INTEGRITY_VIOLATION"
+    )
+    assert ri == ["1", "2", "ZZ"]  # ZZ golden + the two numeric orphans
+    empty = [r for r in v if r.check_id == "KEY_EMPTY"]
+    assert len(empty) == 1
+    assert empty[0].partition_id == "ext:Identification"
+    # O7 linked to core O7, o7 to o7 — never across case
+    assert not any(r.url in ("o7", "O7") for r in v)
+
+
+def test_read_archive_file_declared_limits(spark, tmp_path):
+    desc, src = dwca.extract_archive(
+        os.path.join(FIX, "integrity.zip"), str(tmp_path / "x")
+    )
+    from dataclasses import replace
+
+    deep_header = replace(desc.core, ignore_header_lines=3)
+    with pytest.raises(NotImplementedError, match="ignoreHeaderLines"):
+        dwca.read_archive_file(spark, src, deep_header)
+    out_of_range = replace(desc.core, id_index=99)
+    with pytest.raises(dwca.DwcaError, match="out of range"):
+        dwca.read_archive_file(spark, src, out_of_range)
+
+
+def test_validate_dwca_gate(spark, tmp_path):
+    """validate_dwca: blocking structural findings short-circuit (M6
+    analog, DF is None); non-blocking term findings coexist with the
+    record-level violations DF."""
+    findings, v = dwca.validate_dwca(
+        spark, os.path.join(FIX, "no-meta.zip"), str(tmp_path / "a")
+    )
+    assert v is None
+    assert [f["evaluation_type"] for f in findings] == ["DWCA_META_XML_NOT_FOUND"]
+    findings, v = dwca.validate_dwca(
+        spark, os.path.join(FIX, "structure-issues.zip"), str(tmp_path / "b")
+    )
+    # term-level findings are advisory: record evaluation still runs
+    assert v is not None and len(findings) == 4
+    assert {r.url for r in v.collect() if
+            r.check_id == "RECORD_REFERENTIAL_INTEGRITY_VIOLATION"} == {"ZZ", "1", "2"}
+    findings, v = dwca.validate_dwca(
+        spark, os.path.join(FIX, "integrity.zip"), str(tmp_path / "c")
+    )
+    assert findings == [] and v is not None
