@@ -495,7 +495,7 @@ def structure_findings(
     the engine's preflight gate treats any of those as blocking."""
     registry = KNOWN_ROWTYPES if registry is None else registry
     try:
-        desc, _ = extract_archive(archive_path, work_dir)
+        desc, src_dir = extract_archive(archive_path, work_dir)
     except FileNotFoundError:
         return [{"source": os.path.basename(archive_path),
                  "evaluation_type": "DWCA_META_XML_NOT_FOUND",
@@ -508,7 +508,34 @@ def structure_findings(
     out = _file_findings(desc.core, registry)
     for ext in desc.extensions:
         out.extend(_file_findings(ext, registry))
+    out.extend(metadata_findings(src_dir, desc))
     return out
+
+
+def metadata_findings(src_dir: str, desc: DwcaDescriptor) -> list[dict]:
+    """EML metadata-document findings (EmlResourceStructureEvaluator
+    analog): a metadata file DECLARED by the descriptor but absent →
+    EML_NOT_FOUND; present but violating the bundled GBIF-profile schema
+    subset → one EML_GBIF_SCHEMA finding per violation
+    (plans/metadata.py::validate_eml_document). An archive that declares
+    no metadata document gets no finding — same as the reference, which
+    only validates what the archive points at."""
+    if not desc.metadata:
+        return []
+    from ..plans.metadata import validate_eml_document
+
+    eml_path = os.path.join(src_dir, desc.metadata)
+    if not os.path.exists(eml_path):
+        return [{"source": desc.metadata,
+                 "evaluation_type": "EML_NOT_FOUND",
+                 "rowtype": None, "term": None}]
+    with open(eml_path, "rb") as fh:
+        data = fh.read()
+    return [
+        {"source": desc.metadata, "evaluation_type": "EML_GBIF_SCHEMA",
+         "rowtype": None, "term": v}
+        for v in validate_eml_document(data)
+    ]
 
 
 #: structural findings that block record-level evaluation — the M6

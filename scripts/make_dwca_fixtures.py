@@ -41,10 +41,13 @@ META_XML = """<archive xmlns="http://rs.tdwg.org/dwc/text/" metadata="eml.xml">
 </archive>
 """
 
-EML_XML = """<eml:eml xmlns:eml="eml://ecospace.org/eml-2.1.1" packageId="fixture.1" system="fixture">
+EML_XML = """<eml:eml xmlns:eml="eml://ecoinformatics.org/eml-2.1.1" packageId="fixture.1" system="fixture">
   <dataset>
     <title>Integrity fixture dataset</title>
-    <abstract><para>Synthetic occurrences for star-referential tests.</para></abstract>
+    <creator><organizationName>Fixture Org</organizationName></creator>
+    <contact><organizationName>Fixture Org</organizationName></contact>
+    <pubDate>2020-01-01</pubDate>
+    <abstract><para>Synthetic occurrences for star-referential tests, long enough for the content lint.</para></abstract>
     <intellectualRights><para>CC0</para></intellectualRights>
   </dataset>
 </eml:eml>
@@ -115,6 +118,23 @@ def main() -> None:
     _write_zip(
         os.path.join(FIXTURE_DIR, "no-meta.zip"),
         {"eml.xml": EML_XML, "occurrence.txt": OCCURRENCE},
+    )
+    # schema-invalid EML: no packageId, no creator/contact, bad pubDate
+    eml_bad = (
+        EML_XML.replace(' packageId="fixture.1"', "")
+        .replace("    <creator><organizationName>Fixture Org</organizationName></creator>\n", "")
+        .replace("    <contact><organizationName>Fixture Org</organizationName></contact>\n", "")
+        .replace("<pubDate>2020-01-01</pubDate>", "<pubDate>January 2020</pubDate>")
+    )
+    _write_zip(
+        os.path.join(FIXTURE_DIR, "eml-issues.zip"),
+        {
+            "meta.xml": META_XML,
+            "eml.xml": eml_bad,
+            "occurrence.txt": OCCURRENCE,
+            "identification.txt": IDENTIFICATION,
+            "identifier.txt": IDENTIFIER,
+        },
     )
     print(f"wrote fixtures to {FIXTURE_DIR}")
 

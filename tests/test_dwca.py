@@ -180,3 +180,73 @@ def test_validate_dwca_gate(spark, tmp_path):
         spark, os.path.join(FIX, "integrity.zip"), str(tmp_path / "c")
     )
     assert findings == [] and v is not None
+
+
+def test_eml_document_validation_units():
+    from gbif_data_validator_spark.plans.metadata import (
+        eml_to_meta,
+        validate_eml_document,
+    )
+
+    valid = b"""<eml:eml xmlns:eml="eml://ecoinformatics.org/eml-2.1.1"
+        packageId="p.1" system="s">
+      <dataset>
+        <title>A fine dataset title</title>
+        <creator><individualName><surName>Doe</surName></individualName></creator>
+        <contact><organizationName>Org</organizationName></contact>
+        <pubDate>2021</pubDate>
+        <abstract><para>Long enough description of the dataset contents.</para></abstract>
+        <intellectualRights><para>CC-BY 4.0</para></intellectualRights>
+      </dataset>
+    </eml:eml>"""
+    assert validate_eml_document(valid) == []
+    meta = eml_to_meta(valid)
+    assert meta["title"] == "A fine dataset title"
+    assert meta["license"] == "CC-BY-4.0"
+    assert "description" in meta
+    # each violation tier
+    assert validate_eml_document(b"<notxml") == [
+        v for v in validate_eml_document(b"<notxml")
+    ] and "not well-formed" in validate_eml_document(b"<notxml")[0]
+    assert "doctype/entity" in validate_eml_document(
+        b"<!DOCTYPE e []><eml/>"
+    )[0]
+    assert "expected <eml:eml>" in validate_eml_document(b"<dataset/>")[0]
+    vs = validate_eml_document(
+        b'<eml><dataset><title>t</title>'
+        b'<creator><address/></creator>'
+        b'<pubDate>January 2020</pubDate></dataset></eml>'
+    )
+    joined = "\n".join(vs)
+    assert "missing required attribute 'packageId'" in joined
+    assert "missing required <contact>" in joined
+    assert "<creator> has none of" in joined
+    assert "not YYYY" in joined
+
+
+def test_eml_findings_through_archive(tmp_path):
+    """The EML document battery rides the archive battery: declared-but-
+    invalid EML → EML_GBIF_SCHEMA findings; the clean fixture stays
+    clean; a declared-but-absent document → EML_NOT_FOUND."""
+    clean = dwca.structure_findings(
+        os.path.join(FIX, "integrity.zip"), str(tmp_path / "a")
+    )
+    assert clean == []
+    issues = dwca.structure_findings(
+        os.path.join(FIX, "eml-issues.zip"), str(tmp_path / "b")
+    )
+    types = [f["evaluation_type"] for f in issues]
+    assert set(types) == {"EML_GBIF_SCHEMA"}
+    msgs = "\n".join(f["term"] for f in issues)
+    assert "packageId" in msgs and "creator" in msgs and "not YYYY" in msgs
+    # declared metadata file missing entirely
+    import zipfile as _zf
+
+    gone = tmp_path / "gone-eml.zip"
+    with _zf.ZipFile(os.path.join(FIX, "integrity.zip")) as src, \
+         _zf.ZipFile(gone, "w") as dst:
+        for n in src.namelist():
+            if n != "eml.xml":
+                dst.writestr(n, src.read(n))
+    found = dwca.structure_findings(str(gone), str(tmp_path / "c"))
+    assert [f["evaluation_type"] for f in found] == ["EML_NOT_FOUND"]
