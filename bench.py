@@ -154,7 +154,18 @@ def main() -> None:
         "events_windows",          # windowed agg
         "token_stats",             # narrow text functions
         "quality_scores",          # composite text scoring
-        "ngram_jaccard",           # shingle posting-list join
+        "ngram_jaccard",           # shingle posting-list join — measured
+                                   # round 4 against the prefix-filtered
+                                   # AllPairs path (bit-identical output):
+                                   # posting-list wins at BOTH t=0.5
+                                   # (2.67s vs 7.65s) and t=0.8 (3.53s vs
+                                   # 6.73s) at sf0.1, because both plans
+                                   # bound pair fan-out with max_df and
+                                   # prefix pays 4 extra shuffles + a
+                                   # verify join; prefix_jaccard remains
+                                   # the documented no-cap lossless path
+                                   # for high-threshold corpus-scale runs
+                                   # (see BASELINE.md round-4 notes)
         "minhash_pairs",           # Arrow-batched signatures + banding
         "cosine_topk",             # broadcast brute-force ANN baseline
         "drift_events",            # quantile-sketch KS

@@ -64,6 +64,12 @@ _OUTPUT_RE = re.compile(r"^/jobserver/output/(\d+)/([A-Za-z_]+)$")
 #: JobStatusResponse.FAILED_RESPONSE analog — the body of every 4xx
 FAILED_RESPONSE = {"status": "FAILED", "job_id": -1}
 
+#: request-body cap (bytes). The reference caps uploads at 100 MB
+#: (ws/conf/ValidationWsConfiguration.java:13 maxFileTransferSizeInBytes);
+#: our submit body is a small JSON spec — table data never travels in the
+#: request — so the default is far tighter. Knob on ValidationServer.
+DEFAULT_MAX_BODY_BYTES = 1 * 1024 * 1024
+
 
 def _read_input(spark: SparkSession, path: str, fmt: str):
     from ..sources import tables
@@ -90,9 +96,11 @@ class _JobHTTPServer(ThreadingHTTPServer):
         runner: JobRunner,
         auth_token: str | None = None,
         path_prefix: str | None = None,
+        max_body_bytes: int = DEFAULT_MAX_BODY_BYTES,
     ) -> None:
         self.runner = runner
         self.auth_token = auth_token
+        self.max_body_bytes = max_body_bytes
         self.path_prefix = (
             os.path.normpath(path_prefix) + os.sep if path_prefix else None
         )
@@ -136,7 +144,27 @@ class _Handler(BaseHTTPRequestHandler):
         if url.path == "/jobserver/submit":
             try:
                 n = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                return self._send(400, {**FAILED_RESPONSE, "error": "bad Content-Length"})
+            # size cap BEFORE reading a byte (maxFileTransferSizeInBytes
+            # analog): an oversized/streamed body is refused, not buffered
+            if n > self.server.max_body_bytes:
+                return self._send(
+                    413,
+                    {**FAILED_RESPONSE,
+                     "error": f"body {n} bytes exceeds cap {self.server.max_body_bytes}"},
+                )
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
+            if ctype not in ("", "application/json"):
+                return self._send(
+                    415,
+                    {**FAILED_RESPONSE,
+                     "error": f"unsupported Content-Type {ctype!r} (application/json)"},
+                )
+            try:
                 spec = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(spec, dict):
+                    raise ValueError("spec must be a JSON object")
             except (ValueError, json.JSONDecodeError):
                 return self._send(400, {**FAILED_RESPONSE, "error": "bad JSON body"})
             return self._submit(spec)
@@ -249,6 +277,7 @@ class ValidationServer:
         port: int = 0,
         auth_token: str | None = None,
         path_prefix: str | None = None,
+        max_body_bytes: int = DEFAULT_MAX_BODY_BYTES,
     ) -> None:
         if auth_token is None and not _is_loopback(host):
             raise ValueError(
@@ -259,6 +288,7 @@ class ValidationServer:
         self._httpd = _JobHTTPServer(
             (host, port), _Handler, self.runner,
             auth_token=auth_token, path_prefix=path_prefix,
+            max_body_bytes=max_body_bytes,
         )
         self._thread: threading.Thread | None = None
 

@@ -185,3 +185,43 @@ def test_auth_token_and_path_prefix(spark, tmp_path, pages_path):
         _wait_finished(srv, st["job_id"])
     finally:
         srv.stop()
+
+
+def test_submit_body_caps_and_content_type(spark, tmp_path, pages_path):
+    """maxFileTransferSizeInBytes analog: an oversized body is refused
+    with 413 BEFORE being read; a non-JSON content type gets 415; the
+    cap is a constructor knob."""
+    srv = ValidationServer(
+        spark, str(tmp_path / "jobs"), max_body_bytes=256
+    ).start()
+    try:
+        # oversized body → 413 (pad the spec beyond the 256-byte cap)
+        big = {"path": pages_path, "pad": "x" * 1024}
+        code, doc = _err(_post, srv, "/jobserver/submit", big)
+        assert code == 413 and "exceeds cap" in doc["error"]
+        # wrong content type → 415
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/jobserver/submit",
+            data=json.dumps({"path": pages_path}).encode(),
+            headers={"Content-Type": "multipart/form-data"},
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 415
+        # a JSON array body is not a spec object → 400
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/jobserver/submit",
+            data=b"[1,2,3]",
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+        # an in-cap spec still submits fine on the same server
+        code, doc = _post(srv, "/jobserver/submit", {"path": pages_path})
+        assert code == 202
+        _wait_finished(srv, doc["job_id"])
+    finally:
+        srv.stop()
