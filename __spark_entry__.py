@@ -4488,25 +4488,38 @@ def _q_media_checks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_meta_checks,
     )
 
-    k = F.col("doc_id") % 6
+    k = F.col("doc_id") % 8
     ppm = F.concat(
         F.encode(F.lit("P6\n2 2\n255\n"), "UTF-8"),
         F.unhex(F.lit("102030405060708090A0B0C0")),
     )
+    # real 2x2 VP8L lossless webp (encode_webp_lossless output, fixed
+    # bytes) + the same stream with the bitstream cut mid-code — the
+    # round-4 WebP decode branch, dims + error string pinned by oracle
+    webp_ok = ("5249464692000000574542505650384C850000002F01400000F04010000000"
+               "00000000400000001000000004000000010000000000000000000000000000"
+               "00000000000078200800000000000008000000020000800000002000000000"
+               "0000000000000000000000000000003C100400000000000000004000000010"
+               "000000040000000100000000000000000000000000000000FD0F40AD7E00")
+    webp_trunc = "5249464618000000574542505650384C0C0000002F01400000F0401000000000"
     payload = (
         F.when(k == 3, F.unhex(F.lit("")))
         # 14 bytes (past sniff's minimum) but the maxval token never
         # arrives (comment runs to EOF) -> the decoder's own header guard
         .when(k == 4, F.encode(F.lit("P6\n2 2\n#aaaaaa"), "UTF-8"))
         .when(k == 5, F.encode(F.lit("zzzzzzzzzzzz"), "UTF-8"))
+        .when(k == 6, F.unhex(F.lit(webp_ok)))
+        .when(k == 7, F.unhex(F.lit(webp_trunc)))
         .otherwise(ppm)
     )
     meta = F.struct(
         F.when(k == 2, F.lit("audio/wav"))
         .when(k == 5, F.lit("image/jpeg"))
+        .when((k == 6) | (k == 7), F.lit("image/webp"))
         .otherwise(F.lit("image/ppm"))
         .alias("media_type"),
-        F.when(k == 1, F.lit(3)).otherwise(F.lit(2)).cast("int").alias("width"),
+        F.when((k == 1) | (k == 6), F.lit(3))
+        .otherwise(F.lit(2)).cast("int").alias("width"),
         F.lit(2).cast("int").alias("height"),
         F.lit(0).cast("int").alias("duration_ms"),
     )
@@ -10719,26 +10732,32 @@ def oracle_sql() -> dict[str, str]:
         # drift in the decode path or check logic breaks the hash
         "media_checks_exact": """
             SELECT doc_id,
-              CASE doc_id % 6
+              CASE doc_id % 8
                 WHEN 1 THEN 'MEDIA_DIMS_MISMATCH'
                 WHEN 2 THEN 'MEDIA_TYPE_MISMATCH'
                 WHEN 3 THEN 'MEDIA_PAYLOAD_EMPTY'
                 WHEN 4 THEN 'MEDIA_DECODE_ERROR'
+                WHEN 6 THEN 'MEDIA_DIMS_MISMATCH'
+                WHEN 7 THEN 'MEDIA_DECODE_ERROR'
               END AS check_id,
-              CASE doc_id % 6
+              CASE doc_id % 8
                 WHEN 1 THEN '3x2'
                 WHEN 2 THEN 'image/* (sniffed ppm)'
                 WHEN 3 THEN 'non-empty payload'
                 WHEN 4 THEN 'decodable ppm'
+                WHEN 6 THEN '3x2'
+                WHEN 7 THEN 'decodable webp'
               END AS expected,
-              CASE doc_id % 6
+              CASE doc_id % 8
                 WHEN 1 THEN '2x2'
                 WHEN 2 THEN 'audio/wav'
                 WHEN 3 THEN '0 bytes'
                 WHEN 4 THEN 'ppm: truncated header'
+                WHEN 6 THEN '2x2'
+                WHEN 7 THEN 'webp: bitstream truncated'
               END AS found
             FROM documents
-            WHERE doc_id % 6 IN (1, 2, 3, 4)
+            WHERE doc_id % 8 IN (1, 2, 3, 4, 6, 7)
             ORDER BY doc_id
         """,
         # manifest_audit: exploits the one-file-per-table testdata layout

@@ -66,8 +66,8 @@ N_FEATURES = 16
 def sniff_media(payload: bytes | None) -> str | None:
     """Magic-byte sniff for the formats this module decodes for real:
     'ppm' (binary P6), 'bmp' (BM container), 'gif', 'png', 'jpeg'
-    (FFD8FF), 'wav' (RIFF/WAVE). None for anything else (remaining
-    compressed codecs → stub tier)."""
+    (FFD8FF), 'webp' (RIFF/WEBP), 'wav' (RIFF/WAVE). None for anything
+    else (remaining compressed codecs → stub tier)."""
     if not payload or len(payload) < 12:
         return None
     if payload[:2] == b"P6":
@@ -76,6 +76,8 @@ def sniff_media(payload: bytes | None) -> str | None:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -812,6 +814,671 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht + sos + data + b"\xff\xd9"
 
 
+# ---------------------------------------------------------------------------
+# WebP (VP8L lossless) — from-scratch per the public WebP Lossless
+# Bitstream Specification, same real-decode tier as GIF/PNG/JPEG
+# ---------------------------------------------------------------------------
+# Reference analog: Tika-breadth media sniffing/decode
+# (detect/MediaTypeAndFormatDetector.java:39-89) — WebP was the most
+# likely real-user sniff hit still stubbed. Lossy VP8, animation, and
+# ALPH-chunk alpha remain declared NotImplementedError limits (surfaced
+# as findings, not crashes, by media_meta_checks).
+
+
+class _VP8LBitReader:
+    """LSB-first bit reader (VP8L convention: bits fill from the low end
+    of each byte)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0          # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte_i, bit_i = divmod(self.pos, 8)
+            if byte_i >= len(self.data):
+                raise ValueError("webp: bitstream truncated")
+            v |= ((self.data[byte_i] >> bit_i) & 1) << i
+            self.pos += 1
+        return v
+
+    def read_bit(self) -> int:
+        byte_i, bit_i = divmod(self.pos, 8)
+        if byte_i >= len(self.data):
+            raise ValueError("webp: bitstream truncated")
+        self.pos += 1
+        return (self.data[byte_i] >> bit_i) & 1
+
+
+class _VP8LHuffman:
+    """Canonical (DEFLATE-style) prefix code. ``lengths[sym]`` = 0 means
+    unused. A single-symbol code decodes without consuming bits (the
+    spec's zero-length code for simple one-symbol trees)."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        nonzero = [(l, s) for s, l in enumerate(lengths) if l > 0]
+        if len(nonzero) == 1:
+            self.single = nonzero[0][1]
+            self.table: dict[tuple[int, int], int] = {}
+            return
+        self.single = None
+        # canonical assignment: shorter codes first, symbol order within
+        # a length (RFC 1951 §3.2.2)
+        bl_count: dict[int, int] = {}
+        for l, _ in nonzero:
+            bl_count[l] = bl_count.get(l, 0) + 1
+        code = 0
+        next_code: dict[int, int] = {}
+        for l in range(1, max(bl_count) + 1):
+            code = (code + bl_count.get(l - 1, 0)) << 1
+            next_code[l] = code
+        self.table = {}
+        for l, s in sorted(nonzero):
+            self.table[(l, next_code[l])] = s
+            next_code[l] += 1
+
+    def decode(self, br: _VP8LBitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code, length = 0, 0
+        while length <= 15:
+            # the stream stores each code MSB-first
+            code = (code << 1) | br.read_bit()
+            length += 1
+            sym = self.table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("webp: invalid huffman code")
+
+
+#: code-length-code read order (spec §5.2.2)
+_VP8L_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+#: distance codes 1..120 → (dx, dy) neighbour offsets (spec §4.2.2);
+#: dist = dy*xsize + dx, clamped to ≥ 1
+_VP8L_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2), (2, 1), (-2, 1),
+    (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3), (3, 1), (-3, 1), (2, 3), (-2, 3),
+    (3, 2), (-3, 2), (0, 4), (4, 0), (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3),
+    (2, 4), (-2, 4), (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2), (4, 4), (-4, 4),
+    (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0), (1, 6), (-1, 6), (6, 1), (-6, 1),
+    (2, 6), (-2, 6), (6, 2), (-6, 2), (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6),
+    (6, 3), (-6, 3), (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2), (3, 7), (-3, 7),
+    (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5), (8, 0), (4, 7), (-4, 7), (7, 4),
+    (-7, 4), (8, 1), (8, 2), (6, 6), (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5),
+    (8, 4), (6, 7), (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+
+def _vp8l_read_code_lengths(br: _VP8LBitReader, alphabet: int) -> list[int]:
+    """Spec §5.2.2: code-length-coded Huffman lengths, with 16/17/18
+    repeat codes and the optional max_symbol read cap."""
+    clc_lengths = [0] * 19
+    num_clc = 4 + br.read(4)
+    for i in range(num_clc):
+        clc_lengths[_VP8L_CLC_ORDER[i]] = br.read(3)
+    clc = _VP8LHuffman(clc_lengths)
+    if br.read_bit():
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev = 8
+    sym = 0
+    while sym < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        c = clc.decode(br)
+        if c < 16:
+            lengths[sym] = c
+            sym += 1
+            if c != 0:
+                prev = c
+        elif c == 16:
+            for _ in range(3 + br.read(2)):
+                if sym < alphabet:
+                    lengths[sym] = prev
+                    sym += 1
+        elif c == 17:
+            sym += 3 + br.read(3)
+        else:  # 18
+            sym += 11 + br.read(7)
+    return lengths
+
+
+def _vp8l_read_code(br: _VP8LBitReader, alphabet: int) -> _VP8LHuffman:
+    """One prefix code: 'simple' (1-2 symbols inline) or length-coded."""
+    if br.read_bit():  # simple
+        num_symbols = br.read_bit() + 1
+        first = br.read(8) if br.read_bit() else br.read_bit()
+        lengths = [0] * alphabet
+        if num_symbols == 1:
+            lengths[first] = 1  # decoded as zero-bit single-symbol code
+        else:
+            second = br.read(8)
+            if first >= alphabet or second >= alphabet:
+                raise ValueError("webp: simple code symbol out of range")
+            lengths[first] = 1
+            lengths[second] = 1
+            # canonical order: the FIRST stored symbol takes code 0 —
+            # enforce via explicit table
+            h = _VP8LHuffman.__new__(_VP8LHuffman)
+            h.single = None
+            h.table = {(1, 0): first, (1, 1): second}
+            return h
+        return _VP8LHuffman(lengths)
+    return _VP8LHuffman(_vp8l_read_code_lengths(br, alphabet))
+
+
+def _vp8l_prefix_value(br: _VP8LBitReader, prefix_code: int) -> int:
+    """LZ77 length/distance prefix decoding (spec §4.2.2)."""
+    if prefix_code < 4:
+        return prefix_code + 1
+    extra = (prefix_code - 2) >> 1
+    offset = (2 + (prefix_code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _vp8l_decode_image(
+    br: _VP8LBitReader, w: int, h: int, is_level0: bool
+) -> "tuple[np.ndarray, list]":
+    """Decode one entropy-coded ARGB image (spec §5): optional transforms
+    (level 0 only), optional entropy (meta-Huffman) image, optional color
+    cache, Huffman groups, LZ77 + cache pixel stream. Returns
+    (pixels uint32 [h*w] in ARGB, transforms list) — transforms are
+    (type, data) to be inverted by the caller in reverse order."""
+    transforms: list = []
+    xsize = w
+    if is_level0:
+        while br.read_bit():
+            ttype = br.read(2)
+            if any(t[0] == ttype for t in transforms):
+                raise ValueError("webp: duplicate transform")
+            if ttype == 2:  # subtract-green: no data
+                transforms.append((2, None))
+            elif ttype in (0, 1):  # predictor / color
+                size_bits = br.read(3) + 2
+                bw = -(-xsize // (1 << size_bits))
+                bh = -(-h // (1 << size_bits))
+                sub, _ = _vp8l_decode_image(br, bw, bh, False)
+                transforms.append((ttype, (size_bits, sub)))
+            else:  # 3: color indexing
+                n_colors = br.read(8) + 1
+                pal_deltas, _ = _vp8l_decode_image(br, n_colors, 1, False)
+                palette = np.cumsum(
+                    pal_deltas.view(np.uint8).reshape(-1, 4).astype(np.uint32),
+                    axis=0, dtype=np.uint32,
+                ) & 0xFF
+                if n_colors <= 2:
+                    width_bits = 3
+                elif n_colors <= 4:
+                    width_bits = 2
+                elif n_colors <= 16:
+                    width_bits = 1
+                else:
+                    width_bits = 0
+                transforms.append((3, (n_colors, width_bits, palette, xsize)))
+                xsize = -(-xsize // (1 << width_bits))
+    # entropy (meta-Huffman) image
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if is_level0 and br.read_bit():
+        meta_bits = br.read(3) + 2
+        mw = -(-xsize // (1 << meta_bits))
+        mh = -(-h // (1 << meta_bits))
+        meta_img, _ = _vp8l_decode_image(br, mw, mh, False)
+        # meta index = (red << 8) | green
+        meta = (((meta_img >> 16) & 0xFF) << 8) | ((meta_img >> 8) & 0xFF)
+        meta = meta.astype(np.int64)
+        n_groups = int(meta.max()) + 1
+        meta_w = mw
+    # color cache
+    cache_bits = 0
+    if br.read_bit():
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"webp: invalid color-cache bits {cache_bits}")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+    # huffman groups: 5 codes each
+    green_alpha = 256 + 24 + cache_size
+    groups = []
+    for _ in range(n_groups):
+        g = _vp8l_read_code(br, green_alpha)
+        r = _vp8l_read_code(br, 256)
+        b_ = _vp8l_read_code(br, 256)
+        a = _vp8l_read_code(br, 256)
+        d = _vp8l_read_code(br, 40)
+        groups.append((g, r, b_, a, d))
+    # pixel stream
+    n = xsize * h
+    px = np.zeros(n, dtype=np.uint32)
+    i = 0
+    while i < n:
+        if meta is not None:
+            x, y = i % xsize, i // xsize
+            gi = int(meta[(y >> meta_bits) * meta_w + (x >> meta_bits)])
+            if gi >= n_groups:
+                raise ValueError("webp: meta index out of range")
+            gcode, rcode, bcode, acode, dcode = groups[gi]
+        else:
+            gcode, rcode, bcode, acode, dcode = groups[0]
+        s = gcode.decode(br)
+        if s < 256:  # literal
+            red = rcode.decode(br)
+            blue = bcode.decode(br)
+            alpha = acode.decode(br)
+            argb = (alpha << 24) | (red << 16) | (s << 8) | blue
+            px[i] = argb
+            if cache_size:
+                cache[((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+            i += 1
+        elif s < 256 + 24:  # LZ77 backward reference
+            length = _vp8l_prefix_value(br, s - 256)
+            dist_code = _vp8l_prefix_value(br, dcode.decode(br))
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dist_code - 1]
+                dist = max(dy * xsize + dx, 1)
+            if dist > i or i + length > n:
+                raise ValueError("webp: LZ77 reference out of range")
+            for k in range(length):
+                argb = int(px[i - dist + k])
+                px[i + k] = argb
+                if cache_size:
+                    cache[((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+            i += length
+        else:  # color-cache hit
+            idx = s - 256 - 24
+            if idx >= cache_size:
+                raise ValueError("webp: cache index out of range")
+            px[i] = cache[idx]
+            i += 1
+    return px, transforms
+
+
+def _vp8l_apply_inverse_transforms(
+    px: "np.ndarray", w: int, h: int, transforms: list
+) -> "np.ndarray":
+    """Invert transforms in reverse reading order (spec §3)."""
+    for ttype, data in reversed(transforms):
+        if ttype == 3:  # color indexing
+            n_colors, width_bits, palette, full_w = data
+            if width_bits > 0:
+                packed_w = -(-full_w // (1 << width_bits))
+                ppp = 1 << width_bits      # pixels per packed pixel
+                bits = 8 >> width_bits     # bits per index
+                idx = np.zeros(full_w * h, dtype=np.int64)
+                green = (px >> 8) & 0xFF
+                for y in range(h):
+                    for x in range(full_w):
+                        packed = int(green[y * packed_w + x // ppp])
+                        shift = (x % ppp) * bits
+                        idx[y * full_w + x] = (packed >> shift) & ((1 << bits) - 1)
+            else:
+                idx = ((px >> 8) & 0xFF).astype(np.int64)
+            out = np.zeros(full_w * h, dtype=np.uint32)
+            valid = idx < n_colors
+            # palette rows are little-endian uint32 byte views: B,G,R,A
+            pal_argb = (
+                (palette[:, 3].astype(np.uint32) << 24)
+                | (palette[:, 2].astype(np.uint32) << 16)
+                | (palette[:, 1].astype(np.uint32) << 8)
+                | palette[:, 0].astype(np.uint32)
+            )
+            out[valid] = pal_argb[idx[valid]]
+            px = out
+        elif ttype == 2:  # subtract-green
+            g = (px >> 8) & 0xFF
+            r = (((px >> 16) & 0xFF) + g) & 0xFF
+            b = ((px & 0xFF) + g) & 0xFF
+            px = (px & 0xFF00FF00) | (r << 16) | b
+        elif ttype == 0:  # predictor
+            size_bits, sub = data
+            px = _vp8l_inverse_predictor(px, w, h, size_bits, sub)
+        else:  # 1: color transform
+            size_bits, sub = data
+            px = _vp8l_inverse_color_transform(px, w, h, size_bits, sub)
+    return px
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) & 0xFF) + ((b >> 24) & 0xFF)) // 2) << 24
+        | ((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) // 2) << 16
+        | ((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) // 2) << 8
+        | ((((a) & 0xFF) + ((b) & 0xFF)) // 2)
+    )
+
+
+def _vp8l_inverse_predictor(
+    px: "np.ndarray", w: int, h: int, size_bits: int, modes: "np.ndarray"
+) -> "np.ndarray":
+    """Spec §4.2.1: 14 predictor modes, per-channel addition mod 256.
+    Boundary rules: (0,0) predicts opaque black; row 0 predicts L;
+    column 0 predicts T. TR for the last column is the leftmost pixel of
+    the current row (the contiguous-memory neighbour, matching the
+    reference decoder's layout semantics)."""
+    mode_w = -(-w // (1 << size_bits))
+    out = px.astype(np.int64).copy()
+
+    def chan_add(res: int, pred: int) -> int:
+        return (
+            ((((res >> 24) & 0xFF) + ((pred >> 24) & 0xFF)) & 0xFF) << 24
+            | ((((res >> 16) & 0xFF) + ((pred >> 16) & 0xFF)) & 0xFF) << 16
+            | ((((res >> 8) & 0xFF) + ((pred >> 8) & 0xFF)) & 0xFF) << 8
+            | ((((res) & 0xFF) + ((pred) & 0xFF)) & 0xFF)
+        )
+
+    def clamp(v: int) -> int:
+        return 0 if v < 0 else (255 if v > 255 else v)
+
+    for i in range(w * h):
+        x, y = i % w, i // w
+        if x == 0 and y == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = int(out[i - 1])
+        elif x == 0:
+            pred = int(out[i - w])
+        else:
+            mode = (int(modes[(y >> size_bits) * mode_w + (x >> size_bits)]) >> 8) & 0xFF
+            L = int(out[i - 1])
+            T = int(out[i - w])
+            TL = int(out[i - w - 1])
+            TR = int(out[i - w + 1])  # valid at x = w-1: leftmost of row y
+            if mode == 0:
+                pred = 0xFF000000
+            elif mode == 1:
+                pred = L
+            elif mode == 2:
+                pred = T
+            elif mode == 3:
+                pred = TR
+            elif mode == 4:
+                pred = TL
+            elif mode == 5:
+                pred = _vp8l_avg2(_vp8l_avg2(L, TR), T)
+            elif mode == 6:
+                pred = _vp8l_avg2(L, TL)
+            elif mode == 7:
+                pred = _vp8l_avg2(L, T)
+            elif mode == 8:
+                pred = _vp8l_avg2(TL, T)
+            elif mode == 9:
+                pred = _vp8l_avg2(T, TR)
+            elif mode == 10:
+                pred = _vp8l_avg2(_vp8l_avg2(L, TL), _vp8l_avg2(T, TR))
+            elif mode == 11:  # Select
+                p = 0
+                for sh in (24, 16, 8, 0):
+                    pl = abs(((TL >> sh) & 0xFF) - ((T >> sh) & 0xFF))
+                    pt = abs(((TL >> sh) & 0xFF) - ((L >> sh) & 0xFF))
+                    p += pl - pt
+                pred = L if p <= 0 else T
+            elif mode == 12:  # ClampAddSubtractFull
+                pred = 0
+                for sh in (24, 16, 8, 0):
+                    v = clamp(((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) - ((TL >> sh) & 0xFF))
+                    pred |= v << sh
+            elif mode == 13:  # ClampAddSubtractHalf
+                ave = _vp8l_avg2(L, T)
+                pred = 0
+                for sh in (24, 16, 8, 0):
+                    a = (ave >> sh) & 0xFF
+                    t = (TL >> sh) & 0xFF
+                    v = clamp(a + (a - t) // 2)
+                    pred |= v << sh
+            else:
+                raise ValueError(f"webp: invalid predictor mode {mode}")
+        out[i] = chan_add(int(px[i]), pred)
+    return out.astype(np.uint32)
+
+
+def _vp8l_inverse_color_transform(
+    px: "np.ndarray", w: int, h: int, size_bits: int, sub: "np.ndarray"
+) -> "np.ndarray":
+    """Spec §4.2.3: per-block ColorTransformElement (g2r in blue, g2b in
+    green, r2b in red channel of the transform pixel); deltas are
+    signed-byte products >> 5, added mod 256."""
+    block_w = -(-w // (1 << size_bits))
+
+    def s8(v: int) -> int:
+        return v - 256 if v >= 128 else v
+
+    out = px.copy()
+    for i in range(w * h):
+        x, y = i % w, i // w
+        cte = int(sub[(y >> size_bits) * block_w + (x >> size_bits)])
+        g2r = s8(cte & 0xFF)
+        g2b = s8((cte >> 8) & 0xFF)
+        r2b = s8((cte >> 16) & 0xFF)
+        v = int(px[i])
+        a = (v >> 24) & 0xFF
+        r = (v >> 16) & 0xFF
+        g = (v >> 8) & 0xFF
+        b = v & 0xFF
+        sg = s8(g)
+        r = (r + ((g2r * sg) >> 5)) & 0xFF
+        b = (b + ((g2b * sg) >> 5) + ((r2b * s8(r)) >> 5)) & 0xFF
+        out[i] = (a << 24) | (r << 16) | (g << 8) | b
+    return out
+
+
+def _decode_vp8l(data: bytes) -> np.ndarray:
+    """VP8L chunk payload → HxWx3 uint8 (alpha dropped, PNG-RGBA
+    convention)."""
+    if not data or data[0] != 0x2F:
+        raise ValueError("webp: bad VP8L signature")
+    br = _VP8LBitReader(data[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read_bit()          # alpha hint
+    if br.read(3) != 0:
+        raise NotImplementedError("webp: VP8L version != 0")
+    px, transforms = _vp8l_decode_image(br, w, h, True)
+    px = _vp8l_apply_inverse_transforms(px, w, h, transforms)
+    r = ((px >> 16) & 0xFF).astype(np.uint8)
+    g = ((px >> 8) & 0xFF).astype(np.uint8)
+    b = (px & 0xFF).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1).reshape(h, w, 3)
+
+
+def _decode_webp(b: bytes) -> np.ndarray:
+    """RIFF/WEBP container → HxWx3 uint8. Lossless (VP8L) decodes for
+    real (from-scratch per the public spec); lossy VP8 and animation
+    raise NotImplementedError (declared limits, same tier policy as
+    progressive JPEG)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("webp: not a RIFF/WEBP container")
+    pos = 12
+    while pos + 8 <= len(b):
+        fourcc = b[pos:pos + 4]
+        size = int.from_bytes(b[pos + 4:pos + 8], "little")
+        payload = b[pos + 8:pos + 8 + size]
+        if len(payload) < size:
+            raise ValueError("webp: truncated chunk")
+        if fourcc == b"VP8L":
+            return _decode_vp8l(payload)
+        if fourcc == b"VP8 ":
+            raise NotImplementedError("webp: lossy VP8 not supported")
+        if fourcc in (b"ANIM", b"ANMF"):
+            raise NotImplementedError("webp: animation not supported")
+        # VP8X / ICCP / EXIF / XMP / ALPH: keep scanning for image data
+        pos += 8 + size + (size & 1)
+    raise ValueError("webp: no image chunk found")
+
+
+class _VP8LBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.bit = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            if self.bit == 0:
+                self.out.append(0)
+            if (value >> i) & 1:
+                self.out[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) % 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Huffman code bits, MSB of the code first."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+
+def _huffman_lengths(hist: "dict[int, int]", max_len: int = 15) -> "dict[int, int]":
+    """Code lengths from a symbol histogram (heap Huffman); falls back to
+    flat lengths if the tree exceeds max_len (valid, just not optimal)."""
+    import heapq
+    import itertools
+
+    syms = [s for s, c in hist.items() if c > 0]
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    cnt = itertools.count()
+    heap = [(hist[s], next(cnt), (s,)) for s in syms]
+    heapq.heapify(heap)
+    depth: dict[int, int] = {s: 0 for s in syms}
+    while len(heap) > 1:
+        c1, _, g1 = heapq.heappop(heap)
+        c2, _, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (c1 + c2, next(cnt), g1 + g2))
+    if max(depth.values()) > max_len:
+        flat = max(len(syms).bit_length(), 1)
+        return {s: flat for s in syms}
+    return depth
+
+
+def _canonical_codes(lengths: "dict[int, int]") -> "dict[int, tuple[int, int]]":
+    """symbol → (code, length), canonical per RFC 1951."""
+    bl_count: dict[int, int] = {}
+    for l in lengths.values():
+        bl_count[l] = bl_count.get(l, 0) + 1
+    code = 0
+    next_code: dict[int, int] = {}
+    for l in range(1, max(bl_count) + 1):
+        code = (code + bl_count.get(l - 1, 0)) << 1
+        next_code[l] = code
+    out: dict[int, tuple[int, int]] = {}
+    for l, s in sorted((l, s) for s, l in lengths.items()):
+        out[s] = (next_code[l], l)
+        next_code[l] += 1
+    return out
+
+
+def _vp8l_write_code(bw: _VP8LBitWriter, lengths_by_sym: "dict[int, int]",
+                     alphabet: int) -> "dict[int, tuple[int, int]]":
+    """Write one prefix code (simple when ≤2 symbols, else length-coded
+    with no repeat codes) and return the symbol→(code,len) table."""
+    syms = sorted(lengths_by_sym)
+    # 'simple' codes inline symbol VALUES in ≤8 bits, so they only apply
+    # to symbols 0..255 (libwebp has the same restriction)
+    if len(syms) == 1 and syms[0] <= 255:
+        bw.write(1, 1)            # simple
+        bw.write(0, 1)            # one symbol
+        s = syms[0]
+        if s >= 2:
+            bw.write(1, 1)
+            bw.write(s, 8)
+        else:
+            bw.write(0, 1)
+            bw.write(s, 1)
+        return {s: (0, 0)}        # zero-bit code
+    if len(syms) == 2 and syms[1] <= 255:
+        bw.write(1, 1)            # simple
+        bw.write(1, 1)            # two symbols
+        s0, s1 = syms
+        if s0 >= 2:
+            bw.write(1, 1)
+            bw.write(s0, 8)
+        else:
+            bw.write(0, 1)
+            bw.write(s0, 1)
+        bw.write(s1, 8)
+        return {s0: (0, 1), s1: (1, 1)}
+    bw.write(0, 1)                # normal (length-coded)
+    # defensive: an over-subscribed length set (Kraft > 1) cannot form a
+    # prefix code and would emit undecodable bits
+    if sum(2.0 ** -l for l in lengths_by_sym.values()) > 1.0 + 1e-12:
+        raise ValueError("_vp8l_write_code: over-subscribed code lengths")
+    seq = [lengths_by_sym.get(s, 0) for s in range(alphabet)]
+    clc_hist: dict[int, int] = {}
+    for v in seq:
+        clc_hist[v] = clc_hist.get(v, 0) + 1
+    clc_lengths = _huffman_lengths(clc_hist, max_len=7)
+    clc_codes = _canonical_codes(clc_lengths)
+    bw.write(19 - 4, 4)           # num_code_lengths = 19
+    for sym in _VP8L_CLC_ORDER:
+        bw.write(clc_lengths.get(sym, 0), 3)
+    bw.write(0, 1)                # no max_symbol cap
+    for v in seq:
+        c, l = clc_codes[v]
+        bw.write_code(c, l)
+    return _canonical_codes(lengths_by_sym)
+
+
+def encode_webp_lossless(img: np.ndarray) -> bytes:
+    """WebP VP8L lossless ENCODER (literal-only: no transforms, no LZ77,
+    no color cache — a valid, decodable stream that any spec decoder
+    reads back bit-exactly). HxWx3 or HxW uint8 → RIFF/WEBP bytes. The
+    symmetric half that lets pipelines synthesize REAL .webp fixtures
+    without a codec library (same role as encode_jpeg_gray)."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    h, w = img.shape[:2]
+    if not (0 < w <= 16384 and 0 < h <= 16384):
+        raise ValueError("encode_webp_lossless: dimensions outside 1..16384")
+    r = img[..., 0].astype(np.uint32).ravel()
+    g = img[..., 1].astype(np.uint32).ravel()
+    b = img[..., 2].astype(np.uint32).ravel()
+    bw = _VP8LBitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)                # no alpha
+    bw.write(0, 3)                # version 0
+    bw.write(0, 1)                # no transforms
+    bw.write(0, 1)                # no entropy image
+    bw.write(0, 1)                # no color cache
+
+    def hist(vals) -> dict[int, int]:
+        out: dict[int, int] = {}
+        for v in vals.tolist():
+            out[v] = out.get(v, 0) + 1
+        return out
+
+    g_codes = _vp8l_write_code(bw, _huffman_lengths(hist(g)), 256 + 24)
+    r_codes = _vp8l_write_code(bw, _huffman_lengths(hist(r)), 256)
+    b_codes = _vp8l_write_code(bw, _huffman_lengths(hist(b)), 256)
+    a_codes = _vp8l_write_code(bw, {255: 1}, 256)
+    _vp8l_write_code(bw, {0: 1}, 40)   # distance code, never used
+    for i in range(w * h):
+        c, l = g_codes[int(g[i])]
+        bw.write_code(c, l)
+        c, l = r_codes[int(r[i])]
+        bw.write_code(c, l)
+        c, l = b_codes[int(b[i])]
+        bw.write_code(c, l)
+        c, l = a_codes[255]
+        bw.write_code(c, l)
+    payload = b"\x2f" + bytes(bw.out)
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array. REAL for the
     codec-free formats (P6 PPM, uncompressed 24-bit BMP — see module
@@ -828,12 +1495,15 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return _decode_png(payload)
     if kind == "jpeg":
         return _decode_jpeg(payload)
+    if kind == "webp":
+        return _decode_webp(payload)
     if not fake:
         raise NotImplementedError(
-            "webp/avif/... codecs not available in this environment; "
-            "P6 PPM, uncompressed BMP, GIF (LZW), PNG (zlib DEFLATE), and "
-            "baseline JPEG (from-scratch T.81) decode for real — pass "
-            "fake=True for the deterministic test double"
+            "avif/heic/... codecs not available in this environment; "
+            "P6 PPM, uncompressed BMP, GIF (LZW), PNG (zlib DEFLATE), "
+            "baseline JPEG (from-scratch T.81), and lossless WebP (VP8L) "
+            "decode for real — pass fake=True for the deterministic test "
+            "double"
         )
     return _fake_decode_image(payload)
 
@@ -926,7 +1596,7 @@ def resize_images(
                     and ((meta.get("media_type") if isinstance(meta, dict) else meta["media_type"]) or "").startswith("image/")
                 ):
                     real = sniff_media(media) in (
-                        "ppm", "bmp", "gif", "png", "jpeg"
+                        "ppm", "bmp", "gif", "png", "jpeg", "webp"
                     )
                     try:
                         img = decode_image(media, fake=not real)
@@ -1166,7 +1836,8 @@ def audio_hash_pairs(
 #: sniffed kind → canonical media_type prefix family for the declared-type
 #: check ('image/...' rows whose bytes sniff as WAV are mislabeled)
 _KIND_FAMILY = {"ppm": "image/", "bmp": "image/", "gif": "image/",
-                "png": "image/", "jpeg": "image/", "wav": "audio/"}
+                "png": "image/", "jpeg": "image/", "webp": "image/",
+                "wav": "audio/"}
 
 
 def media_meta_checks(media_df: DataFrame, batch_size_hint: int = 256) -> DataFrame:

@@ -183,12 +183,18 @@ def test_compressed_codecs_still_stubbed():
     jpeg_ish = b"\xff\xd8\xff" + b"x" * 100
     with _pytest.raises(ValueError):
         decode_image(jpeg_ish)
+    # RIFF/WEBP now routes to the REAL VP8L decoder: a garbage body is a
+    # ValueError finding, not the stub tier
     webp_ish = b"RIFF" + b"\x00" * 4 + b"WEBP" + b"x" * 100
-    with _pytest.raises(NotImplementedError, match="PPM|JPEG"):
+    with _pytest.raises(ValueError):
         decode_image(webp_ish)
     with _pytest.raises(NotImplementedError, match="PCM"):
         decode_audio(webp_ish)
-    assert decode_image(webp_ish, fake=True).shape == (4, 4, 3)
+    # a truly unsniffable payload still has the stub tier + fake double
+    avif_ish = b"\x00\x00\x00 ftypavif" + b"x" * 100
+    with _pytest.raises(NotImplementedError, match="PPM|JPEG|WebP"):
+        decode_image(avif_ish)
+    assert decode_image(avif_ish, fake=True).shape == (4, 4, 3)
 
 
 def test_resize_real_ppm_through_spark(spark):
@@ -855,3 +861,296 @@ def test_resize_images_undecodable_falls_back_not_crash(spark):
         assert out[i].meta["width"] == 4 and out[i].meta["height"] == 4
     # the decodable row still takes the REAL path
     assert out[3].meta["media_type"] == "image/x-portable-pixmap"
+
+
+# -- WebP VP8L ---------------------------------------------------------------
+
+
+def test_webp_roundtrip_random_and_edge_sizes():
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        decode_image,
+        encode_webp_lossless,
+        sniff_media,
+    )
+
+    rng = np.random.RandomState(7)
+    for shape in [(1, 1), (1, 9), (9, 1), (13, 17), (32, 32)]:
+        img = rng.randint(0, 256, (*shape, 3)).astype(np.uint8)
+        wb = encode_webp_lossless(img)
+        assert sniff_media(wb) == "webp"
+        assert (decode_image(wb) == img).all()
+    # grayscale input broadcasts to 3 channels
+    gray = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    out = decode_image(encode_webp_lossless(gray))
+    assert (out[..., 0] == gray).all() and (out == out[..., :1]).all()
+
+
+def _vp8l_wrap(bits_payload: bytes) -> bytes:
+    payload = b"\x2f" + bits_payload
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def _start_vp8l(w, h):
+    from gbif_data_validator_spark.operators.multimodal import _VP8LBitWriter
+
+    bw = _VP8LBitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    return bw
+
+
+def test_webp_lz77_overlapping_copy():
+    """Hand-crafted stream: two literals then a length-4 distance-2 copy
+    (overlapping — the sequential-copy semantics the spec requires)."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        _vp8l_write_code,
+        decode_image,
+    )
+
+    bw = _start_vp8l(6, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no entropy image
+    bw.write(0, 1)  # no color cache
+    # green code: greens 10, 20 + length prefix symbol 256+3 (length 4)
+    g_codes = _vp8l_write_code(bw, {10: 2, 20: 2, 259: 2}, 256 + 24)
+    r_codes = _vp8l_write_code(bw, {1: 1, 2: 1}, 256)
+    b_codes = _vp8l_write_code(bw, {3: 1, 4: 1}, 256)
+    _vp8l_write_code(bw, {255: 1}, 256)        # alpha: zero-bit
+    d_codes = _vp8l_write_code(bw, {13: 1}, 40)  # dist prefix 13: zero-bit
+    # literal (g=10,r=1,b=3), literal (g=20,r=2,b=4)
+    for g, r, b in [(10, 1, 3), (20, 2, 4)]:
+        bw.write_code(*g_codes[g])
+        bw.write_code(*r_codes[r])
+        bw.write_code(*b_codes[b])
+    # copy: green symbol 259 → length prefix 3 → length 4 (no extra bits);
+    # distance prefix 13 (zero-bit) → extra 5 bits; dist_code = 96+x+1,
+    # want dist_code 122 (= plain distance 2): x = 25
+    bw.write_code(*g_codes[259])
+    bw.write(25, 5)
+    img = decode_image(_vp8l_wrap(bytes(bw.out)))
+    expect = np.array(
+        [[[1, 10, 3], [2, 20, 4], [1, 10, 3], [2, 20, 4], [1, 10, 3], [2, 20, 4]]],
+        dtype=np.uint8,
+    )
+    assert (img == expect).all()
+
+
+def test_webp_color_cache_hit():
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        _vp8l_write_code,
+        decode_image,
+    )
+
+    cache_bits = 4
+    argb = (255 << 24) | (9 << 16) | (40 << 8) | 7
+    idx = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+    bw = _start_vp8l(2, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no entropy image
+    bw.write(1, 1)  # color cache present
+    bw.write(cache_bits, 4)
+    cache_sym = 256 + 24 + idx
+    g_codes = _vp8l_write_code(bw, {40: 1, cache_sym: 1}, 256 + 24 + 16)
+    r_codes = _vp8l_write_code(bw, {9: 1}, 256)
+    b_codes = _vp8l_write_code(bw, {7: 1}, 256)
+    _vp8l_write_code(bw, {255: 1}, 256)
+    _vp8l_write_code(bw, {0: 1}, 40)
+    bw.write_code(*g_codes[40])    # literal → fills cache slot idx
+    bw.write_code(*r_codes[9])
+    bw.write_code(*b_codes[7])
+    bw.write_code(*g_codes[cache_sym])  # cache hit reproduces the pixel
+    img = decode_image(_vp8l_wrap(bytes(bw.out)))
+    assert (img == np.array([[[9, 40, 7], [9, 40, 7]]], dtype=np.uint8)).all()
+
+
+def test_webp_subtract_green_transform():
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        _vp8l_write_code,
+        decode_image,
+    )
+
+    bw = _start_vp8l(1, 1)
+    bw.write(1, 1)  # transform present
+    bw.write(2, 2)  # subtract-green
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no entropy image
+    bw.write(0, 1)  # no color cache
+    g_codes = _vp8l_write_code(bw, {100: 1}, 256 + 24)
+    r_codes = _vp8l_write_code(bw, {200: 1}, 256)
+    b_codes = _vp8l_write_code(bw, {250: 1}, 256)
+    _vp8l_write_code(bw, {255: 1}, 256)
+    _vp8l_write_code(bw, {0: 1}, 40)
+    bw.write_code(*g_codes[100])
+    bw.write_code(*r_codes[200])
+    bw.write_code(*b_codes[250])
+    img = decode_image(_vp8l_wrap(bytes(bw.out)))
+    # inverse: r=(200+100)%256=44, g=100, b=(250+100)%256=94
+    assert (img[0, 0] == np.array([44, 100, 94], dtype=np.uint8)).all()
+
+
+def test_webp_predictor_transform_T_mode():
+    """2x2 image, one predictor block with mode 2 (T). Row 0 uses the
+    spec's boundary rules ((0,0)=opaque black, row 0 = L); row 1 adds
+    the residual to the pixel above, per channel mod 256."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        _huffman_lengths,
+        _vp8l_write_code,
+        decode_image,
+    )
+
+    bw = _start_vp8l(2, 2)
+    bw.write(1, 1)  # transform present
+    bw.write(0, 2)  # predictor
+    bw.write(2, 3)  # size_bits = 2+2=4 -> one 16x16 block covers all
+    # predictor sub-image 1x1: mode in green channel = 2 (T); sub-images
+    # read no meta bit, so the next bit is the color-cache flag
+    bw.write(0, 1)
+    sg = _vp8l_write_code(bw, {2: 1}, 256 + 24)
+    _vp8l_write_code(bw, {0: 1}, 256)
+    _vp8l_write_code(bw, {0: 1}, 256)
+    _vp8l_write_code(bw, {0: 1}, 256)
+    _vp8l_write_code(bw, {0: 1}, 40)
+    bw.write_code(*sg[2])  # single mode pixel (all codes zero-bit)
+    bw.write(0, 1)  # no more transforms
+    # main image: no entropy image, no color cache
+    bw.write(0, 1)
+    bw.write(0, 1)
+    g_codes = _vp8l_write_code(bw, _huffman_lengths({5: 2, 10: 1, 3: 1}), 256 + 24)
+    r_codes = _vp8l_write_code(bw, _huffman_lengths({1: 2, 7: 1, 2: 1}), 256)
+    b_codes = _vp8l_write_code(bw, _huffman_lengths({4: 2, 9: 1, 6: 1}), 256)
+    a_codes = _vp8l_write_code(bw, _huffman_lengths({0: 3, 255: 1}), 256)
+    _vp8l_write_code(bw, {0: 1}, 40)
+    # residuals (a,r,g,b) per pixel, row-major
+    pix = [(255, 1, 5, 4), (0, 7, 10, 9), (0, 2, 3, 6), (0, 1, 5, 4)]
+    for a, r, g, b in pix:
+        bw.write_code(*g_codes[g])
+        bw.write_code(*r_codes[r])
+        bw.write_code(*b_codes[b])
+        bw.write_code(*a_codes[a])
+    img = decode_image(_vp8l_wrap(bytes(bw.out)))
+    # (0,0): pred opaque black -> (1,5,4); (1,0): pred L -> (8,15,13)
+    # (0,1): pred T (col-0 rule) -> (3,8,10); (1,1): mode T -> (9,20,17)
+    expect = np.array(
+        [[[1, 5, 4], [8, 15, 13]], [[3, 8, 10], [9, 20, 17]]], dtype=np.uint8
+    )
+    assert (img == expect).all()
+
+
+def test_webp_palette_transform_packed():
+    """Color-indexing transform with 3 colors → width_bits=2 (4 indices
+    per packed green byte). Palette entries are delta-coded."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        _huffman_lengths,
+        _vp8l_write_code,
+        decode_image,
+    )
+
+    # palette: [(10,20,30), (40,50,60), (200,100,0)] (r,g,b), alpha 255
+    # delta coding: first entry absolute, then per-channel deltas mod 256
+    deltas = [(255, 10, 20, 30), (0, 30, 30, 30), (0, 160, 50, 196)]
+    bw = _start_vp8l(4, 1)
+    bw.write(1, 1)  # transform present
+    bw.write(3, 2)  # color indexing
+    bw.write(3 - 1, 8)  # 3 colors
+    # palette sub-image 3x1
+    bw.write(0, 1)  # no color cache
+    pg = _vp8l_write_code(bw, _huffman_lengths({20: 1, 30: 1, 50: 1}), 256 + 24)
+    pr = _vp8l_write_code(bw, _huffman_lengths({10: 1, 30: 1, 160: 1}), 256)
+    pb = _vp8l_write_code(bw, {30: 1, 196: 1}, 256)
+    pa = _vp8l_write_code(bw, {255: 1, 0: 2}, 256)
+    _vp8l_write_code(bw, {0: 1}, 40)
+    for a, r, g, b in deltas:
+        bw.write_code(*pg[g])
+        bw.write_code(*pr[r])
+        bw.write_code(*pb[b])
+        bw.write_code(*pa[a])
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no entropy image
+    bw.write(0, 1)  # no color cache
+    # packed width = ceil(4/4) = 1 pixel; indices 0,1,2,1 → green byte
+    # = 0 | 1<<2 | 2<<4 | 1<<6 = 0x64
+    g_codes = _vp8l_write_code(bw, {0x64: 1}, 256 + 24)
+    _vp8l_write_code(bw, {0: 1}, 256)
+    _vp8l_write_code(bw, {0: 1}, 256)
+    _vp8l_write_code(bw, {255: 1}, 256)
+    _vp8l_write_code(bw, {0: 1}, 40)
+    bw.write_code(*g_codes[0x64])
+    img = decode_image(_vp8l_wrap(bytes(bw.out)))
+    expect = np.array(
+        [[[10, 20, 30], [40, 50, 60], [200, 100, 0], [40, 50, 60]]],
+        dtype=np.uint8,
+    )
+    assert (img == expect).all()
+
+
+def test_webp_declared_limits_and_guards():
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        decode_image,
+        encode_webp_lossless,
+    )
+
+    # lossy VP8 chunk → declared limit
+    lossy = (b"RIFF" + (12).to_bytes(4, "little") + b"WEBP"
+             + b"VP8 " + (0).to_bytes(4, "little"))
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_image(lossy)
+    # truncated VP8L bitstream → finding-grade ValueError
+    good = encode_webp_lossless(np.full((4, 4, 3), 9, np.uint8))
+    with pytest.raises(ValueError):
+        decode_image(good[:24])
+    # animation → declared limit
+    anim = (b"RIFF" + (12).to_bytes(4, "little") + b"WEBP"
+            + b"ANIM" + (0).to_bytes(4, "little"))
+    with pytest.raises(NotImplementedError, match="animation"):
+        decode_image(anim)
+
+
+def test_webp_through_spark_resize_and_dhash(spark):
+    """A real VP8L payload takes the REAL path through the Spark-side
+    resize (re-encoded as PPM) and dHash operators."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        _decode_ppm,
+        encode_webp_lossless,
+        image_dhash,
+        resize_images,
+    )
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, 4:] = 250  # strong horizontal gradient → nonzero dhash
+    wb = encode_webp_lossless(img)
+    meta = {"media_type": "image/webp", "width": 8, "height": 8,
+            "duration_ms": 0}
+    df = spark.createDataFrame(
+        [(1, bytearray(wb), meta), (2, bytearray(wb), meta)],
+        "doc_id long, media binary, meta struct<media_type string, "
+        "width int, height int, duration_ms int>",
+    )
+    sigs = image_dhash(df).collect()
+    assert len(sigs) == 2 and sigs[0][1] == sigs[1][1]
+    out = resize_images(df, width=4, height=4).collect()[0]
+    assert out.meta["media_type"] == "image/x-portable-pixmap"
+    resized = _decode_ppm(bytes(out.media))
+    assert resized.shape == (4, 4, 3)
+    assert (resized[:, :2] == 0).all() and (resized[:, 2:] == 250).all()
