@@ -4275,14 +4275,20 @@ def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k sketch estimate of the same census — fixed k·8 bytes
-    per side instead of a fingerprint-grain shuffle; tolerance +
-    mergeability pinned in pytest (operators/overlap.py:kmv_overlap)."""
+    per side instead of a fingerprint-grain shuffle. Round 4: the
+    engine-portable md5-prefix hash path makes the ENTIRE estimator —
+    bottom-k sketches, mergeable union sketch, (k−1)/u_k estimates,
+    Jaccard sample — a hard oracle row (DuckDB replays every value
+    bit-for-bit); xxhash64 stays the production default with identical
+    semantics (operators/overlap.py:kmv_overlap)."""
     from gbif_data_validator_spark.operators.overlap import kmv_overlap
     from gbif_data_validator_spark.operators.sampling import hash_bucket
 
     d = _docs(spark, sf_dir)
     b = hash_bucket(F.col("doc_id"), 100)
-    return kmv_overlap(d.where(b < 60), d.where(b >= 40), "text", k=256)
+    return kmv_overlap(
+        d.where(b < 60), d.where(b >= 40), "text", k=256, hash_fn="md5"
+    )
 
 
 def _q_cms_point_est(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10298,6 +10304,70 @@ def oracle_sql() -> dict[str, str]:
         # tokenizer, same md5(term || ':' || row) 60-bit cell hash mod
         # width, same cell groupBy, same MIN-over-rows estimator; the
         # top-50 cut uses the identical (cnt DESC, term) tie-break
+        # kmv_overlap (round 4): the md5-prefix hash path replays the WHOLE
+        # KMV estimator — bottom-k sketches, mergeable union, (k-1)/u_k,
+        # Jaccard sample — bit-for-bit; 2^60 = 1152921504606846976
+        "kmv_overlap": """
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+              FROM documents WHERE text IS NOT NULL
+            ),
+            bkt AS (
+              SELECT fp,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 AS b
+              FROM fp
+            ),
+            ska AS (
+              SELECT DISTINCT CAST(('0x' || substr(md5(fp), 1, 15)) AS BIGINT) AS h
+              FROM bkt WHERE b < 60 ORDER BY h LIMIT 256
+            ),
+            skb AS (
+              SELECT DISTINCT CAST(('0x' || substr(md5(fp), 1, 15)) AS BIGINT) AS h
+              FROM bkt WHERE b >= 40 ORDER BY h LIMIT 256
+            ),
+            sa AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM ska),
+            sb AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM skb),
+            sku AS (
+              SELECT DISTINCT h FROM (
+                SELECT h FROM ska UNION ALL SELECT h FROM skb
+              ) ORDER BY h LIMIT 256
+            ),
+            bth AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+                     CAST(COALESCE(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_both,
+                     MAX(u.h) AS h_k
+              FROM sku u
+              LEFT JOIN ska a ON u.h = a.h
+              LEFT JOIN skb b ON u.h = b.h
+            )
+            SELECT CAST(256 AS INTEGER) AS k,
+                   k_used,
+                   (SELECT CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                           ELSE CAST(255 AS DOUBLE)
+                                / (CAST(hk AS DOUBLE) / 1152921504606846976.0)
+                           END FROM sa) AS est_a,
+                   (SELECT CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                           ELSE CAST(255 AS DOUBLE)
+                                / (CAST(hk AS DOUBLE) / 1152921504606846976.0)
+                           END FROM sb) AS est_b,
+                   CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+                        ELSE CAST(255 AS DOUBLE)
+                             / (CAST(h_k AS DOUBLE) / 1152921504606846976.0)
+                        END AS est_union,
+                   CASE WHEN k_used > 0 THEN
+                        (CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+                              ELSE CAST(255 AS DOUBLE)
+                                   / (CAST(h_k AS DOUBLE) / 1152921504606846976.0)
+                              END
+                         * CAST(n_both AS DOUBLE)) / CAST(k_used AS DOUBLE)
+                        END AS est_intersection,
+                   CASE WHEN k_used > 0 THEN (1000000 * n_both) // k_used
+                        END AS est_jaccard_micro
+            FROM bth
+        """,
         "cms_point_est": """
             WITH toks AS (
               SELECT term FROM (

@@ -110,6 +110,7 @@ def kmv_overlap(
     df_b: DataFrame,
     text_col: str = "text",
     k: int = 1024,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """KMV (k-minimum-values, Bar-Yossef et al. 2002 / theta-sketch)
     estimate of the same census → ONE row ``(k, k_used, est_a, est_b,
@@ -127,8 +128,13 @@ def kmv_overlap(
     exact-integer micro-units), and ``est_intersection = J·est_union``.
 
     Estimate quality: relative error ~1/sqrt(k) (~3% at k=1024),
-    pinned by tolerance + mergeability pytest, not an SQL oracle (DuckDB
-    has no xxhash64).
+    pinned by tolerance + mergeability pytest. ``hash_fn="md5"`` swaps
+    the sketch hash for the engine-portable 60-bit md5-prefix value
+    (``conv(substr(md5(fp),1,15),16,10)`` — the same deterministic-hash
+    convention as hash_bucket / det-LSH / CMS), making the WHOLE
+    estimator — sketches, union, k-th-value estimate, Jaccard sample —
+    replayable bit-for-bit in SQL; xxhash64 (default) is the faster
+    production path with identical semantics.
 
     Plan: two distinct-hash reductions (map-side combine) + sort-limits;
     every subsequent node touches ≤ 2k rows. The two k-row sketch frames
@@ -136,22 +142,35 @@ def kmv_overlap(
     """
     if k < 2:
         raise ValueError(f"kmv_overlap: k must be >= 2, got {k}")
-    sk_a = _bottom_k(_hashes(df_a, text_col), k)
-    sk_b = _bottom_k(_hashes(df_b, text_col), k)
-    return _kmv_estimates(sk_a, sk_b, k)
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"kmv_overlap: unknown hash_fn {hash_fn!r}")
+    sk_a = _bottom_k(_hashes(df_a, text_col, hash_fn), k)
+    sk_b = _bottom_k(_hashes(df_b, text_col, hash_fn), k)
+    return _kmv_estimates(sk_a, sk_b, k, hash_fn)
 
 
-def _hashes(df: DataFrame, text_col: str) -> DataFrame:
-    """Uniform 64-bit hash per non-null content fingerprint (column ``h``)."""
+def _hashes(df: DataFrame, text_col: str, hash_fn: str = "xxhash64") -> DataFrame:
+    """Uniform hash per non-null content fingerprint (column ``h``):
+    signed-64 xxhash64 (default) or the 60-bit md5-prefix portable value."""
     fp = content_fingerprint(F.col(text_col))
-    return df.select(F.xxhash64(fp).alias("h")).where(fp.isNotNull())
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(fp), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(fp)
+    return df.select(h.alias("h")).where(fp.isNotNull())
 
 
-def _kmv_estimates(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
+def _kmv_estimates(
+    sk_a: DataFrame, sk_b: DataFrame, k: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """The estimator core over two bottom-k sketch frames (column ``h``)
     — shared by the two-corpus face and the persisted-sketch face."""
-    # (0,1) position of a signed-64 hash; (k-1)/u_k is the KMV estimator
-    u = lambda c: (c.cast("double") / F.lit(2.0**64)) + F.lit(0.5)  # noqa: E731
+    if hash_fn == "md5":
+        # unsigned 60-bit value → (0,1) position
+        u = lambda c: c.cast("double") / F.lit(2.0**60)  # noqa: E731
+    else:
+        # (0,1) position of a signed-64 hash; (k-1)/u_k is the estimator
+        u = lambda c: (c.cast("double") / F.lit(2.0**64)) + F.lit(0.5)  # noqa: E731
 
     def side_stats(sk: DataFrame, name: str) -> DataFrame:
         # 1-row fold (never empty — an empty corpus estimates 0): n kept

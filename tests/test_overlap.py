@@ -156,3 +156,27 @@ def test_kmv_sketch_k_mismatch_refused(spark, tmp_path):
     write_kmv_sketch(a, path, k=128)
     with pytest.raises(ValueError, match="refusing"):
         write_kmv_sketch(a, path, k=256, mode="append")
+
+
+def test_kmv_md5_path_matches_xxhash_semantics(spark):
+    """The engine-portable md5-prefix hash path (the oracle path) and the
+    xxhash64 default must agree on the exact-regime outputs (below-k
+    sketches are the set itself) and stay within sketch tolerance above
+    k; unknown hash_fn refuses."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gbif_data_validator_spark.operators.overlap import kmv_overlap
+
+    rows = [(i, f"doc number {i} with some shared words") for i in range(60)]
+    a = spark.createDataFrame(rows[:40], "doc_id long, text string")
+    b = spark.createDataFrame(rows[20:], "doc_id long, text string")
+    # k above both set sizes: estimates are EXACT for both hash paths
+    r_md5 = kmv_overlap(a, b, "text", k=128, hash_fn="md5").collect()[0]
+    r_xx = kmv_overlap(a, b, "text", k=128).collect()[0]
+    for r in (r_md5, r_xx):
+        assert (r.est_a, r.est_b) == (40.0, 40.0)
+        assert r.est_union == 60.0 and r.k_used == 60
+        assert r.est_jaccard_micro == (1_000_000 * 20) // 60
+    with _pytest.raises(ValueError, match="hash_fn"):
+        kmv_overlap(a, b, "text", k=8, hash_fn="sha9000")
