@@ -4927,6 +4927,28 @@ def _q_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral (DCT pHash) twin of image_dup_pairs over the same planted
+    corpus — dHash keys on gradients, pHash on low-frequency structure;
+    running both covers blur/resize copies gradients miss. Rows-only by
+    nature; blur/upscale robustness + recall pinned in
+    tests/test_multimodal.py."""
+    from gbif_data_validator_spark.operators.multimodal import (
+        image_phash_pairs,
+        synth_media,
+    )
+
+    media = synth_media(spark, 200)
+    images = media.where(F.col("meta.media_type").startswith("image/"))
+    planted = images.orderBy("doc_id").limit(2).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "media", "meta"
+    )
+    return (
+        image_phash_pairs(images.unionByName(planted), max_hamming=4)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5174,6 +5196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events": _q_drift_events,
         "image_dup_pairs": _q_image_dup_pairs,
         "media_meta_violations": _q_media_meta_violations,
+        "image_phash_pairs": _q_image_phash_pairs,
     }
 
 def _sql_lit(v) -> str:

@@ -1735,6 +1735,84 @@ def image_dhash(media_df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     return media_df.mapInPandas(process, schema="doc_id long, sig long")
 
 
+def _phash_from_bytes(payload: "bytes | None", fake: bool = False) -> "int | None":
+    """64-bit DCT perceptual hash (pHash): decode → grayscale →
+    nearest-neighbor downsample to 32×32 (the module's resample
+    arithmetic) → 2D DCT-II (the same separable cosine basis the JPEG
+    decoder uses) → the 8×8 lowest-frequency block → bit r*8+c set when
+    the coefficient exceeds the block's median (DC excluded from the
+    median so flat images stay stable). The SPECTRAL twin of the spatial
+    dHash: dHash keys on local gradients (robust to re-encode, brittle
+    under blur/scale), pHash keys on global low-frequency structure
+    (robust to blur/resize/gamma) — running both and pairing each through
+    the shared Hamming core covers both failure modes. Deterministic
+    float64 ops; signed 64-bit pack; corrupt payloads hash to None
+    (finding-not-crash, as dHash)."""
+    if payload is None or len(payload) == 0:
+        return None
+    try:
+        img = decode_image(payload, fake=fake or sniff_media(payload) is None)
+    except Exception:  # noqa: BLE001 — corrupt container → no signature
+        return None
+    g = img.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    ys = (np.arange(32) * h // 32).clip(0, h - 1)
+    xs = (np.arange(32) * w // 32).clip(0, w - 1)
+    small = g[ys][:, xs]
+    n = 32
+    k = np.arange(n)
+    basis = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n))
+    coef = basis @ small @ basis.T
+    block = coef[:8, :8]
+    flat = block.ravel()
+    med = np.median(flat[1:])  # DC excluded
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            if block[r, c] > med:
+                bits |= 1 << (r * 8 + c)
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def image_phash(media_df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """media table → ``(doc_id, sig)`` 64-bit DCT pHash per IMAGE row —
+    same contract, exclusions, and Arrow-batched plumbing as
+    ``image_dhash``; only the signature function differs."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, media, meta in zip(pdf["doc_id"], pdf["media"], pdf["meta"]):
+                mt = (
+                    (meta.get("media_type") if isinstance(meta, dict) else meta["media_type"])
+                    if meta is not None
+                    else None
+                )
+                if media is None or not (mt or "").startswith("image/"):
+                    continue
+                ids.append(doc_id)
+                sigs.append(_phash_from_bytes(bytes(media)))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "sig": pd.Series(sigs, dtype="Int64")})
+
+    return media_df.mapInPandas(process, schema="doc_id long, sig long")
+
+
+def image_phash_pairs(
+    media_df: DataFrame, max_hamming: int = 6, max_bucket: int = 1000
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by spectral similarity:
+    Hamming(pHash) ≤ ``max_hamming`` through the same pigeonhole
+    posting-list core as dHash/simhash (one shuffle, no self-join,
+    capped buckets). Rows-only by nature (needs the decoder);
+    determinism + blur-robustness pinned in tests."""
+    from .dedup import hamming_sig_pairs
+
+    return hamming_sig_pairs(
+        image_phash(media_df), max_hamming=max_hamming, max_bucket=max_bucket
+    )
+
+
 def image_dhash_pairs(
     media_df: DataFrame, max_hamming: int = 6, max_bucket: int = 1000
 ) -> DataFrame:

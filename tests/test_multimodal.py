@@ -1154,3 +1154,60 @@ def test_webp_through_spark_resize_and_dhash(spark):
     resized = _decode_ppm(bytes(out.media))
     assert resized.shape == (4, 4, 3)
     assert (resized[:, :2] == 0).all() and (resized[:, 2:] == 250).all()
+
+
+def test_image_phash_blur_robust_and_pairs(spark):
+    """pHash (spectral) must survive blur AND 2x upscaling on
+    natural-spectrum content, and separate different images; the pairs
+    face finds planted duplicates through the shared Hamming core.
+    (Fixture is a low-pass-filtered random field — pHash's median
+    thresholding needs a broad spectrum; on synthetic pure gradients the
+    mid-band coefficients are numerically ~0 and their signs are
+    noise, which is a property of the algorithm, not a bug.)"""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        _phash_from_bytes,
+        encode_ppm,
+        image_phash_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+
+    def natural(seed_field):
+        f = seed_field
+        for _ in range(12):
+            for ax in (0, 1):
+                f = (np.roll(f, 1, ax) + f + np.roll(f, -1, ax)) / 3
+        img = np.stack([f] * 3, axis=-1)
+        return (255 * (img - img.min()) / (img.max() - img.min())).astype(np.uint8)
+
+    img = natural(rng.rand(64, 64))
+    other = natural(rng.rand(64, 64))
+    blurred = img.astype(np.float64)
+    for ax in (0, 1):
+        blurred = (np.roll(blurred, 1, ax) + blurred + np.roll(blurred, -1, ax)) / 3
+    blurred = blurred.astype(np.uint8)
+    upscaled = img.repeat(2, axis=0).repeat(2, axis=1)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    p_img = _phash_from_bytes(encode_ppm(img))
+    assert ham(p_img, _phash_from_bytes(encode_ppm(blurred))) <= 4
+    assert ham(p_img, _phash_from_bytes(encode_ppm(upscaled))) <= 2  # scale-inv
+    assert ham(p_img, _phash_from_bytes(encode_ppm(other))) > 12
+    assert p_img == _phash_from_bytes(encode_ppm(img))  # deterministic
+    # pairs face: planted near-duplicate found, unrelated image not paired
+    meta = {"media_type": "image/x-portable-pixmap", "width": 64,
+            "height": 64, "duration_ms": 0}
+    rows = [(1, bytearray(encode_ppm(img)), meta),
+            (2, bytearray(encode_ppm(blurred)), meta),
+            (3, bytearray(encode_ppm(other)), meta)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media binary, meta struct<media_type string, "
+        "width int, height int, duration_ms int>")
+    pairs = {(r.doc_a, r.doc_b) for r in image_phash_pairs(df, max_hamming=6).collect()}
+    assert (1, 2) in pairs and not any(3 in p for p in pairs)
+    # corrupt payload → no signature, no crash
+    assert _phash_from_bytes(b"P6\n9 9\n255\n" + b"x") is None
