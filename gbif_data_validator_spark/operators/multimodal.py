@@ -120,6 +120,8 @@ def _decode_bmp(b: bytes) -> np.ndarray:
     4-byte-padded rows, bottom-up unless height is negative)."""
     import struct
 
+    if len(b) < 34:
+        raise ValueError("bmp: truncated header")
     off = struct.unpack_from("<I", b, 10)[0]
     w, h = struct.unpack_from("<ii", b, 18)
     bits = struct.unpack_from("<H", b, 28)[0]
@@ -265,12 +267,16 @@ def _decode_png(b: bytes) -> np.ndarray:
     idat = []
     plte = None
     while pos < len(b):
+        if pos + 8 > len(b):
+            raise ValueError("png: truncated chunk header")
         ln, typ = struct.unpack_from(">I4s", b, pos)
         body = b[pos + 8 : pos + 8 + ln]
         pos += 12 + ln
         if typ == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("png: truncated IHDR")
             width, height, depth, ctype, _, _, interlace = struct.unpack(
-                ">IIBBBBB", body
+                ">IIBBBBB", body[:13]
             )
         elif typ == b"PLTE":
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
@@ -1485,18 +1491,19 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     doc); compressed codecs raise NotImplementedError unless
     ``fake=True`` substitutes the deterministic content-hash double."""
     kind = sniff_media(payload)
-    if kind == "ppm":
-        return _decode_ppm(payload)
-    if kind == "bmp":
-        return _decode_bmp(payload)
-    if kind == "gif":
-        return _decode_gif(payload)
-    if kind == "png":
-        return _decode_png(payload)
-    if kind == "jpeg":
-        return _decode_jpeg(payload)
-    if kind == "webp":
-        return _decode_webp(payload)
+    decoders = {"ppm": _decode_ppm, "bmp": _decode_bmp, "gif": _decode_gif,
+                "png": _decode_png, "jpeg": _decode_jpeg, "webp": _decode_webp}
+    if kind in decoders:
+        import struct
+
+        try:
+            return decoders[kind](payload)
+        except (struct.error, IndexError) as e:
+            # error-tier normalization at the dispatch boundary: a
+            # truncated container must surface as the declared
+            # finding-grade ValueError, never a raw struct/index error
+            # from inside a parser (fuzz-pinned in test_properties)
+            raise ValueError(f"{kind}: truncated or corrupt container ({e})") from e
     if not fake:
         raise NotImplementedError(
             "avif/heic/... codecs not available in this environment; "
@@ -1531,7 +1538,12 @@ def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
     NotImplementedError unless ``fake=True`` substitutes the
     deterministic double."""
     if sniff_media(payload) == "wav":
-        return _decode_wav(payload)
+        import struct
+
+        try:
+            return _decode_wav(payload)
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"wav: truncated or corrupt container ({e})") from e
     if not fake:
         raise NotImplementedError(
             "compressed audio codecs not available in this environment; "

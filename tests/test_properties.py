@@ -215,3 +215,89 @@ def test_dhash_ppm_reencode_invariant(h, w, seed):
     again = encode_ppm(_decode_ppm(ppm))
     assert ppm == again
     assert _dhash_from_bytes(ppm) == _dhash_from_bytes(again)
+
+
+# -- round-4 parser fuzz: error-tier containment -----------------------------
+# A poisoned 100 TB corpus must never fail a task with anything other than
+# the declared finding-grade errors: decode_image raises ONLY
+# ValueError/NotImplementedError on arbitrary bytes (media_meta_checks maps
+# both to findings), and the DwC-A/EML parsers raise ONLY their declared
+# types on arbitrary XML-ish input.
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_decode_image_error_tier_on_arbitrary_bytes(payload):
+    from gbif_data_validator_spark.operators.multimodal import decode_image
+
+    try:
+        img = decode_image(payload, fake=True)
+        assert img.ndim == 3 and img.shape[2] == 3
+    except (ValueError, NotImplementedError):
+        pass  # the declared finding tiers — anything else fails the test
+
+
+@given(st.binary(min_size=12, max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_decode_webp_error_tier_on_riff_prefixed_bytes(body):
+    """Force the sniffer into the VP8L decoder: RIFF/WEBP magic + random
+    bytes must yield only the declared error tiers, never an IndexError/
+    KeyError/struct error from deep inside the bit reader."""
+    from gbif_data_validator_spark.operators.multimodal import decode_image
+
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + b"WEBP" + body
+    try:
+        decode_image(payload)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_meta_xml_parser_error_tier(data):
+    from gbif_data_validator_spark.sources.dwca import DwcaError, parse_meta_xml
+
+    try:
+        parse_meta_xml(data)
+    except DwcaError:
+        pass  # the single declared error type
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_eml_validator_never_raises(data):
+    from gbif_data_validator_spark.plans.metadata import (
+        eml_to_meta,
+        validate_eml_document,
+    )
+
+    out = validate_eml_document(data)
+    assert isinstance(out, list)
+    assert isinstance(eml_to_meta(data), dict)
+
+
+@given(
+    st.sampled_from([b"P6", b"BM", b"GIF89a", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff"]),
+    st.binary(min_size=4, max_size=300),
+)
+@settings(max_examples=400, deadline=None)
+def test_decode_image_error_tier_behind_every_magic(magic, body):
+    """Same containment with the sniffer forced into EACH real decoder."""
+    from gbif_data_validator_spark.operators.multimodal import decode_image
+
+    try:
+        img = decode_image(magic + body)
+        assert img.ndim == 3 and img.shape[2] == 3
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@given(st.binary(min_size=4, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_decode_audio_error_tier_behind_wav_magic(body):
+    from gbif_data_validator_spark.operators.multimodal import decode_audio
+
+    try:
+        decode_audio(b"RIFF" + body[:4] + b"WAVE" + body)
+    except (ValueError, NotImplementedError):
+        pass
