@@ -1211,3 +1211,20 @@ def test_image_phash_blur_robust_and_pairs(spark):
     assert (1, 2) in pairs and not any(3 in p for p in pairs)
     # corrupt payload → no signature, no crash
     assert _phash_from_bytes(b"P6\n9 9\n255\n" + b"x") is None
+
+
+def test_webp_distance_map_invariants():
+    """The 120-entry VP8L 2D distance map must cover exactly the
+    representable domain of the spec's (y<<4 | 8-x) packing — dy 0..7
+    with dx 1..8 at dy=0 and dx -7..8 otherwise — with unique entries in
+    non-decreasing euclidean order (the spec lists neighbours
+    closest-first)."""
+    from gbif_data_validator_spark.operators.multimodal import _VP8L_DIST_MAP
+
+    m = _VP8L_DIST_MAP
+    assert len(m) == 120 and len(set(m)) == 120
+    full = {(dx, dy) for dy in range(1, 8) for dx in range(-7, 9)}
+    full |= {(dx, 0) for dx in range(1, 9)}
+    assert set(m) == full
+    d2 = [dx * dx + dy * dy for dx, dy in m]
+    assert all(a <= b for a, b in zip(d2, d2[1:]))
