@@ -84,6 +84,35 @@ def sniff_media(payload: bytes | None) -> str | None:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    # --- sniff-only tier (detected, not decoded — Tika breadth): the
+    # declared-type-vs-bytes check works for these; decode-dependent
+    # checks are skipped VISIBLY (media_meta_checks)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if payload[:4] == b"\x00\x00\x01\x00":
+        return "ico"
+    if payload[4:8] == b"ftyp":
+        brand = payload[8:12]
+        if brand in (b"avif", b"avis"):
+            return "avif"
+        if brand in (b"heic", b"heix", b"hevc", b"mif1", b"msf1"):
+            return "heic"
+        return "mp4"
+    if payload[:4] == b"OggS":
+        return "ogg"
+    if payload[:4] == b"fLaC":
+        return "flac"
+    if payload[:3] == b"ID3" or (
+        payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        return "mp3"
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        return "mkv"
+    head = payload[:256].lstrip()
+    if head.startswith(b"<svg") or (
+        head.startswith(b"<?xml") and b"<svg" in payload[:256]
+    ):
+        return "svg"
     return None
 
 
@@ -1929,6 +1958,19 @@ _KIND_FAMILY = {"ppm": "image/", "bmp": "image/", "gif": "image/",
                 "png": "image/", "jpeg": "image/", "webp": "image/",
                 "wav": "audio/"}
 
+#: formats DETECTED by magic bytes but not decoded — the Tika-breadth
+#: tier (reference: detect/MediaTypeAndFormatDetector.java:39-89 sniffs
+#: far more types than it parses). media_meta_checks verifies the
+#: declared type FAMILY against the bytes for these and skips the
+#: decode-dependent checks visibly; decoders stay the declared-limit
+#: NotImplementedError tier.
+_SNIFF_ONLY_FAMILY = {
+    "tiff": "image/", "ico": "image/", "avif": "image/", "heic": "image/",
+    "svg": "image/", "mp3": "audio/", "ogg": "audio/", "flac": "audio/",
+    "mp4": "video/", "mkv": "video/",
+}
+_KIND_FAMILY.update(_SNIFF_ONLY_FAMILY)
+
 
 def media_meta_checks(media_df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     """Metadata-vs-content validation for the media column → violation
@@ -1973,6 +2015,11 @@ def media_meta_checks(media_df: DataFrame, batch_size_hint: int = 256) -> DataFr
                 if not mt.startswith(fam):
                     out.append((doc_id, "MEDIA_TYPE_MISMATCH",
                                 f"{fam}* (sniffed {kind})", mt))
+                    continue
+                if kind in _SNIFF_ONLY_FAMILY:
+                    # detected but not decodable here: the dims/decode
+                    # checks are not claimable — visible skip, not a
+                    # finding (the payload may be perfectly valid)
                     continue
                 try:
                     if fam == "image/":

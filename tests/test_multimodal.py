@@ -1228,3 +1228,37 @@ def test_webp_distance_map_invariants():
     assert set(m) == full
     d2 = [dx * dx + dy * dy for dx, dy in m]
     assert all(a <= b for a, b in zip(d2, d2[1:]))
+
+
+def test_sniff_only_tier_type_check_without_decode(spark):
+    """Tika-breadth: formats we detect but don't decode still get the
+    declared-type-vs-bytes check; valid-but-undecodable payloads of the
+    RIGHT family produce NO finding (visible skip, not a false
+    MEDIA_DECODE_ERROR)."""
+    from gbif_data_validator_spark.operators.multimodal import (
+        media_meta_checks,
+        sniff_media,
+    )
+
+    avif = b"\x00\x00\x00 ftypavif" + b"payload" * 4
+    ogg = b"OggS" + b"payload" * 4
+    assert sniff_media(avif) == "avif" and sniff_media(ogg) == "ogg"
+    rows = [
+        # right family, sniff-only: no finding at all
+        (1, bytearray(avif), {"media_type": "image/avif", "width": 2,
+                              "height": 2, "duration_ms": 0}),
+        # wrong family: TYPE_MISMATCH fires WITHOUT needing a decoder
+        (2, bytearray(ogg), {"media_type": "image/png", "width": 2,
+                             "height": 2, "duration_ms": 0}),
+        (3, bytearray(avif), {"media_type": "audio/mpeg", "width": 2,
+                              "height": 2, "duration_ms": 0}),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media binary, meta struct<media_type string, "
+        "width int, height int, duration_ms int>")
+    got = {r.doc_id: r for r in media_meta_checks(df).collect()}
+    assert 1 not in got
+    assert got[2].check_id == "MEDIA_TYPE_MISMATCH"
+    assert got[2].expected == "audio/* (sniffed ogg)"
+    assert got[3].check_id == "MEDIA_TYPE_MISMATCH"
+    assert got[3].expected == "image/* (sniffed avif)"
