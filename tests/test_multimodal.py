@@ -1262,3 +1262,49 @@ def test_sniff_only_tier_type_check_without_decode(spark):
     assert got[2].expected == "audio/* (sniffed ogg)"
     assert got[3].check_id == "MEDIA_TYPE_MISMATCH"
     assert got[3].expected == "image/* (sniffed avif)"
+
+
+def test_webp_meta_huffman_two_groups():
+    """Entropy (meta-Huffman) image: an 8x1 image split into two 4-pixel
+    blocks, each selecting a different Huffman group — pixels decode with
+    their block's codes. The entropy sub-image stores the group index as
+    (red<<8)|green."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        _vp8l_write_code,
+        decode_image,
+    )
+
+    bw = _start_vp8l(8, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # entropy image present
+    bw.write(0, 3)  # meta_bits = 0+2 = 2 → block size 4 → 2x1 meta image
+    # meta sub-image (2 pixels): group indices 0 and 1 in (red<<8)|green
+    # → green channel carries 0 and 1; sub-images read cache bit first
+    bw.write(0, 1)
+    mg = _vp8l_write_code(bw, {0: 1, 1: 1}, 256 + 24)
+    _vp8l_write_code(bw, {0: 1}, 256)  # red = 0 for both
+    _vp8l_write_code(bw, {0: 1}, 256)
+    _vp8l_write_code(bw, {0: 1}, 256)
+    _vp8l_write_code(bw, {0: 1}, 40)
+    bw.write_code(*mg[0])
+    bw.write_code(*mg[1])
+    # main image: no color cache; TWO huffman groups, 5 codes each
+    bw.write(0, 1)
+    g0 = _vp8l_write_code(bw, {11: 1}, 256 + 24)   # group 0: green 11
+    _vp8l_write_code(bw, {101: 1}, 256)            # red 101
+    _vp8l_write_code(bw, {201: 1}, 256)            # blue 201
+    _vp8l_write_code(bw, {255: 1}, 256)
+    _vp8l_write_code(bw, {0: 1}, 40)
+    g1 = _vp8l_write_code(bw, {22: 1}, 256 + 24)   # group 1: green 22
+    _vp8l_write_code(bw, {102: 1}, 256)
+    _vp8l_write_code(bw, {202: 1}, 256)
+    _vp8l_write_code(bw, {255: 1}, 256)
+    _vp8l_write_code(bw, {0: 1}, 40)
+    # all codes are zero-bit single-symbol: the pixel stream writes no bits
+    img = decode_image(_vp8l_wrap(bytes(bw.out)))
+    expect = np.array(
+        [[[101, 11, 201]] * 4 + [[102, 22, 202]] * 4], dtype=np.uint8
+    )
+    assert (img == expect).all()
