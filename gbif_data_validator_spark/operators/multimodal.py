@@ -1307,6 +1307,14 @@ def _vp8l_inverse_color_transform(
     return out
 
 
+#: pixel cap for the pure-Python VP8L tier: the entropy decode and
+#: predictor inverse are per-pixel Python (the sequential data
+#: dependencies don't vectorize), so a 100-MP photo would burn a task
+#: for minutes — beyond the cap is a DECLARED limit (finding, not a
+#: stall); 4M pixels ≈ 22 MP decodes in seconds
+_MAX_VP8L_PIXELS = 1 << 22
+
+
 def _decode_vp8l(data: bytes) -> np.ndarray:
     """VP8L chunk payload → HxWx3 uint8 (alpha dropped, PNG-RGBA
     convention)."""
@@ -1315,6 +1323,11 @@ def _decode_vp8l(data: bytes) -> np.ndarray:
     br = _VP8LBitReader(data[1:])
     w = br.read(14) + 1
     h = br.read(14) + 1
+    if w * h > _MAX_VP8L_PIXELS:
+        raise NotImplementedError(
+            f"webp: {w}x{h} exceeds the pure-Python tier's "
+            f"{_MAX_VP8L_PIXELS}-pixel cap (declared limit)"
+        )
     br.read_bit()          # alpha hint
     if br.read(3) != 0:
         raise NotImplementedError("webp: VP8L version != 0")

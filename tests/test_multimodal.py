@@ -1308,3 +1308,14 @@ def test_webp_meta_huffman_two_groups():
         [[[101, 11, 201]] * 4 + [[102, 22, 202]] * 4], dtype=np.uint8
     )
     assert (img == expect).all()
+
+
+def test_webp_pixel_cap_declared_limit():
+    """A header declaring more pixels than the pure-Python tier's cap
+    fails fast with the declared NotImplementedError — before any
+    per-pixel work."""
+    from gbif_data_validator_spark.operators.multimodal import decode_image
+
+    bw = _start_vp8l(16000, 16000)  # 256M pixels, no body needed
+    with pytest.raises(NotImplementedError, match="pixel cap"):
+        decode_image(_vp8l_wrap(bytes(bw.out)))
