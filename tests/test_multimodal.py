@@ -1319,3 +1319,42 @@ def test_webp_pixel_cap_declared_limit():
     bw = _start_vp8l(16000, 16000)  # 256M pixels, no body needed
     with pytest.raises(NotImplementedError, match="pixel cap"):
         decode_image(_vp8l_wrap(bytes(bw.out)))
+
+
+def test_webp_color_transform_inverse():
+    """Color transform: one block with ColorTransformElement
+    (g2r=16, g2b=-16, r2b=8) stored as a transform pixel (g2r in blue,
+    g2b in green, r2b in red). Residual (r=50, g=100, b=200) must invert
+    to r = (50 + (16·100>>5)) & 255 = 100,
+    b = (200 + (-16·100>>5) + (8·s8(100)>>5)) & 255 = 175 — including
+    the signed-byte products and the use of the ALREADY-transformed red."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        _vp8l_write_code,
+        decode_image,
+    )
+
+    bw = _start_vp8l(1, 1)
+    bw.write(1, 1)  # transform present
+    bw.write(1, 2)  # color transform
+    bw.write(2, 3)  # size_bits 4 → one block
+    # transform sub-image 1x1: cte pixel (red=8, green=240, blue=16)
+    bw.write(0, 1)  # no color cache (sub-image)
+    sg = _vp8l_write_code(bw, {240: 1}, 256 + 24)
+    _vp8l_write_code(bw, {8: 1}, 256)
+    _vp8l_write_code(bw, {16: 1}, 256)
+    _vp8l_write_code(bw, {0: 1}, 256)
+    _vp8l_write_code(bw, {0: 1}, 40)
+    bw.write_code(*sg[240])  # zero-bit codes: nothing actually written
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no entropy image
+    bw.write(0, 1)  # no color cache
+    g = _vp8l_write_code(bw, {100: 1}, 256 + 24)
+    _vp8l_write_code(bw, {50: 1}, 256)
+    _vp8l_write_code(bw, {200: 1}, 256)
+    _vp8l_write_code(bw, {255: 1}, 256)
+    _vp8l_write_code(bw, {0: 1}, 40)
+    bw.write_code(*g[100])
+    img = decode_image(_vp8l_wrap(bytes(bw.out)))
+    assert (img[0, 0] == np.array([100, 100, 175], dtype=np.uint8)).all()
