@@ -4927,6 +4927,46 @@ def _q_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_dhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup made HASH-CHECKABLE (the media_checks_exact
+    move applied to the dHash family): payloads are deterministically
+    CONSTRUCTED 2x2 gray PPMs in four gradient classes (by doc_id%4, one
+    slot overridden to a truncated payload), so the REAL decode -> dHash
+    -> pigeonhole Hamming pairing runs end-to-end while the oracle
+    recomputes every signature (hand-derivable for a 2x2 image: only the
+    9x8 resample's column-4 transition compares distinct pixels) and the
+    exact pair set with bit_count(xor). Converts the family's rows-only
+    checks into a hard correctness row."""
+    from gbif_data_validator_spark.operators.dedup import hamming_sig_pairs
+    from gbif_data_validator_spark.operators.multimodal import image_dhash
+
+    d = _tbl(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    k = F.col("doc_id") % 4
+    hdr = F.encode(F.lit("P6\n2 2\n255\n"), "UTF-8")
+    body = (
+        F.when(k == 0, F.unhex(F.lit("C8C8C8646464C8C8C8646464")))
+        .when(k == 1, F.unhex(F.lit("C8C8C8646464646464C8C8C8")))
+        .when(k == 2, F.unhex(F.lit("646464C8C8C8C8C8C8646464")))
+        .otherwise(F.unhex(F.lit("646464C8C8C8646464C8C8C8")))
+    )
+    payload = F.when(
+        # sniffable ppm, truncated raster: real decode fails -> sig NULL,
+        # row excluded from pairing (finding-not-crash)
+        F.col("doc_id") % 31 == 5, F.concat(hdr, F.unhex(F.lit("FF")))
+    ).otherwise(F.concat(hdr, body))
+    meta = F.struct(
+        F.lit("image/x-portable-pixmap").alias("media_type"),
+        F.lit(2).cast("int").alias("width"),
+        F.lit(2).cast("int").alias("height"),
+        F.lit(0).cast("int").alias("duration_ms"),
+    )
+    media = d.select("doc_id", payload.alias("media"), meta.alias("meta"))
+    return (
+        hamming_sig_pairs(image_dhash(media), max_hamming=4)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral (DCT pHash) twin of image_dup_pairs over the same planted
     corpus — dHash keys on gradients, pHash on low-frequency structure;
@@ -4977,6 +5017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reader + driver row on landing (fd_strength moves just past the
         # window; it stays locally bit-exact via the full rehearsal)
         "dwca_star_check": _q_dwca_star_check,
+        "image_dhash_exact": _q_image_dhash_exact,
         "psi_drift": _q_psi_drift,
         "js_drift": _q_js_drift,
         "chisq_drift": _q_chisq_drift,
@@ -7583,6 +7624,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'props', 'JSON_KEY', '$.missing:BIGINT', v_miss, v_miss = 0 FROM s
             )
             ORDER BY "column", "constraint", detail
+        """,
+        # image_dhash_exact: 2x2 constructed PPMs — the dHash of a 2x2
+        # image reduces to two gradient bits (cols 4.. of the 9x8
+        # resample), so each class's 64-bit signature is a hand-derived
+        # literal and the pair set is exact bit_count(xor) algebra
+        "image_dhash_exact": """
+            WITH s AS (
+              SELECT doc_id,
+                     CASE doc_id % 4
+                       WHEN 0 THEN 1157442765409226768
+                       WHEN 1 THEN 269488144
+                       WHEN 2 THEN 1157442765139738624
+                       ELSE 0 END AS sig
+              FROM documents
+              WHERE doc_id < 200 AND doc_id % 31 <> 5
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 4
+            ORDER BY doc_a, doc_b
         """,
         # dwca_star_check: the fixture archive is deterministic bytes
         # (scripts/make_dwca_fixtures.py), so the expected star-referential
