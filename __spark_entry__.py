@@ -4967,6 +4967,105 @@ def _q_image_dhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_hash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio twin of image_dhash_exact: constructed RIFF/WAVE PCM16
+    payloads in five envelope classes (alternating up/down staircases,
+    monotone ramps, and a half-gain copy of class A — 130 samples, 2 per
+    envelope window, so every window mean and every comparison bit is
+    hand-derivable), plus a sniffable-but-corrupt slot hashing to NULL.
+    The REAL wav decode -> energy-envelope hash -> pigeonhole pairing
+    runs end-to-end; the oracle carries the hand-derived 64-bit
+    signatures as literals and recomputes the exact pair set with
+    bit_count(xor). The half-gain class pairs with class A at hamming 0
+    — gain invariance pinned by the oracle itself."""
+    from gbif_data_validator_spark.operators.dedup import hamming_sig_pairs
+    from gbif_data_validator_spark.operators.multimodal import audio_hash
+
+    d = _tbl(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    k = F.col("doc_id") % 5
+    wav_a = (
+        "524946462801000057415645666D74201000000001000100401F0000803E0000"
+        "0200100064617461040100000020002000400040002000200040004000200020"
+        "0040004000200020004000400020002000400040002000200040004000200020"
+        "0040004000200020004000400020002000400040002000200040004000200020"
+        "0040004000200020004000400020002000400040002000200040004000200020"
+        "0040004000200020004000400020002000400040002000200040004000200020"
+        "0040004000200020004000400020002000400040002000200040004000200020"
+        "0040004000200020004000400020002000400040002000200040004000200020"
+        "0040004000200020004000400020002000400040002000200040004000200020"
+        "00400040002000200040004000200020"
+    )
+    wav_b = (
+        "524946462801000057415645666D74201000000001000100401F0000803E0000"
+        "0200100064617461040100000040004000200020004000400020002000400040"
+        "0020002000400040002000200040004000200020004000400020002000400040"
+        "0020002000400040002000200040004000200020004000400020002000400040"
+        "0020002000400040002000200040004000200020004000400020002000400040"
+        "0020002000400040002000200040004000200020004000400020002000400040"
+        "0020002000400040002000200040004000200020004000400020002000400040"
+        "0020002000400040002000200040004000200020004000400020002000400040"
+        "0020002000400040002000200040004000200020004000400020002000400040"
+        "00200020004000400020002000400040"
+    )
+    wav_c = (
+        "524946462801000057415645666D74201000000001000100401F0000803E0000"
+        "0200100064617461040100000001000100020002000300030004000400050005"
+        "00060006000700070008000800090009000A000A000B000B000C000C000D000D"
+        "000E000E000F000F001000100011001100120012001300130014001400150015"
+        "00160016001700170018001800190019001A001A001B001B001C001C001D001D"
+        "001E001E001F001F002000200021002100220022002300230024002400250025"
+        "00260026002700270028002800290029002A002A002B002B002C002C002D002D"
+        "002E002E002F002F003000300031003100320032003300330034003400350035"
+        "00360036003700370038003800390039003A003A003B003B003C003C003D003D"
+        "003E003E003F003F0040004000410041"
+    )
+    wav_d = (
+        "524946462801000057415645666D74201000000001000100401F0000803E0000"
+        "020010006461746104010000004200420041004100400040003F003F003E003E"
+        "003D003D003C003C003B003B003A003A00390039003800380037003700360036"
+        "003500350034003400330033003200320031003100300030002F002F002E002E"
+        "002D002D002C002C002B002B002A002A00290029002800280027002700260026"
+        "002500250024002400230023002200220021002100200020001F001F001E001E"
+        "001D001D001C001C001B001B001A001A00190019001800180017001700160016"
+        "001500150014001400130013001200120011001100100010000F000F000E000E"
+        "000D000D000C000C000B000B000A000A00090009000800080007000700060006"
+        "00050005000400040003000300020002"
+    )
+    wav_e = (
+        "524946462801000057415645666D74201000000001000100401F0000803E0000"
+        "0200100064617461040100000010001000200020001000100020002000100010"
+        "0020002000100010002000200010001000200020001000100020002000100010"
+        "0020002000100010002000200010001000200020001000100020002000100010"
+        "0020002000100010002000200010001000200020001000100020002000100010"
+        "0020002000100010002000200010001000200020001000100020002000100010"
+        "0020002000100010002000200010001000200020001000100020002000100010"
+        "0020002000100010002000200010001000200020001000100020002000100010"
+        "0020002000100010002000200010001000200020001000100020002000100010"
+        "00200020001000100020002000100010"
+    )
+    corrupt = "5249464614000000574156456761726261676567617262616765"
+    payload = F.when(F.col("doc_id") % 41 == 3, F.unhex(F.lit(corrupt))).otherwise(
+        F.unhex(
+            F.when(k == 0, F.lit(wav_a))
+            .when(k == 1, F.lit(wav_b))
+            .when(k == 2, F.lit(wav_c))
+            .when(k == 3, F.lit(wav_d))
+            .otherwise(F.lit(wav_e))
+        )
+    )
+    meta = F.struct(
+        F.lit("audio/wav").alias("media_type"),
+        F.lit(0).cast("int").alias("width"),
+        F.lit(0).cast("int").alias("height"),
+        F.lit(16).cast("int").alias("duration_ms"),
+    )
+    media = d.select("doc_id", payload.alias("media"), meta.alias("meta"))
+    return (
+        hamming_sig_pairs(audio_hash(media), max_hamming=4)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral (DCT pHash) twin of image_dup_pairs over the same planted
     corpus — dHash keys on gradients, pHash on low-frequency structure;
@@ -5018,6 +5117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window; it stays locally bit-exact via the full rehearsal)
         "dwca_star_check": _q_dwca_star_check,
         "image_dhash_exact": _q_image_dhash_exact,
+        "audio_hash_exact": _q_audio_hash_exact,
         "psi_drift": _q_psi_drift,
         "js_drift": _q_js_drift,
         "chisq_drift": _q_chisq_drift,
@@ -7624,6 +7724,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'props', 'JSON_KEY', '$.missing:BIGINT', v_miss, v_miss = 0 FROM s
             )
             ORDER BY "column", "constraint", detail
+        """,
+        # audio_hash_exact: hand-derived envelope signatures as literals
+        # (130 samples, 2/window: each window mean and comparison bit is
+        # arithmetic on the class definition, not code output); pair set
+        # is exact bit_count(xor) algebra; half-gain class E shares A's
+        # signature, pinning gain invariance in the oracle
+        "audio_hash_exact": """
+            WITH s AS (
+              SELECT doc_id, CASE doc_id % 5
+                WHEN 0 THEN CAST(-6148914691236517206 AS BIGINT)
+                WHEN 1 THEN CAST(6148914691236517205 AS BIGINT)
+                WHEN 2 THEN CAST(0 AS BIGINT)
+                WHEN 3 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(-6148914691236517206 AS BIGINT) END AS sig
+              FROM documents WHERE doc_id < 200 AND doc_id % 41 <> 3
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 4
+            ORDER BY doc_a, doc_b
         """,
         # image_dhash_exact: 2x2 constructed PPMs — the dHash of a 2x2
         # image reduces to two gradient bits (cols 4.. of the 9x8
