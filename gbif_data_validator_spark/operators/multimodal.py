@@ -1765,9 +1765,11 @@ def _dhash_from_bytes(payload: "bytes | None", fake: bool = False) -> "int | Non
 def image_dhash(media_df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     """media table → ``(doc_id, sig)`` 64-bit perceptual dHash per IMAGE
     row (meta.media_type image/*; other modalities and NULL payloads are
-    excluded). PPM/BMP/GIF/PNG payloads take the REAL decode path; other
-    image bytes fall back to the deterministic fake decode, so plumbing
-    and hash arithmetic run identically either way. Arrow-batched
+    excluded). Every decodable format takes the REAL decode path;
+    sniff-only formats (tiff/avif/..., detected but not decodable here)
+    yield NULL signatures and drop out of pairing visibly; unsniffable
+    bytes fall back to the deterministic fake decode so plumbing and
+    hash arithmetic run identically either way. Arrow-batched
     mapInPandas — no task materializes a partition of decoded pixels."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
