@@ -97,15 +97,26 @@ def sniff_media(payload: bytes | None) -> str | None:
             return "avif"
         if brand in (b"heic", b"heix", b"hevc", b"mif1", b"msf1"):
             return "heic"
+        if brand in (b"M4A ", b"M4B ", b"M4P "):
+            return "m4a"  # audio-only MP4 brands (iTunes audio)
         return "mp4"
     if payload[:4] == b"OggS":
         return "ogg"
     if payload[:4] == b"fLaC":
         return "flac"
-    if payload[:3] == b"ID3" or (
-        payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
-    ):
+    if payload[:3] == b"ID3":
         return "mp3"
+    if payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:
+        # bare MPEG frame sync: require valid version/layer/bitrate/
+        # samplerate bits too, else any 0xFF-leading binary (unknown image
+        # codecs included) would misflag as audio (ADVICE r04)
+        version = (payload[1] >> 3) & 0x3
+        layer = (payload[1] >> 1) & 0x3
+        bitrate_idx = payload[2] >> 4
+        samplerate_idx = (payload[2] >> 2) & 0x3
+        if (version != 1 and layer != 0
+                and bitrate_idx not in (0, 0xF) and samplerate_idx != 3):
+            return "mp3"
     if payload[:4] == b"\x1a\x45\xdf\xa3":
         return "mkv"
     head = payload[:256].lstrip()
@@ -1982,9 +1993,18 @@ _KIND_FAMILY = {"ppm": "image/", "bmp": "image/", "gif": "image/",
 _SNIFF_ONLY_FAMILY = {
     "tiff": "image/", "ico": "image/", "avif": "image/", "heic": "image/",
     "svg": "image/", "mp3": "audio/", "ogg": "audio/", "flac": "audio/",
-    "mp4": "video/", "mkv": "video/",
+    "mp4": "video/", "mkv": "video/", "m4a": "audio/",
 }
 _KIND_FAMILY.update(_SNIFF_ONLY_FAMILY)
+
+#: container kinds whose bytes alone cannot pin the modality: a generic
+#: ftyp brand (isom/mp42/...) is used by both .mp4 video and .m4a audio,
+#: and ogg carries both Vorbis audio and Theora video — accept either
+#: declared family before flagging MEDIA_TYPE_MISMATCH (ADVICE r04)
+_AMBIGUOUS_FAMILIES = {
+    "mp4": ("video/", "audio/"),
+    "ogg": ("audio/", "video/"),
+}
 
 
 def media_meta_checks(media_df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
@@ -2027,9 +2047,10 @@ def media_meta_checks(media_df: DataFrame, batch_size_hint: int = 256) -> DataFr
                 if kind is None:
                     continue  # unsniffable codec: dims check not claimable
                 fam = _KIND_FAMILY[kind]
-                if not mt.startswith(fam):
+                fams = _AMBIGUOUS_FAMILIES.get(kind, (fam,))
+                if not any(mt.startswith(f) for f in fams):
                     out.append((doc_id, "MEDIA_TYPE_MISMATCH",
-                                f"{fam}* (sniffed {kind})", mt))
+                                f"{'|'.join(fams)}* (sniffed {kind})", mt))
                     continue
                 if kind in _SNIFF_ONLY_FAMILY:
                     # detected but not decodable here: the dims/decode

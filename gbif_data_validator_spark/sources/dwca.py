@@ -208,6 +208,20 @@ def _strip_ns(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
+def _parse_index(value: str, what: str) -> int:
+    """meta.xml index attributes must be non-negative integers; anything
+    else (``index="x"``, ``index="-1"``) is a schema violation the caller
+    maps to DWCA_META_XML_SCHEMA — never a bare ValueError crash, and never
+    Python negative indexing silently reading columns from the end."""
+    try:
+        idx = int(value)
+    except ValueError as e:
+        raise DwcaError(f"meta.xml: non-integer {what} index '{value}'") from e
+    if idx < 0:
+        raise DwcaError(f"meta.xml: negative {what} index {idx}")
+    return idx
+
+
 def _parse_file_elem(elem: ElementTree.Element, is_core: bool) -> DwcaFileDesc:
     rowtype = elem.get("rowType")
     if not rowtype:
@@ -228,7 +242,7 @@ def _parse_file_elem(elem: ElementTree.Element, is_core: bool) -> DwcaFileDesc:
             idx = child.get("index")
             if idx is None:
                 raise DwcaError(f"meta.xml: <{id_tag}> without index")
-            id_index, id_term = int(idx), child.get("term")
+            id_index, id_term = _parse_index(idx, id_tag), child.get("term")
         elif tag == "field":
             term = child.get("term")
             if not term:
@@ -236,7 +250,8 @@ def _parse_file_elem(elem: ElementTree.Element, is_core: bool) -> DwcaFileDesc:
             idx = child.get("index")
             fields.append(
                 DwcaField(
-                    index=int(idx) if idx is not None else None,
+                    index=_parse_index(idx, "field") if idx is not None
+                    else None,
                     term=term,
                     default=child.get("default"),
                 )
@@ -247,7 +262,9 @@ def _parse_file_elem(elem: ElementTree.Element, is_core: bool) -> DwcaFileDesc:
         fields=tuple(fields),
         id_index=id_index,
         id_term=id_term,
-        ignore_header_lines=int(elem.get("ignoreHeaderLines") or 0),
+        ignore_header_lines=_parse_index(
+            elem.get("ignoreHeaderLines") or "0", "ignoreHeaderLines"
+        ),
         delimiter=_decode_escapes(elem.get("fieldsTerminatedBy"), "\t"),
         quote=elem.get("fieldsEnclosedBy") or None,
         encoding=elem.get("encoding") or "UTF-8",
@@ -278,10 +295,6 @@ def parse_meta_xml(data: bytes) -> DwcaDescriptor:
             exts.append(_parse_file_elem(child, is_core=False))
     if len(cores) != 1:
         raise DwcaError(f"meta.xml: expected exactly 1 core, found {len(cores)}")
-    try:
-        int(cores[0].id_index) if cores[0].id_index is not None else None
-    except (TypeError, ValueError) as e:  # pragma: no cover - guarded above
-        raise DwcaError("meta.xml: malformed id index") from e
     for ext in exts:
         if ext.id_index is None:
             raise DwcaError(

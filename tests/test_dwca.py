@@ -250,3 +250,49 @@ def test_eml_findings_through_archive(tmp_path):
                 dst.writestr(n, src.read(n))
     found = dwca.structure_findings(str(gone), str(tmp_path / "c"))
     assert [f["evaluation_type"] for f in found] == ["EML_NOT_FOUND"]
+
+
+def test_parse_meta_xml_malformed_indices():
+    """ADVICE r04: non-integer and negative index attributes are schema
+    violations (DwcaError → DWCA_META_XML_SCHEMA), not bare ValueError
+    crashes or silent Python negative indexing."""
+    def arch(core_attrs="", id_attr='index="0"', field_attr='index="1"'):
+        return (
+            '<archive xmlns="http://rs.tdwg.org/dwc/text/">'
+            f'<core rowType="http://rs.tdwg.org/dwc/terms/Occurrence" {core_attrs}>'
+            f'<files><location>a.txt</location></files><id {id_attr}/>'
+            f'<field {field_attr} '
+            'term="http://rs.tdwg.org/dwc/terms/occurrenceID"/>'
+            "</core></archive>"
+        ).encode()
+
+    with pytest.raises(dwca.DwcaError, match="non-integer id index"):
+        dwca.parse_meta_xml(arch(id_attr='index="x"'))
+    with pytest.raises(dwca.DwcaError, match="negative id index"):
+        dwca.parse_meta_xml(arch(id_attr='index="-1"'))
+    with pytest.raises(dwca.DwcaError, match="non-integer field index"):
+        dwca.parse_meta_xml(arch(field_attr='index="1.5"'))
+    with pytest.raises(dwca.DwcaError, match="negative field index"):
+        dwca.parse_meta_xml(arch(field_attr='index="-2"'))
+    with pytest.raises(dwca.DwcaError, match="non-integer ignoreHeaderLines"):
+        dwca.parse_meta_xml(arch(core_attrs='ignoreHeaderLines="two"'))
+
+
+def test_structure_findings_survives_malformed_index(tmp_path):
+    """The crash ADVICE r04 confirmed: index="x" must surface as a
+    DWCA_META_XML_SCHEMA finding from structure_findings, not escape as
+    ValueError."""
+    bad = tmp_path / "badidx.zip"
+    with zipfile.ZipFile(bad, "w") as zf:
+        zf.writestr("meta.xml", (
+            '<archive xmlns="http://rs.tdwg.org/dwc/text/">'
+            '<core rowType="http://rs.tdwg.org/dwc/terms/Occurrence">'
+            '<files><location>occurrence.txt</location></files>'
+            '<id index="x"/>'
+            '<field index="1" term="http://rs.tdwg.org/dwc/terms/occurrenceID"/>'
+            "</core></archive>"
+        ))
+        zf.writestr("occurrence.txt", "1\tA\n")
+    findings = dwca.structure_findings(str(bad), str(tmp_path / "w"))
+    assert [f["evaluation_type"] for f in findings] == ["DWCA_META_XML_SCHEMA"]
+    assert "non-integer id index" in findings[0]["term"]

@@ -1358,3 +1358,49 @@ def test_webp_color_transform_inverse():
     bw.write_code(*g[100])
     img = decode_image(_vp8l_wrap(bytes(bw.out)))
     assert (img[0, 0] == np.array([100, 100, 175], dtype=np.uint8)).all()
+
+
+def test_sniff_m4a_brand_and_strict_mp3():
+    """ADVICE r04: audio-only MP4 brands sniff as audio ('m4a'), not
+    'mp4'/video; a bare 0xFF lead with invalid MPEG header bits is NOT
+    mp3; a real MPEG-1 Layer III frame header still is."""
+    def ftyp(brand):
+        return b"\x00\x00\x00\x20ftyp" + brand + b"\x00" * 24
+
+    assert mm.sniff_media(ftyp(b"M4A ")) == "m4a"
+    assert mm.sniff_media(ftyp(b"M4B ")) == "m4a"
+    assert mm.sniff_media(ftyp(b"isom")) == "mp4"
+    assert mm._KIND_FAMILY["m4a"] == "audio/"
+    # valid MPEG-1 Layer III, 128kbps, 44.1kHz: FF FB 90 00
+    assert mm.sniff_media(b"\xff\xfb\x90\x00" + b"\x00" * 16) == "mp3"
+    # frame-sync bits set but reserved version (0xF9 -> version bits 01)
+    assert mm.sniff_media(b"\xff\xe9\x90\x00" + b"\x00" * 16) is None
+    # bad bitrate index (0xF) and bad samplerate bits
+    assert mm.sniff_media(b"\xff\xfb\xf0\x00" + b"\x00" * 16) is None
+    assert mm.sniff_media(b"\xff\xfb\x9c\x00" + b"\x00" * 16) is None
+    # ID3 container still sniffs regardless of first frame
+    assert mm.sniff_media(b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\x00" * 8) == "mp3"
+
+
+def test_media_type_mismatch_ambiguous_containers(spark):
+    """Container-ambiguous kinds accept either declared family: audio/mp4
+    over a generic ftyp payload is NOT flagged; a declared image/* over
+    the same payload is."""
+    rows = [
+        (1, bytearray(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 24),
+         {"media_type": "audio/mp4", "width": None, "height": None}),
+        (2, bytearray(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 24),
+         {"media_type": "video/mp4", "width": None, "height": None}),
+        (3, bytearray(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 24),
+         {"media_type": "image/png", "width": None, "height": None}),
+        (4, bytearray(b"\x00\x00\x00\x20ftypM4A " + b"\x00" * 24),
+         {"media_type": "audio/mp4", "width": None, "height": None}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, media binary, "
+        "meta struct<media_type:string,width:int,height:int>",
+    )
+    out = {r["doc_id"]: r["check_id"]
+           for r in mm.media_meta_checks(df).collect()}
+    assert out == {3: "MEDIA_TYPE_MISMATCH"}
