@@ -5091,19 +5091,40 @@ def _q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Driver-window rotation for round 5 (the r04 verdict's task #1): slots
+#: 1-50 are oracled queries that NEVER had a driver CORRECTNESS row in
+#: r01-r04 (recomputed from the actual union of the four CORRECTNESS
+#: files: 66 such queries remain), led by the family heads the verdict
+#: named (lsh_recall, weighted_jaccard/minhash, incr_clusters,
+#: index_dedup_pairs, kmv/cms/corpus overlap sketches, mojibake_census,
+#: embedding_health, bpe_word_freq, the search triple, record_linkage,
+#: time_travel, changeset_extract, fk_cardinality, the robots family and
+#: the web-census rows), plus the three r04-window entries that fell just
+#: past slot 50 when dwca_star_check landed (agg_rules, lang_script_check,
+#: fd_strength). The 16 stragglers past the window stay judge-rehearsal-
+#: verified (scripts/check_oracles.py, 215/215 bit-exact in r04).
+_R05_WINDOW = [
+    "lsh_recall", "weighted_jaccard", "weighted_minhash", "incr_clusters",
+    "index_dedup_pairs", "kmv_overlap", "cms_point_est", "corpus_overlap",
+    "mojibake_census", "embedding_health", "bpe_word_freq",
+    "term_search", "phrase_search", "kwic",
+    "record_linkage", "time_travel", "changeset_extract", "fk_cardinality",
+    "robots_rules", "robots_blocked", "crawl_delay_audit", "noindex_pages",
+    "domain_census", "url_params", "outlink_census", "anchor_census",
+    "frontier_hosts", "canonical_census", "sitemap_coverage",
+    "mirror_hosts", "blocklist_census", "dup_titles",
+    "agg_rules", "lang_script_check", "fd_strength",
+    "cosine_dup_pairs_det", "minhash_cross_pairs", "dedup_weights",
+    "threshold_sweep", "dedup_rate_by_source",
+    "tfidf_top_terms", "lexical_diversity", "repetition_stats",
+    "strip_boilerplate", "fertility_by_lang", "ngram_novelty",
+    "term_cooccurrence", "continuation_pairs", "style_distance",
+    "lang_kappa",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # Driver-window policy (round 4): slots 1-50 are oracled queries
-        # that NEVER had a driver CORRECTNESS row in r01-r03 (judge
-        # enumeration), led by the flagships the round-3 verdict named
-        # (pages_validation, pagerank_entities, manifest_audit, robots_rfc,
-        # media_checks_exact, curation_funnel, key_discovery,
-        # grouped_constraints), then whole families that had no driver row
-        # yet: drift, graph, sequence/temporal, and cross-family singles.
-        # Every entry past slot 50 is either green in a prior round's
-        # CORRECTNESS file or re-verified bit-exact by the local full
-        # rehearsal (scripts/check_oracles.py); the rows-only
-        # (no-oracle-by-nature) tail stays last.
+    base = {
         "pages_validation": _q_pages_validation,
         "pagerank_entities": _q_pagerank_entities,
         "manifest_audit": _q_manifest_audit,
@@ -5339,6 +5360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta_violations": _q_media_meta_violations,
         "image_phash_pairs": _q_image_phash_pairs,
     }
+    ordered = {k: base[k] for k in _R05_WINDOW}
+    ordered.update((k, v) for k, v in base.items() if k not in ordered)
+    return ordered
 
 def _sql_lit(v) -> str:
     """One fixture value as a SQL literal (single-quote escaping only —
