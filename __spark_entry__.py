@@ -2147,6 +2147,34 @@ def _q_dwca_star_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dwca_record_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-interpretation pass over DwC-A term columns (r04 verdict
+    task #2): the reference's per-record battery — COLUMN_MISMATCH from
+    raw lines (RecordStructureEvaluator.java:35-56), date
+    parse/plausibility, coordinate zero/range/swap, vocabulary membership,
+    elevation measurements (OccurrenceInterpretationEvaluator.java:72-138,
+    EvaluationType.java:37-77) — wired into validate_dwca as pure Column
+    algebra over the archive scan (operators/dwca_interpretation.py).
+    Fixture bytes are deterministic (scripts/make_dwca_fixtures.py), so
+    the oracle is a VALUES literal of the planted violations."""
+    import os
+    import tempfile
+
+    from gbif_data_validator_spark.sources import dwca
+
+    archive = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "dwca", "interpretation.zip",
+    )
+    _, viol = dwca.validate_dwca(
+        spark, archive, tempfile.mkdtemp(), record_checks=True
+    )
+    return (
+        viol.select("url", "check_id", "expected", "found", "partition_id")
+        .orderBy("url", "check_id", "found")
+    )
+
+
 def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1-style URL blocklist gate over deterministically constructed
     urls (documents carry no url column, so both engines build
@@ -5137,6 +5165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reader + driver row on landing (fd_strength moves just past the
         # window; it stays locally bit-exact via the full rehearsal)
         "dwca_star_check": _q_dwca_star_check,
+        "dwca_record_checks": _q_dwca_record_checks,
         "image_dhash_exact": _q_image_dhash_exact,
         "audio_hash_exact": _q_audio_hash_exact,
         "psi_drift": _q_psi_drift,
@@ -7803,6 +7832,29 @@ def oracle_sql() -> dict[str, str]:
               ('2', 'RECORD_REFERENTIAL_INTEGRITY_VIOLATION', 'id present in core.id', '2', 'ext:Identifier')
             ) AS t(url, check_id, expected, found, partition_id)
             ORDER BY partition_id, check_id, url
+        """,
+        # dwca_record_checks: deterministic interpretation.zip fixture →
+        # the planted per-record interpretation violations are a fixed
+        # literal (one class per row; r12 hits both elevation columns)
+        "dwca_record_checks": """
+            SELECT * FROM (VALUES
+              ('r02', 'RECORDED_DATE_INVALID', 'parseable date', '12 Floreal X'),
+              ('r03', 'RECORDED_DATE_UNLIKELY', 'date in [1600-01-01, 2030-12-31]', '1492-10-12'),
+              ('r04', 'PRESUMED_SWAPPED_COORDINATE', 'lat in ±90, lon in ±180', '91.5,12.0'),
+              ('r05', 'COORDINATE_INVALID', 'numeric decimal degrees', 'abc,12.0'),
+              ('r06', 'ZERO_COORDINATE', 'non-(0,0) coordinate', '0,0'),
+              ('r07', 'COORDINATE_OUT_OF_RANGE', 'lat in ±90, lon in ±180', '200,12.0'),
+              ('r08', 'BASIS_OF_RECORD_INVALID', 'BasisOfRecord vocabulary', 'FlyingSaucer'),
+              ('r09', 'COUNTRY_INVALID', 'ISO 3166-1 alpha-2 code', 'XX'),
+              ('r10', 'ELEVATION_NON_NUMERIC', 'numeric meters', 'high'),
+              ('r11', 'ELEVATION_MIN_MAX_SWAPPED', 'min <= max', '500/100'),
+              ('r12', 'ELEVATION_UNLIKELY', 'meters in [-430.0, 8850.0]', '9999'),
+              ('r12', 'ELEVATION_UNLIKELY', 'meters in [-430.0, 8850.0]', '9999'),
+              ('r13', 'COLUMN_MISMATCH', '9', '10'),
+              ('r14', 'COLUMN_MISMATCH', '9', '6')
+            ) AS t(url, check_id, expected, found)
+            CROSS JOIN (VALUES ('core:Occurrence')) AS p(partition_id)
+            ORDER BY url, check_id, found
         """,
         # psi_drift: identical floor-bucket math, round-6 + eps-floored
         # proportions, and the list_sort+list_reduce ordered fold

@@ -564,19 +564,50 @@ def validate_dwca(
     archive_path: str,
     work_dir: str,
     registry: dict[str, dict] | None = None,
+    record_checks: bool = False,
 ) -> tuple[list[dict], DataFrame | None]:
     """Archive-level validation pipeline: structural findings first
     (ResourceStructure stage), then — only when nothing blocking — the
     star-referential violations DataFrame (empty-key + orphan scans per
     extension). Returns ``(findings, violations_df_or_None)``; a None DF
     means the preflight gate short-circuited, mirroring the engine's
-    blocking-preflight early stop (M6)."""
+    blocking-preflight early stop (M6).
+
+    ``record_checks=True`` adds the reference's per-record pass over the
+    core table (RecordStructure column count + the occurrence
+    interpretation battery — ``operators/dwca_interpretation.py``),
+    unioned into the same violations schema with
+    ``partition_id = 'core:<RowType>'``."""
+    from ..operators.dwca_interpretation import (
+        column_mismatch_findings,
+        dwca_record_checks,
+    )
     from ..plans.star import validate_star
 
     findings = structure_findings(archive_path, work_dir, registry)
     if any(f["evaluation_type"] in BLOCKING_FINDINGS for f in findings):
         return findings, None
     desc, core, exts = read_dwca(spark, archive_path, work_dir)
-    return findings, validate_star(
-        core, exts, core_key=core_id_column(desc)
-    )
+    violations = validate_star(core, exts, core_key=core_id_column(desc))
+    if record_checks:
+        part = F.lit(f"core:{term_local(desc.core.rowtype)}")
+        interp = dwca_record_checks(core, core_id_column(desc))
+        src_dir = work_dir if not os.path.isdir(archive_path) else archive_path
+        if not os.path.exists(os.path.join(src_dir, "meta.xml")):
+            # extract_archive may have descended into a single-folder zip
+            sub = [d for d in os.listdir(src_dir)
+                   if os.path.isdir(os.path.join(src_dir, d))]
+            if len(sub) == 1:
+                src_dir = os.path.join(src_dir, sub[0])
+        colmm = column_mismatch_findings(spark, src_dir, desc.core)
+        if colmm is not None:
+            interp = interp.unionByName(colmm)
+        violations = violations.unionByName(
+            interp.select(
+                F.col("record_id").alias("url"), "check_id", "expected",
+                "found",
+                F.create_map(F.lit("table"), part).alias("related_data"),
+                part.alias("partition_id"),
+            )
+        )
+    return findings, violations

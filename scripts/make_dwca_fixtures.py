@@ -72,6 +72,55 @@ IDENTIFICATION = "coreid\tidentificationID\tidentifiedBy\n" + "".join(
 # second extension: numeric ids that never match the core (all orphans)
 IDENTIFIER = "coreid\tidentifier\n1\talt-1\n2\talt-2\no3\talt-3\n"
 
+# --- interpretation archive: planted per-record interpretation violations
+# (dates / coordinates / vocabulary / measurements) + ragged rows for the
+# COLUMN_MISMATCH raw-line check. One violation class per row, clean rows
+# r01/r15 pin the fuzzy-accept paths.
+INTERP_META_XML = """<archive xmlns="http://rs.tdwg.org/dwc/text/" metadata="eml.xml">
+  <core encoding="UTF-8" fieldsTerminatedBy="\\t" linesTerminatedBy="\\n" fieldsEnclosedBy="" ignoreHeaderLines="1" rowType="http://rs.tdwg.org/dwc/terms/Occurrence">
+    <files><location>occurrence.txt</location></files>
+    <id index="0" />
+    <field index="1" term="http://rs.tdwg.org/dwc/terms/occurrenceID"/>
+    <field index="2" term="http://rs.tdwg.org/dwc/terms/eventDate"/>
+    <field index="3" term="http://rs.tdwg.org/dwc/terms/decimalLatitude"/>
+    <field index="4" term="http://rs.tdwg.org/dwc/terms/decimalLongitude"/>
+    <field index="5" term="http://rs.tdwg.org/dwc/terms/basisOfRecord"/>
+    <field index="6" term="http://rs.tdwg.org/dwc/terms/countryCode"/>
+    <field index="7" term="http://rs.tdwg.org/dwc/terms/minimumElevationInMeters"/>
+    <field index="8" term="http://rs.tdwg.org/dwc/terms/maximumElevationInMeters"/>
+  </core>
+</archive>
+"""
+
+INTERP_ROWS = [
+    # id, occID, eventDate, lat, lon, basis, cc, minElev, maxElev
+    ("r01", "2001-05-12", "55.68", "12.57", "HumanObservation", "DK", "10", "20"),
+    ("r02", "12 Floreal X", "55.68", "12.57", "HumanObservation", "DK", "10", "20"),
+    ("r03", "1492-10-12", "55.68", "12.57", "HumanObservation", "DK", "10", "20"),
+    ("r04", "2001-05-12", "91.5", "12.0", "HumanObservation", "DK", "10", "20"),
+    ("r05", "2001-05-12", "abc", "12.0", "HumanObservation", "DK", "10", "20"),
+    ("r06", "2001-05-12", "0", "0", "HumanObservation", "DK", "10", "20"),
+    ("r07", "2001-05-12", "200", "12.0", "HumanObservation", "DK", "10", "20"),
+    ("r08", "2001-05-12", "55.68", "12.57", "FlyingSaucer", "DK", "10", "20"),
+    ("r09", "2001-05-12", "55.68", "12.57", "HumanObservation", "XX", "10", "20"),
+    ("r10", "2001-05-12", "55.68", "12.57", "HumanObservation", "DK", "high", ""),
+    ("r11", "2001-05-12", "55.68", "12.57", "HumanObservation", "DK", "500", "100"),
+    ("r12", "2001-05-12", "55.68", "12.57", "HumanObservation", "DK", "9999", "9999"),
+    ("r15", "2001-05", "55.68", "12.57", "preserved_specimen", "dk", "-100", "0"),
+]
+
+INTERP_OCCURRENCE = (
+    "id\toccurrenceID\teventDate\tdecimalLatitude\tdecimalLongitude"
+    "\tbasisOfRecord\tcountryCode\tminimumElevationInMeters"
+    "\tmaximumElevationInMeters\n"
+    + "".join(
+        "\t".join((r[0], f"{r[0]}-occ") + r[1:]) + "\n" for r in INTERP_ROWS
+    )
+    # ragged rows: one extra column (10), one short (6) — COLUMN_MISMATCH
+    + "r13\tr13-occ\t2001-05-12\t55.68\t12.57\tHumanObservation\tDK\t10\t20\tEXTRA\n"
+    + "r14\tr14-occ\t2001-05-12\t55.68\t12.57\tHumanObservation\n"
+)
+
 
 def _write_zip(path: str, members: dict[str, str]) -> None:
     with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
@@ -134,6 +183,14 @@ def main() -> None:
             "occurrence.txt": OCCURRENCE,
             "identification.txt": IDENTIFICATION,
             "identifier.txt": IDENTIFIER,
+        },
+    )
+    _write_zip(
+        os.path.join(FIXTURE_DIR, "interpretation.zip"),
+        {
+            "meta.xml": INTERP_META_XML,
+            "eml.xml": EML_XML,
+            "occurrence.txt": INTERP_OCCURRENCE,
         },
     )
     print(f"wrote fixtures to {FIXTURE_DIR}")
