@@ -55,6 +55,17 @@ TAXON_ROWTYPE = "http://rs.tdwg.org/dwc/terms/Taxon"
 IDENTIFICATION_ROWTYPE = "http://rs.tdwg.org/dwc/terms/Identification"
 IDENTIFIER_ROWTYPE = "http://rs.gbif.org/terms/1.0/Identifier"
 MULTIMEDIA_ROWTYPE = "http://rs.gbif.org/terms/1.0/Multimedia"
+# round-5 registry breadth (r04 verdict task #4): Event core + the common
+# registered extensions, from the public TDWG standards (Darwin Core text
+# guide, Audubon Core, Chronometric Age) the GBIF registry serves —
+# reference resolves these dynamically via dwc/extensions/ExtensionManager
+EVENT_ROWTYPE = "http://rs.tdwg.org/dwc/terms/Event"
+MEASUREMENT_OR_FACT_ROWTYPE = "http://rs.tdwg.org/dwc/terms/MeasurementOrFact"
+RESOURCE_RELATIONSHIP_ROWTYPE = (
+    "http://rs.tdwg.org/dwc/terms/ResourceRelationship"
+)
+AUDUBON_ROWTYPE = "http://rs.tdwg.org/ac/terms/Multimedia"
+CHRONOMETRIC_AGE_ROWTYPE = "http://rs.tdwg.org/chrono/terms/ChronometricAge"
 
 _DC_TERMS = {
     "type", "modified", "language", "license", "rightsHolder", "accessRights",
@@ -124,6 +135,45 @@ _GEOLOGY_TERMS = {
     "formation", "member", "bed",
 }
 
+_DWC_MEASUREMENT_TERMS = {
+    "measurementID", "measurementType", "measurementValue",
+    "measurementAccuracy", "measurementUnit", "measurementDeterminedBy",
+    "measurementDeterminedDate", "measurementMethod", "measurementRemarks",
+    "occurrenceID", "eventID",
+}
+_DWC_RESOURCE_RELATIONSHIP_TERMS = {
+    "resourceRelationshipID", "resourceID", "relatedResourceID",
+    "relationshipOfResource", "relationshipAccordingTo",
+    "relationshipEstablishedDate", "relationshipRemarks",
+}
+#: Audubon Core local terms (public TDWG ac: namespace) — the media
+#: extension the reference's registry serves for rich multimedia
+_AC_MULTIMEDIA_TERMS = {
+    "accessURI", "subtypeLiteral", "subtype", "title",
+    "metadataLanguageLiteral", "metadataLanguage", "providerManagedID",
+    "rights", "owner", "webStatement", "credit", "rating",
+    "providerLiteral", "provider", "tag", "createDate", "timeOfDay",
+    "captureDevice", "resourceCreationTechnique", "digitizationDate",
+    "variantLiteral", "variant", "pixelXDimension", "pixelYDimension",
+    "serviceExpectation", "licensingException", "licenseLogoURL",
+    "attributionLogoURL", "attributionLinkURL", "fundingAttribution",
+    "furtherInformationURL", "derivedFrom", "associatedSpecimenReference",
+    "associatedObservationReference", "physicalSetting", "comments",
+    "reviewer", "reviewerComments",
+}
+_CHRONO_TERMS = {
+    "chronometricAgeID", "verbatimChronometricAge",
+    "chronometricAgeProtocol", "uncalibratedChronometricAge",
+    "chronometricAgeConversionProtocol", "earliestChronometricAge",
+    "earliestChronometricAgeReferenceSystem", "latestChronometricAge",
+    "latestChronometricAgeReferenceSystem",
+    "chronometricAgeUncertaintyInYears",
+    "chronometricAgeUncertaintyMethod", "materialDated", "materialDatedID",
+    "materialDatedRelationship", "chronometricAgeDeterminedBy",
+    "chronometricAgeDeterminedDate", "chronometricAgeReferences",
+    "chronometricAgeRemarks",
+}
+
 KNOWN_ROWTYPES: dict[str, dict] = {
     OCCURRENCE_ROWTYPE: {
         # the id-or-triple rule is handled specially (see structure_findings)
@@ -150,6 +200,29 @@ KNOWN_ROWTYPES: dict[str, dict] = {
         "required": ["identifier"],
         "known": _DC_TERMS | {"audience", "contributor", "publisher",
                               "derivedFrom", "furtherInformationURL"},
+    },
+    EVENT_ROWTYPE: {
+        "required": ["eventID"],
+        "known": (
+            _DC_TERMS | _DWC_RECORD_TERMS | _DWC_EVENT_LOCATION_TERMS
+            | _GEOLOGY_TERMS
+        ),
+    },
+    MEASUREMENT_OR_FACT_ROWTYPE: {
+        "required": ["measurementType"],
+        "known": _DC_TERMS | _DWC_MEASUREMENT_TERMS,
+    },
+    RESOURCE_RELATIONSHIP_ROWTYPE: {
+        "required": ["relatedResourceID", "relationshipOfResource"],
+        "known": _DC_TERMS | _DWC_RESOURCE_RELATIONSHIP_TERMS,
+    },
+    AUDUBON_ROWTYPE: {
+        "required": ["identifier"],
+        "known": _DC_TERMS | _AC_MULTIMEDIA_TERMS,
+    },
+    CHRONOMETRIC_AGE_ROWTYPE: {
+        "required": [],
+        "known": _DC_TERMS | _CHRONO_TERMS,
     },
 }
 

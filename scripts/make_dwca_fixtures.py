@@ -72,6 +72,70 @@ IDENTIFICATION = "coreid\tidentificationID\tidentifiedBy\n" + "".join(
 # second extension: numeric ids that never match the core (all orphans)
 IDENTIFIER = "coreid\tidentifier\n1\talt-1\n2\talt-2\no3\talt-3\n"
 
+# --- event-core archive: the round-5 registry breadth battery — Event
+# core + MeasurementOrFact / ResourceRelationship / Audubon Multimedia /
+# ChronometricAge extensions, all structurally clean.
+EVENT_META_XML = """<archive xmlns="http://rs.tdwg.org/dwc/text/" metadata="eml.xml">
+  <core encoding="UTF-8" fieldsTerminatedBy="\\t" linesTerminatedBy="\\n" fieldsEnclosedBy="" ignoreHeaderLines="1" rowType="http://rs.tdwg.org/dwc/terms/Event">
+    <files><location>event.txt</location></files>
+    <id index="0" />
+    <field index="1" term="http://rs.tdwg.org/dwc/terms/eventID"/>
+    <field index="2" term="http://rs.tdwg.org/dwc/terms/eventDate"/>
+    <field index="3" term="http://rs.tdwg.org/dwc/terms/samplingProtocol"/>
+    <field index="4" term="http://rs.tdwg.org/dwc/terms/countryCode"/>
+  </core>
+  <extension encoding="UTF-8" fieldsTerminatedBy="\\t" linesTerminatedBy="\\n" fieldsEnclosedBy="" ignoreHeaderLines="1" rowType="http://rs.tdwg.org/dwc/terms/MeasurementOrFact">
+    <files><location>measurementorfact.txt</location></files>
+    <coreid index="0" />
+    <field index="1" term="http://rs.tdwg.org/dwc/terms/measurementType"/>
+    <field index="2" term="http://rs.tdwg.org/dwc/terms/measurementValue"/>
+    <field index="3" term="http://rs.tdwg.org/dwc/terms/measurementUnit"/>
+  </extension>
+  <extension encoding="UTF-8" fieldsTerminatedBy="\\t" linesTerminatedBy="\\n" fieldsEnclosedBy="" ignoreHeaderLines="1" rowType="http://rs.tdwg.org/dwc/terms/ResourceRelationship">
+    <files><location>resourcerelationship.txt</location></files>
+    <coreid index="0" />
+    <field index="1" term="http://rs.tdwg.org/dwc/terms/relatedResourceID"/>
+    <field index="2" term="http://rs.tdwg.org/dwc/terms/relationshipOfResource"/>
+  </extension>
+  <extension encoding="UTF-8" fieldsTerminatedBy="\\t" linesTerminatedBy="\\n" fieldsEnclosedBy="" ignoreHeaderLines="1" rowType="http://rs.tdwg.org/ac/terms/Multimedia">
+    <files><location>multimedia.txt</location></files>
+    <coreid index="0" />
+    <field index="1" term="http://purl.org/dc/terms/identifier"/>
+    <field index="2" term="http://rs.tdwg.org/ac/terms/accessURI"/>
+    <field index="3" term="http://rs.tdwg.org/ac/terms/pixelXDimension"/>
+  </extension>
+  <extension encoding="UTF-8" fieldsTerminatedBy="\\t" linesTerminatedBy="\\n" fieldsEnclosedBy="" ignoreHeaderLines="1" rowType="http://rs.tdwg.org/chrono/terms/ChronometricAge">
+    <files><location>chronometricage.txt</location></files>
+    <coreid index="0" />
+    <field index="1" term="http://rs.tdwg.org/chrono/terms/chronometricAgeProtocol"/>
+    <field index="2" term="http://rs.tdwg.org/chrono/terms/earliestChronometricAge"/>
+  </extension>
+</archive>
+"""
+
+EVENT_CORE = (
+    "id\teventID\teventDate\tsamplingProtocol\tcountryCode\n"
+    "e1\te1\t2019-06-01\tmalaise trap\tSE\n"
+    "e2\te2\t2019-06-08\tmalaise trap\tSE\n"
+)
+EVENT_MOF = (
+    "coreid\tmeasurementType\tmeasurementValue\tmeasurementUnit\n"
+    "e1\tair temperature\t18.5\tC\n"
+    "e2\tair temperature\t17.0\tC\n"
+)
+EVENT_RELATIONSHIP = (
+    "coreid\trelatedResourceID\trelationshipOfResource\n"
+    "e2\te1\tsame site as\n"
+)
+EVENT_MULTIMEDIA = (
+    "coreid\tidentifier\taccessURI\tpixelXDimension\n"
+    "e1\timg-1\thttps://media.example.org/img-1.png\t640\n"
+)
+EVENT_CHRONO = (
+    "coreid\tchronometricAgeProtocol\tearliestChronometricAge\n"
+    "e1\tradiocarbon\t1200\n"
+)
+
 # --- interpretation archive: planted per-record interpretation violations
 # (dates / coordinates / vocabulary / measurements) + ragged rows for the
 # COLUMN_MISMATCH raw-line check. One violation class per row, clean rows
@@ -184,6 +248,26 @@ def main() -> None:
             "identification.txt": IDENTIFICATION,
             "identifier.txt": IDENTIFIER,
         },
+    )
+    event_members = {
+        "meta.xml": EVENT_META_XML,
+        "eml.xml": EML_XML,
+        "event.txt": EVENT_CORE,
+        "measurementorfact.txt": EVENT_MOF,
+        "resourcerelationship.txt": EVENT_RELATIONSHIP,
+        "multimedia.txt": EVENT_MULTIMEDIA,
+        "chronometricage.txt": EVENT_CHRONO,
+    }
+    _write_zip(os.path.join(FIXTURE_DIR, "event-core.zip"), event_members)
+    # registry-required violation: MeasurementOrFact without its required
+    # measurementType term (mapped to measurementRemarks instead)
+    _write_zip(
+        os.path.join(FIXTURE_DIR, "event-core-issues.zip"),
+        {**event_members,
+         "meta.xml": EVENT_META_XML.replace(
+             'term="http://rs.tdwg.org/dwc/terms/measurementType"',
+             'term="http://rs.tdwg.org/dwc/terms/measurementRemarks"',
+         )},
     )
     _write_zip(
         os.path.join(FIXTURE_DIR, "interpretation.zip"),

@@ -350,3 +350,37 @@ def test_dwca_record_checks_absent_columns(spark):
     out = dwca_record_checks(df, "id")
     assert out.count() == 0
     assert out.columns == ["record_id", "check_id", "expected", "found"]
+
+
+def test_event_core_registry_breadth(spark, tmp_path):
+    """r04 verdict task #4: Event core + MeasurementOrFact /
+    ResourceRelationship / Audubon Multimedia / ChronometricAge extensions
+    pass the structural battery cleanly; a required-term miss in the new
+    registry entries still fires REQUIRED_TERM_MISSING; the star
+    referential runs across all four extensions."""
+    clean = dwca.structure_findings(
+        os.path.join(FIX, "event-core.zip"), str(tmp_path / "a")
+    )
+    assert clean == []
+    issues = dwca.structure_findings(
+        os.path.join(FIX, "event-core-issues.zip"), str(tmp_path / "b")
+    )
+    assert [(f["evaluation_type"], f["term"]) for f in issues] == [
+        ("REQUIRED_TERM_MISSING", "measurementType")
+    ]
+    findings, viol = dwca.validate_dwca(
+        spark, os.path.join(FIX, "event-core.zip"), str(tmp_path / "c"),
+        record_checks=True,
+    )
+    assert findings == []
+    assert viol.count() == 0  # fully clean archive, all ext ids resolve
+    desc, core, exts = dwca.read_dwca(
+        spark, os.path.join(FIX, "event-core.zip"), str(tmp_path / "d")
+    )
+    assert set(exts) == {
+        "MeasurementOrFact", "ResourceRelationship", "Multimedia",
+        "ChronometricAge",
+    }
+    assert core.columns == [
+        "id", "eventID", "eventDate", "samplingProtocol", "countryCode"
+    ]
