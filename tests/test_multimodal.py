@@ -1259,7 +1259,7 @@ def test_sniff_only_tier_type_check_without_decode(spark):
     got = {r.doc_id: r for r in media_meta_checks(df).collect()}
     assert 1 not in got
     assert got[2].check_id == "MEDIA_TYPE_MISMATCH"
-    assert got[2].expected == "audio/* (sniffed ogg)"
+    assert got[2].expected == "audio/|video/* (sniffed ogg)"
     assert got[3].check_id == "MEDIA_TYPE_MISMATCH"
     assert got[3].expected == "image/* (sniffed avif)"
 
@@ -1404,3 +1404,81 @@ def test_media_type_mismatch_ambiguous_containers(spark):
     out = {r["doc_id"]: r["check_id"]
            for r in mm.media_meta_checks(df).collect()}
     assert out == {3: "MEDIA_TYPE_MISMATCH"}
+
+
+def test_header_dims_tiff_ico_webp():
+    """Header-only dims reads (r04 verdict tasks #6/#7): TIFF IFD (both
+    byte orders, SHORT and LONG entry types), ICONDIR (0 byte = 256),
+    WebP VP8X canvas / lossy VP8 frame / VP8L header."""
+    from gbif_data_validator_spark.operators.multimodal import header_dims
+
+    def tiff(endian, fmt_w, fmt_h):
+        import struct
+        e = "<" if endian == b"II" else ">"
+        entries = b""
+        # tag 256 (width) as SHORT or LONG; tag 257 (height) likewise
+        for tag, typ, val in ((256, fmt_w, 640), (257, fmt_h, 480)):
+            value_field = (struct.pack(e + "H", val) + b"\x00\x00"
+                           if typ == 3 else struct.pack(e + "I", val))
+            entries += struct.pack(e + "HHI", tag, typ, 1) + value_field
+        ifd = struct.pack(e + "H", 2) + entries + b"\x00\x00\x00\x00"
+        return endian + struct.pack(e + "H", 42) + struct.pack(e + "I", 8) + ifd
+
+    assert header_dims(tiff(b"II", 3, 4), "tiff") == (640, 480)
+    assert header_dims(tiff(b"MM", 4, 3), "tiff") == (640, 480)
+    assert header_dims(b"II\x2a\x00\x08\x00\x00", "tiff") is None  # truncated
+
+    ico = (b"\x00\x00\x01\x00\x01\x00" + bytes([32, 0]) + b"\x00" * 8)
+    assert header_dims(ico, "ico") == (32, 256)  # 0 height byte = 256
+    assert header_dims(b"\x00\x00\x01\x00\x00\x00", "ico") is None  # count 0
+
+    # lossy VP8 keyframe header: frame tag (3B) + 9D 01 2A + dims
+    vp8 = (b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8 "
+           + (10).to_bytes(4, "little")
+           + b"\x00\x00\x00\x9d\x01\x2a"
+           + (320).to_bytes(2, "little") + (240).to_bytes(2, "little"))
+    assert header_dims(vp8, "webp") == (320, 240)
+    vp8x = (b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8X"
+            + (10).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+            + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"))
+    assert header_dims(vp8x, "webp") == (640, 480)
+
+
+def test_dims_check_for_sniff_only_and_lossy_webp(spark):
+    """Sniff-only tiff/ico rows and declared-limit lossy-VP8 rows now get
+    MEDIA_DIMS_MISMATCH from header reads; a declared-limit payload with
+    MATCHING dims produces no finding (and never a false
+    MEDIA_DECODE_ERROR)."""
+    import struct
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        media_meta_checks,
+    )
+
+    e = "<"
+    entries = b""
+    for tag, val in ((256, 640), (257, 480)):
+        entries += struct.pack(e + "HHI", tag, 4, 1) + struct.pack(e + "I", val)
+    tiff = (b"II" + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+            + struct.pack(e + "H", 2) + entries + b"\x00" * 4)
+    vp8 = (b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8 "
+           + (10).to_bytes(4, "little") + b"\x00\x00\x00\x9d\x01\x2a"
+           + (320).to_bytes(2, "little") + (240).to_bytes(2, "little"))
+
+    def m(mt, w, h):
+        return {"media_type": mt, "width": w, "height": h, "duration_ms": 0}
+
+    rows = [
+        (1, bytearray(tiff), m("image/tiff", 640, 480)),   # match: silent
+        (2, bytearray(tiff), m("image/tiff", 64, 48)),     # mismatch
+        (3, bytearray(vp8), m("image/webp", 320, 240)),    # match: silent
+        (4, bytearray(vp8), m("image/webp", 32, 24)),      # mismatch
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media binary, meta struct<media_type string, "
+        "width int, height int, duration_ms int>")
+    got = {r.doc_id: (r.check_id, r.found) for r in media_meta_checks(df).collect()}
+    assert got == {
+        2: ("MEDIA_DIMS_MISMATCH", "640x480"),
+        4: ("MEDIA_DIMS_MISMATCH", "320x240"),
+    }
