@@ -4563,6 +4563,54 @@ def _q_media_checks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_meta_checks(media).orderBy("doc_id")
 
 
+def _q_jpeg_progressive_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 progressive JPEG (SOF2) branch of the media battery: the
+    payloads are fixed hex literals from encode_jpeg_gray(progressive=True)
+    on a deterministic 8x8 gradient — a REAL SOF2 spectral-selection
+    stream the from-scratch decoder (operators/multimodal.py::_decode_jpeg,
+    T.81 G) decodes through the multi-scan path. Residues: k=0 progressive
+    dims-match (silent), k=1 progressive dims-mismatch, k=2 truncated
+    progressive (decode-error finding, message pinned), k=3 the BASELINE
+    encoding of the same image with the same dims-mismatch — pinning that
+    both modes land the identical finding."""
+    from gbif_data_validator_spark.operators.multimodal import (
+        media_meta_checks,
+    )
+
+    prog = ("ffd8ffdb0043000302020302020303030304030304050805050404050a0707"
+            "06080c0a0c0c0b0a0b0b0d0e12100d0e110e0b0b1016101113141515150c0f"
+            "171816141812141514ffc2000b080008000801011100ffc4001400000000000"
+            "0000001000000000000000003ffc4001a1000000000000000070000000000000"
+            "0000006092532a3f0ffda0008010100000000005fffda0008010100013f00016"
+            "c09b60801ac15807fffd9")
+    base = ("ffd8ffdb0043000302020302020303030304030304050805050404050a0707"
+            "06080c0a0c0c0b0a0b0b0d0e12100d0e110e0b0b1016101113141515150c0f"
+            "171816141812141514ffc0000b080008000801011100ffc4001400000000000"
+            "0000001000000000000000003ffc4001a1000000000000000070000000000000"
+            "0000006092532a3f0ffda0008010100003f0000402d8136c1003582b00fffd9")
+    trunc = prog[:168]
+    k = F.col("doc_id") % 4
+    payload = (
+        F.when(k == 2, F.unhex(F.lit(trunc)))
+        .when(k == 3, F.unhex(F.lit(base)))
+        .otherwise(F.unhex(F.lit(prog)))
+    )
+    meta = F.struct(
+        F.lit("image/jpeg").alias("media_type"),
+        F.when(k == 0, F.lit(8)).when(k == 2, F.lit(8))
+        .otherwise(F.lit(4)).cast("int").alias("width"),
+        F.when(k == 0, F.lit(8)).when(k == 2, F.lit(8))
+        .otherwise(F.lit(4)).cast("int").alias("height"),
+        F.lit(0).cast("int").alias("duration_ms"),
+    )
+    media = (
+        _tbl(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 2000)
+        .select("doc_id", payload.alias("media"), meta.alias("meta"))
+    )
+    return media_meta_checks(media).orderBy("doc_id")
+
+
 def _q_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang mojibake census + repairability over documents with
     deterministically injected double-decode artifacts (the testdata corpus
@@ -5166,6 +5214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window; it stays locally bit-exact via the full rehearsal)
         "dwca_star_check": _q_dwca_star_check,
         "dwca_record_checks": _q_dwca_record_checks,
+        "jpeg_progressive_check": _q_jpeg_progressive_check,
         "image_dhash_exact": _q_image_dhash_exact,
         "audio_hash_exact": _q_audio_hash_exact,
         "psi_drift": _q_psi_drift,
@@ -7855,6 +7904,21 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(url, check_id, expected, found)
             CROSS JOIN (VALUES ('core:Occurrence')) AS p(partition_id)
             ORDER BY url, check_id, found
+        """,
+        # jpeg_progressive_check: payloads are fixed hex literals, so the
+        # expected findings are pure residue arithmetic; k=0 rows are
+        # silent, k=2's decode-error message is pinned verbatim
+        "jpeg_progressive_check": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 2 THEN 'MEDIA_DECODE_ERROR'
+                        ELSE 'MEDIA_DIMS_MISMATCH' END AS check_id,
+                   CASE WHEN doc_id % 4 = 2 THEN 'decodable jpeg'
+                        ELSE '4x4' END AS expected,
+                   CASE WHEN doc_id % 4 = 2 THEN 'jpeg: no scan data'
+                        ELSE '8x8' END AS found
+            FROM documents
+            WHERE doc_id < 2000 AND doc_id % 4 IN (1, 2, 3)
+            ORDER BY doc_id
         """,
         # psi_drift: identical floor-bucket math, round-6 + eps-floored
         # proportions, and the list_sort+list_reduce ordered fold

@@ -526,13 +526,9 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _jpeg_block(r: _JpegBits, dc: dict, ac: dict, pred: int):
-    """One 8x8 block -> (natural-order float coefficient block, new DC
-    predictor); coefficients still pre-dequantization."""
-    t = _jpeg_decode_sym(r, dc)
-    pred += _jpeg_extend(r.bits(t), t) if t else 0
-    zz = np.zeros(64)
-    zz[0] = pred
+def _jpeg_seq_ac(r: _JpegBits, ac: dict, zz: np.ndarray) -> None:
+    """Sequential AC decode for one block into the zigzag coefficient
+    row (T.81 F.2.2.2)."""
     k = 1
     while k < 64:
         rs = _jpeg_decode_sym(r, ac)
@@ -547,17 +543,181 @@ def _jpeg_block(r: _JpegBits, dc: dict, ac: dict, pred: int):
             raise ValueError("jpeg: AC run past block end")
         zz[k] = _jpeg_extend(r.bits(size), size)
         k += 1
-    return zz, pred
+
+
+def _jpeg_ac_first(r: _JpegBits, ac: dict, zz: np.ndarray, ss: int, se: int,
+                   al: int, eobrun: int) -> int:
+    """Progressive AC initial scan for one block (T.81 G.1.2.2): spectral
+    band [ss, se] at approximation Al, with EOB-run lengths."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _jpeg_decode_sym(r, ac)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += r.bits(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("jpeg: AC run past band end")
+        zz[k] = _jpeg_extend(r.bits(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _jpeg_ac_refine(r: _JpegBits, ac: dict, zz: np.ndarray, ss: int, se: int,
+                    al: int, eobrun: int) -> int:
+    """Progressive AC refinement scan for one block (T.81 G.1.2.3):
+    correction bits for history-nonzero coefficients interleaved with
+    newly-significant ones; EOB-runs consume the block's remaining
+    correction bits."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(i: int) -> None:
+        if r.bit() and (int(zz[i]) & p1) == 0:
+            zz[i] += p1 if zz[i] > 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_decode_sym(r, ac)
+            run, size = rs >> 4, rs & 0x0F
+            newval = 0
+            if size == 0:
+                if run < 15:
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += r.bits(run)
+                    break
+                # ZRL: pass over 16 zero-history coefficients
+            else:
+                if size != 1:
+                    raise ValueError("jpeg: AC refine size != 1")
+                newval = p1 if r.bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        for i in range(k, se + 1):
+            if zz[i] != 0:
+                correct(i)
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_huff(huff: dict, tc: int, th: int) -> dict:
+    t = huff.get((tc, th))
+    if t is None:
+        raise ValueError(f"jpeg: missing huffman table ({tc},{th})")
+    return t
+
+
+def _jpeg_decode_scan(b, pos, frame, scomps, ss, se, ah, al,
+                      huff, restart, coef, progressive) -> int:
+    """Decode one entropy-coded scan into the per-component zigzag
+    coefficient arrays; returns the byte position of the next marker.
+    Handles interleaved MCU order (ns > 1) and non-interleaved
+    per-component block raster (ns == 1 — T.81 A.2.2: data-unit counts
+    from the COMPONENT dims, not MCU padding), sequential and all four
+    progressive scan kinds (DC/AC x first/refine), DRI restarts resetting
+    predictors and EOB-runs."""
+    comps = {c["id"]: c for c in frame["comps"]}
+    for cid, _, _ in scomps:
+        if cid not in comps:
+            raise ValueError(f"jpeg: scan references unknown component {cid}")
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("jpeg: progressive DC scan with Se != 0")
+        if ss > 0 and len(scomps) != 1:
+            raise ValueError("jpeg: interleaved progressive AC scan")
+        if ss > se or se > 63:
+            raise ValueError("jpeg: bad spectral selection")
+    r = _JpegBits(b, pos)
+    preds = {cid: 0 for cid, _, _ in scomps}
+    state = {"eobrun": 0, "nrst": 0, "mcu": 0}
+
+    def decode_unit(cid: int, by: int, bx: int, td: int, ta: int) -> None:
+        zz = coef[cid][by, bx]
+        if not progressive:
+            t = _jpeg_decode_sym(r, _jpeg_huff(huff, 0, td))
+            preds[cid] += _jpeg_extend(r.bits(t), t) if t else 0
+            zz[0] = preds[cid]
+            _jpeg_seq_ac(r, _jpeg_huff(huff, 1, ta), zz)
+        elif ss == 0:
+            if ah == 0:  # DC first
+                t = _jpeg_decode_sym(r, _jpeg_huff(huff, 0, td))
+                preds[cid] += _jpeg_extend(r.bits(t), t) if t else 0
+                zz[0] = preds[cid] << al
+            elif r.bit():  # DC refine: one appended bit
+                zz[0] = int(zz[0]) | (1 << al)
+        elif ah == 0:
+            state["eobrun"] = _jpeg_ac_first(
+                r, _jpeg_huff(huff, 1, ta), zz, ss, se, al, state["eobrun"])
+        else:
+            state["eobrun"] = _jpeg_ac_refine(
+                r, _jpeg_huff(huff, 1, ta), zz, ss, se, al, state["eobrun"])
+
+    def maybe_restart() -> None:
+        if restart and state["mcu"] and state["mcu"] % restart == 0:
+            r.sync_restart(state["nrst"])
+            state["nrst"] = (state["nrst"] + 1) & 7
+            state["eobrun"] = 0
+            for cid in preds:
+                preds[cid] = 0
+        state["mcu"] += 1
+
+    if len(scomps) == 1:
+        cid, td, ta = scomps[0]
+        c = comps[cid]
+        cw = -(-frame["w"] * c["h"] // frame["hmax"])
+        ch = -(-frame["h"] * c["v"] // frame["vmax"])
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                maybe_restart()
+                decode_unit(cid, by, bx, td, ta)
+    else:
+        for m in range(frame["mcuy"] * frame["mcux"]):
+            maybe_restart()
+            my, mx = divmod(m, frame["mcux"])
+            for cid, td, ta in scomps:
+                c = comps[cid]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        decode_unit(cid, my * c["v"] + by,
+                                    mx * c["h"] + bx, td, ta)
+    # skip any padding bits / stray RSTs up to the next true marker
+    p = r.p
+    while p + 1 < len(b) and not (
+        b[p] == 0xFF and b[p + 1] != 0x00 and not 0xD0 <= b[p + 1] <= 0xD7
+    ):
+        p += 1
+    return p
 
 
 def _decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline JPEG (SOF0/SOF1, 8-bit, Huffman, 1 or 3 components, any
-    sampling factors, DRI restarts) -> HxWx3 uint8 — from-scratch T.81:
-    canonical Huffman decode, dequantize, de-zigzag, float IDCT,
-    nearest-neighbor chroma upsample, JFIF YCbCr->RGB. Progressive
-    (SOF2), arithmetic coding, 12-bit precision, and CMYK raise
-    NotImplementedError (declared limits, same tier policy as PNG
-    16-bit)."""
+    """JPEG (ITU-T T.81) -> HxWx3 uint8 — from-scratch: baseline /
+    extended sequential (SOF0/SOF1) AND progressive (SOF2, spectral
+    selection + successive approximation, round 5), 8-bit, Huffman, 1 or
+    3 components, any sampling factors, interleaved and non-interleaved
+    scans, DRI restarts. Scans accumulate into per-component coefficient
+    arrays; one dequantize + IDCT + chroma-upsample + JFIF YCbCr->RGB
+    pass at EOI. Arithmetic coding, hierarchical/lossless modes, 12-bit
+    precision, and CMYK raise NotImplementedError (declared limits, same
+    tier policy as PNG 16-bit)."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -565,6 +725,9 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
     huff: dict[tuple, dict] = {}
     frame = None
     restart = 0
+    progressive = False
+    coef: dict[int, np.ndarray] = {}
+    scanned: set[int] = set()
     while pos + 1 < len(b):
         if b[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
@@ -588,11 +751,16 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                     seg[i + 1:i + 65], dtype=np.uint8
                 ).astype(np.float64)
                 i += 65
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            if frame is not None:
+                raise ValueError("jpeg: multiple SOF markers")
+            progressive = marker == 0xC2
             if seg[0] != 8:
                 raise NotImplementedError("jpeg: only 8-bit precision")
             ih = int.from_bytes(seg[1:3], "big")
             iw = int.from_bytes(seg[3:5], "big")
+            if ih == 0 or iw == 0:
+                raise ValueError("jpeg: zero frame dimension")
             ncomp = seg[5]
             if ncomp not in (1, 3):
                 raise NotImplementedError(
@@ -601,14 +769,27 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * ci:9 + 3 * ci]
-                comps.append(
-                    {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
+                sh, sv = samp >> 4, samp & 0x0F
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError("jpeg: bad sampling factor")
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
+            if len({c["id"] for c in comps}) != ncomp:
+                raise ValueError("jpeg: duplicate component ids")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            frame = {
+                "h": ih, "w": iw, "comps": comps, "hmax": hmax, "vmax": vmax,
+                "mcux": -(-iw // (8 * hmax)), "mcuy": -(-ih // (8 * vmax)),
+            }
+            for c in comps:
+                coef[c["id"]] = np.zeros(
+                    (frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
+                    dtype=np.int32,
                 )
-            frame = {"h": ih, "w": iw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "jpeg: only baseline/extended-sequential Huffman supported"
+                "jpeg: only sequential/progressive Huffman supported"
             )
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
@@ -622,69 +803,53 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 i += 17 + nsym
         elif marker == 0xDD:
             restart = int.from_bytes(seg[0:2], "big")
-        elif marker == 0xDA:  # SOS — decode the scan and finish
+        elif marker == 0xDA:  # SOS — decode scan, continue to next marker
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                # legal baseline files may carry per-component scans
-                # (ns < ncomp); only single interleaved scans are in the
-                # declared tier — fail with the documented limit error,
-                # not a KeyError deep in _jpeg_scan
-                raise NotImplementedError(
-                    "jpeg: non-interleaved (multi-scan) baseline not supported"
-                )
-            scan = {}
+            if len(seg) < 4 + 2 * ns or not 1 <= ns <= len(frame["comps"]):
+                raise ValueError("jpeg: bad scan header")
+            scomps = []
             for si in range(ns):
                 cid, tt = seg[1 + 2 * si], seg[2 + 2 * si]
-                scan[cid] = (tt >> 4, tt & 0x0F)
-            return _jpeg_scan(b, pos + seglen, frame, scan, qt, huff, restart)
+                scomps.append((cid, tt >> 4, tt & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            pos = _jpeg_decode_scan(
+                b, pos + seglen, frame, scomps, ss, se, ah, al,
+                huff, restart, coef, progressive,
+            )
+            scanned.update(cid for cid, _, _ in scomps)
+            continue
         elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
             pass  # APPn / COM
         else:
             raise ValueError(f"jpeg: unexpected marker 0x{marker:02x}")
         pos += seglen
-    raise ValueError("jpeg: no scan data")
-
-
-def _jpeg_scan(b, pos, frame, scan, qt, huff, restart) -> np.ndarray:
-    comps = frame["comps"]
+    if frame is None or not scanned:
+        raise ValueError("jpeg: no scan data")
+    missing = [c["id"] for c in frame["comps"] if c["id"] not in scanned]
+    if missing:
+        raise ValueError(f"jpeg: components without scan data: {missing}")
     ih, iw = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-iw // (8 * hmax))
-    mcuy = -(-ih // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
-        for c in comps
-    }
-    r = _JpegBits(b, pos)
-    preds = {c["id"]: 0 for c in comps}
-    nrst = 0
-    for m in range(mcuy * mcux):
-        if restart and m and m % restart == 0:
-            r.sync_restart(nrst)
-            nrst = (nrst + 1) & 7
-            preds = {c["id"]: 0 for c in comps}
-        my, mx = divmod(m, mcux)
-        for c in comps:
-            td, ta = scan[c["id"]]
-            q = qt[c["tq"]]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    zz, preds[c["id"]] = _jpeg_block(
-                        r, huff[(0, td)], huff[(1, ta)], preds[c["id"]]
-                    )
-                    blk = np.zeros(64)
-                    blk[_JPEG_ZIGZAG] = zz * q
-                    px = _IDCT_A.T @ blk.reshape(8, 8) @ _IDCT_A + 128.0
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = px
+    hmax, vmax = frame["hmax"], frame["vmax"]
     out_planes = []
-    for c in comps:
+    for c in frame["comps"]:
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError(f"jpeg: missing quant table {c['tq']}")
+        arr = coef[c["id"]]
+        nby, nbx = arr.shape[0], arr.shape[1]
+        plane = np.zeros((nby * 8, nbx * 8))
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = np.zeros(64)
+                blk[_JPEG_ZIGZAG] = arr[by, bx] * q
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    _IDCT_A.T @ blk.reshape(8, 8) @ _IDCT_A + 128.0
+                )
         pl = np.repeat(
-            np.repeat(planes[c["id"]], vmax // c["v"], axis=0),
+            np.repeat(plane, vmax // c["v"], axis=0),
             hmax // c["h"],
             axis=1,
         )[:ih, :iw]
@@ -748,7 +913,8 @@ class _JpegBitWriter:
         return bytes(self.out)
 
 
-def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg_gray(img: np.ndarray, quality: int = 90,
+                     progressive: bool = False) -> bytes:
     """Grayscale baseline JPEG ENCODER (ITU-T T.81): forward DCT,
     Annex K luminance table scaled by the libjpeg quality formula,
     zigzag, canonical DC/AC Huffman with tables derived from the
@@ -756,7 +922,13 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
     uint8 (RGB averages to luma with the JFIF weights); dimensions must
     be multiples of 8 (callers pad). Round-trips through `_decode_jpeg`
     within quantization error — the symmetric half that lets pipelines
-    synthesize REAL compressed fixtures without any codec library."""
+    synthesize REAL compressed fixtures without any codec library.
+
+    ``progressive=True`` emits the SAME quantized coefficients as an
+    SOF2 spectral-selection stream (scan 1: DC band 0-0; scan 2: AC band
+    1-63, both at Ah=Al=0) — per-block baseline AC coding is a legal
+    progressive AC-first scan (each EOB is an EOB-run of 1), so the
+    decoder must reproduce the baseline encoding's pixels EXACTLY."""
     if img.ndim == 3:
         img = np.round(
             0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
@@ -816,12 +988,13 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
     dc_enc = _jpeg_emit_table(dc_counts, bytes(dc_syms))
     ac_enc = _jpeg_emit_table(ac_counts, bytes(ac_syms))
 
-    w = _JpegBitWriter()
-    for diff, ac in blocks:
+    def put_dc(w: _JpegBitWriter, diff: int) -> None:
         t = cat(diff)
         w.put(*dc_enc[t])
         if t:
             w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+    def put_ac(w: _JpegBitWriter, ac: np.ndarray) -> None:
         run = 0
         last_nz = np.nonzero(ac)[0]
         last = last_nz[-1] if len(last_nz) else -1
@@ -838,8 +1011,7 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
                 w.put(v if v >= 0 else v + (1 << t) - 1, t)
                 run = 0
         if last < 62:
-            w.put(*ac_enc[0x00])  # EOB
-    data = w.flush()
+            w.put(*ac_enc[0x00])  # EOB (progressive: an EOB-run of 1)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(
@@ -848,14 +1020,26 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
 
     # DQT is stored in ZIGZAG order per the spec
     dqt = seg(0xDB, b"\x00" + bytes(int(v) for v in q[_JPEG_ZIGZAG]))
-    sof = seg(
-        0xC0,
-        b"\x08" + ih.to_bytes(2, "big") + iw.to_bytes(2, "big")
-        + b"\x01" + b"\x01\x11\x00",
-    )
+    dims = ih.to_bytes(2, "big") + iw.to_bytes(2, "big")
     dht = seg(0xC4, b"\x00" + bytes(dc_counts) + bytes(dc_syms)) + seg(
         0xC4, b"\x10" + bytes(ac_counts) + bytes(ac_syms)
     )
+    if progressive:
+        sof = seg(0xC2, b"\x08" + dims + b"\x01" + b"\x01\x11\x00")
+        wdc, wac = _JpegBitWriter(), _JpegBitWriter()
+        for diff, ac in blocks:
+            put_dc(wdc, diff)
+            put_ac(wac, ac)
+        sos_dc = seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x00\x00")
+        sos_ac = seg(0xDA, b"\x01" + b"\x01\x00" + b"\x01\x3f\x00")
+        return (b"\xff\xd8" + dqt + sof + dht
+                + sos_dc + wdc.flush() + sos_ac + wac.flush() + b"\xff\xd9")
+    sof = seg(0xC0, b"\x08" + dims + b"\x01" + b"\x01\x11\x00")
+    w = _JpegBitWriter()
+    for diff, ac in blocks:
+        put_dc(w, diff)
+        put_ac(w, ac)
+    data = w.flush()
     sos = seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
     return b"\xff\xd8" + dqt + sof + dht + sos + data + b"\xff\xd9"
 

@@ -301,3 +301,32 @@ def test_decode_audio_error_tier_behind_wav_magic(body):
         decode_audio(b"RIFF" + body[:4] + b"WAVE" + body)
     except (ValueError, NotImplementedError):
         pass
+
+
+@given(st.binary(min_size=0, max_size=300),
+       st.sampled_from([0xC0, 0xC2, 0xC4, 0xDA]))
+@settings(max_examples=300, deadline=None)
+def test_decode_jpeg_error_tier_on_soi_prefixed_bytes(body, marker):
+    """Round-5 progressive paths included: SOI + a frame/table/scan marker
+    + arbitrary bytes must yield only the declared error tiers — never an
+    IndexError/KeyError from the multi-scan machinery."""
+    from gbif_data_validator_spark.operators.multimodal import decode_image
+
+    payload = b"\xff\xd8" + bytes([0xFF, marker]) + body
+    try:
+        decode_image(payload)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@given(st.binary(min_size=0, max_size=200),
+       st.sampled_from(["tiff", "ico", "webp"]))
+@settings(max_examples=300, deadline=None)
+def test_header_dims_total_on_arbitrary_bytes(body, kind):
+    """header_dims is total: arbitrary bytes → None or a positive int
+    pair, never an exception (it gates a finding, not a decode)."""
+    from gbif_data_validator_spark.operators.multimodal import header_dims
+
+    d = header_dims(body, kind)
+    assert d is None or (len(d) == 2
+                         and all(isinstance(v, int) and v >= 0 for v in d))
