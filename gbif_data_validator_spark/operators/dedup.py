@@ -341,6 +341,63 @@ def minhash_signatures(
     ).where(F.col("sig").isNotNull())
 
 
+def _pair_budget_cut(posts: DataFrame, max_pairs: int) -> DataFrame:
+    """1-row DataFrame ``(_cut)``: the largest bucket size s such that the
+    TOTAL candidate pairs emitted by all buckets of size <= s stays within
+    ``max_pairs`` — smallest buckets first, because the over-budget tail
+    is exactly the templated/boilerplate mega-buckets whose pairs are the
+    least informative (the same docs collide in many bands).
+
+    Scale shape: the histogram aggregate has at most max_bucket distinct
+    sizes (<= ~1000 rows), so the running-sum window and the broadcast of
+    the cut row are driver-trivial; no corpus-sized data crosses a single
+    reducer. Buckets of size 2 are always admitted (cut floor 2) so the
+    budget can never silently disable the operator — it bounds the
+    superlinear tail, and the census reports what it cut."""
+    from pyspark.sql import Window
+
+    hist = (
+        posts.select(F.size("ds").alias("_n"))
+        .groupBy("_n").agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_p",
+            (F.col("_n") * (F.col("_n") - 1) / 2).cast("long") * F.col("_c"),
+        )
+        .withColumn("_cum", F.sum("_p").over(Window.orderBy("_n")))
+    )
+    return hist.where(F.col("_cum") <= max_pairs).agg(
+        F.greatest(F.coalesce(F.max("_n"), F.lit(2)), F.lit(2)).alias("_cut")
+    )
+
+
+def _apply_pair_budget(posts: DataFrame, max_pairs: "int | None",
+                       dropped: bool = False) -> DataFrame:
+    """Budget filter over (band, bucket, ds) posting lists: keep buckets
+    at-or-under the size cut (``dropped=False``) or the censused
+    complement (``dropped=True``, with ``n_docs``/``n_pairs``). The
+    budget costs one extra pass over the bucket aggregate — only paid
+    when a ``max_pairs`` budget is actually set."""
+    if max_pairs is None:
+        return posts
+    sized = posts.withColumn("_n", F.size("ds"))
+    cut = F.broadcast(_pair_budget_cut(posts, max_pairs))
+    if dropped:
+        return (
+            sized.crossJoin(cut)
+            .where(F.col("_n") > F.col("_cut"))
+            .select(
+                "band", "bucket", F.col("_n").alias("n_docs"),
+                (F.col("_n") * (F.col("_n") - 1) / 2).cast("long")
+                .alias("n_pairs"),
+            )
+        )
+    return (
+        sized.crossJoin(cut)
+        .where(F.col("_n") <= F.col("_cut"))
+        .drop("_n", "_cut")
+    )
+
+
 def _dropped_buckets(posts: DataFrame, group_cols: list[str], max_bucket: int) -> DataFrame:
     """Buckets a cap dropped, with their sizes — the no-silent-caps report:
     a capped operator's caller can (and tests do) account for what was
@@ -395,6 +452,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     seed: int = 42,
     max_bucket: int = 1000,
+    max_pairs: "int | None" = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band the signature into n_bands buckets,
     candidates = pairs colliding in ≥1 band, verified by estimated Jaccard
@@ -408,10 +466,18 @@ def minhash_lsh_pairs(
     (template boilerplate shared by 10^7 crawl pages) would otherwise
     generate c²/2 pairs on ONE reducer — the same skew blow-up max_df
     guards in the shingle plan. Dropped buckets are not silent: audit them
-    with ``minhash_lsh_dropped_buckets`` (same parameters)."""
+    with ``minhash_lsh_dropped_buckets`` (same parameters).
+
+    ``max_pairs`` (round 5) additionally bounds the TOTAL candidate-pair
+    volume: per-bucket caps alone let a template-heavy corpus emit 10^8+
+    pairs from many medium buckets (the 1.2M-doc smoke measured 173.8M).
+    The budget admits smallest buckets first up to the pair budget and
+    drops the rest LOUDLY — census with
+    ``minhash_lsh_budget_dropped`` (same parameters)."""
     posts = _minhash_band_posts(df, id_col, text_col, k, n_hashes, n_bands, seed).where(
         (F.size("ds") >= 2) & (F.size("ds") <= max_bucket)
     )
+    posts = _apply_pair_budget(posts, max_pairs)
     est = F.size(
         F.filter(
             F.zip_with(
@@ -451,6 +517,28 @@ def minhash_lsh_dropped_buckets(
         ["band", "bucket"],
         max_bucket,
     )
+
+
+def minhash_lsh_budget_dropped(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    max_pairs: int = 10_000_000,
+) -> DataFrame:
+    """→ (band, bucket, n_docs, n_pairs) for band buckets the PAIR budget
+    excluded from ``minhash_lsh_pairs(max_pairs=...)`` (buckets the
+    per-bucket cap dropped are censused separately by
+    ``minhash_lsh_dropped_buckets``). Sum(n_pairs) is exactly the
+    candidate volume the budget saved — the no-silent-caps ledger."""
+    posts = _minhash_band_posts(
+        df, id_col, text_col, k, n_hashes, n_bands, seed
+    ).where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
+    return _apply_pair_budget(posts, max_pairs, dropped=True)
 
 
 # --------------------------------------------------------------------------
@@ -1810,6 +1898,7 @@ def weighted_minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket: int = 1000,
+    max_pairs: "int | None" = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs under WEIGHTED Jaccard → (doc_a, doc_b,
     est_wjaccard ≥ threshold) — the scale path for
@@ -1826,10 +1915,13 @@ def weighted_minhash_lsh_pairs(
 
     Same plan as the set family: one posting-list groupBy(band, bucket) is
     the only corpus-sized shuffle; ``max_bucket`` + the dropped-bucket
-    audit below are the skew contract."""
+    audit below are the skew contract; ``max_pairs`` bounds total
+    candidate volume exactly as in ``minhash_lsh_pairs`` (census:
+    ``weighted_minhash_budget_dropped``)."""
     posts = _minhash_band_posts(
         df, id_col, text_col, k, n_hashes, n_bands, seed, weighted=True
     ).where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
+    posts = _apply_pair_budget(posts, max_pairs)
     est = F.size(
         F.filter(
             F.zip_with(
@@ -1869,6 +1961,25 @@ def weighted_minhash_dropped_buckets(
         ["band", "bucket"],
         max_bucket,
     )
+
+
+def weighted_minhash_budget_dropped(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    max_pairs: int = 10_000_000,
+) -> DataFrame:
+    """(band, bucket, n_docs, n_pairs) the weighted probe's PAIR budget
+    would skip — ``minhash_lsh_budget_dropped``, weighted flavored."""
+    posts = _minhash_band_posts(
+        df, id_col, text_col, k, n_hashes, n_bands, seed, weighted=True
+    ).where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
+    return _apply_pair_budget(posts, max_pairs, dropped=True)
 
 
 def lsh_recall_vs_exact(

@@ -977,3 +977,48 @@ def test_paragraph_census_bounded_ids(spark):
     shared = [r for r in out if r.n_docs == 10]
     assert len(shared) == 1
     assert shared[0].doc_ids == [1, 2, 3, 4] and shared[0].ids_truncated is True
+
+
+def test_minhash_pair_budget_bounds_and_censuses(spark):
+    """Round-5 max_pairs budget: a corpus with one boilerplate template
+    group (big buckets in every band) plus genuinely-near pairs — a tight
+    budget keeps the small buckets' pairs, drops the template buckets,
+    and the budget census accounts for every dropped pair; an ample
+    budget is a no-op vs the uncapped plan."""
+    from gbif_data_validator_spark.operators.dedup import (
+        minhash_lsh_budget_dropped,
+        minhash_lsh_pairs,
+        weighted_minhash_budget_dropped,
+        weighted_minhash_lsh_pairs,
+    )
+
+    template = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, template * 4) for i in range(12)]           # 12-doc clone set
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+             (101, "alpha beta gamma delta epsilon zeta eta iota")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5)
+    ample = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5,
+                              max_pairs=10_000_000)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, ample.collect()))
+
+    # tight budget: the 12-doc template buckets (66 pairs per band) blow
+    # it; the 2-doc buckets survive (cut floor 2)
+    tight = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5,
+                              max_pairs=40)
+    got = {(r.doc_a, r.doc_b) for r in tight.collect()}
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got)
+    census = minhash_lsh_budget_dropped(df, "doc_id", "text", max_pairs=40)
+    crows = census.collect()
+    assert crows and all(r.n_docs == 12 and r.n_pairs == 66 for r in crows)
+
+    # weighted flavor: same contract
+    wt = weighted_minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5,
+                                    max_pairs=40)
+    wgot = {(r.doc_a, r.doc_b) for r in wt.collect()}
+    assert not any(a < 100 and b < 100 for a, b in wgot)
+    wcensus = weighted_minhash_budget_dropped(
+        df, "doc_id", "text", max_pairs=40).collect()
+    assert wcensus and all(r.n_pairs == 66 for r in wcensus)
