@@ -1643,6 +1643,42 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs_spread(spark, sf_dir), "doc_id", "text", threshold=0.5)
 
 
+def _q_lsh_pair_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 total-pair budget over the MinHash-LSH plan: max_pairs=320
+    binds at this sf (the size-2 buckets' 309 pairs fit; admitting the
+    size-3 tier would exceed it), so only pairs from buckets at-or-under
+    the computed size cut survive. The oracle replays the ENTIRE budget
+    computation in SQL — signature replay, bucket histogram, running-sum
+    cut — so the budget math itself is hash-checked, not just the
+    output."""
+    from gbif_data_validator_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs_spread(spark, sf_dir), "doc_id", "text",
+        threshold=0.5, max_pairs=320,
+    )
+
+
+def _q_lsh_budget_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-silent-caps ledger for the pair budget: per (band, bucket
+    size) counts of budget-dropped buckets and the exact pair volume cut
+    (bucket KEYS are engine-specific hashes, so the census compares on
+    the engine-portable grain: band + size)."""
+    from gbif_data_validator_spark.operators.dedup import (
+        minhash_lsh_budget_dropped,
+    )
+
+    return (
+        minhash_lsh_budget_dropped(
+            _docs_spread(spark, sf_dir), "doc_id", "text", max_pairs=320,
+        )
+        .groupBy("band", "n_docs")
+        .agg(F.count(F.lit(1)).alias("n_buckets"),
+             F.sum("n_pairs").alias("pairs_cut"))
+        .orderBy("band", "n_docs")
+    )
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gbif_data_validator_spark.operators.dedup import simhash_pairs
 
@@ -5274,6 +5310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_audit": _q_file_audit,
         "skew_audit": _q_skew_audit,
         "minhash_pairs": _q_minhash_pairs,
+        "lsh_pair_budget": _q_lsh_pair_budget,
+        "lsh_budget_census": _q_lsh_budget_census,
         "boilerplate_lines": _q_boilerplate_lines,
         "sampled_violations": _q_sampled_violations,
         "bm25_docs": _q_bm25_docs,
@@ -9018,6 +9056,117 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        # lsh_pair_budget / lsh_budget_census: the minhash_pairs replay plus
+        # the round-5 budget math IN SQL — bucket-size histogram, running
+        # pair sum over sizes ascending, greatest(max size within budget, 2)
+        # as the cut; pairs only from buckets <= cut, census of the rest
+        "lsh_pair_budget": f"""
+            WITH consts(i, a, b) AS (VALUES {mh_consts}),
+            w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, ws[r.i] || ' ' || ws[r.i+1] || ' ' || ws[r.i+2] AS g
+              FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) r
+              WHERE len(ws) >= 3
+            ),
+            hx AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(g), 1, 16)) AS UBIGINT)
+                       % 2305843009213693951 AS x
+              FROM grams
+            ),
+            mh AS (
+              SELECT doc_id, c.i,
+                     min(CAST(((CAST(c.a AS HUGEINT) * x + c.b) % 18446744073709551616)
+                              % 2305843009213693951 AS BIGINT)) AS v
+              FROM hx CROSS JOIN consts c GROUP BY doc_id, c.i
+            ),
+            sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, sig, bd.band,
+                     array_to_string(sig[bd.band*4+1 : bd.band*4+4], ',') AS key
+              FROM sig, (SELECT unnest(range(0, 16)) AS band) bd
+            ),
+            bsz AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
+            hist AS (
+              SELECT c, count(*) AS nb FROM bsz
+              WHERE c BETWEEN 2 AND 1000 GROUP BY c
+            ),
+            cum AS (
+              SELECT c, sum((c*(c-1)//2) * nb) OVER (ORDER BY c) AS cumpairs
+              FROM hist
+            ),
+            cutv AS (
+              SELECT greatest(coalesce(max(c), 2), 2) AS cut
+              FROM cum WHERE cumpairs <= 320
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.sig AS sa, b.sig AS sb
+              FROM bands a
+              JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+              JOIN bsz s ON s.band = a.band AND s.key = a.key
+              WHERE s.c BETWEEN 2 AND 1000 AND s.c <= (SELECT cut FROM cutv)
+            )
+            SELECT doc_a, doc_b,
+                   round(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0, 6) AS est_jaccard
+            FROM cand
+            WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "lsh_budget_census": f"""
+            WITH consts(i, a, b) AS (VALUES {mh_consts}),
+            w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, ws[r.i] || ' ' || ws[r.i+1] || ' ' || ws[r.i+2] AS g
+              FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) r
+              WHERE len(ws) >= 3
+            ),
+            hx AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(g), 1, 16)) AS UBIGINT)
+                       % 2305843009213693951 AS x
+              FROM grams
+            ),
+            mh AS (
+              SELECT doc_id, c.i,
+                     min(CAST(((CAST(c.a AS HUGEINT) * x + c.b) % 18446744073709551616)
+                              % 2305843009213693951 AS BIGINT)) AS v
+              FROM hx CROSS JOIN consts c GROUP BY doc_id, c.i
+            ),
+            sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, bd.band,
+                     array_to_string(sig[bd.band*4+1 : bd.band*4+4], ',') AS key
+              FROM sig, (SELECT unnest(range(0, 16)) AS band) bd
+            ),
+            bsz AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
+            hist AS (
+              SELECT c, count(*) AS nb FROM bsz
+              WHERE c BETWEEN 2 AND 1000 GROUP BY c
+            ),
+            cum AS (
+              SELECT c, sum((c*(c-1)//2) * nb) OVER (ORDER BY c) AS cumpairs
+              FROM hist
+            ),
+            cutv AS (
+              SELECT greatest(coalesce(max(c), 2), 2) AS cut
+              FROM cum WHERE cumpairs <= 320
+            )
+            SELECT band, CAST(c AS INTEGER) AS n_docs,
+                   count(*) AS n_buckets,
+                   CAST(sum(c*(c-1)//2) AS BIGINT) AS pairs_cut
+            FROM bsz, cutv
+            WHERE c BETWEEN 2 AND 1000 AND c > cut
+            GROUP BY band, c ORDER BY band, c
         """,
         # winnowing (Schleimer et al. 2003): word 5-grams hashed with the
         # md5-8-byte-prefix scheme of operators/dedup._hash64_array, masked to

@@ -10,6 +10,13 @@ so the two artifacts describe one corpus. Prints one JSON line; quote it
 in BASELINE.md.
 
 Usage: python scripts/bench_dedup_scale.py [pages_path] [cpus]
+       python scripts/bench_dedup_scale.py --budget [pages_path] [cpus] [max_pairs]
+
+``--budget`` (round 5) runs ONLY the two MinHash-LSH stages under a
+``max_pairs`` total-pair budget plus their budget censuses — the re-run
+evidencing that the round-5 budget bounds the 173.8M/383.6M-pair blowups
+the round-4 smoke measured on this same corpus, and accounts for every
+pair it cut.
 """
 
 from __future__ import annotations
@@ -26,10 +33,13 @@ sys.path.insert(0, REPO)
 def main() -> None:
     from gbif_data_validator_spark.session import build_session
 
-    path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    args = [a for a in sys.argv[1:] if a != "--budget"]
+    budget_mode = "--budget" in sys.argv[1:]
+    path = args[0] if args else os.path.join(
         REPO, ".bench_cache", "pages_n1200000_w12_p64"
     )
-    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    cpus = int(args[1]) if len(args) > 1 else 32
+    max_pairs = int(args[2]) if len(args) > 2 else 10_000_000
     spark = build_session(
         app_name="dedup-scale", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
@@ -55,6 +65,36 @@ def main() -> None:
 
     MAX_BUCKET = 1000
     MAX_DF = 1000
+
+    if budget_mode:
+        out["max_pairs"] = max_pairs
+        for name, pairs_fn, census_fn in (
+            ("minhash_lsh_pairs", dedup.minhash_lsh_pairs,
+             dedup.minhash_lsh_budget_dropped),
+            ("weighted_minhash_lsh_pairs", dedup.weighted_minhash_lsh_pairs,
+             dedup.weighted_minhash_budget_dropped),
+        ):
+            timed(f"{name}_budgeted", lambda pf=pairs_fn: {
+                "pairs": pf(pages, "doc_id", "text",
+                            max_bucket=MAX_BUCKET, max_pairs=max_pairs
+                            ).count()
+            })
+            agg = census_fn(
+                pages, "doc_id", "text",
+                max_bucket=MAX_BUCKET, max_pairs=max_pairs,
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_pairs").alias("pairs_cut"),
+                F.sum("n_docs").alias("docs"),
+            ).collect()[0]
+            out["caps"][f"{name}_budget_dropped"] = {
+                "buckets": int(agg["n"] or 0),
+                "pairs_cut": int(agg["pairs_cut"] or 0),
+                "docs_in_dropped": int(agg["docs"] or 0),
+            }
+        _host_canary(out)
+        print(json.dumps(out))
+        return
 
     # exact dedup (engine hot path shape: one window exchange)
     timed("dedup_exact", lambda: {
@@ -100,6 +140,11 @@ def main() -> None:
         ).count()
     })
 
+    _host_canary(out)
+    print(json.dumps(out))
+
+
+def _host_canary(out: dict) -> None:
     import hashlib
 
     t0 = time.time()
@@ -108,7 +153,6 @@ def main() -> None:
         x = hashlib.md5(x).digest() * 4
     out["host"] = {"canary_sec": round(time.time() - t0, 2),
                    "load_avg_1m": round(os.getloadavg()[0], 2)}
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":
