@@ -83,6 +83,11 @@ def main() -> None:
     pages_path = cached_pages(spark, n_pages, cache_root)
     pages = spark.read.parquet(pages_path)
 
+    # canary BEFORE the suite too (round-4 verdict item 8): with pre+post
+    # host probes embedded, a throttled capture self-documents in the
+    # artifact instead of needing BASELINE.md cross-referencing
+    canary_pre = host_canary()
+
     timings: dict[str, float] = {}
 
     # --- warm-up (untimed): spin up python workers on every core, trigger
@@ -191,7 +196,9 @@ def main() -> None:
                 "violation_recall": violation_recall,
                 "pages_rows": n_pages,
                 "cpus": CPUS,
-                "host": host_canary(),
+                "host": {**host_canary(),
+                         "canary_sec_pre": canary_pre["canary_sec"],
+                         "load_avg_1m_pre": canary_pre["load_avg_1m"]},
             }
         )
     )
