@@ -1605,3 +1605,45 @@ def test_jpeg_progressive_eobrun_spans_blocks():
     b1 = np.clip(np.round(4 * dc_basis + 128.0), 0, 255).astype(np.uint8)
     b2 = np.clip(np.round(8 * dc_basis + 128.0), 0, 255).astype(np.uint8)
     assert (img[:, :8, 0] == b1).all() and (img[:, 8:, 0] == b2).all()
+
+
+def test_jpeg_progressive_color_subsampled_matches_sequential():
+    """3-component 4:2:0 progressive (interleaved DC scan + three
+    per-component AC scans) decodes identically to the sequential
+    interleaved stream carrying the same coefficients — MCU block order,
+    per-component DC predictor chains, and component-dim data-unit
+    counts all exercised in one fixture."""
+    from gbif_data_validator_spark.operators.multimodal import decode_image
+
+    dqt = _seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof_body = (b"\x08" + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+                + b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00")
+    dc = _dht(0, 0, [1] + [0] * 15, bytes([2]))     # DC: cat2, code '0'
+    ac = _dht(1, 0, [1] + [0] * 15, bytes([0x00]))  # AC: EOB only
+
+    def dcbits(v):  # cat2 symbol + 2 magnitude bits (negatives offset)
+        return "0" + format(v if v >= 0 else v + 3, "02b")
+
+    diffs = [3, -2, 2, -3, 2, -2]  # Y x4 (MCU order), Cb, Cr
+    sos3 = b"\x03" + b"\x01\x00\x02\x00\x03\x00"
+    prog = (
+        b"\xff\xd8" + dqt + _seg(0xC2, sof_body) + dc + ac
+        + _seg(0xDA, sos3 + b"\x00\x00\x00")
+        + _pack_bits("".join(dcbits(v) for v in diffs))
+        + _seg(0xDA, b"\x01" + b"\x01\x00" + b"\x01\x3f\x00")
+        + _pack_bits("0" * 4)   # Y: 2x2 blocks, one EOB each
+        + _seg(0xDA, b"\x01" + b"\x02\x00" + b"\x01\x3f\x00")
+        + _pack_bits("0")
+        + _seg(0xDA, b"\x01" + b"\x03\x00" + b"\x01\x3f\x00")
+        + _pack_bits("0")
+        + b"\xff\xd9"
+    )
+    seq = (
+        b"\xff\xd8" + dqt + _seg(0xC0, sof_body) + dc + ac
+        + _seg(0xDA, sos3 + b"\x00\x3f\x00")
+        + _pack_bits("".join(dcbits(v) + "0" for v in diffs))
+        + b"\xff\xd9"
+    )
+    ip, isq = decode_image(prog), decode_image(seq)
+    assert ip.shape == (16, 16, 3)
+    assert (ip == isq).all()
