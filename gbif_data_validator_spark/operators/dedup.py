@@ -528,13 +528,20 @@ def minhash_lsh_budget_dropped(
     n_bands: int = 16,
     seed: int = 42,
     max_bucket: int = 1000,
-    max_pairs: int = 10_000_000,
+    max_pairs: "int | None" = None,
 ) -> DataFrame:
     """→ (band, bucket, n_docs, n_pairs) for band buckets the PAIR budget
     excluded from ``minhash_lsh_pairs(max_pairs=...)`` (buckets the
     per-bucket cap dropped are censused separately by
     ``minhash_lsh_dropped_buckets``). Sum(n_pairs) is exactly the
-    candidate volume the budget saved — the no-silent-caps ledger."""
+    candidate volume the budget saved — the no-silent-caps ledger.
+    ``max_pairs`` must be the SAME value the pair operator ran with
+    (None — the operator default, meaning no budget — raises: an
+    unbudgeted run has nothing to census)."""
+    if max_pairs is None:
+        raise ValueError(
+            "max_pairs must match the budget passed to minhash_lsh_pairs "
+            "(operator default None = no budget => nothing to census)")
     posts = _minhash_band_posts(
         df, id_col, text_col, k, n_hashes, n_bands, seed
     ).where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
@@ -1972,10 +1979,15 @@ def weighted_minhash_budget_dropped(
     n_bands: int = 16,
     seed: int = 42,
     max_bucket: int = 1000,
-    max_pairs: int = 10_000_000,
+    max_pairs: "int | None" = None,
 ) -> DataFrame:
     """(band, bucket, n_docs, n_pairs) the weighted probe's PAIR budget
-    would skip — ``minhash_lsh_budget_dropped``, weighted flavored."""
+    would skip — ``minhash_lsh_budget_dropped``, weighted flavored
+    (``max_pairs`` required to match the operator's budget, as there)."""
+    if max_pairs is None:
+        raise ValueError(
+            "max_pairs must match the budget passed to "
+            "weighted_minhash_lsh_pairs")
     posts = _minhash_band_posts(
         df, id_col, text_col, k, n_hashes, n_bands, seed, weighted=True
     ).where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))

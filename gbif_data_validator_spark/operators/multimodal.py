@@ -591,7 +591,13 @@ def _jpeg_ac_refine(r: _JpegBits, ac: dict, zz: np.ndarray, ss: int, se: int,
             newval = 0
             if size == 0:
                 if run < 15:
-                    eobrun = (1 << run) - 1
+                    # refine EOB-run counts INCLUDE the current block
+                    # (unlike _jpeg_ac_first, where the current block ends
+                    # immediately): the tail below consumes this block's
+                    # remaining correction bits and decrements — so EOB0
+                    # still corrects the rest of this band, and EOBn
+                    # covers exactly n further blocks
+                    eobrun = 1 << run
                     if run:
                         eobrun += r.bits(run)
                     break

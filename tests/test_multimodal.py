@@ -1535,7 +1535,11 @@ def test_jpeg_progressive_successive_approximation_exact():
     """Hand-crafted 4-scan successive-approximation stream (T.81 G.1.2):
     DC first at Al=1, AC first at Al=1, DC refine, AC refine with
     correction bits consumed through an EOB-run — final coefficients must
-    be the exact originals (DC=6, zz1=3, zz5=-2), pixels the exact IDCT."""
+    be the exact originals (DC=6, zz1=3, zz5=-2), pixels the exact IDCT.
+    The quant table is 16 (not 1) so a missed refinement correction bit
+    (zz1=2 instead of 3) is pixel-VISIBLE — the review-found rounding
+    blind spot is closed, and the wrong-coefficient image is asserted
+    unequal below."""
     import numpy as np
 
     from gbif_data_validator_spark.operators.multimodal import (
@@ -1544,7 +1548,7 @@ def test_jpeg_progressive_successive_approximation_exact():
         decode_image,
     )
 
-    dqt = _seg(0xDB, b"\x00" + bytes([1] * 64))
+    dqt = _seg(0xDB, b"\x00" + bytes([16] * 64))
     sof = _seg(0xC2, b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
                + b"\x01" + b"\x01\x11\x00")
     # DC table: single symbol cat2 (code '0'); AC table: len-2 codes
@@ -1566,14 +1570,21 @@ def test_jpeg_progressive_successive_approximation_exact():
         + b"\xff\xd9"
     )
     img = decode_image(payload)
-    # expected: exact IDCT of DC=6, zz1=3, zz5=-2 with flat q=1
-    zz = np.zeros(64)
-    zz[[0, 1, 5]] = [6, 3, -2]
-    blk = np.zeros(64)
-    blk[_JPEG_ZIGZAG] = zz
-    px = _IDCT_A.T @ blk.reshape(8, 8) @ _IDCT_A + 128.0
-    g = np.clip(np.round(px), 0, 255).astype(np.uint8)
-    assert (img == np.stack([g, g, g], axis=-1)).all()
+
+    def pixels(zz1):
+        zz = np.zeros(64)
+        zz[[0, 1, 5]] = [6, zz1, -2]
+        blk = np.zeros(64)
+        blk[_JPEG_ZIGZAG] = zz * 16.0
+        px = _IDCT_A.T @ blk.reshape(8, 8) @ _IDCT_A + 128.0
+        g = np.clip(np.round(px), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+
+    # exact IDCT of DC=6, zz1=3 (2 from AC-first + the EOB-run correction
+    # bit), zz5=-2, q=16 — and the uncorrected zz1=2 image differs, so
+    # this assertion genuinely pins the correction-bit path
+    assert (pixels(3) != pixels(2)).any()
+    assert (img == pixels(3)).all()
 
 
 def test_jpeg_progressive_eobrun_spans_blocks():
@@ -1647,3 +1658,53 @@ def test_jpeg_progressive_color_subsampled_matches_sequential():
     ip, isq = decode_image(prog), decode_image(seq)
     assert ip.shape == (16, 16, 3)
     assert (ip == isq).all()
+
+
+def test_jpeg_ac_refine_eobrun_spans_blocks():
+    """Refinement EOB-runs INCLUDE the current block (T.81 G.1.2.3 /
+    the review-found desync): an EOB1 in block 1's refine scan must
+    consume block 1's remaining correction bits AND cover block 2 —
+    before the fix this decoded one block short and read block 2 as a
+    fresh Huffman symbol (spurious truncation error)."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        _IDCT_A,
+        _JPEG_ZIGZAG,
+        decode_image,
+    )
+
+    dqt = _seg(0xDB, b"\x00" + bytes([16] * 64))
+    sof = _seg(0xC2, b"\x08" + (8).to_bytes(2, "big") + (16).to_bytes(2, "big")
+               + b"\x01" + b"\x01\x11\x00")
+    dc = _dht(0, 0, [1] + [0] * 15, bytes([3]))  # cat3, code '0'
+    # AC: '00'->EOB0/(run<15,size0), '01'->(0,1), '10'->EOB run=1
+    ac = _dht(1, 0, [0, 3] + [0] * 14, bytes([0x00, 0x01, 0x10]))
+    payload = (
+        b"\xff\xd8" + dqt + sof + dc + ac
+        # DC scan: 4, then +4 -> 8
+        + _seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x00\x00")
+        + _pack_bits("0" + "100" + "0" + "100")
+        # AC first at Al=1: block1 zz1=1 (truth 3 >> 1) then EOB0;
+        # block2 empty (EOB0)
+        + _seg(0xDA, b"\x01" + b"\x01\x00" + b"\x01\x3f\x01")
+        + _pack_bits("01" + "1" + "00" + "00")
+        # AC refine at Al=0: EOB1 + appended run bit 0 = run of TWO
+        # blocks; block1's correction bit (zz1: 3&1=1) rides the run,
+        # block2 contributes no bits (no nonzero history)
+        + _seg(0xDA, b"\x01" + b"\x01\x00" + b"\x01\x3f\x10")
+        + _pack_bits("10" + "0" + "1")
+        + b"\xff\xd9"
+    )
+    img = decode_image(payload)
+
+    def block(dc_v, zz1):
+        zz = np.zeros(64)
+        zz[[0, 1]] = [dc_v, zz1]
+        blk = np.zeros(64)
+        blk[_JPEG_ZIGZAG] = zz * 16.0
+        px = _IDCT_A.T @ blk.reshape(8, 8) @ _IDCT_A + 128.0
+        return np.clip(np.round(px), 0, 255).astype(np.uint8)
+
+    assert (img[:, :8, 0] == block(4, 3)).all()   # corrected: zz1 = 2+1
+    assert (img[:, 8:, 0] == block(8, 0)).all()
