@@ -2211,6 +2211,37 @@ def _q_dwca_record_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dwca_event_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 registry breadth pinned as a driver-checkable row: the
+    structural battery over the deterministic Event-core fixture archives
+    (Event core + MeasurementOrFact/ResourceRelationship/Audubon/
+    ChronometricAge extensions — sources/dwca.py::KNOWN_ROWTYPES;
+    reference resolves these via dwc/extensions/ExtensionManager). The
+    clean archive contributes zero findings; the issues variant (its
+    MeasurementOrFact maps measurementRemarks instead of the required
+    measurementType) contributes exactly one REQUIRED_TERM_MISSING."""
+    import os
+    import tempfile
+
+    from gbif_data_validator_spark.sources import dwca
+
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "tests", "fixtures", "dwca")
+    rows = []
+    for name in ("event-core.zip", "event-core-issues.zip"):
+        findings = dwca.structure_findings(
+            os.path.join(fix, name), tempfile.mkdtemp()
+        )
+        rows.extend(
+            (name, f["evaluation_type"], f["rowtype"], f["term"])
+            for f in findings
+        )
+    return spark.createDataFrame(
+        rows, "archive string, evaluation_type string, rowtype string, "
+        "term string",
+    ).orderBy("archive", "evaluation_type", "term")
+
+
 def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1-style URL blocklist gate over deterministically constructed
     urls (documents carry no url column, so both engines build
@@ -5251,6 +5282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwca_star_check": _q_dwca_star_check,
         "dwca_record_checks": _q_dwca_record_checks,
         "jpeg_progressive_check": _q_jpeg_progressive_check,
+        "dwca_event_registry": _q_dwca_event_registry,
         "image_dhash_exact": _q_image_dhash_exact,
         "audio_hash_exact": _q_audio_hash_exact,
         "psi_drift": _q_psi_drift,
@@ -7942,6 +7974,17 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(url, check_id, expected, found)
             CROSS JOIN (VALUES ('core:Occurrence')) AS p(partition_id)
             ORDER BY url, check_id, found
+        """,
+        # dwca_event_registry: fixture archives are deterministic bytes,
+        # so the registry battery's findings are a fixed literal — the
+        # one planted required-term miss; 'rowtype' is the full URI
+        "dwca_event_registry": """
+            SELECT * FROM (VALUES
+              ('event-core-issues.zip', 'REQUIRED_TERM_MISSING',
+               'http://rs.tdwg.org/dwc/terms/MeasurementOrFact',
+               'measurementType')
+            ) AS t(archive, evaluation_type, rowtype, term)
+            ORDER BY archive, evaluation_type, term
         """,
         # jpeg_progressive_check: payloads are fixed hex literals, so the
         # expected findings are pure residue arithmetic; k=0 rows are
