@@ -1708,3 +1708,34 @@ def test_jpeg_ac_refine_eobrun_spans_blocks():
 
     assert (img[:, :8, 0] == block(4, 3)).all()   # corrected: zz1 = 2+1
     assert (img[:, 8:, 0] == block(8, 0)).all()
+
+
+def test_jpeg_progressive_restart_resets_predictors():
+    """DRI restarts inside progressive scans: the DC predictor resets at
+    each RSTn (so two blocks each coding diff=4 both land at DC=4, not
+    4 then 8), and RST numbering restarts at RST0 in every scan."""
+    from gbif_data_validator_spark.operators.multimodal import decode_image
+
+    dqt = _seg(0xDB, b"\x00" + bytes([16] * 64))
+    sof = _seg(0xC2, b"\x08" + (8).to_bytes(2, "big") + (16).to_bytes(2, "big")
+               + b"\x01" + b"\x01\x11\x00")
+    dc = _dht(0, 0, [1] + [0] * 15, bytes([3]))
+    ac = _dht(1, 0, [1] + [0] * 15, bytes([0x00]))
+    dri = _seg(0xDD, (1).to_bytes(2, "big"))
+
+    def dcb(v):
+        return "0" + format(v if v >= 0 else v + 7, "03b")
+
+    payload = (
+        b"\xff\xd8" + dqt + sof + dc + ac + dri
+        + _seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x00\x00")
+        + _pack_bits(dcb(4)) + b"\xff\xd0" + _pack_bits(dcb(4))
+        + _seg(0xDA, b"\x01" + b"\x01\x00" + b"\x01\x3f\x00")
+        + _pack_bits("0") + b"\xff\xd0" + _pack_bits("0")
+        + b"\xff\xd9"
+    )
+    img = decode_image(payload)
+    assert img.shape == (8, 16, 3)
+    # identical flat blocks: DC = 4 (reset), dequant 64, IDCT 8 + 128
+    assert (img[:, :8] == img[:, 8:]).all()
+    assert img[0, 0, 0] == 136
