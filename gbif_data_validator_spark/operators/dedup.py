@@ -361,7 +361,8 @@ def _pair_budget_cut(posts: DataFrame, max_pairs: int) -> DataFrame:
         .groupBy("_n").agg(F.count(F.lit(1)).alias("_c"))
         .withColumn(
             "_p",
-            (F.col("_n") * (F.col("_n") - 1) / 2).cast("long") * F.col("_c"),
+            (F.col("_n").cast("long") * (F.col("_n").cast("long") - 1) / 2)
+            .cast("long") * F.col("_c"),
         )
         .withColumn("_cum", F.sum("_p").over(Window.orderBy("_n")))
     )
@@ -387,8 +388,8 @@ def _apply_pair_budget(posts: DataFrame, max_pairs: "int | None",
             .where(F.col("_n") > F.col("_cut"))
             .select(
                 "band", "bucket", F.col("_n").alias("n_docs"),
-                (F.col("_n") * (F.col("_n") - 1) / 2).cast("long")
-                .alias("n_pairs"),
+                (F.col("_n").cast("long") * (F.col("_n").cast("long") - 1)
+                 / 2).cast("long").alias("n_pairs"),
             )
         )
     return (

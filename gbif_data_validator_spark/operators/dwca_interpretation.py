@@ -45,10 +45,13 @@ BASIS_OF_RECORD_VOCAB = frozenset({
     "UNKNOWN",
 })
 
-#: ISO 3166-1 alpha-2 officially assigned codes (public standard) — the
-#: countryCode membership dimension (reference: Country.fromIsoCode via
-#: the occurrence interpreter's COUNTRY_INVALID issue).
+#: ISO 3166-1 alpha-2 officially assigned codes (public standard) plus
+#: the user-assigned codes the reference's Country enum also carries
+#: (XK Kosovo, ZZ unknown, XZ international waters) — the countryCode
+#: membership dimension (reference: Country.fromIsoCode via the
+#: occurrence interpreter's COUNTRY_INVALID issue).
 ISO_3166_ALPHA2 = frozenset("""
+XK ZZ XZ
 AD AE AF AG AI AL AM AO AQ AR AS AT AU AW AX AZ BA BB BD BE BF BG BH BI BJ
 BL BM BN BO BQ BR BS BT BV BW BY BZ CA CC CD CF CG CH CI CK CL CM CN CO CR
 CU CV CW CX CY CZ DE DJ DK DM DO DZ EC EE EG EH ER ES ET FI FJ FK FM FO FR
@@ -279,6 +282,7 @@ def column_mismatch_findings(
     if desc.quote:
         return None
     paths = [os.path.join(scan_dir, loc) for loc in desc.locations]
+    header = None
     if desc.ignore_header_lines == 1:
         with open(paths[0], encoding=desc.encoding, errors="replace") as fh:
             header = fh.readline().rstrip("\r\n")
@@ -288,12 +292,15 @@ def column_mismatch_findings(
         if desc.id_index is not None:
             idxs.append(desc.id_index)
         expected = (max(idxs) + 1) if idxs else 0
-    lines = (
-        spark.read.option("header", desc.ignore_header_lines == 1)
-        .option("sep", "\x01").option("quote", "")
-        .option("encoding", desc.encoding)
-        .schema("line string").csv(paths)
-    )
+    # raw text read, NOT a csv scan with a sentinel separator: any byte
+    # (incl. stray control chars) may legally appear inside a field, so
+    # there is no separator that cannot collide. Header rows are removed
+    # by exact line match — a DATA line byte-identical to the header
+    # necessarily splits to the expected count, so over-filtering cannot
+    # suppress a real finding.
+    lines = spark.read.text(paths).withColumnRenamed("value", "line")
+    if header is not None:
+        lines = lines.where(F.col("line") != F.lit(header))
     parts = F.split(F.col("line"), re.escape(desc.delimiter))
     id_idx = desc.id_index if desc.id_index is not None else 0
     return (

@@ -114,8 +114,10 @@ def sniff_media(payload: bytes | None) -> str | None:
         layer = (payload[1] >> 1) & 0x3
         bitrate_idx = payload[2] >> 4
         samplerate_idx = (payload[2] >> 2) & 0x3
+        # bitrate index 0 is the legal free-format rate; only 0xF is
+        # forbidden (ISO 11172-3)
         if (version != 1 and layer != 0
-                and bitrate_idx not in (0, 0xF) and samplerate_idx != 3):
+                and bitrate_idx != 0xF and samplerate_idx != 3):
             return "mp3"
     if payload[:4] == b"\x1a\x45\xdf\xa3":
         return "mkv"
@@ -738,6 +740,9 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
         if b[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
         marker = b[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2 fill byte(s) before a marker
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -2229,10 +2234,18 @@ def header_dims(payload: bytes, kind: str) -> "tuple[int, int] | None":
                         h = val
             return (w, h) if w is not None and h is not None else None
         if kind == "ico":
-            if int.from_bytes(payload[4:6], "little") < 1:
+            n = int.from_bytes(payload[4:6], "little")
+            if n < 1:
                 return None
-            w, h = payload[6], payload[7]
-            return (w or 256, h or 256)
+            best = None
+            for i in range(n):  # multi-size icons: report the LARGEST
+                e = payload[6 + 16 * i: 8 + 16 * i]
+                if len(e) < 2:
+                    break
+                w, h = e[0] or 256, e[1] or 256
+                if best is None or w * h > best[0] * best[1]:
+                    best = (w, h)
+            return best
         if kind == "webp":
             pos = 12
             while pos + 8 <= len(payload):

@@ -665,13 +665,10 @@ def validate_dwca(
     if record_checks:
         part = F.lit(f"core:{term_local(desc.core.rowtype)}")
         interp = dwca_record_checks(core, core_id_column(desc))
-        src_dir = work_dir if not os.path.isdir(archive_path) else archive_path
-        if not os.path.exists(os.path.join(src_dir, "meta.xml")):
-            # extract_archive may have descended into a single-folder zip
-            sub = [d for d in os.listdir(src_dir)
-                   if os.path.isdir(os.path.join(src_dir, d))]
-            if len(sub) == 1:
-                src_dir = os.path.join(src_dir, sub[0])
+        # re-resolve the scan dir through extract_archive itself (already
+        # extracted above, so this is a cheap idempotent re-walk) instead
+        # of duplicating its single-folder-descend logic here
+        _, src_dir = extract_archive(archive_path, work_dir)
         colmm = column_mismatch_findings(spark, src_dir, desc.core)
         if colmm is not None:
             interp = interp.unionByName(colmm)

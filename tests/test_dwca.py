@@ -384,3 +384,49 @@ def test_event_core_registry_breadth(spark, tmp_path):
     assert core.columns == [
         "id", "eventID", "eventDate", "samplingProtocol", "countryCode"
     ]
+
+
+def test_country_user_assigned_codes_and_raw_byte_column_count(spark, tmp_path):
+    """Review-found parity/edge fixes: (a) the reference's Country enum
+    accepts user-assigned XK/ZZ/XZ — no COUNTRY_INVALID for them; (b) a
+    stray 0x01 control byte inside a field must not corrupt the raw-line
+    COLUMN_MISMATCH count (the raw read has no separator semantics)."""
+    import zipfile as zf_mod
+
+    from gbif_data_validator_spark.operators.dwca_interpretation import (
+        dwca_record_checks,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "XK"), ("b", "ZZ"), ("c", "XZ"), ("d", "XX")],
+        "id string, countryCode string",
+    )
+    got = {(r.record_id, r.check_id)
+           for r in dwca_record_checks(df, "id").collect()}
+    assert got == {("d", "COUNTRY_INVALID")}
+
+    bad = tmp_path / "ctrl.zip"
+    with zf_mod.ZipFile(bad, "w") as zf:
+        zf.writestr("meta.xml", (
+            '<archive xmlns="http://rs.tdwg.org/dwc/text/">'
+            '<core rowType="http://rs.tdwg.org/dwc/terms/Occurrence" '
+            'ignoreHeaderLines="1" fieldsTerminatedBy="\\t">'
+            "<files><location>occurrence.txt</location></files>"
+            '<id index="0"/>'
+            '<field index="1" term="http://rs.tdwg.org/dwc/terms/occurrenceID"/>'
+            '<field index="2" term="http://rs.tdwg.org/dwc/terms/occurrenceRemarks"/>'
+            "</core></archive>"
+        ))
+        zf.writestr(
+            "occurrence.txt",
+            "id\toccurrenceID\toccurrenceRemarks\n"
+            "r1\tr1-occ\tremark with \x01 stray byte\n"   # 3 cols: clean
+            "r2\tr2-occ\n",                               # 2 cols: mismatch
+        )
+    findings, viol = dwca.validate_dwca(
+        spark, str(bad), str(tmp_path / "w"), record_checks=True
+    )
+    got = {(r.url, r.check_id, r.found)
+           for r in viol.select("url", "check_id", "found").collect()}
+    assert ("r2", "COLUMN_MISMATCH", "2") in got
+    assert not any(u == "r1" for u, _, _ in got)

@@ -1739,3 +1739,46 @@ def test_jpeg_progressive_restart_resets_predictors():
     # identical flat blocks: DC = 4 (reset), dequant 64, IDCT 8 + 128
     assert (img[:, :8] == img[:, 8:]).all()
     assert img[0, 0, 0] == 136
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker — between scans and before EOI (review-found: the multi-scan
+    loop used to reject them as unexpected markers)."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        decode_image,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    prog = encode_jpeg_gray(img, 90, progressive=True)
+    base = decode_image(prog)
+    # fill byte before the second SOS and two before EOI
+    second_sos = prog.index(b"\xff\xda", prog.index(b"\xff\xda") + 2)
+    padded = (prog[:second_sos] + b"\xff" + prog[second_sos:-2]
+              + b"\xff\xff" + prog[-2:])
+    assert (decode_image(padded) == base).all()
+
+
+def test_ico_header_dims_multi_entry_largest():
+    """Multi-size icons report the LARGEST directory entry (the canonical
+    size metadata describes), not whichever happens to be first."""
+    from gbif_data_validator_spark.operators.multimodal import header_dims
+
+    entries = b""
+    for w, h in ((16, 16), (0, 0), (32, 32)):  # 0 byte = 256
+        entries += bytes([w, h]) + b"\x00" * 14
+    ico = b"\x00\x00\x01\x00" + (3).to_bytes(2, "little") + entries
+    assert header_dims(ico, "ico") == (256, 256)
+
+
+def test_mp3_free_format_bitrate_sniffs():
+    """Bitrate index 0 is the legal free-format rate (ISO 11172-3); only
+    0xF is forbidden."""
+    import gbif_data_validator_spark.operators.multimodal as mm
+
+    assert mm.sniff_media(b"\xff\xfb\x00\x00" + b"\x00" * 16) == "mp3"
+    assert mm.sniff_media(b"\xff\xfb\xf0\x00" + b"\x00" * 16) is None
