@@ -925,7 +925,8 @@ class _JpegBitWriter:
 
 
 def encode_jpeg_gray(img: np.ndarray, quality: int = 90,
-                     progressive: bool = False) -> bytes:
+                     progressive: bool = False,
+                     progressive_bands: "tuple | None" = None) -> bytes:
     """Grayscale baseline JPEG ENCODER (ITU-T T.81): forward DCT,
     Annex K luminance table scaled by the libjpeg quality formula,
     zigzag, canonical DC/AC Huffman with tables derived from the
@@ -939,7 +940,12 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90,
     SOF2 spectral-selection stream (scan 1: DC band 0-0; scan 2: AC band
     1-63, both at Ah=Al=0) — per-block baseline AC coding is a legal
     progressive AC-first scan (each EOB is an EOB-run of 1), so the
-    decoder must reproduce the baseline encoding's pixels EXACTLY."""
+    decoder must reproduce the baseline encoding's pixels EXACTLY.
+    ``progressive_bands`` further splits the AC spectrum into multiple
+    scans (e.g. ``((1, 5), (6, 63))`` — the common libjpeg scan-script
+    shape): run coding restarts per band, one SOS per band, same
+    coefficients, so multi-band output must STILL decode identical to
+    the baseline encoding."""
     if img.ndim == 3:
         img = np.round(
             0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
@@ -1035,6 +1041,67 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90,
     dht = seg(0xC4, b"\x00" + bytes(dc_counts) + bytes(dc_syms)) + seg(
         0xC4, b"\x10" + bytes(ac_counts) + bytes(ac_syms)
     )
+    if progressive and progressive_bands:
+        # multi-band spectral split: per-band run coding, one SOS per
+        # band. Bands must tile 1..63 contiguously. The AC symbol table
+        # is recollected band-aware (run lengths reset at band edges,
+        # so the single-band table may lack symbols the split needs).
+        lo_expected = 1
+        for lo, hi in progressive_bands:
+            if lo != lo_expected or hi < lo or hi > 63:
+                raise ValueError("progressive_bands must tile 1..63")
+            lo_expected = hi + 1
+        if lo_expected != 64:
+            raise ValueError("progressive_bands must tile 1..63")
+
+        def band_ops(ac: np.ndarray, lo: int, hi: int):
+            vals = ac[lo - 1:hi]
+            nzi = np.nonzero(vals)[0]
+            last = nzi[-1] if len(nzi) else -1
+            ops, run = [], 0
+            for i in range(last + 1):
+                v = int(vals[i])
+                if v == 0:
+                    run += 1
+                    if run == 16:
+                        ops.append((0xF0, None))
+                        run = 0
+                else:
+                    ops.append(((run << 4) | cat(v), v))
+                    run = 0
+            if last < hi - lo:
+                ops.append((0x00, None))  # EOB-run of 1 for this band
+            return ops
+
+        band_syms = {0x00}
+        for _, ac in blocks:
+            for lo, hi in progressive_bands:
+                band_syms.update(sym for sym, _ in band_ops(ac, lo, hi))
+        b_ac_syms = sorted(band_syms)
+        b_ac_counts = [0] * 16
+        b_ac_counts[7] = len(b_ac_syms)
+        b_ac_enc = _jpeg_emit_table(b_ac_counts, bytes(b_ac_syms))
+        dht_b = seg(0xC4, b"\x00" + bytes(dc_counts) + bytes(dc_syms)) + seg(
+            0xC4, b"\x10" + bytes(b_ac_counts) + bytes(b_ac_syms)
+        )
+        sof = seg(0xC2, b"\x08" + dims + b"\x01" + b"\x01\x11\x00")
+        wdc = _JpegBitWriter()
+        for diff, _ in blocks:
+            put_dc(wdc, diff)
+        out = (b"\xff\xd8" + dqt + sof + dht_b
+               + seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x00\x00")
+               + wdc.flush())
+        for lo, hi in progressive_bands:
+            wb = _JpegBitWriter()
+            for _, ac in blocks:
+                for sym, v in band_ops(ac, lo, hi):
+                    wb.put(*b_ac_enc[sym])
+                    if v is not None:
+                        t = sym & 0x0F
+                        wb.put(v if v >= 0 else v + (1 << t) - 1, t)
+            out += seg(0xDA, b"\x01" + b"\x01\x00"
+                       + bytes([lo, hi, 0])) + wb.flush()
+        return out + b"\xff\xd9"
     if progressive:
         sof = seg(0xC2, b"\x08" + dims + b"\x01" + b"\x01\x11\x00")
         wdc, wac = _JpegBitWriter(), _JpegBitWriter()

@@ -1782,3 +1782,35 @@ def test_mp3_free_format_bitrate_sniffs():
 
     assert mm.sniff_media(b"\xff\xfb\x00\x00" + b"\x00" * 16) == "mp3"
     assert mm.sniff_media(b"\xff\xfb\xf0\x00" + b"\x00" * 16) is None
+
+
+def test_jpeg_progressive_multiband_spectral_splits_exact():
+    """Multi-band spectral-selection encodes (the common libjpeg
+    scan-script shape, up to the extreme one-coefficient-per-scan split)
+    carry the same quantized coefficients through band-restricted
+    AC-first scans — every split must decode pixel-exact to the baseline
+    encoding."""
+    import numpy as np
+
+    from gbif_data_validator_spark.operators.multimodal import (
+        decode_image,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(6):
+        h, w = rng.choice([8, 16, 24]), rng.choice([8, 16, 24])
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        q = int(rng.choice([30, 90, 100]))
+        base = decode_image(encode_jpeg_gray(img, q))
+        for bands in (((1, 5), (6, 63)),
+                      ((1, 2), (3, 9), (10, 63)),
+                      tuple((i, i) for i in range(1, 64))):
+            prog = encode_jpeg_gray(img, q, progressive=True,
+                                    progressive_bands=bands)
+            assert (decode_image(prog) == base).all()
+    # bands must tile 1..63
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="tile"):
+        encode_jpeg_gray(img, 90, progressive=True,
+                         progressive_bands=((1, 5), (7, 63)))
