@@ -946,6 +946,10 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90,
     shape): run coding restarts per band, one SOS per band, same
     coefficients, so multi-band output must STILL decode identical to
     the baseline encoding."""
+    if progressive_bands is not None and not progressive:
+        raise ValueError(
+            "progressive_bands requires progressive=True (a baseline "
+            "stream cannot carry spectral-selection scans)")
     if img.ndim == 3:
         img = np.round(
             0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
@@ -980,8 +984,9 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90,
     # bucketed greedily: all symbols at length ceil(log2(rank+2)) would
     # need a package-merge; a flat 8-bit table is simpler and spec-legal)
     dc_syms = sorted({cat(d) for d, _ in blocks})
+    multiband = progressive and progressive_bands
     ac_syms = set()
-    for _, ac in blocks:
+    for _, ac in ([] if multiband else blocks):
         run = 0
         for v in ac:
             if v == 0:
@@ -993,7 +998,7 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90,
                 ac_syms.add((run << 4) | cat(int(v)))
                 run = 0
         ac_syms.add(0x00)
-    ac_syms = sorted(ac_syms)
+    ac_syms = sorted(ac_syms)  # empty in multiband mode (table built there)
     # flat 8-bit codes for every symbol (canonical, all length 8 —
     # valid for up to 255 symbols (8-bit codes must not be all-ones
     # prefix-free set; T.81 requires no code of all 1-bits at max
@@ -1054,6 +1059,10 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90,
         if lo_expected != 64:
             raise ValueError("progressive_bands must tile 1..63")
 
+        # NOTE: this is deliberately a separate RLE walk from put_ac /
+        # the pass-1 histogram loop — their byte output is pinned by
+        # committed hex fixtures, so they must not change; band_ops is
+        # the band-generalized form used only by the multiband path.
         def band_ops(ac: np.ndarray, lo: int, hi: int):
             vals = ac[lo - 1:hi]
             nzi = np.nonzero(vals)[0]
@@ -1074,9 +1083,12 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90,
             return ops
 
         band_syms = {0x00}
-        for _, ac in blocks:
-            for lo, hi in progressive_bands:
-                band_syms.update(sym for sym, _ in band_ops(ac, lo, hi))
+        ops_cache = {}  # (block_idx, band) -> ops; reused by the emitters
+        for bi, (_, ac) in enumerate(blocks):
+            for band in progressive_bands:
+                ops = band_ops(ac, *band)
+                ops_cache[(bi, band)] = ops
+                band_syms.update(sym for sym, _ in ops)
         b_ac_syms = sorted(band_syms)
         b_ac_counts = [0] * 16
         b_ac_counts[7] = len(b_ac_syms)
@@ -1093,8 +1105,8 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90,
                + wdc.flush())
         for lo, hi in progressive_bands:
             wb = _JpegBitWriter()
-            for _, ac in blocks:
-                for sym, v in band_ops(ac, lo, hi):
+            for bi in range(len(blocks)):
+                for sym, v in ops_cache[(bi, (lo, hi))]:
                     wb.put(*b_ac_enc[sym])
                     if v is not None:
                         t = sym & 0x0F
